@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scan / filter / project / aggregate / set-op surface (SURVEY §2.2, §2.4,
+  * §2.6 families 1 and 9).
+  *
+  * Reference semantics: projection+predicate chains appear as Flink filters
+  * (`/root/reference/scripts/get_entity_job.py:117`,
+  * `determine_change_job.py:466`); everything here is declared Catalyst-first
+  * so predicate pushdown + column pruning reach the parquet scan.
+  */
+object Relational {
+
+  /** P2–P4/P7: predicate + projection over lineitem. Filters push to parquet
+    * (`PushedFilters` on shipdate + returnflag), scan reads 4 columns only. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp") &&
+        col("l_returnflag").isin("A", "R"))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P13 (doc-id format `publish_state_job.py:77`) + computed projection. */
+  def projectExpr(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "N")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat_ws("_", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string")).as("line_id"),
+        (dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1-shaped wide aggregate: map-side partial agg + single shuffle on
+    * the 2-col group key; at 100 TB this is the canonical scan-heavy agg —
+    * no skew risk (6 groups), partials keep shuffle bytes tiny. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val price = dec(col("l_extendedprice"))
+    val disc = lit(1) - rate(col("l_discount"))
+    val tax = lit(1) + rate(col("l_tax"))
+    li.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * disc).cast("double").as("sum_disc_price"),
+        sum(price * disc * tax).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** groupBy + HAVING (post-aggregation filter). */
+  def aggHaving(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("n_orders") >= 3)
+      .orderBy("o_custkey")
+
+  /** Distinct aggregation (expand-based in Spark; partials still apply). */
+  def countDistinct_(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP grouping sets (free-from-Catalyst surface, SURVEY §2.4 note). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** CUBE grouping sets. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** Top-k: global sort + limit — Spark plans TakeOrderedAndProject, which
+    * keeps only k rows per partition then merges; no full sort at scale. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** INTERSECT (set semantics). */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+      .intersect(t(spark, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** EXCEPT — customers that never ordered, as a key-set difference. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey").as("custkey"))
+      .except(t(spark, dir, "orders").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** UNION (distinct). */
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+      .union(t(spark, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+}
