@@ -48,6 +48,36 @@ object SparkEntry {
     "q_top1_per_key" -> (Windows.top1PerKey _),
     "q_window_rank" -> (Windows.windowRank _),
     "q_window_running" -> (Windows.windowRunning _),
+    // family 4: map/array diff algebra (reference job 3)
+    "q_diff_keys" -> (DiffOps.diffKeys _),
+    "q_change_gate" -> (DiffOps.changeGate _),
+    // families 6 + 8: explode / array membership
+    "q_explode_words" -> (Arrays.explodeWords _),
+    "q_array_ops" -> (Arrays.arrayOps _),
+    "q_array_agg" -> (Arrays.arrayAgg _),
+    // family 7: hierarchy / breadcrumbs (reference job 4)
+    "q_hierarchy" -> (Hierarchy.treeBreadcrumbs _),
+    "q_breadcrumb_names" -> (Hierarchy.breadcrumbNames _),
+    // family 10: event-time windows (streaming-equivalent batch forms)
+    "q_window_tumbling" -> (TimeWindows.tumbling _),
+    "q_window_sliding" -> (TimeWindows.sliding _),
+    "q_session_window" -> (TimeWindows.sessions _),
+    // family 11: llm-ops — text analysis
+    "q_token_stats" -> (llm.TextOps.tokenStats _),
+    "q_quality_score" -> (llm.TextOps.qualityScore _),
+    "q_lang_id" -> (llm.TextOps.langId _),
+    "q_fingerprint" -> (llm.TextOps.fingerprint _),
+    // family 11: llm-ops — dedup
+    "q_dedup_exact" -> (llm.Dedup.exact _),
+    "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
+    "q_minhash_lsh" -> ((s, d) => llm.Dedup.minhashLsh(s, d)),
+    "q_simhash" -> (llm.Dedup.simhash _),
+    // family 11: llm-ops — similarity search
+    "q_cosine_topk" -> ((s, d) => llm.Similarity.cosineTopK(s, d)),
+    "q_cosine_topk_ivf" -> ((s, d) => llm.Similarity.cosineTopKIvf(s, d)),
+    "q_ann_pairs" -> ((s, d) => llm.Similarity.annPairs(s, d)),
+    // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
+    "q_binary_meta" -> (llm.Multimodal.binaryMeta _),
   )
 
   // DuckDB oracle equivalents. DECIMAL(12,4) round-trips keep double
@@ -187,5 +217,193 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS $D)) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_diff_keys" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type,
+        |    json_extract_string(props, '$.k') AS k,
+        |    lag(event_type) OVER w AS petype,
+        |    lag(json_extract_string(props, '$.k')) OVER w AS pk,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CASE WHEN rn = 1 THEN (CASE WHEN event_type = 'purchase' THEN ['etype','flag','k'] ELSE ['etype','k'] END)
+        |       WHEN event_type = 'purchase' AND petype <> 'purchase' THEN ['flag']
+        |       ELSE CAST([] AS VARCHAR[]) END AS added,
+        |  CASE WHEN rn > 1 AND petype = 'purchase' AND event_type <> 'purchase' THEN ['flag']
+        |       ELSE CAST([] AS VARCHAR[]) END AS deleted,
+        |  CASE WHEN rn = 1 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_sort(list_concat(
+        |         CASE WHEN event_type <> petype THEN ['etype'] ELSE CAST([] AS VARCHAR[]) END,
+        |         CASE WHEN k <> pk THEN ['k'] ELSE CAST([] AS VARCHAR[]) END)) END AS changed
+        |FROM x ORDER BY user_id, event_id""".stripMargin,
+    "q_change_gate" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type,
+        |    json_extract_string(props, '$.k') AS k,
+        |    lag(event_type) OVER w AS petype,
+        |    lag(json_extract_string(props, '$.k')) OVER w AS pk,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_changes FROM x
+        |WHERE rn = 1 OR event_type <> petype OR k <> pk
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_explode_words" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q_array_ops" ->
+      """WITH x AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words, w[1:3] AS first3,
+        |  list_contains(w, 'scan') AS has_scan,
+        |  CAST(COALESCE(list_position(w, 'scan'), 0) AS BIGINT) AS scan_pos,
+        |  list_transform(w[1:3], t -> upper(t)) AS upper3,
+        |  list_sort(w[1:5]) AS sorted5,
+        |  list_sort(list_distinct(list_filter(w[1:3], t -> list_contains(w[4:6], t)))) AS inter33,
+        |  list_sort(list_distinct(list_filter(w[1:3], t -> NOT list_contains(w[4:6], t)))) AS except33
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "q_array_agg" ->
+      """SELECT lang, list_sort(list(DISTINCT source)) AS sources, COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_hierarchy" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS id,
+        |         'R' || CAST(n_regionkey AS VARCHAR) AS parent FROM nation
+        |  UNION ALL
+        |  SELECT 'C' || CAST(c_custkey AS VARCHAR), 'N' || CAST(c_nationkey AS VARCHAR) FROM customer),
+        |paths AS (
+        |  SELECT DISTINCT e.parent AS node_id, CAST([] AS VARCHAR[]) AS breadcrumb
+        |  FROM edges e WHERE e.parent NOT IN (SELECT id FROM edges)
+        |  UNION ALL
+        |  SELECT e.id, list_append(p.breadcrumb, p.node_id)
+        |  FROM edges e JOIN paths p ON e.parent = p.node_id)
+        |SELECT node_id, breadcrumb, CAST(len(breadcrumb) AS INTEGER) AS depth
+        |FROM paths ORDER BY node_id""".stripMargin,
+    "q_breadcrumb_names" ->
+      """SELECT c_custkey, 'N' || CAST(n_nationkey AS VARCHAR) AS parent_id,
+        |  [r_name, n_name] AS breadcrumb_names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_tumbling" ->
+      s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS wstart_ms, event_type,
+         |  COUNT(*) AS n, ${dsum("value")} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT ws * 3600000 AS wstart_ms, COUNT(*) AS n
+        |FROM (SELECT unnest([hb - 1, hb]) AS ws
+        |      FROM (SELECT epoch_ns(ts) // 3600000000000 AS hb FROM events))
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+        |         OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, tus, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        |SELECT user_id, MIN(tus) // 1000 AS session_start_ms, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms""".stripMargin,
+    "q_token_stats" ->
+      """WITH x AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH x AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |y AS (SELECT doc_id, len(toks) AS n,
+        |        len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS nstop,
+        |        len(list_distinct(toks)) AS nuniq
+        |      FROM x)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+        |  CAST(nstop AS DOUBLE) / n AS stopword_ratio,
+        |  CAST(nuniq AS DOUBLE) / n AS uniq_ratio,
+        |  CASE WHEN CAST(nstop AS DOUBLE) / n > 0.2 THEN 'low'
+        |       WHEN n >= 12 THEN 'ok' ELSE 'short' END AS quality
+        |FROM y ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH x AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |y AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','and'], t))) AS INTEGER) AS score_en,
+        |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de'], t))) AS INTEGER) AS score_es,
+        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das'], t))) AS INTEGER) AS score_de
+        |  FROM x)
+        |SELECT doc_id, lang AS declared_lang, score_en, score_es, score_de,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+        |       WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS predicted_lang
+        |FROM y ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, lang, source,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |       FROM tk)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |       FROM tk),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |mh AS (SELECT doc_id, j,
+        |         MIN(CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+        |       FROM ex CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 AS est_sim
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+        |    (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+        |    (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+        |    (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))
+        |SELECT id_a, id_b, est_sim FROM pairs WHERE est_sim >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |z AS (SELECT e.vec_id, e.label,
+        |  list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) AS dot,
+        |  list_reduce(list_prepend(0.0, list_transform(e.embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS na,
+        |  list_reduce(list_prepend(0.0, list_transform(q.qe,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS nb
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cos_sim
+        |FROM z ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_cosine_topk_ivf" ->
+      """WITH q AS (SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+        |z AS (SELECT e.vec_id,
+        |  list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) AS dot,
+        |  list_reduce(list_prepend(0.0, list_transform(e.embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS na,
+        |  list_reduce(list_prepend(0.0, list_transform(q.qe,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS nb
+        |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.ql)
+        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cos_sim
+        |FROM z ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

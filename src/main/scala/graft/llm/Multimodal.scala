@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata, with
+  * the decode step stubbed (no image/audio libs in this container). The
+  * Spark-side shape is real: binary columns, per-partition batched decode,
+  * deterministic fake features, tested schemas.
+  *
+  * At 100 TB: binaries stay opaque until the latest possible stage (column
+  * pruning keeps them out of shuffles); decode runs per-partition with
+  * shared "codec" setup (mapPartitions), mirroring how a JNI/FFI decoder
+  * would be pooled per executor core.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+      sha256: String, width: Int, height: Int, features: Array[Float])
+
+  /** Build a binary media column from the documents table (payload = utf-8
+    * bytes standing in for encoded image/audio frames). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio")
+          .as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: a real implementation would call an image/audio codec here
+    * (per-partition codec reuse). The fake is deterministic: "dimensions"
+    * derived from payload length, "features" from payload bytes. */
+  private def decodeStub(r: MediaRow): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+    val n = r.payload.length
+    MediaFeatures(r.doc_id, r.media_type, n, sha,
+      width = 16 + n % 64, height = 16 + (n / 64) % 64,
+      features = r.payload.take(8).map(b => (b & 0xff) / 255.0f))
+  }
+
+  /** Per-partition decode with one-time "codec" setup per partition. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init would go here (pooled decoder handle)
+      it.map(decodeStub)
+    }
+  }
+
+  /** Oracle-checkable slice of the pipeline: byte length + sha256 are
+    * computable by both engines; the stubbed feature columns are covered by
+    * unit tests instead. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha_hex"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for training-data pipelines: token stats, quality
+  * scoring, language-ID heuristic, document fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) — at 100 TB these run as a single
+  * projection over the scan with zero shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the BPE-ish regex split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token counting + uniqueness + mean token length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq_tokens"),
+        (aggregate(transform(col("toks"), w => length(w)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(col("toks")))
+          .as("avg_token_len"))
+      .orderBy("doc_id")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Quality scoring: stopword ratio, uniqueness ratio, and a CASE label —
+    * the shape of heuristic quality filters in pretraining pipelines. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, w =>
+      array_contains(array(stopwords.map(lit): _*), w)))
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        uniqRatio.as("uniq_ratio"),
+        when(nStop.cast("double") / nTok > 0.2, "low")
+          .when(nTok >= 12, "ok")
+          .otherwise("short").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "das"))
+
+  /** Language-ID n-gram/stopword heuristic: score each language by marker
+    * hits, argmax with deterministic tie-break order en > es > de. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def score(ws: Seq[String]): Column =
+      size(filter(toks, w => array_contains(array(ws.map(lit): _*), w)))
+    val Seq(en, es, de) = langMarkers.map { case (_, ws) => score(ws) }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        en.as("score_en"), es.as("score_es"), de.as("score_de"),
+        when(en >= es && en >= de, "en")
+          .when(es >= de, "es")
+          .otherwise("de").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash
+    * h = fold(h*31 + codepoint) mod 1e9+7 over characters. Portable across
+    * engines (no murmur dependence). */
+  def fingerprintCol(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+      .orderBy("doc_id")
+}

@@ -26,7 +26,9 @@ class QuerySurfaceSpec extends AnyFunSuite {
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only ops must be documented here as they are added
-    val allowedRowsOnly = Set.empty[String]
+    // non-SQL-expressible ops get the driver's weaker rows-only check:
+    // simhash (bit-majority fold) and sign-projection ANN buckets
+    val allowedRowsOnly = Set("q_simhash", "q_ann_pairs")
     assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle without query: $dangling")
