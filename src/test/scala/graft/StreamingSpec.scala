@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingJobs
+
+/** End-to-end Structured Streaming tests via MemoryStream (SURVEY §5.2.3/5). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("parseWithDlq routes malformed payloads to the dead-letter channel (S10/P4)") {
+    import spark.implicits._
+    val good =
+      """{"kafkaNotification":{"eventTime":1,"operationType":"ENTITY_CREATE","guid":"g1"},
+        |"atlasEntity":{"guid":"g1","typeName":"m4i_data_domain",
+        |"attributes":{"qualifiedName":"q"},"createTime":1,"updateTime":1}}"""
+        .stripMargin.replaceAll("\n", "")
+    val bad = """{"oops": true}"""
+    val notJson = "not json at all"
+    val parsed = StreamingJobs.parseWithDlq(
+      Seq(good, bad, notJson).toDF("value"), "get_entity")
+    assert(StreamingJobs.validRows(parsed).count() == 1)
+    val dlq = StreamingJobs.deadLetters(parsed).collect()
+    assert(dlq.length == 2)
+    assert(dlq.forall(_.getAs[String]("job") == "get_entity"))
+    assert(dlq.forall(_.getAs[Double]("timestamp") > 0))
+  }
+
+  test("versionTransitions keeps per-guid latest state, drops late rows (J3 streaming)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Long, String, String, Map[String, String])]
+    val out = StreamingJobs.versionTransitions(input.toDS())
+    val q = out.writeStream.format("memory").queryName("vt")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("g1", 100L, "ENTITY_CREATE", "t", Map("a" -> "1")),
+        ("g1", 200L, "ENTITY_UPDATE", "t", Map("a" -> "2")),
+        ("g2", 150L, "ENTITY_CREATE", "t", Map("b" -> "1")))
+      q.processAllAvailable()
+      input.addData(
+        ("g1", 50L, "ENTITY_UPDATE", "t", Map("a" -> "0")), // late → dropped
+        ("g1", 300L, "ENTITY_UPDATE", "t", Map("a" -> "3")))
+      q.processAllAvailable()
+      val rows = spark.table("vt").collect()
+      assert(rows.length == 4) // 100, 200, 150, 300 — not 50
+      val g1 = rows.filter(_.getAs[String]("guid") == "g1")
+        .map(_.getAs[Long]("updateTime")).sorted
+      assert(g1.toSeq == Seq(100L, 200L, 300L))
+      val last = rows.find(_.getAs[Long]("updateTime") == 300L).get
+      assert(last.getAs[Map[String, String]]("oldAttributes") == Map("a" -> "2"))
+    } finally q.stop()
+  }
+
+  test("windowed streaming counts under watermark match batch semantics (§2.7)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)] // (epochSec, event_type)
+    val events = input.toDS().toDF("sec", "event_type")
+      .withColumn("tts", timestamp_seconds(col("sec")))
+    val agg = StreamingJobs.windowedCounts(events)
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      input.addData((0L, "a"), (30L, "a"), (301L, "a"), (400L, "b"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, "a", 2L), (300L, "a", 1L), (300L, "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("number sequence + elements example sources (S11/S12)") {
+    assert(StreamingJobs.numberSequence(spark).count() == 100)
+    assert(StreamingJobs.fromElements(spark).collect()
+      .map(_.getString(1)).toSeq == Seq("Hi", "Hello"))
+  }
+}
+
+/** Multimodal plumbing spec: schema + deterministic stub decode. */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("media table + stubbed decode yields typed features (schema contract)") {
+    val media = graft.llm.Multimodal.mediaTable(spark, sfDir)
+    val feats = graft.llm.Multimodal.decodeFeatures(media)
+    val r = feats.filter(col("doc_id") === 0).collect().head
+    assert(r.media_type == "image")
+    assert(r.n_bytes > 0 && r.sha256.length == 64)
+    assert(r.features.length == 8 && r.width >= 16 && r.height >= 16)
+    // deterministic: same input → same features
+    val r2 = feats.filter(col("doc_id") === 0).collect().head
+    assert(r2.features.toSeq == r.features.toSeq)
+  }
+}
