@@ -82,7 +82,8 @@ object EntityDiff {
     val diffed = withPrev.select(
       (Seq(col("guid"), col("updateTime"), col("typeName"),
         col("operationType"),
-        element_at(col("attributes"), "qualifiedName").as("qualifiedName")) ++
+        element_at(col("attributes"), "qualifiedName").as("qualifiedName"),
+        col("new_attributes").as("newAttributes")) ++
         changeColumns(col("new_attributes"), col("old_attributes"),
           col("new_relationships"), col("old_relationships"))): _*)
 

@@ -1,0 +1,82 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.diff.EntityDiff
+import graft.streaming.StreamingJobs
+
+/** The reference's 4-job chain as one composable batch pipeline
+  * (SURVEY §0 diagram):
+  *
+  *   raw audit JSON ─▶ [1 parse+enrich] ─▶ [2 publish_state (versioned store)]
+  *                       │                      └─▶ as-of (lag) ──┐
+  *                       └────────────▶ [3 determine_change] ◀────┘
+  *                                          └─▶ [4 synchronize (doc store)]
+  *   malformed rows ─▶ DEAD_LETTER channel
+  *
+  * In the reference each arrow is a Kafka topic and each job a separate
+  * Flink process at parallelism=1 with per-record HTTP to Atlas/ES
+  * (the reference's scripts/..._job.py files). Here the chain is a lazy
+  * DataFrame graph: one
+  * shuffle on guid covers publish_state bucketing AND the as-of lag AND the
+  * change diff; document synchronization shuffles once more on guid.
+  * Streaming deployment wraps the same transforms in foreachBatch
+  * (graft.streaming.StreamingJobs).
+  */
+object Pipeline {
+
+  /** Job 1: parse raw JSON audit events, split valid/dead-letter. The
+    * reference enriches via per-record Atlas REST (J1/S13); our contract
+    * takes the entity embedded in the enriched envelope (FIXTURES §3), with
+    * live-API enrichment behind the same interface when required. */
+  def parse(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = StreamingJobs.parseWithDlq(raw, "pipeline")
+    (StreamingJobs.validRows(parsed), StreamingJobs.deadLetters(parsed))
+  }
+
+  /** Job 2 input shape: flatten the envelope into versioned entity rows. */
+  def toVersions(valid: DataFrame): DataFrame =
+    valid.select(
+      col("atlasEntity.guid").as("guid"),
+      col("atlasEntity.updateTime").as("updateTime"),
+      col("kafkaNotification.operationType").as("operationType"),
+      col("atlasEntity.typeName").as("typeName"),
+      col("atlasEntity.attributes").as("attributes"),
+      coalesce(col("atlasEntity.relationshipAttributes"),
+        map().cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>"))
+        .as("relationshipAttributes"))
+
+  /** Job 3: change messages from the version stream (EntityDiff), shaped to
+    * the SynchronizeSearch message contract. Parent-edge columns derive from
+    * inserted/deleted parent-type relationships (G5/G6 orientation via the
+    * key prefix convention). */
+  def toMessages(versions: DataFrame): DataFrame = {
+    val changes = EntityDiff.determineChange(versions)
+    changes.select(
+      col("guid"), col("typeName"), col("qualifiedName"), col("eventType"),
+      col("updateTime").as("seq"),
+      map_filter(
+        map_from_arrays(
+          concat(col("insertedAttributes"), col("changedAttributes")),
+          transform(concat(col("insertedAttributes"), col("changedAttributes")),
+            k => element_at(col("newAttributes"), k))),
+        (_, v) => v.isNotNull).as("attributes"),
+      element_at(
+        element_at(col("insertedRelationships"), "parent"), 1)("guid")
+        .as("parentGuid"),
+      map_contains_key(col("deletedRelationships"), "parent")
+        .as("parentRemoved"),
+      lit(true).as("directChange"))
+  }
+
+  /** End-to-end: raw JSON strings → (documents, deadLetters, changeMessages,
+    * versions). `docs0` is the current document store (empty on bootstrap). */
+  def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (valid, dlq) = parse(raw)
+    val versions = toVersions(valid)
+    val messages = toMessages(versions)
+    val docs = SynchronizeSearch.applyChanges(docs0, messages)
+    (docs, dlq, messages, versions)
+  }
+}

@@ -8,22 +8,21 @@ import graft.docs.DocumentAlgebra._
   * (SURVEY §3.3, G22 dispatcher `synchronize_elastic_job.py:80-113`).
   *
   * Message contract (flattened EntityMessage): guid, typeName, qualifiedName,
-  * eventType, seq (intra-batch order), name, definition, email,
-  * attributes MAP<STRING,STRING> (changed attrs), parentGuid (nullable —
-  * present when a parent-child relationship was inserted), parentRemoved
-  * (boolean — a parent-child relationship was deleted).
+  * eventType, seq (intra-batch order, e.g. updateTime), attributes
+  * MAP<STRING,STRING> (changed attrs; full attrs on create), parentGuid
+  * (nullable — a parent-child relationship was inserted), parentRemoved
+  * (boolean), directChange.
   *
   * Phase order inside a batch (SURVEY §7.5.1 — replaces the reference's
-  * global parallelism=1 with per-batch phases):
-  *   1. deletes (G20)            — anti-join
-  *   2. creates (G19)            — union of fresh docs
-  *   3. attribute upserts (G21)  — equi-join merge
-  *   4. re-parenting (G8/G11)    — breadcrumb derive via parent join
-  *   5. cascades (G9/G12/G17/G18)— ONE array_contains join over all changed
-  *                                 parents (full ancestor paths make a single
-  *                                 pass reach grandchildren)
-  * Each phase is set-oriented over ALL messages of that kind at once.
-  */
+  * global parallelism=1 with per-guid seq resolution + set-oriented phases):
+  *   1. resolve creates/deletes per guid by seq (a later create resurrects)
+  *   2. fold attribute updates per (guid, key) by seq — one shuffle
+  *   3. latest parent-edge event per guid → re-derive/reset breadcrumbs
+  *      (G8/G11)
+  *   4. rename cascade to ALL descendants via one array_contains join
+  *      (G17/G18; full ancestor paths ⇒ single pass reaches grandchildren)
+  * Every phase handles ALL messages of its kind at once — no per-entity
+  * loops, no point reads. */
 object SynchronizeSearch {
 
   /** P5: direct-change gate (`synchronize_elastic_job.py:74-76`). */
@@ -31,30 +30,57 @@ object SynchronizeSearch {
     messages.filter(col("directChange"))
 
   def applyChanges(docs: DataFrame, messages: DataFrame): DataFrame = {
-    val dedupedMsgs = lastWins(messages.withColumn("seq",
-      coalesce(col("seq"), lit(0L))))
+    val m = messages.withColumn("seq", coalesce(col("seq"), lit(0L)))
 
-    // 1. deletes
-    val deletes = dedupedMsgs.filter(col("eventType") === "EntityDeleted")
-    val afterDelete = deleteDocs(docs, deletes)
-
-    // 2. creates
-    val creates = dedupedMsgs.filter(col("eventType") === "EntityCreated")
+    // --- phase 1: creates & deletes, resolved per guid by seq (G19/G20)
+    val createLatest = m.filter(col("eventType") === "EntityCreated")
+      .groupBy("guid")
+      .agg(max_by(struct(col("typeName"), col("qualifiedName"),
+        col("attributes"), col("seq")), col("seq")).as("c"))
+      .select(col("guid"), col("c.typeName").as("typeName"),
+        col("c.qualifiedName").as("qualifiedName"),
+        col("c.attributes").as("attributes"), col("c.seq").as("cseq"))
+    val delLatest = m.filter(col("eventType") === "EntityDeleted")
+      .groupBy("guid").agg(max(col("seq")).as("dseq"))
+    val deletedGuids = delLatest
+      .join(createLatest.select(col("guid"), col("cseq")), Seq("guid"),
+        "left_outer")
+      .filter(col("cseq").isNull || col("dseq") > col("cseq"))
+      .select("guid")
+    val keptCreates = createLatest
+      .join(deletedGuids, Seq("guid"), "left_anti")
       .withColumn("name", element_at(col("attributes"), "name"))
       .withColumn("definition", element_at(col("attributes"), "definition"))
       .withColumn("email", element_at(col("attributes"), "email"))
-    val withCreated = afterDelete.unionByName(createDocs(creates))
+    val base = deleteDocs(docs, deletedGuids.unionByName(
+        keptCreates.select("guid")))
+      .unionByName(createDocs(keptCreates))
 
-    // 3. attribute upserts (G21) over updated entities
-    val attrUpdates = dedupedMsgs
+    // --- phase 2: attribute upserts folded per (guid, key) by seq (G21/A8)
+    val attrMerged = m
       .filter(col("eventType") === "EntityAttributeAudit")
-    val afterAttrs = applyAttributeUpdates(withCreated, attrUpdates)
+      .select(col("guid"), col("seq"),
+        explode_outer(col("attributes")).as(Seq("k", "v")))
+      .filter(col("k").isNotNull)
+      .groupBy("guid", "k")
+      .agg(max_by(col("v"), col("seq")).as("v"))
+      .groupBy("guid")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("v"))))
+        .as("attributes"))
+    val afterAttrs = applyAttributeUpdates(base, attrMerged)
 
-    // 4. re-parenting: new parent edges re-derive child breadcrumbs (G8);
-    //    removed edges reset them (G11)
-    val newEdges = dedupedMsgs.filter(col("parentGuid").isNotNull)
+    // --- phase 3: latest parent-edge event per guid (G8/G11)
+    val edgeLatest = m
+      .filter(col("parentGuid").isNotNull || col("parentRemoved") === true)
+      .groupBy("guid")
+      .agg(max_by(struct(col("parentGuid"), col("parentRemoved")), col("seq"))
+        .as("e"))
+      .select(col("guid"), col("e.parentGuid").as("parentGuid"),
+        col("e.parentRemoved").as("parentRemoved"))
+    val newEdges = edgeLatest.filter(col("parentGuid").isNotNull)
       .select(col("guid").as("childGuid"), col("parentGuid"))
-    val removedChildren = dedupedMsgs.filter(col("parentRemoved") === true)
+    val removedChildren = edgeLatest
+      .filter(col("parentGuid").isNull && col("parentRemoved") === true)
       .select(col("guid"))
     val rederived = deriveBreadcrumbs(afterAttrs, newEdges)
     val reset = resetBreadcrumb(
@@ -66,9 +92,8 @@ object SynchronizeSearch {
       .unionByName(rederived)
       .unionByName(reset)
 
-    // 5. cascades: rename propagation into descendants' breadcrumbs and
-    //    derived fields, one pass over all renamed docs (G17/G18)
-    val renames = attrUpdates
+    // --- phase 4: rename cascades (G17/G18)
+    val renames = attrMerged
       .filter(map_contains_key(col("attributes"), "name"))
       .select(col("guid"), element_at(col("attributes"), "name").as("newName"))
     if (renames.isEmpty) afterEdges

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jobs.{Pipeline, SynchronizeSearch}
+
+/** End-to-end 4-job pipeline test: raw audit JSON → parse/DLQ → versions →
+  * change messages → document store (SURVEY §5.2.3; fixture shapes from
+  * FIXTURES §1–§5). */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import RowSeqOps._
+
+  private def rawEvent(guid: String, op: String, updateTime: Long,
+      typeName: String, attrs: Map[String, String],
+      parentRel: Option[(String, String)] = None): String = {
+    val attrJson = attrs.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val relJson = parentRel.map { case (key, pguid) =>
+      s""""$key":[{"guid":"$pguid","typeName":"x","entityStatus":"ACTIVE"}]"""
+    }.getOrElse("")
+    s"""{"kafkaNotification":{"eventTime":$updateTime,"operationType":"$op","guid":"$guid"},
+       |"atlasEntity":{"guid":"$guid","typeName":"$typeName",
+       |"attributes":{$attrJson},
+       |"relationshipAttributes":{$relJson},
+       |"createTime":1,"updateTime":$updateTime}}""".stripMargin
+      .replaceAll("\n", "")
+  }
+
+  private def emptyDocs = {
+    import spark.implicits._
+    val creates = Seq.empty[(String, String, String, String, Long,
+        Map[String, String], String, Boolean, Boolean)]
+      .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+        "attributes", "parentGuid", "parentRemoved", "directChange")
+      .withColumn("name", lit(null).cast("string"))
+      .withColumn("definition", lit(null).cast("string"))
+      .withColumn("email", lit(null).cast("string"))
+    graft.docs.DocumentAlgebra.createDocs(creates)
+  }
+
+  test("raw JSON batch flows to documents; malformed rows land in DLQ") {
+    import spark.implicits._
+    val raw = Seq(
+      rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "finance", "name" -> "Finance",
+          "definition" -> "the money domain")),
+      rawEvent("gE", "ENTITY_CREATE", 110L, "m4i_data_entity",
+        Map("qualifiedName" -> "cost", "name" -> "Cost")),
+      rawEvent("gE", "ENTITY_UPDATE", 120L, "m4i_data_entity",
+        Map("qualifiedName" -> "cost", "name" -> "Cost"),
+        parentRel = Some(("parent", "gD"))),
+      """{"garbage": 1}""",
+      rawEvent("gD", "ENTITY_UPDATE", 130L, "m4i_data_domain",
+        Map("qualifiedName" -> "finance", "name" -> "Finance2",
+          "definition" -> "the money domain"))
+    ).toDF("value")
+
+    val (docs, dlq, messages, versions) =
+      Pipeline.run(spark, raw, emptyDocs)
+
+    assert(dlq.count() == 1)
+    assert(versions.count() == 4)
+
+    val msgs = messages.orderBy("seq").collect()
+    assert(msgs.map(_.getAs[String]("eventType")).toSeq == Seq(
+      "EntityCreated", "EntityCreated", "EntityRelationshipAudit",
+      "EntityAttributeAudit"))
+    // the re-parent edge was oriented from the inserted "parent" key
+    assert(msgs(2).getAs[String]("parentGuid") == "gD")
+
+    val d = docs.orderBy("guid").collect()
+    assert(d.length == 2)
+    val domain = d.head
+    assert(domain.getAs[String]("guid") == "gD")
+    assert(domain.getAs[String]("name") == "Finance2") // rename applied
+    assert(domain.getAs[String]("sourceType") == "Business")
+    val entity = d(1)
+    assert(entity.getAs[String]("parentGuid") == "gD")
+    assert(entity.seq("breadcrumbGuid") == Seq("gD"))
+    // rename of gD propagated into gE's breadcrumb names within the batch
+    assert(entity.seq("breadcrumbName") == Seq("Finance2"))
+  }
+
+  test("second batch applies incrementally on the previous store (microbatch shape)") {
+    import spark.implicits._
+    val batch1 = Seq(rawEvent("g1", "ENTITY_CREATE", 100L, "m4i_system",
+      Map("qualifiedName" -> "sys", "name" -> "Sys"))).toDF("value")
+    val (docs1, _, _, _) = Pipeline.run(spark, batch1, emptyDocs)
+    val store1 = docs1.localCheckpoint(true)
+
+    val batch2 = Seq(
+      rawEvent("g1", "ENTITY_DELETE", 200L, "m4i_system",
+        Map("qualifiedName" -> "sys", "name" -> "Sys")),
+      rawEvent("g2", "ENTITY_CREATE", 210L, "m4i_collection",
+        Map("qualifiedName" -> "col", "name" -> "Col"))).toDF("value")
+    val (docs2, _, _, _) = Pipeline.run(spark, batch2, store1)
+    val rows = docs2.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("guid") == "g2")
+    assert(rows.head.getAs[String]("sourceType") == "Technical")
+  }
+}

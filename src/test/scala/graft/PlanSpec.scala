@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guardrails: the properties that make these queries survive a
+  * 100× scale-up (pushdown, broadcast, partial agg, top-k short-circuit).
+  * A green result here means Catalyst produced the plan we designed for,
+  * not just any plan that returns the right rows. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_filter_project pushes predicates and prunes columns at the scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("l_returnflag"), s"no pushed filters:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "scan reads pruned column l_extendedprice")
+  }
+
+  test("dimension joins broadcast (q_join_inner, q_join_multi)") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+    val multi = plan("q_join_multi")
+    assert(multi.contains("BroadcastHashJoin"))
+    // the only shuffle join allowed is lineitem⋈orders
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(multi).size <= 1,
+      s"more than one shuffled join in star query:\n$multi")
+  }
+
+  test("q1_agg does map-side partial aggregation inside codegen") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "no partial+final aggregate pair")
+    // codegen spans appear once AQE finalizes — execute, then inspect
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    df.collect()
+    // codegen stages print as "*(n)" in the finalized adaptive plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "no whole-stage-codegen stage in final plan")
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead:\n$p")
+  }
+
+  test("q_cosine_topk broadcasts the query vector and takes ordered k") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_minhash_lsh generates candidates via equi-join, not cartesian") {
+    val p = plan("q_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"LSH candidate generation degenerated to a cross product:\n$p")
+  }
+
+  test("as-of lag shuffles once on the key (q_asof_lag)") {
+    val p = plan("q_asof_lag")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange on user_id:\n$p")
+  }
+}
