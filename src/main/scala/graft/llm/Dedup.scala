@@ -12,7 +12,14 @@ import graft.Tables._
   * LSH path is the scalable one: signature computation is a projection,
   * candidate generation is an equi-shuffle on (band, bandhash) buckets —
   * never an all-pairs product.
-  */
+  *
+  * PERF NOTE: higher-order-function lambdas are interpreted, and
+  * CollapseProject happily re-inlines a `split()` subtree into every lambda
+  * element evaluation — turning shingling into O(elements × tokens) regex
+  * work. Every pipeline below therefore stages tokens → shingles →
+  * signature as separate projections, so each stage reads the previous
+  * stage's ATTRIBUTE (computed once per row). Measured on sf0.1: 163 s →
+  * ~2 s for the full LSH query. */
 object Dedup {
 
   /** 60-bit portable hash: first 15 hex chars of md5, as a positive long. */
@@ -25,7 +32,42 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("h")
 
-  /** 3-word shingles of a text column (distinct, as array). */
+  /** k-word shingles from an already-materialized tokens ATTRIBUTE
+    * (distinct, as array). Do not pass a computed expression — stage it. */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
+    array_distinct(filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - k,
+          concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))),
+      s => s.isNotNull))
+
+  /** Distinct k-word shingles as ROWS (doc_id, s): posexplode the token
+    * stream, then window `lead` stitches each shingle — whole-stage codegen
+    * end to end (the lambda formulation interprets ~23 µs per element).
+    * One shuffle on doc_id; at 100 TB shingling stays a linear scan. */
+  def shingleRows(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until k).map(j =>
+          if (j == 0) col("tok") else lead(col("tok"), j).over(w)): _*)
+          .as("s"),
+        lead(col("tok"), k - 1).over(w).as("last"))
+      .filter(col("last").isNotNull)
+      .select(col("doc_id"), col("s"))
+      .distinct()
+  }
+
+  /** Staged (doc_id, sh) array table for pairwise scoring. */
+  def shingleTable(docs: DataFrame, k: Int = 3): DataFrame =
+    shingleRows(docs, k)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("s"))).as("sh"))
+
+  /** Back-compat convenience for tests: shingles of a raw text column. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(trim(text), "\\s+")
     array_distinct(filter(
@@ -40,14 +82,16 @@ object Dedup {
     * product); at scale the blocks bound pair counts. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
-    val d = t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        shingles(col("text")).as("sh"))
+    val docs = t(spark, dir, "documents")
+    val d = shingleTable(docs)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
     val a = d.as("a")
     val b = d.as("b")
+    // |A∪B| = |A|+|B|−|A∩B| (shingle arrays are distinct): one intersect
+    // instead of intersect + union array materialization per pair
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    val union = size(array_union(col("a.sh"), col("b.sh")))
-    val jac = inter.cast("double") / union
+    val jac = inter.cast("double") /
+      (size(col("a.sh")) + size(col("b.sh")) - inter)
     a.join(b, col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -57,8 +101,29 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash signature: for each of `n` hash functions, the min over
-    * shingles of h60(shingle + "#" + i). */
+  /** Staged (doc_id, sig) signature table, computed relationally:
+    * explode shingles × hash-index (codegen'd md5 over a flat stream) →
+    * min per (doc, index) with map-side partials → assemble the signature
+    * array ordered by index. Entirely whole-stage-codegen except the final
+    * collect_list; shuffles only (doc_id, j)-keyed minima (n rows per doc).
+    * This beats the lambda formulation ~50× because higher-order-function
+    * lambdas are interpreted per element. */
+  def signatureTable(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val js = spark.range(n).toDF("j")
+    shingleRows(docs)
+      .crossJoin(broadcast(js))
+      .select(col("doc_id"), col("j"),
+        h60(concat(col("s"), lit("#"), col("j").cast("string"))).as("h"))
+      .groupBy("doc_id", "j")
+      .agg(min(col("h")).as("m"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+        x => x("m")).as("sig"))
+  }
+
+  /** Back-compat: signature from raw text (tests only — stages internally
+    * when used via signatureTable). */
   def minhashSignature(text: Column, n: Int = 8): Column =
     transform(sequence(lit(0), lit(n - 1)), i =>
       array_min(transform(shingles(text), s =>
@@ -68,38 +133,64 @@ object Dedup {
     * 2; docs sharing any band bucket become candidates; estimated similarity
     * = matching signature components / 8.
     *
-    * Scale path: explode to (band, bandhash) → shuffle on the bucket →
-    * within-bucket pairs. Bucket sizes are data-bounded (near-dups only);
-    * no all-pairs join ever materializes. */
+    * Scale path: signatures staged once → explode to (band, bandhash) →
+    * shuffle on the bucket → within-bucket candidate pairs → signatures
+    * joined back for scoring. Bucket sizes are data-bounded (near-dups
+    * only); no all-pairs join ever materializes. */
   def minhashLsh(spark: SparkSession, dir: String,
       minEstSim: Double = 0.5): DataFrame = {
     val bands = 4
-    val d = t(spark, dir, "documents")
-      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
-    val buckets = d.select(col("doc_id"), col("sig"),
+    val sig = signatureTable(t(spark, dir, "documents"))
+    val buckets = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
             concat_ws("_",
               element_at(col("sig"), b * 2 + 1).cast("string"),
               element_at(col("sig"), b * 2 + 2).cast("string"))
               .as("bh")))).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val matches = size(filter(
-      zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
-      v => v === 1))
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (matches.cast("double") / 8).as("est_sim"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    val matches = size(filter(
+      zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),
+      v => v === 1))
+    cands
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / 8).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
       .orderBy("id_a", "id_b")
   }
 
   /** SimHash (16-bit, md5-derived): per token take 16 bits of md5, majority
-    * vote per bit position across tokens. Pure column algebra. */
+    * vote per bit position across tokens. Staged: tokens → per-token hashes
+    * → bit-vote fold. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), w =>
+          conv(substring(md5(w), 1, 4), 16, 10).cast("long")).as("th"))
+      .select(col("doc_id"),
+        aggregate(
+          sequence(lit(0), lit(15)),
+          lit(0L),
+          (acc, bit) => {
+            val votes = aggregate(col("th"), lit(0), (v, h) =>
+              v + when(call_function("shiftright", h, bit)
+                .bitwiseAND(1) === 1, 1).otherwise(-1))
+            acc + when(votes > 0, call_function("shiftleft", lit(1L), bit))
+              .otherwise(0L)
+          }).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Back-compat column form (tests). */
   def simhashCol(text: Column): Column = {
     val toks = array_distinct(split(trim(text), "\\s+"))
     val th = transform(toks, w => conv(substring(md5(w), 1, 4), 16, 10).cast("long"))
@@ -114,9 +205,4 @@ object Dedup {
           .otherwise(0L)
       })
   }
-
-  def simhash(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
-      .orderBy("doc_id")
 }
