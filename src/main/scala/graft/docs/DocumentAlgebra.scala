@@ -154,6 +154,76 @@ object DocumentAlgebra {
       .drop("rm")
   }
 
+  /** G15: attribute↔field derived cross-links
+    * (`define_derived_entity_attribute_field_fields`
+    * synchronize_app_search.py:154-174; delete variant :177-197).
+    * `links` columns: (attrGuid, fieldGuid). Sets derivedfield(guid) on the
+    * attribute doc and deriveddataattribute(guid) on the field doc — both
+    * sides updated in ONE pass via a union of projected updates merged into
+    * the store (the reference does two point reads + writes per link). */
+  def applyAttributeFieldLinks(docs: DataFrame, links: DataFrame,
+      delete: Boolean = false): DataFrame = {
+    val names = docs.select(col("guid").as("other_guid"),
+      col("name").as("other_name"))
+    // per-doc update maps (key → value) aggregated from both link ends —
+    // one row per guid, so the docs join never fans out
+    val updates =
+      links.select(col("attrGuid").as("guid"),
+          lit("derivedfield").as("nameKey"),
+          lit("derivedfieldguid").as("guidKey"),
+          col("fieldGuid").as("other_guid"))
+        .unionByName(links.select(col("fieldGuid").as("guid"),
+          lit("deriveddataattribute").as("nameKey"),
+          lit("deriveddataattributeguid").as("guidKey"),
+          col("attrGuid").as("other_guid")))
+        .join(names, Seq("other_guid"), "left_outer")
+        .groupBy("guid")
+        .agg(
+          map_from_entries(collect_list(struct(col("nameKey"),
+            coalesce(col("other_name"), lit(""))))).as("nameUpd"),
+          map_from_entries(collect_list(struct(col("guidKey"),
+            col("other_guid")))).as("guidUpd"))
+    def merged(cur: Column, upd: Column): Column =
+      when(upd.isNull, cur).otherwise(
+        if (delete)
+          map_filter(cur, (k, _) => !map_contains_key(upd, k))
+        else
+          map_concat(map_filter(cur, (k, _) => !map_contains_key(upd, k)), upd))
+    docs.join(updates, Seq("guid"), "left_outer")
+      .withColumn("derivedNames", merged(col("derivedNames"), col("nameUpd")))
+      .withColumn("derivedGuids", merged(col("derivedGuids"), col("guidUpd")))
+      .drop("nameUpd", "guidUpd")
+  }
+
+  /** G16: governance-role derived fields
+    * (`update_governance_role_derived_entity_fields`
+    * synchronize_app_search.py:297-316, its list-indexing bug corrected).
+    * `roles` columns: (guid, role ∈ {domainLead, businessOwner, dataSteward},
+    * personGuid). Sets derived<role>guid on the entity's document. */
+  val governanceRoleKeys: Map[String, String] = Map(
+    "domainLead" -> "deriveddomainleadguid",
+    "businessOwner" -> "deriveddataownerguid",
+    "dataSteward" -> "deriveddatastewardguid")
+
+  def applyGovernanceRoles(docs: DataFrame, roles: DataFrame): DataFrame = {
+    val keyMap = map(governanceRoleKeys.toSeq
+      .flatMap { case (r, k) => Seq(lit(r), lit(k)) }: _*)
+    val u = roles
+      .select(col("guid"), element_at(keyMap, col("role")).as("guidKey"),
+        col("personGuid"))
+      .filter(col("guidKey").isNotNull)
+      .groupBy("guid")
+      .agg(map_from_entries(collect_list(
+        struct(col("guidKey"), col("personGuid")))).as("roleGuids"))
+    docs.as("d").join(u, Seq("guid"), "left_outer")
+      .withColumn("derivedGuids", when(col("roleGuids").isNotNull,
+        map_concat(
+          map_filter(col("derivedGuids"),
+            (k, _) => !map_contains_key(col("roleGuids"), k)),
+          col("roleGuids"))).otherwise(col("derivedGuids")))
+      .drop("roleGuids")
+  }
+
   /** G21: whitelisted attribute upsert into documents
     * (`handle_updated_attributes` :491-525; whitelist `update_attributes`
     * :17 = {definition, email}; plus the name attribute driving G17/G18). */

@@ -56,29 +56,43 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs near neighbors via LSH bucketing on sign-random-projections
-    * (hyperplanes = md5-derived pseudo-random but deterministic): docs in the
-    * same sign-bucket get exact cosine. The scalable ANN candidate
-    * generator: one shuffle on the bucket key. */
-  def signBuckets(emb: Column, nPlanes: Int = 8): Column = {
-    // deterministic "hyperplane" p_j[i] = (h60(j#i) mod 2001 - 1000)/1000
-    concat_ws("", (0 until nPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
-          x.cast("double") *
-            ((conv(substring(md5(concat(lit(j.toString), lit("#"),
-              i.cast("string"))), 1, 15), 16, 10).cast("long") % 2001L)
-              .cast("double") - 1000.0) / 1000.0),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, "1").otherwise("0")
-    }: _*)
+  /** Deterministic pseudo-random hyperplane table (nPlanes × dim):
+    * p(j, i) = (h60("j#i") mod 2001 − 1000)/1000 — a small broadcast dim. */
+  private def planeTable(spark: SparkSession, nPlanes: Int, dim: Int): DataFrame =
+    spark.range(nPlanes).toDF("j")
+      .crossJoin(spark.range(dim).toDF("i"))
+      .select(col("j"), col("i"),
+        (((conv(substring(md5(concat(col("j").cast("string"), lit("#"),
+          col("i").cast("string"))), 1, 15), 16, 10).cast("long") % 2001L)
+          .cast("double") - 1000.0) / 1000.0).as("w"))
+
+  /** Sign-random-projection buckets, relationally: posexplode embeddings ⋈
+    * broadcast plane weights → per-(vec, plane) dot sign → bucket string.
+    * Whole-stage codegen; shuffles only (vec, plane) partial sums. (The
+    * lambda formulation interprets md5 per element per plane.) */
+  def signBucketTable(emb: DataFrame, nPlanes: Int = 8, dim: Int = 64)
+      : DataFrame = {
+    val planes = planeTable(emb.sparkSession, nPlanes, dim)
+    emb
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .join(broadcast(planes), "i")
+      .groupBy("vec_id", "j")
+      .agg(sum(col("x").cast("double") * col("w")).as("proj"))
+      .groupBy("vec_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("j"),
+          when(col("proj") >= 0, "1").otherwise("0").as("s")))),
+        x => x("s"))).as("bucket"))
   }
 
+  /** All-pairs near neighbors via the sign-bucket LSH: vectors in the same
+    * bucket get exact cosine. One shuffle on the bucket key — never an
+    * all-pairs product. */
   def annPairs(spark: SparkSession, dir: String,
       minSim: Double = 0.3): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        signBuckets(col("embedding")).as("bucket"))
+    val emb = t(spark, dir, "embeddings")
+    val e = signBucketTable(emb).join(emb, "vec_id")
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&

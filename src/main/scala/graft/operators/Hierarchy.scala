@@ -21,22 +21,28 @@ object Hierarchy {
     * Returns (id, breadcrumb: ARRAY<STRING> root-first ancestor ids, depth).
     * Roots are nodes never appearing as a child. */
   def breadcrumbs(edges: DataFrame, maxDepth: Int = 10): DataFrame = {
-    val spark = edges.sparkSession
-    val roots = edges.select(col("parent").as("id")).distinct()
-      .join(edges.select(col("id")).distinct(), Seq("id"), "left_anti")
+    // hierarchy edges are a dimension: cache them, and materialize each
+    // frontier (localCheckpoint) so iteration i doesn't recompute 1..i-1
+    // and the emptiness probe is O(frontier)
+    val e = edges.cache()
+    val roots = e.select(col("parent").as("id")).distinct()
+      .join(e.select(col("id")).distinct(), Seq("id"), "left_anti")
       .withColumn("breadcrumb", array().cast("array<string>"))
+      .localCheckpoint(true)
     var done = roots
     var frontier = roots
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       // children of the current frontier inherit path ++ [parent]  (G8)
-      frontier = edges.as("e")
-        .join(frontier.as("p"), col("e.parent") === col("p.id"))
-        .select(col("e.id").as("id"),
+      frontier = e.as("ed")
+        .join(frontier.as("p"), col("ed.parent") === col("p.id"))
+        .select(col("ed.id").as("id"),
           concat(col("p.breadcrumb"), array(col("p.id"))).as("breadcrumb"))
+        .localCheckpoint(true)
       if (!frontier.isEmpty) done = done.unionByName(frontier)
       depth += 1
     }
+    e.unpersist()
     done.withColumn("depth", size(col("breadcrumb")))
   }
 

@@ -291,6 +291,48 @@ class DocumentAlgebraSpec extends AnyFunSuite {
     assert(df.getAs[Map[String, String]]("clr") == Map("x" -> "1", "y" -> "2"))
   }
 
+  test("attribute-field cross-links set and clear derived fields (G15)") {
+    import spark.implicits._
+    val batch = msgRow("gAt", "EntityCreated",
+        Map("qualifiedName" -> "att", "name" -> "Att"),
+        typeName = "m4i_data_attribute")
+      .unionByName(msgRow("gF", "EntityCreated",
+        Map("qualifiedName" -> "fld", "name" -> "Fld"),
+        typeName = "m4i_field"))
+    val docs = apply_(emptyDocs, batch)
+    val links = Seq(("gAt", "gF")).toDF("attrGuid", "fieldGuid")
+    val linked = DocumentAlgebra.applyAttributeFieldLinks(docs, links)
+      .localCheckpoint(true)
+    val att = linked.filter(col("guid") === "gAt").collect().head
+    assert(att.getAs[Map[String, String]]("derivedNames") ==
+      Map("derivedfield" -> "Fld"))
+    assert(att.getAs[Map[String, String]]("derivedGuids") ==
+      Map("derivedfieldguid" -> "gF"))
+    val fld = linked.filter(col("guid") === "gF").collect().head
+    assert(fld.getAs[Map[String, String]]("derivedGuids") ==
+      Map("deriveddataattributeguid" -> "gAt"))
+    // inverse delete clears both ends
+    val cleared = DocumentAlgebra
+      .applyAttributeFieldLinks(linked, links, delete = true)
+    assert(cleared.collect().forall(
+      _.getAs[Map[String, String]]("derivedGuids").isEmpty))
+  }
+
+  test("governance-role relationships set derived role guids (G16)") {
+    import spark.implicits._
+    val docs = apply_(emptyDocs, msgRow("gD", "EntityCreated",
+      Map("qualifiedName" -> "dom", "name" -> "Dom")))
+    val roles = Seq(("gD", "domainLead", "pLead"),
+      ("gD", "dataSteward", "pSteward"),
+      ("gD", "unknownRole", "pX"))
+      .toDF("guid", "role", "personGuid")
+    val out = DocumentAlgebra.applyGovernanceRoles(docs, roles)
+      .collect().head
+    assert(out.getAs[Map[String, String]]("derivedGuids") ==
+      Map("deriveddomainleadguid" -> "pLead",
+        "deriveddatastewardguid" -> "pSteward"))
+  }
+
   test("last-wins merge keeps highest seq per guid (A8)") {
     import spark.implicits._
     val updates = Seq(("g1", 1L, "v1"), ("g1", 3L, "v3"), ("g2", 2L, "v2"))
