@@ -78,6 +78,13 @@ object SparkEntry {
     "q_ann_pairs" -> ((s, d) => llm.Similarity.annPairs(s, d)),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
     "q_binary_meta" -> (llm.Multimodal.binaryMeta _),
+    // family 9 extras: scalar functions, conditional agg, pivot, ranking
+    "q_string_funcs" -> (Scalar.stringFuncs _),
+    "q_date_funcs" -> (Scalar.dateFuncs _),
+    "q_regex_funcs" -> (Scalar.regexFuncs _),
+    "q_conditional_agg" -> (Scalar.conditionalAgg _),
+    "q_pivot" -> (Scalar.pivotCounts _),
+    "q_rank_variants" -> (Scalar.rankVariants _),
   )
 
   // DuckDB oracle equivalents. DECIMAL(12,4) round-trips keep double
@@ -405,5 +412,49 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS upper_name, lower(p_brand) AS lower_brand,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+        |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |  COALESCE(regexp_extract(text, '(sc[a-z]+)', 1), '') AS first_sc_word,
+        |  CAST(len(regexp_extract_all(text, 'an')) AS INTEGER) AS n_an,
+        |  regexp_replace(text, '[aeiou]', '', 'g') AS devoweled
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_conditional_agg" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+         |  COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+         |  ${dsum("c_acctbal")} AS total_bal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_rank_variants" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(dr AS INTEGER) AS dr, CAST(quartile AS INTEGER) AS quartile
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        dense_rank() OVER w AS dr, ntile(4) OVER w AS quartile
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE dr <= 5 ORDER BY o_custkey, dr, o_orderkey""".stripMargin,
   )
 }

@@ -58,6 +58,13 @@ class DiffLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("json_canonicalize is SQL-registered (function registry + extensions)") {
+    JsonCanonicalize.register(spark)
+    val r = spark.sql(
+      """SELECT json_canonicalize('{"b": 1, "a": 2}') AS c""").collect().head
+    assert(r.getString(0) == """{"a":2,"b":1}""")
+  }
+
   test("json canonicalization is idempotent and key-order invariant") {
     val j1 = """{"b": 1, "a": {"y": [1, 2], "x": null}}"""
     val j2 = """{"a": {"x": null, "y": [1,2]}, "b": 1}"""
