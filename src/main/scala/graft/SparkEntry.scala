@@ -85,6 +85,8 @@ object SparkEntry {
     "q_conditional_agg" -> (Scalar.conditionalAgg _),
     "q_pivot" -> (Scalar.pivotCounts _),
     "q_rank_variants" -> (Scalar.rankVariants _),
+    // family 3 extra: generic two-table as-of join (single-shuffle form)
+    "q_asof_join" -> (AsOfJoin.eventsAsofOrders _),
   )
 
   // DuckDB oracle equivalents. DECIMAL(12,4) round-trips keep double
@@ -456,5 +458,17 @@ object SparkEntry {
         |      FROM orders
         |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE dr <= 5 ORDER BY o_custkey, dr, o_orderkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT user_id, o_ms, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS o_ms,
+        |           o_orderkey, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_custkey, epoch_ms(o_orderdate)
+        |                              ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND o.o_ms <= e.ts_ms
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

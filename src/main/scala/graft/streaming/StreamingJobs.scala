@@ -122,6 +122,26 @@ object StreamingJobs {
       .groupBy(window(col("tts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  // ---- Job 4 streaming: change messages → document store via
+  //      foreachBatch (SURVEY §3.3 Spark equivalent). Each microbatch is one
+  //      set-oriented SynchronizeSearch application committed as a new store
+  //      version; the checkpoint makes delivery effectively-once (a replayed
+  //      batch rewrites the same deterministic result). ----
+
+  def syncToDocumentStore(messages: DataFrame,
+      store: graft.store.DocumentStore, bootstrap: => DataFrame,
+      checkpoint: String) =
+    messages.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs0 = store.readOrElse(bootstrap)
+        val updated = graft.jobs.SynchronizeSearch
+          .applyChanges(docs0, batch.localCheckpoint(true))
+        store.write(updated)
+        ()
+      }
+
   // ---- S11/S12: example sources (rate / in-memory elements,
   //      examples/stream_processing_example.py:39-44,
   //      batch_processing_example.py:17) ----

@@ -74,6 +74,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sync applies microbatches to the doc store and recovers from checkpoint") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sync").toString
+    val store = new graft.store.DocumentStore(spark, s"$dir/store")
+
+    def emptyDocs = {
+      val creates = Seq.empty[(String, String, String, String, Long,
+          Map[String, String], String, Boolean, Boolean)]
+        .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+          "attributes", "parentGuid", "parentRemoved", "directChange")
+        .withColumn("name", lit(null).cast("string"))
+        .withColumn("definition", lit(null).cast("string"))
+        .withColumn("email", lit(null).cast("string"))
+      graft.docs.DocumentAlgebra.createDocs(creates)
+    }
+    def msg(guid: String, etype: String, attrs: Map[String, String], seq: Long) =
+      (guid, "m4i_data_domain", guid, etype, seq, attrs,
+        null: String, false, true)
+
+    val input = MemoryStream[(String, String, String, String, Long,
+      Map[String, String], String, Boolean, Boolean)]
+    def startQuery() = StreamingJobs.syncToDocumentStore(
+      input.toDS().toDF("guid", "typeName", "qualifiedName", "eventType",
+        "seq", "attributes", "parentGuid", "parentRemoved", "directChange"),
+      store, emptyDocs, s"$dir/ckpt").start()
+
+    val q1 = startQuery()
+    try {
+      input.addData(msg("g1", "EntityCreated", Map("name" -> "One"), 1L))
+      q1.processAllAvailable()
+      assert(store.read().get.count() == 1)
+      input.addData(msg("g2", "EntityCreated", Map("name" -> "Two"), 2L))
+      q1.processAllAvailable()
+      assert(store.read().get.count() == 2)
+    } finally q1.stop()
+
+    // restart from the checkpoint: only NEW data is processed, store continues
+    val v = store.currentVersion.get
+    val q2 = startQuery()
+    try {
+      input.addData(msg("g1", "EntityAttributeAudit",
+        Map("name" -> "One-renamed"), 3L))
+      q2.processAllAvailable()
+      val docs = store.read().get
+      assert(docs.count() == 2)
+      assert(docs.filter(col("guid") === "g1").collect().head
+        .getAs[String]("name") == "One-renamed")
+      assert(store.currentVersion.get > v)
+    } finally q2.stop()
+  }
+
   test("number sequence + elements example sources (S11/S12)") {
     assert(StreamingJobs.numberSequence(spark).count() == 100)
     assert(StreamingJobs.fromElements(spark).collect()
