@@ -53,6 +53,25 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling plumbing: one row per sampled "frame" of a media
+    * payload. A real decoder would seek keyframes; the stub derives a
+    * deterministic frame count from payload size and samples every
+    * `everyN`th index. The Spark shape is the point: explode is pipelined
+    * (no shuffle), and frame payloads stay opaque binary slices so column
+    * pruning keeps them out of any downstream shuffle. */
+  def frameSample(media: Dataset[MediaRow], everyN: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.toDF()
+      .withColumn("n_frames", greatest(lit(1), length(col("payload")) / 16))
+      .select(col("doc_id"), col("media_type"),
+        posexplode(sequence(lit(0), (col("n_frames") - 1).cast("int"),
+          lit(everyN))).as(Seq("frame_ord", "frame_idx")),
+        col("payload"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        // stub "frame" = 16-byte payload slice at the frame offset
+        expr("substring(payload, frame_idx * 16 + 1, 16)").as("frame_bytes"))
+  }
+
   /** Oracle-checkable slice of the pipeline: byte length + sha256 are
     * computable by both engines; the stubbed feature columns are covered by
     * unit tests instead. */

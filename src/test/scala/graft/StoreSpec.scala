@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store.VersionedStore
+
+class StoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("versioned store: append, as-of, latest, point get (S4-S7/J3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore").toString
+    val v1 = Seq(("g1", 100L, "a"), ("g1", 200L, "b"), ("g2", 150L, "x"))
+      .toDF("guid", "updateTime", "payload")
+    VersionedStore.append(v1, dir, nBuckets = 4)
+    VersionedStore.append(
+      Seq(("g1", 300L, "c")).toDF("guid", "updateTime", "payload"), dir, 4)
+
+    val store = VersionedStore.read(spark, dir)
+    assert(store.count() == 4)
+    assert(store.filter(col("docId") === "g1_200").count() == 1) // P13 id
+
+    val asOf250 = VersionedStore.asOf(store, 250L).collect()
+      .map(r => r.getAs[String]("guid") -> r.getAs[Long]("updateTime")).toMap
+    assert(asOf250 == Map("g1" -> 200L, "g2" -> 150L))
+
+    val latest = VersionedStore.latest(store).collect()
+      .map(r => r.getAs[String]("guid") -> r.getAs[String]("payload")).toMap
+    assert(latest == Map("g1" -> "c", "g2" -> "x"))
+
+    val got = VersionedStore.byGuids(store, Seq("g2").toDF("guid"))
+    assert(got.count() == 1)
+  }
+}

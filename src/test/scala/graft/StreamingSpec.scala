@@ -137,6 +137,22 @@ class StreamingSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("frame sampling explodes deterministic opaque frame slices") {
+    val media = graft.llm.Multimodal.mediaTable(spark, sfDir)
+    val frames = graft.llm.Multimodal.frameSample(media)
+    val f0 = frames.filter(col("doc_id") === 0)
+      .orderBy("frame_idx").collect()
+    assert(f0.nonEmpty)
+    assert(f0.map(_.getAs[Int]("frame_idx")).toSeq ==
+      f0.indices.map(_ * 4))
+    assert(f0.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 16))
+    // deterministic across evaluations
+    val again = frames.filter(col("doc_id") === 0)
+      .orderBy("frame_idx").collect()
+    assert(again.map(_.getAs[Array[Byte]]("frame_bytes").toSeq).toSeq ==
+      f0.map(_.getAs[Array[Byte]]("frame_bytes").toSeq).toSeq)
+  }
+
   test("media table + stubbed decode yields typed features (schema contract)") {
     val media = graft.llm.Multimodal.mediaTable(spark, sfDir)
     val feats = graft.llm.Multimodal.decodeFeatures(media)
