@@ -82,21 +82,28 @@ object Dedup {
     * product); at scale the blocks bound pair counts. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0, "join-count formulation skips 0-overlap pairs")
     val docs = t(spark, dir, "documents")
-    val d = shingleTable(docs)
+    // relational intersection counting: join shingle ROWS on the shared
+    // shingle within the (lang, source) block and count per pair — work is
+    // proportional to actual overlaps, and |A∪B| = |A|+|B|−|A∩B| closes the
+    // jaccard without materializing union arrays per pair. Pairs with zero
+    // overlap never appear (jaccard 0 < threshold by contract).
+    val sr = shingleRows(docs)
       .join(docs.select("doc_id", "lang", "source"), "doc_id")
-    val a = d.as("a")
-    val b = d.as("b")
-    // |A∪B| = |A|+|B|−|A∩B| (shingle arrays are distinct): one intersect
-    // instead of intersect + union array materialization per pair
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    val jac = inter.cast("double") /
-      (size(col("a.sh")) + size(col("b.sh")) - inter)
-    a.join(b, col("a.lang") === col("b.lang") &&
-        col("a.source") === col("b.source") &&
+    val counts = sr.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sr.as("a")
+      .join(sr.as("b"), col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        jac.as("jaccard"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
@@ -140,7 +147,9 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
       minEstSim: Double = 0.5): DataFrame = {
     val bands = 4
-    val sig = signatureTable(t(spark, dir, "documents"))
+    // materialize the signature table once (it feeds bucketing AND two
+    // scoring joins; in production it would be a persisted stage output)
+    val sig = signatureTable(t(spark, dir, "documents")).localCheckpoint(true)
     val buckets = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),

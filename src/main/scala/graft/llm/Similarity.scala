@@ -92,7 +92,8 @@ object Similarity {
   def annPairs(spark: SparkSession, dir: String,
       minSim: Double = 0.3): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val e = signBucketTable(emb).join(emb, "vec_id")
+    // materialize buckets once — both join sides read them
+    val e = signBucketTable(emb).join(emb, "vec_id").localCheckpoint(true)
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
