@@ -15,6 +15,12 @@ object StringOps {
         acc.substr(lit(p.length + 1), length(acc) - p.length))
         .otherwise(acc))
 
+  /** P7: drop all columns starting with any prefix (`drop_columns`
+    * `determine_change_job.py:41-51` — its relationsghip typo corrected). */
+  def dropByPrefix(df: org.apache.spark.sql.DataFrame,
+      prefixes: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.drop(df.columns.filter(c => prefixes.exists(c.startsWith)): _*)
+
   /** P12: extract the first JSON object embedded in free text
     * (`re.search(r"{.*}", …)` `determine_change_job.py:90`). */
   def extractJsonObject(c: Column): Column =

@@ -41,6 +41,19 @@ object StreamingJobs {
       .option("kafka.max.request.size", cfg.maxRequestSize.toString)
       .option("checkpointLocation", checkpoint)
 
+  /** S3: debug console sink (the reference's `.print()` on every job). */
+  def consoleSink(ds: DataFrame) =
+    ds.writeStream.format("console").option("truncate", "false")
+
+  /** P14/P15 (reference examples): scalar doubling map and tuple map
+    * (`batch_processing_example.py:19-24`,
+    * `stream_processing_example.py:24-27`) as column expressions. */
+  def doubledData(df: DataFrame): DataFrame =
+    df.select(col("id"), concat(col("data"), col("data")).as("data"))
+
+  def tupleMap(spark: SparkSession, n: Long = 100): DataFrame =
+    numberSequence(spark, n).select(col("id"), (col("id") + 2).as("plus2"))
+
   // ---- S10: dead-letter error channel. The reference constructs a Kafka
   //      producer inside each operator's except block
   //      (get_entity_job.py:60-82); here failures are data: an Either-shaped

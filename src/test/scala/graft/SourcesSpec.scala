@@ -31,6 +31,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(calls.value <= 16, s"expected batched fetches, got ${calls.value}")
   }
 
+  test("drop columns by prefix (P7)") {
+    import spark.implicits._
+    val df = Seq((1, "a", "b", "c"))
+      .toDF("id", "attributes_x", "attributes_y", "other")
+    assert(graft.functions.StringOps.dropByPrefix(df, Seq("attributes_"))
+      .columns.toSeq == Seq("id", "other"))
+  }
+
+  test("typed top-k Aggregator keeps O(k) buffers (UDAF capability)") {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(3).toColumn
+    val out = Seq(("a", 1.0), ("a", 5.0), ("a", 3.0), ("a", 9.0), ("b", 2.0))
+      .toDS()
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .collect().toMap
+    assert(out("a") == Seq(9.0, 5.0, 3.0))
+    assert(out("b") == Seq(2.0))
+  }
+
+  test("example maps: doubled data + tuple map (P14/P15)") {
+    val d = graft.streaming.StreamingJobs.doubledData(
+      graft.streaming.StreamingJobs.fromElements(spark)).collect()
+    assert(d.map(_.getString(1)).toSeq == Seq("HiHi", "HelloHello"))
+    val t = graft.streaming.StreamingJobs.tupleMap(spark, 3).collect()
+    assert(t.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 4L), (3L, 5L)))
+  }
+
   test("prefix strip + json extraction + doc id (P11-P13)") {
     import spark.implicits._
     val df = Seq(("attributes.name", """log: {"a": 1} end""", "g1", 42L))
