@@ -87,6 +87,9 @@ object SparkEntry {
     "q_rank_variants" -> (Scalar.rankVariants _),
     // family 3 extra: generic two-table as-of join (single-shuffle form)
     "q_asof_join" -> (AsOfJoin.eventsAsofOrders _),
+    // whole-pipeline headline: 4-job chain over the events table
+    // (rows-only: a multi-stage pipeline, not one SQL statement)
+    "q_pipeline_e2e" -> (jobs.Pipeline.pipelineE2E _),
   )
 
   // DuckDB oracle equivalents. DECIMAL(12,4) round-trips keep double

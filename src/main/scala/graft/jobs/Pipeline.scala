@@ -69,6 +69,45 @@ object Pipeline {
       lit(true).as("directChange"))
   }
 
+  /** Whole-pipeline benchmark query: synthesize an audit-event stream from
+    * the events table (guid = user, version time = ts, attributes from the
+    * event fields), push it through the full 4-job chain, return the final
+    * document per entity. Exercises parse → diff → dispatch → doc store at
+    * events-table volume (rows-only check: the chain is not one SQL). */
+  def pipelineE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.t
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val raw = t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .select(to_json(struct(
+        struct(
+          expr("ts DIV 1000000").as("eventTime"),
+          when(col("rn") === 1, "ENTITY_CREATE").otherwise("ENTITY_UPDATE")
+            .as("operationType"),
+          concat(lit("u"), col("user_id")).as("guid")).as("kafkaNotification"),
+        struct(
+          concat(lit("u"), col("user_id")).as("guid"),
+          lit("m4i_dataset").as("typeName"),
+          map(lit("qualifiedName"), concat(lit("user/"), col("user_id")),
+            lit("name"), concat(lit("User "), col("user_id")),
+            lit("etype"), col("event_type"),
+            lit("k"), get_json_object(col("props"), "$.k"))
+            .as("attributes"),
+          lit(1L).as("createTime"),
+          col("ts").as("updateTime")).as("atlasEntity")))
+        .as("value"))
+    val docs0 = graft.docs.DocumentAlgebra.createDocs(
+      toVersions(parse(raw)._1).limit(0)
+        .select(col("guid"), col("typeName"),
+          lit("q").as("qualifiedName"), col("attributes"))
+        .withColumn("name", lit(null).cast("string"))
+        .withColumn("definition", lit(null).cast("string"))
+        .withColumn("email", lit(null).cast("string")))
+    val (docs, _, _, _) = run(spark, raw, docs0)
+    docs.orderBy("guid")
+  }
+
   /** End-to-end: raw JSON strings → (documents, deadLetters, changeMessages,
     * versions). `docs0` is the current document store (empty on bootstrap). */
   def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame)
