@@ -63,7 +63,11 @@ object DocumentAlgebra {
       "parentGuid" -> col("p.guid"),
       "breadcrumbGuid" -> concat(col("p.breadcrumbGuid"), array(col("p.guid"))),
       "breadcrumbName" -> concat(col("p.breadcrumbName"), array(col("p.name"))),
-      "breadcrumbType" -> concat(col("p.breadcrumbType"), array(col("p.typeName"))))
+      "breadcrumbType" -> concat(col("p.breadcrumbType"), array(col("p.typeName"))),
+      // G13: the re-parented child inherits the parent's derived fields
+      // (parent entries win — `update_derived_entiies` :284-289)
+      "derivedNames" -> inheritDerived(col("c.derivedNames"), col("p.derivedNames")),
+      "derivedGuids" -> inheritDerived(col("c.derivedGuids"), col("p.derivedGuids")))
     docs.as("c")
       .join(edges.as("e"), col("c.guid") === col("e.childGuid"), "inner")
       .join(docs.as("p"), col("e.parentGuid") === col("p.guid"), "inner")

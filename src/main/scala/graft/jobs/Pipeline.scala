@@ -50,8 +50,11 @@ object Pipeline {
     * the SynchronizeSearch message contract. Parent-edge columns derive from
     * inserted/deleted parent-type relationships (G5/G6 orientation via the
     * key prefix convention). */
-  def toMessages(versions: DataFrame): DataFrame = {
-    val changes = EntityDiff.determineChange(versions)
+  def toMessages(versions: DataFrame): DataFrame =
+    shapeMessages(EntityDiff.determineChange(versions))
+
+  /** Shape diffed changes to the SynchronizeSearch message contract. */
+  def shapeMessages(changes: DataFrame): DataFrame = {
     changes.select(
       col("guid"), col("typeName"), col("qualifiedName"), col("eventType"),
       col("updateTime").as("seq"),
@@ -108,14 +111,61 @@ object Pipeline {
     docs.orderBy("guid")
   }
 
+  /** G7/G15 feed: attribute↔field links from inserted relationships —
+    * classified columnar via the registry's supertype closure on BOTH end
+    * types, oriented (attrGuid, fieldGuid). */
+  def toAttributeFieldLinks(changes: DataFrame): DataFrame = {
+    import graft.registry.TypeRegistry.superTypesCol
+    val exploded = changes
+      .select(col("guid"), col("typeName"),
+        explode(col("insertedRelationships")).as(Seq("relKey", "refs")))
+      .select(col("guid"), col("typeName"), explode(col("refs")).as("ref"))
+    val mySups = superTypesCol(col("typeName"))
+    val refSups = superTypesCol(col("ref.typeName"))
+    exploded
+      .filter(
+        (array_contains(mySups, "m4i_data_attribute") &&
+          array_contains(refSups, "m4i_field")) ||
+        (array_contains(mySups, "m4i_field") &&
+          array_contains(refSups, "m4i_data_attribute")))
+      .select(
+        when(array_contains(mySups, "m4i_data_attribute"), col("guid"))
+          .otherwise(col("ref.guid")).as("attrGuid"),
+        when(array_contains(mySups, "m4i_field"), col("guid"))
+          .otherwise(col("ref.guid")).as("fieldGuid"))
+      .distinct()
+  }
+
+  /** G16 feed: governance-role assignments from inserted relationships
+    * keyed domainLead/businessOwner/dataSteward. */
+  def toGovernanceRoles(changes: DataFrame): DataFrame =
+    changes
+      .select(col("guid"),
+        explode(col("insertedRelationships")).as(Seq("relKey", "refs")))
+      .filter(col("relKey").isin(
+        graft.docs.DocumentAlgebra.governanceRoleKeys.keys.toSeq: _*))
+      .select(col("guid"), col("relKey").as("role"),
+        explode(col("refs")).as("ref"))
+      .select(col("guid"), col("role"), col("ref.guid").as("personGuid"))
+      .distinct()
+
   /** End-to-end: raw JSON strings → (documents, deadLetters, changeMessages,
-    * versions). `docs0` is the current document store (empty on bootstrap). */
+    * versions). `docs0` is the current document store (empty on bootstrap).
+    * Applies the full dispatcher: core changes, then derived cross-links
+    * (G15) and governance roles (G16) extracted from the same change set. */
   def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (valid, dlq) = parse(raw)
     val versions = toVersions(valid)
-    val messages = toMessages(versions)
-    val docs = SynchronizeSearch.applyChanges(docs0, messages)
+    val changes = graft.diff.EntityDiff.determineChange(versions)
+      .localCheckpoint(true)
+    val messages = shapeMessages(changes)
+    val docs1 = SynchronizeSearch.applyChanges(docs0, messages)
+    val links = toAttributeFieldLinks(changes)
+    val roles = toGovernanceRoles(changes)
+    val docs = graft.docs.DocumentAlgebra.applyGovernanceRoles(
+      graft.docs.DocumentAlgebra.applyAttributeFieldLinks(docs1, links),
+      roles)
     (docs, dlq, messages, versions)
   }
 }

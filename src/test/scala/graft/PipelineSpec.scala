@@ -81,6 +81,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(entity.seq("breadcrumbName") == Seq("Finance2"))
   }
 
+  test("relationship inserts drive attribute-field links and governance roles (G15/G16)") {
+    import spark.implicits._
+    val raw = Seq(
+      rawEvent("gAt", "ENTITY_CREATE", 100L, "m4i_data_attribute",
+        Map("qualifiedName" -> "att", "name" -> "Att")),
+      rawEvent("gF", "ENTITY_CREATE", 110L, "m4i_field",
+        Map("qualifiedName" -> "fld", "name" -> "Fld")),
+      // attribute gains a relationship to the field (any key) + a domainLead
+      s"""{"kafkaNotification":{"eventTime":120,"operationType":"ENTITY_UPDATE","guid":"gAt"},
+         |"atlasEntity":{"guid":"gAt","typeName":"m4i_data_attribute",
+         |"attributes":{"qualifiedName":"att","name":"Att"},
+         |"relationshipAttributes":{
+         |  "fields":[{"guid":"gF","typeName":"m4i_field","entityStatus":"ACTIVE"}],
+         |  "domainLead":[{"guid":"gP","typeName":"m4i_person","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":120}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (docs, _, _, _) = Pipeline.run(spark, raw, emptyDocs)
+    val at = docs.filter(col("guid") === "gAt").collect().head
+    assert(at.getAs[Map[String, String]]("derivedGuids") ==
+      Map("derivedfieldguid" -> "gF", "deriveddomainleadguid" -> "gP"))
+    assert(at.getAs[Map[String, String]]("derivedNames") ==
+      Map("derivedfield" -> "Fld"))
+    val fl = docs.filter(col("guid") === "gF").collect().head
+    assert(fl.getAs[Map[String, String]]("derivedGuids") ==
+      Map("deriveddataattributeguid" -> "gAt"))
+    assert(fl.getAs[Map[String, String]]("derivedNames") ==
+      Map("deriveddataattribute" -> "Att"))
+  }
+
+  test("re-parented child inherits parent's derived fields (G13)") {
+    import spark.implicits._
+    val batch1 = Seq(
+      rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "dom", "name" -> "Dom")),
+      rawEvent("gE", "ENTITY_CREATE", 110L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent")),
+      // domain gets a domainLead → derived role guid on gD's doc
+      s"""{"kafkaNotification":{"eventTime":120,"operationType":"ENTITY_UPDATE","guid":"gD"},
+         |"atlasEntity":{"guid":"gD","typeName":"m4i_data_domain",
+         |"attributes":{"qualifiedName":"dom","name":"Dom"},
+         |"relationshipAttributes":{"domainLead":[{"guid":"gP","typeName":"m4i_person","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":120}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (docs1, _, _, _) = Pipeline.run(spark, batch1, emptyDocs)
+    // batch 2: gE re-parents under gD → inherits gD's derived role guid
+    val batch2 = Seq(rawEvent("gE", "ENTITY_UPDATE", 200L, "m4i_data_entity",
+      Map("qualifiedName" -> "ent", "name" -> "Ent"),
+      parentRel = Some(("parent", "gD")))).toDF("value")
+    val (docs2, _, _, _) =
+      Pipeline.run(spark, batch2, docs1.localCheckpoint(true))
+    val ent = docs2.filter(col("guid") === "gE").collect().head
+    assert(ent.seq("breadcrumbGuid") == Seq("gD"))
+    assert(ent.getAs[Map[String, String]]("derivedGuids") ==
+      Map("deriveddomainleadguid" -> "gP"))
+  }
+
   test("second batch applies incrementally on the previous store (microbatch shape)") {
     import spark.implicits._
     val batch1 = Seq(rawEvent("g1", "ENTITY_CREATE", 100L, "m4i_system",
