@@ -228,6 +228,32 @@ object DocumentAlgebra {
       .drop("roleGuids")
   }
 
+  /** G12: propagate updated ancestors' derived fields to ALL descendants in
+    * one pass (`update_derived_entity_fields_of_child_entities` :263-270).
+    * When several updated ancestors sit on one descendant's path, the
+    * DEEPEST ancestor wins (nearest dominates, matching the reference's
+    * serialized per-entity application order). `parents` needs (guid,
+    * derivedNames, derivedGuids). */
+  def propagateDerivedToDescendants(docs: DataFrame, parents: DataFrame)
+      : DataFrame = {
+    val nearest = docs.as("d")
+      .join(parents.as("p"),
+        array_contains(col("d.breadcrumbGuid"), col("p.guid")))
+      .withColumn("_depth", array_position(col("d.breadcrumbGuid"), col("p.guid")))
+      .groupBy(col("d.guid").as("guid"))
+      .agg(
+        max_by(col("p.derivedNames"), col("_depth")).as("pNames"),
+        max_by(col("p.derivedGuids"), col("_depth")).as("pGuids"))
+    docs.join(nearest, Seq("guid"), "left_outer")
+      .withColumn("derivedNames", when(col("pNames").isNotNull,
+        inheritDerived(col("derivedNames"), col("pNames")))
+        .otherwise(col("derivedNames")))
+      .withColumn("derivedGuids", when(col("pGuids").isNotNull,
+        inheritDerived(col("derivedGuids"), col("pGuids")))
+        .otherwise(col("derivedGuids")))
+      .drop("pNames", "pGuids")
+  }
+
   /** G21: whitelisted attribute upsert into documents
     * (`handle_updated_attributes` :491-525; whitelist `update_attributes`
     * :17 = {definition, email}; plus the name attribute driving G17/G18). */

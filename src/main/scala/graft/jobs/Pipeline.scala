@@ -163,9 +163,19 @@ object Pipeline {
     val docs1 = SynchronizeSearch.applyChanges(docs0, messages)
     val links = toAttributeFieldLinks(changes)
     val roles = toGovernanceRoles(changes)
-    val docs = graft.docs.DocumentAlgebra.applyGovernanceRoles(
+    val docs2 = graft.docs.DocumentAlgebra.applyGovernanceRoles(
       graft.docs.DocumentAlgebra.applyAttributeFieldLinks(docs1, links),
       roles)
+    // G12: derived updates cascade to descendants in one array_contains pass
+    val touched = links.select(col("attrGuid").as("guid"))
+      .unionByName(links.select(col("fieldGuid").as("guid")))
+      .unionByName(roles.select(col("guid")))
+      .distinct()
+    val docs =
+      if (touched.isEmpty) docs2
+      else graft.docs.DocumentAlgebra.propagateDerivedToDescendants(docs2,
+        docs2.join(touched, Seq("guid"), "left_semi")
+          .select(col("guid"), col("derivedNames"), col("derivedGuids")))
     (docs, dlq, messages, versions)
   }
 }

@@ -137,6 +137,33 @@ class PipelineSpec extends AnyFunSuite {
       Map("deriveddomainleadguid" -> "gP"))
   }
 
+  test("derived updates cascade to descendants via breadcrumbs (G12)") {
+    import spark.implicits._
+    // build dom -> ent chain first
+    val batch1 = Seq(
+      rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "dom", "name" -> "Dom")),
+      rawEvent("gE", "ENTITY_CREATE", 110L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent"))).toDF("value")
+    val (d1, _, _, _) = Pipeline.run(spark, batch1, emptyDocs)
+    val batch2 = Seq(rawEvent("gE", "ENTITY_UPDATE", 150L, "m4i_data_entity",
+      Map("qualifiedName" -> "ent", "name" -> "Ent"),
+      parentRel = Some(("parent", "gD")))).toDF("value")
+    val (d2, _, _, _) = Pipeline.run(spark, batch2, d1.localCheckpoint(true))
+    // now the ROOT gains a domainLead; the child below must receive it
+    val batch3 = Seq(
+      s"""{"kafkaNotification":{"eventTime":200,"operationType":"ENTITY_UPDATE","guid":"gD"},
+         |"atlasEntity":{"guid":"gD","typeName":"m4i_data_domain",
+         |"attributes":{"qualifiedName":"dom","name":"Dom"},
+         |"relationshipAttributes":{"domainLead":[{"guid":"gP","typeName":"m4i_person","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":200}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (d3, _, _, _) = Pipeline.run(spark, batch3, d2.localCheckpoint(true))
+    val ent = d3.filter(col("guid") === "gE").collect().head
+    assert(ent.getAs[Map[String, String]]("derivedGuids") ==
+      Map("deriveddomainleadguid" -> "gP"))
+  }
+
   test("second batch applies incrementally on the previous store (microbatch shape)") {
     import spark.implicits._
     val batch1 = Seq(rawEvent("g1", "ENTITY_CREATE", 100L, "m4i_system",
