@@ -159,7 +159,8 @@ object Pipeline {
     val versions = toVersions(valid)
     val changes = graft.diff.EntityDiff.determineChange(versions)
       .localCheckpoint(true)
-    val messages = shapeMessages(changes)
+    // messages feed 6 dispatcher branches — materialize once
+    val messages = shapeMessages(changes).localCheckpoint(true)
     val docs1 = SynchronizeSearch.applyChanges(docs0, messages)
     val links = toAttributeFieldLinks(changes)
     val roles = toGovernanceRoles(changes)
