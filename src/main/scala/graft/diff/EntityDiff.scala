@@ -60,8 +60,27 @@ object EntityDiff {
 
   /** Full determine_change over a versioned entity DataFrame → one change
     * message per version transition (CREATE/UPDATE/DELETE branching per
-    * determine_change_job.py:254-311; A7 gate per :340-342). */
-  def determineChange(versions: DataFrame): DataFrame = {
+    * determine_change_job.py:254-311; A7 gate per :340-342).
+    *
+    * `base`: optional prior state (latest stored version per guid,
+    * `VersionedStore.latest`) seeded into the as-of window so cross-batch
+    * diffs see what the previous batch wrote — the batch analogue of the
+    * streaming job's GroupState. Seed rows are not re-emitted. */
+  def determineChange(versions: DataFrame,
+      base: Option[DataFrame] = None): DataFrame = {
+    val cols = Seq("guid", "updateTime", "operationType", "typeName",
+      "attributes", "relationshipAttributes")
+    val seeded = base match {
+      case None => versions.withColumn("_seed", lit(false))
+      case Some(b) =>
+        versions.select(cols.map(col): _*).withColumn("_seed", lit(false))
+          .unionByName(b.select(cols.map(col): _*)
+            .withColumn("_seed", lit(true)))
+    }
+    determineChangeImpl(seeded).filter(!col("_seed")).drop("_seed")
+  }
+
+  private def determineChangeImpl(versions: DataFrame): DataFrame = {
     val emptyRel = map()
       .cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>")
     val withPrev = withPrevious(versions)
@@ -80,7 +99,7 @@ object EntityDiff {
           .otherwise(col("relationshipAttributes")))
 
     val diffed = withPrev.select(
-      (Seq(col("guid"), col("updateTime"), col("typeName"),
+      (Seq(col("_seed"), col("guid"), col("updateTime"), col("typeName"),
         col("operationType"),
         element_at(col("attributes"), "qualifiedName").as("qualifiedName"),
         col("new_attributes").as("newAttributes")) ++

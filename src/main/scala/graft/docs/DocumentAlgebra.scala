@@ -254,6 +254,24 @@ object DocumentAlgebra {
       .drop("pNames", "pGuids")
   }
 
+  /** G16 inverse: clear governance-role derived guids on relationship
+    * delete. `roles` columns: (guid, role). */
+  def removeGovernanceRoles(docs: DataFrame, roles: DataFrame): DataFrame = {
+    val keyMap = map(governanceRoleKeys.toSeq
+      .flatMap { case (r, k) => Seq(lit(r), lit(k)) }: _*)
+    val u = roles
+      .select(col("guid"), element_at(keyMap, col("role")).as("guidKey"))
+      .filter(col("guidKey").isNotNull)
+      .groupBy("guid")
+      .agg(collect_set(col("guidKey")).as("dropKeys"))
+    docs.join(u, Seq("guid"), "left_outer")
+      .withColumn("derivedGuids", when(col("dropKeys").isNotNull,
+        map_filter(col("derivedGuids"),
+          (k, _) => !array_contains(col("dropKeys"), k)))
+        .otherwise(col("derivedGuids")))
+      .drop("dropKeys")
+  }
+
   /** G21: whitelisted attribute upsert into documents
     * (`handle_updated_attributes` :491-525; whitelist `update_attributes`
     * :17 = {definition, email}; plus the name attribute driving G17/G18). */

@@ -111,14 +111,15 @@ object Pipeline {
     docs.orderBy("guid")
   }
 
-  /** G7/G15 feed: attribute↔field links from inserted relationships —
-    * classified columnar via the registry's supertype closure on BOTH end
-    * types, oriented (attrGuid, fieldGuid). */
-  def toAttributeFieldLinks(changes: DataFrame): DataFrame = {
+  /** G7/G15 feed: attribute↔field links from inserted (or deleted)
+    * relationships — classified columnar via the registry's supertype
+    * closure on BOTH end types, oriented (attrGuid, fieldGuid). */
+  def toAttributeFieldLinks(changes: DataFrame,
+      relCol: String = "insertedRelationships"): DataFrame = {
     import graft.registry.TypeRegistry.superTypesCol
     val exploded = changes
       .select(col("guid"), col("typeName"),
-        explode(col("insertedRelationships")).as(Seq("relKey", "refs")))
+        explode(col(relCol)).as(Seq("relKey", "refs")))
       .select(col("guid"), col("typeName"), explode(col("refs")).as("ref"))
     val mySups = superTypesCol(col("typeName"))
     val refSups = superTypesCol(col("ref.typeName"))
@@ -136,12 +137,13 @@ object Pipeline {
       .distinct()
   }
 
-  /** G16 feed: governance-role assignments from inserted relationships
-    * keyed domainLead/businessOwner/dataSteward. */
-  def toGovernanceRoles(changes: DataFrame): DataFrame =
+  /** G16 feed: governance-role assignments from inserted (or deleted)
+    * relationships keyed domainLead/businessOwner/dataSteward. */
+  def toGovernanceRoles(changes: DataFrame,
+      relCol: String = "insertedRelationships"): DataFrame =
     changes
       .select(col("guid"),
-        explode(col("insertedRelationships")).as(Seq("relKey", "refs")))
+        explode(col(relCol)).as(Seq("relKey", "refs")))
       .filter(col("relKey").isin(
         graft.docs.DocumentAlgebra.governanceRoleKeys.keys.toSeq: _*))
       .select(col("guid"), col("relKey").as("role"),
@@ -153,20 +155,29 @@ object Pipeline {
     * versions). `docs0` is the current document store (empty on bootstrap).
     * Applies the full dispatcher: core changes, then derived cross-links
     * (G15) and governance roles (G16) extracted from the same change set. */
-  def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame)
+  def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame,
+      base: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (valid, dlq) = parse(raw)
     val versions = toVersions(valid)
-    val changes = graft.diff.EntityDiff.determineChange(versions)
+    val changes = graft.diff.EntityDiff.determineChange(versions, base)
       .localCheckpoint(true)
     // messages feed 6 dispatcher branches — materialize once
     val messages = shapeMessages(changes).localCheckpoint(true)
     val docs1 = SynchronizeSearch.applyChanges(docs0, messages)
     val links = toAttributeFieldLinks(changes)
     val roles = toGovernanceRoles(changes)
-    val docs2 = graft.docs.DocumentAlgebra.applyGovernanceRoles(
-      graft.docs.DocumentAlgebra.applyAttributeFieldLinks(docs1, links),
-      roles)
+    // delete-side symmetry (G14/G15-delete/G16-delete)
+    val droppedLinks = toAttributeFieldLinks(changes, "deletedRelationships")
+    val droppedRoles = toGovernanceRoles(changes, "deletedRelationships")
+    val docs2 = graft.docs.DocumentAlgebra.removeGovernanceRoles(
+      graft.docs.DocumentAlgebra.applyGovernanceRoles(
+        graft.docs.DocumentAlgebra.applyAttributeFieldLinks(
+          graft.docs.DocumentAlgebra.applyAttributeFieldLinks(docs1,
+            droppedLinks, delete = true),
+          links),
+        roles),
+      droppedRoles)
     // G12: derived updates cascade to descendants in one array_contains pass
     val touched = links.select(col("attrGuid").as("guid"))
       .unionByName(links.select(col("fieldGuid").as("guid")))

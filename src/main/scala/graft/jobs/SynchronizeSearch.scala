@@ -87,10 +87,35 @@ object SynchronizeSearch {
       afterAttrs.join(removedChildren, Seq("guid"), "left_semi"))
     val touched = rederived.select("guid")
       .unionByName(reset.select("guid")).distinct()
-    val afterEdges = afterAttrs
+    var afterEdges = afterAttrs
       .join(touched, Seq("guid"), "left_anti")
       .unionByName(rederived)
       .unionByName(reset)
+
+    // --- phase 3b: breadcrumb cascade to deeper descendants (G9/G10,
+    // SURVEY §7.5.2): children of re-pathed nodes re-derive level by level —
+    // iteration bounded by tree depth, one parentGuid equi-join per level
+    var frontier = touched.localCheckpoint(true)
+    var depth = 0
+    while (depth < 10 && !frontier.isEmpty) {
+      val childEdges = afterEdges.as("d")
+        .join(frontier.as("f"), col("d.parentGuid") === col("f.guid"),
+          "left_semi")
+        .select(col("guid").as("childGuid"), col("parentGuid"))
+        .localCheckpoint(true)
+      if (childEdges.isEmpty) { depth = 10 }
+      else {
+        val re = deriveBreadcrumbs(afterEdges, childEdges)
+        afterEdges = afterEdges
+          .join(childEdges.select(col("childGuid").as("guid")), Seq("guid"),
+            "left_anti")
+          .unionByName(re)
+          .localCheckpoint(true)
+        frontier = childEdges.select(col("childGuid").as("guid"))
+          .localCheckpoint(true)
+        depth += 1
+      }
+    }
 
     // --- phase 4: rename cascades (G17/G18)
     val renames = attrMerged

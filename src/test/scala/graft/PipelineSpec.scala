@@ -164,6 +164,89 @@ class PipelineSpec extends AnyFunSuite {
       Map("deriveddomainleadguid" -> "gP"))
   }
 
+  test("re-parenting cascades breadcrumb rebuild to grandchildren (G9/G10)") {
+    import spark.implicits._
+    // build dom1, dom2, ent, att; chain: ent->dom1, att->ent
+    val batch1 = Seq(
+      rawEvent("gD1", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "d1", "name" -> "D1")),
+      rawEvent("gD2", "ENTITY_CREATE", 101L, "m4i_data_domain",
+        Map("qualifiedName" -> "d2", "name" -> "D2")),
+      rawEvent("gE", "ENTITY_CREATE", 110L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent")),
+      rawEvent("gA", "ENTITY_CREATE", 111L, "m4i_data_attribute",
+        Map("qualifiedName" -> "att", "name" -> "Att"))).toDF("value")
+    val (d1, _, _, _) = Pipeline.run(spark, batch1, emptyDocs)
+    val (d2, _, _, _) = Pipeline.run(spark,
+      Seq(rawEvent("gE", "ENTITY_UPDATE", 120L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent"),
+        parentRel = Some(("parent", "gD1")))).toDF("value"),
+      d1.localCheckpoint(true))
+    val (d3, _, _, _) = Pipeline.run(spark,
+      Seq(rawEvent("gA", "ENTITY_UPDATE", 130L, "m4i_data_attribute",
+        Map("qualifiedName" -> "att", "name" -> "Att"),
+        parentRel = Some(("parent", "gE")))).toDF("value"),
+      d2.localCheckpoint(true))
+    assert(d3.filter(col("guid") === "gA").collect().head
+      .seq("breadcrumbGuid") == Seq("gD1", "gE"))
+
+    // re-parent the MIDDLE node: the grandchild's path must follow
+    val (d4, _, _, _) = Pipeline.run(spark,
+      Seq(rawEvent("gE", "ENTITY_UPDATE", 140L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent"),
+        parentRel = Some(("parent", "gD2")))).toDF("value"),
+      d3.localCheckpoint(true))
+    val att = d4.filter(col("guid") === "gA").collect().head
+    assert(att.seq("breadcrumbGuid") == Seq("gD2", "gE"))
+    assert(att.seq("breadcrumbName") == Seq("D2", "Ent"))
+  }
+
+  test("relationship deletes clear derived links and roles; rename updates derived names (G14-G16, G18)") {
+    import spark.implicits._
+    // attribute linked to field + domainLead on attribute
+    val batch1 = Seq(
+      rawEvent("gAt", "ENTITY_CREATE", 100L, "m4i_data_attribute",
+        Map("qualifiedName" -> "att", "name" -> "Att")),
+      rawEvent("gF", "ENTITY_CREATE", 101L, "m4i_field",
+        Map("qualifiedName" -> "fld", "name" -> "Fld")),
+      s"""{"kafkaNotification":{"eventTime":110,"operationType":"ENTITY_UPDATE","guid":"gAt"},
+         |"atlasEntity":{"guid":"gAt","typeName":"m4i_data_attribute",
+         |"attributes":{"qualifiedName":"att","name":"Att"},
+         |"relationshipAttributes":{
+         |  "fields":[{"guid":"gF","typeName":"m4i_field","entityStatus":"ACTIVE"}],
+         |  "domainLead":[{"guid":"gP","typeName":"m4i_person","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":110}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (d1, _, _, v1) = Pipeline.run(spark, batch1, emptyDocs)
+    val base1 = graft.store.VersionedStore.latest(v1).localCheckpoint(true)
+
+    // G18: renaming the field updates the attribute's derivedfield NAME
+    val (d2, _, _, v2) = Pipeline.run(spark,
+      Seq(rawEvent("gF", "ENTITY_UPDATE", 120L, "m4i_field",
+        Map("qualifiedName" -> "fld", "name" -> "Fld2"))).toDF("value"),
+      d1.localCheckpoint(true), Some(base1))
+    assert(d2.filter(col("guid") === "gAt").collect().head
+      .getAs[Map[String, String]]("derivedNames")("derivedfield") == "Fld2")
+
+    // deleting both relationships clears links (both ends) and the role —
+    // cross-batch diff sees prior state via the store-seeded base
+    val base2 = graft.store.VersionedStore.latest(
+      v1.unionByName(v2)).localCheckpoint(true)
+    val batch3 = Seq(
+      s"""{"kafkaNotification":{"eventTime":130,"operationType":"ENTITY_UPDATE","guid":"gAt"},
+         |"atlasEntity":{"guid":"gAt","typeName":"m4i_data_attribute",
+         |"attributes":{"qualifiedName":"att","name":"Att"},
+         |"relationshipAttributes":{},
+         |"createTime":1,"updateTime":130}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (d3, _, _, _) = Pipeline.run(spark, batch3, d2.localCheckpoint(true),
+      Some(base2))
+    val at = d3.filter(col("guid") === "gAt").collect().head
+    assert(at.getAs[Map[String, String]]("derivedGuids").isEmpty)
+    val fl = d3.filter(col("guid") === "gF").collect().head
+    assert(fl.getAs[Map[String, String]]("derivedGuids").isEmpty)
+  }
+
   test("second batch applies incrementally on the previous store (microbatch shape)") {
     import spark.implicits._
     val batch1 = Seq(rawEvent("g1", "ENTITY_CREATE", 100L, "m4i_system",
