@@ -461,6 +461,15 @@ object SparkEntry {
         |      FROM orders
         |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE dr <= 5 ORDER BY o_custkey, dr, o_orderkey""".stripMargin,
+    "q_simhash" ->
+      """WITH tk AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) AS hv FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (hv >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(0, 16) t(b) GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1 << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_asof_join" ->
       """WITH o AS (
         |  SELECT user_id, o_ms, o_orderkey, o_totalprice FROM (

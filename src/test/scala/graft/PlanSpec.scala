@@ -59,6 +59,14 @@ class PlanSpec extends AnyFunSuite {
       s"LSH candidate generation degenerated to a cross product:\n$p")
   }
 
+  test("generic as-of join shuffles once on the union key (q_asof_join)") {
+    val p = plan("q_asof_join")
+    assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange on the as-of key:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+      "as-of degenerated into a join")
+  }
+
   test("as-of lag shuffles once on the key (q_asof_lag)") {
     val p = plan("q_asof_lag")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,

@@ -28,7 +28,7 @@ class QuerySurfaceSpec extends AnyFunSuite {
     // rows-only ops must be documented here as they are added
     // non-SQL-expressible ops get the driver's weaker rows-only check:
     // simhash (bit-majority fold) and sign-projection ANN buckets
-    val allowedRowsOnly = Set("q_simhash", "q_ann_pairs", "q_pipeline_e2e")
+    val allowedRowsOnly = Set("q_ann_pairs", "q_pipeline_e2e")
     assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle without query: $dangling")
