@@ -92,9 +92,11 @@ object SparkEntry {
     "q_pipeline_e2e" -> (jobs.Pipeline.pipelineE2E _),
   )
 
-  // DuckDB oracle equivalents. DECIMAL(12,4) round-trips keep double
-  // aggregates bit-identical between engines (exact decimal math on both
-  // sides, one final cast to double).
+  // DuckDB oracle equivalents. Low-scale decimal round-trips (values at
+  // (14,2), rates at (4,2) — the data is 2-decimal) keep double aggregates
+  // bit-identical between engines: decimal math is exact on both sides and
+  // every sum's scaled integer stays < 2^53, where decimal→double casts
+  // are exact (wider scales double-round in DuckDB; see Tables.dsum).
   private val D = "DECIMAL(14,2)"
   private val R = "DECIMAL(4,2)"
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $D)) AS DOUBLE)"
