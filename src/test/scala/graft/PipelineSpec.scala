@@ -247,6 +247,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(fl.getAs[Map[String, String]]("derivedGuids").isEmpty)
   }
 
+  test("replaying the same batch is idempotent (effectively-once on retry)") {
+    import spark.implicits._
+    val batch = Seq(
+      rawEvent("g1", "ENTITY_CREATE", 100L, "m4i_system",
+        Map("qualifiedName" -> "sys", "name" -> "Sys")),
+      rawEvent("g1", "ENTITY_UPDATE", 110L, "m4i_system",
+        Map("qualifiedName" -> "sys", "name" -> "Sys2"))).toDF("value")
+    val (once, _, _, _) = Pipeline.run(spark, batch, emptyDocs)
+    val store1 = once.localCheckpoint(true)
+    // a failed microbatch commit replays the same data over the new store
+    val (twice, _, _, _) = Pipeline.run(spark, batch, store1)
+    val a = store1.orderBy("guid").collect().map(_.toString).toSeq
+    val b = twice.orderBy("guid").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("second batch applies incrementally on the previous store (microbatch shape)") {
     import spark.implicits._
     val batch1 = Seq(rawEvent("g1", "ENTITY_CREATE", 100L, "m4i_system",
