@@ -29,6 +29,23 @@ object VersionedStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Catalog-backed bucketed layout: `bucketBy(guid) sortBy(updateTime)`.
+    * Joins and windows keyed on guid between co-bucketed tables then plan
+    * with NO exchange — at 100 TB the as-of join against the store becomes
+    * shuffle-free (SURVEY §4.2 "partition versioned store by guid bucket"). */
+  def appendBucketed(versions: DataFrame, table: String,
+      nBuckets: Int = 32): Unit =
+    versions
+      .withColumn("docId", concat_ws("_", col("guid"), col("updateTime")))
+      .write.mode(SaveMode.Append)
+      .bucketBy(nBuckets, "guid")
+      .sortBy("updateTime")
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** S5/J3: as-of read — latest version strictly before `asOfTime` per guid
     * (the reference's per-record ES query `determine_change_job.py:194-227`
     * as one windowed scan). */

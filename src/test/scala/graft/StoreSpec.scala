@@ -7,6 +7,35 @@ import graft.store.VersionedStore
 class StoreSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("bucketed store joins co-bucketed tables without a shuffle") {
+    import spark.implicits._
+    val va = Seq(("g1", 100L, "a"), ("g2", 150L, "x"), ("g3", 170L, "y"))
+      .toDF("guid", "updateTime", "payload")
+    val vb = Seq(("g1", 200L, "b"), ("g2", 250L, "z"))
+      .toDF("guid", "updateTime", "payload")
+    spark.sql("DROP TABLE IF EXISTS vs_a")
+    spark.sql("DROP TABLE IF EXISTS vs_b")
+    // a fresh derby metastore doesn't know stale warehouse dirs — clear them
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("vs_a", "vs_b").foreach { t =>
+      val d = wh.resolve(t)
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    VersionedStore.appendBucketed(va, "vs_a", nBuckets = 4)
+    VersionedStore.appendBucketed(vb, "vs_b", nBuckets = 4)
+    val joined = VersionedStore.readTable(spark, "vs_a").as("a")
+      .join(VersionedStore.readTable(spark, "vs_b").as("b"), "guid")
+    assert(joined.count() == 2)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-bucketed join still shuffled:\n$plan")
+  }
+
   test("versioned store: append, as-of, latest, point get (S4-S7/J3)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vstore").toString
