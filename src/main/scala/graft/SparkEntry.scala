@@ -241,15 +241,15 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT event_id, user_id,
-        |  CASE WHEN rn = 1 THEN (CASE WHEN event_type = 'purchase' THEN ['etype','flag','k'] ELSE ['etype','k'] END)
+        |  COALESCE(array_to_string(CASE WHEN rn = 1 THEN (CASE WHEN event_type = 'purchase' THEN ['etype','flag','k'] ELSE ['etype','k'] END)
         |       WHEN event_type = 'purchase' AND petype <> 'purchase' THEN ['flag']
-        |       ELSE CAST([] AS VARCHAR[]) END AS added,
-        |  CASE WHEN rn > 1 AND petype = 'purchase' AND event_type <> 'purchase' THEN ['flag']
-        |       ELSE CAST([] AS VARCHAR[]) END AS deleted,
-        |  CASE WHEN rn = 1 THEN CAST([] AS VARCHAR[])
+        |       ELSE CAST([] AS VARCHAR[]) END, '|'), '') AS added,
+        |  COALESCE(array_to_string(CASE WHEN rn > 1 AND petype = 'purchase' AND event_type <> 'purchase' THEN ['flag']
+        |       ELSE CAST([] AS VARCHAR[]) END, '|'), '') AS deleted,
+        |  COALESCE(array_to_string(CASE WHEN rn = 1 THEN CAST([] AS VARCHAR[])
         |       ELSE list_sort(list_concat(
         |         CASE WHEN event_type <> petype THEN ['etype'] ELSE CAST([] AS VARCHAR[]) END,
-        |         CASE WHEN k <> pk THEN ['k'] ELSE CAST([] AS VARCHAR[]) END)) END AS changed
+        |         CASE WHEN k <> pk THEN ['k'] ELSE CAST([] AS VARCHAR[]) END)) END, '|'), '') AS changed
         |FROM x ORDER BY user_id, event_id""".stripMargin,
     "q_change_gate" ->
       """WITH x AS (
@@ -269,16 +269,18 @@ object SparkEntry {
         |GROUP BY word ORDER BY word""".stripMargin,
     "q_array_ops" ->
       """WITH x AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words, w[1:3] AS first3,
+        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+        |  array_to_string(w[1:3], '|') AS first3,
         |  list_contains(w, 'scan') AS has_scan,
         |  CAST(COALESCE(list_position(w, 'scan'), 0) AS BIGINT) AS scan_pos,
-        |  list_transform(w[1:3], t -> upper(t)) AS upper3,
-        |  list_sort(w[1:5]) AS sorted5,
-        |  list_sort(list_distinct(list_filter(w[1:3], t -> list_contains(w[4:6], t)))) AS inter33,
-        |  list_sort(list_distinct(list_filter(w[1:3], t -> NOT list_contains(w[4:6], t)))) AS except33
+        |  array_to_string(list_transform(w[1:3], t -> upper(t)), '|') AS upper3,
+        |  array_to_string(list_sort(w[1:5]), '|') AS sorted5,
+        |  COALESCE(array_to_string(list_sort(list_distinct(list_filter(w[1:3], t -> list_contains(w[4:6], t)))), '|'), '') AS inter33,
+        |  COALESCE(array_to_string(list_sort(list_distinct(list_filter(w[1:3], t -> NOT list_contains(w[4:6], t)))), '|'), '') AS except33
         |FROM x ORDER BY doc_id""".stripMargin,
     "q_array_agg" ->
-      """SELECT lang, list_sort(list(DISTINCT source)) AS sources, COUNT(*) AS n_docs
+      """SELECT lang, array_to_string(list_sort(list(DISTINCT source)), '|') AS sources,
+        |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_hierarchy" ->
       """WITH RECURSIVE edges AS (
@@ -292,11 +294,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT e.id, list_append(p.breadcrumb, p.node_id)
         |  FROM edges e JOIN paths p ON e.parent = p.node_id)
-        |SELECT node_id, breadcrumb, CAST(len(breadcrumb) AS INTEGER) AS depth
+        |SELECT node_id, COALESCE(array_to_string(breadcrumb, '|'), '') AS breadcrumb,
+        |  CAST(len(breadcrumb) AS INTEGER) AS depth
         |FROM paths ORDER BY node_id""".stripMargin,
     "q_breadcrumb_names" ->
       """SELECT c_custkey, 'N' || CAST(n_nationkey AS VARCHAR) AS parent_id,
-        |  [r_name, n_name] AS breadcrumb_names
+        |  array_to_string([r_name, n_name], '|') AS breadcrumb_names
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY c_custkey""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.diff.EntityDiff
 import graft.streaming.StreamingJobs
@@ -108,7 +108,24 @@ object Pipeline {
         .withColumn("definition", lit(null).cast("string"))
         .withColumn("email", lit(null).cast("string")))
     val (docs, _, _, _) = run(spark, raw, docs0)
-    docs.orderBy("guid")
+    // oracle-harness shape: arrays/maps flattened to deterministic scalar
+    // strings (sorted k=v entries for maps) so the result is sortable/hashable
+    def mapStr(c: Column): Column =
+      array_join(array_sort(transform(map_entries(c),
+        e => concat(e("key"), lit("="), e("value").cast("string")))), "|")
+    docs.select(
+      col("id"), col("guid"), col("qualifiedName"), col("typeName"),
+      col("sourceType"),
+      array_join(col("m4iSourceTypes"), "|").as("m4iSourceTypes"),
+      array_join(col("superTypeNames"), "|").as("superTypeNames"),
+      col("name"), col("definition"), col("email"), col("parentGuid"),
+      array_join(col("breadcrumbGuid"), "|").as("breadcrumbGuid"),
+      array_join(col("breadcrumbName"), "|").as("breadcrumbName"),
+      array_join(col("breadcrumbType"), "|").as("breadcrumbType"),
+      mapStr(col("derivedNames")).as("derivedNames"),
+      mapStr(col("derivedGuids")).as("derivedGuids"),
+      mapStr(col("dqScores")).as("dqScores"))
+      .orderBy("guid")
   }
 
   /** G7/G15 feed: attribute↔field links from inserted (or deleted)

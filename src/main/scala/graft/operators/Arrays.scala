@@ -22,7 +22,9 @@ object Arrays {
       .orderBy("word")
 
   /** J4/G9/G10 array ops: contains / position / slice / transform /
-    * intersect / except over per-document word arrays. */
+    * intersect / except over per-document word arrays. Array outputs are
+    * '|'-joined for the oracle hash (the algebra itself stays array-typed
+    * until the final projection). */
   def arrayOps(spark: SparkSession, dir: String): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     t(spark, dir, "documents")
@@ -30,24 +32,25 @@ object Arrays {
       .select(
         col("doc_id"),
         size(col("words")).as("n_words"),
-        slice(col("words"), 1, 3).as("first3"),
+        array_join(slice(col("words"), 1, 3), "|").as("first3"),
         array_contains(col("words"), "scan").as("has_scan"),
         array_position(col("words"), "scan").as("scan_pos"),
-        transform(slice(col("words"), 1, 3), w => upper(w)).as("upper3"),
-        array_sort(slice(col("words"), 1, 5)).as("sorted5"),
-        array_sort(array_intersect(slice(col("words"), 1, 3),
-          slice(col("words"), 4, 3))).as("inter33"),
-        array_sort(array_except(slice(col("words"), 1, 3),
-          slice(col("words"), 4, 3))).as("except33"))
+        array_join(transform(slice(col("words"), 1, 3), w => upper(w)), "|")
+          .as("upper3"),
+        array_join(array_sort(slice(col("words"), 1, 5)), "|").as("sorted5"),
+        array_join(array_sort(array_intersect(slice(col("words"), 1, 3),
+          slice(col("words"), 4, 3))), "|").as("inter33"),
+        array_join(array_sort(array_except(slice(col("words"), 1, 3),
+          slice(col("words"), 4, 3))), "|").as("except33"))
       .orderBy("doc_id")
   }
 
   /** collect_set aggregation into sorted arrays (last-mile of G17/G18's
-    * set-valued derived fields). */
+    * set-valued derived fields), '|'-joined for the oracle hash. */
   def arrayAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .groupBy("lang")
-      .agg(array_sort(collect_set(col("source"))).as("sources"),
+      .agg(array_join(array_sort(collect_set(col("source"))), "|").as("sources"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 }

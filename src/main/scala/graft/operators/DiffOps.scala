@@ -51,7 +51,7 @@ object DiffOps {
     *
     * Map shape: k (json-extracted), etype always present; flag only on
     * purchases — so added/deleted genuinely vary. */
-  def diffKeys(spark: SparkSession, dir: String): DataFrame = {
+  def diffKeysRaw(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val newMap = map_concat(
       map(lit("k"), get_json_object(col("props"), "$.k"),
@@ -70,10 +70,19 @@ object DiffOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Oracle surface for the diff: array columns serialized to '|'-joined
+    * strings so both engines hash identical scalars (q_simhash precedent). */
+  def diffKeys(spark: SparkSession, dir: String): DataFrame =
+    diffKeysRaw(spark, dir).select(
+      col("event_id"), col("user_id"),
+      array_join(col("added"), "|").as("added"),
+      array_join(col("deleted"), "|").as("deleted"),
+      array_join(col("changed"), "|").as("changed"))
+
   /** A7 change-count gate composed with the diff: only rows where something
     * changed (drop all-empty diffs), counted per user. */
   def changeGate(spark: SparkSession, dir: String): DataFrame =
-    diffKeys(spark, dir)
+    diffKeysRaw(spark, dir)
       .filter(size(col("added")) + size(col("deleted")) + size(col("changed")) > 0)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_changes"))

@@ -58,7 +58,8 @@ object Hierarchy {
         concat(lit("C"), col("c_custkey").cast("string")).as("id"),
         concat(lit("N"), col("c_nationkey").cast("string")).as("parent")))
     breadcrumbs(edges)
-      .select(col("id").as("node_id"), col("breadcrumb"), col("depth"))
+      .select(col("id").as("node_id"),
+        array_join(col("breadcrumb"), "|").as("breadcrumb"), col("depth"))
       .orderBy("node_id")
   }
 
@@ -72,7 +73,8 @@ object Hierarchy {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(col("c_custkey"),
         concat(lit("N"), col("n_nationkey").cast("string")).as("parent_id"),
-        array(col("r_name"), col("n_name")).as("breadcrumb_names"))
+        array_join(array(col("r_name"), col("n_name")), "|")
+          .as("breadcrumb_names"))
       .orderBy("c_custkey")
   }
 }
