@@ -106,18 +106,40 @@ object EntityDiff {
         changeColumns(col("new_attributes"), col("old_attributes"),
           col("new_relationships"), col("old_relationships"))): _*)
 
+    // The reference emits one message PER AUDIT CATEGORY: an update that
+    // changes both attributes and relationships produces an attribute-audit
+    // row AND a relationship-audit row (determine_change_job.py:346-397) —
+    // otherwise the dispatcher's attribute phase would silently skip the
+    // attribute half of mixed updates. The explode over present categories
+    // also implements the A7 no-op gate (no category → no row).
+    val hasAttr = size(col("insertedAttributes")) +
+      size(col("changedAttributes")) + size(col("deletedAttributes")) > 0
+    val hasRel = size(map_keys(col("insertedRelationships"))) +
+      size(map_keys(col("deletedRelationships"))) > 0
+    val cats =
+      when(col("operationType") === "ENTITY_CREATE", array(lit("created")))
+        .when(col("operationType") === "ENTITY_DELETE", array(lit("deleted")))
+        .otherwise(filter(
+          array(when(hasAttr, lit("attr")), when(hasRel, lit("rel"))),
+          c => c.isNotNull))
+    val emptyKeys = array().cast("array<string>")
     diffed
+      .withColumn("_cat", explode(cats))
       .withColumn("eventType",
-        when(col("operationType") === "ENTITY_CREATE", "EntityCreated")
-          .when(col("operationType") === "ENTITY_DELETE", "EntityDeleted")
-          .when(size(col("insertedRelationships")) +
-            size(col("deletedRelationships")) > 0, "EntityRelationshipAudit")
+        when(col("_cat") === "created", "EntityCreated")
+          .when(col("_cat") === "deleted", "EntityDeleted")
+          .when(col("_cat") === "rel", "EntityRelationshipAudit")
           .otherwise("EntityAttributeAudit"))
-      // A7: drop no-op updates
-      .filter(col("operationType").isin("ENTITY_CREATE", "ENTITY_DELETE") ||
-        size(col("insertedAttributes")) + size(col("changedAttributes")) +
-          size(col("deletedAttributes")) +
-          size(map_keys(col("insertedRelationships"))) +
-          size(map_keys(col("deletedRelationships"))) > 0)
+      .withColumn("insertedAttributes",
+        when(col("_cat") === "rel", emptyKeys).otherwise(col("insertedAttributes")))
+      .withColumn("changedAttributes",
+        when(col("_cat") === "rel", emptyKeys).otherwise(col("changedAttributes")))
+      .withColumn("deletedAttributes",
+        when(col("_cat") === "rel", emptyKeys).otherwise(col("deletedAttributes")))
+      .withColumn("insertedRelationships",
+        when(col("_cat") === "attr", emptyRel).otherwise(col("insertedRelationships")))
+      .withColumn("deletedRelationships",
+        when(col("_cat") === "attr", emptyRel).otherwise(col("deletedRelationships")))
+      .drop("_cat")
   }
 }

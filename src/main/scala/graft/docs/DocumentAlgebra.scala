@@ -144,13 +144,9 @@ object DocumentAlgebra {
       map_from_entries(collect_list(struct(col("guid"), col("newName"))))
         .as("rm"))
     docs.crossJoin(broadcast(renameMap))
-      .withColumn("derivedNames",
-        map_zip_with(col("derivedNames"),
-          map_filter(col("derivedGuids"),
-            (k, _) => map_contains_key(col("derivedNames"),
-              regexp_replace(k, "guid$", ""))),
-          (_, n, _) => n))
-      // names map key k ↔ guids map key k+"guid": rewrite names whose guid got renamed
+      // names map key k ↔ guids map key k+"guid": rewrite names whose guid got
+      // renamed. transform_values alone preserves the key set exactly — a
+      // key-union zip would seed spurious null entries (ADVICE r1).
       .withColumn("derivedNames",
         transform_values(col("derivedNames"), (k, v) =>
           coalesce(element_at(col("rm"),

@@ -333,6 +333,31 @@ class DocumentAlgebraSpec extends AnyFunSuite {
         "deriveddatastewardguid" -> "pSteward"))
   }
 
+  test("renameInDerived rewrites only matching names, no spurious keys (G18)") {
+    import spark.implicits._
+    val docs = apply_(emptyDocs, msgRow("gAt", "EntityCreated",
+      Map("qualifiedName" -> "att", "name" -> "Att"),
+      typeName = "m4i_data_attribute"))
+      .withColumn("derivedNames",
+        map(lit("derivedfield"), lit("Old")))
+      .withColumn("derivedGuids",
+        map(lit("derivedfieldguid"), lit("gX"),
+          lit("deriveddomainleadguid"), lit("gL")))
+    val renames = Seq(("gX", "New")).toDF("guid", "newName")
+    val out = DocumentAlgebra.renameInDerived(docs, renames).collect().head
+    // exact key set preserved: the renamed name rewritten, role guids (which
+    // have no name entry) must NOT seed null-valued derivedNames keys
+    assert(out.getAs[Map[String, String]]("derivedNames") ==
+      Map("derivedfield" -> "New"))
+    assert(out.getAs[Map[String, String]]("derivedGuids") ==
+      Map("derivedfieldguid" -> "gX", "deriveddomainleadguid" -> "gL"))
+    // a rename of an unreferenced guid leaves the maps untouched
+    val out2 = DocumentAlgebra.renameInDerived(docs,
+      Seq(("gZ", "Zed")).toDF("guid", "newName")).collect().head
+    assert(out2.getAs[Map[String, String]]("derivedNames") ==
+      Map("derivedfield" -> "Old"))
+  }
+
   test("last-wins merge keeps highest seq per guid (A8)") {
     import spark.implicits._
     val updates = Seq(("g1", 1L, "v1"), ("g1", 3L, "v3"), ("g2", 2L, "v2"))

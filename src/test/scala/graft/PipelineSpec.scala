@@ -81,6 +81,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(entity.seq("breadcrumbName") == Seq("Finance2"))
   }
 
+  test("mixed update (attrs + relationships) splits into both audit rows and applies both") {
+    import spark.implicits._
+    val raw = Seq(
+      rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "dom", "name" -> "Dom")),
+      rawEvent("gE", "ENTITY_CREATE", 110L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent")),
+      // ONE update that renames gE AND re-parents it under gD — the
+      // reference emits one message per audit category, so both the
+      // rename and the breadcrumb must land (ADVICE r1 high)
+      rawEvent("gE", "ENTITY_UPDATE", 120L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent2"),
+        parentRel = Some(("parent", "gD")))).toDF("value")
+    val (docs, _, messages, _) = Pipeline.run(spark, raw, emptyDocs)
+    val split = messages.filter(col("guid") === "gE" && col("seq") === 120L)
+      .collect()
+    assert(split.map(_.getAs[String]("eventType")).sorted.toSeq ==
+      Seq("EntityAttributeAudit", "EntityRelationshipAudit"))
+    val ent = docs.filter(col("guid") === "gE").collect().head
+    assert(ent.getAs[String]("name") == "Ent2")
+    assert(ent.seq("breadcrumbGuid") == Seq("gD"))
+  }
+
   test("relationship inserts drive attribute-field links and governance roles (G15/G16)") {
     import spark.implicits._
     val raw = Seq(
