@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization barrier for iterative/chained pipelines.
+  *
+  * `localCheckpoint(true)` snapshots the plan into a `LogicalRDD` that keeps
+  * the origin plan's constraint expressions. When the origin plan joins a
+  * previously checkpointed store (every microbatch of the document pipeline),
+  * those constraints can reference attribute ids that are NOT in the
+  * checkpoint's output; a later `Union` over such a frame then crashes in
+  * Catalyst's constraint rewriting (`UnionBase.rewriteConstraints`:
+  * `key not found: guid#N`). Creating the checkpoint with constraint
+  * propagation disabled stores NO origin constraints — downstream plans stay
+  * consistent, and nothing is lost across what is already a materialization
+  * barrier.
+  */
+object Materialize {
+
+  private val ConfKey = "spark.sql.constraintPropagation.enabled"
+
+  /** Eager local checkpoint whose LogicalRDD carries no origin constraints. */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val prior = conf.get(ConfKey, "true")
+    conf.set(ConfKey, "false")
+    try df.localCheckpoint(true)
+    finally conf.set(ConfKey, prior)
+  }
+}

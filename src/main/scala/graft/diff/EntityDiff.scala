@@ -68,13 +68,20 @@ object EntityDiff {
     * streaming job's GroupState. Seed rows are not re-emitted. */
   def determineChange(versions: DataFrame,
       base: Option[DataFrame] = None): DataFrame = {
+    // P5 feed: directChange rides along when the caller derived it from the
+    // audit envelope (Pipeline.toVersions); default true (reference
+    // is_direct_change returns True when no audit is found).
+    def withDc(df: DataFrame): DataFrame =
+      if (df.columns.contains("directChange")) df
+      else df.withColumn("directChange", lit(true))
     val cols = Seq("guid", "updateTime", "operationType", "typeName",
-      "attributes", "relationshipAttributes")
+      "attributes", "relationshipAttributes", "directChange")
     val seeded = base match {
-      case None => versions.withColumn("_seed", lit(false))
+      case None => withDc(versions).withColumn("_seed", lit(false))
       case Some(b) =>
-        versions.select(cols.map(col): _*).withColumn("_seed", lit(false))
-          .unionByName(b.select(cols.map(col): _*)
+        withDc(versions).select(cols.map(col): _*)
+          .withColumn("_seed", lit(false))
+          .unionByName(withDc(b).select(cols.map(col): _*)
             .withColumn("_seed", lit(true)))
     }
     determineChangeImpl(seeded).filter(!col("_seed")).drop("_seed")
@@ -100,7 +107,7 @@ object EntityDiff {
 
     val diffed = withPrev.select(
       (Seq(col("_seed"), col("guid"), col("updateTime"), col("typeName"),
-        col("operationType"),
+        col("operationType"), col("directChange"),
         element_at(col("attributes"), "qualifiedName").as("qualifiedName"),
         col("new_attributes").as("newAttributes")) ++
         changeColumns(col("new_attributes"), col("old_attributes"),

@@ -58,7 +58,15 @@ object DocumentAlgebra {
   /** G8: (re)derive breadcrumbs from a parent edge: child path =
     * parent path ++ [parent] (`define_breadcrumb`
     * synchronize_app_search.py:467-482). One self-join on the docs table. */
-  def deriveBreadcrumbs(docs: DataFrame, edges: DataFrame): DataFrame = {
+  def deriveBreadcrumbs(docs: DataFrame, edges: DataFrame): DataFrame =
+    deriveBreadcrumbsSplit(docs, docs, edges)
+
+  /** G8 with separate child/parent frames: lets the cascade loop join a
+    * small frontier against an equally small finalized-parents set instead
+    * of scanning the whole store per level. */
+  def deriveBreadcrumbsSplit(children: DataFrame, parents: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val docs = children
     val replaced: Map[String, Column] = Map(
       "parentGuid" -> col("p.guid"),
       "breadcrumbGuid" -> concat(col("p.breadcrumbGuid"), array(col("p.guid"))),
@@ -70,7 +78,7 @@ object DocumentAlgebra {
       "derivedGuids" -> inheritDerived(col("c.derivedGuids"), col("p.derivedGuids")))
     docs.as("c")
       .join(edges.as("e"), col("c.guid") === col("e.childGuid"), "inner")
-      .join(docs.as("p"), col("e.parentGuid") === col("p.guid"), "inner")
+      .join(parents.as("p"), col("e.parentGuid") === col("p.guid"), "inner")
       .select(docs.columns.toSeq.map(c =>
         replaced.getOrElse(c, col(s"c.$c")).as(c)): _*)
   }

@@ -34,7 +34,11 @@ object Pipeline {
     (StreamingJobs.validRows(parsed), StreamingJobs.deadLetters(parsed))
   }
 
-  /** Job 2 input shape: flatten the envelope into versioned entity rows. */
+  /** Job 2 input shape: flatten the envelope into versioned entity rows.
+    * P5: `directChange` mirrors the reference's `is_direct_change`
+    * (`determine_change_job.py:85-93`) — the audit details of a DIRECT
+    * entity change carry a relationshipAttributes payload, while
+    * Atlas-propagated (indirect) audits omit it. */
   def toVersions(valid: DataFrame): DataFrame =
     valid.select(
       col("atlasEntity.guid").as("guid"),
@@ -44,7 +48,8 @@ object Pipeline {
       col("atlasEntity.attributes").as("attributes"),
       coalesce(col("atlasEntity.relationshipAttributes"),
         map().cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>"))
-        .as("relationshipAttributes"))
+        .as("relationshipAttributes"),
+      col("atlasEntity.relationshipAttributes").isNotNull.as("directChange"))
 
   /** Job 3: change messages from the version stream (EntityDiff), shaped to
     * the SynchronizeSearch message contract. Parent-edge columns derive from
@@ -53,9 +58,50 @@ object Pipeline {
   def toMessages(versions: DataFrame): DataFrame =
     shapeMessages(EntityDiff.determineChange(versions))
 
-  /** Shape diffed changes to the SynchronizeSearch message contract. */
+  /** G5/G6: oriented parent-child edges from inserted (or deleted)
+    * relationships. Classification follows the reference's
+    * `is_parent_child_relationship` (`synchronize_app_search.py:117-130`):
+    * a relationship is a parent-child edge when its key is prefixed
+    * "child"/"parent" OR the HierarchyMapping links the m4i source types of
+    * the two end entities. Orientation follows
+    * `get_parent_child_entity_guid` (`:205-228`): the mapping decides when
+    * the types differ; the key prefix decides otherwise. A child-side key
+    * re-paths the TARGET doc, not the message entity.
+    * Returns (childGuid, parentGuid, seq, directChange). */
+  def toParentEdges(changes: DataFrame,
+      relCol: String = "insertedRelationships"): DataFrame = {
+    import graft.registry.TypeRegistry.{m4iSourceTypesCol, parentTypeCol}
+    val exploded = changes
+      .select(col("guid"), col("typeName"), col("updateTime").as("seq"),
+        col("directChange"),
+        explode(col(relCol)).as(Seq("relKey", "refs")))
+      .select(col("guid"), col("typeName"), col("seq"), col("directChange"),
+        col("relKey"), explode(col("refs")).as("ref"))
+    val myTypes = m4iSourceTypesCol(col("typeName"))
+    val refTypes = m4iSourceTypesCol(col("ref.typeName"))
+    def parentTypesOf(ts: Column): Column =
+      filter(transform(ts, t => parentTypeCol(t)), p => p.isNotNull)
+    val childGuid =
+      when(arrays_overlap(parentTypesOf(myTypes), refTypes), col("guid"))
+        .when(arrays_overlap(parentTypesOf(refTypes), myTypes), col("ref.guid"))
+        .when(col("relKey").startsWith("parent"), col("guid"))
+        .when(col("relKey").startsWith("child"), col("ref.guid"))
+    exploded
+      .withColumn("childGuid", childGuid)
+      .filter(col("childGuid").isNotNull)
+      .select(col("childGuid"),
+        when(col("childGuid") === col("guid"), col("ref.guid"))
+          .otherwise(col("guid")).as("parentGuid"),
+        col("seq"), col("directChange"))
+  }
+
+  /** Shape diffed changes to the SynchronizeSearch message contract.
+    * Parent edges are emitted as dedicated EntityRelationshipAudit rows
+    * addressed to the CHILD guid (a child-side relationship re-paths a doc
+    * other than the message entity); at the same seq an inserted edge wins
+    * over a deleted one (a one-event re-parent). */
   def shapeMessages(changes: DataFrame): DataFrame = {
-    changes.select(
+    val base = changes.select(
       col("guid"), col("typeName"), col("qualifiedName"), col("eventType"),
       col("updateTime").as("seq"),
       map_filter(
@@ -64,12 +110,27 @@ object Pipeline {
           transform(concat(col("insertedAttributes"), col("changedAttributes")),
             k => element_at(col("newAttributes"), k))),
         (_, v) => v.isNotNull).as("attributes"),
-      element_at(
-        element_at(col("insertedRelationships"), "parent"), 1)("guid")
-        .as("parentGuid"),
-      map_contains_key(col("deletedRelationships"), "parent")
-        .as("parentRemoved"),
-      lit(true).as("directChange"))
+      lit(null).cast("string").as("parentGuid"),
+      lit(false).as("parentRemoved"),
+      col("directChange"))
+    val edges = toParentEdges(changes, "insertedRelationships")
+      .withColumn("_del", lit(false))
+      .unionByName(toParentEdges(changes, "deletedRelationships")
+        .withColumn("parentGuid", lit(null).cast("string"))
+        .withColumn("_del", lit(true)))
+      .groupBy(col("childGuid").as("guid"), col("seq"))
+      .agg(max(col("parentGuid")).as("parentGuid"),
+        max(col("_del")).as("parentRemoved"),
+        max(col("directChange")).as("directChange"))
+    val edgeMsgs = edges.select(
+      col("guid"),
+      lit(null).cast("string").as("typeName"),
+      lit(null).cast("string").as("qualifiedName"),
+      lit("EntityRelationshipAudit").as("eventType"),
+      col("seq"),
+      map().cast("map<string,string>").as("attributes"),
+      col("parentGuid"), col("parentRemoved"), col("directChange"))
+    base.unionByName(edgeMsgs)
   }
 
   /** Whole-pipeline benchmark query: synthesize an audit-event stream from
@@ -97,6 +158,12 @@ object Pipeline {
             lit("etype"), col("event_type"),
             lit("k"), get_json_object(col("props"), "$.k"))
             .as("attributes"),
+          // direct_change derives from the presence of relationshipAttributes
+          // in the audit payload; 'error' events model Atlas-propagated
+          // indirect audits (dropped by the P5 gate) — creates stay direct
+          when(col("rn") === 1 || col("event_type") =!= "error",
+            map().cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>"))
+            .as("relationshipAttributes"),
           lit(1L).as("createTime"),
           col("ts").as("updateTime")).as("atlasEntity")))
         .as("value"))
@@ -177,16 +244,20 @@ object Pipeline {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (valid, dlq) = parse(raw)
     val versions = toVersions(valid)
-    val changes = graft.diff.EntityDiff.determineChange(versions, base)
-      .localCheckpoint(true)
+    val changes = graft.Materialize.checkpoint(
+      graft.diff.EntityDiff.determineChange(versions, base))
     // messages feed 6 dispatcher branches — materialize once
-    val messages = shapeMessages(changes).localCheckpoint(true)
-    val docs1 = SynchronizeSearch.applyChanges(docs0, messages)
-    val links = toAttributeFieldLinks(changes)
-    val roles = toGovernanceRoles(changes)
+    val messages = graft.Materialize.checkpoint(shapeMessages(changes))
+    // P5 gate (synchronize_elastic_job.py:74-76): indirect changes are
+    // carried in `messages` (flag false) but never applied to documents
+    val docs1 = SynchronizeSearch.applyChanges(docs0,
+      SynchronizeSearch.directOnly(messages))
+    val direct = changes.filter(col("directChange"))
+    val links = toAttributeFieldLinks(direct)
+    val roles = toGovernanceRoles(direct)
     // delete-side symmetry (G14/G15-delete/G16-delete)
-    val droppedLinks = toAttributeFieldLinks(changes, "deletedRelationships")
-    val droppedRoles = toGovernanceRoles(changes, "deletedRelationships")
+    val droppedLinks = toAttributeFieldLinks(direct, "deletedRelationships")
+    val droppedRoles = toGovernanceRoles(direct, "deletedRelationships")
     val docs2 = graft.docs.DocumentAlgebra.removeGovernanceRoles(
       graft.docs.DocumentAlgebra.applyGovernanceRoles(
         graft.docs.DocumentAlgebra.applyAttributeFieldLinks(

@@ -25,11 +25,23 @@ import graft.docs.DocumentAlgebra._
   * loops, no point reads. */
 object SynchronizeSearch {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Re-alias every column (fresh exprIds) so checkpointed frames derived
+    * from the same parent can be safely unioned — duplicate attribute ids
+    * across union legs trip Catalyst's constraint rewriting. */
+  private def realias(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+
+  /** Constraint-free materialization barrier (see [[graft.Materialize]]). */
+  private def ck(df: DataFrame): DataFrame = graft.Materialize.checkpoint(df)
+
   /** P5: direct-change gate (`synchronize_elastic_job.py:74-76`). */
   def directOnly(messages: DataFrame): DataFrame =
     messages.filter(col("directChange"))
 
-  def applyChanges(docs: DataFrame, messages: DataFrame): DataFrame = {
+  def applyChanges(docs: DataFrame, messages: DataFrame,
+      maxCascadeDepth: Int = 10): DataFrame = {
     val m = messages.withColumn("seq", coalesce(col("seq"), lit(0L)))
 
     // --- phase 1: creates & deletes, resolved per guid by seq (G19/G20)
@@ -82,39 +94,55 @@ object SynchronizeSearch {
     val removedChildren = edgeLatest
       .filter(col("parentGuid").isNull && col("parentRemoved") === true)
       .select(col("guid"))
-    val rederived = deriveBreadcrumbs(afterAttrs, newEdges)
-    val reset = resetBreadcrumb(
-      afterAttrs.join(removedChildren, Seq("guid"), "left_semi"))
-    val touched = rederived.select("guid")
-      .unionByName(reset.select("guid")).distinct()
-    var afterEdges = afterAttrs
-      .join(touched, Seq("guid"), "left_anti")
-      .unionByName(rederived)
-      .unionByName(reset)
+    val rederived = ck(realias(deriveBreadcrumbs(afterAttrs, newEdges)))
+    val reset = ck(realias(resetBreadcrumb(
+      afterAttrs.join(removedChildren, Seq("guid"), "left_semi"))))
+    val touched = ck(rederived.select("guid")
+      .unionByName(reset.select("guid")).distinct())
 
     // --- phase 3b: breadcrumb cascade to deeper descendants (G9/G10,
-    // SURVEY §7.5.2): children of re-pathed nodes re-derive level by level —
-    // iteration bounded by tree depth, one parentGuid equi-join per level
-    var frontier = touched.localCheckpoint(true)
-    var depth = 0
-    while (depth < 10 && !frontier.isEmpty) {
-      val childEdges = afterEdges.as("d")
-        .join(frontier.as("f"), col("d.parentGuid") === col("f.guid"),
-          "left_semi")
-        .select(col("guid").as("childGuid"), col("parentGuid"))
-        .localCheckpoint(true)
-      if (childEdges.isEmpty) { depth = 10 }
-      else {
-        val re = deriveBreadcrumbs(afterEdges, childEdges)
-        afterEdges = afterEdges
-          .join(childEdges.select(col("childGuid").as("guid")), Seq("guid"),
-            "left_anti")
-          .unionByName(re)
-          .localCheckpoint(true)
-        frontier = childEdges.select(col("childGuid").as("guid"))
-          .localCheckpoint(true)
-        depth += 1
+    // SURVEY §7.5.2). The cascade touches ONLY the affected subtree: its
+    // node set is ONE array_contains semi-join (old breadcrumbs of every
+    // true descendant contain the touched ancestor — only the ancestor's
+    // own upward path changed), the level loop then re-derives inside that
+    // subtree, and the untouched store is merged back exactly once at the
+    // end — per-level materializations are O(|subtree|), never
+    // O(depth × |store|) (VERDICT r1 #3).
+    val afterEdges = if (touched.isEmpty) afterAttrs else {
+      // descendants by stored ancestor paths, minus the touched nodes
+      // themselves (their paths are already final)
+      val descendants = ck(realias(afterAttrs.as("d")
+        .join(touched.as("t"),
+          array_contains(col("d.breadcrumbGuid"), col("t.guid")), "left_semi")
+        .join(touched, Seq("guid"), "left_anti")))
+      var done = rederived.unionByName(reset) // finalized, usable as parents
+      var work = descendants // stale paths, awaiting their parent's turn
+      var frontier = touched
+      var depth = 0
+      while (depth < maxCascadeDepth && !frontier.isEmpty) {
+        val kids = ck(work.as("d")
+          .join(frontier.as("f"), col("d.parentGuid") === col("f.guid"),
+            "left_semi"))
+        if (kids.isEmpty) { depth = maxCascadeDepth }
+        else {
+          val re = ck(realias(deriveBreadcrumbsSplit(kids, done,
+            kids.select(col("guid").as("childGuid"), col("parentGuid")))))
+          done = done.unionByName(re)
+          work = ck(realias(work
+            .join(kids.select("guid"), Seq("guid"), "left_anti")))
+          frontier = re.select("guid")
+          depth += 1
+          if (depth == maxCascadeDepth && !frontier.isEmpty)
+            log.warn(s"breadcrumb cascade hit the depth cap " +
+              s"($maxCascadeDepth) with a non-empty frontier — deeper " +
+              "documents keep stale breadcrumbs")
+        }
       }
+      // single merge: untouched store + finalized subtree + unreachable rest
+      val inSubtree = touched.unionByName(descendants.select("guid"))
+      realias(afterAttrs.join(inSubtree, Seq("guid"), "left_anti"))
+        .unionByName(done)
+        .unionByName(work)
     }
 
     // --- phase 4: rename cascades (G17/G18)

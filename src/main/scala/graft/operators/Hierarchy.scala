@@ -42,6 +42,10 @@ object Hierarchy {
       if (!frontier.isEmpty) done = done.unionByName(frontier)
       depth += 1
     }
+    if (depth == maxDepth && !frontier.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"breadcrumb fixpoint hit the depth cap ($maxDepth) with a " +
+          "non-empty frontier — deeper nodes are omitted")
     e.unpersist()
     done.withColumn("depth", size(col("breadcrumb")))
   }

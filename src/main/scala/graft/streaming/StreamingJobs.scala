@@ -150,7 +150,7 @@ object StreamingJobs {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val docs0 = store.readOrElse(bootstrap)
         val updated = graft.jobs.SynchronizeSearch
-          .applyChanges(docs0, batch.localCheckpoint(true))
+          .applyChanges(docs0, graft.Materialize.checkpoint(batch))
         store.write(updated)
         ()
       }

@@ -61,12 +61,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(dlq.count() == 1)
     assert(versions.count() == 4)
 
-    val msgs = messages.orderBy("seq").collect()
-    assert(msgs.map(_.getAs[String]("eventType")).toSeq == Seq(
-      "EntityCreated", "EntityCreated", "EntityRelationshipAudit",
-      "EntityAttributeAudit"))
-    // the re-parent edge was oriented from the inserted "parent" key
-    assert(msgs(2).getAs[String]("parentGuid") == "gD")
+    val msgs = messages.collect()
+    assert(msgs.count(_.getAs[String]("eventType") == "EntityCreated") == 2)
+    assert(msgs.count(_.getAs[String]("eventType") == "EntityAttributeAudit") == 1)
+    // the re-parent edge was oriented from the inserted "parent" key and
+    // emitted as a dedicated edge row addressed to the child guid
+    val edge = msgs.filter(_.getAs[String]("parentGuid") != null)
+    assert(edge.length == 1 && edge.head.getAs[String]("guid") == "gE" &&
+      edge.head.getAs[String]("parentGuid") == "gD")
 
     val d = docs.orderBy("guid").collect()
     assert(d.length == 2)
@@ -97,11 +99,79 @@ class PipelineSpec extends AnyFunSuite {
     val (docs, _, messages, _) = Pipeline.run(spark, raw, emptyDocs)
     val split = messages.filter(col("guid") === "gE" && col("seq") === 120L)
       .collect()
+    // attr audit + rel audit (reference's per-category split) + the
+    // oriented parent-edge row addressed to the child
     assert(split.map(_.getAs[String]("eventType")).sorted.toSeq ==
-      Seq("EntityAttributeAudit", "EntityRelationshipAudit"))
+      Seq("EntityAttributeAudit", "EntityRelationshipAudit",
+        "EntityRelationshipAudit"))
+    assert(split.count(_.getAs[String]("parentGuid") == "gD") == 1)
     val ent = docs.filter(col("guid") === "gE").collect().head
     assert(ent.getAs[String]("name") == "Ent2")
     assert(ent.seq("breadcrumbGuid") == Seq("gD"))
+  }
+
+  test("indirect changes are flagged and dropped by the P5 gate") {
+    import spark.implicits._
+    val raw = Seq(
+      rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "dom", "name" -> "Dom")),
+      // Atlas-propagated audit: NO relationshipAttributes in the payload →
+      // indirect (is_direct_change analogue) → carried but never applied
+      s"""{"kafkaNotification":{"eventTime":120,"operationType":"ENTITY_UPDATE","guid":"gD"},
+         |"atlasEntity":{"guid":"gD","typeName":"m4i_data_domain",
+         |"attributes":{"qualifiedName":"dom","name":"Renamed"},
+         |"createTime":1,"updateTime":120}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (docs, _, messages, _) = Pipeline.run(spark, raw, emptyDocs)
+    val byDc = messages.collect()
+      .groupBy(_.getAs[Boolean]("directChange")).view.mapValues(_.length).toMap
+    assert(byDc == Map(true -> 1, false -> 1)) // flag varies in the output
+    assert(SynchronizeSearch.directOnly(messages).count() == 1)
+    // the indirect rename was NOT applied to the document store
+    assert(docs.collect().head.getAs[String]("name") == "Dom")
+  }
+
+  test("hierarchy-mapped relationship keys build breadcrumbs without parent/child prefix (G5/G6)") {
+    import spark.implicits._
+    // key "dataDomain" links m4i_data_entity -> m4i_data_domain: classified
+    // via HierarchyMapping over end types, not the key name (ADVICE r1)
+    val raw = Seq(
+      rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "dom", "name" -> "Dom")),
+      rawEvent("gE", "ENTITY_CREATE", 110L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent")),
+      s"""{"kafkaNotification":{"eventTime":120,"operationType":"ENTITY_UPDATE","guid":"gE"},
+         |"atlasEntity":{"guid":"gE","typeName":"m4i_data_entity",
+         |"attributes":{"qualifiedName":"ent","name":"Ent"},
+         |"relationshipAttributes":{"dataDomain":[{"guid":"gD","typeName":"m4i_data_domain","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":120}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (docs, _, _, _) = Pipeline.run(spark, raw, emptyDocs)
+    val ent = docs.filter(col("guid") === "gE").collect().head
+    assert(ent.getAs[String]("parentGuid") == "gD")
+    assert(ent.seq("breadcrumbGuid") == Seq("gD"))
+  }
+
+  test("child-side relationship key re-paths the TARGET doc (G5/G6)") {
+    import spark.implicits._
+    // the DOMAIN message carries childEntities -> gE: the edge must be
+    // oriented (parent=gD, child=gE) and applied to gE's document
+    val raw = Seq(
+      rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "dom", "name" -> "Dom")),
+      rawEvent("gE", "ENTITY_CREATE", 110L, "m4i_data_entity",
+        Map("qualifiedName" -> "ent", "name" -> "Ent")),
+      s"""{"kafkaNotification":{"eventTime":120,"operationType":"ENTITY_UPDATE","guid":"gD"},
+         |"atlasEntity":{"guid":"gD","typeName":"m4i_data_domain",
+         |"attributes":{"qualifiedName":"dom","name":"Dom"},
+         |"relationshipAttributes":{"childEntities":[{"guid":"gE","typeName":"x","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":120}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (docs, _, _, _) = Pipeline.run(spark, raw, emptyDocs)
+    val ent = docs.filter(col("guid") === "gE").collect().head
+    assert(ent.getAs[String]("parentGuid") == "gD")
+    assert(ent.seq("breadcrumbGuid") == Seq("gD"))
+    assert(ent.seq("breadcrumbName") == Seq("Dom"))
   }
 
   test("relationship inserts drive attribute-field links and governance roles (G15/G16)") {
