@@ -78,32 +78,48 @@ object Dedup {
   }
 
   /** Pairwise n-gram Jaccard within cheap blocks (lang, source): the
-    * exact-similarity baseline. Blocked so the join is equi (no cross
-    * product); at scale the blocks bound pair counts. */
+    * exact-similarity baseline, with an AllPairs prefix filter so a hot
+    * shingle never drives a quadratic join (VERDICT r1 #7).
+    *
+    * Prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search"): order each doc's shingles rarest-first by global block
+    * frequency; if jaccard(A,B) ≥ t then |A∩B| ≥ ⌈t·|x|⌉ for either doc x,
+    * so the first |x|−⌈t·|x|⌉+1 shingles of BOTH docs must share an
+    * element — candidates come from joining PREFIX rows only, which
+    * excludes the most frequent (hottest) shingles from candidate
+    * generation, then exact verification closes the score. Lossless for
+    * pairs at or above the threshold. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
-    require(threshold > 0, "join-count formulation skips 0-overlap pairs")
+    require(threshold > 0, "prefix-filter formulation skips 0-overlap pairs")
     val docs = t(spark, dir, "documents")
-    // relational intersection counting: join shingle ROWS on the shared
-    // shingle within the (lang, source) block and count per pair — work is
-    // proportional to actual overlaps, and |A∪B| = |A|+|B|−|A∩B| closes the
-    // jaccard without materializing union arrays per pair. Pairs with zero
-    // overlap never appear (jaccard 0 < threshold by contract).
-    val sr = shingleRows(docs)
-      .join(docs.select("doc_id", "lang", "source"), "doc_id")
-    val counts = sr.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sr.as("a")
-      .join(sr.as("b"), col("a.lang") === col("b.lang") &&
+    val sr = graft.Materialize.checkpoint(shingleRows(docs)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id"))
+    val freq = sr.groupBy("lang", "source", "s").agg(count(lit(1)).as("f"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("f", "s")
+    val nDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val prefix = sr.join(freq, Seq("lang", "source", "s"))
+      .withColumn("rnk", row_number().over(wDoc))
+      .withColumn("n_sh", count(lit(1)).over(nDoc))
+      .filter(col("rnk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("doc_id", "lang", "source", "s")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification on the candidate set only
+    val sh = sr.groupBy("doc_id").agg(array_sort(collect_set(col("s"))).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
+        (col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }

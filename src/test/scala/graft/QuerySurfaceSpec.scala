@@ -27,8 +27,9 @@ class QuerySurfaceSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only ops must be documented here as they are added
     // non-SQL-expressible ops get the driver's weaker rows-only check:
-    // simhash (bit-majority fold) and sign-projection ANN buckets
-    val allowedRowsOnly = Set("q_ann_pairs", "q_pipeline_e2e")
+    // only the 4-job pipeline chain remains (q_ann_pairs gained a DuckDB
+    // oracle in round 2 — the plane table is deterministic md5 math)
+    val allowedRowsOnly = Set("q_pipeline_e2e")
     assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle without query: $dangling")
