@@ -45,7 +45,12 @@ object Pipeline {
       col("atlasEntity.updateTime").as("updateTime"),
       col("kafkaNotification.operationType").as("operationType"),
       col("atlasEntity.typeName").as("typeName"),
-      col("atlasEntity.attributes").as("attributes"),
+      // canonicalize attribute values at ingest so key-order-insensitive
+      // JSON equality holds through the diff (A1-A3 compare strings);
+      // a producer emitting {"b":1,"a":2} vs {"a":2,"b":1} diffs empty
+      transform_values(col("atlasEntity.attributes"),
+        (_, v) => graft.functions.JsonCanonicalize.json_canonicalize(v))
+        .as("attributes"),
       coalesce(col("atlasEntity.relationshipAttributes"),
         map().cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>"))
         .as("relationshipAttributes"),
@@ -242,7 +247,11 @@ object Pipeline {
   def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame,
       base: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (valid, dlq) = parse(raw)
+    val (parsedOk, dlqParse) = parse(raw)
+    // S10 for jobs 2-4: contract violations route to the DLQ with the
+    // failing job's name instead of failing the batch (VERDICT r1 #6)
+    val (valid, dlqContract) = StreamingJobs.contractDlq(parsedOk)
+    val dlq = dlqParse.unionByName(dlqContract)
     val versions = toVersions(valid)
     val changes = graft.Materialize.checkpoint(
       graft.diff.EntityDiff.determineChange(versions, base))

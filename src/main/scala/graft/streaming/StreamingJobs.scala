@@ -77,10 +77,46 @@ object StreamingJobs {
               .as("description"))))
 
   def validRows(parsed: DataFrame): DataFrame =
-    parsed.filter(col("deadLetter").isNull).select("parsed.*")
+    parsed.filter(col("deadLetter").isNull)
+      .select(col("value") +: parsed.select("parsed.*").columns.toSeq
+        .map(c => col(s"parsed.$c")): _*)
 
   def deadLetters(parsed: DataFrame): DataFrame =
     parsed.filter(col("deadLetter").isNotNull).select("deadLetter.*")
+
+  /** S10 for jobs 2-4: contract validation as a data split. The reference
+    * wraps EVERY job's map body in try/except → DLQ
+    * (`publish_state_job.py:88-104`, `determine_change_job.py:404-425`,
+    * `synchronize_elastic_job.py:123-142`); the columnar analogue is a
+    * predicate split — rows violating the version contract route to the
+    * dead-letter channel with the failing job's name while the rest of the
+    * batch commits. Input: validRows output (value + parsed envelope). */
+  def contractDlq(valid: DataFrame): (DataFrame, DataFrame) = {
+    def p(job: String, description: String) =
+      struct(lit(job).as("job"), lit(description).as("description"))
+    // each check is attributed to the reference job whose map body would
+    // have thrown on that row
+    val problem =
+      when(col("atlasEntity.guid").isNull ||
+          length(col("atlasEntity.guid")) === 0,
+        p("publish_state", "missing entity guid"))
+        .when(col("atlasEntity.updateTime").isNull,
+          p("publish_state", "missing updateTime"))
+        .when(!col("kafkaNotification.operationType").isin(
+          "ENTITY_CREATE", "ENTITY_UPDATE", "ENTITY_DELETE"),
+          p("determine_change", "unknown operationType"))
+        .when(col("kafkaNotification.operationType") === "ENTITY_CREATE" &&
+          element_at(col("atlasEntity.attributes"), "qualifiedName").isNull,
+          p("synchronize_elastic", "create without qualifiedName"))
+    val flagged = valid.withColumn("_problem", problem)
+    (flagged.filter(col("_problem").isNull).drop("_problem"),
+      flagged.filter(col("_problem").isNotNull).select(
+        (unix_micros(current_timestamp()).cast("double") / 1e6)
+          .as("timestamp"),
+        col("value").as("originalNotification"),
+        col("_problem.job").as("job"),
+        col("_problem.description").as("description")))
+  }
 
   // ---- J3 streaming: per-guid latest-version keyed state
   //      (flatMapGroupsWithState replaces the reference's per-record ES
@@ -149,9 +185,10 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val docs0 = store.readOrElse(bootstrap)
-        val updated = graft.jobs.SynchronizeSearch
-          .applyChanges(docs0, graft.Materialize.checkpoint(batch))
-        store.write(updated)
+        val updated = graft.Materialize.checkpoint(graft.jobs.SynchronizeSearch
+          .applyChanges(docs0, graft.Materialize.checkpoint(batch)))
+        // bucket-local commit: only buckets with changed docs are rewritten
+        store.sync(updated)
         ()
       }
 

@@ -110,6 +110,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(ent.seq("breadcrumbGuid") == Seq("gD"))
   }
 
+  test("key-order-shuffled JSON attribute values diff empty (JsonCanonicalize at ingest)") {
+    import spark.implicits._
+    def ev(t: Long, op: String, spec: String) =
+      s"""{"kafkaNotification":{"eventTime":$t,"operationType":"$op","guid":"g1"},
+         |"atlasEntity":{"guid":"g1","typeName":"m4i_system",
+         |"attributes":{"qualifiedName":"sys","name":"Sys","spec":$spec},
+         |"relationshipAttributes":{},
+         |"createTime":1,"updateTime":$t}}""".stripMargin.replaceAll("\n", "")
+    val raw = Seq(
+      ev(100L, "ENTITY_CREATE", """"{\"b\":1,\"a\":2}""""),
+      // same object, keys re-ordered: must register NO change at all
+      ev(110L, "ENTITY_UPDATE", """"{\"a\":2,\"b\":1}"""")).toDF("value")
+    val (_, _, messages, _) = Pipeline.run(spark, raw, emptyDocs)
+    val m = messages.collect()
+    assert(m.length == 1 && m.head.getAs[String]("eventType") == "EntityCreated")
+  }
+
   test("indirect changes are flagged and dropped by the P5 gate") {
     import spark.implicits._
     val raw = Seq(

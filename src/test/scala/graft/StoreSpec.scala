@@ -36,6 +36,55 @@ class StoreSpec extends AnyFunSuite {
       s"co-bucketed join still shuffled:\n$plan")
   }
 
+  test("document store: incremental sync rewrites only changed buckets") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-dstore").toString
+    val store = new graft.store.DocumentStore(spark, dir, nBuckets = 8)
+    val v0 = (1 to 64).map(i => (s"g$i", s"payload$i", Map("k" -> s"v$i")))
+      .toDF("guid", "payload", "attrs")
+    store.write(v0)
+    def bucketFiles(v: Long): Map[String, Seq[(String, Long)]] = {
+      val vd = Paths.get(dir, s"v$v")
+      if (!Files.isDirectory(vd)) Map.empty
+      else Files.list(vd).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_bucket="))
+        .map(p => p.getFileName.toString ->
+          Files.list(p).iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .map(f => f.getFileName.toString -> Files.size(f)).toSeq.sorted)
+        .toMap
+    }
+    val v0Files = bucketFiles(0)
+    assert(v0Files.size == 8) // 64 guids cover all 8 buckets
+
+    // change ONE doc; sync must rewrite only that doc's bucket
+    val v1 = v0.withColumn("payload",
+      when(col("guid") === "g7", lit("CHANGED")).otherwise(col("payload")))
+    store.sync(graft.Materialize.checkpoint(v1))
+    assert(store.currentVersion.contains(1L))
+    val v1Files = bucketFiles(1)
+    assert(v1Files.size == 1, s"expected 1 rewritten bucket, got $v1Files")
+    // untouched bucket files in v0 are literally the same files (and the
+    // manifest still points at them)
+    assert(bucketFiles(0) == v0Files)
+    // read-back reflects the change and nothing else
+    val back = store.read().get.collect()
+      .map(r => r.getAs[String]("guid") -> r.getAs[String]("payload")).toMap
+    assert(back("g7") == "CHANGED" && back("g8") == "payload8"
+      && back.size == 64)
+
+    // deletion also routes to its bucket
+    val v2 = v1.filter(col("guid") =!= "g13")
+    store.sync(graft.Materialize.checkpoint(v2))
+    assert(store.read().get.count() == 63)
+    // identical store → no-op version
+    val ver = store.currentVersion.get
+    store.sync(graft.Materialize.checkpoint(v2))
+    assert(store.currentVersion.contains(ver))
+  }
+
   test("versioned store: append, as-of, latest, point get (S4-S7/J3)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vstore").toString

@@ -22,6 +22,51 @@ class StreamingChainSpec extends AnyFunSuite {
        |"createTime":1,"updateTime":$t}}""".stripMargin.replaceAll("\n", "")
   }
 
+  test("poisoned rows land in the per-job DLQ while the rest of the batch commits (S10 jobs 2-4)") {
+    import spark.implicits._
+    def emptyDocs = {
+      val creates = Seq.empty[(String, String, String, String, Long,
+          Map[String, String], String, Boolean, Boolean)]
+        .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+          "attributes", "parentGuid", "parentRemoved", "directChange")
+        .withColumn("name", lit(null).cast("string"))
+        .withColumn("definition", lit(null).cast("string"))
+        .withColumn("email", lit(null).cast("string"))
+      graft.docs.DocumentAlgebra.createDocs(creates)
+    }
+    val raw = Seq(
+      rawEvent("gOK", "ENTITY_CREATE", 100L, "m4i_system",
+        Map("qualifiedName" -> "sys", "name" -> "Sys")),
+      // parses, but violates the version contract: no entity guid
+      """{"kafkaNotification":{"eventTime":110,"operationType":"ENTITY_UPDATE","guid":"gX"},
+        |"atlasEntity":{"typeName":"m4i_system","attributes":{"name":"NoGuid"},
+        |"relationshipAttributes":{},"createTime":1,"updateTime":110}}"""
+        .stripMargin.replaceAll("\n", ""),
+      // create without qualifiedName → job-4 contract
+      """{"kafkaNotification":{"eventTime":120,"operationType":"ENTITY_CREATE","guid":"gQ"},
+        |"atlasEntity":{"guid":"gQ","typeName":"m4i_system","attributes":{"name":"NoQN"},
+        |"relationshipAttributes":{},"createTime":1,"updateTime":120}}"""
+        .stripMargin.replaceAll("\n", ""),
+      // unknown operation type → job-3 contract
+      """{"kafkaNotification":{"eventTime":130,"operationType":"ENTITY_AUDIT","guid":"gU"},
+        |"atlasEntity":{"guid":"gU","typeName":"m4i_system","attributes":{"qualifiedName":"u"},
+        |"relationshipAttributes":{},"createTime":1,"updateTime":130}}"""
+        .stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (docs, dlq, _, _) = graft.jobs.Pipeline.run(spark, raw, emptyDocs)
+    // the healthy row committed
+    val d = docs.collect()
+    assert(d.length == 1 && d.head.getAs[String]("guid") == "gOK")
+    // each poisoned row is attributed to the job that would have thrown
+    val byJob = dlq.collect()
+      .map(r => r.getAs[String]("job") -> r.getAs[String]("description"))
+      .toMap
+    assert(byJob == Map(
+      "publish_state" -> "missing entity guid",
+      "determine_change" -> "unknown operationType",
+      "synchronize_elastic" -> "create without qualifiedName"))
+  }
+
   test("raw JSON stream drives the doc store through stateful diff") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
