@@ -19,12 +19,21 @@ object Materialize {
 
   private val ConfKey = "spark.sql.constraintPropagation.enabled"
 
+  /** Test hook: when set, accumulates the row count of every checkpointed
+    * frame — lets specs assert that iterative cascades materialize
+    * O(subtree) rows, never O(store) per level (cheap: counts the
+    * already-materialized RDD). */
+  @volatile var tally: Option[java.util.concurrent.atomic.AtomicLong] = None
+
   /** Eager local checkpoint whose LogicalRDD carries no origin constraints. */
   def checkpoint(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     val prior = conf.get(ConfKey, "true")
     conf.set(ConfKey, "false")
-    try df.localCheckpoint(true)
-    finally conf.set(ConfKey, prior)
+    val out =
+      try df.localCheckpoint(true)
+      finally conf.set(ConfKey, prior)
+    tally.foreach(_.addAndGet(out.count()))
+    out
   }
 }

@@ -358,6 +358,45 @@ class DocumentAlgebraSpec extends AnyFunSuite {
       Map("derivedfield" -> "Old"))
   }
 
+  test("breadcrumb cascade materializes O(subtree) rows, not O(store) per level") {
+    import spark.implicits._
+    // store: a 3-deep chain root->mid->leaf plus 500 unrelated docs
+    val chain = msgRow("root", "EntityCreated",
+        Map("qualifiedName" -> "r", "name" -> "R"))
+      .unionByName(msgRow("mid", "EntityCreated",
+        Map("qualifiedName" -> "m", "name" -> "M"),
+        typeName = "m4i_data_entity"))
+      .unionByName(msgRow("leaf", "EntityCreated",
+        Map("qualifiedName" -> "l", "name" -> "L"),
+        typeName = "m4i_data_attribute"))
+    val bulk = (1 to 500).map(i =>
+        (s"x$i", "m4i_system", s"q$i", "EntityCreated", 0L,
+          Map("qualifiedName" -> s"q$i"), null: String, false, true))
+      .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+        "attributes", "parentGuid", "parentRemoved", "directChange")
+    var docs = apply_(emptyDocs, chain.unionByName(bulk))
+    docs = apply_(docs, msgRow("mid", "EntityRelationshipAudit", Map.empty,
+      typeName = "m4i_data_entity", parentGuid = "root"))
+    docs = apply_(docs, msgRow("leaf", "EntityRelationshipAudit", Map.empty,
+      typeName = "m4i_data_attribute", parentGuid = "mid"))
+    // re-parent the MIDDLE node: cascade touches mid+leaf only — the 500
+    // unrelated docs must never pass through a per-level checkpoint
+    val tally = new java.util.concurrent.atomic.AtomicLong(0)
+    Materialize.tally = Some(tally)
+    try {
+      val out = SynchronizeSearch.applyChanges(docs,
+        msgRow("mid", "EntityRelationshipAudit", Map.empty,
+          typeName = "m4i_data_entity", parentRemoved = true))
+        .localCheckpoint(true)
+      assert(out.count() == 503)
+      assert(out.filter(col("guid") === "leaf").collect().head
+        .seq("breadcrumbGuid") == Seq("mid"))
+      assert(tally.get() < 100,
+        s"cascade checkpointed ${tally.get()} rows for a 2-node subtree " +
+          "in a 503-doc store — O(store) materialization regression")
+    } finally Materialize.tally = None
+  }
+
   test("last-wins merge keeps highest seq per guid (A8)") {
     import spark.implicits._
     val updates = Seq(("g1", 1L, "v1"), ("g1", 3L, "v3"), ("g2", 2L, "v2"))
