@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage profiler for the 4-job pipeline (dev tool). */
+object ProfileE2E {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    import graft.Tables.t
+    import graft.jobs.{Pipeline, SynchronizeSearch}
+    // rebuild the e2e input exactly like pipelineE2E
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val raw = time("synthesize raw") {
+      graft.Materialize.checkpoint(t(spark, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .select(to_json(struct(
+          struct(
+            expr("ts DIV 1000000").as("eventTime"),
+            when(col("rn") === 1, "ENTITY_CREATE").otherwise("ENTITY_UPDATE")
+              .as("operationType"),
+            concat(lit("u"), col("user_id")).as("guid")).as("kafkaNotification"),
+          struct(
+            concat(lit("u"), col("user_id")).as("guid"),
+            lit("m4i_dataset").as("typeName"),
+            map(lit("qualifiedName"), concat(lit("user/"), col("user_id")),
+              lit("name"), concat(lit("User "), col("user_id")),
+              lit("etype"), col("event_type"),
+              lit("k"), get_json_object(col("props"), "$.k"))
+              .as("attributes"),
+            when(col("rn") === 1 || col("event_type") =!= "error",
+              map().cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>"))
+              .as("relationshipAttributes"),
+            lit(1L).as("createTime"),
+            col("ts").as("updateTime")).as("atlasEntity")))
+          .as("value")))
+      }
+    val (parsedOk, _) = time("parse") { Pipeline.parse(raw) }
+    val (valid, _) = time("contractDlq") {
+      graft.streaming.StreamingJobs.contractDlq(parsedOk) }
+    val versions = time("toVersions") { Pipeline.toVersions(valid) }
+    time("versions count (parse only)") {
+      graft.Materialize.checkpoint(versions).count() }
+    val vck = graft.Materialize.checkpoint(versions)
+    time("diff only over parsed+ck") {
+      graft.Materialize.checkpoint(
+        graft.diff.EntityDiff.determineChange(vck)).count() }
+    val changes = time("determineChange+ck") {
+      graft.Materialize.checkpoint(
+        graft.diff.EntityDiff.determineChange(versions)) }
+    val messages = time("shapeMessages+ck") {
+      graft.Materialize.checkpoint(Pipeline.shapeMessages(changes)) }
+    val docs0 = graft.docs.DocumentAlgebra.createDocs(
+      versions.limit(0)
+        .select(col("guid"), col("typeName"),
+          lit("q").as("qualifiedName"), col("attributes"))
+        .withColumn("name", lit(null).cast("string"))
+        .withColumn("definition", lit(null).cast("string"))
+        .withColumn("email", lit(null).cast("string")))
+    val docs1 = time("applyChanges (lazy)") {
+      SynchronizeSearch.applyChanges(docs0,
+        SynchronizeSearch.directOnly(messages)) }
+    time("applyChanges count") { docs1.count() }
+    val direct = changes.filter(col("directChange"))
+    val links = time("links (lazy+distinct)") { Pipeline.toAttributeFieldLinks(direct) }
+    val roles = Pipeline.toGovernanceRoles(direct)
+    time("links isEmpty probe") { links.isEmpty }
+    time("roles isEmpty probe") { roles.isEmpty }
+    time("full run()") {
+      val (docs, _, _, _) = Pipeline.run(spark, raw, docs0)
+      docs.count()
+    }
+    time("full pipelineE2E") { Pipeline.pipelineE2E(spark, dir).count() }
+    spark.stop()
+  }
+}

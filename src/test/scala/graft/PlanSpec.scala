@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
       s"LSH candidate generation degenerated to a cross product:\n$p")
   }
 
+  test("q_ngram_jaccard candidates come from an equi-join, not cartesian") {
+    val p = plan("q_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"prefix-filter candidate generation degenerated:\n$p")
+  }
+
+  test("q_ann_pairs buckets join equi, not cartesian") {
+    val p = plan("q_ann_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"sign-LSH bucket join degenerated to a cross product:\n$p")
+  }
+
   test("generic as-of join shuffles once on the union key (q_asof_join)") {
     val p = plan("q_asof_join")
     assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,
