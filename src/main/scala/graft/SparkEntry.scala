@@ -67,6 +67,7 @@ object SparkEntry {
     "q_quality_score" -> (llm.TextOps.qualityScore _),
     "q_lang_id" -> (llm.TextOps.langId _),
     "q_fingerprint" -> (llm.TextOps.fingerprint _),
+    "q_token_bpe" -> (llm.TextOps.tokenBpe _),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -357,6 +358,12 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+', 0)) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  COALESCE(array_to_string(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+', 0)[1:5], '|'), '') AS first5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -126,40 +126,90 @@ object DocumentAlgebra {
     map_filter(childM,
       (k, v) => !(map_contains_key(parentM, k) && element_at(parentM, k) <=> v))
 
+  /** Per-microbatch rename sets are tiny (a handful of UI edits), so the
+    * default path collapses them into one broadcast map. A bulk-rename
+    * BACKFILL would blow that single row up, so above this many renames
+    * the join-based variants take over (shuffle on the affected docs —
+    * the 100 TB-safe shape). */
+  val broadcastRenameLimit: Int = 10000
+
+  private def renameCountExceeds(renames: DataFrame, limit: Int): Boolean =
+    renames.limit(limit + 1).count() > limit
+
   /** G17: positional rename inside breadcrumb name arrays — replace the name
     * at every index whose guid matches (`update_name_in_breadcrumbs`
     * :598-636, minus its set-literal crash bug). `renames` must have columns
     * (guid, newName). Applies ALL renames to ALL descendants in one join. */
-  def renameInBreadcrumbs(docs: DataFrame, renames: DataFrame): DataFrame = {
+  def renameInBreadcrumbs(docs: DataFrame, renames: DataFrame,
+      broadcastLimit: Int = broadcastRenameLimit): DataFrame = {
     val joined = docs.as("d").join(renames.as("r"),
       array_contains(col("d.breadcrumbGuid"), col("r.guid")), "left_semi")
-    val renameMap = renames.groupBy().agg(
-      map_from_entries(collect_list(struct(col("guid"), col("newName"))))
-        .as("rm"))
-    joined.crossJoin(broadcast(renameMap))
-      .withColumn("breadcrumbName",
-        zip_with(col("breadcrumbGuid"), col("breadcrumbName"),
-          (g, n) => coalesce(element_at(col("rm"), g), n)))
-      .drop("rm")
+    if (renameCountExceeds(renames, broadcastLimit)) {
+      // bulk backfill: positional explode + equi-join + reassemble
+      val exploded = joined
+        .select(col("guid").as("d_guid"),
+          posexplode(arrays_zip(col("breadcrumbGuid"), col("breadcrumbName")))
+            .as(Seq("pos", "z")))
+        .select(col("d_guid"), col("pos"),
+          col("z.breadcrumbGuid").as("g"), col("z.breadcrumbName").as("n"))
+      val reassembled = exploded
+        .join(renames.select(col("guid").as("g"), col("newName")),
+          Seq("g"), "left_outer")
+        .groupBy(col("d_guid").as("guid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("newName"), col("n")).as("n")))),
+          x => x("n")).as("_bn"))
+      joined.join(reassembled, Seq("guid"))
+        .withColumn("breadcrumbName", col("_bn")).drop("_bn")
+    } else {
+      val renameMap = renames.groupBy().agg(
+        map_from_entries(collect_list(struct(col("guid"), col("newName"))))
+          .as("rm"))
+      joined.crossJoin(broadcast(renameMap))
+        .withColumn("breadcrumbName",
+          zip_with(col("breadcrumbGuid"), col("breadcrumbName"),
+            (g, n) => coalesce(element_at(col("rm"), g), n)))
+        .drop("rm")
+    }
   }
 
   /** G18: rename inside derived-field maps: for every doc whose derivedGuids
     * references a renamed guid, rewrite the matching derivedNames entry —
     * the reference's 104-line per-type dispatch (:639-742) becomes one
     * map_zip_with over the (names, guids) maps. */
-  def renameInDerived(docs: DataFrame, renames: DataFrame): DataFrame = {
-    val renameMap = renames.groupBy().agg(
-      map_from_entries(collect_list(struct(col("guid"), col("newName"))))
-        .as("rm"))
-    docs.crossJoin(broadcast(renameMap))
-      // names map key k ↔ guids map key k+"guid": rewrite names whose guid got
-      // renamed. transform_values alone preserves the key set exactly — a
-      // key-union zip would seed spurious null entries (ADVICE r1).
-      .withColumn("derivedNames",
-        transform_values(col("derivedNames"), (k, v) =>
-          coalesce(element_at(col("rm"),
-            element_at(col("derivedGuids"), concat(k, lit("guid")))), v)))
-      .drop("rm")
+  def renameInDerived(docs: DataFrame, renames: DataFrame,
+      broadcastLimit: Int = broadcastRenameLimit): DataFrame = {
+    if (renameCountExceeds(renames, broadcastLimit)) {
+      // bulk backfill: explode derived-guid entries, equi-join the rename
+      // set, fold per-doc rename maps back in
+      val upd = docs
+        .select(col("guid"), explode(col("derivedGuids")).as(Seq("gk", "gv")))
+        .join(renames.select(col("guid").as("gv"), col("newName")), Seq("gv"))
+        .select(col("guid"),
+          regexp_replace(col("gk"), "guid$", "").as("nk"), col("newName"))
+        .groupBy("guid")
+        .agg(map_from_entries(collect_list(
+          struct(col("nk"), col("newName")))).as("nm"))
+      docs.join(upd, Seq("guid"), "left_outer")
+        .withColumn("derivedNames", when(col("nm").isNull, col("derivedNames"))
+          .otherwise(transform_values(col("derivedNames"),
+            (k, v) => coalesce(element_at(col("nm"), k), v))))
+        .drop("nm")
+    } else {
+      val renameMap = renames.groupBy().agg(
+        map_from_entries(collect_list(struct(col("guid"), col("newName"))))
+          .as("rm"))
+      docs.crossJoin(broadcast(renameMap))
+        // names map key k ↔ guids map key k+"guid": rewrite names whose guid
+        // got renamed. transform_values alone preserves the key set exactly —
+        // a key-union zip would seed spurious null entries (ADVICE r1).
+        .withColumn("derivedNames",
+          transform_values(col("derivedNames"), (k, v) =>
+            coalesce(element_at(col("rm"),
+              element_at(col("derivedGuids"), concat(k, lit("guid")))), v)))
+        .drop("rm")
+    }
   }
 
   /** G15: attribute↔field derived cross-links

@@ -11,8 +11,31 @@ import graft.Tables._
   */
 object TextOps {
 
-  /** Whitespace tokenization (the BPE-ish regex split). */
+  /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish pre-tokenization pattern (GPT-2 shape, RE2-safe — no
+    * lookahead, so the same pattern runs in Spark's java.util.regex and
+    * DuckDB's RE2): contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-tokens of a text column (ARRAY<STRING>). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** Token counting under both tokenizers + the first pre-tokens, so the
+    * oracle checks actual token boundaries, not just counts. */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("bpe", bpeTokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        array_join(slice(col("bpe"), 1, 5), "|").as("first5"))
+      .orderBy("doc_id")
 
   /** Token counting + uniqueness + mean token length. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =

@@ -358,6 +358,42 @@ class DocumentAlgebraSpec extends AnyFunSuite {
       Map("derivedfield" -> "Old"))
   }
 
+  test("bulk-rename join path matches the broadcast path (G17/G18 backfill)") {
+    import spark.implicits._
+    val batch = msgRow("gD", "EntityCreated",
+        Map("qualifiedName" -> "dom", "name" -> "Dom"))
+      .unionByName(msgRow("gE", "EntityCreated",
+        Map("qualifiedName" -> "ent", "name" -> "Ent"),
+        typeName = "m4i_data_entity"))
+    val docs0 = apply_(emptyDocs, batch)
+    val docs = apply_(docs0,
+      msgRow("gE", "EntityRelationshipAudit", Map.empty,
+        typeName = "m4i_data_entity", parentGuid = "gD"))
+      .withColumn("derivedGuids",
+        when(col("guid") === "gE", map(lit("derivedfieldguid"), lit("gD")))
+          .otherwise(col("derivedGuids")))
+      .withColumn("derivedNames",
+        when(col("guid") === "gE", map(lit("derivedfield"), lit("Dom")))
+          .otherwise(col("derivedNames")))
+      .localCheckpoint(true)
+    val renames = Seq(("gD", "Dom2")).toDF("guid", "newName")
+    def normBc(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("guid").collect()
+        .map(r => r.getAs[String]("guid") -> r.seq("breadcrumbName")).toSeq
+    assert(
+      normBc(DocumentAlgebra.renameInBreadcrumbs(docs, renames,
+        broadcastLimit = 0)) ==
+      normBc(DocumentAlgebra.renameInBreadcrumbs(docs, renames)))
+    def normDn(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("guid").collect()
+        .map(r => r.getAs[String]("guid") ->
+          r.getAs[Map[String, String]]("derivedNames")).toSeq
+    val viaJoin = normDn(DocumentAlgebra.renameInDerived(docs, renames,
+      broadcastLimit = 0))
+    assert(viaJoin == normDn(DocumentAlgebra.renameInDerived(docs, renames)))
+    assert(viaJoin.toMap.apply("gE") == Map("derivedfield" -> "Dom2"))
+  }
+
   test("breadcrumb cascade materializes O(subtree) rows, not O(store) per level") {
     import spark.implicits._
     // store: a 3-deep chain root->mid->leaf plus 500 unrelated docs
