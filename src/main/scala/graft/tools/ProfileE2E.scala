@@ -84,6 +84,24 @@ object ProfileE2E {
       docs.count()
     }
     time("full pipelineE2E") { Pipeline.pipelineE2E(spark, dir).count() }
+    // ann_pairs breakdown
+    val emb = t(spark, dir, "embeddings")
+    time("signBucketTable") {
+      graft.llm.Similarity.signBucketTable(emb).count() }
+    val e2 = time("buckets+join+ck") {
+      graft.Materialize.checkpoint(
+        graft.llm.Similarity.signBucketTable(emb).join(emb, "vec_id")) }
+    time("pair join + cosine") {
+      val a2 = e2.as("a"); val b2 = e2.as("b")
+      a2.join(b2, col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"),
+          graft.llm.Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+        .filter(col("c") >= 0.3).count() }
+    time("candidate count") {
+      val a2 = e2.as("a"); val b2 = e2.as("b")
+      println("pairs=" + a2.join(b2, col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id")).count()) }
     spark.stop()
   }
 }
