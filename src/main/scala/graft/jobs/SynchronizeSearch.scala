@@ -81,14 +81,38 @@ object SynchronizeSearch {
         .as("attributes"))
     val afterAttrs = applyAttributeUpdates(base, attrMerged)
 
-    // --- phase 3: latest parent-edge event per guid (G8/G11)
-    val edgeLatest = m
+    // --- phase 3: latest parent-edge event per guid (G8/G11).
+    // Probe the MESSAGE side first: an attribute-only batch (the common
+    // case) must not pay the store-scanning rederive/reset/touched
+    // materializations below — the probe runs over the small checkpointed
+    // message frame, not the store.
+    val edgeLatest = ck(m
       .filter(col("parentGuid").isNotNull || col("parentRemoved") === true)
       .groupBy("guid")
       .agg(max_by(struct(col("parentGuid"), col("parentRemoved")), col("seq"))
         .as("e"))
       .select(col("guid"), col("e.parentGuid").as("parentGuid"),
-        col("e.parentRemoved").as("parentRemoved"))
+        col("e.parentRemoved").as("parentRemoved")))
+    val afterEdges = if (edgeLatest.isEmpty) afterAttrs else
+      applyEdges(afterAttrs, edgeLatest, maxCascadeDepth)
+
+    // --- phase 4: rename cascades (G17/G18)
+    val renames = attrMerged
+      .filter(map_contains_key(col("attributes"), "name"))
+      .select(col("guid"), element_at(col("attributes"), "name").as("newName"))
+    if (renames.isEmpty) afterEdges
+    else {
+      val renamedDescendants = renameInBreadcrumbs(afterEdges, renames)
+      val untouchedBc = afterEdges.join(renamedDescendants.select("guid"),
+        Seq("guid"), "left_anti")
+      renameInDerived(untouchedBc.unionByName(renamedDescendants), renames)
+    }
+  }
+
+  /** Phases 3+3b: apply the latest parent-edge events and cascade
+    * breadcrumbs through the touched subtree (G8-G11). */
+  private def applyEdges(afterAttrs: DataFrame, edgeLatest: DataFrame,
+      maxCascadeDepth: Int): DataFrame = {
     val newEdges = edgeLatest.filter(col("parentGuid").isNotNull)
       .select(col("guid").as("childGuid"), col("parentGuid"))
     val removedChildren = edgeLatest
@@ -108,7 +132,7 @@ object SynchronizeSearch {
     // subtree, and the untouched store is merged back exactly once at the
     // end — per-level materializations are O(|subtree|), never
     // O(depth × |store|) (VERDICT r1 #3).
-    val afterEdges = if (touched.isEmpty) afterAttrs else {
+    if (touched.isEmpty) afterAttrs else {
       // descendants by stored ancestor paths, minus the touched nodes
       // themselves (their paths are already final)
       val descendants = ck(realias(afterAttrs.as("d")
@@ -143,18 +167,6 @@ object SynchronizeSearch {
       realias(afterAttrs.join(inSubtree, Seq("guid"), "left_anti"))
         .unionByName(done)
         .unionByName(work)
-    }
-
-    // --- phase 4: rename cascades (G17/G18)
-    val renames = attrMerged
-      .filter(map_contains_key(col("attributes"), "name"))
-      .select(col("guid"), element_at(col("attributes"), "name").as("newName"))
-    if (renames.isEmpty) afterEdges
-    else {
-      val renamedDescendants = renameInBreadcrumbs(afterEdges, renames)
-      val untouchedBc = afterEdges.join(renamedDescendants.select("guid"),
-        Seq("guid"), "left_anti")
-      renameInDerived(untouchedBc.unionByName(renamedDescendants), renames)
     }
   }
 }
