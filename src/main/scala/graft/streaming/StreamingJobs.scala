@@ -192,6 +192,40 @@ object StreamingJobs {
         ()
       }
 
+  /** The reference's full 4-job deployment as ONE streaming query: each
+    * microbatch runs parse → per-job contract DLQ → cross-batch diff
+    * (seeded with the versioned store's latest versions, so an update whose
+    * previous version arrived in an earlier batch still diffs correctly) →
+    * the full dispatcher (attributes, parent edges, breadcrumb cascades,
+    * derived links/roles) → bucket-local document-store commit; dead
+    * letters append to a parquet channel (at-least-once on replay — the
+    * document/version stores stay effectively-once because a replayed
+    * batch rewrites the same deterministic result). */
+  def fullChain(raw: DataFrame, versionsPath: String,
+      store: graft.store.DocumentStore, bootstrap: => DataFrame,
+      dlqPath: String, checkpoint: String) =
+    raw.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = graft.Materialize.checkpoint(batch)
+        val docs0 = store.readOrElse(bootstrap)
+        val base =
+          if (new java.io.File(versionsPath).exists())
+            Some(graft.store.VersionedStore.latest(
+              graft.store.VersionedStore.read(spark, versionsPath)))
+          else None
+        // run() checkpoints the diff eagerly, so `base` is consumed BEFORE
+        // this batch's versions are appended below
+        val (docs, dlq, _, versions) =
+          graft.jobs.Pipeline.run(spark, b, docs0, base)
+        graft.store.VersionedStore.append(versions, versionsPath)
+        dlq.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dlqPath)
+        store.sync(graft.Materialize.checkpoint(docs))
+        ()
+      }
+
   // ---- S11/S12: example sources (rate / in-memory elements,
   //      examples/stream_processing_example.py:39-44,
   //      batch_processing_example.py:17) ----

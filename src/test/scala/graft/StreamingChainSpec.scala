@@ -12,6 +12,7 @@ import graft.streaming.StreamingJobs
   * instead of its four Flink processes. */
 class StreamingChainSpec extends AnyFunSuite {
   import SparkTestSession._
+  import RowSeqOps._
 
   private def rawEvent(guid: String, op: String, t: Long, typeName: String,
       attrs: Map[String, String]): String = {
@@ -65,6 +66,59 @@ class StreamingChainSpec extends AnyFunSuite {
       "publish_state" -> "missing entity guid",
       "determine_change" -> "unknown operationType",
       "synchronize_elastic" -> "create without qualifiedName"))
+  }
+
+  test("full streaming chain: relationships, cross-batch diff, bucket-local commits") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-full").toString
+    val store = new graft.store.DocumentStore(spark, s"$dir/store")
+    def emptyDocs = {
+      val creates = Seq.empty[(String, String, String, String, Long,
+          Map[String, String], String, Boolean, Boolean)]
+        .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+          "attributes", "parentGuid", "parentRemoved", "directChange")
+        .withColumn("name", lit(null).cast("string"))
+        .withColumn("definition", lit(null).cast("string"))
+        .withColumn("email", lit(null).cast("string"))
+      graft.docs.DocumentAlgebra.createDocs(creates)
+    }
+    val input = MemoryStream[String]
+    val q = StreamingJobs.fullChain(input.toDF(), s"$dir/versions", store,
+      emptyDocs, s"$dir/dlq", s"$dir/ckpt").start()
+    try {
+      input.addData(
+        rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+          Map("qualifiedName" -> "dom", "name" -> "Dom")),
+        rawEvent("gE", "ENTITY_CREATE", 110L, "m4i_data_entity",
+          Map("qualifiedName" -> "ent", "name" -> "Ent")),
+        "garbage not json")
+      q.processAllAvailable()
+      assert(store.read().get.count() == 2)
+
+      // batch 2: a RELATIONSHIP event re-parents gE under gD — the full
+      // dispatcher (edge classification + breadcrumbs) must run, and the
+      // cross-batch diff must see batch 1's versions as the previous state
+      input.addData(
+        s"""{"kafkaNotification":{"eventTime":200,"operationType":"ENTITY_UPDATE","guid":"gE"},
+           |"atlasEntity":{"guid":"gE","typeName":"m4i_data_entity",
+           |"attributes":{"qualifiedName":"ent","name":"Ent"},
+           |"relationshipAttributes":{"parent":[{"guid":"gD","typeName":"m4i_data_domain","entityStatus":"ACTIVE"}]},
+           |"createTime":1,"updateTime":200}}""".stripMargin
+          .replaceAll("\n", ""))
+      q.processAllAvailable()
+      val ent = store.read().get.filter(col("guid") === "gE").collect().head
+      assert(ent.getAs[String]("parentGuid") == "gD")
+      assert(ent.seq("breadcrumbGuid") == Seq("gD"))
+      assert(ent.seq("breadcrumbName") == Seq("Dom"))
+      // the parse failure from batch 1 landed in the DLQ channel
+      val dlq = spark.read.parquet(s"$dir/dlq")
+      assert(dlq.count() == 1 &&
+        dlq.collect().head.getAs[String]("originalNotification")
+          .contains("garbage"))
+      // versioned store holds the full history
+      assert(spark.read.parquet(s"$dir/versions").count() == 3)
+    } finally q.stop()
   }
 
   test("raw JSON stream drives the doc store through stateful diff") {
