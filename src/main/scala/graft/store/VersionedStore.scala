@@ -68,4 +68,16 @@ object VersionedStore {
     store.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** Compaction: per-microbatch appends leave one small file per bucket per
+    * batch; rewrite the history into `outPath` as nBuckets guid-clustered,
+    * updateTime-sorted files (one shuffle), then atomically swap dirs at
+    * the caller's leisure. At 100 TB this runs per hot bucket on a
+    * schedule, not per batch. */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      nBuckets: Int = 32): Unit =
+    read(spark, path)
+      .repartition(nBuckets, col("guid"))
+      .sortWithinPartitions("guid", "updateTime")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
 }

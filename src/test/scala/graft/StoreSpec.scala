@@ -108,5 +108,17 @@ class StoreSpec extends AnyFunSuite {
 
     val got = VersionedStore.byGuids(store, Seq("g2").toDF("guid"))
     assert(got.count() == 1)
+
+    // compaction: same content, bounded file count
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    VersionedStore.compact(spark, dir, out, nBuckets = 2)
+    val compacted = VersionedStore.read(spark, out)
+    assert(compacted.count() == 4)
+    assert(compacted.select("docId").collect().map(_.getString(0)).sorted.toSeq ==
+      store.select("docId").collect().map(_.getString(0)).sorted.toSeq)
+    import scala.jdk.CollectionConverters._
+    val nFiles = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(nFiles <= 2, s"compaction left $nFiles files")
   }
 }
