@@ -25,14 +25,18 @@ object Materialize {
     * already-materialized RDD). */
   @volatile var tally: Option[java.util.concurrent.atomic.AtomicLong] = None
 
-  /** Eager local checkpoint whose LogicalRDD carries no origin constraints. */
+  /** Eager local checkpoint whose LogicalRDD carries no origin constraints.
+    * The conf flip is serialized (the flag is session-global): without the
+    * lock, two concurrent checkpoints could interleave read/restore and
+    * leave constraint propagation disabled for the whole session. */
   def checkpoint(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
-    val prior = conf.get(ConfKey, "true")
-    conf.set(ConfKey, "false")
-    val out =
+    val out = synchronized {
+      val conf = df.sparkSession.conf
+      val prior = conf.get(ConfKey, "true")
+      conf.set(ConfKey, "false")
       try df.localCheckpoint(true)
       finally conf.set(ConfKey, prior)
+    }
     tally.foreach(_.addAndGet(out.count()))
     out
   }

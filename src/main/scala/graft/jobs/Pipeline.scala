@@ -143,11 +143,15 @@ object Pipeline {
     * event fields), push it through the full 4-job chain, return the final
     * document per entity. Exercises parse → diff → dispatch → doc store at
     * events-table volume (rows-only check: the chain is not one SQL). */
-  def pipelineE2E(spark: SparkSession, dir: String): DataFrame = {
+  /** Synthesize a raw audit-event stream from the events table (guid =
+    * user, version time = ts, attributes from the event fields). Shared by
+    * the benchmark query and the stage profiler so both measure the same
+    * input shape. */
+  def syntheticAuditEvents(spark: SparkSession, dir: String): DataFrame = {
     import graft.Tables.t
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
-    val raw = t(spark, dir, "events")
+    t(spark, dir, "events")
       .withColumn("rn", row_number().over(w))
       .select(to_json(struct(
         struct(
@@ -172,6 +176,10 @@ object Pipeline {
           lit(1L).as("createTime"),
           col("ts").as("updateTime")).as("atlasEntity")))
         .as("value"))
+  }
+
+  def pipelineE2E(spark: SparkSession, dir: String): DataFrame = {
+    val raw = syntheticAuditEvents(spark, dir)
     val docs0 = graft.docs.DocumentAlgebra.createDocs(
       toVersions(parse(raw)._1).limit(0)
         .select(col("guid"), col("typeName"),

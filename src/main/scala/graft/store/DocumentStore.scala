@@ -27,7 +27,15 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
   Files.createDirectories(root)
   private def pointer = root.resolve("_CURRENT")
 
-  private def bucketOf: Column = pmod(hash(col("guid")), lit(nBuckets))
+  // the bucket count is a physical property of the layout: persist it at
+  // first write and ADOPT the stored value on reopen — a caller passing a
+  // different nBuckets must not silently mis-route guids to wrong buckets
+  private val bucketsFile = root.resolve("_NBUCKETS")
+  private val effectiveBuckets: Int =
+    if (Files.exists(bucketsFile)) Files.readString(bucketsFile).trim.toInt
+    else { Files.writeString(bucketsFile, nBuckets.toString); nBuckets }
+
+  private def bucketOf: Column = pmod(hash(col("guid")), lit(effectiveBuckets))
 
   def currentVersion: Option[Long] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong)
@@ -109,7 +117,7 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
       .parquet(root.resolve(s"v$next").toString)
     withHash(docs).write.mode(SaveMode.Overwrite).parquet(hashesPath(next))
     Files.writeString(root.resolve(s"schema-$next.json"), docs.schema.json)
-    writeManifest(next, (0 until nBuckets).map(_ -> next).toMap)
+    writeManifest(next, (0 until effectiveBuckets).map(_ -> next).toMap)
     flip(next)
   }
 

@@ -102,8 +102,10 @@ object StreamingJobs {
         p("publish_state", "missing entity guid"))
         .when(col("atlasEntity.updateTime").isNull,
           p("publish_state", "missing updateTime"))
-        .when(!col("kafkaNotification.operationType").isin(
-          "ENTITY_CREATE", "ENTITY_UPDATE", "ENTITY_DELETE"),
+        // isNull guard: !isin(...) is NULL (not true) for a missing field
+        .when(col("kafkaNotification.operationType").isNull ||
+          !col("kafkaNotification.operationType").isin(
+            "ENTITY_CREATE", "ENTITY_UPDATE", "ENTITY_DELETE"),
           p("determine_change", "unknown operationType"))
         .when(col("kafkaNotification.operationType") === "ENTITY_CREATE" &&
           element_at(col("atlasEntity.attributes"), "qualifiedName").isNull,
@@ -220,9 +222,18 @@ object StreamingJobs {
         // this batch's versions are appended below
         val (docs, dlq, _, versions) =
           graft.jobs.Pipeline.run(spark, b, docs0, base)
-        graft.store.VersionedStore.append(versions, versionsPath)
         dlq.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dlqPath)
+        // COMMIT ORDER: documents BEFORE versions. If the version append had
+        // committed first and the doc sync failed, the replayed batch would
+        // diff against its own versions (empty diff) and the doc updates
+        // would be lost forever. This way a failure between the two replays
+        // the diff against the OLD base: applyChanges is deterministic, the
+        // store's hash diff sees no change (no-op version), and the append
+        // completes — both stores converge. The version history itself is
+        // at-least-once on replay (duplicate identical rows); latest() and
+        // docId-keyed reads are unaffected.
         store.sync(graft.Materialize.checkpoint(docs))
+        graft.store.VersionedStore.append(versions, versionsPath)
         ()
       }
 

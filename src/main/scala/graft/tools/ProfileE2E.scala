@@ -25,29 +25,8 @@ object ProfileE2E {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
     val raw = time("synthesize raw") {
-      graft.Materialize.checkpoint(t(spark, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .select(to_json(struct(
-          struct(
-            expr("ts DIV 1000000").as("eventTime"),
-            when(col("rn") === 1, "ENTITY_CREATE").otherwise("ENTITY_UPDATE")
-              .as("operationType"),
-            concat(lit("u"), col("user_id")).as("guid")).as("kafkaNotification"),
-          struct(
-            concat(lit("u"), col("user_id")).as("guid"),
-            lit("m4i_dataset").as("typeName"),
-            map(lit("qualifiedName"), concat(lit("user/"), col("user_id")),
-              lit("name"), concat(lit("User "), col("user_id")),
-              lit("etype"), col("event_type"),
-              lit("k"), get_json_object(col("props"), "$.k"))
-              .as("attributes"),
-            when(col("rn") === 1 || col("event_type") =!= "error",
-              map().cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>"))
-              .as("relationshipAttributes"),
-            lit(1L).as("createTime"),
-            col("ts").as("updateTime")).as("atlasEntity")))
-          .as("value")))
-      }
+      graft.Materialize.checkpoint(Pipeline.syntheticAuditEvents(spark, dir))
+    }
     val (parsedOk, _) = time("parse") { Pipeline.parse(raw) }
     val (valid, _) = time("contractDlq") {
       graft.streaming.StreamingJobs.contractDlq(parsedOk) }

@@ -358,6 +358,30 @@ class DocumentAlgebraSpec extends AnyFunSuite {
       Map("derivedfield" -> "Old"))
   }
 
+  test("chained re-parents in ONE batch converge (leaf derives after mid)") {
+    // root→mid and mid→leaf edges arrive in the SAME microbatch: leaf's
+    // path must be [root, mid], not mid's pre-batch (empty) path + [mid]
+    val batch1 = msgRow("root", "EntityCreated",
+        Map("qualifiedName" -> "r", "name" -> "R"))
+      .unionByName(msgRow("mid", "EntityCreated",
+        Map("qualifiedName" -> "m", "name" -> "M"),
+        typeName = "m4i_data_entity"))
+      .unionByName(msgRow("leaf", "EntityCreated",
+        Map("qualifiedName" -> "l", "name" -> "L"),
+        typeName = "m4i_data_attribute"))
+    val docs1 = apply_(emptyDocs, batch1)
+    val edges = msgRow("mid", "EntityRelationshipAudit", Map.empty,
+        typeName = "m4i_data_entity", parentGuid = "root", seq = 1L)
+      .unionByName(msgRow("leaf", "EntityRelationshipAudit", Map.empty,
+        typeName = "m4i_data_attribute", parentGuid = "mid", seq = 2L))
+    val docs2 = apply_(docs1, edges)
+    val leaf = docs2.filter(col("guid") === "leaf").collect().head
+    assert(leaf.seq("breadcrumbGuid") == Seq("root", "mid"))
+    assert(leaf.seq("breadcrumbName") == Seq("R", "M"))
+    val mid = docs2.filter(col("guid") === "mid").collect().head
+    assert(mid.seq("breadcrumbGuid") == Seq("root"))
+  }
+
   test("bulk-rename join path matches the broadcast path (G17/G18 backfill)") {
     import spark.implicits._
     val batch = msgRow("gD", "EntityCreated",

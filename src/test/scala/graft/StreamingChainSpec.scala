@@ -52,6 +52,11 @@ class StreamingChainSpec extends AnyFunSuite {
       """{"kafkaNotification":{"eventTime":130,"operationType":"ENTITY_AUDIT","guid":"gU"},
         |"atlasEntity":{"guid":"gU","typeName":"m4i_system","attributes":{"qualifiedName":"u"},
         |"relationshipAttributes":{},"createTime":1,"updateTime":130}}"""
+        .stripMargin.replaceAll("\n", ""),
+      // MISSING operation type (three-valued !isin would skip it) → job-3
+      """{"kafkaNotification":{"eventTime":140,"guid":"gN"},
+        |"atlasEntity":{"guid":"gN","typeName":"m4i_system","attributes":{"qualifiedName":"n"},
+        |"relationshipAttributes":{},"createTime":1,"updateTime":140}}"""
         .stripMargin.replaceAll("\n", "")
     ).toDF("value")
     val (docs, dlq, _, _) = graft.jobs.Pipeline.run(spark, raw, emptyDocs)
@@ -61,11 +66,12 @@ class StreamingChainSpec extends AnyFunSuite {
     // each poisoned row is attributed to the job that would have thrown
     val byJob = dlq.collect()
       .map(r => r.getAs[String]("job") -> r.getAs[String]("description"))
-      .toMap
-    assert(byJob == Map(
+    assert(byJob.length == 4)
+    assert(byJob.toSet == Set(
       "publish_state" -> "missing entity guid",
       "determine_change" -> "unknown operationType",
       "synchronize_elastic" -> "create without qualifiedName"))
+    assert(byJob.count(_ == ("determine_change", "unknown operationType")) == 2)
   }
 
   test("full streaming chain: relationships, cross-batch diff, bucket-local commits") {
