@@ -72,6 +72,25 @@ object Multimodal {
         expr("substring(payload, frame_idx * 16 + 1, 16)").as("frame_bytes"))
   }
 
+  /** Resize plumbing: rescale decoded features to a target geometry. A real
+    * implementation would rescale pixel buffers in the same per-partition
+    * codec loop; the stub rescales the deterministic fake features so the
+    * invariants (geometry columns, feature length preserved, per-partition
+    * execution) are testable. */
+  def resize(features: Dataset[MediaFeatures], targetW: Int, targetH: Int)
+      : Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions { it =>
+      // per-partition scaler init would go here
+      it.map { f =>
+        val sx = targetW.toFloat / math.max(1, f.width)
+        val sy = targetH.toFloat / math.max(1, f.height)
+        f.copy(width = targetW, height = targetH,
+          features = f.features.map(v => v * sx * sy))
+      }
+    }
+  }
+
   /** Oracle-checkable slice of the pipeline: byte length + sha256 are
     * computable by both engines; the stubbed feature columns are covered by
     * unit tests instead. */

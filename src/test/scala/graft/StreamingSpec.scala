@@ -164,4 +164,15 @@ class MultimodalSpec extends AnyFunSuite {
     val r2 = feats.filter(col("doc_id") === 0).collect().head
     assert(r2.features.toSeq == r.features.toSeq)
   }
+
+  test("resize rescales geometry and preserves feature length") {
+    val media = graft.llm.Multimodal.mediaTable(spark, sfDir)
+    val feats = graft.llm.Multimodal.decodeFeatures(media)
+    val before = feats.filter(col("doc_id") === 0).collect().head
+    val resized = graft.llm.Multimodal.resize(feats, 32, 32)
+    val r = resized.filter(col("doc_id") === 0).collect().head
+    assert(r.width == 32 && r.height == 32)
+    assert(r.features.length == before.features.length)
+    assert(r.n_bytes == before.n_bytes && r.sha256 == before.sha256)
+  }
 }
