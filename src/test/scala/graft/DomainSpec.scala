@@ -457,6 +457,63 @@ class DocumentAlgebraSpec extends AnyFunSuite {
     } finally Materialize.tally = None
   }
 
+  test("cascade matches an in-memory forest model on random re-parent batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 24
+      // random forest: parent index < child index keeps it acyclic
+      val parent0: Map[Int, Option[Int]] = (0 until n).map { i =>
+        i -> (if (i == 0 || rnd.nextInt(3) == 0) None
+              else Some(rnd.nextInt(i)))
+      }.toMap
+      // build store: creates first, then initial edges level by level
+      // (apply_ is the per-microbatch store emulation)
+      val creates = (0 until n).map(i =>
+          (s"n$i", "m4i_system", s"q$i", "EntityCreated", 0L,
+            Map("qualifiedName" -> s"q$i", "name" -> s"N$i"),
+            null: String, false, true))
+        .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+          "attributes", "parentGuid", "parentRemoved", "directChange")
+      var docs = apply_(emptyDocs, creates)
+      val edges0 = parent0.toSeq.collect { case (c, Some(p)) =>
+        (s"n$c", "m4i_system", s"q$c", "EntityRelationshipAudit", 1L,
+          Map.empty[String, String], s"n$p", false, true) }
+      if (edges0.nonEmpty)
+        docs = apply_(docs, edges0
+          .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+            "attributes", "parentGuid", "parentRemoved", "directChange"))
+      // ONE batch of random re-parents/resets (keep acyclicity: new parent
+      // index < child index, so chains re-parented together must converge)
+      val moves: Map[Int, Option[Int]] = (1 until n)
+        .filter(_ => rnd.nextInt(3) == 0)
+        .map(i => i -> (if (rnd.nextInt(4) == 0 || i == 0) None
+                        else Some(rnd.nextInt(i)))).toMap
+      if (moves.nonEmpty) {
+        val batch = moves.toSeq.map { case (c, p) =>
+          (s"n$c", "m4i_system", s"q$c", "EntityRelationshipAudit", 2L,
+            Map.empty[String, String], p.map(i => s"n$i").orNull,
+            p.isEmpty, true) }
+          .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+            "attributes", "parentGuid", "parentRemoved", "directChange")
+        docs = apply_(docs, batch)
+      }
+      // in-memory model: final parent map → root-first ancestor paths
+      val parentF: Map[Int, Option[Int]] =
+        parent0 ++ moves
+      def path(i: Int): List[Int] = parentF(i) match {
+        case None => Nil
+        case Some(p) => path(p) :+ p
+      }
+      val expected = (0 until n)
+        .map(i => s"n$i" -> path(i).map(j => s"n$j")).toMap
+      val got = docs.collect()
+        .map(r => r.getAs[String]("guid") -> r.seq("breadcrumbGuid")).toMap
+      assert(got == expected, s"trial $trial: forest mismatch\n" +
+        s"parent0=$parent0\nmoves=$moves")
+    }
+  }
+
   test("last-wins merge keeps highest seq per guid (A8)") {
     import spark.implicits._
     val updates = Seq(("g1", 1L, "v1"), ("g1", 3L, "v3"), ("g2", 2L, "v2"))
