@@ -86,6 +86,21 @@ object Similarity {
         x => x("s"))).as("bucket"))
   }
 
+  /** Embedding-cosine near-dup DEDUP: keep-list over the ANN pair set —
+    * a vector is dropped when a smaller-id near-neighbor exists (min-id
+    * survivor rule, the same keep policy as exact dedup's MIN(doc_id)).
+    * Candidate generation stays bucket-bounded (annPairs); the keep-list is
+    * one anti-join. */
+  def embeddingDedup(spark: SparkSession, dir: String,
+      minSim: Double = 0.3): DataFrame = {
+    val dropped = annPairs(spark, dir, minSim)
+      .select(col("id_b").as("vec_id")).distinct()
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** All-pairs near neighbors via the sign-bucket LSH: vectors in the same
     * bucket get exact cosine. One shuffle on the bucket key — never an
     * all-pairs product. */
