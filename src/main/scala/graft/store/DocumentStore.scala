@@ -149,6 +149,34 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
   /** Detect changes and write them bucket-locally in one call. */
   def sync(docs: DataFrame): Long = writeIncremental(docs, changedGuids(docs))
 
+  /** Drop version directories (and their manifests/hashes/schemas) that are
+    * no longer reachable from the manifests of the last `keepVersions`
+    * versions. Bucket dirs referenced by a retained manifest survive even
+    * when their owning version is older than the horizon (that is the point
+    * of the manifest layout — untouched buckets are never rewritten). */
+  def vacuum(keepVersions: Int = 2): Unit = currentVersion.foreach { v =>
+    val retained = (math.max(0L, v - keepVersions + 1) to v).toSet
+    val referenced = retained.flatMap(rv => readManifest(rv).values)
+    val deletableVersions = (0L until v)
+      .filterNot(retained.contains).filterNot(referenced.contains)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    deletableVersions.foreach { dv =>
+      rmTree(root.resolve(s"v$dv"))
+      rmTree(Paths.get(hashesPath(dv)))
+      Files.deleteIfExists(manifestPath(dv))
+      Files.deleteIfExists(root.resolve(s"schema-$dv.json"))
+    }
+    // prune non-retained metadata for versions whose data dir is referenced
+    (0L until v).filterNot(retained.contains).filter(referenced.contains)
+      .foreach { dv =>
+        rmTree(Paths.get(hashesPath(dv)))
+        Files.deleteIfExists(manifestPath(dv))
+        Files.deleteIfExists(root.resolve(s"schema-$dv.json"))
+      }
+  }
+
   private def flip(next: Long): Long = {
     val tmp = root.resolve("_CURRENT.tmp")
     Files.writeString(tmp, next.toString)

@@ -83,6 +83,13 @@ class StoreSpec extends AnyFunSuite {
     val ver = store.currentVersion.get
     store.sync(graft.Materialize.checkpoint(v2))
     assert(store.currentVersion.contains(ver))
+
+    // vacuum: version dirs still referenced by the retained manifest
+    // survive; reads stay intact afterwards
+    store.vacuum(keepVersions = 1)
+    assert(store.read().get.count() == 63)
+    assert(Files.isDirectory(Paths.get(dir, "v0"))) // holds untouched buckets
+    assert(!Files.exists(Paths.get(dir, "manifest-0.txt")))
   }
 
   test("versioned store: append, as-of, latest, point get (S4-S7/J3)") {
