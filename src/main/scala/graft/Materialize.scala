@@ -28,16 +28,20 @@ object Materialize {
   /** Eager local checkpoint whose LogicalRDD carries no origin constraints.
     * The conf flip is serialized (the flag is session-global): without the
     * lock, two concurrent checkpoints could interleave read/restore and
-    * leave constraint propagation disabled for the whole session. */
+    * leave constraint propagation disabled for the whole session. Only the
+    * LAZY checkpoint (plan + LogicalRDD creation, where constraints are
+    * captured) runs under the lock; the materialization job runs outside,
+    * so concurrent checkpoints don't serialize their Spark jobs. */
   def checkpoint(df: DataFrame): DataFrame = {
     val out = synchronized {
       val conf = df.sparkSession.conf
       val prior = conf.get(ConfKey, "true")
       conf.set(ConfKey, "false")
-      try df.localCheckpoint(true)
+      try df.localCheckpoint(false)
       finally conf.set(ConfKey, prior)
     }
-    tally.foreach(_.addAndGet(out.count()))
+    val n = out.count() // materializes the checkpoint eagerly
+    tally.foreach(_.addAndGet(n))
     out
   }
 }

@@ -103,6 +103,29 @@ object SparkEntry {
   private val R = "DECIMAL(4,2)"
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $D)) AS DOUBLE)"
 
+  // shared sign-LSH CTE prefix (deterministic md5 plane table -> buckets ->
+  // exact-cosine candidate pairs) used by q_ann_pairs AND q_embedding_dedup
+  // so a fix to one cannot silently diverge from the other
+  private val annPairsCte =
+    """WITH planes AS (
+      |  SELECT j, i,
+      |    ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+      |  FROM range(0, 8) t(j) CROSS JOIN range(0, 64) s(i)),
+      |ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |       FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+      |proj AS (SELECT e.vec_id, p.j, SUM(e.x * p.w) AS proj
+      |         FROM ex e JOIN planes p ON e.i = p.i GROUP BY e.vec_id, p.j),
+      |buckets AS (SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+      |            FROM proj GROUP BY vec_id),
+      |be AS (SELECT b.vec_id, b.bucket, e.embedding FROM buckets b JOIN embeddings e USING (vec_id)),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (x,y)->x+y)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))), (x,y)->x+y))
+      |        * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))), (x,y)->x+y))), 9) AS cos_sim
+      |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
@@ -430,49 +453,15 @@ object SparkEntry {
     // Similarity.planeTable; only the SIGN of each projection feeds the
     // bucket, so double summation order cannot flip the result
     "q_ann_pairs" ->
-      """WITH planes AS (
-        |  SELECT j, i,
-        |    ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
-        |  FROM range(0, 8) t(j) CROSS JOIN range(0, 64) s(i)),
-        |ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
-        |       FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
-        |proj AS (SELECT e.vec_id, p.j, SUM(e.x * p.w) AS proj
-        |         FROM ex e JOIN planes p ON e.i = p.i GROUP BY e.vec_id, p.j),
-        |buckets AS (SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-        |            FROM proj GROUP BY vec_id),
-        |be AS (SELECT b.vec_id, b.bucket, e.embedding FROM buckets b JOIN embeddings e USING (vec_id)),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(
-        |      list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (x,y)->x+y)
-        |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))), (x,y)->x+y))
-        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))), (x,y)->x+y))), 9) AS cos_sim
-        |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      (annPairsCte + """
         |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
     // keep-list dedup over the same ANN pair set (min-id survivor rule)
     "q_embedding_dedup" ->
-      """WITH planes AS (
-        |  SELECT j, i,
-        |    ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
-        |  FROM range(0, 8) t(j) CROSS JOIN range(0, 64) s(i)),
-        |ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
-        |       FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
-        |proj AS (SELECT e.vec_id, p.j, SUM(e.x * p.w) AS proj
-        |         FROM ex e JOIN planes p ON e.i = p.i GROUP BY e.vec_id, p.j),
-        |buckets AS (SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-        |            FROM proj GROUP BY vec_id),
-        |be AS (SELECT b.vec_id, b.bucket, e.embedding FROM buckets b JOIN embeddings e USING (vec_id)),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(
-        |      list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (x,y)->x+y)
-        |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))), (x,y)->x+y))
-        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))), (x,y)->x+y))), 9) AS cos_sim
-        |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      (annPairsCte + """
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM pairs WHERE cos_sim >= 0.3)
-        |ORDER BY vec_id""".stripMargin,
+        |ORDER BY vec_id""".stripMargin),
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha_hex

@@ -138,11 +138,6 @@ object Pipeline {
     base.unionByName(edgeMsgs)
   }
 
-  /** Whole-pipeline benchmark query: synthesize an audit-event stream from
-    * the events table (guid = user, version time = ts, attributes from the
-    * event fields), push it through the full 4-job chain, return the final
-    * document per entity. Exercises parse → diff → dispatch → doc store at
-    * events-table volume (rows-only check: the chain is not one SQL). */
   /** Synthesize a raw audit-event stream from the events table (guid =
     * user, version time = ts, attributes from the event fields). Shared by
     * the benchmark query and the stage profiler so both measure the same
@@ -178,6 +173,9 @@ object Pipeline {
         .as("value"))
   }
 
+  /** Whole-pipeline benchmark query: push the synthetic audit stream
+    * through the full 4-job chain and return the final document per entity
+    * (rows-only check: the chain is not one SQL statement). */
   def pipelineE2E(spark: SparkSession, dir: String): DataFrame = {
     val raw = syntheticAuditEvents(spark, dir)
     val docs0 = graft.docs.DocumentAlgebra.createDocs(

@@ -185,10 +185,17 @@ object SynchronizeSearch {
             "documents keep stale breadcrumbs")
       }
     }
-    // single merge: untouched store + finalized + unreachable rest (kept
-    // with their pre-batch paths — e.g. a parent chain with a cycle)
+    // single merge: untouched store + finalized + unreachable rest. The
+    // rest (a parent chain with a cycle or a new parent missing from the
+    // store) keeps its PRE-BATCH row — `work` rows carry the overwritten
+    // parent pointer without re-derived breadcrumbs, which would store an
+    // internally inconsistent document
+    if (!work.isEmpty)
+      log.warn("breadcrumb cascade left unreachable nodes (cyclic or " +
+        "missing parent); their documents keep pre-batch state")
     realias(afterAttrs.join(affected, Seq("guid"), "left_anti"))
       .unionByName(done)
-      .unionByName(work)
+      .unionByName(realias(afterAttrs
+        .join(work.select("guid"), Seq("guid"), "left_semi")))
   }
 }

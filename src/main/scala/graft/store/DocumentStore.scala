@@ -33,7 +33,15 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
   private val bucketsFile = root.resolve("_NBUCKETS")
   private val effectiveBuckets: Int =
     if (Files.exists(bucketsFile)) Files.readString(bucketsFile).trim.toInt
-    else { Files.writeString(bucketsFile, nBuckets.toString); nBuckets }
+    else {
+      // same tmp+atomic-move discipline as the _CURRENT pointer: a crash
+      // mid-write must not leave a partial file that bricks the store
+      val tmp = root.resolve("_NBUCKETS.tmp")
+      Files.writeString(tmp, nBuckets.toString)
+      Files.move(tmp, bucketsFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      nBuckets
+    }
 
   private def bucketOf: Column = pmod(hash(col("guid")), lit(effectiveBuckets))
 
@@ -155,8 +163,13 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
     * when their owning version is older than the horizon (that is the point
     * of the manifest layout — untouched buckets are never rewritten). */
   def vacuum(keepVersions: Int = 2): Unit = currentVersion.foreach { v =>
+    // 0 would treat even the CURRENT manifest's bucket dirs as unreachable
+    require(keepVersions >= 1, "vacuum must retain at least the current version")
     val retained = (math.max(0L, v - keepVersions + 1) to v).toSet
-    val referenced = retained.flatMap(rv => readManifest(rv).values)
+    // a previous vacuum with a smaller horizon may have pruned a retained
+    // version's manifest already — missing manifests contribute no refs
+    val referenced = retained.filter(rv => Files.exists(manifestPath(rv)))
+      .flatMap(rv => readManifest(rv).values)
     val deletableVersions = (0L until v)
       .filterNot(retained.contains).filterNot(referenced.contains)
     def rmTree(p: java.nio.file.Path): Unit =

@@ -21,9 +21,6 @@ object ProfileE2E {
     }
     import graft.Tables.t
     import graft.jobs.{Pipeline, SynchronizeSearch}
-    // rebuild the e2e input exactly like pipelineE2E
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
     val raw = time("synthesize raw") {
       graft.Materialize.checkpoint(Pipeline.syntheticAuditEvents(spark, dir))
     }
