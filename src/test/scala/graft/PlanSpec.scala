@@ -59,6 +59,14 @@ class PlanSpec extends AnyFunSuite {
       s"LSH candidate generation degenerated to a cross product:\n$p")
   }
 
+  test("documents scans prune to the referenced columns (q_token_stats)") {
+    val p = plan("q_token_stats")
+    // only doc_id + text are referenced; lang/source/text metadata columns
+    // must not reach the parquet reader
+    assert(p.contains("ReadSchema"), s"no scan in plan:\n$p")
+    assert(!p.contains("source"), s"scan reads unreferenced column source:\n$p")
+  }
+
   test("q_ngram_jaccard candidates come from an equi-join, not cartesian") {
     val p = plan("q_ngram_jaccard")
     assert(!p.contains("CartesianProduct") &&
