@@ -127,6 +127,45 @@ class StreamingChainSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fullChain restarts from checkpoint and continues cross-batch state") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val store = new graft.store.DocumentStore(spark, s"$dir/store")
+    def emptyDocs = {
+      val creates = Seq.empty[(String, String, String, String, Long,
+          Map[String, String], String, Boolean, Boolean)]
+        .toDF("guid", "typeName", "qualifiedName", "eventType", "seq",
+          "attributes", "parentGuid", "parentRemoved", "directChange")
+        .withColumn("name", lit(null).cast("string"))
+        .withColumn("definition", lit(null).cast("string"))
+        .withColumn("email", lit(null).cast("string"))
+      graft.docs.DocumentAlgebra.createDocs(creates)
+    }
+    val input = MemoryStream[String]
+    def startQuery() = StreamingJobs.fullChain(input.toDF(),
+      s"$dir/versions", store, emptyDocs, s"$dir/dlq", s"$dir/ckpt").start()
+
+    val q1 = startQuery()
+    try {
+      input.addData(rawEvent("gD", "ENTITY_CREATE", 100L, "m4i_data_domain",
+        Map("qualifiedName" -> "dom", "name" -> "Dom")))
+      q1.processAllAvailable()
+      assert(store.read().get.count() == 1)
+    } finally q1.stop()
+
+    // restart: the update must diff against the PRE-restart version via the
+    // versioned store (the old name came from batch 1 of query 1)
+    val q2 = startQuery()
+    try {
+      input.addData(rawEvent("gD", "ENTITY_UPDATE", 200L, "m4i_data_domain",
+        Map("qualifiedName" -> "dom", "name" -> "Dom2")))
+      q2.processAllAvailable()
+      val d = store.read().get.collect()
+      assert(d.length == 1 && d.head.getAs[String]("name") == "Dom2")
+    } finally q2.stop()
+  }
+
   test("raw JSON stream drives the doc store through stateful diff") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
