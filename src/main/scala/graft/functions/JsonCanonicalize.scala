@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,19 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Non-JSON input is passed through unchanged (attribute values may be bare
   * strings).
   */
-case class JsonCanonicalize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class JsonCanonicalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.toString
-    val t = s.trim
-    if (t.isEmpty || !(t.startsWith("{") || t.startsWith("["))) v
-    else try {
-      UTF8String.fromString(
-        JsonCanonicalize.write(JsonCanonicalize.mapper.readTree(t)))
-    } catch { case _: Exception => v }
-  }
+  override def nullSafeEval(v: Any): Any =
+    JsonCanonicalize.canon(v.asInstanceOf[UTF8String])
+  // real doGenCode (not CodegenFallback): the call compiles into the
+  // whole-stage-codegen function body — no per-row InternalRow boxing, no
+  // codegen barrier around the ingest projection. `canon` is reachable
+  // from generated Java via the companion's static forwarder.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.JsonCanonicalize.canon($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "json_canonicalize"
@@ -43,6 +42,15 @@ case class JsonCanonicalize(child: Expression)
 
 object JsonCanonicalize {
   private[functions] val mapper = new ObjectMapper()
+
+  /** Canonicalize one UTF8String value (static entry for codegen + eval).
+    * Non-JSON and malformed input passes through unchanged. */
+  def canon(v: UTF8String): UTF8String = {
+    val t = v.toString.trim
+    if (t.isEmpty || !(t.startsWith("{") || t.startsWith("["))) v
+    else try UTF8String.fromString(write(mapper.readTree(t)))
+    catch { case _: Exception => v }
+  }
 
   /** Deterministic serialization: object keys sorted, arrays in order. */
   private[functions] def write(n: JsonNode): String = n match {
