@@ -29,9 +29,14 @@ object EntityDiff {
 
   private val emptyAttrs = map().cast("map<string,string>")
 
-  /** Attach the previous version per guid (J3 as-of). */
+  /** Attach the previous version per guid (J3 as-of). Ties on updateTime
+    * (two versions in one batch with the same timestamp) order by a
+    * deterministic content hash so replays produce identical diffs —
+    * effectively-once depends on the whole chain being deterministic. */
   def withPrevious(versions: DataFrame): DataFrame = {
-    val w = Window.partitionBy("guid").orderBy("updateTime")
+    val tie = md5(to_json(struct(col("operationType"), col("typeName"),
+      col("attributes"))))
+    val w = Window.partitionBy("guid").orderBy(col("updateTime"), tie)
     versions
       .withColumn("old_attributes", lag(col("attributes"), 1).over(w))
       .withColumn("old_relationships", lag(col("relationshipAttributes"), 1).over(w))

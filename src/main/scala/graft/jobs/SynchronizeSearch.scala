@@ -44,11 +44,14 @@ object SynchronizeSearch {
       maxCascadeDepth: Int = 10): DataFrame = {
     val m = messages.withColumn("seq", coalesce(col("seq"), lit(0L)))
 
-    // --- phase 1: creates & deletes, resolved per guid by seq (G19/G20)
+    // --- phase 1: creates & deletes, resolved per guid by seq (G19/G20).
+    // max_by keys carry a deterministic content tiebreak: equal-seq events
+    // must resolve identically on replay (effectively-once).
     val createLatest = m.filter(col("eventType") === "EntityCreated")
       .groupBy("guid")
       .agg(max_by(struct(col("typeName"), col("qualifiedName"),
-        col("attributes"), col("seq")), col("seq")).as("c"))
+        col("attributes"), col("seq")),
+        struct(col("seq"), md5(to_json(col("attributes"))))).as("c"))
       .select(col("guid"), col("c.typeName").as("typeName"),
         col("c.qualifiedName").as("qualifiedName"),
         col("c.attributes").as("attributes"), col("c.seq").as("cseq"))
@@ -75,7 +78,7 @@ object SynchronizeSearch {
         explode_outer(col("attributes")).as(Seq("k", "v")))
       .filter(col("k").isNotNull)
       .groupBy("guid", "k")
-      .agg(max_by(col("v"), col("seq")).as("v"))
+      .agg(max_by(col("v"), struct(col("seq"), col("v"))).as("v"))
       .groupBy("guid")
       .agg(map_from_entries(collect_list(struct(col("k"), col("v"))))
         .as("attributes"))
@@ -89,8 +92,8 @@ object SynchronizeSearch {
     val edgeLatest = ck(m
       .filter(col("parentGuid").isNotNull || col("parentRemoved") === true)
       .groupBy("guid")
-      .agg(max_by(struct(col("parentGuid"), col("parentRemoved")), col("seq"))
-        .as("e"))
+      .agg(max_by(struct(col("parentGuid"), col("parentRemoved")),
+        struct(col("seq"), col("parentGuid"))).as("e"))
       .select(col("guid"), col("e.parentGuid").as("parentGuid"),
         col("e.parentRemoved").as("parentRemoved")))
     val afterEdges = if (edgeLatest.isEmpty) afterAttrs else
