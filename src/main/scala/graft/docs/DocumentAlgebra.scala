@@ -235,12 +235,19 @@ object DocumentAlgebra {
           lit("deriveddataattributeguid").as("guidKey"),
           col("attrGuid").as("other_guid")))
         .join(names, Seq("other_guid"), "left_outer")
+        // last-wins per (guid, key): an entity linked to TWO fields in one
+        // batch must overwrite (the reference applies links serially), not
+        // crash map_from_entries with a duplicate key; max(other_guid) is
+        // the deterministic winner
+        .groupBy("guid", "nameKey", "guidKey")
+        .agg(max_by(struct(col("other_guid"), col("other_name")),
+          col("other_guid")).as("w"))
         .groupBy("guid")
         .agg(
           map_from_entries(collect_list(struct(col("nameKey"),
-            coalesce(col("other_name"), lit(""))))).as("nameUpd"),
+            coalesce(col("w.other_name"), lit(""))))).as("nameUpd"),
           map_from_entries(collect_list(struct(col("guidKey"),
-            col("other_guid")))).as("guidUpd"))
+            col("w.other_guid")))).as("guidUpd"))
     def merged(cur: Column, upd: Column): Column =
       when(upd.isNull, cur).otherwise(
         if (delete)
@@ -270,6 +277,10 @@ object DocumentAlgebra {
       .select(col("guid"), element_at(keyMap, col("role")).as("guidKey"),
         col("personGuid"))
       .filter(col("guidKey").isNotNull)
+      // two persons in the same role in one batch: deterministic last-wins
+      // (max personGuid) instead of a duplicate-map-key crash
+      .groupBy("guid", "guidKey")
+      .agg(max(col("personGuid")).as("personGuid"))
       .groupBy("guid")
       .agg(map_from_entries(collect_list(
         struct(col("guidKey"), col("personGuid")))).as("roleGuids"))

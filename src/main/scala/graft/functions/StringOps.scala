@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2.2 P11–P13). */
 object StringOps {
 
-  /** P11: strip any of the given prefixes (first match wins) —
-    * `remove_prefix` over a set, `determine_change_job.py:96-108`. */
+  /** P11: strip any of the given prefixes (first match wins, at most ONE
+    * strip — the reference's `remove_prefix` over a set,
+    * `determine_change_job.py:96-108`). A single CASE over the ORIGINAL
+    * value: folding strips over the previous result would re-test (and
+    * re-strip) the already-stripped residue. */
   def stripPrefixes(c: Column, prefixes: Seq[String]): Column =
-    prefixes.foldLeft(c)((acc, p) =>
-      when(acc.startsWith(p),
-        acc.substr(lit(p.length + 1), length(acc) - p.length))
-        .otherwise(acc))
+    prefixes.foldLeft(when(lit(false), c)) { (acc, p) =>
+      acc.when(c.startsWith(p),
+        c.substr(lit(p.length + 1), length(c) - p.length))
+    }.otherwise(c)
 
   /** P7: drop all columns starting with any prefix (`drop_columns`
     * `determine_change_job.py:41-51` — its relationsghip typo corrected). */

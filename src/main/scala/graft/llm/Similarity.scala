@@ -62,8 +62,8 @@ object Similarity {
     spark.range(nPlanes).toDF("j")
       .crossJoin(spark.range(dim).toDF("i"))
       .select(col("j"), col("i"),
-        (((conv(substring(md5(concat(col("j").cast("string"), lit("#"),
-          col("i").cast("string"))), 1, 15), 16, 10).cast("long") % 2001L)
+        (((Dedup.h60(concat(col("j").cast("string"), lit("#"),
+          col("i").cast("string"))) % 2001L)
           .cast("double") - 1000.0) / 1000.0).as("w"))
 
   /** Sign-random-projection buckets, relationally: posexplode embeddings ⋈

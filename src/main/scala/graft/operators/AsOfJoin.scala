@@ -41,12 +41,15 @@ object AsOfJoin {
       StructField(c, right.schema(c).dataType))))
     val lpayNull = lit(null).cast(StructType(left.columns.map(c =>
       StructField(c, left.schema(c).dataType))))
-    val unioned = left.select(
+    // NULL keys never match in join semantics: route null-key left rows
+    // straight to the no-match output instead of letting partitionBy group
+    // them into one shared "null" partition that would cross-match
+    val unioned = left.filter(col(key).isNotNull).select(
         col(key).as("_k"), col(leftTime).cast("long").as("_t"),
         lit(1).as("_side"), // left sorts after right at equal times (≤)
         rpayNull.as("_rpay"),
         struct(left.columns.map(col): _*).as("_lpay"))
-      .unionByName(right.select(
+      .unionByName(right.filter(col(key).isNotNull).select(
         col(key).as("_k"), col(rightTime).cast("long").as("_t"),
         lit(0).as("_side"),
         struct(rightCols.map(col): _*).as("_rpay"),
@@ -63,6 +66,9 @@ object AsOfJoin {
     carried.select(
       left.columns.map(c => col(s"_lpay.$c").as(c)) ++
         rightCols.map(c => col(s"_match.$c").as(c)): _*)
+      .unionByName(left.filter(col(key).isNull)
+        .select(left.columns.map(col) ++
+          rightCols.map(c => rpayNull(c).as(c)): _*))
   }
 
   /** Q-asof-join: each event attaches the user's most recent order at or

@@ -15,9 +15,14 @@ object Skew {
   /** Salted equi-join: the probe side scatters each row to one of `nSalts`
     * sub-keys; the build side replicates every row to ALL salts. The hot key
     * then occupies `nSalts` tasks instead of one. Equivalent to the plain
-    * join for any key distribution. */
+    * join only for fact-preserving join types — a dim-preserving outer join
+    * would emit each unmatched dim row once per salt replica. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       nSalts: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti").contains(joinType.toLowerCase),
+      s"saltedJoin: dim side is replicated per salt — joinType $joinType " +
+        "would duplicate unmatched dim rows")
     val saltedFact = fact.withColumn("_salt",
       pmod(hash(monotonically_increasing_id()), lit(nSalts)))
     val saltedDim = dim
@@ -31,7 +36,9 @@ object Skew {
     * countDistinct(value) per key. */
   def distinctCountSalted(df: DataFrame, key: String, value: String)
       : DataFrame =
-    df.select(key, value).distinct()
+    df.select(key, value)
+      .filter(col(value).isNotNull) // countDistinct ignores NULLs; match it
+      .distinct()
       .groupBy(key)
       .agg(count(lit(1)).as(s"n_distinct_$value"))
 

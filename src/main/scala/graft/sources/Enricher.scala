@@ -39,7 +39,9 @@ class LiveEnricher(fetch: Seq[String] => Map[String, String],
     val spark = events.sparkSession
     import spark.implicits._
     val (f, bs) = (fetch, batchSize) // avoid capturing `this` in the closure
-    val guids = events.select("guid").as[String]
+    // dedupe before fetching: duplicate guids (multiple events per entity
+    // per batch) would both multiply API calls AND fan out the join below
+    val guids = events.select("guid").distinct().as[String]
     val fetched = guids.mapPartitions { it =>
       // one "client" per partition; request in bounded batches (the
       // reference opens connections per record — see SURVEY §3.1.4)

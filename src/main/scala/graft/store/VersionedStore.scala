@@ -46,11 +46,27 @@ object VersionedStore {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Deterministic tiebreak for equal-updateTime versions, matching
+    * EntityDiff.withPrevious (content hash over the diff-relevant columns
+    * when present, every non-key column otherwise) — "latest" must be the
+    * same row the diff treated as last, or cross-batch seeds diverge from
+    * the in-batch ordering. */
+  private def contentTie(store: DataFrame): org.apache.spark.sql.Column = {
+    val diffCols = Seq("operationType", "typeName", "attributes")
+    val cols =
+      if (diffCols.forall(store.columns.contains)) diffCols
+      else store.columns.toSeq
+        .filterNot(Seq("guid", "updateTime", "docId").contains)
+    if (cols.isEmpty) lit("")
+    else md5(to_json(struct(cols.map(col): _*)))
+  }
+
   /** S5/J3: as-of read — latest version strictly before `asOfTime` per guid
     * (the reference's per-record ES query `determine_change_job.py:194-227`
     * as one windowed scan). */
   def asOf(store: DataFrame, asOfTime: Long): DataFrame = {
-    val w = Window.partitionBy("guid").orderBy(desc("updateTime"))
+    val w = Window.partitionBy("guid")
+      .orderBy(col("updateTime").desc, contentTie(store).desc)
     store.filter(col("updateTime") < asOfTime)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -64,7 +80,8 @@ object VersionedStore {
 
   /** Latest version per guid (the A8 compaction view of the store). */
   def latest(store: DataFrame): DataFrame = {
-    val w = Window.partitionBy("guid").orderBy(desc("updateTime"))
+    val w = Window.partitionBy("guid")
+      .orderBy(col("updateTime").desc, contentTie(store).desc)
     store.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
