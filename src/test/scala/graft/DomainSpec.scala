@@ -318,6 +318,34 @@ class DocumentAlgebraSpec extends AnyFunSuite {
       _.getAs[Map[String, String]]("derivedGuids").isEmpty))
   }
 
+  test("multi-link and multi-role batches resolve last-wins, not crash (G15/G16)") {
+    import spark.implicits._
+    val batch = msgRow("gAt", "EntityCreated",
+        Map("qualifiedName" -> "att", "name" -> "Att"),
+        typeName = "m4i_data_attribute")
+      .unionByName(msgRow("gF1", "EntityCreated",
+        Map("qualifiedName" -> "f1", "name" -> "F1"), typeName = "m4i_field"))
+      .unionByName(msgRow("gF2", "EntityCreated",
+        Map("qualifiedName" -> "f2", "name" -> "F2"), typeName = "m4i_field"))
+    val docs = apply_(emptyDocs, batch)
+    // ONE attribute linked to TWO fields in the same batch: deterministic
+    // winner (max other_guid), no duplicate-map-key crash
+    val links = Seq(("gAt", "gF1"), ("gAt", "gF2")).toDF("attrGuid", "fieldGuid")
+    val linked = DocumentAlgebra.applyAttributeFieldLinks(docs, links)
+      .filter(col("guid") === "gAt").collect().head
+    assert(linked.getAs[Map[String, String]]("derivedGuids") ==
+      Map("derivedfieldguid" -> "gF2"))
+    assert(linked.getAs[Map[String, String]]("derivedNames") ==
+      Map("derivedfield" -> "F2"))
+    // TWO persons in the same governance role: same rule
+    val roles = Seq(("gAt", "domainLead", "p1"), ("gAt", "domainLead", "p2"))
+      .toDF("guid", "role", "personGuid")
+    val roled = DocumentAlgebra.applyGovernanceRoles(docs, roles)
+      .filter(col("guid") === "gAt").collect().head
+    assert(roled.getAs[Map[String, String]]("derivedGuids") ==
+      Map("deriveddomainleadguid" -> "p2"))
+  }
+
   test("governance-role relationships set derived role guids (G16)") {
     import spark.implicits._
     val docs = apply_(emptyDocs, msgRow("gD", "EntityCreated",
