@@ -31,6 +31,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_topk" -> (Relational.topK _),
+    "q_percentiles" -> (Relational.percentiles _),
     "q_set_intersect" -> (Relational.setIntersect _),
     "q_set_except" -> (Relational.setExcept _),
     "q_set_union" -> (Relational.setUnion _),
@@ -171,6 +172,13 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_set_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
         |INTERSECT

@@ -92,6 +92,21 @@ object Relational {
 
   /** Top-k: global sort + limit — Spark plans TakeOrderedAndProject, which
     * keeps only k rows per partition then merges; no full sort at scale. */
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the rank = p·(n−1) convention, so the
+    * doubles match bit-for-bit). At 100 TB exact percentiles need the full
+    * sorted group — the approx path would be `approx_percentile`, which is
+    * not oracle-matchable across engines by design. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+      .orderBy("l_returnflag")
+
   def topK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
