@@ -32,6 +32,8 @@ object SparkEntry {
     "q_cube" -> (Relational.cubeAgg _),
     "q_topk" -> (Relational.topK _),
     "q_percentiles" -> (Relational.percentiles _),
+    "q_stats" -> (Relational.statsAgg _),
+    "q_histogram" -> (Relational.histogram _),
     "q_set_intersect" -> (Relational.setIntersect _),
     "q_set_except" -> (Relational.setExcept _),
     "q_set_union" -> (Relational.setUnion _),
@@ -179,6 +181,16 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
         |  quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |  stddev_samp(l_quantity) AS sd_qty,
+        |  stddev_samp(l_discount) AS sd_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(1 + floor((l_quantity - 1) / 5) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_set_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
         |INTERSECT

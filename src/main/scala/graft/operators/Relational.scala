@@ -107,6 +107,27 @@ object Relational {
         expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
       .orderBy("l_returnflag")
 
+  /** Sample standard deviation per group (Spark and DuckDB agree
+    * bit-for-bit on stddev_samp over these inputs; corr/covar differ in
+    * final ulps from summation order and stay out of the oracle surface). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("stddev_samp(l_quantity)").as("sd_qty"),
+        expr("stddev_samp(l_discount)").as("sd_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Equi-width histogram via width_bucket (DuckDB lacks the function; the
+    * oracle emulates the same [1,51) into 10 buckets arithmetic —
+    * quantities are integral so the division is exact). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(expr("width_bucket(l_quantity, 1, 51, 10)").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   def topK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
