@@ -485,6 +485,28 @@ class DocumentAlgebraSpec extends AnyFunSuite {
     } finally Materialize.tally = None
   }
 
+  test("cyclic re-parent leaves consistent pre-batch documents, no crash") {
+    // store has A -> B (A is B's parent); a batch re-parents A under B,
+    // which would create a cycle: the BFS finds no anchor, both docs keep
+    // their full pre-batch state (parent pointer AND breadcrumbs agree)
+    val batch1 = msgRow("A", "EntityCreated",
+        Map("qualifiedName" -> "a", "name" -> "A"))
+      .unionByName(msgRow("B", "EntityCreated",
+        Map("qualifiedName" -> "b", "name" -> "B"),
+        typeName = "m4i_data_entity"))
+    val docs1 = apply_(emptyDocs, batch1)
+    val docs2 = apply_(docs1, msgRow("B", "EntityRelationshipAudit",
+      Map.empty, typeName = "m4i_data_entity", parentGuid = "A"))
+    val docs3 = apply_(docs2, msgRow("A", "EntityRelationshipAudit",
+      Map.empty, parentGuid = "B", seq = 9L))
+    val rows = docs3.orderBy("guid").collect()
+    val a = rows(0); val b = rows(1)
+    assert(a.getAs[String]("parentGuid") == null) // cycle rejected
+    assert(a.seq("breadcrumbGuid").isEmpty)
+    assert(b.getAs[String]("parentGuid") == "A") // untouched
+    assert(b.seq("breadcrumbGuid") == Seq("A"))
+  }
+
   test("cascade matches an in-memory forest model on random re-parent batches") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
