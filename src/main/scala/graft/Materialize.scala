@@ -31,7 +31,17 @@ object Materialize {
     * leave constraint propagation disabled for the whole session. Only the
     * LAZY checkpoint (plan + LogicalRDD creation, where constraints are
     * captured) runs under the lock; the materialization job runs outside,
-    * so concurrent checkpoints don't serialize their Spark jobs. */
+    * so concurrent checkpoints don't serialize their Spark jobs.
+    *
+    * KNOWN LIMITATION: the flag is session-global, so any OTHER thread
+    * planning unrelated queries on the same session during the (short,
+    * planning-only) window plans with constraint propagation disabled —
+    * potentially losing inferred filters for that one plan. This is a
+    * performance effect only, never correctness. The pipeline drives
+    * checkpoints from the single foreachBatch thread, so the window is
+    * not concurrent in practice; callers sharing a session across threads
+    * should route all checkpoints through this object (the lock) and
+    * accept the rare planning-window de-optimization. */
   def checkpoint(df: DataFrame): DataFrame = {
     val out = synchronized {
       val conf = df.sparkSession.conf

@@ -29,13 +29,20 @@ object EntityDiff {
 
   private val emptyAttrs = map().cast("map<string,string>")
 
+  /** Columns that participate in the equal-updateTime content tiebreak.
+    * relationshipAttributes is included: two same-guid versions differing
+    * ONLY in relationships must still order deterministically, or
+    * inserted/deleted relationship diffs flip across replays. Must stay in
+    * sync with VersionedStore.contentTie. */
+  val tieCols: Seq[String] =
+    Seq("operationType", "typeName", "attributes", "relationshipAttributes")
+
   /** Attach the previous version per guid (J3 as-of). Ties on updateTime
     * (two versions in one batch with the same timestamp) order by a
     * deterministic content hash so replays produce identical diffs —
     * effectively-once depends on the whole chain being deterministic. */
   def withPrevious(versions: DataFrame): DataFrame = {
-    val tie = md5(to_json(struct(col("operationType"), col("typeName"),
-      col("attributes"))))
+    val tie = md5(to_json(struct(tieCols.map(col): _*)))
     val w = Window.partitionBy("guid").orderBy(col("updateTime"), tie)
     versions
       .withColumn("old_attributes", lag(col("attributes"), 1).over(w))

@@ -58,6 +58,11 @@ object Dedup {
         lead(col("tok"), k - 1).over(w).as("last"))
       .filter(col("last").isNotNull)
       .select(col("doc_id"), col("s"))
+      // DISTINCT is load-bearing for the prefix filter in ngramJaccardPairs:
+      // n_sh there must equal the SET size that verification (collect_set)
+      // and the oracle (list_distinct) use. With multiset rows a repeated
+      // rare shingle would inflate n_sh, shrink the prefix below the
+      // ⌈t·|set|⌉ bound, and silently drop qualifying pairs.
       .distinct()
   }
 
@@ -90,9 +95,14 @@ object Dedup {
     * generation, then exact verification closes the score. Lossless for
     * pairs at or above the threshold. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame =
+    ngramJaccardPairsOf(t(spark, dir, "documents"), threshold)
+
+  /** DataFrame-in variant (docs: doc_id, text, lang, source) — unit tests
+    * feed synthetic corpora with adversarial repeated k-grams here. */
+  def ngramJaccardPairsOf(docs: DataFrame,
       threshold: Double = 0.2): DataFrame = {
     require(threshold > 0, "prefix-filter formulation skips 0-overlap pairs")
-    val docs = t(spark, dir, "documents")
     val sr = graft.Materialize.checkpoint(shingleRows(docs)
       .join(docs.select("doc_id", "lang", "source"), "doc_id"))
     val freq = sr.groupBy("lang", "source", "s").agg(count(lit(1)).as("f"))

@@ -52,7 +52,7 @@ object VersionedStore {
     * same row the diff treated as last, or cross-batch seeds diverge from
     * the in-batch ordering. */
   private def contentTie(store: DataFrame): org.apache.spark.sql.Column = {
-    val diffCols = Seq("operationType", "typeName", "attributes")
+    val diffCols = graft.diff.EntityDiff.tieCols
     val cols =
       if (diffCols.forall(store.columns.contains)) diffCols
       else store.columns.toSeq

@@ -213,8 +213,17 @@ object StreamingJobs {
         val spark = batch.sparkSession
         val b = graft.Materialize.checkpoint(batch)
         val docs0 = store.readOrElse(bootstrap)
+        // A crash between directory creation and a completed append can
+        // leave versionsPath existing but without readable parquet parts;
+        // reading it then fails schema inference PERMANENTLY on restart.
+        // Treat a partless directory exactly like an absent one.
+        def hasParquetParts(f: java.io.File): Boolean = {
+          val kids = Option(f.listFiles()).getOrElse(Array.empty)
+          kids.exists(c => (c.isFile && c.getName.startsWith("part-") &&
+            !c.getName.endsWith(".crc")) || (c.isDirectory && hasParquetParts(c)))
+        }
         val base =
-          if (new java.io.File(versionsPath).exists())
+          if (hasParquetParts(new java.io.File(versionsPath)))
             Some(graft.store.VersionedStore.latest(
               graft.store.VersionedStore.read(spark, versionsPath)))
           else None

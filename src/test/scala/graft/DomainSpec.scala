@@ -151,6 +151,27 @@ class EntityDiffSpec extends AnyFunSuite {
     assert(out.seq("deletedAttributes") == Seq("a"))
   }
 
+  test("equal-updateTime versions differing ONLY in relationships order " +
+      "deterministically (ADVICE r2: tie hash covers relationshipAttributes)") {
+    val r1 = RelRef(guid = "x1", typeName = "m4i_person")
+    val r2 = RelRef(guid = "x2", typeName = "m4i_person")
+    val create = ("g1", 100L, "ENTITY_CREATE", "t",
+      Map("a" -> "1"), Map("lead" -> Seq(r1)))
+    // two updates, SAME updateTime, SAME attributes — only relationships
+    // differ; the winner must be input-order independent
+    val u1 = ("g1", 200L, "ENTITY_UPDATE", "t", Map("a" -> "1"),
+      Map("lead" -> Seq(r2)))
+    val u2 = ("g1", 200L, "ENTITY_UPDATE", "t", Map("a" -> "1"),
+      Map.empty[String, Seq[RelRef]])
+    def run(order: Seq[(String, Long, String, String, Map[String, String],
+        Map[String, Seq[RelRef]])]) =
+      EntityDiff.determineChange(versionsDf(order).repartition(4))
+        .orderBy("updateTime", "eventType")
+        .collect().map(_.toString).toSeq
+    assert(run(Seq(create, u1, u2)) == run(Seq(create, u2, u1)),
+      "relationship-only tie ordered differently across input orders")
+  }
+
   test("scrubbing drops nulls and JSON-array values (P8/P9)") {
     import spark.implicits._
     val df = Seq(Map("x" -> "1", "arr" -> "[1,2]", "n" -> null))
