@@ -92,8 +92,8 @@ object SparkEntry {
     "q_rank_variants" -> (Scalar.rankVariants _),
     // family 3 extra: generic two-table as-of join (single-shuffle form)
     "q_asof_join" -> (AsOfJoin.eventsAsofOrders _),
-    // whole-pipeline headline: 4-job chain over the events table
-    // (rows-only: a multi-stage pipeline, not one SQL statement)
+    // whole-pipeline headline: 4-job chain over the events table, checked
+    // against a full SQL reconstruction of the final document state
     "q_pipeline_e2e" -> (jobs.Pipeline.pipelineE2E _),
   )
 
@@ -551,5 +551,61 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND o.o_ms <= e.ts_ms
         |ORDER BY e.event_id""".stripMargin,
+    // Full 4-job chain reconstructed in SQL: the synthetic audit stream
+    // (Pipeline.syntheticAuditEvents) is deterministic arithmetic over the
+    // events table, so the FINAL document state is too — last DIRECT
+    // version per user for the name (the P5 gate drops 'error' audits,
+    // rn=1 creates stay direct), the fixed 3-tier parent arithmetic for
+    // edges, and a recursive ancestor walk for breadcrumbs whose names are
+    // the ancestors' final names (G17 rename cascade).
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         event_type
+        |  FROM events),
+        |fin AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN rn = 1 OR event_type <> 'error' THEN rn END) AS last_rn
+        |  FROM ev GROUP BY user_id),
+        |docs AS (
+        |  SELECT user_id,
+        |         'u' || CAST(user_id AS VARCHAR) AS guid,
+        |         'user/' || CAST(user_id AS VARCHAR) AS qn,
+        |         'User ' || CAST(user_id AS VARCHAR) || ' v' || CAST(last_rn AS VARCHAR) AS name,
+        |         CASE WHEN user_id < 3 THEN NULL
+        |              WHEN user_id < 12 THEN user_id % 3
+        |              ELSE user_id % 9 + 3 END AS parent_id
+        |  FROM fin),
+        |anc AS (
+        |  SELECT d.user_id, d.parent_id AS anc_id, 1 AS dist
+        |  FROM docs d WHERE d.parent_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT a.user_id, d.parent_id, a.dist + 1
+        |  FROM anc a JOIN docs d ON a.anc_id = d.user_id
+        |  WHERE d.parent_id IS NOT NULL),
+        |bc AS (
+        |  SELECT a.user_id,
+        |         string_agg('u' || CAST(a.anc_id AS VARCHAR), '|' ORDER BY a.dist DESC) AS bguid,
+        |         string_agg(p.name, '|' ORDER BY a.dist DESC) AS bname,
+        |         string_agg('m4i_dataset', '|' ORDER BY a.dist DESC) AS btype
+        |  FROM anc a JOIN docs p ON a.anc_id = p.user_id
+        |  GROUP BY a.user_id)
+        |SELECT
+        |  d.guid AS id, d.guid AS guid, d.qn AS "qualifiedName",
+        |  'm4i_dataset' AS "typeName", 'Technical' AS "sourceType",
+        |  'm4i_dataset' AS "m4iSourceTypes",
+        |  'Referenceable|m4i_referenceable|m4i_dataset' AS "superTypeNames",
+        |  d.name AS name, CAST(NULL AS VARCHAR) AS definition,
+        |  CAST(NULL AS VARCHAR) AS email,
+        |  CASE WHEN d.parent_id IS NULL THEN NULL
+        |       ELSE 'u' || CAST(d.parent_id AS VARCHAR) END AS "parentGuid",
+        |  COALESCE(b.bguid, '') AS "breadcrumbGuid",
+        |  COALESCE(b.bname, '') AS "breadcrumbName",
+        |  COALESCE(b.btype, '') AS "breadcrumbType",
+        |  '' AS "derivedNames", '' AS "derivedGuids",
+        |  'dq_score_accuracy=0.0|dq_score_completeness=0.0|dq_score_timeliness=0.0|dq_score_uniqueness=0.0' AS "dqScores"
+        |FROM docs d LEFT JOIN bc b ON d.user_id = b.user_id
+        |ORDER BY guid""".stripMargin,
   )
 }

@@ -139,13 +139,42 @@ object Pipeline {
   }
 
   /** Synthesize a raw audit-event stream from the events table (guid =
-    * user, version time = ts, attributes from the event fields). Shared by
-    * the benchmark query and the stage profiler so both measure the same
-    * input shape. */
+    * user, version time = per-user event ordinal, attributes from the event
+    * fields). Shared by the benchmark query and the stage profiler so both
+    * measure the same input shape.
+    *
+    * The stream deliberately exercises the WHOLE dispatcher so the DuckDB
+    * oracle is a real end-to-end check, not a row count:
+    *   - a deterministic 3-tier dataset hierarchy (roots 0-2, mid tier
+    *     parented by user_id % 3, leaf tier by user_id % 9 + 3) arrives as
+    *     `parentDataset` relationships in the create payload → G5/G6 parent
+    *     edges → G8 breadcrumb derivation with in-batch chains;
+    *   - `name` changes on EVERY event ("User <id> v<ordinal>") → G17
+    *     rename cascades through descendant breadcrumbs;
+    *   - 'error' events model Atlas-propagated indirect audits (no
+    *     relationshipAttributes payload → dropped by the P5 gate), so the
+    *     final name is the LAST DIRECT version, not the last version.
+    * updateTime is the per-user ordinal (not ts): unique per guid, so the
+    * as-of ordering is tie-free and replay-deterministic. */
   def syntheticAuditEvents(spark: SparkSession, dir: String): DataFrame = {
     import graft.Tables.t
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
+    val uid = col("user_id")
+    val parentId = when(uid < 3, lit(null).cast("long"))
+      .when(uid < 12, uid % 3)
+      .otherwise(uid % 9 + 3)
+    val relType = "map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>"
+    val parentRel = when(parentId.isNotNull,
+        map(lit("parentDataset"), array(struct(
+          concat(lit("u"), parentId).as("guid"),
+          lit("m4i_dataset").as("typeName"),
+          lit("ACTIVE").as("entityStatus"),
+          lit(null).cast("string").as("displayText"),
+          lit(null).cast("string").as("relationshipType"),
+          lit(null).cast("string").as("relationshipGuid"),
+          lit(null).cast("string").as("relationshipStatus")))).cast(relType))
+      .otherwise(map().cast(relType))
     t(spark, dir, "events")
       .withColumn("rn", row_number().over(w))
       .select(to_json(struct(
@@ -158,18 +187,18 @@ object Pipeline {
           concat(lit("u"), col("user_id")).as("guid"),
           lit("m4i_dataset").as("typeName"),
           map(lit("qualifiedName"), concat(lit("user/"), col("user_id")),
-            lit("name"), concat(lit("User "), col("user_id")),
+            lit("name"),
+            concat(lit("User "), col("user_id"), lit(" v"), col("rn")),
             lit("etype"), col("event_type"),
             lit("k"), get_json_object(col("props"), "$.k"))
             .as("attributes"),
           // direct_change derives from the presence of relationshipAttributes
           // in the audit payload; 'error' events model Atlas-propagated
           // indirect audits (dropped by the P5 gate) — creates stay direct
-          when(col("rn") === 1 || col("event_type") =!= "error",
-            map().cast("map<string,array<struct<guid:string,typeName:string,entityStatus:string,displayText:string,relationshipType:string,relationshipGuid:string,relationshipStatus:string>>>"))
+          when(col("rn") === 1 || col("event_type") =!= "error", parentRel)
             .as("relationshipAttributes"),
           lit(1L).as("createTime"),
-          col("ts").as("updateTime")).as("atlasEntity")))
+          col("rn").cast("long").as("updateTime")).as("atlasEntity")))
         .as("value"))
   }
 
@@ -246,28 +275,18 @@ object Pipeline {
       .select(col("guid"), col("role"), col("ref.guid").as("personGuid"))
       .distinct()
 
-  /** End-to-end: raw JSON strings → (documents, deadLetters, changeMessages,
-    * versions). `docs0` is the current document store (empty on bootstrap).
-    * Applies the full dispatcher: core changes, then derived cross-links
-    * (G15) and governance roles (G16) extracted from the same change set. */
-  def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame,
-      base: Option[DataFrame] = None)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (parsedOk, dlqParse) = parse(raw)
-    // S10 for jobs 2-4: contract violations route to the DLQ with the
-    // failing job's name instead of failing the batch (VERDICT r1 #6)
-    val (valid, dlqContract) = StreamingJobs.contractDlq(parsedOk)
-    val dlq = dlqParse.unionByName(dlqContract)
-    val versions = toVersions(valid)
-    val changes = graft.Materialize.checkpoint(
-      graft.diff.EntityDiff.determineChange(versions, base))
-    // messages feed 6 dispatcher branches — materialize once
-    val messages = graft.Materialize.checkpoint(shapeMessages(changes))
+  /** The full dispatcher over a docs frame: core changes (P5-gated), then
+    * derived cross-links (G15), governance roles (G16), and descendant
+    * propagation (G12) extracted from the same change set. Shared by the
+    * full-store path (`run`) and the bucket-pruned path (`applyPruned`):
+    * both feed it a docs frame that contains every document the batch can
+    * read or write. */
+  def applyAll(docs0: DataFrame, messages: DataFrame,
+      direct: DataFrame): DataFrame = {
     // P5 gate (synchronize_elastic_job.py:74-76): indirect changes are
     // carried in `messages` (flag false) but never applied to documents
     val docs1 = SynchronizeSearch.applyChanges(docs0,
       SynchronizeSearch.directOnly(messages))
-    val direct = changes.filter(col("directChange"))
     val links = toAttributeFieldLinks(direct)
     val roles = toGovernanceRoles(direct)
     // delete-side symmetry (G14/G15-delete/G16-delete)
@@ -286,11 +305,70 @@ object Pipeline {
       .unionByName(links.select(col("fieldGuid").as("guid")))
       .unionByName(roles.select(col("guid")))
       .distinct()
-    val docs =
-      if (touched.isEmpty) docs2
-      else graft.docs.DocumentAlgebra.propagateDerivedToDescendants(docs2,
-        docs2.join(touched, Seq("guid"), "left_semi")
-          .select(col("guid"), col("derivedNames"), col("derivedGuids")))
-    (docs, dlq, messages, versions)
+    if (touched.isEmpty) docs2
+    else graft.docs.DocumentAlgebra.propagateDerivedToDescendants(docs2,
+      docs2.join(touched, Seq("guid"), "left_semi")
+        .select(col("guid"), col("derivedNames"), col("derivedGuids")))
+  }
+
+  /** End-to-end: raw JSON strings → (documents, deadLetters, changeMessages,
+    * versions). `docs0` is the current document store (empty on bootstrap). */
+  def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame,
+      base: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (parsedOk, dlqParse) = parse(raw)
+    // S10 for jobs 2-4: contract violations route to the DLQ with the
+    // failing job's name instead of failing the batch (VERDICT r1 #6)
+    val (valid, dlqContract) = StreamingJobs.contractDlq(parsedOk)
+    val dlq = dlqParse.unionByName(dlqContract)
+    val versions = toVersions(valid)
+    val changes = graft.Materialize.checkpoint(
+      graft.diff.EntityDiff.determineChange(versions, base))
+    // messages feed 6 dispatcher branches — materialize once
+    val messages = graft.Materialize.checkpoint(shapeMessages(changes))
+    val direct = changes.filter(col("directChange"))
+    (applyAll(docs0, messages, direct), dlq, messages, versions)
+  }
+
+  /** Every guid a message batch can read or write DIRECTLY: message
+    * entities, new parents (breadcrumb derivation reads the parent doc),
+    * and cross-link / governance endpoints (both ends are rewritten).
+    * Descendants — the docs a cascade can touch — are NOT here; they come
+    * from the store's narrow breadcrumb index (see applyPruned). */
+  def touchedGuids(messages: DataFrame, direct: DataFrame): DataFrame = {
+    val links = toAttributeFieldLinks(direct)
+      .unionByName(toAttributeFieldLinks(direct, "deletedRelationships"))
+    val roles = toGovernanceRoles(direct)
+      .unionByName(toGovernanceRoles(direct, "deletedRelationships"))
+    messages.select("guid")
+      .unionByName(messages.filter(col("parentGuid").isNotNull)
+        .select(col("parentGuid").as("guid")))
+      .unionByName(links.select(col("attrGuid").as("guid")))
+      .unionByName(links.select(col("fieldGuid").as("guid")))
+      .unionByName(roles.select("guid"))
+      .distinct()
+  }
+
+  /** Bucket-pruned dispatcher (VERDICT r2 #1 — the 100 TB microbatch path):
+    * route the batch to the buckets it can touch, load ONLY those, apply,
+    * and return (postBatchDocsOfThoseBuckets, bucketIds) for
+    * `store.syncBuckets`. A 1-doc batch loads, hashes, and rewrites exactly
+    * one bucket; the store-wide work is one scan of the NARROW
+    * (guid, hash, breadcrumbGuid) summary to find descendants — the
+    * secondary-index tradeoff, ~2 columns instead of whole documents. */
+  def applyPruned(store: graft.store.DocumentStore, messages: DataFrame,
+      direct: DataFrame): (DataFrame, Set[Int]) = {
+    val touched = graft.Materialize.checkpoint(
+      touchedGuids(messages, direct))
+    val summary = store.readSummary()
+      .getOrElse(sys.error("applyPruned requires a non-empty store"))
+    val descendants = summary.as("s")
+      .join(touched.as("t"),
+        array_contains(col("s.breadcrumbGuid"), col("t.guid")), "left_semi")
+      .select("guid")
+    val buckets = store.bucketIdsOf(touched.unionByName(descendants))
+    val loaded = store.read(Some(buckets))
+      .getOrElse(sys.error("applyPruned requires a non-empty store"))
+    (applyAll(loaded, messages, direct), buckets)
   }
 }

@@ -23,14 +23,11 @@ object SparkTestSession {
 class QuerySurfaceSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("every query has an oracle or is explicitly rows-only") {
+  test("every query has an oracle — zero rows-only queries") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only ops must be documented here as they are added
-    // non-SQL-expressible ops get the driver's weaker rows-only check:
-    // only the 4-job pipeline chain remains (q_ann_pairs gained a DuckDB
-    // oracle in round 2 — the plane table is deterministic md5 math)
-    val allowedRowsOnly = Set("q_pipeline_e2e")
-    assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
+    // q_pipeline_e2e gained a full SQL reconstruction oracle in round 3
+    // (the synthetic stream is deterministic arithmetic over events)
+    assert(noOracle.isEmpty, s"queries missing oracle: $noOracle")
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle without query: $dangling")
   }

@@ -46,6 +46,8 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # dev loop: restrict to one query
+        oracles = {k: v for k, v in oracles.items() if k == sys.argv[3]}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
