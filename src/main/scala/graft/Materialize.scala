@@ -42,7 +42,15 @@ object Materialize {
     * not concurrent in practice; callers sharing a session across threads
     * should route all checkpoints through this object (the lock) and
     * accept the rare planning-window de-optimization. */
-  def checkpoint(df: DataFrame): DataFrame = {
+  def checkpoint(df: DataFrame): DataFrame = checkpointCounted(df)._1
+
+  /** Like [[checkpoint]] but also returns the materialized row count —
+    * callers that would otherwise follow the checkpoint with an `isEmpty`
+    * or `count()` probe get it for free (the eager materialization IS a
+    * count), saving one Spark job per probe. The e2e dispatcher runs ~15
+    * checkpoints per batch, so these probe jobs were a real constant cost
+    * (VERDICT r3 perf note). */
+  def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
     val out = synchronized {
       val conf = df.sparkSession.conf
       val prior = conf.get(ConfKey, "true")
@@ -52,6 +60,6 @@ object Materialize {
     }
     val n = out.count() // materializes the checkpoint eagerly
     tally.foreach(_.addAndGet(n))
-    out
+    (out, n)
   }
 }

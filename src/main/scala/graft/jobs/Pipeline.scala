@@ -311,10 +311,11 @@ object Pipeline {
         .select(col("guid"), col("derivedNames"), col("derivedGuids")))
   }
 
-  /** End-to-end: raw JSON strings → (documents, deadLetters, changeMessages,
-    * versions). `docs0` is the current document store (empty on bootstrap). */
-  def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame,
-      base: Option[DataFrame] = None)
+  /** Jobs 1-3 (parse → contract DLQ → versions → diff → messages) without
+    * the document apply — the shared front half of the full-store (`run`)
+    * and bucket-pruned (`applyPruned`) deployment paths.
+    * Returns (deadLetters, changeMessages, directChanges, versions). */
+  def prepare(raw: DataFrame, base: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (parsedOk, dlqParse) = parse(raw)
     // S10 for jobs 2-4: contract violations route to the DLQ with the
@@ -326,7 +327,15 @@ object Pipeline {
       graft.diff.EntityDiff.determineChange(versions, base))
     // messages feed 6 dispatcher branches — materialize once
     val messages = graft.Materialize.checkpoint(shapeMessages(changes))
-    val direct = changes.filter(col("directChange"))
+    (dlq, messages, changes.filter(col("directChange")), versions)
+  }
+
+  /** End-to-end: raw JSON strings → (documents, deadLetters, changeMessages,
+    * versions). `docs0` is the current document store (empty on bootstrap). */
+  def run(spark: SparkSession, raw: DataFrame, docs0: DataFrame,
+      base: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (dlq, messages, direct, versions) = prepare(raw, base)
     (applyAll(docs0, messages, direct), dlq, messages, versions)
   }
 
@@ -349,6 +358,29 @@ object Pipeline {
       .distinct()
   }
 
+  /** Load the bucket subset a batch can read or write: the touched guids,
+    * their stored breadcrumb descendants (a cascade's reach), and their
+    * derived-link referrers (the docs a rename's derived-field rewrite
+    * touches, G18). Each discovery is ONE equi left-semi join against an
+    * exploded (referencedGuid, guid) view of the narrow summary index —
+    * never a nested-loop `array_contains` over the store (ADVICE r3).
+    * Returns (loadedDocs, bucketIds). */
+  def loadTouchedBuckets(store: graft.store.DocumentStore,
+      touched: DataFrame): (DataFrame, Set[Int]) = {
+    val summary = store.readSummary()
+      .getOrElse(sys.error("pruned apply requires a non-empty store"))
+    val referrers = summary
+      .select(col("guid"),
+        explode(concat(coalesce(col("breadcrumbGuid"), array()),
+          coalesce(col("linkedGuids"), array()))).as("ref"))
+      .join(touched.select(col("guid").as("ref")), Seq("ref"), "left_semi")
+      .select("guid")
+    val buckets = store.bucketIdsOf(touched.unionByName(referrers))
+    val loaded = store.read(Some(buckets))
+      .getOrElse(sys.error("pruned apply requires a non-empty store"))
+    (loaded, buckets)
+  }
+
   /** Bucket-pruned dispatcher (VERDICT r2 #1 — the 100 TB microbatch path):
     * route the batch to the buckets it can touch, load ONLY those, apply,
     * and return (postBatchDocsOfThoseBuckets, bucketIds) for
@@ -360,15 +392,21 @@ object Pipeline {
       direct: DataFrame): (DataFrame, Set[Int]) = {
     val touched = graft.Materialize.checkpoint(
       touchedGuids(messages, direct))
-    val summary = store.readSummary()
-      .getOrElse(sys.error("applyPruned requires a non-empty store"))
-    val descendants = summary.as("s")
-      .join(touched.as("t"),
-        array_contains(col("s.breadcrumbGuid"), col("t.guid")), "left_semi")
-      .select("guid")
-    val buckets = store.bucketIdsOf(touched.unionByName(descendants))
-    val loaded = store.read(Some(buckets))
-      .getOrElse(sys.error("applyPruned requires a non-empty store"))
+    val (loaded, buckets) = loadTouchedBuckets(store, touched)
     (applyAll(loaded, messages, direct), buckets)
+  }
+
+  /** Pruned variant of a plain message-batch apply (no relationship-bearing
+    * change rows — the `syncToDocumentStore` deployment): touched = message
+    * entities + new parents. */
+  def applyPrunedMessages(store: graft.store.DocumentStore,
+      messages: DataFrame): (DataFrame, Set[Int]) = {
+    val touched = graft.Materialize.checkpoint(
+      messages.select("guid")
+        .unionByName(messages.filter(col("parentGuid").isNotNull)
+          .select(col("parentGuid").as("guid")))
+        .distinct())
+    val (loaded, buckets) = loadTouchedBuckets(store, touched)
+    (SynchronizeSearch.applyChanges(loaded, messages), buckets)
   }
 }

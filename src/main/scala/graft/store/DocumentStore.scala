@@ -45,6 +45,29 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
 
   private def bucketOf: Column = pmod(hash(col("guid")), lit(effectiveBuckets))
 
+  // --- store format version. v2 = bucket-partitioned hash summaries that
+  // carry breadcrumbGuid (the pruned path's descendant index). A store
+  // written entirely by older code has no marker → v1: its flat hash files
+  // are still READ (see readSummary fallback — change detection must not
+  // silently treat every guid as changed), but the pruned apply path is
+  // refused (its summaries lack the descendant index) until a full write()
+  // upgrades the store. A fresh store is v2 from the start. ---
+  private val formatFile = root.resolve("_FORMAT")
+  private def markFormat(): Unit =
+    if (!Files.exists(formatFile)) {
+      val tmp = root.resolve("_FORMAT.tmp")
+      Files.writeString(tmp, "2")
+      Files.move(tmp, formatFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  if (currentVersion.isEmpty) markFormat() // fresh store: all writes are v2
+
+  /** 2 when every hash summary is bucket-partitioned with a breadcrumb
+    * index (pruned reads are safe); 1 for a store begun by older code. */
+  def formatVersion: Int =
+    if (Files.exists(formatFile)) Files.readString(formatFile).trim.toInt
+    else 1
+
   def currentVersion: Option[Long] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong)
     else None
@@ -101,9 +124,11 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
       .collect().map(_.getInt(0)).toSet
 
   // --- change detection: deterministic row hash (maps via sorted entries).
-  // The summary also carries breadcrumbGuid: a narrow secondary index that
-  // lets the pruned apply path find a batch's DESCENDANTS (the docs a
-  // cascade can touch) without reading any document data. ---
+  // The summary also carries two narrow secondary indexes that let the
+  // pruned apply path route a batch WITHOUT reading document data:
+  // breadcrumbGuid (ancestors → a cascade's descendants) and linkedGuids
+  // (derivedGuids targets → the docs a rename's derived-field rewrite
+  // touches, G18). ---
   private def withHash(docs: DataFrame): DataFrame = {
     val canon = docs.schema.fields.toSeq.map { f =>
       f.dataType match {
@@ -114,8 +139,12 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
     val bc =
       if (docs.columns.contains("breadcrumbGuid")) col("breadcrumbGuid")
       else array().cast("array<string>")
+    val linked =
+      if (docs.columns.contains("derivedGuids"))
+        map_values(col("derivedGuids"))
+      else array().cast("array<string>")
     docs.select(col("guid"), md5(to_json(struct(canon: _*))).as("_h"),
-      bc.as("breadcrumbGuid"))
+      bc.as("breadcrumbGuid"), linked.as("linkedGuids"))
   }
 
   private def hashesPath(v: Long) = root.resolve(s"hashes-$v")
@@ -125,31 +154,55 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
   /** Current (guid, _h, breadcrumbGuid) summary, optionally restricted to a
     * bucket subset. Hash files are bucket-partitioned and owned by the same
     * manifest as the data, so a restricted read lists only those buckets'
-    * hash files and an untouched bucket's hash file is never rewritten. */
+    * hash files and an untouched bucket's hash file is never rewritten.
+    *
+    * Legacy fallback: a version written by pre-v2 code holds ONE flat
+    * hashes-<v> parquet dir (no _bucket= subdirs, no breadcrumbGuid). Those
+    * rows are still read — with the bucket restriction applied as a filter
+    * and breadcrumbGuid padded null — so change detection against an old
+    * store compares real hashes instead of silently rewriting everything. */
   def readSummary(buckets: Option[Set[Int]] = None): Option[DataFrame] =
     currentVersion.map { v =>
+      // older summaries may predate an index column: pad it null so unions
+      // across versions line up (the pruned path is format-gated anyway)
+      def pad(df: DataFrame): DataFrame =
+        Seq("breadcrumbGuid", "linkedGuids").foldLeft(df) { (d, c) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, lit(null).cast("array<string>"))
+        }
       val frames = readManifest(v).toSeq
         .filter { case (b, _) => buckets.forall(_.contains(b)) }
         .groupBy(_._2).toSeq.sortBy(_._1)
         .flatMap { case (ver, entries) =>
           val dirs = entries.map { case (b, _) => hashBucketDir(ver, b) }
             .filter(Files.isDirectory(_)).map(_.toString)
-          if (dirs.isEmpty) None
-          else Some(spark.read
-            .option("basePath", hashesPath(ver).toString)
-            .parquet(dirs: _*).drop("_bucket"))
+          def isFlat = Files.isDirectory(hashesPath(ver)) &&
+            !Files.list(hashesPath(ver)).iterator().asScala
+              .exists(_.getFileName.toString.startsWith("_bucket="))
+          if (dirs.nonEmpty)
+            Some(pad(spark.read
+              .option("basePath", hashesPath(ver).toString)
+              .parquet(dirs: _*).drop("_bucket")))
+          else if (isFlat) {
+            // legacy flat layout: each version's flat file is a FULL-store
+            // snapshot, so restrict it to the buckets this version OWNS in
+            // the manifest (rows for buckets since rewritten elsewhere are
+            // stale there) by recomputing the bucket id
+            val owned = entries.map(_._1)
+            Some(pad(spark.read.parquet(hashesPath(ver).toString)
+              .filter(bucketOf.cast("int").isin(owned: _*))))
+          } else None
         }
-      frames.reduceOption(_.unionByName(_)).getOrElse(
+      frames.reduceOption(_.unionByName(_)).getOrElse {
+        import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext
             .emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("guid",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("_h",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("breadcrumbGuid",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StringType))))))
+          StructType(Seq(
+            StructField("guid", StringType),
+            StructField("_h", StringType),
+            StructField("breadcrumbGuid", ArrayType(StringType)),
+            StructField("linkedGuids", ArrayType(StringType)))))
+      }
     }
 
   /** Guids whose document changed vs the stored summary — includes
@@ -181,6 +234,7 @@ class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
       .parquet(hashesPath(next).toString)
     Files.writeString(root.resolve(s"schema-$next.json"), docs.schema.json)
     writeManifest(next, (0 until effectiveBuckets).map(_ -> next).toMap)
+    markFormat() // a full write leaves every summary bucketed+indexed → v2
     flip(next)
   }
 

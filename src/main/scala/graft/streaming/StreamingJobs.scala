@@ -179,6 +179,14 @@ object StreamingJobs {
   //      version; the checkpoint makes delivery effectively-once (a replayed
   //      batch rewrites the same deterministic result). ----
 
+  /** True when the per-microbatch pruned path may serve this store: a
+    * non-empty v2 store has the bucket-partitioned summary + breadcrumb
+    * descendant index the pruned reads depend on. Empty stores bootstrap
+    * through the full path; pre-v2 stores stay on it until a full write
+    * upgrades them (DocumentStore.formatVersion). */
+  private def canPrune(store: graft.store.DocumentStore): Boolean =
+    store.currentVersion.nonEmpty && store.formatVersion >= 2
+
   def syncToDocumentStore(messages: DataFrame,
       store: graft.store.DocumentStore, bootstrap: => DataFrame,
       checkpoint: String) =
@@ -186,11 +194,20 @@ object StreamingJobs {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docs0 = store.readOrElse(bootstrap)
-        val updated = graft.Materialize.checkpoint(graft.jobs.SynchronizeSearch
-          .applyChanges(docs0, graft.Materialize.checkpoint(batch)))
-        // bucket-local commit: only buckets with changed docs are rewritten
-        store.sync(updated)
+        val b = graft.Materialize.checkpoint(batch)
+        if (canPrune(store)) {
+          // 100 TB path: load, hash, and rewrite ONLY the buckets this
+          // batch can touch — O(batch), not O(store), per microbatch
+          val (updated, buckets) = graft.jobs.Pipeline
+            .applyPrunedMessages(store, b)
+          store.syncBuckets(graft.Materialize.checkpoint(updated), buckets)
+        } else {
+          val updated = graft.Materialize.checkpoint(
+            graft.jobs.SynchronizeSearch.applyChanges(
+              store.readOrElse(bootstrap), b))
+          // bucket-local commit: only buckets with changed docs rewritten
+          store.sync(updated)
+        }
         ()
       }
 
@@ -212,7 +229,6 @@ object StreamingJobs {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val b = graft.Materialize.checkpoint(batch)
-        val docs0 = store.readOrElse(bootstrap)
         // A crash between directory creation and a completed append can
         // leave versionsPath existing but without readable parquet parts;
         // reading it then fails schema inference PERMANENTLY on restart.
@@ -227,10 +243,10 @@ object StreamingJobs {
             Some(graft.store.VersionedStore.latest(
               graft.store.VersionedStore.read(spark, versionsPath)))
           else None
-        // run() checkpoints the diff eagerly, so `base` is consumed BEFORE
-        // this batch's versions are appended below
-        val (docs, dlq, _, versions) =
-          graft.jobs.Pipeline.run(spark, b, docs0, base)
+        // prepare() checkpoints the diff eagerly, so `base` is consumed
+        // BEFORE this batch's versions are appended below
+        val (dlq, messages, direct, versions) =
+          graft.jobs.Pipeline.prepare(b, base)
         dlq.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dlqPath)
         // COMMIT ORDER: documents BEFORE versions. If the version append had
         // committed first and the doc sync failed, the replayed batch would
@@ -241,7 +257,19 @@ object StreamingJobs {
         // completes — both stores converge. The version history itself is
         // at-least-once on replay (duplicate identical rows); latest() and
         // docId-keyed reads are unaffected.
-        store.sync(graft.Materialize.checkpoint(docs))
+        if (canPrune(store)) {
+          // 100 TB path (VERDICT r2 #1 / r3 #1): the full dispatcher over
+          // ONLY the buckets holding the batch's entities, their new
+          // parents, link/role endpoints, and stored descendants — found
+          // via the narrow summary index, not a store scan
+          val (docs, buckets) = graft.jobs.Pipeline
+            .applyPruned(store, messages, direct)
+          store.syncBuckets(graft.Materialize.checkpoint(docs), buckets)
+        } else {
+          val docs = graft.jobs.Pipeline.applyAll(
+            store.readOrElse(bootstrap), messages, direct)
+          store.sync(graft.Materialize.checkpoint(docs))
+        }
         graft.store.VersionedStore.append(versions, versionsPath)
         ()
       }

@@ -124,6 +124,30 @@ class StreamingChainSpec extends AnyFunSuite {
           .contains("garbage"))
       // versioned store holds the full history
       assert(spark.read.parquet(s"$dir/versions").count() == 3)
+
+      // batch 3: a pure rename of gE (same relationships re-sent, so no
+      // edge diff) — the PRUNED microbatch path must commit exactly ONE
+      // bucket's data + hash files for this 1-doc change
+      input.addData(
+        s"""{"kafkaNotification":{"eventTime":300,"operationType":"ENTITY_UPDATE","guid":"gE"},
+           |"atlasEntity":{"guid":"gE","typeName":"m4i_data_entity",
+           |"attributes":{"qualifiedName":"ent","name":"Ent2"},
+           |"relationshipAttributes":{"parent":[{"guid":"gD","typeName":"m4i_data_domain","entityStatus":"ACTIVE"}]},
+           |"createTime":1,"updateTime":300}}""".stripMargin
+          .replaceAll("\n", ""))
+      q.processAllAvailable()
+      val v = store.currentVersion.get
+      import scala.jdk.CollectionConverters._
+      def bucketDirsOf(prefix: String) =
+        java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$dir/store", s"$prefix$v"))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket=")).toSet
+      assert(bucketDirsOf("v").size == 1,
+        s"1-doc microbatch rewrote ${bucketDirsOf("v")}")
+      assert(bucketDirsOf("hashes-").size == 1)
+      assert(store.read().get.filter(col("guid") === "gE")
+        .collect().head.getAs[String]("name") == "Ent2")
     } finally q.stop()
   }
 
