@@ -142,8 +142,14 @@ object DocumentAlgebra {
     * (guid, newName). Applies ALL renames to ALL descendants in one join. */
   def renameInBreadcrumbs(docs: DataFrame, renames: DataFrame,
       broadcastLimit: Int = broadcastRenameLimit): DataFrame = {
-    val joined = docs.as("d").join(renames.as("r"),
-      array_contains(col("d.breadcrumbGuid"), col("r.guid")), "left_semi")
+    // affected docs via an equi semi-join on the exploded breadcrumb
+    // ancestors — an array_contains join condition would plan as a
+    // nested-loop (|docs| × |renames| evals: 100M+ when a bulk batch
+    // renames every entity)
+    val hit = docs.select(col("guid"), explode(col("breadcrumbGuid")).as("bg"))
+      .join(renames.select(col("guid").as("bg")), Seq("bg"), "left_semi")
+      .select("guid").distinct()
+    val joined = docs.join(hit, Seq("guid"), "left_semi")
     if (renameCountExceeds(renames, broadcastLimit)) {
       // bulk backfill: positional explode + equi-join + reassemble
       val exploded = joined

@@ -205,8 +205,21 @@ object Pipeline {
   /** Whole-pipeline benchmark query: push the synthetic audit stream
     * through the full 4-job chain and return the final document per entity
     * (rows-only check: the chain is not one SQL statement). */
-  def pipelineE2E(spark: SparkSession, dir: String): DataFrame = {
-    val raw = syntheticAuditEvents(spark, dir)
+  def pipelineE2E(spark: SparkSession, dir: String): DataFrame =
+    pipelineE2EImpl(spark, dir, None)
+
+  /** Tiny-input run of the IDENTICAL plan shapes, for benchmark warmup:
+    * first-touch codegen of the dispatcher's wide union/cascade plans costs
+    * multiples of the steady-state work, and a microbatch deployment pays
+    * it once per process, not per batch — so the bench JIT-warms it the
+    * same way it warms scans (VERDICT r3 perf note). */
+  def pipelineE2EWarmup(spark: SparkSession, dir: String): DataFrame =
+    pipelineE2EImpl(spark, dir, Some(512))
+
+  private def pipelineE2EImpl(spark: SparkSession, dir: String,
+      limitRows: Option[Int]): DataFrame = {
+    val raw0 = syntheticAuditEvents(spark, dir)
+    val raw = limitRows.map(raw0.limit).getOrElse(raw0)
     val docs0 = graft.docs.DocumentAlgebra.createDocs(
       toVersions(parse(raw)._1).limit(0)
         .select(col("guid"), col("typeName"),
@@ -300,12 +313,14 @@ object Pipeline {
           links),
         roles),
       droppedRoles)
-    // G12: derived updates cascade to descendants in one array_contains pass
-    val touched = links.select(col("attrGuid").as("guid"))
-      .unionByName(links.select(col("fieldGuid").as("guid")))
-      .unionByName(roles.select(col("guid")))
-      .distinct()
-    if (touched.isEmpty) docs2
+    // G12: derived updates cascade to descendants of link/role endpoints;
+    // the counted checkpoint doubles as the emptiness probe (one job)
+    val (touched, touchedCount) = graft.Materialize.checkpointCounted(
+      links.select(col("attrGuid").as("guid"))
+        .unionByName(links.select(col("fieldGuid").as("guid")))
+        .unionByName(roles.select(col("guid")))
+        .distinct())
+    if (touchedCount == 0) docs2
     else graft.docs.DocumentAlgebra.propagateDerivedToDescendants(docs2,
       docs2.join(touched, Seq("guid"), "left_semi")
         .select(col("guid"), col("derivedNames"), col("derivedGuids")))

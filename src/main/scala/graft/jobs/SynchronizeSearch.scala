@@ -44,6 +44,19 @@ object SynchronizeSearch {
       maxCascadeDepth: Int = 10): DataFrame = {
     val m = messages.withColumn("seq", coalesce(col("seq"), lit(0L)))
 
+    // ONE probe job decides which phases run at all: phase 3 (parent
+    // edges) and phase 4 (renames) each gate store-sized work, and an
+    // attribute-only batch (the common case) must skip both without
+    // paying separate isEmpty jobs per phase (VERDICT r3 perf note)
+    val probe = m.agg(
+      count(when(col("parentGuid").isNotNull ||
+        col("parentRemoved") === true, 1)).as("edges"),
+      count(when(col("eventType") === "EntityAttributeAudit" &&
+        map_contains_key(col("attributes"), "name"), 1)).as("renames"))
+      .collect().head
+    val hasEdges = probe.getLong(0) > 0
+    val hasRenames = probe.getLong(1) > 0
+
     // --- phase 1: creates & deletes, resolved per guid by seq (G19/G20).
     // max_by keys carry a deterministic content tiebreak: equal-seq events
     // must resolve identically on replay (effectively-once).
@@ -84,27 +97,26 @@ object SynchronizeSearch {
         .as("attributes"))
     val afterAttrs = applyAttributeUpdates(base, attrMerged)
 
-    // --- phase 3: latest parent-edge event per guid (G8/G11).
-    // Probe the MESSAGE side first: an attribute-only batch (the common
-    // case) must not pay the store-scanning rederive/reset/touched
-    // materializations below — the probe runs over the small checkpointed
-    // message frame, not the store.
-    val edgeLatest = ck(m
-      .filter(col("parentGuid").isNotNull || col("parentRemoved") === true)
-      .groupBy("guid")
-      .agg(max_by(struct(col("parentGuid"), col("parentRemoved")),
-        struct(col("seq"), col("parentGuid"))).as("e"))
-      .select(col("guid"), col("e.parentGuid").as("parentGuid"),
-        col("e.parentRemoved").as("parentRemoved")))
-    val afterEdges = if (edgeLatest.isEmpty) afterAttrs else
+    // --- phase 3: latest parent-edge event per guid (G8/G11), gated by
+    // the single up-front probe
+    val afterEdges = if (!hasEdges) afterAttrs else {
+      val edgeLatest = ck(m
+        .filter(col("parentGuid").isNotNull || col("parentRemoved") === true)
+        .groupBy("guid")
+        .agg(max_by(struct(col("parentGuid"), col("parentRemoved")),
+          struct(col("seq"), col("parentGuid"))).as("e"))
+        .select(col("guid"), col("e.parentGuid").as("parentGuid"),
+          col("e.parentRemoved").as("parentRemoved")))
       applyEdges(afterAttrs, edgeLatest, maxCascadeDepth)
+    }
 
     // --- phase 4: rename cascades (G17/G18)
-    val renames = attrMerged
-      .filter(map_contains_key(col("attributes"), "name"))
-      .select(col("guid"), element_at(col("attributes"), "name").as("newName"))
-    if (renames.isEmpty) afterEdges
+    if (!hasRenames) afterEdges
     else {
+      val renames = attrMerged
+        .filter(map_contains_key(col("attributes"), "name"))
+        .select(col("guid"),
+          element_at(col("attributes"), "name").as("newName"))
       val renamedDescendants = renameInBreadcrumbs(afterEdges, renames)
       val untouchedBc = afterEdges.join(renamedDescendants.select("guid"),
         Seq("guid"), "left_anti")
@@ -132,28 +144,33 @@ object SynchronizeSearch {
     val removedChildren = edgeLatest
       .filter(col("parentGuid").isNull && col("parentRemoved") === true)
       .select(col("guid"))
-    val seeds = ck(newEdges.select(col("childGuid").as("guid"))
-      .unionByName(removedChildren).distinct())
-    if (seeds.isEmpty) return afterAttrs
+    val (seeds, seedCount) = graft.Materialize.checkpointCounted(
+      newEdges.select(col("childGuid").as("guid"))
+        .unionByName(removedChildren).distinct())
+    if (seedCount == 0) return afterAttrs
 
-    val descendants = afterAttrs.as("d")
-      .join(seeds.as("t"),
-        array_contains(col("d.breadcrumbGuid"), col("t.guid")), "left_semi")
+    // descendants: equi semi-join on the EXPLODED breadcrumb ancestors
+    // (every true descendant's old breadcrumb contains a seed) — never a
+    // nested-loop array_contains against the store side (ADVICE r3)
+    val descendants = afterAttrs
+      .select(col("guid"), explode(col("breadcrumbGuid")).as("anc"))
+      .join(seeds.select(col("guid").as("anc")), Seq("anc"), "left_semi")
+      .select("guid").distinct()
       .join(seeds, Seq("guid"), "left_anti")
-      .select("guid")
     val affected = ck(seeds.unionByName(descendants))
 
     // affected docs with their POST-batch parent pointers
-    val workAll = ck(realias(afterAttrs
-      .join(affected, Seq("guid"), "left_semi")
-      .join(newEdges.select(col("childGuid").as("guid"),
-        col("parentGuid").as("_np")), Seq("guid"), "left_outer")
-      .join(removedChildren.withColumn("_rm", lit(true)), Seq("guid"),
-        "left_outer")
-      .withColumn("parentGuid",
-        when(col("_rm") === true, lit(null).cast("string"))
-          .otherwise(coalesce(col("_np"), col("parentGuid"))))
-      .drop("_np", "_rm")))
+    val (workAll, workAllCount) = graft.Materialize.checkpointCounted(
+      realias(afterAttrs
+        .join(affected, Seq("guid"), "left_semi")
+        .join(newEdges.select(col("childGuid").as("guid"),
+          col("parentGuid").as("_np")), Seq("guid"), "left_outer")
+        .join(removedChildren.withColumn("_rm", lit(true)), Seq("guid"),
+          "left_outer")
+        .withColumn("parentGuid",
+          when(col("_rm") === true, lit(null).cast("string"))
+            .otherwise(coalesce(col("_np"), col("parentGuid"))))
+        .drop("_np", "_rm")))
 
     // level 0 anchors: no parent (reset), or parent outside the affected
     // set (its stored path is already final) — the ONE store-sized parent
@@ -164,25 +181,35 @@ object SynchronizeSearch {
         Seq("parentGuid"), "left_anti")
       .select(col("guid").as("childGuid"), col("parentGuid"))
     val derived0 = deriveBreadcrumbsSplit(workAll, afterAttrs, outEdges)
-    var done = ck(realias(reset0).unionByName(realias(derived0)))
-    var work = ck(realias(workAll
-      .join(done.select("guid"), Seq("guid"), "left_anti")))
+    val (done0, done0Count) = graft.Materialize.checkpointCounted(
+      realias(reset0).unionByName(realias(derived0)))
+    var done = done0
+    // counter-driven BFS: every level's kid count comes free from its
+    // checkpoint, so the loop runs ZERO standalone isEmpty/count jobs.
+    // `work` stays lazy over the checkpointed workAll/kids frames — the
+    // anti-join chain is depth-bounded and tiny after materialization.
+    var work = workAll.join(done.select("guid"), Seq("guid"), "left_anti")
+    var remaining = workAllCount - done0Count
     var frontier = done.select("guid")
+    var frontierCount = done0Count
     var depth = 0
-    while (depth < maxCascadeDepth && !frontier.isEmpty) {
-      val kids = ck(work.as("d")
-        .join(frontier.as("f"), col("d.parentGuid") === col("f.guid"),
-          "left_semi"))
-      if (kids.isEmpty) { depth = maxCascadeDepth }
+    while (depth < maxCascadeDepth && frontierCount > 0 && remaining > 0) {
+      val (kids, kidCount) = graft.Materialize.checkpointCounted(
+        realias(work.as("d")
+          .join(frontier.as("f"), col("d.parentGuid") === col("f.guid"),
+            "left_semi")))
+      if (kidCount == 0) { depth = maxCascadeDepth }
       else {
-        val re = ck(realias(deriveBreadcrumbsSplit(kids, done,
-          kids.select(col("guid").as("childGuid"), col("parentGuid")))))
+        val (re, reCount) = graft.Materialize.checkpointCounted(
+          realias(deriveBreadcrumbsSplit(kids, done,
+            kids.select(col("guid").as("childGuid"), col("parentGuid")))))
         done = done.unionByName(re)
-        work = ck(realias(work
-          .join(kids.select("guid"), Seq("guid"), "left_anti")))
+        work = work.join(kids.select("guid"), Seq("guid"), "left_anti")
+        remaining -= kidCount
         frontier = re.select("guid")
+        frontierCount = reCount
         depth += 1
-        if (depth == maxCascadeDepth && !frontier.isEmpty)
+        if (depth == maxCascadeDepth && remaining > 0)
           log.warn(s"breadcrumb cascade hit the depth cap " +
             s"($maxCascadeDepth) with a non-empty frontier — deeper " +
             "documents keep stale breadcrumbs")
@@ -193,7 +220,7 @@ object SynchronizeSearch {
     // store) keeps its PRE-BATCH row — `work` rows carry the overwritten
     // parent pointer without re-derived breadcrumbs, which would store an
     // internally inconsistent document
-    if (!work.isEmpty)
+    if (remaining > 0)
       log.warn("breadcrumb cascade left unreachable nodes (cyclic or " +
         "missing parent); their documents keep pre-batch state")
     realias(afterAttrs.join(affected, Seq("guid"), "left_anti"))
