@@ -229,25 +229,30 @@ object DocumentAlgebra {
       delete: Boolean = false): DataFrame = {
     val names = docs.select(col("guid").as("other_guid"),
       col("name").as("other_name"))
+    // links without a seq column (direct callers, older feeds) resolve as
+    // one same-time batch
+    val l = if (links.columns.contains("seq")) links
+      else links.withColumn("seq", lit(0L))
     // per-doc update maps (key → value) aggregated from both link ends —
     // one row per guid, so the docs join never fans out
     val updates =
-      links.select(col("attrGuid").as("guid"),
+      l.select(col("attrGuid").as("guid"),
           lit("derivedfield").as("nameKey"),
           lit("derivedfieldguid").as("guidKey"),
-          col("fieldGuid").as("other_guid"))
-        .unionByName(links.select(col("fieldGuid").as("guid"),
+          col("fieldGuid").as("other_guid"), col("seq"))
+        .unionByName(l.select(col("fieldGuid").as("guid"),
           lit("deriveddataattribute").as("nameKey"),
           lit("deriveddataattributeguid").as("guidKey"),
-          col("attrGuid").as("other_guid")))
+          col("attrGuid").as("other_guid"), col("seq")))
         .join(names, Seq("other_guid"), "left_outer")
-        // last-wins per (guid, key): an entity linked to TWO fields in one
-        // batch must overwrite (the reference applies links serially), not
-        // crash map_from_entries with a duplicate key; max(other_guid) is
-        // the deterministic winner
+        // last-wins per (guid, key) IN EVENT ORDER: an entity linked to
+        // TWO fields in one batch must end at the later link, exactly as
+        // the reference's serial application does
+        // (synchronize_app_search.py:154-174); other_guid breaks exact
+        // seq ties deterministically for replay
         .groupBy("guid", "nameKey", "guidKey")
         .agg(max_by(struct(col("other_guid"), col("other_name")),
-          col("other_guid")).as("w"))
+          struct(col("seq"), col("other_guid"))).as("w"))
         .groupBy("guid")
         .agg(
           map_from_entries(collect_list(struct(col("nameKey"),
@@ -266,6 +271,102 @@ object DocumentAlgebra {
       .drop("nameUpd", "guidUpd")
   }
 
+  /** G15 with the insert AND delete streams merged: every derived key on
+    * every doc resolves to its LAST event in batch order (`seq`), with an
+    * insert beating a delete on an exact tie — the net effect of the
+    * reference applying the same events serially
+    * (`synchronize_app_search.py:154-197`). A one-event re-link (delete
+    * A→F1 + insert A→F2) therefore ends at F2, and a later unlink beats
+    * an earlier link. `inserts`/`deletes` columns: (attrGuid, fieldGuid
+    * [, seq]). */
+  def resolveAttributeFieldLinks(docs: DataFrame, inserts: DataFrame,
+      deletes: DataFrame): DataFrame = {
+    val names = docs.select(col("guid").as("other_guid"),
+      col("name").as("other_name"))
+    def perDoc(l0: DataFrame, del: Boolean): DataFrame = {
+      val l = if (l0.columns.contains("seq")) l0
+        else l0.withColumn("seq", lit(0L))
+      l.select(col("attrGuid").as("guid"),
+          lit("derivedfield").as("nameKey"),
+          lit("derivedfieldguid").as("guidKey"),
+          col("fieldGuid").as("other_guid"), col("seq"),
+          lit(del).as("_del"))
+        .unionByName(l.select(col("fieldGuid").as("guid"),
+          lit("deriveddataattribute").as("nameKey"),
+          lit("deriveddataattributeguid").as("guidKey"),
+          col("attrGuid").as("other_guid"), col("seq"),
+          lit(del).as("_del")))
+    }
+    val winners = perDoc(inserts, del = false)
+      .unionByName(perDoc(deletes, del = true))
+      .groupBy("guid", "nameKey", "guidKey")
+      .agg(max_by(struct(col("other_guid"), col("_del")),
+        struct(col("seq"), not(col("_del")), col("other_guid"))).as("w"))
+      .select(col("guid"), col("nameKey"), col("guidKey"),
+        col("w.other_guid").as("other_guid"), col("w._del").as("_del"))
+      .join(names, Seq("other_guid"), "left_outer")
+    // one row per doc: set-maps for insert winners, key-lists for delete
+    // winners (disjoint key sets, so application order is irrelevant)
+    val updates = winners.groupBy("guid").agg(
+      map_from_entries(collect_list(when(not(col("_del")),
+        struct(col("nameKey"), coalesce(col("other_name"), lit("")))))
+      ).as("nameUpd"),
+      map_from_entries(collect_list(when(not(col("_del")),
+        struct(col("guidKey"), col("other_guid"))))).as("guidUpd"),
+      collect_list(when(col("_del"), col("nameKey"))).as("delNameKeys"),
+      collect_list(when(col("_del"), col("guidKey"))).as("delGuidKeys"))
+    def merged(cur: Column, upd: Column, delKeys: Column): Column =
+      when(upd.isNull, cur).otherwise(
+        map_filter(
+          map_concat(map_filter(cur, (k, _) => !map_contains_key(upd, k)),
+            upd),
+          (k, _) => !array_contains(delKeys, k)))
+    docs.join(updates, Seq("guid"), "left_outer")
+      .withColumn("derivedNames",
+        merged(col("derivedNames"), col("nameUpd"), col("delNameKeys")))
+      .withColumn("derivedGuids",
+        merged(col("derivedGuids"), col("guidUpd"), col("delGuidKeys")))
+      .drop("nameUpd", "guidUpd", "delNameKeys", "delGuidKeys")
+  }
+
+  /** G16 with insert/delete streams merged — same event-order resolution
+    * as [[resolveAttributeFieldLinks]], for governance-role assignments.
+    * A one-event reassignment (delete zP1 + insert aP2) ends at aP2; a
+    * later unassignment beats an earlier assignment. Columns: (guid, role,
+    * personGuid [, seq]). */
+  def resolveGovernanceRoles(docs: DataFrame, inserts: DataFrame,
+      deletes: DataFrame): DataFrame = {
+    val keyMap = map(governanceRoleKeys.toSeq
+      .flatMap { case (r, k) => Seq(lit(r), lit(k)) }: _*)
+    def ev(r0: DataFrame, del: Boolean): DataFrame = {
+      val r = if (r0.columns.contains("seq")) r0
+        else r0.withColumn("seq", lit(0L))
+      r.select(col("guid"), element_at(keyMap, col("role")).as("guidKey"),
+        col("personGuid"), col("seq"), lit(del).as("_del"))
+    }
+    val winners = ev(inserts, del = false).unionByName(ev(deletes, del = true))
+      .filter(col("guidKey").isNotNull)
+      .groupBy("guid", "guidKey")
+      .agg(max_by(struct(col("personGuid"), col("_del")),
+        struct(col("seq"), not(col("_del")), col("personGuid"))).as("w"))
+      .select(col("guid"), col("guidKey"),
+        col("w.personGuid").as("personGuid"), col("w._del").as("_del"))
+    val updates = winners.groupBy("guid").agg(
+      map_from_entries(collect_list(when(not(col("_del")),
+        struct(col("guidKey"), col("personGuid"))))).as("roleGuids"),
+      collect_list(when(col("_del"), col("guidKey"))).as("dropKeys"))
+    docs.join(updates, Seq("guid"), "left_outer")
+      .withColumn("derivedGuids", when(col("roleGuids").isNull,
+        col("derivedGuids")).otherwise(
+        map_filter(
+          map_concat(
+            map_filter(col("derivedGuids"),
+              (k, _) => !map_contains_key(col("roleGuids"), k)),
+            col("roleGuids")),
+          (k, _) => !array_contains(col("dropKeys"), k))))
+      .drop("roleGuids", "dropKeys")
+  }
+
   /** G16: governance-role derived fields
     * (`update_governance_role_derived_entity_fields`
     * synchronize_app_search.py:297-316, its list-indexing bug corrected).
@@ -279,14 +380,19 @@ object DocumentAlgebra {
   def applyGovernanceRoles(docs: DataFrame, roles: DataFrame): DataFrame = {
     val keyMap = map(governanceRoleKeys.toSeq
       .flatMap { case (r, k) => Seq(lit(r), lit(k)) }: _*)
-    val u = roles
+    val r0 = if (roles.columns.contains("seq")) roles
+      else roles.withColumn("seq", lit(0L))
+    val u = r0
       .select(col("guid"), element_at(keyMap, col("role")).as("guidKey"),
-        col("personGuid"))
+        col("personGuid"), col("seq"))
       .filter(col("guidKey").isNotNull)
-      // two persons in the same role in one batch: deterministic last-wins
-      // (max personGuid) instead of a duplicate-map-key crash
+      // two persons in the same role in one batch: last-wins IN EVENT
+      // ORDER (the reference applies assignments serially,
+      // synchronize_app_search.py:297-316); personGuid breaks exact seq
+      // ties deterministically
       .groupBy("guid", "guidKey")
-      .agg(max(col("personGuid")).as("personGuid"))
+      .agg(max_by(col("personGuid"),
+        struct(col("seq"), col("personGuid"))).as("personGuid"))
       .groupBy("guid")
       .agg(map_from_entries(collect_list(
         struct(col("guidKey"), col("personGuid")))).as("roleGuids"))

@@ -250,14 +250,18 @@ object Pipeline {
 
   /** G7/G15 feed: attribute↔field links from inserted (or deleted)
     * relationships — classified columnar via the registry's supertype
-    * closure on BOTH end types, oriented (attrGuid, fieldGuid). */
+    * closure on BOTH end types, oriented (attrGuid, fieldGuid, seq).
+    * `seq` (the event's updateTime) rides along so same-batch conflicts
+    * resolve in event order, matching the reference's serialized
+    * application (`synchronize_app_search.py:154-174`). */
   def toAttributeFieldLinks(changes: DataFrame,
       relCol: String = "insertedRelationships"): DataFrame = {
     import graft.registry.TypeRegistry.superTypesCol
     val exploded = changes
-      .select(col("guid"), col("typeName"),
+      .select(col("guid"), col("typeName"), col("updateTime").as("seq"),
         explode(col(relCol)).as(Seq("relKey", "refs")))
-      .select(col("guid"), col("typeName"), explode(col("refs")).as("ref"))
+      .select(col("guid"), col("typeName"), col("seq"),
+        explode(col("refs")).as("ref"))
     val mySups = superTypesCol(col("typeName"))
     val refSups = superTypesCol(col("ref.typeName"))
     exploded
@@ -270,23 +274,25 @@ object Pipeline {
         when(array_contains(mySups, "m4i_data_attribute"), col("guid"))
           .otherwise(col("ref.guid")).as("attrGuid"),
         when(array_contains(mySups, "m4i_field"), col("guid"))
-          .otherwise(col("ref.guid")).as("fieldGuid"))
-      .distinct()
+          .otherwise(col("ref.guid")).as("fieldGuid"),
+        col("seq"))
+      .groupBy("attrGuid", "fieldGuid").agg(max(col("seq")).as("seq"))
   }
 
   /** G16 feed: governance-role assignments from inserted (or deleted)
-    * relationships keyed domainLead/businessOwner/dataSteward. */
+    * relationships keyed domainLead/businessOwner/dataSteward, with the
+    * event seq for in-order same-batch resolution. */
   def toGovernanceRoles(changes: DataFrame,
       relCol: String = "insertedRelationships"): DataFrame =
     changes
-      .select(col("guid"),
+      .select(col("guid"), col("updateTime").as("seq"),
         explode(col(relCol)).as(Seq("relKey", "refs")))
       .filter(col("relKey").isin(
         graft.docs.DocumentAlgebra.governanceRoleKeys.keys.toSeq: _*))
-      .select(col("guid"), col("relKey").as("role"),
+      .select(col("guid"), col("relKey").as("role"), col("seq"),
         explode(col("refs")).as("ref"))
-      .select(col("guid"), col("role"), col("ref.guid").as("personGuid"))
-      .distinct()
+      .groupBy(col("guid"), col("role"), col("ref.guid").as("personGuid"))
+      .agg(max(col("seq")).as("seq"))
 
   /** The full dispatcher over a docs frame: core changes (P5-gated), then
     * derived cross-links (G15), governance roles (G16), and descendant
@@ -302,17 +308,16 @@ object Pipeline {
       SynchronizeSearch.directOnly(messages))
     val links = toAttributeFieldLinks(direct)
     val roles = toGovernanceRoles(direct)
-    // delete-side symmetry (G14/G15-delete/G16-delete)
+    // delete-side symmetry (G14/G15-delete/G16-delete); insert and delete
+    // streams resolve together per doc-key in event order, so a one-event
+    // re-link/reassignment nets to the insert and a later unlink beats an
+    // earlier link (reference serial order, VERDICT r3 #4)
     val droppedLinks = toAttributeFieldLinks(direct, "deletedRelationships")
     val droppedRoles = toGovernanceRoles(direct, "deletedRelationships")
-    val docs2 = graft.docs.DocumentAlgebra.removeGovernanceRoles(
-      graft.docs.DocumentAlgebra.applyGovernanceRoles(
-        graft.docs.DocumentAlgebra.applyAttributeFieldLinks(
-          graft.docs.DocumentAlgebra.applyAttributeFieldLinks(docs1,
-            droppedLinks, delete = true),
-          links),
-        roles),
-      droppedRoles)
+    val docs2 = graft.docs.DocumentAlgebra.resolveGovernanceRoles(
+      graft.docs.DocumentAlgebra.resolveAttributeFieldLinks(docs1,
+        links, droppedLinks),
+      roles, droppedRoles)
     // G12: derived updates cascade to descendants of link/role endpoints;
     // the counted checkpoint doubles as the emptiness probe (one job)
     val (touched, touchedCount) = graft.Materialize.checkpointCounted(

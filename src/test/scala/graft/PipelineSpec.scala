@@ -220,6 +220,81 @@ class PipelineSpec extends AnyFunSuite {
       Map("deriveddataattribute" -> "Att"))
   }
 
+  test("same-batch link/role conflicts resolve in event order, not by guid (G15/G16 seq-aware)") {
+    import spark.implicits._
+    // field/person guids chosen so the LATER event carries the SMALLER
+    // guid: a max-by-guid resolution would pick the wrong winner
+    val raw = Seq(
+      rawEvent("gAt", "ENTITY_CREATE", 100L, "m4i_data_attribute",
+        Map("qualifiedName" -> "att", "name" -> "Att")),
+      rawEvent("zF1", "ENTITY_CREATE", 101L, "m4i_field",
+        Map("qualifiedName" -> "f1", "name" -> "F1")),
+      rawEvent("aF2", "ENTITY_CREATE", 102L, "m4i_field",
+        Map("qualifiedName" -> "f2", "name" -> "F2")),
+      // t=120: attribute links to zF1, domainLead zP1
+      s"""{"kafkaNotification":{"eventTime":120,"operationType":"ENTITY_UPDATE","guid":"gAt"},
+         |"atlasEntity":{"guid":"gAt","typeName":"m4i_data_attribute",
+         |"attributes":{"qualifiedName":"att","name":"Att"},
+         |"relationshipAttributes":{
+         |  "fields":[{"guid":"zF1","typeName":"m4i_field","entityStatus":"ACTIVE"}],
+         |  "domainLead":[{"guid":"zP1","typeName":"m4i_person","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":120}}""".stripMargin.replaceAll("\n", ""),
+      // t=130: re-linked to aF2, domainLead reassigned to aP2 — the final
+      // state must reflect THIS event (the reference applies serially)
+      s"""{"kafkaNotification":{"eventTime":130,"operationType":"ENTITY_UPDATE","guid":"gAt"},
+         |"atlasEntity":{"guid":"gAt","typeName":"m4i_data_attribute",
+         |"attributes":{"qualifiedName":"att","name":"Att"},
+         |"relationshipAttributes":{
+         |  "fields":[{"guid":"aF2","typeName":"m4i_field","entityStatus":"ACTIVE"}],
+         |  "domainLead":[{"guid":"aP2","typeName":"m4i_person","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":130}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (docs, _, _, _) = Pipeline.run(spark, raw, emptyDocs)
+    val at = docs.filter(col("guid") === "gAt").collect().head
+    assert(at.getAs[Map[String, String]]("derivedGuids")
+      .get("derivedfieldguid").contains("aF2"))
+    assert(at.getAs[Map[String, String]]("derivedNames")
+      .get("derivedfield").contains("F2"))
+    assert(at.getAs[Map[String, String]]("derivedGuids")
+      .get("deriveddomainleadguid").contains("aP2"))
+  }
+
+  test("same-batch unlink AFTER link clears the derived keys (G15/G16 seq-aware delete)") {
+    import spark.implicits._
+    val raw = Seq(
+      rawEvent("gAt", "ENTITY_CREATE", 100L, "m4i_data_attribute",
+        Map("qualifiedName" -> "att", "name" -> "Att")),
+      rawEvent("gF", "ENTITY_CREATE", 101L, "m4i_field",
+        Map("qualifiedName" -> "f", "name" -> "F")),
+      // t=120: link + role assignment
+      s"""{"kafkaNotification":{"eventTime":120,"operationType":"ENTITY_UPDATE","guid":"gAt"},
+         |"atlasEntity":{"guid":"gAt","typeName":"m4i_data_attribute",
+         |"attributes":{"qualifiedName":"att","name":"Att"},
+         |"relationshipAttributes":{
+         |  "fields":[{"guid":"gF","typeName":"m4i_field","entityStatus":"ACTIVE"}],
+         |  "domainLead":[{"guid":"gP","typeName":"m4i_person","entityStatus":"ACTIVE"}]},
+         |"createTime":1,"updateTime":120}}""".stripMargin.replaceAll("\n", ""),
+      // t=130: both relationships removed — the LATER delete must win over
+      // the earlier insert within the same batch
+      s"""{"kafkaNotification":{"eventTime":130,"operationType":"ENTITY_UPDATE","guid":"gAt"},
+         |"atlasEntity":{"guid":"gAt","typeName":"m4i_data_attribute",
+         |"attributes":{"qualifiedName":"att","name":"Att"},
+         |"relationshipAttributes":{},
+         |"createTime":1,"updateTime":130}}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val (docs, _, _, _) = Pipeline.run(spark, raw, emptyDocs)
+    val at = docs.filter(col("guid") === "gAt").collect().head
+    assert(!at.getAs[Map[String, String]]("derivedGuids")
+      .contains("derivedfieldguid"))
+    assert(!at.getAs[Map[String, String]]("derivedGuids")
+      .contains("deriveddomainleadguid"))
+    assert(!at.getAs[Map[String, String]]("derivedNames")
+      .contains("derivedfield"))
+    val fl = docs.filter(col("guid") === "gF").collect().head
+    assert(!fl.getAs[Map[String, String]]("derivedGuids")
+      .contains("deriveddataattributeguid"))
+  }
+
   test("re-parented child inherits parent's derived fields (G13)") {
     import spark.implicits._
     val batch1 = Seq(
