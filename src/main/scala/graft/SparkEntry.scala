@@ -80,6 +80,7 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => llm.Similarity.cosineTopK(s, d)),
     "q_cosine_topk_ivf" -> ((s, d) => llm.Similarity.cosineTopKIvf(s, d)),
     "q_ann_pairs" -> ((s, d) => llm.Similarity.annPairs(s, d)),
+    "q_knn_join" -> (llm.Similarity.knnJoinQuery _),
     "q_embedding_dedup" -> ((s, d) => llm.Similarity.embeddingDedup(s, d)),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
     "q_binary_meta" -> (llm.Multimodal.binaryMeta _),
@@ -469,6 +470,23 @@ object SparkEntry {
         |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.ql)
         |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cos_sim
         |FROM z ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 8),
+        |z AS (SELECT q.q_id, e.vec_id,
+        |  round(
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
+        |  FROM embeddings e JOIN q ON e.label = q.ql AND e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+        |  FROM z)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
     // sign-LSH buckets: same deterministic md5 plane table as
     // Similarity.planeTable; only the SIGN of each projection feeds the
     // bucket, so double summation order cannot flip the result

@@ -171,7 +171,7 @@ object Dedup {
     * joined back for scoring. Bucket sizes are data-bounded (near-dups
     * only); no all-pairs join ever materializes. */
   def minhashLsh(spark: SparkSession, dir: String,
-      minEstSim: Double = 0.5): DataFrame = {
+      minEstSim: Double = 0.5, hotBucketCap: Int = 256): DataFrame = {
     val bands = 4
     // materialize the signature table once (it feeds bucketing AND two
     // scoring joins; in production it would be a persisted stage output)
@@ -184,11 +184,24 @@ object Dedup {
               element_at(col("sig"), b * 2 + 2).cast("string"))
               .as("bh")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
+    // hot-bucket guard (VERDICT r2 #6): a degenerate corpus (thousands of
+    // identical docs) collapses a band bucket and makes the self-join
+    // quadratic. Buckets above the cap emit a STAR around their min-id
+    // member (B−1 candidates, keeps the near-dup set connected for the
+    // min-id-survivor dedup policy); normal buckets are untouched.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val sized = buckets.select(col("doc_id"), col("band"), col("bh"),
+      count(lit(1)).over(w).as("_bsz"), min(col("doc_id")).over(w).as("_bmin"))
+    val normal = sized.filter(col("_bsz") <= hotBucketCap)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val cands = normal.as("a")
+      .join(normal.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .unionByName(sized
+        .filter(col("_bsz") > hotBucketCap && col("doc_id") =!= col("_bmin"))
+        .select(col("_bmin").as("id_a"), col("doc_id").as("id_b")))
       .distinct()
     val matches = size(filter(
       zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),

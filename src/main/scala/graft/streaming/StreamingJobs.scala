@@ -136,30 +136,53 @@ object StreamingJobs {
   /** Emit (old, new) attribute-map transitions per guid, keeping only the
     * latest version in state. Late (out-of-order) versions are dropped and
     * counted — the reference instead assumed global order via
-    * parallelism=1 (SURVEY §2.7 ordering note). */
+    * parallelism=1 (SURVEY §2.7 ordering note).
+    *
+    * State lifecycle (VERDICT r2 #7 / r3 #6): a batch whose LAST applied
+    * event is ENTITY_DELETE evicts the guid's state immediately (the doc
+    * is gone; keeping its versions forever only grows the store — a
+    * subsequent create starts from empty, which is resurrection), and
+    * `stateTtl` arms a processing-time timeout that evicts guids idle
+    * longer than the TTL, bounding state for entities that stop emitting
+    * without a delete. Both matter at 100 TB: unbounded per-guid state is
+    * the classic streaming leak. */
   def versionTransitions(
-      events: Dataset[(String, Long, String, String, Map[String, String])])
+      events: Dataset[(String, Long, String, String, Map[String, String])],
+      stateTtl: Option[String] = None)
       : Dataset[VersionTransition] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (guid: String,
          rows: Iterator[(String, Long, String, String, Map[String, String])],
          state: GroupState[GuidState]) => {
-          // per-key ordering: sort the microbatch's rows for this guid
-          val sorted = rows.toSeq.sortBy(_._2)
-          val out = scala.collection.mutable.ArrayBuffer[VersionTransition]()
-          var cur = state.getOption
-          sorted.foreach { case (g, t, op, tn, attrs) =>
-            if (cur.forall(_.updateTime < t)) {
-              out += VersionTransition(g, t, op, tn,
-                cur.map(_.attributes).getOrElse(Map.empty), attrs)
-              cur = Some(GuidState(t, attrs, tn))
-            } // else: late arrival, dropped (would route to DLQ metric)
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL: evict, emit nothing
+            Iterator.empty
+          } else {
+            // per-key ordering: sort the microbatch's rows for this guid
+            val sorted = rows.toSeq.sortBy(_._2)
+            val out = scala.collection.mutable.ArrayBuffer[VersionTransition]()
+            var cur = state.getOption
+            var deleted = false
+            sorted.foreach { case (g, t, op, tn, attrs) =>
+              if (cur.forall(_.updateTime < t)) {
+                out += VersionTransition(g, t, op, tn,
+                  cur.map(_.attributes).getOrElse(Map.empty), attrs)
+                cur = Some(GuidState(t, attrs, tn))
+                deleted = op == "ENTITY_DELETE"
+              } // else: late arrival, dropped (would route to DLQ metric)
+            }
+            if (deleted) state.remove()
+            else {
+              cur.foreach(state.update)
+              stateTtl.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
         })
   }
 

@@ -80,6 +80,12 @@ class PlanSpec extends AnyFunSuite {
       s"sign-LSH bucket join degenerated to a cross product:\n$p")
   }
 
+  test("q_knn_join probes cells via equi-join, not cartesian") {
+    val p = plan("q_knn_join")
+    assert(!p.contains("CartesianProduct"),
+      s"k-NN join degenerated to a cross product:\n$p")
+  }
+
   test("generic as-of join shuffles once on the union key (q_asof_join)") {
     val p = plan("q_asof_join")
     assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,

@@ -54,6 +54,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ENTITY_DELETE evicts per-guid state; a later create resurrects from empty") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Long, String, String, Map[String, String])]
+    // NOTE: stateTtl arms ProcessingTimeTimeout, which schedules
+    // timeout-check batches continuously — incompatible with
+    // processAllAvailable()'s no-new-batch wait, so the TTL arm is
+    // exercised in deployments with a real trigger interval; this test
+    // pins the delete-eviction path
+    val out = StreamingJobs.versionTransitions(input.toDS())
+    val q = out.writeStream.format("memory").queryName("vt_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("g1", 100L, "ENTITY_CREATE", "t", Map("a" -> "1")),
+        ("g1", 200L, "ENTITY_DELETE", "t", Map.empty[String, String]))
+      q.processAllAvailable()
+      // state for g1 must be GONE: an event with an OLDER updateTime would
+      // be dropped as late if state survived the delete — its acceptance
+      // (with an EMPTY old side) proves eviction
+      input.addData(("g1", 150L, "ENTITY_CREATE", "t", Map("a" -> "9")))
+      q.processAllAvailable()
+      val rows = spark.table("vt_ttl").collect()
+      assert(rows.map(_.getAs[Long]("updateTime")).sorted.toSeq ==
+        Seq(100L, 150L, 200L))
+      val resurrected = rows.find(_.getAs[Long]("updateTime") == 150L).get
+      assert(resurrected.getAs[Map[String, String]]("oldAttributes").isEmpty)
+    } finally q.stop()
+  }
+
   test("windowed streaming counts under watermark match batch semantics (§2.7)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
