@@ -188,19 +188,23 @@ object Dedup {
     // identical docs) collapses a band bucket and makes the self-join
     // quadratic. Buckets above the cap emit a STAR around their min-id
     // member (B−1 candidates, keeps the near-dup set connected for the
-    // min-id-survivor dedup policy); normal buckets are untouched.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    val sized = buckets.select(col("doc_id"), col("band"), col("bh"),
-      count(lit(1)).over(w).as("_bsz"), min(col("doc_id")).over(w).as("_bmin"))
-    val normal = sized.filter(col("_bsz") <= hotBucketCap)
-      .select(col("doc_id"), col("band"), col("bh"))
+    // min-id-survivor dedup policy); normal buckets are untouched. The
+    // hot list comes from ONE groupBy count — at most |rows|/cap buckets
+    // can exceed the cap, so it broadcasts; no window sort over the
+    // full bucket table.
+    val hot = buckets.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_bsz"), min(col("doc_id")).as("_bmin"))
+      .filter(col("_bsz") > hotBucketCap)
+      .select(col("band"), col("bh"), col("_bmin"))
+    val normal = buckets.join(broadcast(hot.select("band", "bh")),
+      Seq("band", "bh"), "left_anti")
     val cands = normal.as("a")
       .join(normal.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .unionByName(sized
-        .filter(col("_bsz") > hotBucketCap && col("doc_id") =!= col("_bmin"))
+      .unionByName(buckets.join(broadcast(hot), Seq("band", "bh"))
+        .filter(col("doc_id") =!= col("_bmin"))
         .select(col("_bmin").as("id_a"), col("doc_id").as("id_b")))
       .distinct()
     val matches = size(filter(

@@ -112,32 +112,41 @@ object Similarity {
     * only (B−1 pairs instead of B(B−1)/2). For dedup-style consumers the
     * hub keeps the near-dup set connected (min-id survivor reaches every
     * member); recall of hub-less pairs inside degenerate buckets is the
-    * deliberate trade. Normal buckets are unaffected. */
+    * deliberate trade. Normal buckets are unaffected.
+    *
+    * The hot list is found with ONE groupBy(bucket).count — by
+    * construction at most |rows|/cap buckets exceed the cap, so the list
+    * (and the hub vectors) broadcast; the normal path is the original
+    * bucket self-join plus a broadcast anti-filter. No window sort over
+    * the full table, no fetch-back joins. */
   def annPairs(spark: SparkSession, dir: String,
       minSim: Double = 0.3, hotBucketCap: Int = 256): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     // materialize buckets once — both join sides read them
     val e = signBucketTable(emb).join(emb, "vec_id").localCheckpoint(true)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val sized = e.select(col("vec_id"), col("bucket"),
-      count(lit(1)).over(w).as("_bsz"), min(col("vec_id")).over(w).as("_bmin"))
-    val normal = sized.filter(col("_bsz") <= hotBucketCap)
-      .select(col("vec_id"), col("bucket"))
-    val cands = normal.as("a")
+    val hot = e.groupBy("bucket")
+      .agg(count(lit(1)).as("_bsz"), min(col("vec_id")).as("_bmin"))
+      .filter(col("_bsz") > hotBucketCap)
+      .select(col("bucket"), col("_bmin"))
+    val normal = e.join(broadcast(hot.select("bucket")),
+      Seq("bucket"), "left_anti")
+    val normalPairs = normal.as("a")
       .join(normal.as("b"), col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .unionByName(sized
-        .filter(col("_bsz") > hotBucketCap && col("vec_id") =!= col("_bmin"))
-        .select(col("_bmin").as("id_a"), col("vec_id").as("id_b")))
-      .distinct()
-    cands
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")),
-        "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")),
-        "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("ea"), col("eb")), 9).as("cos_sim"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 9)
+          .as("cos_sim"))
+    // hubs: one row per hot bucket — tiny, broadcast with its embedding
+    val hubs = e.join(
+        broadcast(hot.withColumnRenamed("bucket", "_hb")),
+        col("vec_id") === col("_bmin"))
+      .select(col("_hb"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+    val starPairs = e.join(broadcast(hubs),
+        col("bucket") === col("_hb") && col("vec_id") =!= col("id_a"))
+      .select(col("id_a"), col("vec_id").as("id_b"),
+        round(cosine(col("ea"), col("embedding")), 9).as("cos_sim"))
+    normalPairs.unionByName(starPairs)
       .filter(col("cos_sim") >= minSim)
       .orderBy("id_a", "id_b")
   }
