@@ -76,6 +76,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
     "q_minhash_lsh" -> ((s, d) => llm.Dedup.minhashLsh(s, d)),
     "q_simhash" -> (llm.Dedup.simhash _),
+    "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(s, d)),
+    "q_decontaminate" -> ((s, d) => llm.Dedup.decontaminate(s, d)),
+    "q_hash_split" -> (llm.Sampling.hashSplit _),
     // family 11: llm-ops — similarity search
     "q_cosine_topk" -> ((s, d) => llm.Similarity.cosineTopK(s, d)),
     "q_cosine_topk_ivf" -> ((s, d) => llm.Similarity.cosineTopKIvf(s, d)),
@@ -446,6 +449,61 @@ object SparkEntry {
         |    (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))
         |SELECT id_a, id_b, est_sim FROM pairs WHERE est_sim >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure of the LSH pair relation via WITH RECURSIVE;
+    // cluster id = min reachable doc_id, singletons map to themselves
+    "q_dup_clusters" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |       FROM tk),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |mh AS (SELECT doc_id, j,
+        |         MIN(CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+        |       FROM ex CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+        |    (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+        |    (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+        |    (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]))
+        |  WHERE CAST(len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |cl AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  COALESCE(LEAST(cl.mn, d.doc_id), d.doc_id) AS cluster_id,
+        |  CAST(CASE WHEN COALESCE(LEAST(cl.mn, d.doc_id), d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // benchmark = doc_id % 97 == 0 slice; contamination = shared 3-gram
+    "q_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                               FOR i IN generate_series(1, len(toks) - 2)])) AS s
+        |       FROM tk),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |z AS (SELECT e.vec_id, e.label,

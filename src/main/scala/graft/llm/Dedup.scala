@@ -219,6 +219,61 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the MinHash+LSH pair
+    * relation (pairs only say "these two match"; dedup keeps one survivor
+    * per transitive-closure cluster). Every document gets a cluster id —
+    * the minimum doc_id of its cluster; docs in no pair are their own
+    * singleton cluster. `is_survivor` marks the min-id member, i.e. the
+    * row a dedup pass keeps.
+    *
+    * Scale: pair generation is the bucketed LSH path (never all-pairs);
+    * clustering is alternating large-star/small-star over the pair list —
+    * O(log² n) rounds of equi-shuffles on a set whose size is bounded by
+    * the near-dup pairs, NOT the corpus (see
+    * [[graft.operators.ConnectedComponents]]). */
+  def dupClusters(spark: SparkSession, dir: String,
+      minEstSim: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(spark, dir, minEstSim)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val cc = graft.operators.ConnectedComponents.components(pairs)
+      .withColumnRenamed("id", "doc_id")
+    t(spark, dir, "documents").select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor",
+        (col("cluster_id") === col("doc_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag training documents that share ANY
+    * k-gram with an eval/benchmark set (the GPT-3/PaLM-style n-gram-overlap
+    * rule; the benchmark here is the deterministic doc_id % 97 == 0 slice).
+    * Contamination = one semi-join of corpus shingle rows against the
+    * distinct benchmark shingles.
+    *
+    * Scale: the benchmark side is tiny next to a 100 TB corpus — broadcast
+    * its distinct shingles (or a bloom filter of them) so the corpus-side
+    * scan is a map-only pass; the only shuffle is the per-doc distinct of
+    * the hit list. */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    decontaminateOf(t(spark, dir, "documents"), k)
+
+  /** DataFrame-in variant (docs: doc_id, text) — the benchmark slice is the
+    * deterministic doc_id % 97 == 0 subset of `docs`. */
+  def decontaminateOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val benchSh = shingleRows(bench, k).select("s").distinct()
+    val hits = shingleRows(train, k)
+      .join(broadcast(benchSh), Seq("s"), "left_semi")
+      .select("doc_id").distinct()
+    train.select("doc_id")
+      .join(hits.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (16-bit, md5-derived): per token take 16 bits of md5, majority
     * vote per bit position across tokens. Staged: tokens → per-token hashes
     * → bit-vote fold. */

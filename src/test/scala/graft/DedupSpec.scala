@@ -60,4 +60,92 @@ class DedupSpec extends AnyFunSuite {
         s"from brute force (missing=${want -- got}, extra=${got -- want})")
     }
   }
+
+  /** Driver-side union-find: the ground truth for component tests. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("connected components: chain, clique, singleton-free mapping") {
+    import spark.implicits._
+    // adversarial CHAIN 1-2-...-12 (diameter 11 — label propagation's worst
+    // case), a triangle, a 2-clique, and a shared-min star
+    val edges = (1L to 11L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L),
+        (40L, 41L), (40L, 42L), (40L, 43L), (43L, 44L))
+    val got = graft.operators.ConnectedComponents
+      .components(edges.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == bruteComponents(edges))
+  }
+
+  test("connected components: duplicate/reversed/self edges are harmless") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L), (2L, 3L))
+    val got = graft.operators.ConnectedComponents
+      .components(edges.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connected components: empty edge set yields empty mapping") {
+    import spark.implicits._
+    val got = graft.operators.ConnectedComponents
+      .components(Seq.empty[(Long, Long)].toDF("u", "v"))
+    assert(got.count() == 0)
+  }
+
+  test("dup clusters equal the transitive closure of the LSH pairs") {
+    val pairs = Dedup.minhashLsh(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = bruteComponents(pairs)
+    val rows = Dedup.dupClusters(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (id, cl, surv) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(cl == want.getOrElse(id, id), s"doc $id cluster")
+      assert(surv == (if (cl == id) 1 else 0), s"doc $id survivor flag")
+    }
+    // every document appears exactly once
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == docs)
+  }
+
+  test("decontaminate flags exactly the docs sharing a 3-gram with bench") {
+    import spark.implicits._
+    // bench doc 97 shares "a b c" with train doc 1; doc 2 shares nothing;
+    // doc 3 has <3 tokens (no shingles — never contaminated); doc 194 is
+    // also bench (excluded from output)
+    val docs = Seq(
+      (97L, "a b c d e"), (194L, "zz yy xx"),
+      (1L, "x a b c y"), (2L, "p q r s t"), (3L, "a b"),
+      (4L, "ww zz yy xx vv")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateOf(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("hash split is a deterministic total 80/10/10 partition by bucket") {
+    val rows = graft.llm.Sampling.hashSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, b, s) =>
+      assert(b >= 0 && b < 100)
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == expect)
+    }
+    // pure function of doc_id: a second run is identical
+    val again = graft.llm.Sampling.hashSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

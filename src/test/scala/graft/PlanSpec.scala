@@ -86,6 +86,22 @@ class PlanSpec extends AnyFunSuite {
       s"k-NN join degenerated to a cross product:\n$p")
   }
 
+  test("q_decontaminate probes benchmark shingles with a broadcast semi-join") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"decontamination shingle probe degenerated:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"benchmark shingle side is not broadcast:\n$p")
+  }
+
+  test("q_hash_split is a pure projection: no exchange before the sort") {
+    val df = SparkEntry.queries("q_hash_split")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation ORDER BY
+    assert(!p.contains("hashpartitioning"),
+      s"split assignment shuffled — must stay a projection:\n$p")
+  }
+
   test("generic as-of join shuffles once on the union key (q_asof_join)") {
     val p = plan("q_asof_join")
     assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,
