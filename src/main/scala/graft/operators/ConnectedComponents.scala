@@ -61,7 +61,15 @@ object ConnectedComponents {
     * never re-derives rounds 1..i-1, and convergence is an EXACT set
     * comparison (count + exceptAll on the two materialized frames — a
     * checksum could collide and silently stop early). */
-  def components(edges0: DataFrame, maxIter: Int = 64): DataFrame = {
+  def components(edges0: DataFrame, maxIter: Int = 64): DataFrame =
+    componentsWithRounds(edges0, maxIter)._1
+
+  /** [[components]] plus the number of large+small-star rounds it took —
+    * lets tests pin the O(log² n) convergence bound that makes this viable
+    * at 100 TB (a regression to O(diameter) behavior would show up as a
+    * round-count explosion long before a wall-clock one). */
+  def componentsWithRounds(edges0: DataFrame, maxIter: Int = 64)
+      : (DataFrame, Int) = {
     var (edges, n) = graft.Materialize.checkpointCounted(
       edges0.select(
           greatest(col("u"), col("v")).as("u"),
@@ -81,8 +89,9 @@ object ConnectedComponents {
     if (!converged)
       sys.error(s"connected components did not converge in $maxIter rounds")
     // star forest: (member, center); centers map to themselves
-    edges.select(col("u").as("id"), col("v").as("component"))
+    (edges.select(col("u").as("id"), col("v").as("component"))
       .unionByName(
-        edges.select(col("v").as("id"), col("v").as("component")).distinct())
+        edges.select(col("v").as("id"), col("v").as("component")).distinct()),
+      it)
   }
 }

@@ -97,6 +97,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connected components: random graph matches union-find in O(log n) rounds") {
+    import spark.implicits._
+    // 1500 nodes, ~2000 edges: a mix of chains, stars, and random
+    // attachments — components must match union-find exactly, and the
+    // round count must stay logarithmic (the 100 TB viability property;
+    // label propagation would need O(diameter) ≈ hundreds of rounds on
+    // the chain parts)
+    val rnd = new scala.util.Random(7)
+    val chain = (1000L to 1400L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val rand = (1 to 1600).map { _ =>
+      val u = rnd.nextInt(1500).toLong; val v = rnd.nextInt(1500).toLong
+      (u, v)
+    }.filter { case (u, v) => u != v }
+    val edges = chain ++ rand
+    val (cc, rounds) = graft.operators.ConnectedComponents
+      .componentsWithRounds(edges.toDF("u", "v"))
+    val got = cc.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == bruteComponents(edges))
+    assert(rounds <= 15, s"convergence took $rounds rounds — log² bound broken")
+  }
+
   test("connected components: empty edge set yields empty mapping") {
     import spark.implicits._
     val got = graft.operators.ConnectedComponents
