@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** Streaming/incremental exact dedup — the ingest-side complement of
+  * [[graft.llm.Dedup.exact]]. A 100 TB corpus is never re-deduped wholesale:
+  * each increment is deduped (a) against itself in flight and (b) against
+  * the hashes of everything already ingested, reading only the narrow hash
+  * column, never the stored document text.
+  *
+  * Reference scope note: the reference pipeline is Kafka-in/out streaming
+  * (`scripts/get_entity_job.py`); this module applies the same
+  * Structured-Streaming patterns (watermarked state, idempotent foreachBatch)
+  * to the LLM-data dedup family.
+  */
+object StreamingDedup {
+
+  /** (a) In-flight dedup: drop re-arrivals of the same content hash within
+    * the watermark horizon. State is bounded by the horizon (Spark evicts
+    * keys older than the watermark), NOT by corpus size — the property that
+    * keeps the state store finite on an unbounded crawl stream. Emits the
+    * first arrival of each hash. */
+  def inFlight(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("h")
+
+  /** Rows of `batch` that survive exact dedup against the batch itself
+    * (min doc_id per hash — same survivor rule as `Dedup.exact`) and
+    * against the prior hash set. Pure batch logic, unit-testable. */
+  def novelInBatch(batch: DataFrame, priorHashes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    batch.withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(priorHashes.select("h"), Seq("h"), "left_anti")
+  }
+
+  /** Hash-set reader: the store is parquet partitioned by ingest batch
+    * (`batch=N` dirs), so "all hashes before batch B" is a partition-pruned
+    * scan of one narrow string column. Returns None when nothing has been
+    * ingested yet. */
+  def readHashes(spark: SparkSession, storePath: String): Option[DataFrame] = {
+    val root = new java.io.File(storePath)
+    val parts = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (parts.isEmpty) None
+    else Some(spark.read.option("basePath", storePath)
+      .parquet(parts.map(_.getPath): _*))
+  }
+
+  /** (b) Cross-run incremental dedup as an idempotent foreachBatch body:
+    * survivors of microbatch `batchId` are written to `outPath/batch=N`
+    * and their hashes to `storePath/batch=N`, both with OVERWRITE — a
+    * replayed batch rewrites its own partition and reads only hashes from
+    * STRICTLY EARLIER batches, so retry produces byte-identical output
+    * (effectively-once without a transaction log). */
+  def dedupBatch(spark: SparkSession, storePath: String, outPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val prior = readHashes(spark, storePath)
+      .map(_.filter(col("batch") < batchId).select("h"))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("h", org.apache.spark.sql.types.StringType)))
+    val novel = graft.Materialize.checkpoint(novelInBatch(batch, prior))
+    novel.select("h").write.mode("overwrite")
+      .parquet(s"$storePath/batch=$batchId")
+    novel.drop("h").write.mode("overwrite")
+      .parquet(s"$outPath/batch=$batchId")
+  }
+
+  /** Wire a (doc_id, text) stream through the incremental dedup. */
+  def incrementalDedup(docs: DataFrame, storePath: String, outPath: String,
+      checkpoint: String): DataStreamWriter[Row] = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch(dedupBatch(spark, storePath, outPath) _)
+      .option("checkpointLocation", checkpoint)
+  }
+}

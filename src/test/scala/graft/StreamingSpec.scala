@@ -156,6 +156,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("in-flight streaming dedup drops re-arrivals within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingDedup.inFlight(
+        input.toDS().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("inflight_dedup")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      input.addData((1L, ts(100), "aaa"), (2L, ts(101), "bbb"))
+      q.processAllAvailable()
+      // same content re-arrives in a LATER microbatch, still in horizon
+      input.addData((3L, ts(102), "aaa"), (4L, ts(103), "ccc"))
+      q.processAllAvailable()
+      val got = spark.table("inflight_dedup")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 4L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("incremental dedup survives against prior hashes, idempotent on replay") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val (store, out) = (s"$dir/hashes", s"$dir/docs")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.incrementalDedup(
+      input.toDS().toDF("doc_id", "text"), store, out, s"$dir/ckpt").start()
+    try {
+      // batch 0: in-batch duplicate (1,3) — min doc_id survives
+      input.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+      q.processAllAvailable()
+      // batch 1: cross-batch duplicate (4) vs novel (5)
+      input.addData((4L, "bbb"), (5L, "ccc"))
+      q.processAllAvailable()
+      val survivors = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 2L, 5L), s"got $survivors")
+      // replay batch 1 (failure retry): reads only batch<1 hashes, so the
+      // rewrite is byte-identical — survivors unchanged, no double-drop
+      val replayBatch = Seq((4L, "bbb"), (5L, "ccc")).toDF("doc_id", "text")
+      graft.streaming.StreamingDedup.dedupBatch(spark, store, out)(replayBatch, 1L)
+      val again = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == Set(1L, 2L, 5L), s"replay diverged: $again")
+    } finally q.stop()
+  }
+
   test("number sequence + elements example sources (S11/S12)") {
     assert(StreamingJobs.numberSequence(spark).count() == 100)
     assert(StreamingJobs.fromElements(spark).collect()
