@@ -79,6 +79,7 @@ object SparkEntry {
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(s, d)),
     "q_decontaminate" -> ((s, d) => llm.Dedup.decontaminate(s, d)),
     "q_hash_split" -> (llm.Sampling.hashSplit _),
+    "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
     // family 11: llm-ops — similarity search
     "q_cosine_topk" -> ((s, d) => llm.Similarity.cosineTopK(s, d)),
     "q_cosine_topk_ivf" -> ((s, d) => llm.Similarity.cosineTopKIvf(s, d)),
@@ -504,6 +505,14 @@ object SparkEntry {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // exactly-k-per-language deterministic sample: rank by md5(doc_id)
+    "q_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS r FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS INTEGER) AS rnk
+        |  FROM r)
+        |SELECT doc_id, lang, rnk FROM q WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |z AS (SELECT e.vec_id, e.label,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -27,4 +28,30 @@ object Sampling {
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
       .orderBy("doc_id")
+
+  /** Exactly-k-per-stratum deterministic sample ("10k eval docs per
+    * language"): rank docs inside each stratum by md5 of the id (a
+    * uniform, reproducible shuffle order) and keep the first k.
+    *
+    * Skew note for 100 TB: a naive per-stratum window puts ALL of a hot
+    * stratum ('en' is most of a web corpus) through one partition. This
+    * runs two phases: phase 1 takes the top-k per (stratum, salt) over 32
+    * salts — bounding any partition at 1/32nd of the stratum — and phase 2
+    * re-ranks the ≤ 32·k phase-1 survivors per stratum. Identical result,
+    * worst partition 32× smaller; increase salts with cluster width. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      k: Int = 20, salts: Int = 32): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("r"))
+      .withColumn("salt", Dedup.h60(concat(lit("s#"),
+        col("doc_id").cast("string"))) % salts)
+    val w1 = Window.partitionBy("lang", "salt").orderBy("r", "doc_id")
+    val w2 = Window.partitionBy("lang").orderBy("r", "doc_id")
+    docs
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
 }

@@ -169,4 +169,24 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("salted two-phase stratified sample equals the naive single window") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    val got = graft.llm.Sampling.stratifiedSample(spark, sfDir, k, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = docs
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == naive)
+    // every stratum contributes exactly min(k, |stratum|) rows
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = got.groupBy(_._2).map { case (l, s) => l -> s.size }
+    assert(perLang == sizes.map { case (l, n) => l -> math.min(k.toLong, n).toInt })
+  }
 }
