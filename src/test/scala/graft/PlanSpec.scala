@@ -94,6 +94,13 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark shingle side is not broadcast:\n$p")
   }
 
+  test("q_stratified_sample scan prunes to (doc_id, lang) — never text") {
+    val p = plan("q_stratified_sample")
+    assert(p.contains("ReadSchema"), s"no scan in plan:\n$p")
+    assert(!p.contains("text"),
+      s"id-rank sampling must not read the text column:\n$p")
+  }
+
   test("q_hash_split is a pure projection: no exchange before the sort") {
     val df = SparkEntry.queries("q_hash_split")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
