@@ -80,6 +80,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => llm.Dedup.decontaminate(s, d)),
     "q_hash_split" -> (llm.Sampling.hashSplit _),
     "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
+    "q_curation_e2e" -> (llm.Curation.curationE2E _),
     // family 11: llm-ops — similarity search
     "q_cosine_topk" -> ((s, d) => llm.Similarity.cosineTopK(s, d)),
     "q_cosine_topk_ivf" -> ((s, d) => llm.Similarity.cosineTopKIvf(s, d)),
@@ -502,6 +503,63 @@ object SparkEntry {
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
         |  FROM documents)
         |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // five-stage curation composition: quality gate → exact dedup →
+    // LSH-cluster survivor → 3-gram decontamination → hash split; every
+    // stage reconstructed as a CTE so the COMPOSITION is oracle-checked
+    "q_curation_e2e" ->
+      """WITH RECURSIVE
+        |tk0 AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang, text FROM tk0
+        |      WHERE doc_id % 97 <> 0
+        |        AND CAST(len(list_filter(toks, w -> list_contains(['the','a','of','and','to'], w))) AS DOUBLE)
+        |            / len(toks) <= 0.2
+        |        AND len(toks) >= 12),
+        |ex AS (SELECT doc_id, lang, text FROM
+        |       (SELECT q.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+        |       WHERE rn = 1),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM ex),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |       FROM tk),
+        |exsh AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |mh AS (SELECT doc_id, j,
+        |         MIN(CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+        |       FROM exsh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+        |    (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+        |    (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+        |    (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]))
+        |  WHERE CAST(len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |cl AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+        |surv AS (SELECT e.doc_id, e.lang FROM ex e LEFT JOIN cl ON e.doc_id = cl.doc_id
+        |         WHERE COALESCE(LEAST(cl.mn, e.doc_id), e.doc_id) = e.doc_id),
+        |btk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id % 97 = 0),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                               FOR i IN generate_series(1, len(toks) - 2)])) AS s
+        |        FROM btk),
+        |hits AS (SELECT DISTINCT e.doc_id FROM exsh e
+        |         JOIN surv sv ON e.doc_id = sv.doc_id
+        |         WHERE e.s IN (SELECT s FROM bsh)),
+        |clean AS (SELECT doc_id, lang FROM surv
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        |b AS (SELECT doc_id, lang,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |      FROM clean)
+        |SELECT doc_id, lang,
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,

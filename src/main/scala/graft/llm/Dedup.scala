@@ -171,11 +171,17 @@ object Dedup {
     * joined back for scoring. Bucket sizes are data-bounded (near-dups
     * only); no all-pairs join ever materializes. */
   def minhashLsh(spark: SparkSession, dir: String,
+      minEstSim: Double = 0.5, hotBucketCap: Int = 256): DataFrame =
+    minhashLshOf(t(spark, dir, "documents"), minEstSim, hotBucketCap)
+
+  /** DataFrame-in variant (docs: doc_id, text) — lets pipeline compositions
+    * run LSH over an already-filtered survivor set. */
+  def minhashLshOf(docs: DataFrame,
       minEstSim: Double = 0.5, hotBucketCap: Int = 256): DataFrame = {
     val bands = 4
     // materialize the signature table once (it feeds bucketing AND two
     // scoring joins; in production it would be a persisted stage output)
-    val sig = signatureTable(t(spark, dir, "documents")).localCheckpoint(true)
+    val sig = signatureTable(docs).localCheckpoint(true)
     val buckets = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
@@ -232,12 +238,16 @@ object Dedup {
     * the near-dup pairs, NOT the corpus (see
     * [[graft.operators.ConnectedComponents]]). */
   def dupClusters(spark: SparkSession, dir: String,
-      minEstSim: Double = 0.5): DataFrame = {
-    val pairs = minhashLsh(spark, dir, minEstSim)
+      minEstSim: Double = 0.5): DataFrame =
+    dupClustersOf(t(spark, dir, "documents"), minEstSim)
+
+  /** DataFrame-in variant (docs: doc_id, text). */
+  def dupClustersOf(docs: DataFrame, minEstSim: Double = 0.5): DataFrame = {
+    val pairs = minhashLshOf(docs, minEstSim)
       .select(col("id_a").as("u"), col("id_b").as("v"))
     val cc = graft.operators.ConnectedComponents.components(pairs)
       .withColumnRenamed("id", "doc_id")
-    t(spark, dir, "documents").select("doc_id")
+    docs.select("doc_id")
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))

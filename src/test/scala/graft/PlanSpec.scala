@@ -94,6 +94,12 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark shingle side is not broadcast:\n$p")
   }
 
+  test("q_curation_e2e composes without cartesian products") {
+    val p = plan("q_curation_e2e")
+    assert(!p.contains("CartesianProduct"),
+      s"curation pipeline degenerated to a cross product:\n$p")
+  }
+
   test("q_stratified_sample scan prunes to (doc_id, lang) — never text") {
     val p = plan("q_stratified_sample")
     assert(p.contains("ReadSchema"), s"no scan in plan:\n$p")
