@@ -40,16 +40,20 @@ object Curation {
     val quality = docs.filter(col("doc_id") % 97 =!= 0)
       .filter(nStop.cast("double") / nTok <= 0.2 && nTok >= 12)
 
-    // 2. exact dedup: min doc_id per content hash
+    // 2. exact dedup: min doc_id per content hash. Checkpointed: it feeds
+    // the signature pipeline AND the survivor semi-join — without the
+    // barrier each consumer re-runs the tokenize+window funnel above.
     val wExact = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-    val exact = quality.withColumn("rn", row_number().over(wExact))
-      .filter(col("rn") === 1).drop("rn")
+    val exact = graft.Materialize.checkpoint(
+      quality.withColumn("rn", row_number().over(wExact))
+        .filter(col("rn") === 1).drop("rn"))
 
-    // 3. near-dup cluster survivors over the exact survivors
-    val nearDup = exact.join(
+    // 3. near-dup cluster survivors over the exact survivors (two
+    // consumers again: decontamination shingles + the final anti-join)
+    val nearDup = graft.Materialize.checkpoint(exact.join(
       Dedup.dupClustersOf(exact).filter(col("is_survivor") === 1)
         .select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"))
 
     // 4. decontamination against the benchmark slice's shingles
     val benchSh = Dedup.shingleRows(bench).select("s").distinct()
