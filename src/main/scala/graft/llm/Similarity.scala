@@ -8,16 +8,25 @@ import graft.Tables._
   * cosine top-k as the exact baseline, and an IVF-style cell-pruned variant
   * as the scale path.
   *
-  * Dot products are `zip_with` + `aggregate` folds in double — sequential
-  * per-row accumulation, fully codegen'd, deterministic. At 100 TB the
-  * brute-force form is a broadcast of the query vector over a single scan
-  * (no shuffle until top-k merge, which TakeOrderedAndProject keeps at k
-  * rows per partition).
+  * Dot products run through the native [[graft.functions.FloatVecDot]]
+  * expression — a primitive loop with real codegen (the higher-order
+  * `zip_with`+`aggregate` fold interprets its lambda per element and was
+  * the scoring hot spot). Accumulation is sequential in index order, in
+  * double — bit-identical to the fold AND to the DuckDB oracle's
+  * `list_reduce`. At 100 TB the brute-force form is a broadcast of the
+  * query vector over a single scan (no shuffle until top-k merge, which
+  * TakeOrderedAndProject keeps at k rows per partition).
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
+  /** Native dot product (codegen'd primitive loop). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.FloatVecDot.float_vec_dot(a, b)
+
+  /** The interpreted fold formulation — kept as the differential-testing
+    * reference for the native expression (FunctionsSpec asserts bit
+    * equality across the embeddings table). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
