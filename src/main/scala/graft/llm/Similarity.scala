@@ -32,7 +32,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (FunctionsSpec pins bit-equality with the
+    * composed `dot / (norm * norm)` form). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.FloatVecCosine.float_vec_cosine(a, b)
+
+  /** Composed three-pass form — differential-testing reference. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against the query vector (vec_id = qId). */
   def cosineTopK(spark: SparkSession, dir: String, qId: Long = 0L,

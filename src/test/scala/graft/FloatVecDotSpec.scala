@@ -43,6 +43,49 @@ class FloatVecDotSpec extends AnyFunSuite {
       Seq(Some(11.0), None, Some(0.0), None))
   }
 
+  test("fused cosine is bit-identical to the composed dot/norm form") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cmp = e.crossJoin(broadcast(
+        e.filter(col("vec_id") === 0).select(col("embedding").as("q"))))
+      .select(
+        Similarity.cosine(col("embedding"), col("q")).as("fused"),
+        Similarity.cosineComposed(col("embedding"), col("q")).as("composed"))
+      .filter(col("fused") =!= col("composed") ||
+        col("fused").isNull =!= col("composed").isNull)
+    assert(cmp.count() == 0)
+  }
+
+  test("fused cosine edge cases match the composed form") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // identical: 1.0
+      (Array(1.0f), Array(3.0f, 4.0f)))          // length mismatch: null
+      .toDF("a", "b")
+    val got = rows.select(
+        Similarity.cosine(col("a"), col("b")).as("f"),
+        Similarity.cosineComposed(col("a"), col("b")).as("c"))
+      .collect()
+    got.foreach { r =>
+      val f = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val c = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(f.map(java.lang.Double.doubleToLongBits(_)) ==
+        c.map(java.lang.Double.doubleToLongBits(_)), s"$f vs $c")
+    }
+  }
+
+  test("fused cosine survives a zero-norm vector where ANSI composed throws") {
+    import spark.implicits._
+    val rows = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val fused = rows.select(Similarity.cosine(col("a"), col("b")).as("f"))
+      .collect().head
+    assert(!fused.isNullAt(0) && fused.getDouble(0).isNaN)
+    // the composed form under ANSI (Spark 4 default) kills the whole job
+    val thrown = intercept[Exception] {
+      rows.select(Similarity.cosineComposed(col("a"), col("b"))).collect()
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"), thrown.getMessage)
+  }
+
   test("native dot compiles under codegen with fallback disabled") {
     val prior = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
