@@ -58,9 +58,14 @@ object ConnectedComponents {
     * their own singleton component).
     *
     * Each iteration materializes the edge set (localCheckpoint) so round i
-    * never re-derives rounds 1..i-1, and convergence is an EXACT set
-    * comparison (count + exceptAll on the two materialized frames — a
-    * checksum could collide and silently stop early). */
+    * never re-derives rounds 1..i-1. Convergence = the edge set is a star
+    * forest, checked directly: no node appears both as a member (`u`) and
+    * as a center (`v`). All edges keep u > v, so a star's center is its
+    * component minimum (the min node can never be a member — its edge
+    * would need a smaller center from the same component). One semi-join
+    * probe per round, and it detects the fixpoint on the round that
+    * REACHES it — an exact set comparison needs one more round just to
+    * observe no-change. */
   def components(edges0: DataFrame, maxIter: Int = 64): DataFrame =
     componentsWithRounds(edges0, maxIter)._1
 
@@ -70,20 +75,22 @@ object ConnectedComponents {
     * round-count explosion long before a wall-clock one). */
   def componentsWithRounds(edges0: DataFrame, maxIter: Int = 64)
       : (DataFrame, Int) = {
+    def isStarForest(e: DataFrame): Boolean =
+      e.select("u").join(e.select(col("v").as("u")), Seq("u"), "left_semi")
+        .isEmpty
     var (edges, n) = graft.Materialize.checkpointCounted(
       edges0.select(
           greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-    var converged = n == 0
+    var converged = n == 0 || isStarForest(edges)
     var it = 0
     while (!converged && it < maxIter) {
-      val (next, m) = graft.Materialize.checkpointCounted(
+      val (next, _) = graft.Materialize.checkpointCounted(
         smallStar(largeStar(edges)))
-      converged = m == n && next.exceptAll(edges).isEmpty
+      converged = isStarForest(next)
       edges = next
-      n = m
       it += 1
     }
     if (!converged)
