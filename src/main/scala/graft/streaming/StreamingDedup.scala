@@ -74,6 +74,38 @@ object StreamingDedup {
       .parquet(s"$outPath/batch=$batchId")
   }
 
+  /** Compact hash-store partitions `batch <= upToBatch` into the single
+    * `batch=upToBatch` dir — the small-files countermeasure for a store
+    * that gains one directory per microbatch (at one batch/minute that is
+    * half a million dirs a year; scan planning dies long before the data).
+    *
+    * Crash-safe BY SEMANTICS rather than by transaction: the consolidated
+    * dir is written first (overwrite), older dirs deleted after. A crash
+    * between the two leaves some hashes present in two partitions — which
+    * the anti-join consumer cannot observe (set semantics). Only compact
+    * batches older than the stream's replay horizon: a replayed batch
+    * must still see itself excluded from "prior", which compaction into
+    * a LOWER-OR-EQUAL batch id preserves. */
+  def compactHashes(spark: SparkSession, storePath: String,
+      upToBatch: Long): Unit = {
+    val root = new java.io.File(storePath)
+    val old = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName.stripPrefix("batch=").toLong <= upToBatch)
+    if (old.isEmpty) return
+    val merged = spark.read.option("basePath", storePath)
+      .parquet(old.map(_.getPath): _*)
+      .select("h").distinct()
+      // materialize BEFORE overwriting a dir we are also reading
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$storePath/batch=$upToBatch")
+    import scala.jdk.CollectionConverters._
+    old.filter(_.getName != s"batch=$upToBatch").foreach { d =>
+      java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** Wire a (doc_id, text) stream through the incremental dedup. */
   def incrementalDedup(docs: DataFrame, storePath: String, outPath: String,
       checkpoint: String): DataStreamWriter[Row] = {

@@ -104,18 +104,21 @@ class DedupSpec extends AnyFunSuite {
     // round count must stay logarithmic (the 100 TB viability property;
     // label propagation would need O(diameter) ≈ hundreds of rounds on
     // the chain parts)
-    val rnd = new scala.util.Random(7)
-    val chain = (1000L to 1400L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val rand = (1 to 1600).map { _ =>
-      val u = rnd.nextInt(1500).toLong; val v = rnd.nextInt(1500).toLong
-      (u, v)
-    }.filter { case (u, v) => u != v }
-    val edges = chain ++ rand
-    val (cc, rounds) = graft.operators.ConnectedComponents
-      .componentsWithRounds(edges.toDF("u", "v"))
-    val got = cc.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == bruteComponents(edges))
-    assert(rounds <= 15, s"convergence took $rounds rounds — log² bound broken")
+    for (seed <- Seq(7, 23, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val chain = (1000L to 1400L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val rand = (1 to 1600).map { _ =>
+        val u = rnd.nextInt(1500).toLong; val v = rnd.nextInt(1500).toLong
+        (u, v)
+      }.filter { case (u, v) => u != v }
+      val edges = chain ++ rand
+      val (cc, rounds) = graft.operators.ConnectedComponents
+        .componentsWithRounds(edges.toDF("u", "v"))
+      val got = cc.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == bruteComponents(edges), s"seed $seed")
+      assert(rounds <= 15,
+        s"seed $seed: convergence took $rounds rounds — log² bound broken")
+    }
   }
 
   test("connected components: empty edge set yields empty mapping") {

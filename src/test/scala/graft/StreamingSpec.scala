@@ -205,6 +205,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hash-store compaction preserves the dedup-visible hash set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val (store, out) = (s"$dir/hashes", s"$dir/docs")
+    def run(batch: Seq[(Long, String)], id: Long) =
+      graft.streaming.StreamingDedup.dedupBatch(spark, store, out)(
+        batch.toDF("doc_id", "text"), id)
+    run(Seq((1L, "aaa"), (2L, "bbb")), 0L)
+    run(Seq((3L, "ccc")), 1L)
+    run(Seq((4L, "ddd")), 2L)
+    val before = graft.streaming.StreamingDedup.readHashes(spark, store)
+      .get.select("h").collect().map(_.getString(0)).toSet
+    graft.streaming.StreamingDedup.compactHashes(spark, store, 1L)
+    // batches 0,1 merged into batch=1; visible hash set unchanged
+    val dirs = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(dirs == Set("batch=1", "batch=2"), dirs)
+    val after = graft.streaming.StreamingDedup.readHashes(spark, store)
+      .get.select("h").collect().map(_.getString(0)).toSet
+    assert(after == before)
+    // a NEW batch dedups identically against the compacted store
+    run(Seq((5L, "aaa"), (6L, "eee")), 3L)
+    val survivors = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 4L, 6L), survivors)
+  }
+
   test("number sequence + elements example sources (S11/S12)") {
     assert(StreamingJobs.numberSequence(spark).count() == 100)
     assert(StreamingJobs.fromElements(spark).collect()
