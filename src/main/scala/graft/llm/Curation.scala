@@ -62,11 +62,9 @@ object Curation {
       .select("doc_id").distinct()
     val clean = nearDup.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 5. deterministic split assignment
-    val bucket = Dedup.h60(col("doc_id").cast("string")) % 100
+    // 5. deterministic split assignment (the one shared rule)
     clean.select(col("doc_id"), col("lang"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
+        Sampling.splitName(Sampling.splitBucket(col("doc_id"))).as("split"))
       .orderBy("doc_id")
   }
 }

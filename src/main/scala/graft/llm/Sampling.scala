@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -16,17 +16,25 @@ import graft.Tables._
   */
 object Sampling {
 
-  /** 80/10/10 split by md5 of the doc id: bucket = h60(id) mod 100,
-    * train < 80 ≤ val < 90 ≤ test. A pure projection — zero shuffle,
-    * embarrassingly parallel, and the parquet scan reads only `doc_id`. */
+  /** THE split rule, defined once: bucket = h60(md5 of the id) mod 100.
+    * Every consumer (standalone hashSplit, the curation composition) must
+    * route through these two expressions, or two pipelines could silently
+    * disagree on train/val/test membership. */
+  def splitBucket(docId: Column): Column =
+    Dedup.h60(docId.cast("string")) % 100
+
+  /** train < 80 ≤ val < 90 ≤ test over a [[splitBucket]] value. */
+  def splitName(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** 80/10/10 split by md5 of the doc id. A pure projection — zero
+    * shuffle, embarrassingly parallel, and the parquet scan reads only
+    * `doc_id`. */
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"),
-        (Dedup.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+      .select(col("doc_id"), splitBucket(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("bucket"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test").as("split"))
+        splitName(col("bucket")).as("split"))
       .orderBy("doc_id")
 
   /** Exactly-k-per-stratum deterministic sample ("10k eval docs per

@@ -75,7 +75,14 @@ object ConnectedComponents {
     * round-count explosion long before a wall-clock one). */
   def componentsWithRounds(edges0: DataFrame, maxIter: Int = 64)
       : (DataFrame, Int) = {
+    // a star forest needs BOTH: every member points to exactly one center
+    // (edges are distinct, so count == distinct centers), AND no node is
+    // both member and center (no chaining). Disjointness alone is NOT
+    // enough: {(16,3),(16,6)} has disjoint u/v sets but components 3 and
+    // 6 are unmerged — stopping there returns wrong clusters.
     def isStarForest(e: DataFrame): Boolean =
+      e.groupBy("u").agg(count(lit(1)).as("nc"))
+        .filter(col("nc") > 1).isEmpty &&
       e.select("u").join(e.select(col("v").as("u")), Seq("u"), "left_semi")
         .isEmpty
     var (edges, n) = graft.Materialize.checkpointCounted(

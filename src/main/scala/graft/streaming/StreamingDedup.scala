@@ -74,33 +74,38 @@ object StreamingDedup {
       .parquet(s"$outPath/batch=$batchId")
   }
 
-  /** Compact hash-store partitions `batch <= upToBatch` into the single
+  /** Compact hash-store partitions `batch < upToBatch` into the
     * `batch=upToBatch` dir — the small-files countermeasure for a store
     * that gains one directory per microbatch (at one batch/minute that is
     * half a million dirs a year; scan planning dies long before the data).
     *
-    * Crash-safe BY SEMANTICS rather than by transaction: the consolidated
-    * dir is written first (overwrite), older dirs deleted after. A crash
-    * between the two leaves some hashes present in two partitions — which
-    * the anti-join consumer cannot observe (set semantics). Only compact
-    * batches older than the stream's replay horizon: a replayed batch
-    * must still see itself excluded from "prior", which compaction into
-    * a LOWER-OR-EQUAL batch id preserves. */
+    * Crash-safe because the visible hash set only ever GROWS until the
+    * final deletes: the older dirs' hashes are APPENDED into
+    * `batch=upToBatch` (its own files are never rewritten), and the source
+    * dirs are deleted only after the append's commit. A crash mid-append
+    * leaves an ignored `_temporary` dir; a crash mid-delete leaves hashes
+    * present in two partitions — the anti-join consumer cannot observe
+    * either (set semantics, duplicates are harmless).
+    *
+    * Operational constraints: (a) only compact batches older than the
+    * stream's replay horizon — a replayed batch must still see itself
+    * excluded from "prior", which compaction into a lower-or-equal batch
+    * id preserves; (b) run it from the stream's driver thread between
+    * microbatches (e.g. at the top of foreachBatch) — deleting source
+    * dirs races an in-flight readHashes scan otherwise. */
   def compactHashes(spark: SparkSession, storePath: String,
       upToBatch: Long): Unit = {
     val root = new java.io.File(storePath)
     val old = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        f.getName.stripPrefix("batch=").toLong <= upToBatch)
+      .filter(f => f.isDirectory &&
+        f.getName.stripPrefix("batch=").toLongOption.exists(_ < upToBatch))
     if (old.isEmpty) return
-    val merged = spark.read.option("basePath", storePath)
+    spark.read.option("basePath", storePath)
       .parquet(old.map(_.getPath): _*)
       .select("h").distinct()
-      // materialize BEFORE overwriting a dir we are also reading
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$storePath/batch=$upToBatch")
+      .write.mode("append").parquet(s"$storePath/batch=$upToBatch")
     import scala.jdk.CollectionConverters._
-    old.filter(_.getName != s"batch=$upToBatch").foreach { d =>
+    old.foreach { d =>
       java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
         .reverse.foreach(java.nio.file.Files.delete)
     }

@@ -88,6 +88,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got == bruteComponents(edges))
   }
 
+  test("connected components: shared member with two centers must merge") {
+    import spark.implicits._
+    // regression: {(16,3),(16,6)} has DISJOINT member/center sets, so a
+    // convergence probe checking only disjointness stops at round 0 and
+    // never merges components 3 and 6
+    val edges = Seq((16L, 3L), (16L, 6L))
+    val got = graft.operators.ConnectedComponents
+      .components(edges.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 6L -> 3L, 16L -> 3L), got)
+  }
+
+  test("connected components: sparse random graphs match union-find") {
+    import spark.implicits._
+    // sparse graphs (fewer edges than nodes) are where premature
+    // convergence shows: many small odd-shaped components
+    for (seed <- Seq(1, 2, 3, 4, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 300).map { _ =>
+        (rnd.nextInt(500).toLong, rnd.nextInt(500).toLong)
+      }.filter { case (u, v) => u != v }
+      val got = graft.operators.ConnectedComponents
+        .components(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == bruteComponents(edges), s"seed $seed")
+    }
+  }
+
   test("connected components: duplicate/reversed/self edges are harmless") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L), (2L, 3L))
