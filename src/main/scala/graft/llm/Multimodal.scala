@@ -1,27 +1,43 @@
 package graft.llm
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** Multimodal-column plumbing: opaque binary payloads + typed metadata, with
-  * the decode step stubbed (no image/audio libs in this container). The
-  * Spark-side shape is real: binary columns, per-partition batched decode,
-  * deterministic fake features, tested schemas.
+/** Multimodal-column operators: opaque binary payloads + typed metadata,
+  * with REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF/
+  * TIFF readers ship with the JDK — no external dependency). Payloads that
+  * no installed codec can read (audio, video containers, arbitrary bytes)
+  * fall back to a deterministic stub so the pipeline shape stays total; the
+  * `codec` column records which path produced each row.
   *
   * At 100 TB: binaries stay opaque until the latest possible stage (column
   * pruning keeps them out of shuffles); decode runs per-partition with
-  * shared "codec" setup (mapPartitions), mirroring how a JNI/FFI decoder
-  * would be pooled per executor core.
+  * shared codec setup (mapPartitions + `ImageIO.setUseCache(false)` so no
+  * executor-local tmp files), mirroring how a JNI/FFI decoder would be
+  * pooled per executor core.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
-      sha256: String, width: Int, height: Int, features: Array[Float])
+      sha256: String, width: Int, height: Int, features: Array[Float],
+      codec: String)
+
+  /** Feature geometry: mean luminance over a GridW x GridH cell grid. */
+  private val GridW = 4
+  private val GridH = 2
+  val FeatureDim: Int = GridW * GridH
 
   /** Build a binary media column from the documents table (payload = utf-8
-    * bytes standing in for encoded image/audio frames). */
+    * bytes standing in for encoded image/audio frames; none decode as
+    * images, so they exercise the stub-fallback path — real decode is
+    * covered by specs that synthesize PNG/JPEG payloads). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     t(spark, dir, "documents")
@@ -32,35 +48,96 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: a real implementation would call an image/audio codec here
-    * (per-partition codec reuse). The fake is deterministic: "dimensions"
-    * derived from payload length, "features" from payload bytes. */
-  private def decodeStub(r: MediaRow): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+  /** Decode `bytes` with whatever installed ImageIO reader claims the
+    * format; None when no codec matches (or the payload is corrupt). */
+  private def decodeImage(bytes: Array[Byte]): Option[(String, BufferedImage)] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            if (img == null) None else Some((fmt, img))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Mean luminance (Rec.601, [0,1]) over a GridW x GridH cell grid —
+    * exact per-cell means via a single pixel pass. (A production path on
+    * very large images would progressively halve first; exactness is worth
+    * more here and decode already touched every pixel.) */
+  private def luminanceGrid(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Int](FeatureDim)
+    var y = 0
+    while (y < h) {
+      val row = (y.toLong * GridH / h).toInt * GridW
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 0.299 + ((rgb >> 8) & 0xff) * 0.587 +
+          (rgb & 0xff) * 0.114) / 255.0
+        val cell = row + (x.toLong * GridW / w).toInt
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(FeatureDim)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** Fallback for payloads no installed codec reads: deterministic
+    * "dimensions" from payload length, "features" from payload bytes —
+    * keeps the pipeline total and the schema uniform. */
+  private def decodeStub(r: MediaRow, sha: String): MediaFeatures = {
     val n = r.payload.length
     MediaFeatures(r.doc_id, r.media_type, n, sha,
       width = 16 + n % 64, height = 16 + (n / 64) % 64,
-      features = r.payload.take(8).map(b => (b & 0xff) / 255.0f))
+      features = r.payload.take(FeatureDim).map(b => (b & 0xff) / 255.0f)
+        .padTo(FeatureDim, 0f),
+      codec = "stub")
   }
 
-  /** Per-partition decode with one-time "codec" setup per partition. */
+  /** Per-partition decode with one-time codec setup per partition. Real
+    * ImageIO decode where a codec matches; stub fallback otherwise. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would go here (pooled decoder handle)
-      it.map(decodeStub)
+      ImageIO.setUseCache(false) // no executor-local tmp files
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+        decodeImage(r.payload) match {
+          case Some((fmt, img)) =>
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length, sha,
+              img.getWidth, img.getHeight, luminanceGrid(img), fmt)
+          case None => decodeStub(r, sha)
+        }
+      }
     }
   }
 
   /** Frame sampling plumbing: one row per sampled "frame" of a media
-    * payload. A real decoder would seek keyframes; the stub derives a
-    * deterministic frame count from payload size and samples every
-    * `everyN`th index. The Spark shape is the point: explode is pipelined
-    * (no shuffle), and frame payloads stay opaque binary slices so column
-    * pruning keeps them out of any downstream shuffle. */
+    * payload. A real video decoder would seek keyframes; for opaque
+    * payloads the frame count derives deterministically from payload size,
+    * sampling every `everyN`th index. The Spark shape is the point:
+    * explode is pipelined (no shuffle), and frame payloads stay opaque
+    * binary slices so column pruning keeps them out of downstream
+    * shuffles. */
   def frameSample(media: Dataset[MediaRow], everyN: Int = 4): DataFrame = {
-    import media.sparkSession.implicits._
     media.toDF()
       .withColumn("n_frames", greatest(lit(1), length(col("payload")) / 16))
       .select(col("doc_id"), col("media_type"),
@@ -68,32 +145,40 @@ object Multimodal {
           lit(everyN))).as(Seq("frame_ord", "frame_idx")),
         col("payload"))
       .select(col("doc_id"), col("media_type"), col("frame_idx"),
-        // stub "frame" = 16-byte payload slice at the frame offset
         expr("substring(payload, frame_idx * 16 + 1, 16)").as("frame_bytes"))
   }
 
-  /** Resize plumbing: rescale decoded features to a target geometry. A real
-    * implementation would rescale pixel buffers in the same per-partition
-    * codec loop; the stub rescales the deterministic fake features so the
-    * invariants (geometry columns, feature length preserved, per-partition
-    * execution) are testable. */
-  def resize(features: Dataset[MediaFeatures], targetW: Int, targetH: Int)
-      : Dataset[MediaFeatures] = {
-    import features.sparkSession.implicits._
-    features.mapPartitions { it =>
-      // per-partition scaler init would go here
-      it.map { f =>
-        val sx = targetW.toFloat / math.max(1, f.width)
-        val sy = targetH.toFloat / math.max(1, f.height)
-        f.copy(width = targetW, height = targetH,
-          features = f.features.map(v => v * sx * sy))
+  /** REAL pixel resize: decode, rescale the pixel buffer with Graphics2D
+    * bilinear interpolation, re-encode as PNG. Payloads no codec reads pass
+    * through unchanged (they carry no pixels to rescale). Runs in the same
+    * per-partition codec loop as decode. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int)
+      : Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { r =>
+        decodeImage(r.payload) match {
+          case Some((_, img)) =>
+            val dst = new BufferedImage(targetW, targetH,
+              BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(dst, "png", bos)
+            r.copy(payload = bos.toByteArray)
+          case None => r
+        }
       }
     }
   }
 
   /** Oracle-checkable slice of the pipeline: byte length + sha256 are
-    * computable by both engines; the stubbed feature columns are covered by
-    * unit tests instead. */
+    * computable by both engines; pixel decode has no DuckDB oracle and is
+    * covered by unit tests on synthesized PNG/JPEG payloads instead. */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),

@@ -238,9 +238,29 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
-/** Multimodal plumbing spec: schema + deterministic stub decode. */
+/** Multimodal spec: real javax.imageio decode on synthesized PNG/JPEG
+  * payloads, real pixel resize, and the deterministic stub fallback for
+  * payloads no codec reads. */
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
+  import graft.llm.Multimodal
+  import graft.llm.Multimodal.MediaRow
+
+  /** Encode a w x h image whose left half is black and right half white. */
+  private def halfToneBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  private def mediaDs(rows: Seq[MediaRow]) = {
+    val s = spark; import s.implicits._
+    s.createDataset(rows)
+  }
 
   test("frame sampling explodes deterministic opaque frame slices") {
     val media = graft.llm.Multimodal.mediaTable(spark, sfDir)
@@ -258,26 +278,55 @@ class MultimodalSpec extends AnyFunSuite {
       f0.map(_.getAs[Array[Byte]]("frame_bytes").toSeq).toSeq)
   }
 
-  test("media table + stubbed decode yields typed features (schema contract)") {
-    val media = graft.llm.Multimodal.mediaTable(spark, sfDir)
+  test("non-decodable payloads fall back to the deterministic stub") {
+    val media = graft.llm.Multimodal.mediaTable(spark, sfDir) // utf-8 text
     val feats = graft.llm.Multimodal.decodeFeatures(media)
     val r = feats.filter(col("doc_id") === 0).collect().head
     assert(r.media_type == "image")
+    assert(r.codec == "stub")
     assert(r.n_bytes > 0 && r.sha256.length == 64)
-    assert(r.features.length == 8 && r.width >= 16 && r.height >= 16)
+    assert(r.features.length == Multimodal.FeatureDim)
+    assert(r.width >= 16 && r.height >= 16)
     // deterministic: same input → same features
     val r2 = feats.filter(col("doc_id") === 0).collect().head
     assert(r2.features.toSeq == r.features.toSeq)
   }
 
-  test("resize rescales geometry and preserves feature length") {
-    val media = graft.llm.Multimodal.mediaTable(spark, sfDir)
-    val feats = graft.llm.Multimodal.decodeFeatures(media)
-    val before = feats.filter(col("doc_id") === 0).collect().head
-    val resized = graft.llm.Multimodal.resize(feats, 32, 32)
-    val r = resized.filter(col("doc_id") === 0).collect().head
-    assert(r.width == 32 && r.height == 32)
-    assert(r.features.length == before.features.length)
-    assert(r.n_bytes == before.n_bytes && r.sha256 == before.sha256)
+  test("real PNG and JPEG payloads decode to true geometry and pixel features") {
+    val media = mediaDs(Seq(
+      MediaRow(1L, "image", halfToneBytes(48, 20, "png")),
+      MediaRow(2L, "image", halfToneBytes(64, 32, "jpg"))))
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val png = feats(1L)
+    assert(png.codec == "png" && png.width == 48 && png.height == 20)
+    val jpg = feats(2L)
+    assert(jpg.codec.startsWith("jp") && jpg.width == 64 && jpg.height == 32)
+    // 4x2 luminance grid: left half black (cols 0-1 ~ 0), right white (~1)
+    for (f <- Seq(png, jpg); row <- 0 until 2) {
+      assert(f.features.length == Multimodal.FeatureDim)
+      assert(f.features(row * 4) < 0.1f && f.features(row * 4 + 1) < 0.1f,
+        f.features.toSeq)
+      assert(f.features(row * 4 + 2) > 0.9f && f.features(row * 4 + 3) > 0.9f,
+        f.features.toSeq)
+    }
+  }
+
+  test("resize rescales real pixel buffers; non-decodable rows pass through") {
+    val orig = halfToneBytes(48, 20, "png")
+    val textPayload = "not an image".getBytes("UTF-8")
+    val media = mediaDs(Seq(
+      MediaRow(1L, "image", orig),
+      MediaRow(2L, "audio", textPayload)))
+    val resized = Multimodal.resize(media, 32, 32)
+    val feats = Multimodal.decodeFeatures(resized).collect()
+      .map(f => f.doc_id -> f).toMap
+    val img = feats(1L)
+    assert(img.codec == "png" && img.width == 32 && img.height == 32)
+    // pixel content survives the rescale: still dark-left / light-right
+    assert(img.features(0) < 0.2f && img.features(3) > 0.8f, img.features.toSeq)
+    // pass-through: payload bytes untouched
+    val passthrough = resized.filter(col("doc_id") === 2).collect().head
+    assert(passthrough.payload.toSeq == textPayload.toSeq)
   }
 }
