@@ -51,15 +51,23 @@ object Materialize {
     * checkpoints per batch, so these probe jobs were a real constant cost
     * (VERDICT r3 perf note). */
   def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
-    val out = synchronized {
-      val conf = df.sparkSession.conf
-      val prior = conf.get(ConfKey, "true")
-      conf.set(ConfKey, "false")
-      try df.localCheckpoint(false)
-      finally conf.set(ConfKey, prior)
-    }
+    val out = checkpointLazy(df)
     val n = out.count() // materializes the checkpoint eagerly
     tally.foreach(_.addAndGet(n))
     (out, n)
+  }
+
+  /** Constraint-free local checkpoint WITHOUT the materializing count job.
+    * For callers that immediately run their own full-scan action (e.g. a
+    * fused convergence aggregate) and would pay a redundant count — the
+    * caller's action materializes the checkpoint and must touch every
+    * partition. Such callers should also feed [[tally]] themselves if they
+    * know the row count. */
+  def checkpointLazy(df: DataFrame): DataFrame = synchronized {
+    val conf = df.sparkSession.conf
+    val prior = conf.get(ConfKey, "true")
+    conf.set(ConfKey, "false")
+    try df.localCheckpoint(false)
+    finally conf.set(ConfKey, prior)
   }
 }

@@ -438,10 +438,19 @@ object SparkEntry {
         |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
         |       FROM tk),
         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |mh AS (SELECT doc_id, j,
-        |         MIN(CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-        |       FROM ex CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |ab AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0,
+        |         CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(s || '#b'), 1, 15)) AS BIGINT) AS h2,
+        |         CAST(('0x' || substr(md5(s || '#b'), 16, 15)) AS BIGINT) AS h3,
+        |         CAST(('0x' || substr(md5(s || '#c'), 1, 15)) AS BIGINT) AS h4,
+        |         CAST(('0x' || substr(md5(s || '#c'), 16, 15)) AS BIGINT) AS h5,
+        |         CAST(('0x' || substr(md5(s || '#d'), 1, 15)) AS BIGINT) AS h6,
+        |         CAST(('0x' || substr(md5(s || '#d'), 16, 15)) AS BIGINT) AS h7
+        |       FROM ex),
+        |sig AS (SELECT doc_id, [MIN(h0), MIN(h1), MIN(h2), MIN(h3),
+        |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
+        |        FROM ab GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 AS est_sim
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
@@ -460,10 +469,19 @@ object SparkEntry {
         |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
         |       FROM tk),
         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |mh AS (SELECT doc_id, j,
-        |         MIN(CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-        |       FROM ex CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |ab AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0,
+        |         CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(s || '#b'), 1, 15)) AS BIGINT) AS h2,
+        |         CAST(('0x' || substr(md5(s || '#b'), 16, 15)) AS BIGINT) AS h3,
+        |         CAST(('0x' || substr(md5(s || '#c'), 1, 15)) AS BIGINT) AS h4,
+        |         CAST(('0x' || substr(md5(s || '#c'), 16, 15)) AS BIGINT) AS h5,
+        |         CAST(('0x' || substr(md5(s || '#d'), 1, 15)) AS BIGINT) AS h6,
+        |         CAST(('0x' || substr(md5(s || '#d'), 16, 15)) AS BIGINT) AS h7
+        |       FROM ex),
+        |sig AS (SELECT doc_id, [MIN(h0), MIN(h1), MIN(h2), MIN(h3),
+        |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
+        |        FROM ab GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
         |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
@@ -526,10 +544,19 @@ object SparkEntry {
         |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
         |       FROM tk),
         |exsh AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |mh AS (SELECT doc_id, j,
-        |         MIN(CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-        |       FROM exsh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |ab AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0,
+        |         CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(s || '#b'), 1, 15)) AS BIGINT) AS h2,
+        |         CAST(('0x' || substr(md5(s || '#b'), 16, 15)) AS BIGINT) AS h3,
+        |         CAST(('0x' || substr(md5(s || '#c'), 1, 15)) AS BIGINT) AS h4,
+        |         CAST(('0x' || substr(md5(s || '#c'), 16, 15)) AS BIGINT) AS h5,
+        |         CAST(('0x' || substr(md5(s || '#d'), 1, 15)) AS BIGINT) AS h6,
+        |         CAST(('0x' || substr(md5(s || '#d'), 16, 15)) AS BIGINT) AS h7
+        |       FROM exsh),
+        |sig AS (SELECT doc_id, [MIN(h0), MIN(h1), MIN(h2), MIN(h3),
+        |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
+        |        FROM ab GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
         |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR

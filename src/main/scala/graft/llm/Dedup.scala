@@ -25,6 +25,12 @@ object Dedup {
   /** 60-bit portable hash: first 15 hex chars of md5, as a positive long. */
   def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Second independent 60-bit hash from the SAME md5 digest (hex chars
+    * 16-30): md5 is 128 bits, so one digest yields two independent
+    * signature components — halving digest calls wherever a pair of
+    * hashes is needed. */
+  def h60hi(c: Column): Column = conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+
   /** Exact dedup: group identical texts, keep the min doc_id. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -134,33 +140,47 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Staged (doc_id, sig) signature table, computed relationally:
-    * explode shingles × hash-index (codegen'd md5 over a flat stream) →
-    * min per (doc, index) with map-side partials → assemble the signature
-    * array ordered by index. Entirely whole-stage-codegen except the final
-    * collect_list; shuffles only (doc_id, j)-keyed minima (n rows per doc).
-    * This beats the lambda formulation ~50× because higher-order-function
-    * lambdas are interpreted per element. */
+  /** Salt for the digest feeding components (2j, 2j+1); "" = the shingle
+    * itself. Each md5 digest is split into two independent 60-bit hashes
+    * (low/high hex chars), so 8 components cost 4 digests per shingle. */
+  private val SigSalts = Seq("", "#b", "#c", "#d")
+
+  /** The j-th of 8 independent minhash functions over a shingle column:
+    * component 2k   = low  60 bits of md5(s · salt_k),
+    * component 2k+1 = high 60 bits of the SAME digest. Independence comes
+    * from distinct digest bits — NOT from linear combinations of two
+    * hashes (h_j = a + j·b correlates components: a shingle with a tiny
+    * `a` wins every minimum, inflating est_sim for docs sharing one such
+    * shingle — measured 256 → 10k "pairs" at sf0.1). */
+  private def sigHash(s: Column, j: Int): Column = {
+    val salted = if (SigSalts(j / 2).isEmpty) s
+      else concat(s, lit(SigSalts(j / 2)))
+    if (j % 2 == 0) h60(salted) else h60hi(salted)
+  }
+
+  /** Staged (doc_id, sig) signature table, computed relationally: per
+    * shingle row, all 8 component hashes as codegen'd columns (4 md5
+    * digests — each digest yields two independent 60-bit hashes), then
+    * per-doc element-wise minima in ONE shuffle with map-side partials.
+    * No row explosion. (The earlier formulation exploded shingles × n,
+    * paid n digests per shingle, and shuffled (doc, j) minima; hashing
+    * dominated the LSH/cluster/curation queries.) */
   def signatureTable(docs: DataFrame, n: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    val js = spark.range(n).toDF("j")
+    require(n <= 8, s"n=$n exceeds the ${SigSalts.size * 2} derived hashes")
     shingleRows(docs)
-      .crossJoin(broadcast(js))
-      .select(col("doc_id"), col("j"),
-        h60(concat(col("s"), lit("#"), col("j").cast("string"))).as("h"))
-      .groupBy("doc_id", "j")
-      .agg(min(col("h")).as("m"))
+      .select(col("doc_id") +:
+        (0 until n).map(j => sigHash(col("s"), j).as(s"h$j")): _*)
       .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
-        x => x("m")).as("sig"))
+      .agg(array((0 until n).map(j => min(col(s"h$j"))): _*).as("sig"))
   }
 
   /** Back-compat: signature from raw text (tests only — stages internally
     * when used via signatureTable). */
-  def minhashSignature(text: Column, n: Int = 8): Column =
-    transform(sequence(lit(0), lit(n - 1)), i =>
-      array_min(transform(shingles(text), s =>
-        h60(concat(s, lit("#"), i.cast("string"))))))
+  def minhashSignature(text: Column, n: Int = 8): Column = {
+    require(n <= 8, s"n=$n exceeds the ${SigSalts.size * 2} derived hashes")
+    array((0 until n).map(j =>
+      array_min(transform(shingles(text), s => sigHash(s, j)))): _*)
+  }
 
   /** MinHash + LSH near-dup candidates: 8-component signatures in 4 bands of
     * 2; docs sharing any band bucket become candidates; estimated similarity
@@ -177,6 +197,14 @@ object Dedup {
   /** DataFrame-in variant (docs: doc_id, text) — lets pipeline compositions
     * run LSH over an already-filtered survivor set. */
   def minhashLshOf(docs: DataFrame,
+      minEstSim: Double = 0.5, hotBucketCap: Int = 256): DataFrame =
+    minhashPairsOf(docs, minEstSim, hotBucketCap).orderBy("id_a", "id_b")
+
+  /** Unordered pair relation — what set-oriented consumers (connected-
+    * components clustering, curation) should feed on: the presentation
+    * sort in [[minhashLshOf]] is a range-partition exchange that buys
+    * nothing before a groupBy/join. */
+  def minhashPairsOf(docs: DataFrame,
       minEstSim: Double = 0.5, hotBucketCap: Int = 256): DataFrame = {
     val bands = 4
     // materialize the signature table once (it feeds bucketing AND two
@@ -222,7 +250,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / 8).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
-      .orderBy("id_a", "id_b")
   }
 
   /** Near-dup CLUSTERS: connected components over the MinHash+LSH pair
@@ -243,7 +270,7 @@ object Dedup {
 
   /** DataFrame-in variant (docs: doc_id, text). */
   def dupClustersOf(docs: DataFrame, minEstSim: Double = 0.5): DataFrame = {
-    val pairs = minhashLshOf(docs, minEstSim)
+    val pairs = minhashPairsOf(docs, minEstSim)
       .select(col("id_a").as("u"), col("id_b").as("v"))
     val cc = graft.operators.ConnectedComponents.components(pairs)
       .withColumnRenamed("id", "doc_id")

@@ -59,13 +59,13 @@ object ConnectedComponents {
     *
     * Each iteration materializes the edge set (localCheckpoint) so round i
     * never re-derives rounds 1..i-1. Convergence = the edge set is a star
-    * forest, checked directly: no node appears both as a member (`u`) and
-    * as a center (`v`). All edges keep u > v, so a star's center is its
-    * component minimum (the min node can never be a member — its edge
-    * would need a smaller center from the same component). One semi-join
-    * probe per round, and it detects the fixpoint on the round that
-    * REACHES it — an exact set comparison needs one more round just to
-    * observe no-change. */
+    * forest, detected on the round that REACHES it (an exact set
+    * comparison needs one more round just to observe no-change). All edges
+    * keep u > v, so a star's center is its component minimum (the min node
+    * can never be a member — its edge would need a smaller center from the
+    * same component). The materializing action and both star-forest
+    * checks are fused into ONE Spark job per round
+    * ([[checkpointWithStats]]). */
   def components(edges0: DataFrame, maxIter: Int = 64): DataFrame =
     componentsWithRounds(edges0, maxIter)._1
 
@@ -73,30 +73,58 @@ object ConnectedComponents {
     * lets tests pin the O(log² n) convergence bound that makes this viable
     * at 100 TB (a regression to O(diameter) behavior would show up as a
     * round-count explosion long before a wall-clock one). */
+  /** Per-round convergence record, computed in ONE Spark job (see
+    * [[checkpointWithStats]]). A star forest needs BOTH: every member
+    * points to exactly one center (`multiCenterMembers == 0` — edges are
+    * distinct, so 2+ edges for a member mean 2+ distinct centers), AND no
+    * node is both member and center (`memberCenterOverlap == 0` — no
+    * chaining). Disjointness alone is NOT enough: {(16,3),(16,6)} has
+    * disjoint u/v sets but components 3 and 6 are unmerged — stopping
+    * there returns wrong clusters. */
+  private case class RoundStats(edges: Long, multiCenterMembers: Long,
+      memberCenterOverlap: Long) {
+    def isStarForest: Boolean =
+      multiCenterMembers == 0 && memberCenterOverlap == 0
+  }
+
+  /** Materialize `e` (constraint-free local checkpoint) and compute edge
+    * count plus both star-forest violation counters in the SAME single
+    * action: one driver round-trip per round instead of three (count +
+    * filtered-count isEmpty + semi-join isEmpty — r4 VERDICT "what's
+    * wrong" #1; per-round driver barriers × O(log² n) rounds were the
+    * dominant cost of q_dup_clusters/q_curation_e2e). The aggregate scans
+    * every partition of the checkpoint, so it doubles as the materializing
+    * job. */
+  private def checkpointWithStats(e: DataFrame): (DataFrame, RoundStats) = {
+    val out = graft.Materialize.checkpointLazy(e)
+    val row = out
+      .select(col("u").as("id"), lit(1L).as("m"), lit(0L).as("c"))
+      .unionAll(out.select(col("v").as("id"), lit(0L).as("m"),
+        lit(1L).as("c")))
+      .groupBy("id")
+      .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
+      .agg(coalesce(sum(col("m")), lit(0L)).as("edges"),
+        count(when(col("m") > 1, 1)).as("multi"),
+        count(when(col("m") > 0 && col("c") > 0, 1)).as("overlap"))
+      .head()
+    val stats = RoundStats(row.getLong(0), row.getLong(1), row.getLong(2))
+    graft.Materialize.tally.foreach(_.addAndGet(stats.edges))
+    (out, stats)
+  }
+
   def componentsWithRounds(edges0: DataFrame, maxIter: Int = 64)
       : (DataFrame, Int) = {
-    // a star forest needs BOTH: every member points to exactly one center
-    // (edges are distinct, so count == distinct centers), AND no node is
-    // both member and center (no chaining). Disjointness alone is NOT
-    // enough: {(16,3),(16,6)} has disjoint u/v sets but components 3 and
-    // 6 are unmerged — stopping there returns wrong clusters.
-    def isStarForest(e: DataFrame): Boolean =
-      e.groupBy("u").agg(count(lit(1)).as("nc"))
-        .filter(col("nc") > 1).isEmpty &&
-      e.select("u").join(e.select(col("v").as("u")), Seq("u"), "left_semi")
-        .isEmpty
-    var (edges, n) = graft.Materialize.checkpointCounted(
+    var (edges, stats) = checkpointWithStats(
       edges0.select(
           greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-    var converged = n == 0 || isStarForest(edges)
+    var converged = stats.edges == 0 || stats.isStarForest
     var it = 0
     while (!converged && it < maxIter) {
-      val (next, _) = graft.Materialize.checkpointCounted(
-        smallStar(largeStar(edges)))
-      converged = isStarForest(next)
+      val (next, s) = checkpointWithStats(smallStar(largeStar(edges)))
+      converged = s.isStarForest
       edges = next
       it += 1
     }
