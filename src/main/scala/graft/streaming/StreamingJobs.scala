@@ -128,15 +128,20 @@ object StreamingJobs {
       guid: String, updateTime: Long, operationType: String,
       typeName: String,
       oldAttributes: Map[String, String],
-      newAttributes: Map[String, String])
+      newAttributes: Map[String, String],
+      late: Boolean = false)
 
   case class GuidState(updateTime: Long, attributes: Map[String, String],
       typeName: String)
 
   /** Emit (old, new) attribute-map transitions per guid, keeping only the
-    * latest version in state. Late (out-of-order) versions are dropped and
-    * counted — the reference instead assumed global order via
-    * parallelism=1 (SURVEY §2.7 ordering note).
+    * latest version in state. Late (out-of-order) versions do NOT mutate
+    * state; they are emitted as `late = true` rows — failures are data, the
+    * same S10 shape as the parse/contract DLQs — so deployments route them
+    * to the dead-letter channel ([[lateDrops]]) while consumers of real
+    * transitions read [[acceptedTransitions]]. (The reference instead
+    * assumed global order via parallelism=1 and routed every anomaly to
+    * DEAD_LETTER_BOX, get_entity_job.py:60-82; SURVEY §2.7 ordering note.)
     *
     * State lifecycle (VERDICT r2 #7 / r3 #6): a batch whose LAST applied
     * event is ENTITY_DELETE evicts the guid's state immediately (the doc
@@ -174,7 +179,14 @@ object StreamingJobs {
                   cur.map(_.attributes).getOrElse(Map.empty), attrs)
                 cur = Some(GuidState(t, attrs, tn))
                 deleted = op == "ENTITY_DELETE"
-              } // else: late arrival, dropped (would route to DLQ metric)
+              } else {
+                // late arrival: state untouched; surface the drop as a
+                // late=true row for the DLQ channel (old side = the state
+                // that outranked it, so the dead letter is diagnosable)
+                out += VersionTransition(g, t, op, tn,
+                  cur.map(_.attributes).getOrElse(Map.empty), attrs,
+                  late = true)
+              }
             }
             if (deleted) state.remove()
             else {
@@ -185,6 +197,25 @@ object StreamingJobs {
           }
         })
   }
+
+  /** The real transitions from [[versionTransitions]] output — what the
+    * document-store sync consumes. */
+  def acceptedTransitions(ds: Dataset[VersionTransition])
+      : Dataset[VersionTransition] = ds.filter(!_.late)
+
+  /** Late-arrival drops in the S10 dead-letter shape (same columns as
+    * [[deadLetters]]), attributed to the job whose contract they violate. */
+  def lateDrops(ds: Dataset[VersionTransition]): DataFrame =
+    ds.filter(_.late).toDF()
+      .select(
+        (unix_micros(current_timestamp()).cast("double") / 1e6)
+          .as("timestamp"),
+        to_json(struct(col("guid"), col("updateTime"),
+          col("operationType"), col("typeName")))
+          .as("originalNotification"),
+        lit("determine_change").as("job"),
+        lit("late arrival: older than current per-guid state")
+          .as("description"))
 
   // ---- §2.7 windowed streaming aggregation with watermark (the batch
   //      equivalents are oracle-checked in operators.TimeWindows). ----

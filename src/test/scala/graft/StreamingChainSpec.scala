@@ -211,15 +211,17 @@ class StreamingChainSpec extends AnyFunSuite {
     // job 1: parse + DLQ split
     val parsed = StreamingJobs.parseWithDlq(input.toDF(), "chain")
     val valid = StreamingJobs.validRows(parsed)
-    // jobs 2+3: per-guid stateful transitions → typed change rows
-    val transitions = StreamingJobs.versionTransitions(
+    // jobs 2+3: per-guid stateful transitions → typed change rows (late
+    // rows are DLQ data, not transitions — route through the splitter)
+    val transitions = StreamingJobs.acceptedTransitions(
+      StreamingJobs.versionTransitions(
       valid.select(
         col("atlasEntity.guid"),
         col("atlasEntity.updateTime"),
         col("kafkaNotification.operationType"),
         col("atlasEntity.typeName"),
         col("atlasEntity.attributes"))
-        .as[(String, Long, String, String, Map[String, String])])
+        .as[(String, Long, String, String, Map[String, String])]))
     // shape transitions into SynchronizeSearch's message contract
     val messages = transitions.toDF()
       .select(

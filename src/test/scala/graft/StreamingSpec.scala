@@ -41,17 +41,45 @@ class StreamingSpec extends AnyFunSuite {
         ("g2", 150L, "ENTITY_CREATE", "t", Map("b" -> "1")))
       q.processAllAvailable()
       input.addData(
-        ("g1", 50L, "ENTITY_UPDATE", "t", Map("a" -> "0")), // late → dropped
+        ("g1", 50L, "ENTITY_UPDATE", "t", Map("a" -> "0")), // late → DLQ row
         ("g1", 300L, "ENTITY_UPDATE", "t", Map("a" -> "3")))
       q.processAllAvailable()
       val rows = spark.table("vt").collect()
-      assert(rows.length == 4) // 100, 200, 150, 300 — not 50
-      val g1 = rows.filter(_.getAs[String]("guid") == "g1")
+      val (lateRows, accepted) = rows.partition(_.getAs[Boolean]("late"))
+      assert(accepted.length == 4) // 100, 200, 150, 300 — not 50
+      val g1 = accepted.filter(_.getAs[String]("guid") == "g1")
         .map(_.getAs[Long]("updateTime")).sorted
       assert(g1.toSeq == Seq(100L, 200L, 300L))
-      val last = rows.find(_.getAs[Long]("updateTime") == 300L).get
+      // the late event is ACCOUNTED (VERDICT r4 #3), not silently dropped...
+      assert(lateRows.length == 1)
+      assert(lateRows.head.getAs[Long]("updateTime") == 50L)
+      // ...and did not mutate state: 300's old side is still 200's attrs
+      val last = accepted.find(_.getAs[Long]("updateTime") == 300L).get
       assert(last.getAs[Map[String, String]]("oldAttributes") == Map("a" -> "2"))
     } finally q.stop()
+  }
+
+  test("lateDrops routes late rows to the S10 dead-letter shape") {
+    import spark.implicits._
+    val vts = Seq(
+      StreamingJobs.VersionTransition("g1", 300L, "ENTITY_UPDATE", "t",
+        Map("a" -> "2"), Map("a" -> "3")),
+      StreamingJobs.VersionTransition("g1", 50L, "ENTITY_UPDATE", "t",
+        Map("a" -> "2"), Map("a" -> "0"), late = true)).toDS()
+    assert(StreamingJobs.acceptedTransitions(vts).collect()
+      .map(_.updateTime).toSeq == Seq(300L))
+    val dlq = StreamingJobs.lateDrops(vts).collect()
+    assert(dlq.length == 1)
+    val r = dlq.head
+    assert(r.getAs[String]("job") == "determine_change")
+    assert(r.getAs[Double]("timestamp") > 0)
+    assert(r.getAs[String]("originalNotification").contains("\"g1\"") &&
+      r.getAs[String]("originalNotification").contains("50"))
+    // schema-compatible with the parse DLQ channel (same sink)
+    val parseDlq = StreamingJobs.deadLetters(StreamingJobs.parseWithDlq(
+      Seq("junk").toDF("value"), "get_entity"))
+    assert(parseDlq.schema.fieldNames.toSet ==
+      StreamingJobs.lateDrops(vts).schema.fieldNames.toSet)
   }
 
   test("ENTITY_DELETE evicts per-guid state; a later create resurrects from empty") {
