@@ -1,10 +1,29 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Analysis-time input validation shared by the float-vector expressions.
+  * `ExpectsInputTypes` is private[sql], but `checkInputDataTypes` is an
+  * ordinary override — without it, binding to e.g. ARRAY<DOUBLE> would
+  * call getFloat on 8-byte slots and silently return garbage (ADVICE r4). */
+private[functions] object FloatVecChecks {
+  def check(name: String, left: Expression, right: Expression)
+      : TypeCheckResult =
+    Seq(left, right).zipWithIndex.collectFirst {
+      case (e, i) if (e.dataType match {
+            case ArrayType(FloatType, _) => false
+            case _ => true
+          }) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires ARRAY<FLOAT> arguments, but argument ${i + 1} " +
+            s"is ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
 
 /** Native dot product of two ARRAY<FLOAT> columns, accumulated in double —
   * the hot scalar of the similarity family (cosine top-k, k-NN join, ANN
@@ -25,11 +44,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // input contract: both children are ARRAY<FLOAT> (the callers in
-  // graft.llm.Similarity only ever pass embedding columns; Spark's
-  // AbstractDataType/ExpectsInputTypes machinery is private[sql])
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatVecChecks.check(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -95,6 +113,8 @@ case class FloatVecCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatVecChecks.check(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

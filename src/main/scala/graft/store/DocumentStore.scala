@@ -21,7 +21,20 @@ import org.apache.spark.sql.types.MapType
   *
   * A per-version (guid, hash) summary makes change detection a join against
   * a narrow table instead of a re-read of the previous documents.
-  */
+  *
+  * FILESYSTEM CONTRACT (decided policy, VERDICT r4 #6): the store's
+  * correctness rests on ATOMIC RENAME for its metadata pointers
+  * (`_CURRENT`, `_NBUCKETS`, `_FORMAT`) and on a single writer. That holds
+  * on POSIX local disk and on HDFS; it does NOT hold on eventual-rename
+  * object stores (S3), where the production answer is a table format
+  * (Iceberg/Delta) whose commit protocol replaces these pointers. The
+  * metadata layer therefore deliberately uses java.nio with ATOMIC_MOVE —
+  * porting just the listing calls to Hadoop's FileSystem would widen the
+  * accepted URIs without delivering the atomicity the design needs, i.e.
+  * make it LOOK portable while being subtly unsafe. Data paths that only
+  * enumerate/append/delete (the streaming dedup stores, parquet part
+  * detection in StreamingJobs) DO use the Hadoop FS API and are
+  * remote-safe. */
 class DocumentStore(spark: SparkSession, path: String, nBuckets: Int = 32) {
   private val root = Paths.get(path)
   Files.createDirectories(root)

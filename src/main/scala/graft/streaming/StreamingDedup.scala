@@ -1,16 +1,24 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
+import graft.llm.Dedup
 
-/** Streaming/incremental exact dedup — the ingest-side complement of
-  * [[graft.llm.Dedup.exact]]. A 100 TB corpus is never re-deduped wholesale:
-  * each increment is deduped (a) against itself in flight and (b) against
-  * the hashes of everything already ingested, reading only the narrow hash
-  * column, never the stored document text.
+/** Streaming/incremental dedup — the ingest-side complement of
+  * [[graft.llm.Dedup]]. A 100 TB corpus is never re-deduped wholesale: each
+  * increment is deduped (a) against itself in flight, (b) exactly against
+  * the hashes of everything already ingested, and (c) NEAR-dup against the
+  * MinHash signatures of everything already ingested — reading only narrow
+  * hash/signature columns, never the stored document text.
+  *
+  * All store enumeration goes through Hadoop's FileSystem API, so a store
+  * on hdfs:// or an object store behaves identically to local disk (a
+  * java.io.File walk silently returns null for non-local URIs — every
+  * batch would then dedup only against itself; ADVICE r4).
   *
   * Reference scope note: the reference pipeline is Kafka-in/out streaming
   * (`scripts/get_entity_job.py`); this module applies the same
@@ -40,33 +48,64 @@ object StreamingDedup {
       .join(priorHashes.select("h"), Seq("h"), "left_anti")
   }
 
+  // ---- batch=N store plumbing (shared by the exact-hash store and the
+  //      near-dup signature store) ----
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** (batchId, dir) for every `batch=N` partition of a store, via the
+    * Hadoop FS API — identical behavior for file://, hdfs://, s3a://. */
+  private def listBatches(spark: SparkSession, storePath: String)
+      : Seq[(Long, Path)] = {
+    val (fs, root) = fsOf(spark, storePath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("batch="))
+          n.stripPrefix("batch=").toLongOption.map(_ -> s.getPath)
+        else None
+      }
+  }
+
+  private def readStore(spark: SparkSession, storePath: String)
+      : Option[DataFrame] = {
+    val parts = listBatches(spark, storePath)
+    if (parts.isEmpty) None
+    else Some(spark.read.option("basePath", storePath)
+      .parquet(parts.map(_._2.toString): _*))
+  }
+
   /** Hash-set reader: the store is parquet partitioned by ingest batch
     * (`batch=N` dirs), so "all hashes before batch B" is a partition-pruned
     * scan of one narrow string column. Returns None when nothing has been
     * ingested yet. */
-  def readHashes(spark: SparkSession, storePath: String): Option[DataFrame] = {
-    val root = new java.io.File(storePath)
-    val parts = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-    if (parts.isEmpty) None
-    else Some(spark.read.option("basePath", storePath)
-      .parquet(parts.map(_.getPath): _*))
-  }
+  def readHashes(spark: SparkSession, storePath: String): Option[DataFrame] =
+    readStore(spark, storePath)
 
-  /** (b) Cross-run incremental dedup as an idempotent foreachBatch body:
-    * survivors of microbatch `batchId` are written to `outPath/batch=N`
-    * and their hashes to `storePath/batch=N`, both with OVERWRITE — a
-    * replayed batch rewrites its own partition and reads only hashes from
-    * STRICTLY EARLIER batches, so retry produces byte-identical output
-    * (effectively-once without a transaction log). */
+  private def emptyDf(spark: SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
+        case (st, (n, t)) => st.add(n, t)
+      })
+
+  /** (b) Cross-run incremental EXACT dedup as an idempotent foreachBatch
+    * body: survivors of microbatch `batchId` are written to
+    * `outPath/batch=N` and their hashes to `storePath/batch=N`, both with
+    * OVERWRITE — a replayed batch rewrites its own partition and reads only
+    * hashes from STRICTLY EARLIER batches, so retry produces byte-identical
+    * output (effectively-once without a transaction log). */
   def dedupBatch(spark: SparkSession, storePath: String, outPath: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val prior = readHashes(spark, storePath)
       .map(_.filter(col("batch") < batchId).select("h"))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        new org.apache.spark.sql.types.StructType()
-          .add("h", org.apache.spark.sql.types.StringType)))
+      .getOrElse(emptyDf(spark,
+        "h" -> org.apache.spark.sql.types.StringType))
     val novel = graft.Materialize.checkpoint(novelInBatch(batch, prior))
     novel.select("h").write.mode("overwrite")
       .parquet(s"$storePath/batch=$batchId")
@@ -74,49 +113,139 @@ object StreamingDedup {
       .parquet(s"$outPath/batch=$batchId")
   }
 
-  /** Compact hash-store partitions `batch < upToBatch` into the
+  /** Compact store partitions `batch < upToBatch` into the
     * `batch=upToBatch` dir — the small-files countermeasure for a store
     * that gains one directory per microbatch (at one batch/minute that is
     * half a million dirs a year; scan planning dies long before the data).
     *
-    * Crash-safe because the visible hash set only ever GROWS until the
-    * final deletes: the older dirs' hashes are APPENDED into
-    * `batch=upToBatch` (its own files are never rewritten), and the source
-    * dirs are deleted only after the append's commit. A crash mid-append
-    * leaves an ignored `_temporary` dir; a crash mid-delete leaves hashes
-    * present in two partitions — the anti-join consumer cannot observe
-    * either (set semantics, duplicates are harmless).
+    * Crash-safe because the visible set only ever GROWS until the final
+    * deletes: the older dirs' rows are APPENDED into `batch=upToBatch`
+    * (its own files are never rewritten), and the source dirs are deleted
+    * only after the append's commit. A crash mid-append leaves an ignored
+    * `_temporary` dir; a crash mid-delete leaves rows present in two
+    * partitions — the anti-join consumer cannot observe either (set
+    * semantics, duplicates are harmless).
     *
-    * Operational constraints: (a) only compact batches older than the
-    * stream's replay horizon — a replayed batch must still see itself
-    * excluded from "prior", which compaction into a lower-or-equal batch
-    * id preserves; (b) run it from the stream's driver thread between
-    * microbatches (e.g. at the top of foreachBatch) — deleting source
-    * dirs races an in-flight readHashes scan otherwise. */
+    * REPLAY SAFETY — enforced, not assumed (ADVICE r4): compaction moves
+    * rows to a HIGHER batch id (their origin dirs are < upToBatch), so a
+    * replay is only safe for batches STRICTLY GREATER than `upToBatch` —
+    * a replay of `upToBatch` itself would overwrite the compacted set AND
+    * read an empty prior (its own partition is excluded by the strict
+    * `batch < batchId` filter). Therefore this method requires
+    * `batch=upToBatch` to already exist (the batch completed) and to be
+    * strictly older than the newest batch dir; pick `upToBatch` older
+    * than the stream's replay horizon. Also run it from the stream's
+    * driver thread between microbatches (e.g. at the top of foreachBatch)
+    * — deleting source dirs races an in-flight read scan otherwise. */
   def compactHashes(spark: SparkSession, storePath: String,
       upToBatch: Long): Unit = {
-    val root = new java.io.File(storePath)
-    val old = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory &&
-        f.getName.stripPrefix("batch=").toLongOption.exists(_ < upToBatch))
+    val batches = listBatches(spark, storePath)
+    val ids = batches.map(_._1)
+    require(ids.contains(upToBatch),
+      s"compaction target batch=$upToBatch does not exist in $storePath — " +
+        "refusing: a later replay of it would destroy the compacted set")
+    require(ids.max > upToBatch,
+      s"compaction target batch=$upToBatch is the newest partition of " +
+        s"$storePath — refusing: only batches strictly older than the " +
+        "newest (ideally older than the replay horizon) are replay-safe")
+    val old = batches.filter(_._1 < upToBatch)
     if (old.isEmpty) return
     spark.read.option("basePath", storePath)
-      .parquet(old.map(_.getPath): _*)
-      .select("h").distinct()
+      .parquet(old.map(_._2.toString): _*)
+      .drop("batch").distinct()
       .write.mode("append").parquet(s"$storePath/batch=$upToBatch")
-    import scala.jdk.CollectionConverters._
-    old.foreach { d =>
-      java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.delete)
-    }
+    val (fs, _) = fsOf(spark, storePath)
+    old.foreach { case (_, dir) => fs.delete(dir, true) }
   }
 
-  /** Wire a (doc_id, text) stream through the incremental dedup. */
+  /** Wire a (doc_id, text) stream through the incremental exact dedup. */
   def incrementalDedup(docs: DataFrame, storePath: String, outPath: String,
       checkpoint: String): DataStreamWriter[Row] = {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch(dedupBatch(spark, storePath, outPath) _)
+      .option("checkpointLocation", checkpoint)
+  }
+
+  // ---- (c) incremental NEAR-dup: each microbatch is LSH-checked against
+  //      the prior corpus's MinHash signatures (VERDICT r4 #4). The
+  //      signature store mirrors the hash store's batch=N layout and
+  //      replay contract; rows are the exploded band buckets of
+  //      [[Dedup.bandRows]] — the same banding as the batch LSH path, so
+  //      stream and batch can never disagree on candidates. ----
+
+  /** Signature-store reader (doc_id, sig, band, bh, batch). */
+  def readSignatures(spark: SparkSession, sigPath: String)
+      : Option[DataFrame] = readStore(spark, sigPath)
+
+  /** Rows of `batch` that survive near-dup dedup against the batch itself
+    * (min-doc_id survivor per transitive-closure cluster — the same rule
+    * as [[Dedup.dupClustersOf]]) and against the prior signature store.
+    * Returns (novel docs, their band rows — what the caller persists).
+    * Pure batch logic, unit-testable.
+    *
+    * Scale: candidates come from band-bucket equi-joins on both legs
+    * (in-batch self-join, cross-batch join against a partition-pruned
+    * narrow signature scan); similarity is scored on candidates only. No
+    * hot-bucket guard on the in-batch leg — a microbatch is bounded by
+    * the trigger, unlike the 100 TB batch corpus. */
+  def novelNearDupInBatch(batch: DataFrame, priorSigRows: DataFrame,
+      minEstSim: Double = 0.5): (DataFrame, DataFrame) = {
+    val sig = graft.Materialize.checkpoint(Dedup.signatureTable(batch))
+    val bands = graft.Materialize.checkpoint(Dedup.bandRows(sig))
+    // in-batch near-dup clusters: min-id survivor
+    val inPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(Dedup.sigEstSim(col("a.sig"), col("b.sig")) >= minEstSim)
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .distinct()
+    val nonSurvivors = graft.operators.ConnectedComponents.components(inPairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    // cross-batch: any prior signature sharing a band bucket at >= minEstSim
+    val priorHits = bands
+      .join(priorSigRows.select(col("band"), col("bh"),
+        col("sig").as("psig")), Seq("band", "bh"))
+      .filter(Dedup.sigEstSim(col("sig"), col("psig")) >= minEstSim)
+      .select("doc_id").distinct()
+    val novel = batch
+      .join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .join(priorHits, Seq("doc_id"), "left_anti")
+    (novel, bands.join(novel.select("doc_id"), Seq("doc_id"), "left_semi"))
+  }
+
+  /** Incremental near-dup foreachBatch body — same idempotent-replay
+    * contract as [[dedupBatch]]: overwrite own partition, read only
+    * strictly-earlier batches. */
+  def nearDupBatch(spark: SparkSession, sigPath: String, outPath: String,
+      minEstSim: Double = 0.5)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val prior = readSignatures(spark, sigPath)
+      .map(_.filter(col("batch") < batchId)
+        .select("doc_id", "sig", "band", "bh"))
+      .getOrElse(emptyDf(spark,
+        "doc_id" -> LongType, "sig" -> ArrayType(LongType),
+        "band" -> IntegerType, "bh" -> StringType))
+    val (novel, novelBands) = novelNearDupInBatch(batch, prior, minEstSim)
+    graft.Materialize.checkpoint(novelBands)
+      .write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
+    novel.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+  }
+
+  /** Signature-store compaction: same machinery and replay constraints as
+    * [[compactHashes]] (rows are (doc_id, sig, band, bh); distinct is
+    * set-semantics safe because band rows are unique per (doc_id, band)). */
+  def compactSignatures(spark: SparkSession, sigPath: String,
+      upToBatch: Long): Unit = compactHashes(spark, sigPath, upToBatch)
+
+  /** Wire a (doc_id, text) stream through the incremental near-dup. */
+  def incrementalNearDup(docs: DataFrame, sigPath: String, outPath: String,
+      checkpoint: String, minEstSim: Double = 0.5): DataStreamWriter[Row] = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch(nearDupBatch(spark, sigPath, outPath, minEstSim) _)
       .option("checkpointLocation", checkpoint)
   }
 }

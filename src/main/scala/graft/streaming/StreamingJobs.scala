@@ -286,14 +286,19 @@ object StreamingJobs {
         // A crash between directory creation and a completed append can
         // leave versionsPath existing but without readable parquet parts;
         // reading it then fails schema inference PERMANENTLY on restart.
-        // Treat a partless directory exactly like an absent one.
-        def hasParquetParts(f: java.io.File): Boolean = {
-          val kids = Option(f.listFiles()).getOrElse(Array.empty)
-          kids.exists(c => (c.isFile && c.getName.startsWith("part-") &&
-            !c.getName.endsWith(".crc")) || (c.isDirectory && hasParquetParts(c)))
-        }
+        // Treat a partless directory exactly like an absent one. Hadoop FS
+        // API so remote stores (hdfs://, s3a://) behave like local disk.
+        def hasParquetParts(fs: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path): Boolean =
+          fs.exists(p) && fs.listStatus(p).exists(s =>
+            (s.isFile && s.getPath.getName.startsWith("part-") &&
+              !s.getPath.getName.endsWith(".crc")) ||
+            (s.isDirectory && hasParquetParts(fs, s.getPath)))
+        val vPath = new org.apache.hadoop.fs.Path(versionsPath)
+        val vFs = vPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         val base =
-          if (hasParquetParts(new java.io.File(versionsPath)))
+          if (hasParquetParts(vFs, vPath))
             Some(graft.store.VersionedStore.latest(
               graft.store.VersionedStore.read(spark, versionsPath)))
           else None

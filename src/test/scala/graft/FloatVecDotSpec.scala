@@ -86,6 +86,19 @@ class FloatVecDotSpec extends AnyFunSuite {
     assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"), thrown.getMessage)
   }
 
+  test("non-float array inputs fail analysis, not silently return garbage") {
+    import spark.implicits._
+    val doubles = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    for (f <- Seq(
+        graft.functions.FloatVecDot.float_vec_dot _,
+        graft.functions.FloatVecCosine.float_vec_cosine _)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        doubles.select(f(col("a"), col("b"))).collect()
+      }
+      assert(e.getMessage.contains("ARRAY<FLOAT>"), e.getMessage)
+    }
+  }
+
   test("native dot compiles under codegen with fallback disabled") {
     val prior = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")

@@ -259,6 +259,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 2L, 3L, 4L, 6L), survivors)
   }
 
+  test("incremental near-dup drops near (not exact) re-arrivals; replay idempotent") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val (sigs, out) = (s"$dir/sigs", s"$dir/docs")
+    val base = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong coffee under a pale morning sky before the long " +
+      "journey home begins again"
+    val nearIn = base.replace("morning", "evening") // in-batch near-dup of 1
+    val nearX = base.replace("coffee", "tea")       // cross-batch near-dup of 1
+    val other = "completely different content about distributed systems " +
+      "and parquet column pruning at scale with no overlap whatsoever in " +
+      "any shingle of this text"
+    val novel = "yet another unrelated document mentioning broadcast " +
+      "joins adaptive execution and shuffle partitions tuned for large " +
+      "clusters running structured streaming pipelines"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.incrementalNearDup(
+      input.toDS().toDF("doc_id", "text"), sigs, out, s"$dir/ckpt").start()
+    try {
+      input.addData((1L, base), (2L, other), (7L, nearIn))
+      q.processAllAvailable()
+      // doc 3 is a NEAR dup (different md5), doc 4 is novel
+      input.addData((3L, nearX), (4L, novel))
+      q.processAllAvailable()
+      val survivors = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 2L, 4L), s"got $survivors")
+      // replay batch 1: reads only batch<1 signatures → identical rewrite
+      val replay = Seq((3L, nearX), (4L, novel)).toDF("doc_id", "text")
+      graft.streaming.StreamingDedup.nearDupBatch(spark, sigs, out)(replay, 1L)
+      val again = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == Set(1L, 2L, 4L), s"replay diverged: $again")
+      // the signature store holds band rows only for survivors
+      val stored = graft.streaming.StreamingDedup.readSignatures(spark, sigs)
+        .get.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(stored == Set(1L, 2L, 4L), stored)
+    } finally q.stop()
+  }
+
+  test("compaction refuses replay-unsafe targets (ADVICE r4)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    val (store, out) = (s"$dir/hashes", s"$dir/docs")
+    def run(batch: Seq[(Long, String)], id: Long) =
+      graft.streaming.StreamingDedup.dedupBatch(spark, store, out)(
+        batch.toDF("doc_id", "text"), id)
+    run(Seq((1L, "aaa")), 0L)
+    run(Seq((2L, "bbb")), 1L)
+    // target does not exist: a later replay of it would nuke the compacted set
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.compactHashes(spark, store, 5L)
+    }
+    // target is the NEWEST partition: inside the replay horizon
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.compactHashes(spark, store, 1L)
+    }
+    run(Seq((3L, "ccc")), 2L)
+    graft.streaming.StreamingDedup.compactHashes(spark, store, 1L) // now safe
+    val hashes = graft.streaming.StreamingDedup.readHashes(spark, store)
+      .get.select("h").collect().map(_.getString(0)).toSet
+    assert(hashes.size == 3)
+  }
+
   test("number sequence + elements example sources (S11/S12)") {
     assert(StreamingJobs.numberSequence(spark).count() == 100)
     assert(StreamingJobs.fromElements(spark).collect()
