@@ -112,3 +112,40 @@ class FloatVecDotSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prior)
   }
 }
+
+/** nprobe semantics of the k-NN join: the query's own cell is always
+  * probed (nprobe=1 IS the oracle contract), and on a near-cell-boundary
+  * fixture probing a second cell strictly improves the result. */
+class KnnJoinNprobeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("nprobe=2 strictly dominates nprobe=1 on a cell-boundary fixture") {
+    import spark.implicits._
+    // query 0 lives in cell "a" but its true nearest neighbors sit in "b"
+    val emb = Seq(
+      (0L, "a", Array(1.0f, 0.0f, 0.0f, 0.0f)),   // query, near a/b boundary
+      (1L, "a", Array(0.0f, 1.0f, 0.0f, 0.0f)),   // own-cell member, sim 0
+      (2L, "b", Array(0.90f, 0.10f, 0.0f, 0.0f)), // true NN candidates
+      (3L, "b", Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (4L, "c", Array(0.0f, 0.0f, 1.0f, 0.0f)))   // decoy far cell
+      .toDF("vec_id", "label", "embedding")
+    val queries = emb.filter(col("vec_id") === 0)
+
+    val np1 = graft.llm.Similarity.knnJoin(emb, queries, k = 5, nprobe = 1)
+      .collect()
+    // own-cell contract: only vec 1 is reachable
+    assert(np1.map(_.getAs[Long]("vec_id")).toSet == Set(1L))
+
+    val np2 = graft.llm.Similarity.knnJoin(emb, queries, k = 5, nprobe = 2)
+      .collect()
+    val ids2 = np2.map(_.getAs[Long]("vec_id")).toSet
+    // superset of nprobe=1, and the second probed cell is "b" (nearest
+    // centroid), not the decoy "c"
+    assert(ids2 == Set(1L, 2L, 3L), ids2)
+    // strict domination: the top hit under nprobe=2 beats nprobe=1's best
+    val top1 = np2.minBy(_.getAs[Int]("rnk"))
+    assert(top1.getAs[Long]("vec_id") == 3L)
+    assert(top1.getAs[Double]("cos_sim") >
+      np1.head.getAs[Double]("cos_sim"))
+  }
+}
