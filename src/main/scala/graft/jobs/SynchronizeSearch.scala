@@ -84,8 +84,11 @@ object SynchronizeSearch {
         keptCreates.select("guid")))
       .unionByName(createDocs(keptCreates))
 
-    // --- phase 2: attribute upserts folded per (guid, key) by seq (G21/A8)
-    val attrMerged = m
+    // --- phase 2: attribute upserts folded per (guid, key) by seq (G21/A8).
+    // When phase 4 will run it re-reads this frame for the rename feed —
+    // checkpoint so the explode+double-groupBy subtree executes once, not
+    // twice (lazy plans recompute per consumer).
+    val attrMerged0 = m
       .filter(col("eventType") === "EntityAttributeAudit")
       .select(col("guid"), col("seq"),
         explode_outer(col("attributes")).as(Seq("k", "v")))
@@ -95,6 +98,7 @@ object SynchronizeSearch {
       .groupBy("guid")
       .agg(map_from_entries(collect_list(struct(col("k"), col("v"))))
         .as("attributes"))
+    val attrMerged = if (hasRenames) ck(attrMerged0) else attrMerged0
     val afterAttrs = applyAttributeUpdates(base, attrMerged)
 
     // --- phase 3: latest parent-edge event per guid (G8/G11), gated by
@@ -110,15 +114,18 @@ object SynchronizeSearch {
       applyEdges(afterAttrs, edgeLatest, maxCascadeDepth)
     }
 
-    // --- phase 4: rename cascades (G17/G18)
+    // --- phase 4: rename cascades (G17/G18). afterEdges is consumed three
+    // times below (cascade source, untouched anti-join, union) — checkpoint
+    // so its un-materialized legs (the attribute-upsert joins) run once.
     if (!hasRenames) afterEdges
     else {
+      val store = ck(realias(afterEdges))
       val renames = attrMerged
         .filter(map_contains_key(col("attributes"), "name"))
         .select(col("guid"),
           element_at(col("attributes"), "name").as("newName"))
-      val renamedDescendants = renameInBreadcrumbs(afterEdges, renames)
-      val untouchedBc = afterEdges.join(renamedDescendants.select("guid"),
+      val renamedDescendants = renameInBreadcrumbs(store, renames)
+      val untouchedBc = store.join(renamedDescendants.select("guid"),
         Seq("guid"), "left_anti")
       renameInDerived(untouchedBc.unionByName(renamedDescendants), renames)
     }
