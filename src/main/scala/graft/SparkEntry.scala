@@ -81,6 +81,11 @@ object SparkEntry {
     "q_hash_split" -> (llm.Sampling.hashSplit _),
     "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
     "q_curation_e2e" -> (llm.Curation.curationE2E _),
+    // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
+    "q_line_dedup" -> (llm.TextCuration.lineDedup _),
+    "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
+    "q_sequence_pack" -> ((s, d) => llm.TextCuration.sequencePack(s, d)),
+    "q_pii_redact" -> (llm.TextCuration.piiRedact _),
     // family 11: llm-ops — similarity search
     "q_cosine_topk" -> ((s, d) => llm.Similarity.cosineTopK(s, d)),
     "q_cosine_topk_ivf" -> ((s, d) => llm.Similarity.cosineTopKIvf(s, d)),
@@ -590,6 +595,75 @@ object SparkEntry {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // C4-style global line dedup: 8-word chunks, first occurrence
+    // (smallest doc_id, line_idx) wins corpus-wide
+    "q_line_dedup" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |ln AS (SELECT doc_id,
+        |         unnest([{'line_idx': i, 'line': array_to_string(toks[i*8+1 : i*8+8], ' ')}
+        |                 FOR i IN generate_series(0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)],
+        |                recursive := true)
+        |       FROM tk),
+        |rn AS (SELECT doc_id, line_idx, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |       FROM ln)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INTEGER) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS INTEGER) AS n_kept,
+        |  COALESCE(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE rn = 1), '') AS text_dedup
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher repetition signals: top-bigram fraction + duplicate-line
+    // fraction; flag either over threshold (0.10 / 0.05)
+    "q_repetition_filter" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([array_to_string(toks[i:i+1], ' ')
+        |                 FOR i IN generate_series(1, len(toks) - 1)]) AS bg
+        |       FROM tk),
+        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        |bstat AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+        |          FROM bgc GROUP BY doc_id),
+        |ln AS (SELECT doc_id,
+        |         unnest([array_to_string(toks[i*8+1 : i*8+8], ' ')
+        |                 FOR i IN generate_series(0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)]) AS line
+        |       FROM tk),
+        |lstat AS (SELECT doc_id,
+        |            1.0 - CAST(count(DISTINCT line) AS DOUBLE) / count(*) AS dup_line_frac
+        |          FROM ln GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  round(b.top_bigram_frac, 9) AS top_bigram_frac,
+        |  round(l.dup_line_frac, 9) AS dup_line_frac,
+        |  CAST(CASE WHEN b.top_bigram_frac > 0.10 OR l.dup_line_frac > 0.05
+        |       THEN 1 ELSE 0 END AS INTEGER) AS flagged
+        |FROM bstat b JOIN lstat l ON b.doc_id = l.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // greedy sequential packing into 2048-token sequences, per 8-way shard
+    "q_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens,
+        |  start_tok // 2048 AS seq_id, start_tok % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // PII redaction: a deterministic slice is augmented with fabricated
+    // email+phone so the regexes match for real in both engines
+    "q_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-' ||
+        |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM a ORDER BY doc_id""".stripMargin,
     // exactly-k-per-language deterministic sample: rank by md5(doc_id)
     "q_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS r FROM documents),

@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-curation operators beyond dedup: the C4/Gopher-style cleanup
+  * passes a training-data pipeline runs between crawling and tokenization.
+  *
+  *  - [[lineDedup]]: global line-level exact dedup (C4 removed any
+  *    three-sentence span occurring more than once; the unit here is a
+  *    fixed 8-word chunk because the synthetic corpus has no sentence
+  *    punctuation — the operator shape is identical for any line splitter).
+  *  - [[repetitionStats]]: Gopher-style repetition signals (Rae et al.
+  *    2021, "Scaling Language Models" §A1.1): documents dominated by a few
+  *    repeated n-grams or duplicate lines are boilerplate/spam.
+  *  - [[sequencePack]]: greedy sequential packing of documents into
+  *    fixed-token training sequences, sharded so the packing window never
+  *    becomes a global single-partition sort.
+  *  - [[piiRedact]]: regex PII scrubbing (emails, phone numbers) with
+  *    per-doc redaction counts.
+  *
+  * All four are single-shuffle (or shuffle-free) relational plans — no
+  * interpreted lambdas on the hot path (window `lead`/`sum` instead of
+  * higher-order functions, see Dedup's PERF NOTE).
+  */
+object TextCuration {
+
+  private val LineWords = 8
+
+  /** (doc_id, line_idx, line) — text segmented into fixed LineWords-word
+    * chunks. Whole-stage codegen: posexplode + one per-doc window. */
+  private def lineRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("line_idx", (col("pos") / LineWords).cast("int"))
+      .groupBy("doc_id", "line_idx")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s("tok"))).as("line"))
+
+  /** C4-style GLOBAL line dedup: a line (8-word chunk) is kept only at its
+    * first occurrence corpus-wide — first = smallest (doc_id, line_idx).
+    * Returns per doc: total lines, kept lines, and the reassembled
+    * deduplicated text.
+    *
+    * Scale: one shuffle on the line value (the first-occurrence window),
+    * one shuffle back on doc_id to reassemble — both equi-partitioned; a
+    * hot line (the classic "enable javascript" banner) lands on one
+    * partition but carries only counts, not text concatenation, past the
+    * window. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOf(t(spark, dir, "documents"))
+
+  def lineDedupOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    lineRows(docs)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        count(when(col("rn") === 1, 1)).cast("int").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("line_idx"), col("line"))))),
+          s => s("line"))).as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher repetition signals per document:
+    *  - top_bigram_frac: occurrences of the most frequent word bigram /
+    *    total bigrams (high = "buy now buy now ..." spam);
+    *  - dup_line_frac: 1 − distinct/total 8-word chunks;
+    *  - flagged: either signal above its threshold.
+    * Zero-HOF: bigrams come from a `lead` window over the exploded token
+    * stream (multiset — repetition is the point, no distinct). One shuffle
+    * on doc_id; the (doc, bigram) counts aggregate with map-side partials. */
+  def repetitionStats(spark: SparkSession, dir: String,
+      topBigramMax: Double = 0.10, dupLineMax: Double = 0.05): DataFrame =
+    repetitionStatsOf(t(spark, dir, "documents"), topBigramMax, dupLineMax)
+
+  def repetitionStatsOf(docs: DataFrame,
+      topBigramMax: Double = 0.10, dupLineMax: Double = 0.05): DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(wd)).as("bg"),
+        lead(col("tok"), 1).over(wd).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c")))
+        .as("top_bigram_frac"))
+    val lines = lineRows(docs)
+      .groupBy("doc_id")
+      .agg((lit(1.0) - countDistinct(col("line")).cast("double") /
+        count(lit(1))).as("dup_line_frac"))
+    bigrams.join(lines, "doc_id")
+      .select(col("doc_id"),
+        round(col("top_bigram_frac"), 9).as("top_bigram_frac"),
+        round(col("dup_line_frac"), 9).as("dup_line_frac"),
+        (col("top_bigram_frac") > topBigramMax ||
+          col("dup_line_frac") > dupLineMax).cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** Greedy sequential packing: shard docs by hash, then within each shard
+    * assign every doc the training sequence its first token falls into at
+    * `seqLen` tokens per sequence (cumulative token count over the shard's
+    * doc_id order). Emits (doc_id, shard, n_tokens, seq_id, seq_offset).
+    *
+    * Scale: packing is a running sum — inherently sequential — so it runs
+    * PER SHARD (the window partitions by shard), never as one global
+    * single-partition sort; shards pack independently on their executors,
+    * exactly how a distributed tokenizer writes training shards. */
+  def sequencePack(spark: SparkSession, dir: String, seqLen: Int = 2048,
+      nShards: Int = 8): DataFrame =
+    sequencePackOf(t(spark, dir, "documents"), seqLen, nShards)
+
+  def sequencePackOf(docs: DataFrame, seqLen: Int = 2048,
+      nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"start_tok div $seqLen").as("seq_id"),
+        expr(s"start_tok % $seqLen").as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Regex PII redaction: emails → [EMAIL], NNN-NNNN phones → [PHONE],
+    * with per-doc match counts. The synthetic corpus contains no PII, so a
+    * deterministic slice (doc_id % 7 == 0) is AUGMENTED with a fabricated
+    * email + phone — the regexes are exercised on real matches in both
+    * engines, not vacuously green on zero matches.
+    *
+    * Scale: pure projection — codegen'd regex per row, no shuffle; the
+    * patterns avoid catastrophic backtracking (character classes only). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(email)).cast("int").as("n_emails"),
+        regexp_count(col("aug"), lit(phone)).cast("int").as("n_phones"),
+        regexp_replace(regexp_replace(col("aug"), email, "[EMAIL]"),
+          phone, "[PHONE]").as("redacted"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.TextCuration
+
+/** Property tests for the C4/Gopher-style curation operators (the oracle
+  * rows pin exact values; these pin the semantic contracts on adversarial
+  * fixtures). */
+class TextCurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("line dedup keeps the first global occurrence and reassembles in order") {
+    val chunk = "w1 w2 w3 w4 w5 w6 w7 w8" // one exact 8-word line
+    val d = docs(
+      1L -> s"$chunk a b c d e f g h",
+      2L -> s"$chunk x y z p q r s t") // repeats doc 1's first chunk
+    val out = TextCuration.lineDedupOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_lines") == 2 &&
+      out(1L).getAs[Int]("n_kept") == 2)
+    assert(out(2L).getAs[Int]("n_lines") == 2 &&
+      out(2L).getAs[Int]("n_kept") == 1)
+    assert(out(2L).getAs[String]("text_dedup") == "x y z p q r s t")
+    // order preserved in the survivor
+    assert(out(1L).getAs[String]("text_dedup") ==
+      s"$chunk a b c d e f g h")
+    // idempotence: dedup of the deduped text keeps everything
+    val again = TextCuration.lineDedupOf(
+      docs(1L -> out(1L).getAs[String]("text_dedup"),
+        2L -> out(2L).getAs[String]("text_dedup"))).collect()
+    assert(again.forall(r =>
+      r.getAs[Int]("n_kept") == r.getAs[Int]("n_lines")))
+  }
+
+  test("repetition stats flag n-gram spam, pass varied text") {
+    val spam = Seq.fill(20)("buy now").mkString(" ")
+    val varied = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val out = TextCuration.repetitionStatsOf(docs(1L -> spam, 2L -> varied))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("flagged") == 1)
+    assert(out(1L).getAs[Double]("top_bigram_frac") > 0.4) // "now buy"/"buy now"
+    assert(out(2L).getAs[Int]("flagged") == 0)
+    assert(out(2L).getAs[Double]("dup_line_frac") == 0.0)
+  }
+
+  test("sequence packing: contiguous per-shard offsets, bounded seq_offset") {
+    val d = docs((0L to 31L).map(i =>
+      i -> (1 to (i.toInt % 5 + 3)).map(j => s"w$j").mkString(" ")): _*)
+    val out = TextCuration.sequencePackOf(d, seqLen = 10, nShards = 4)
+      .collect()
+    assert(out.forall(_.getAs[Long]("seq_offset") < 10))
+    // per shard: start_tok of the k-th doc == sum of earlier docs' tokens
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        val start = r.getAs[Long]("seq_id") * 10 + r.getAs[Long]("seq_offset")
+        assert(start == cum, s"doc ${r.getAs[Long]("doc_id")}")
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("pii redaction replaces every match and counts them") {
+    val d = docs(
+      1L -> "reach me at a.user@test.org or bob@x.io and call 123-4567",
+      2L -> "nothing sensitive here")
+    val out = TextCuration.piiRedact(spark, sfDir) // oracle form runs on table
+    val direct = d.select(col("doc_id"),
+      regexp_count(col("text"),
+        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(direct(1L) == 2 && direct(2L) == 0)
+    // the driver-contract query redacts its augmented slice completely
+    val leaked = out.filter(col("redacted").contains("@example.com") ||
+      col("redacted").rlike("[0-9]{3}-[0-9]{4}"))
+    assert(leaked.count() == 0)
+    assert(out.filter(col("n_emails") > 0).count() > 0)
+  }
+}
