@@ -128,4 +128,37 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
       s"expected exactly one hash exchange on user_id:\n$p")
   }
+
+  test("k-NN join with nprobe=2 stays equi-join + broadcast centroids") {
+    val emb = graft.Tables.t(spark, sfDir, "embeddings")
+    val p = graft.llm.Similarity
+      .knnJoin(emb, emb.filter(org.apache.spark.sql.functions
+        .col("vec_id") < 8), k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"nprobe cell fan-out degenerated to a cross product:\n$p")
+    // the centroid table (nlist rows) must be the broadcast side
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"centroid ranking did not broadcast the tiny side:\n$p")
+  }
+
+  test("q_line_dedup scan prunes to (doc_id, text); no cartesian") {
+    val p = plan("q_line_dedup")
+    assert(p.contains("ReadSchema"), s"no scan in plan:\n$p")
+    assert(!p.contains("source"),
+      s"line dedup must not read unreferenced columns:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_sequence_pack windows per shard — no single-partition global sort") {
+    val p = plan("q_sequence_pack")
+    // the packing window must partition by shard; a global running sum
+    // would show as an Exchange SinglePartition before the window
+    assert(p.contains("hashpartitioning(shard"),
+      s"packing window is not shard-partitioned:\n$p")
+    val beforeSort = p.substring(0, p.indexOf("Sort ["))
+    assert(!beforeSort.contains("SinglePartition"),
+      s"packing degenerated to a single-partition window:\n$p")
+  }
 }
