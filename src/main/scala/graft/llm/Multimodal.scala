@@ -48,9 +48,10 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Decode `bytes` with whatever installed ImageIO reader claims the
-    * format; None when no codec matches (or the payload is corrupt). */
-  private def decodeImage(bytes: Array[Byte]): Option[(String, BufferedImage)] = {
+  /** Run `f` with an ImageIO reader bound to `bytes`; None when no codec
+    * matches (or the payload is corrupt). */
+  private def withReader[T](bytes: Array[Byte])(
+      f: (String, javax.imageio.ImageReader) => T): Option[T] = {
     if (bytes == null || bytes.length == 0) return None
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -62,13 +63,22 @@ object Multimodal {
           val reader = readers.next()
           try {
             reader.setInput(iis)
-            val fmt = reader.getFormatName.toLowerCase
-            val img = reader.read(0)
-            if (img == null) None else Some((fmt, img))
+            Some(f(reader.getFormatName.toLowerCase, reader))
           } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode the first frame. */
+  private def decodeImage(bytes: Array[Byte]): Option[(String, BufferedImage)] =
+    withReader(bytes) { (fmt, r) => (fmt, r.read(0)) }
+      .filter(_._2 != null)
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Mean luminance (Rec.601, [0,1]) over a GridW x GridH cell grid —
@@ -130,22 +140,36 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling plumbing: one row per sampled "frame" of a media
-    * payload. A real video decoder would seek keyframes; for opaque
-    * payloads the frame count derives deterministically from payload size,
-    * sampling every `everyN`th index. The Spark shape is the point:
-    * explode is pipelined (no shuffle), and frame payloads stay opaque
-    * binary slices so column pruning keeps them out of downstream
-    * shuffles. */
+  case class FrameRow(doc_id: Long, media_type: String, frame_idx: Int,
+      frame_bytes: Array[Byte])
+
+  /** Frame sampling: one row per sampled frame of a media payload, every
+    * `everyN`th frame. Multi-frame formats the JDK decodes (animated GIF,
+    * multi-page TIFF) yield REAL frames re-encoded as PNG; payloads no
+    * codec reads fall back to deterministic 16-byte slices with a
+    * size-derived frame count, keeping the pipeline total. Runs in the
+    * per-partition codec loop (a video decoder would seek keyframes the
+    * same way); frame payloads stay opaque binary so column pruning keeps
+    * them out of downstream shuffles. */
   def frameSample(media: Dataset[MediaRow], everyN: Int = 4): DataFrame = {
-    media.toDF()
-      .withColumn("n_frames", greatest(lit(1), length(col("payload")) / 16))
-      .select(col("doc_id"), col("media_type"),
-        posexplode(sequence(lit(0), (col("n_frames") - 1).cast("int"),
-          lit(everyN))).as(Seq("frame_ord", "frame_idx")),
-        col("payload"))
-      .select(col("doc_id"), col("media_type"), col("frame_idx"),
-        expr("substring(payload, frame_idx * 16 + 1, 16)").as("frame_bytes"))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val real = withReader(r.payload) { (_, reader) =>
+          val n = reader.getNumImages(true)
+          (0 until n by everyN).map(i =>
+            FrameRow(r.doc_id, r.media_type, i, encodePng(reader.read(i))))
+        }
+        real.getOrElse {
+          // stub fallback — identical indices/slices to the relational
+          // form this replaced: n = max(1, len/16), every everyN-th
+          val n = math.max(1, r.payload.length / 16)
+          (0 until n by everyN).map(i => FrameRow(r.doc_id, r.media_type, i,
+            r.payload.slice(i * 16, i * 16 + 16)))
+        }
+      }
+    }.toDF()
   }
 
   /** REAL pixel resize: decode, rescale the pixel buffer with Graphics2D

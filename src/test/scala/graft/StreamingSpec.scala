@@ -405,6 +405,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling decodes REAL frames from an animated GIF") {
+    // 6 solid-gray frames (levels 0,40,...,200); GIF palettes preserve
+    // solid colors exactly
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until 6) {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = i * 40
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+
+    val media = mediaDs(Seq(MediaRow(1L, "video", bos.toByteArray)))
+    val frames = Multimodal.frameSample(media, everyN = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    // each sampled frame decodes back to its solid gray level
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      val expected = r.getAs[Int]("frame_idx") * 40
+      assert((img.getRGB(3, 3) & 0xff) == expected,
+        s"frame ${r.getAs[Int]("frame_idx")}")
+    }
+  }
+
   test("resize rescales real pixel buffers; non-decodable rows pass through") {
     val orig = halfToneBytes(48, 20, "png")
     val textPayload = "not an image".getBytes("UTF-8")
