@@ -46,25 +46,34 @@ object TextCuration {
     * Returns per doc: total lines, kept lines, and the reassembled
     * deduplicated text.
     *
-    * Scale: one shuffle on the line value (the first-occurrence window),
-    * one shuffle back on doc_id to reassemble — both equi-partitioned; a
-    * hot line (the classic "enable javascript" banner) lands on one
-    * partition but carries only counts, not text concatenation, past the
-    * window. */
+    * Scale: the first-occurrence winner per line is a `min_by` AGGREGATE,
+    * not a window — partial aggregation collapses a hot line (the classic
+    * "enable javascript" banner, duplicated millions of times) to one row
+    * per map task BEFORE the shuffle, where a window formulation would
+    * sort every occurrence on a single partition. Total: one aggregate
+    * shuffle on the line, one per-doc aggregate, one per-doc join. */
   def lineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedupOf(t(spark, dir, "documents"))
 
   def lineDedupOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
-    lineRows(docs)
-      .withColumn("rn", row_number().over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_lines"),
-        count(when(col("rn") === 1, 1)).cast("int").as("n_kept"),
+    val lr = lineRows(docs)
+    // corpus-wide winner per distinct line, carrying its text: map-side
+    // partial min_by means the reducer sees one candidate per partition,
+    // whatever the line's multiplicity
+    val winners = lr.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.line_idx").as("line_idx"),
+        col("line"))
+    val kept = winners.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(when(col("rn") === 1,
-            struct(col("line_idx"), col("line"))))),
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
           s => s("line"))).as("text_dedup"))
+    lr.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
       .orderBy("doc_id")
   }
 

@@ -143,12 +143,16 @@ class PlanSpec extends AnyFunSuite {
       s"centroid ranking did not broadcast the tiny side:\n$p")
   }
 
-  test("q_line_dedup scan prunes to (doc_id, text); no cartesian") {
+  test("q_line_dedup scan prunes to (doc_id, text); winners via partial agg") {
     val p = plan("q_line_dedup")
     assert(p.contains("ReadSchema"), s"no scan in plan:\n$p")
     assert(!p.contains("source"),
       s"line dedup must not read unreferenced columns:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // the first-occurrence winner must be a partial-aggregated min, never
+    // a window sort over every occurrence of a (possibly hot) line
+    assert(p.contains("partial_min"),
+      s"winner selection lost its map-side partial min:\n$p")
   }
 
   test("q_sequence_pack windows per shard — no single-partition global sort") {

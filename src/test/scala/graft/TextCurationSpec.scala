@@ -38,6 +38,18 @@ class TextCurationSpec extends AnyFunSuite {
       r.getAs[Int]("n_kept") == r.getAs[Int]("n_lines")))
   }
 
+  test("line dedup survives a degenerate hot line (one chunk, thousands of copies)") {
+    val banner = "please enable javascript to view this site now" // 8 words
+    val d = docs((1L to 500L).map(i => i -> banner): _*)
+    val out = TextCuration.lineDedupOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 500)
+    assert(out(1L).getAs[Int]("n_kept") == 1 &&
+      out(1L).getAs[String]("text_dedup") == banner)
+    assert((2L to 500L).forall(i => out(i).getAs[Int]("n_kept") == 0 &&
+      out(i).getAs[String]("text_dedup") == ""))
+  }
+
   test("repetition stats flag n-gram spam, pass varied text") {
     val spam = Seq.fill(20)("buy now").mkString(" ")
     val varied = (1 to 40).map(i => s"tok$i").mkString(" ")
