@@ -91,6 +91,7 @@ object SparkEntry {
     "q_cosine_topk_ivf" -> ((s, d) => llm.Similarity.cosineTopKIvf(s, d)),
     "q_ann_pairs" -> ((s, d) => llm.Similarity.annPairs(s, d)),
     "q_knn_join" -> (llm.Similarity.knnJoinQuery _),
+    "q_ivf_train" -> (llm.Similarity.ivfTrainQuery _),
     "q_embedding_dedup" -> ((s, d) => llm.Similarity.embeddingDedup(s, d)),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
     "q_binary_meta" -> (llm.Multimodal.binaryMeta _),
@@ -696,6 +697,30 @@ object SparkEntry {
         |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.ql)
         |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cos_sim
         |FROM z ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // trained IVF quantizer: 2 unrolled Lloyd rounds + final assignment;
+    // init = k lowest vec_ids, argmin ties break by cluster id
+    "q_ivf_train" ->
+      """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+        |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM ex WHERE vec_id < 4),
+        |d1 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+        |       FROM ex e JOIN c0 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+        |a1 AS (SELECT vec_id, cid FROM
+        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM ex e JOIN a1 a USING (vec_id) GROUP BY a.cid, e.i),
+        |d2 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+        |       FROM ex e JOIN c1 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+        |a2 AS (SELECT vec_id, cid FROM
+        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM ex e JOIN a2 a USING (vec_id) GROUP BY a.cid, e.i),
+        |df AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+        |       FROM ex e JOIN c2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+        |af AS (SELECT vec_id, cid FROM
+        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
+        |       WHERE rn = 1)
+        |SELECT vec_id, cid AS cluster FROM af ORDER BY vec_id""".stripMargin,
     "q_knn_join" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
         |           FROM embeddings WHERE vec_id < 8),

@@ -167,6 +167,45 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** TRAINED IVF coarse quantizer: `iters` unrolled Lloyd k-means rounds
+    * over the exploded (vec_id, i, x) table, then a final assignment.
+    * Deterministic end to end: init = the k lowest vec_ids' vectors,
+    * assignment argmin breaks distance ties by cluster id (min over a
+    * (distance, cid) struct — lexicographic). Returns (vec_id, cluster).
+    *
+    * Scale: each round is two equi-shuffles — distances via an equi-join
+    * on the dimension index against the BROADCAST k×dim centroid table
+    * (k·dim rows — tiny) with map-side partial sums, new centroids via
+    * groupBy(cid, i) avg. No iteration reads more than O(n·k) rows and
+    * the centroid frame is checkpointed per round so round r never
+    * re-derives rounds 1..r−1. The `label` column elsewhere stands in for
+    * a cell assignment; this IS the training step that produces one. */
+  def ivfTrain(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    val ex = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+    def assign(cent: DataFrame): DataFrame =
+      ex.join(broadcast(cent), Seq("i"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+    var cent = ex.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("i"),
+        col("x").as("c"))
+    for (_ <- 1 to iters)
+      cent = graft.Materialize.checkpoint(
+        ex.join(assign(cent), Seq("vec_id"))
+          .groupBy("cid", "i").agg(avg(col("x")).as("c")))
+    assign(cent).select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** Driver-contract form of [[ivfTrain]]. */
+  def ivfTrainQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfTrain(t(spark, dir, "embeddings"))
+
   /** Per-cell centroids (cell, centroid ARRAY<FLOAT>) — the coarse
     * quantizer table an IVF index stores. nlist rows: tiny, broadcastable.
     * (The interpreted transform lambda runs once per CELL, not per

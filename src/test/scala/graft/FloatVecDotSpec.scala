@@ -149,3 +149,36 @@ class KnnJoinNprobeSpec extends AnyFunSuite {
       np1.head.getAs[Double]("cos_sim"))
   }
 }
+
+/** Differential test for the distributed Lloyd k-means quantizer. */
+class IvfTrainSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("distributed ivfTrain matches a driver-side reference k-means") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val k = 4
+    def assign(cent: Map[Int, Array[Double]]): Map[Long, Int] =
+      vecs.map { case (id, v) =>
+        id -> cent.toSeq.map { case (cid, c) =>
+          (v.zip(c).map(p => (p._1 - p._2) * (p._1 - p._2)).sum, cid)
+        }.min._2
+      }.toMap
+    var cent = vecs.filter(_._1 < k)
+      .map { case (id, v) => id.toInt -> v }.toMap
+    for (_ <- 1 to 2) {
+      val a = assign(cent)
+      cent = vecs.groupBy { case (id, _) => a(id) }.map { case (cid, vs) =>
+        cid -> vs.map(_._2).transpose.map(xs => xs.sum / xs.length).toArray
+      }
+    }
+    val expected = assign(cent)
+    val got = graft.llm.Similarity.ivfTrain(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(got == expected)
+    // training did something: more than one non-empty cluster
+    assert(got.values.toSet.size > 1)
+  }
+}
