@@ -206,6 +206,20 @@ object Similarity {
   def ivfTrainQuery(spark: SparkSession, dir: String): DataFrame =
     ivfTrain(t(spark, dir, "embeddings"))
 
+  /** End-to-end trained ANN join: train the quantizer, relabel both sides
+    * with their trained cell, then run the [[knnJoin]] probe — the full
+    * IVF story (train → assign → probe) as one composition. The trained
+    * assignment is checkpointed: it feeds both join legs. */
+  def knnJoinTrained(emb: DataFrame, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 1, kCells: Int = 4): DataFrame = {
+    val cells = graft.Materialize.checkpoint(
+      ivfTrain(emb, kCells).select(col("vec_id"),
+        col("cluster").cast("string").as("cell_label")))
+    def withCell(df: DataFrame) = df.drop("label")
+      .join(cells, "vec_id").withColumnRenamed("cell_label", "label")
+    knnJoin(withCell(emb), withCell(queries), k, nprobe)
+  }
+
   /** Per-cell centroids (cell, centroid ARRAY<FLOAT>) — the coarse
     * quantizer table an IVF index stores. nlist rows: tiny, broadcastable.
     * (The interpreted transform lambda runs once per CELL, not per

@@ -182,3 +182,38 @@ class IvfTrainSpec extends AnyFunSuite {
     assert(got.values.toSet.size > 1)
   }
 }
+
+/** Composition: train → assign → probe, with recall against brute force. */
+class KnnTrainedSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("trained-cell k-NN join returns top-k per query without cartesian") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    val out = graft.llm.Similarity.knnJoinTrained(emb, queries,
+      k = 5, nprobe = 2)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"trained ANN degenerated:\n$p")
+    val rows = out.collect()
+    val perQuery = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQuery.keySet == Set(0L, 1L, 2L, 3L))
+    assert(perQuery.values.forall(_.length == 5))
+    // sanity recall: for each query, nprobe=2 over trained cells finds at
+    // least one of the brute-force top-5
+    val brute = emb.crossJoin(broadcast(
+        queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.llm.Similarity.cosine(col("embedding"), col("q_emb")).as("s"))
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(-_.getAs[Double]("s")).take(5)
+          .map(_.getAs[Long]("vec_id")).toSet }
+    perQuery.foreach { case (q, rs) =>
+      val got = rs.map(_.getAs[Long]("vec_id")).toSet
+      assert(got.intersect(brute(q)).nonEmpty,
+        s"query $q: no overlap with brute-force top-5")
+    }
+  }
+}
