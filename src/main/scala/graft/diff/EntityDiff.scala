@@ -52,8 +52,13 @@ object EntityDiff {
   /** Null/empty scrubbing (P8/P9 `delete_*_values_from_dict`
     * determine_change_job.py:53-65): drop null values and JSON-array values
     * (relationships travel separately). Canonical-JSON makes "is array" a
-    * prefix test. */
+    * prefix test. Native kernel ([[graft.functions.MapScrub]]) — the
+    * map_filter lambda interpreted per entry on the diff hot path. */
   def scrubbedAttrs(m: Column): Column =
+    graft.functions.MapScrub.map_scrub(coalesce(m, emptyAttrs))
+
+  /** Interpreted reference form (differential tests). */
+  def scrubbedAttrsHof(m: Column): Column =
     map_filter(coalesce(m, emptyAttrs),
       (_, v) => v.isNotNull && !v.startsWith("["))
 

@@ -17,16 +17,28 @@ object DiffOps {
 
   /** A2: keys present in `newM` but absent from `oldM` (sorted for stable
     * comparison). The reference's get_added_fields intent
-    * (`determine_change_job.py:177-183` — its `or` bug corrected per §2.8). */
+    * (`determine_change_job.py:177-183` — its `or` bug corrected per §2.8).
+    * Native codegen kernel ([[graft.functions.MapKeyDiff]]) — one static
+    * call per row instead of an interpreted lambda per key; the HOF forms
+    * below stay as the differential-testing reference (MapDiffSpec pins
+    * equality). */
   def addedKeys(newM: Column, oldM: Column): Column =
-    array_sort(filter(map_keys(newM), k => !map_contains_key(oldM, k)))
+    graft.functions.MapKeyDiff.added_keys(newM, oldM)
 
   /** A4: keys removed between versions. */
   def deletedKeys(newM: Column, oldM: Column): Column =
-    array_sort(filter(map_keys(oldM), k => !map_contains_key(newM, k)))
+    graft.functions.MapKeyDiff.deleted_keys(newM, oldM)
 
   /** A3: keys present in both with differing values. */
   def changedKeys(newM: Column, oldM: Column): Column =
+    graft.functions.MapKeyDiff.changed_keys(newM, oldM)
+
+  /** Interpreted HOF references for the three diffs (differential tests). */
+  def addedKeysHof(newM: Column, oldM: Column): Column =
+    array_sort(filter(map_keys(newM), k => !map_contains_key(oldM, k)))
+  def deletedKeysHof(newM: Column, oldM: Column): Column =
+    array_sort(filter(map_keys(oldM), k => !map_contains_key(newM, k)))
+  def changedKeysHof(newM: Column, oldM: Column): Column =
     array_sort(filter(map_keys(newM),
       k => map_contains_key(oldM, k) && !(element_at(oldM, k) <=> element_at(newM, k))))
 
