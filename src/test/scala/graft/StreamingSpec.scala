@@ -300,6 +300,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("signature-store compaction preserves near-dup behavior") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigcomp").toString
+    val (sigs, out) = (s"$dir/sigs", s"$dir/docs")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    def run(batch: Seq[(Long, String)], id: Long) =
+      graft.streaming.StreamingDedup.nearDupBatch(spark, sigs, out)(
+        batch.toDF("doc_id", "text"), id)
+    run(Seq(1L -> base), 0L)
+    run(Seq(2L -> ("totally different words about spark shuffles and " +
+      "broadcast joins in large clusters running batch pipelines")), 1L)
+    run(Seq(3L -> ("a third distinct document that shares no shingles " +
+      "with either of the previous two ingests at all")), 2L)
+    graft.streaming.StreamingDedup.compactSignatures(spark, sigs, 1L)
+    // a near-dup of batch 0's doc still drops against the compacted store
+    run(Seq(4L -> base.replace("omega", "OMEGA")), 3L)
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L), survivors)
+  }
+
   test("compaction refuses replay-unsafe targets (ADVICE r4)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
