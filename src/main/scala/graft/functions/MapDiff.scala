@@ -101,6 +101,76 @@ object MapDiffKernel {
           s"$name requires MAP<STRING,STRING> arguments, but argument " +
             s"${i + 1} is ${e.dataType.catalogString}")
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  /** Null-safe field-by-field equality of two all-string struct rows —
+    * representation-independent (UnsafeRow vs GenericInternalRow binary
+    * comparison is not). */
+  private def rowEq(a: org.apache.spark.sql.catalyst.InternalRow,
+      b: org.apache.spark.sql.catalyst.InternalRow, numFields: Int)
+      : Boolean = {
+    var j = 0
+    while (j < numFields) {
+      val an = a.isNullAt(j)
+      if (an != b.isNullAt(j)) return false
+      if (!an && !a.getUTF8String(j).equals(b.getUTF8String(j))) return false
+      j += 1
+    }
+    true
+  }
+
+  /** A5/A6 kernel: per key of `n`, the elements of n[k] not present in
+    * o[k] — `array_except` semantics (distinct, left order) — dropping
+    * now-empty keys. One call per row replacing the interpreted
+    * map_zip_with + array_except + map_filter chain. */
+  def relDiff(n: MapData, o: MapData, numFields: Int): MapData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val nKeys = n.keyArray()
+    val nVals = n.valueArray()
+    val outK = new java.util.ArrayList[AnyRef](n.numElements())
+    val outV = new java.util.ArrayList[AnyRef](n.numElements())
+    var i = 0
+    while (i < n.numElements()) {
+      val k = nKeys.getUTF8String(i)
+      if (!nVals.isNullAt(i)) {
+        val arr = nVals.getArray(i)
+        val j = indexOf(o.keyArray(), o.numElements(), k)
+        val oArr = if (j < 0 || o.valueArray().isNullAt(j)) null
+          else o.valueArray().getArray(j)
+        val kept = new java.util.ArrayList[InternalRow](arr.numElements())
+        var a = 0
+        while (a < arr.numElements()) {
+          // struct elements of relationship arrays are never null entries
+          val row = arr.getStruct(a, numFields)
+          var drop = false
+          if (oArr != null) {
+            var b = 0
+            while (!drop && b < oArr.numElements()) {
+              drop = rowEq(row, oArr.getStruct(b, numFields), numFields)
+              b += 1
+            }
+          }
+          var dup = false
+          if (!drop) {
+            var c = 0
+            while (!dup && c < kept.size) {
+              dup = rowEq(row, kept.get(c), numFields)
+              c += 1
+            }
+          }
+          if (!drop && !dup) kept.add(row.copy())
+          a += 1
+        }
+        if (kept.size > 0) {
+          outK.add(k)
+          outV.add(new GenericArrayData(kept.toArray.asInstanceOf[Array[Any]]))
+        }
+      }
+      i += 1
+    }
+    new ArrayBasedMapData(
+      new GenericArrayData(outK.toArray.asInstanceOf[Array[Any]]),
+      new GenericArrayData(outV.toArray.asInstanceOf[Array[Any]]))
+  }
 }
 
 /** Sorted key-diff of two MAP<STRING,STRING> columns; see [[MapDiffKernel]]. */
@@ -161,4 +231,52 @@ object MapScrub {
   import org.apache.spark.sql.GraftBridge
   def map_scrub(m: Column): Column =
     GraftBridge.column(MapScrub(GraftBridge.expression(m)))
+}
+
+/** A5/A6: per-key array diff of relationship maps
+  * (MAP<STRING, ARRAY<STRUCT<all-string>>>); see [[MapDiffKernel.relDiff]]. */
+case class RelationshipDiff(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.StructType
+
+  private def structArity(dt: DataType): Option[Int] = dt match {
+    case MapType(StringType, ArrayType(st: StructType, _), _)
+        if st.fields.forall(_.dataType == StringType) => Some(st.fields.length)
+    case _ => None
+  }
+
+  override def dataType: DataType = left.dataType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    (structArity(left.dataType), structArity(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b && DataType.equalsStructurally(
+          left.dataType, right.dataType, ignoreNullability = true) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two identical MAP<STRING, ARRAY<STRUCT<" +
+          s"all-string>>> arguments, got ${left.dataType.catalogString} " +
+          s"and ${right.dataType.catalogString}")
+    }
+
+  private lazy val numFields: Int = structArity(left.dataType).get
+
+  override def nullSafeEval(n: Any, o: Any): Any =
+    MapDiffKernel.relDiff(n.asInstanceOf[MapData], o.asInstanceOf[MapData],
+      numFields)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (n, o) =>
+      s"graft.functions.MapDiffKernel.relDiff($n, $o, $numFields)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "relationship_diff"
+}
+
+object RelationshipDiff {
+  import org.apache.spark.sql.GraftBridge
+  def relationship_diff(n: Column, o: Column): Column =
+    GraftBridge.column(RelationshipDiff(
+      GraftBridge.expression(n), GraftBridge.expression(o)))
 }

@@ -48,10 +48,16 @@ object DiffOps {
       changedKeys(newM, oldM)))
 
   /** A5/A6: per-key array diff for relationship maps
-    * (`MapType(String, ArrayType(T))`): elements of newRel[k] not in oldRel[k],
-    * dropping now-empty keys — `determine_change_job.py:127-167` as one
-    * `map_zip_with` + `map_filter` pass. */
+    * (`MapType(String, ArrayType(T))`): elements of newRel[k] not in oldRel[k]
+    * (array_except semantics: distinct, left order), dropping now-empty keys
+    * — `determine_change_job.py:127-167`. Native kernel
+    * ([[graft.functions.RelationshipDiff]]); the HOF form below is the
+    * differential reference. */
   def relationshipDiff(newRel: Column, oldRel: Column): Column =
+    graft.functions.RelationshipDiff.relationship_diff(newRel, oldRel)
+
+  /** Interpreted map_zip_with + array_except reference (differential tests). */
+  def relationshipDiffHof(newRel: Column, oldRel: Column): Column =
     map_filter(
       map_zip_with(newRel, oldRel, (_, n, o) =>
         array_except(coalesce(n, array()), coalesce(o, array()))),
