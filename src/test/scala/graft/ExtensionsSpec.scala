@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extension point must expose every custom expression to plain SQL. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("all custom expressions resolve and evaluate through SQL") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      def one(sql: String): Any = spark.sql(s"SELECT $sql").collect().head.get(0)
+      def seq1(sql: String): List[String] =
+        spark.sql(s"SELECT $sql").collect().head.getSeq[String](0).toList
+      assert(one("float_vec_dot(array(cast(1.0 as float), cast(2.0 as float))," +
+        " array(cast(3.0 as float), cast(4.0 as float)))") == 11.0)
+      val cos = one("float_vec_cosine(array(cast(1.0 as float))," +
+        " array(cast(2.0 as float)))").asInstanceOf[Double]
+      assert(math.abs(cos - 1.0) < 1e-12)
+      assert(seq1("map_added_keys(map('a','1','b','2'), map('a','1'))") ==
+        List("b"))
+      assert(seq1("map_deleted_keys(map('a','1'), map('a','1','z','9'))") ==
+        List("z"))
+      assert(seq1("map_changed_keys(map('a','1'), map('a','2'))") ==
+        List("a"))
+      assert(seq1("map_keys(map_scrub(map('a','[1]','b','2')))") ==
+        List("b"))
+      assert(seq1("map_keys(relationship_diff(" +
+        "map('p', array(named_struct('g','1'))), " +
+        "map('p', array(named_struct('g','1')))))").isEmpty)
+      assert(one("json_canonicalize('{\"b\":1,\"a\":2}')") != null)
+    } finally () // shared-session semantics: do not stop the singleton
+  }
+}
