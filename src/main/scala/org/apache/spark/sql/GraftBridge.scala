@@ -7,4 +7,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function into an EXISTING session's registry (sessionState
+    * is private[sql]) — the runtime counterpart of builder-time
+    * SparkSessionExtensions.injectFunction, for sessions already created
+    * (shared test sessions, REPLs). */
+  def registerFunction(spark: SparkSession, name: String,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -7,13 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("all custom expressions resolve and evaluate through SQL") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-spec")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // the suite shares one SparkSession (builder-time withExtensions is a
+    // no-op on getOrCreate of an existing session) — use the runtime
+    // install path, which registers the SAME function list
+    val spark = SparkTestSession.spark
+    GraftExtensions.install(spark)
     try {
       def one(sql: String): Any = spark.sql(s"SELECT $sql").collect().head.get(0)
       def seq1(sql: String): List[String] =
