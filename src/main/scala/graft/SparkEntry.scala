@@ -79,6 +79,7 @@ object SparkEntry {
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(s, d)),
     "q_decontaminate" -> ((s, d) => llm.Dedup.decontaminate(s, d)),
     "q_hash_split" -> (llm.Sampling.hashSplit _),
+    "q_source_mix" -> ((s, d) => llm.Sampling.sourceMix(s, d)),
     "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
     "q_curation_e2e" -> (llm.Curation.curationE2E _),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
@@ -596,6 +597,16 @@ object SparkEntry {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // source-weighted mixing: keep src0 100%, src1 50%, src2 25% by a
+    // salted hash bucket of the stable doc id
+    "q_source_mix" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS mix_bucket,
+        |    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+        |                WHEN 'src2' THEN 25 ELSE 0 END AS keep_pct
+        |  FROM documents)
+        |SELECT doc_id, source, mix_bucket FROM b
+        |WHERE mix_bucket < keep_pct ORDER BY doc_id""".stripMargin,
     // C4-style global line dedup: 8-word chunks, first occurrence
     // (smallest doc_id, line_idx) wins corpus-wide
     "q_line_dedup" ->

@@ -62,4 +62,30 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("rnk"))
       .orderBy("lang", "rnk")
   }
+
+  /** Source-weighted data MIXING: keep a deterministic fraction of each
+    * source ("web 25%, curated 100%" — the mixture step before training).
+    * Membership is a pure function of the stable id — [[splitBucket]]'s
+    * rule over a mix-specific salt, so the mix is reproducible across
+    * runs/engines/partition layouts AND independent of the train/val/test
+    * split (different salt ⇒ uncorrelated bucket). Fractions are in
+    * integer percent; unlisted sources default to 0 (dropped).
+    *
+    * Scale: a pure projection + filter — zero shuffle, and the scan reads
+    * only (doc_id, source). */
+  def sourceMix(spark: SparkSession, dir: String,
+      pctBySource: Map[String, Int] = Map(
+        "src0" -> 100, "src1" -> 50, "src2" -> 25)): DataFrame = {
+    val pct = pctBySource.foldLeft(lit(0)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (Dedup.h60(concat(lit("mix#"), col("doc_id").cast("string"))) % 100)
+          .as("mix_bucket"))
+      .withColumn("keep_pct", pct)
+      .filter(col("mix_bucket") < col("keep_pct"))
+      .select(col("doc_id"), col("source"), col("mix_bucket"))
+      .orderBy("doc_id")
+  }
 }

@@ -96,3 +96,28 @@ class TextCurationSpec extends AnyFunSuite {
     assert(out.filter(col("n_emails") > 0).count() > 0)
   }
 }
+
+/** Source-mix properties: exact fractions under a 100% weight, salt
+  * independence from the train/val/test split. */
+class SourceMixSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("weights govern per-source keep fractions; 100% keeps everything") {
+    val all = graft.llm.Sampling.sourceMix(spark, sfDir,
+      Map("src0" -> 100, "src1" -> 100)).collect()
+    val n = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source").isin("src0", "src1")).count()
+    assert(all.length == n) // 100% weight = every doc of that source
+    val mixed = graft.llm.Sampling.sourceMix(spark, sfDir).collect()
+    val bySrc = mixed.groupBy(_.getAs[String]("source")).view
+      .mapValues(_.length).toMap
+    assert(bySrc.keySet == Set("src0", "src1", "src2")) // unlisted dropped
+    // 25 docs per source in sf0.01: 100% keeps all, 50%/25% keep fewer
+    assert(bySrc("src0") == 25)
+    assert(bySrc("src1") < 25 && bySrc("src1") > 5)
+    assert(bySrc("src2") < bySrc("src1"))
+    // deterministic across evaluations
+    val again = graft.llm.Sampling.sourceMix(spark, sfDir).collect()
+    assert(again.map(_.getLong(0)).toSeq == mixed.map(_.getLong(0)).toSeq)
+  }
+}
