@@ -48,16 +48,24 @@ object Curation {
       quality.withColumn("rn", row_number().over(wExact))
         .filter(col("rn") === 1).drop("rn"))
 
+    // one shingle pass over the exact survivors feeds BOTH stage 3
+    // (minhash signatures) and stage 4 (decontamination probe) — the
+    // tokenize+window funnel is the expensive part of each
+    val exactSh = graft.Materialize.checkpoint(Dedup.shingleRows(exact))
+
     // 3. near-dup cluster survivors over the exact survivors (two
     // consumers again: decontamination shingles + the final anti-join)
     val nearDup = graft.Materialize.checkpoint(exact.join(
-      Dedup.dupClustersOf(exact).filter(col("is_survivor") === 1)
+      Dedup.dupClustersFromShingles(exact.select("doc_id"), exactSh)
+        .filter(col("is_survivor") === 1)
         .select("doc_id"),
       Seq("doc_id"), "left_semi"))
 
-    // 4. decontamination against the benchmark slice's shingles
+    // 4. decontamination against the benchmark slice's shingles (shingles
+    // of the stage-3 survivors = exactSh restricted to them)
     val benchSh = Dedup.shingleRows(bench).select("s").distinct()
-    val contaminated = Dedup.shingleRows(nearDup)
+    val contaminated = exactSh
+      .join(nearDup.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(broadcast(benchSh), Seq("s"), "left_semi")
       .select("doc_id").distinct()
     val clean = nearDup.join(contaminated, Seq("doc_id"), "left_anti")

@@ -165,9 +165,15 @@ object Dedup {
     * No row explosion. (The earlier formulation exploded shingles × n,
     * paid n digests per shingle, and shuffled (doc, j) minima; hashing
     * dominated the LSH/cluster/curation queries.) */
-  def signatureTable(docs: DataFrame, n: Int = 8): DataFrame = {
+  def signatureTable(docs: DataFrame, n: Int = 8): DataFrame =
+    signatureTableFromShingles(shingleRows(docs), n)
+
+  /** Shingle-fed variant: callers that already materialized (doc_id, s)
+    * rows (the curation composition shares one shingle pass across
+    * stages) skip re-tokenizing. */
+  def signatureTableFromShingles(sr: DataFrame, n: Int = 8): DataFrame = {
     require(n <= 8, s"n=$n exceeds the ${SigSalts.size * 2} derived hashes")
-    shingleRows(docs)
+    sr
       .select(col("doc_id") +:
         (0 until n).map(j => sigHash(col("s"), j).as(s"h$j")): _*)
       .groupBy("doc_id")
@@ -226,11 +232,16 @@ object Dedup {
     * sort in [[minhashLshOf]] is a range-partition exchange that buys
     * nothing before a groupBy/join. */
   def minhashPairsOf(docs: DataFrame,
+      minEstSim: Double = 0.5, hotBucketCap: Int = 256): DataFrame =
+    minhashPairsFromShingles(shingleRows(docs), minEstSim, hotBucketCap)
+
+  /** Shingle-fed variant — see [[signatureTableFromShingles]]. */
+  def minhashPairsFromShingles(sr: DataFrame,
       minEstSim: Double = 0.5, hotBucketCap: Int = 256): DataFrame = {
     val bands = 4
     // materialize the signature table once (it feeds bucketing AND two
     // scoring joins; in production it would be a persisted stage output)
-    val sig = signatureTable(docs).localCheckpoint(true)
+    val sig = signatureTableFromShingles(sr).localCheckpoint(true)
     val buckets = bandRows(sig, bands).select("doc_id", "band", "bh")
     // hot-bucket guard (VERDICT r2 #6): a degenerate corpus (thousands of
     // identical docs) collapses a band bucket and makes the self-join
@@ -280,12 +291,19 @@ object Dedup {
     dupClustersOf(t(spark, dir, "documents"), minEstSim)
 
   /** DataFrame-in variant (docs: doc_id, text). */
-  def dupClustersOf(docs: DataFrame, minEstSim: Double = 0.5): DataFrame = {
-    val pairs = minhashPairsOf(docs, minEstSim)
+  def dupClustersOf(docs: DataFrame, minEstSim: Double = 0.5): DataFrame =
+    dupClustersFromShingles(docs.select("doc_id"), shingleRows(docs),
+      minEstSim)
+
+  /** Shingle-fed variant: `ids` is the (doc_id) universe (docs in no pair
+    * are their own singleton cluster), `sr` its (doc_id, s) shingle rows. */
+  def dupClustersFromShingles(ids: DataFrame, sr: DataFrame,
+      minEstSim: Double = 0.5): DataFrame = {
+    val pairs = minhashPairsFromShingles(sr, minEstSim)
       .select(col("id_a").as("u"), col("id_b").as("v"))
     val cc = graft.operators.ConnectedComponents.components(pairs)
       .withColumnRenamed("id", "doc_id")
-    docs.select("doc_id")
+    ids.select("doc_id")
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
