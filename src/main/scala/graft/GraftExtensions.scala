@@ -24,28 +24,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Builder wrapper: a wrong-arity SQL call must surface as an analysis
+    * error naming the function, not an IndexOutOfBoundsException from
+    * inside the builder. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs)
+    }
+
   /** The single source of truth for (SQL name, class, builder) — shared by
     * builder-time injection and runtime [[install]]. */
   val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("json_canonicalize", classOf[JsonCanonicalize],
-      (exprs: Seq[Expression]) => JsonCanonicalize(exprs.head)),
+      arity("json_canonicalize", 1)(exprs => JsonCanonicalize(exprs.head))),
     ("float_vec_dot", classOf[FloatVecDot],
-      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))),
+      arity("float_vec_dot", 2)(exprs => FloatVecDot(exprs(0), exprs(1)))),
     ("float_vec_cosine", classOf[FloatVecCosine],
-      (exprs: Seq[Expression]) => FloatVecCosine(exprs(0), exprs(1))),
+      arity("float_vec_cosine", 2)(exprs =>
+        FloatVecCosine(exprs(0), exprs(1)))),
     ("map_added_keys", classOf[MapKeyDiff],
-      (exprs: Seq[Expression]) =>
-        MapKeyDiff(exprs(0), exprs(1), MapDiffKernel.ModeAdded)),
+      arity("map_added_keys", 2)(exprs =>
+        MapKeyDiff(exprs(0), exprs(1), MapDiffKernel.ModeAdded))),
     ("map_deleted_keys", classOf[MapKeyDiff],
-      (exprs: Seq[Expression]) =>
-        MapKeyDiff(exprs(0), exprs(1), MapDiffKernel.ModeDeleted)),
+      arity("map_deleted_keys", 2)(exprs =>
+        MapKeyDiff(exprs(0), exprs(1), MapDiffKernel.ModeDeleted))),
     ("map_changed_keys", classOf[MapKeyDiff],
-      (exprs: Seq[Expression]) =>
-        MapKeyDiff(exprs(0), exprs(1), MapDiffKernel.ModeChanged)),
+      arity("map_changed_keys", 2)(exprs =>
+        MapKeyDiff(exprs(0), exprs(1), MapDiffKernel.ModeChanged))),
     ("map_scrub", classOf[MapScrub],
-      (exprs: Seq[Expression]) => MapScrub(exprs.head)),
+      arity("map_scrub", 1)(exprs => MapScrub(exprs.head))),
     ("relationship_diff", classOf[RelationshipDiff],
-      (exprs: Seq[Expression]) => RelationshipDiff(exprs(0), exprs(1))))
+      arity("relationship_diff", 2)(exprs =>
+        RelationshipDiff(exprs(0), exprs(1)))))
 
   /** Runtime registration into an existing session (shared test sessions,
     * REPLs) — same function list as the builder-time extension point. */

@@ -119,6 +119,26 @@ object SparkEntry {
   private val R = "DECIMAL(4,2)"
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $D)) AS DOUBLE)"
 
+  // shared minhash signature CTE fragment: the single SQL definition of
+  // the split-digest scheme (Dedup.sigHash's oracle mirror), interpolated
+  // into every query that builds signatures — one definition on each side,
+  // a scheme change cannot silently miss one copy. `%EX%` is the shingle
+  // CTE name.
+  private def sigCte(ex: String) =
+    s"""ab AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0,
+      |         CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h1,
+      |         CAST(('0x' || substr(md5(s || '#b'), 1, 15)) AS BIGINT) AS h2,
+      |         CAST(('0x' || substr(md5(s || '#b'), 16, 15)) AS BIGINT) AS h3,
+      |         CAST(('0x' || substr(md5(s || '#c'), 1, 15)) AS BIGINT) AS h4,
+      |         CAST(('0x' || substr(md5(s || '#c'), 16, 15)) AS BIGINT) AS h5,
+      |         CAST(('0x' || substr(md5(s || '#d'), 1, 15)) AS BIGINT) AS h6,
+      |         CAST(('0x' || substr(md5(s || '#d'), 16, 15)) AS BIGINT) AS h7
+      |       FROM $ex),
+      |sig AS (SELECT doc_id, [MIN(h0), MIN(h1), MIN(h2), MIN(h3),
+      |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
+      |        FROM ab GROUP BY doc_id)""".stripMargin
+
   // shared sign-LSH CTE prefix (deterministic md5 plane table -> buckets ->
   // exact-cosine candidate pairs) used by q_ann_pairs AND q_embedding_dedup
   // so a fix to one cannot silently diverge from the other
@@ -439,25 +459,13 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
     "q_minhash_lsh" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |         list_distinct([array_to_string(toks[i:i+2], ' ')
         |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
         |       FROM tk),
         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |ab AS (SELECT doc_id,
-        |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0,
-        |         CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h1,
-        |         CAST(('0x' || substr(md5(s || '#b'), 1, 15)) AS BIGINT) AS h2,
-        |         CAST(('0x' || substr(md5(s || '#b'), 16, 15)) AS BIGINT) AS h3,
-        |         CAST(('0x' || substr(md5(s || '#c'), 1, 15)) AS BIGINT) AS h4,
-        |         CAST(('0x' || substr(md5(s || '#c'), 16, 15)) AS BIGINT) AS h5,
-        |         CAST(('0x' || substr(md5(s || '#d'), 1, 15)) AS BIGINT) AS h6,
-        |         CAST(('0x' || substr(md5(s || '#d'), 16, 15)) AS BIGINT) AS h7
-        |       FROM ex),
-        |sig AS (SELECT doc_id, [MIN(h0), MIN(h1), MIN(h2), MIN(h3),
-        |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
-        |        FROM ab GROUP BY doc_id),
+        |${sigCte("ex")},
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 AS est_sim
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
@@ -470,25 +478,13 @@ object SparkEntry {
     // transitive closure of the LSH pair relation via WITH RECURSIVE;
     // cluster id = min reachable doc_id, singletons map to themselves
     "q_dup_clusters" ->
-      """WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      raw"""WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |         list_distinct([array_to_string(toks[i:i+2], ' ')
         |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
         |       FROM tk),
         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |ab AS (SELECT doc_id,
-        |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0,
-        |         CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h1,
-        |         CAST(('0x' || substr(md5(s || '#b'), 1, 15)) AS BIGINT) AS h2,
-        |         CAST(('0x' || substr(md5(s || '#b'), 16, 15)) AS BIGINT) AS h3,
-        |         CAST(('0x' || substr(md5(s || '#c'), 1, 15)) AS BIGINT) AS h4,
-        |         CAST(('0x' || substr(md5(s || '#c'), 16, 15)) AS BIGINT) AS h5,
-        |         CAST(('0x' || substr(md5(s || '#d'), 1, 15)) AS BIGINT) AS h6,
-        |         CAST(('0x' || substr(md5(s || '#d'), 16, 15)) AS BIGINT) AS h7
-        |       FROM ex),
-        |sig AS (SELECT doc_id, [MIN(h0), MIN(h1), MIN(h2), MIN(h3),
-        |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
-        |        FROM ab GROUP BY doc_id),
+        |${sigCte("ex")},
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
         |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
@@ -535,7 +531,7 @@ object SparkEntry {
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked
     "q_curation_e2e" ->
-      """WITH RECURSIVE
+      raw"""WITH RECURSIVE
         |tk0 AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |q AS (SELECT doc_id, lang, text FROM tk0
         |      WHERE doc_id % 97 <> 0
@@ -551,19 +547,7 @@ object SparkEntry {
         |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
         |       FROM tk),
         |exsh AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |ab AS (SELECT doc_id,
-        |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0,
-        |         CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h1,
-        |         CAST(('0x' || substr(md5(s || '#b'), 1, 15)) AS BIGINT) AS h2,
-        |         CAST(('0x' || substr(md5(s || '#b'), 16, 15)) AS BIGINT) AS h3,
-        |         CAST(('0x' || substr(md5(s || '#c'), 1, 15)) AS BIGINT) AS h4,
-        |         CAST(('0x' || substr(md5(s || '#c'), 16, 15)) AS BIGINT) AS h5,
-        |         CAST(('0x' || substr(md5(s || '#d'), 1, 15)) AS BIGINT) AS h6,
-        |         CAST(('0x' || substr(md5(s || '#d'), 16, 15)) AS BIGINT) AS h7
-        |       FROM exsh),
-        |sig AS (SELECT doc_id, [MIN(h0), MIN(h1), MIN(h2), MIN(h3),
-        |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
-        |        FROM ab GROUP BY doc_id),
+        |${sigCte("exsh")},
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
         |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR

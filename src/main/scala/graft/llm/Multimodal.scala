@@ -163,10 +163,16 @@ object Multimodal {
         }
         real.getOrElse {
           // stub fallback — identical indices/slices to the relational
-          // form this replaced: n = max(1, len/16), every everyN-th
-          val n = math.max(1, r.payload.length / 16)
-          (0 until n by everyN).map(i => FrameRow(r.doc_id, r.media_type, i,
-            r.payload.slice(i * 16, i * 16 + 16)))
+          // form this replaced: n = max(1, len/16), every everyN-th;
+          // null payloads yield the single null-bytes frame the old
+          // null-tolerant substring form produced, not an NPE
+          if (r.payload == null)
+            Seq(FrameRow(r.doc_id, r.media_type, 0, null))
+          else {
+            val n = math.max(1, r.payload.length / 16)
+            (0 until n by everyN).map(i => FrameRow(r.doc_id, r.media_type,
+              i, r.payload.slice(i * 16, i * 16 + 16)))
+          }
         }
       }
     }.toDF()

@@ -169,9 +169,16 @@ object Similarity {
 
   /** TRAINED IVF coarse quantizer: `iters` unrolled Lloyd k-means rounds
     * over the exploded (vec_id, i, x) table, then a final assignment.
-    * Deterministic end to end: init = the k lowest vec_ids' vectors,
-    * assignment argmin breaks distance ties by cluster id (min over a
-    * (distance, cid) struct — lexicographic). Returns (vec_id, cluster).
+    * Structurally deterministic: init = the k lowest vec_ids' vectors,
+    * assignment argmin breaks EXACT distance ties by cluster id (min over
+    * a (distance, cid) struct — lexicographic). Returns (vec_id, cluster).
+    * Caveat: distances/centroids are floating-point reductions whose
+    * combine order varies across runs/engines (last-ulp noise, ~1e-15
+    * relative); an assignment flips only when a vector's top-2 centroid
+    * gap is inside that noise — vanishingly rare on real embeddings and
+    * absent on the fixed test data the oracle row pins, but not
+    * impossible; callers needing bit-stable assignments across engines
+    * should persist the assignment, not recompute it.
     *
     * Scale: each round is two equi-shuffles — distances via an equi-join
     * on the dimension index against the BROADCAST k×dim centroid table

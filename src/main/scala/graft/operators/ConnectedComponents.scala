@@ -124,6 +124,10 @@ object ConnectedComponents {
     var it = 0
     while (!converged && it < maxIter) {
       val (next, s) = checkpointWithStats(smallStar(largeStar(edges)))
+      // the prior round's checkpoint is dead once `next` materialized —
+      // retire its blocks now, or a streaming caller embedding this loop
+      // per microbatch accumulates O(rounds × edges) dead cache entries
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges)
       converged = s.isStarForest
       edges = next
       it += 1

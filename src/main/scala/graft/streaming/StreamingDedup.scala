@@ -181,8 +181,16 @@ object StreamingDedup {
   /** Rows of `batch` that survive near-dup dedup against the batch itself
     * (min-doc_id survivor per transitive-closure cluster — the same rule
     * as [[Dedup.dupClustersOf]]) and against the prior signature store.
-    * Returns (novel docs, their band rows — what the caller persists).
-    * Pure batch logic, unit-testable.
+    * Returns (novel docs, ALL batch docs' band rows — what the caller
+    * persists). Pure batch logic, unit-testable.
+    *
+    * The store keeps EVERY ingested doc's signature, dropped docs
+    * included — unlike the exact-hash store (where dup hash == stored
+    * hash makes survivor-only storage lossless), near-dup chains are
+    * transitive: if batch 1's doc B was dropped against doc A, batch 2's
+    * doc C similar to B (but not to A) must still drop, exactly as batch
+    * [[Dedup.dupClustersOf]] would link A–B–C into one cluster. Storing
+    * only survivors would silently lose that recall.
     *
     * Scale: candidates come from band-bucket equi-joins on both legs
     * (in-batch self-join, cross-batch join against a partition-pruned
@@ -213,7 +221,7 @@ object StreamingDedup {
     val novel = batch
       .join(nonSurvivors, Seq("doc_id"), "left_anti")
       .join(priorHits, Seq("doc_id"), "left_anti")
-    (novel, bands.join(novel.select("doc_id"), Seq("doc_id"), "left_semi"))
+    (novel, bands)
   }
 
   /** Incremental near-dup foreachBatch body — same idempotent-replay

@@ -33,6 +33,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "map('p', array(named_struct('g','1'))), " +
         "map('p', array(named_struct('g','1')))))").isEmpty)
       assert(one("json_canonicalize('{\"b\":1,\"a\":2}')") != null)
+      // wrong arity = analysis error naming the function, not an IOOBE
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT float_vec_dot(array(cast(1.0 as float)))").collect()
+      }
+      assert(e.getMessage.contains("float_vec_dot"), e.getMessage)
     } finally () // shared-session semantics: do not stop the singleton
   }
 }

@@ -293,11 +293,46 @@ class StreamingSpec extends AnyFunSuite {
       val again = spark.read.parquet(out)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(again == Set(1L, 2L, 4L), s"replay diverged: $again")
-      // the signature store holds band rows only for survivors
+      // the signature store holds band rows for EVERY ingested doc —
+      // dropped docs included, so transitive chains keep dropping
       val stored = graft.streaming.StreamingDedup.readSignatures(spark, sigs)
         .get.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-      assert(stored == Set(1L, 2L, 4L), stored)
+      assert(stored == Set(1L, 2L, 3L, 4L, 7L), stored)
     } finally q.stop()
+  }
+
+  test("near-dup chains drop transitively across batches (A-B-C)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndchain").toString
+    val (sigs, out) = (s"$dir/sigs", s"$dir/docs")
+    val a = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty twentyone twentytwo twentythree twentyfour"
+    // replacement positions chosen so the 8-component minhash estimates
+    // satisfy the premise exactly — est(A,B)=0.875, est(B,C)=0.5,
+    // est(A,C)=0.375 — AND each qualifying hop shares a full LSH band
+    // (bucket-join candidates need 2 consecutive matching components,
+    // not just 4 of 8; verified against an out-of-band reimplementation)
+    val b = a.replace("one ", "ONE ").replace("two ", "TWO ")
+    val c = b.replace("five ", "FIVE ").replace("nine ", "NINE ")
+    // premise: each hop is a near-dup, the span A→C is not
+    val sig = graft.llm.Dedup.signatureTable(
+      Seq(1L -> a, 3L -> b, 5L -> c).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(x: Seq[Long], y: Seq[Long]) =
+      x.zip(y).count(p => p._1 == p._2) / 8.0
+    assert(est(sig(1L), sig(3L)) >= 0.5, s"A~B ${est(sig(1L), sig(3L))}")
+    assert(est(sig(3L), sig(5L)) >= 0.5, s"B~C ${est(sig(3L), sig(5L))}")
+    assert(est(sig(1L), sig(5L)) < 0.5, s"A~C ${est(sig(1L), sig(5L))}")
+    def run(batch: Seq[(Long, String)], id: Long) =
+      graft.streaming.StreamingDedup.nearDupBatch(spark, sigs, out)(
+        batch.toDF("doc_id", "text"), id)
+    run(Seq(1L -> a), 0L)
+    run(Seq(3L -> b), 1L) // dropped against A, signature still stored
+    run(Seq(5L -> c), 2L) // must drop against stored B, not reachable via A
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L), survivors)
   }
 
   test("signature-store compaction preserves near-dup behavior") {
