@@ -32,9 +32,10 @@ object Bench {
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def runPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Map[String, Double] = order.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -44,10 +45,23 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> dt
     }.toMap
+    // Two passes, second in reverse order, report per-query minima: a
+    // noisy-neighbor window on this shared box is contiguous in TIME, so
+    // reversing the order maps it onto different queries in each pass and
+    // min() discards it — the record distinguishes contention from a real
+    // regression (a regression is slow in BOTH passes).
+    val npasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = (1 to npasses).map { p =>
+      runPass(if (p % 2 == 1) catalog else catalog.reverse)
+    }
+    val results = catalog.map { case (name, _) =>
+      name -> passes.map(_(name)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passTotals = passes.map(_.values.sum).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$npasses,"pass_totals":$passTotals}""")
     spark.stop()
   }
 }

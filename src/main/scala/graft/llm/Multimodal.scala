@@ -129,12 +129,20 @@ object Multimodal {
       ImageIO.setUseCache(false) // no executor-local tmp files
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
-        val sha = md.digest(r.payload).map("%02x".format(_)).mkString
-        decodeImage(r.payload) match {
-          case Some((fmt, img)) =>
-            MediaFeatures(r.doc_id, r.media_type, r.payload.length, sha,
-              img.getWidth, img.getHeight, luminanceGrid(img), fmt)
-          case None => decodeStub(r, sha)
+        // null payloads are data, not errors: one null row in a 100 TB
+        // media table must not kill the decode stage — same contract as
+        // frameSample's null-frame row
+        if (r.payload == null)
+          MediaFeatures(r.doc_id, r.media_type, 0, null, 0, 0,
+            new Array[Float](FeatureDim), codec = "null")
+        else {
+          val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+          decodeImage(r.payload) match {
+            case Some((fmt, img)) =>
+              MediaFeatures(r.doc_id, r.media_type, r.payload.length, sha,
+                img.getWidth, img.getHeight, luminanceGrid(img), fmt)
+            case None => decodeStub(r, sha)
+          }
         }
       }
     }
@@ -201,6 +209,46 @@ object Multimodal {
             ImageIO.write(dst, "png", bos)
             r.copy(payload = bos.toByteArray)
           case None => r
+        }
+      }
+    }
+  }
+
+  case class AudioMeta(doc_id: Long, media_type: String, codec: String,
+      sample_rate: java.lang.Float, channels: java.lang.Integer,
+      frames: java.lang.Long, duration_sec: java.lang.Double)
+
+  /** Audio header decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * parsers ship with the JDK — no external dependency): sample rate,
+    * channel count, frame length, and duration per payload. Payloads that
+    * are not a recognized audio container get `codec = "unknown"` with null
+    * metrics; null payloads get `codec = "null"` (data, not an error —
+    * same contract as decodeFeatures/frameSample). Runs in the same
+    * per-partition codec loop as the image operators; only the header is
+    * parsed, the sample data is never materialized.
+    */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.payload == null)
+          AudioMeta(r.doc_id, r.media_type, "null", null, null, null, null)
+        else try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new ByteArrayInputStream(r.payload))
+          val fmt = aff.getFormat
+          val frames = aff.getFrameLength.toLong
+          val dur: java.lang.Double =
+            if (frames >= 0 && fmt.getFrameRate > 0)
+              frames / fmt.getFrameRate.toDouble
+            else null
+          AudioMeta(r.doc_id, r.media_type,
+            aff.getType.getExtension.toLowerCase,
+            fmt.getSampleRate, fmt.getChannels, frames, dur)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            AudioMeta(r.doc_id, r.media_type, "unknown", null, null, null,
+              null)
         }
       }
     }

@@ -495,6 +495,57 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("null payloads flow through decode, frames, and resize as data") {
+    val media = mediaDs(Seq(
+      MediaRow(1L, "image", null),
+      MediaRow(2L, "image", halfToneBytes(16, 16, "png"))))
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val n = feats(1L)
+    assert(n.codec == "null" && n.n_bytes == 0 && n.sha256 == null)
+    assert(n.features.toSeq == Seq.fill(Multimodal.FeatureDim)(0f))
+    assert(feats(2L).codec == "png") // neighbors unaffected
+    val frames = Multimodal.frameSample(media).filter(col("doc_id") === 1)
+      .collect()
+    assert(frames.length == 1 && frames.head.getAs[Int]("frame_idx") == 0)
+    assert(frames.head.getAs[Array[Byte]]("frame_bytes") == null)
+    val resized = Multimodal.resize(media, 8, 8)
+      .filter(col("doc_id") === 1).collect().head
+    assert(resized.payload == null) // pass-through, not an NPE
+    val audio = Multimodal.audioMeta(media).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(audio(1L).codec == "null" && audio(1L).sample_rate == null)
+  }
+
+  /** Encode `frames` frames of silent 16-bit mono PCM at `rate` Hz as WAV. */
+  private def wavBytes(rate: Float, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio metadata decodes real WAV headers (rate, channels, duration)") {
+    val media = mediaDs(Seq(
+      MediaRow(1L, "audio", wavBytes(8000f, 4000)),
+      MediaRow(2L, "audio", wavBytes(44100f, 44100)),
+      MediaRow(3L, "audio", "not audio".getBytes("UTF-8"))))
+    val metas = Multimodal.audioMeta(media).collect()
+      .map(a => a.doc_id -> a).toMap
+    val a = metas(1L)
+    assert(a.codec == "wav" && a.sample_rate == 8000f && a.channels == 1)
+    assert(a.frames == 4000L && math.abs(a.duration_sec - 0.5) < 1e-6)
+    val b = metas(2L)
+    assert(b.codec == "wav" && b.sample_rate == 44100f)
+    assert(math.abs(b.duration_sec - 1.0) < 1e-6)
+    val c = metas(3L)
+    assert(c.codec == "unknown" && c.sample_rate == null && c.frames == null)
+  }
+
   test("resize rescales real pixel buffers; non-decodable rows pass through") {
     val orig = halfToneBytes(48, 20, "png")
     val textPayload = "not an image".getBytes("UTF-8")
