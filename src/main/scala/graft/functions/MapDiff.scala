@@ -139,13 +139,16 @@ object MapDiffKernel {
         val kept = new java.util.ArrayList[InternalRow](arr.numElements())
         var a = 0
         while (a < arr.numElements()) {
-          // struct elements of relationship arrays are never null entries
-          val row = arr.getStruct(a, numFields)
+          // null elements follow array_except semantics (the HOF reference
+          // tolerates them): null equals only null, deduped like any value
+          val row = if (arr.isNullAt(a)) null else arr.getStruct(a, numFields)
           var drop = false
           if (oArr != null) {
             var b = 0
             while (!drop && b < oArr.numElements()) {
-              drop = rowEq(row, oArr.getStruct(b, numFields), numFields)
+              drop = if (row == null) oArr.isNullAt(b)
+                else !oArr.isNullAt(b) &&
+                  rowEq(row, oArr.getStruct(b, numFields), numFields)
               b += 1
             }
           }
@@ -153,11 +156,13 @@ object MapDiffKernel {
           if (!drop) {
             var c = 0
             while (!dup && c < kept.size) {
-              dup = rowEq(row, kept.get(c), numFields)
+              dup = if (row == null) kept.get(c) == null
+                else kept.get(c) != null &&
+                  rowEq(row, kept.get(c), numFields)
               c += 1
             }
           }
-          if (!drop && !dup) kept.add(row.copy())
+          if (!drop && !dup) kept.add(if (row == null) null else row.copy())
           a += 1
         }
         if (kept.size > 0) {

@@ -192,11 +192,20 @@ object StreamingDedup {
     * [[Dedup.dupClustersOf]] would link A–B–C into one cluster. Storing
     * only survivors would silently lose that recall.
     *
+    * Transitive recall also holds WITHIN a batch (ADVICE r5): a doc whose
+    * only link to the prior corpus runs through a dropped in-batch sibling
+    * (A~B in-batch, B~P prior, A!~P) still drops — the prior check is
+    * evaluated per in-batch CLUSTER, not per doc, exactly as batch
+    * [[Dedup.dupClustersOf]] would link {P, A, B} into one cluster and
+    * keep only P.
+    *
     * Scale: candidates come from band-bucket equi-joins on both legs
     * (in-batch self-join, cross-batch join against a partition-pruned
     * narrow signature scan); similarity is scored on candidates only. No
     * hot-bucket guard on the in-batch leg — a microbatch is bounded by
-    * the trigger, unlike the 100 TB batch corpus. */
+    * the trigger, unlike the 100 TB batch corpus. The PRIOR leg grows with
+    * the corpus instead, so its bound lives in the store itself: see
+    * [[capBandRows]] / [[nearDupBatch]]. */
   def novelNearDupInBatch(batch: DataFrame, priorSigRows: DataFrame,
       minEstSim: Double = 0.5): (DataFrame, DataFrame) = {
     val sig = graft.Materialize.checkpoint(Dedup.signatureTable(batch))
@@ -209,26 +218,68 @@ object StreamingDedup {
       .filter(Dedup.sigEstSim(col("a.sig"), col("b.sig")) >= minEstSim)
       .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
       .distinct()
-    val nonSurvivors = graft.operators.ConnectedComponents.components(inPairs)
+    // (id, component) for every doc with an in-batch edge — reused by the
+    // survivor rule AND the cluster-level prior check below
+    val comps = graft.Materialize.checkpoint(
+      graft.operators.ConnectedComponents.components(inPairs))
+    val nonSurvivors = comps
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
     // cross-batch: any prior signature sharing a band bucket at >= minEstSim
-    val priorHits = bands
+    val priorHits = graft.Materialize.checkpoint(bands
       .join(priorSigRows.select(col("band"), col("bh"),
         col("sig").as("psig")), Seq("band", "bh"))
       .filter(Dedup.sigEstSim(col("sig"), col("psig")) >= minEstSim)
-      .select("doc_id").distinct()
+      .select("doc_id").distinct())
+    // extend prior hits to whole in-batch clusters: if ANY member of a
+    // cluster hits the store, every member drops (the batch formulation
+    // links the cluster to the prior doc transitively)
+    val hitComps = comps
+      .join(priorHits.withColumnRenamed("doc_id", "id"), Seq("id"))
+      .select("component").distinct()
+    val clusterDrops = comps.join(hitComps, Seq("component"))
+      .select(col("id").as("doc_id"))
     val novel = batch
       .join(nonSurvivors, Seq("doc_id"), "left_anti")
       .join(priorHits, Seq("doc_id"), "left_anti")
+      .join(clusterDrops, Seq("doc_id"), "left_anti")
     (novel, bands)
   }
+
+  /** Hot-bucket guard for the signature STORE (VERDICT r5 #3): keep only
+    * the `cap` min-doc_id rows per (band, bh) bucket. Without it, a
+    * boilerplate bucket (site chrome, license headers) accumulated over
+    * months of ingest makes every future microbatch's probe join explode
+    * against it — the exact degeneracy the batch path's star guard caps,
+    * except here the hot side is the STORE, so the cap must be enforced
+    * when rows are written (and re-enforced when batches are compacted),
+    * not at probe time.
+    *
+    * Recall rationale (mirrors the batch star guard's): a bucket exceeds
+    * the cap only when >cap docs share a full band — mutually near-
+    * identical boilerplate. A future doc similar to a capped-away member
+    * is similar to the bucket's retained min-id representatives too; and
+    * every doc has `bands` independent buckets, so one capped bucket
+    * never erases a doc's presence in the store. The min-doc_id rule is
+    * deterministic, keeping batch replay byte-identical. */
+  def capBandRows(bandRows: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("band", "bh").orderBy("doc_id")
+    bandRows.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap).drop("_rn")
+  }
+
+  /** Default per-(band, bh) store cap — matches the batch path's
+    * `hotBucketCap` so stream and batch degrade on the same corpus the
+    * same way. */
+  val DefaultStoreBucketCap = 256
 
   /** Incremental near-dup foreachBatch body — same idempotent-replay
     * contract as [[dedupBatch]]: overwrite own partition, read only
     * strictly-earlier batches. */
   def nearDupBatch(spark: SparkSession, sigPath: String, outPath: String,
-      minEstSim: Double = 0.5)(batch: DataFrame, batchId: Long): Unit = {
+      minEstSim: Double = 0.5,
+      storeBucketCap: Int = DefaultStoreBucketCap)(
+      batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.types._
     val prior = readSignatures(spark, sigPath)
       .map(_.filter(col("batch") < batchId)
@@ -237,23 +288,52 @@ object StreamingDedup {
         "doc_id" -> LongType, "sig" -> ArrayType(LongType),
         "band" -> IntegerType, "bh" -> StringType))
     val (novel, novelBands) = novelNearDupInBatch(batch, prior, minEstSim)
-    graft.Materialize.checkpoint(novelBands)
+    // the cap bounds this batch's contribution per bucket; compaction
+    // re-caps across merged batches, so a bucket's visible size stays
+    // O(cap · batches-since-compaction), never O(corpus)
+    graft.Materialize.checkpoint(capBandRows(novelBands, storeBucketCap))
       .write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
     novel.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
   }
 
-  /** Signature-store compaction: same machinery and replay constraints as
-    * [[compactHashes]] (rows are (doc_id, sig, band, bh); distinct is
-    * set-semantics safe because band rows are unique per (doc_id, band)). */
+  /** Signature-store compaction: same crash-safety and replay constraints
+    * as [[compactHashes]], plus the hot-bucket cap is RE-ENFORCED across
+    * the merged batches — per-batch write-time caps admit up to
+    * cap × batches rows per bucket, and this folds them back down. The
+    * target partition's own rows are never rewritten (crash safety), so
+    * a bucket's visible size after compaction is ≤ 2 × cap: the target's
+    * own ≤ cap plus the merged olders' ≤ cap. */
   def compactSignatures(spark: SparkSession, sigPath: String,
-      upToBatch: Long): Unit = compactHashes(spark, sigPath, upToBatch)
+      upToBatch: Long, storeBucketCap: Int = DefaultStoreBucketCap): Unit = {
+    val batches = listBatches(spark, sigPath)
+    val ids = batches.map(_._1)
+    require(ids.contains(upToBatch),
+      s"compaction target batch=$upToBatch does not exist in $sigPath — " +
+        "refusing: a later replay of it would destroy the compacted set")
+    require(ids.max > upToBatch,
+      s"compaction target batch=$upToBatch is the newest partition of " +
+        s"$sigPath — refusing: only batches strictly older than the " +
+        "newest (ideally older than the replay horizon) are replay-safe")
+    val old = batches.filter(_._1 < upToBatch)
+    if (old.isEmpty) return
+    capBandRows(
+      spark.read.option("basePath", sigPath)
+        .parquet(old.map(_._2.toString): _*)
+        .drop("batch").distinct(),
+      storeBucketCap)
+      .write.mode("append").parquet(s"$sigPath/batch=$upToBatch")
+    val (fs, _) = fsOf(spark, sigPath)
+    old.foreach { case (_, dir) => fs.delete(dir, true) }
+  }
 
   /** Wire a (doc_id, text) stream through the incremental near-dup. */
   def incrementalNearDup(docs: DataFrame, sigPath: String, outPath: String,
-      checkpoint: String, minEstSim: Double = 0.5): DataStreamWriter[Row] = {
+      checkpoint: String, minEstSim: Double = 0.5,
+      storeBucketCap: Int = DefaultStoreBucketCap): DataStreamWriter[Row] = {
     val spark = docs.sparkSession
     docs.writeStream
-      .foreachBatch(nearDupBatch(spark, sigPath, outPath, minEstSim) _)
+      .foreachBatch(
+        nearDupBatch(spark, sigPath, outPath, minEstSim, storeBucketCap) _)
       .option("checkpointLocation", checkpoint)
   }
 }

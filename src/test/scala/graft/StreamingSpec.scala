@@ -357,6 +357,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 2L, 3L), survivors)
   }
 
+  test("a survivor linked to prior corpus only via a dropped sibling drops too") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndgap").toString
+    val (sigs, out) = (s"$dir/sigs", s"$dir/docs")
+    // same programmatically-found fixture as the A-B-C chain test:
+    // est(a,b)=0.875, est(b,c)=0.5, est(a,c)=0.375, qualifying hops share
+    // a full LSH band
+    val a = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty twentyone twentytwo twentythree twentyfour"
+    val b = a.replace("one ", "ONE ").replace("two ", "TWO ")
+    val c = b.replace("five ", "FIVE ").replace("nine ", "NINE ")
+    def run(batch: Seq[(Long, String)], id: Long) =
+      graft.streaming.StreamingDedup.nearDupBatch(spark, sigs, out)(
+        batch.toDF("doc_id", "text"), id)
+    run(Seq(1L -> a), 0L) // prior corpus P = a
+    // one batch holding A = c (min id → in-batch survivor, NOT similar to
+    // P) and B = b (similar to both): batch dupClustersOf would cluster
+    // {P, A, B} and keep only P — the streaming path must agree (ADVICE
+    // r5: the prior check is per in-batch cluster, not per doc)
+    run(Seq(2L -> c, 9L -> b), 1L)
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L), survivors)
+  }
+
+  test("signature store caps hot buckets and keeps recall (VERDICT r5 #3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndcap").toString
+    val (sigs, out) = (s"$dir/sigs", s"$dir/docs")
+    val boiler = "this website uses cookies to improve your experience " +
+      "please accept our privacy policy and terms of service before " +
+      "continuing to the requested page content below"
+    val cap = 4
+    def run(batch: Seq[(Long, String)], id: Long) =
+      graft.streaming.StreamingDedup.nearDupBatch(
+        spark, sigs, out, 0.5, cap)(batch.toDF("doc_id", "text"), id)
+    // a degenerate batch: 12 identical boilerplate docs collapse into ONE
+    // band bucket per band — without the cap the store would accumulate
+    // all 12 signatures per bucket, and every future batch's probe join
+    // would fan out against them
+    run((1L to 12L).map(_ -> boiler), 0L)
+    val bucketSizes = graft.streaming.StreamingDedup
+      .readSignatures(spark, sigs).get
+      .groupBy("band", "bh").count().collect().map(_.getLong(2))
+    assert(bucketSizes.nonEmpty && bucketSizes.forall(_ <= cap),
+      bucketSizes.toSeq)
+    run((21L to 32L).map(_ -> boiler), 1L) // more of the same boilerplate
+    run(Seq(50L -> ("entirely different content about shuffle hash joins " +
+      "and adaptive query execution in distributed engines")), 2L)
+    // compaction re-caps merged batches: ≤ 2·cap per bucket visible
+    graft.streaming.StreamingDedup.compactSignatures(spark, sigs, 1L, cap)
+    val after = graft.streaming.StreamingDedup
+      .readSignatures(spark, sigs).get
+      .groupBy("band", "bh").count().collect().map(_.getLong(2))
+    assert(after.forall(_ <= 2L * cap), after.toSeq)
+    // recall through the capped store: a near-dup of the boilerplate
+    // (similar to capped-AWAY members exactly as much as to the retained
+    // representatives) still drops; novel content still survives
+    run(Seq(60L -> boiler.replace("cookies", "COOKIES"), 61L ->
+      ("novel text mentioning broadcast variables accumulators and " +
+        "structured streaming watermarks in production pipelines")), 3L)
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 50L, 61L), survivors)
+  }
+
   test("compaction refuses replay-unsafe targets (ADVICE r4)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
