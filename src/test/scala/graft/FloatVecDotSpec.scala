@@ -181,6 +181,59 @@ class IvfTrainSpec extends AnyFunSuite {
     // training did something: more than one non-empty cluster
     assert(got.values.toSet.size > 1)
   }
+
+  test("an emptied cluster keeps its centroid; k is preserved (VERDICT r5 #4)") {
+    import spark.implicits._
+    // duplicate seed vectors: ids 0 and 1 both sit at [0], so round 1
+    // ties every near-zero vector into cid 0 and cid 1 empties — the
+    // retained centroid must then win id 0/1 back in the final assign
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(0.0f)),
+      (2L, Array(10.0f)), (3L, Array(4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.ivfTrain(emb, k = 3, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
+    // cid1 retained [0]: ids 0,1 land there; cid0 moved to 4/3 serves id 3
+    assert(got == Map(0L -> 1, 1L -> 1, 2L -> 2, 3L -> 0), got)
+    assert(got.values.toSet.size == 3) // k survived the empty round
+  }
+
+  test("seeding uses the k lowest ACTUAL vec_ids, not ids < k (ADVICE r5)") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(0.0f, 0.0f), Array(0.1f, 0.0f), Array(5.0f, 5.0f),
+      Array(5.1f, 5.0f), Array(0.0f, 0.2f), Array(5.0f, 5.2f))
+    def train(base: Long) = graft.llm.Similarity.ivfTrain(
+      vecs.zipWithIndex.map { case (v, i) => (base + i, v) }
+        .toDF("vec_id", "embedding"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
+    val zeroBased = train(0L)
+    val shifted = train(100L)
+    // identical training up to the id shift — the shifted frame used to
+    // find ZERO seeds (vec_id < k matches nothing) and train degenerate
+    assert(shifted == zeroBased.map { case (id, c) => (id + 100L) -> c })
+    assert(zeroBased.values.toSet.size == 2)
+  }
+
+  test("spread init separates groups the lowest-id seeds cannot see") {
+    import spark.implicits._
+    // the 3 lowest ids all sit in group A — ingest order is not geometry;
+    // k-means|| oversampling must still seed B and C
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.1f)),
+      (3L, Array(50.0f, 50.0f)), (4L, Array(50.0f, 50.2f)),
+      (5L, Array(100.0f, 100.0f)), (6L, Array(100.0f, 100.2f)))
+      .toDF("vec_id", "embedding")
+    def run() = graft.llm.Similarity.ivfTrain(emb, k = 3, init = "spread")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
+    val got = run()
+    assert(got == run()) // derandomized: replay-identical
+    val groups = Seq(Seq(0L, 1L, 2L), Seq(3L, 4L), Seq(5L, 6L))
+      .map(_.map(got).toSet)
+    assert(groups.forall(_.size == 1), s"group split across clusters: $got")
+    assert(groups.flatten.toSet.size == 3, s"groups merged: $got")
+  }
 }
 
 /** Composition: train → assign → probe, with recall against brute force. */
