@@ -71,6 +71,7 @@ object SparkEntry {
     "q_lang_id" -> (llm.TextOps.langId _),
     "q_fingerprint" -> (llm.TextOps.fingerprint _),
     "q_token_bpe" -> (llm.TextOps.tokenBpe _),
+    "q_bpe_train" -> ((s, d) => llm.TextOps.bpeTrainQuery(s, d)),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -162,7 +163,37 @@ object SparkEntry {
       |        * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))), (x,y)->x+y))), 9) AS cos_sim
       |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
+  // learned BPE merge training: 8 unrolled rounds, generated — each round
+  // is pair-count → argmax (ties lexicographic) → literal regexp_replace
+  // merge. The two-space symbol encoding makes ONE replace pass exact
+  // greedy leftmost-first merging in BOTH regex engines (no lookaround,
+  // which RE2 lacks); see TextOps.bpeTrain.
+  private val bpeTrainOracle: String = {
+    val rounds = 8
+    val head =
+      """WITH v0 AS (
+        |  SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS w,
+        |         count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |  SELECT unnest([{'a': l[i], 'b': l[i+1]} for i in generate_series(1, len(l)-1)], recursive := true), cnt
+         |  FROM (SELECT string_split(trim(w), '  ') AS l, cnt FROM v${r - 1})
+         |) GROUP BY a, b),
+         |b$r AS (SELECT $r AS step, a, b, freq FROM p$r ORDER BY freq DESC, a, b LIMIT 1),
+         |v$r AS (SELECT regexp_replace(v.w, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ', 'g') AS w, v.cnt
+         |        FROM v${r - 1} v, b$r m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT * FROM b$r")
+      .mkString(" UNION ALL ")
+    s"$head,\n$steps\n" +
+      "SELECT CAST(step AS INTEGER) AS step, a AS left_sym, " +
+      s"b AS right_sym, freq FROM ($union) ORDER BY step"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem

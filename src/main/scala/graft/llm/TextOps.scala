@@ -93,6 +93,77 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** LEARNED BPE merge-table training (Sennrich et al., ACL 2016): start
+    * from characters, repeatedly count adjacent symbol pairs weighted by
+    * word frequency and merge the most frequent pair (ties break
+    * lexicographically). Returns the merge table
+    * (step, left_sym, right_sym, freq) — the artifact a tokenizer ships.
+    *
+    * Representation: a word is its symbols joined by TWO spaces with
+    * single-space sentinels (" h  e  y "). One literal
+    * `regexp_replace(w, " a  b ", " ab ")` pass then implements EXACT
+    * greedy leftmost-first merging: each match consumes one boundary
+    * space on each side, so back-to-back occurrences keep a boundary and
+    * all merge in one pass, while overlapping runs ("a a a") merge
+    * leftmost-first — the single-space encoding gets both wrong without
+    * lookaround, which DuckDB's RE2 lacks. The same literal pattern runs
+    * identically in java.util.regex and RE2, so the oracle can unroll the
+    * identical rounds. Words are lowercase [a-z]+ pre-tokens, so symbols
+    * never contain regex metacharacters.
+    *
+    * Scale: after ONE corpus-wide aggregation the working set is the
+    * VOCABULARY (distinct word, count) — bounded by language, not corpus.
+    * Each round is a map-side pair explode + one aggregation; the argmax
+    * is a 1-row driver fetch (the same per-round round-trip as the CC
+    * convergence gate) and the merge application is a codegen regex
+    * projection with no shuffle. The vocab frame is checkpointed per
+    * round so round r never re-derives rounds 1..r−1 — the `ivfTrain`
+    * pattern. */
+  def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = graft.Materialize.checkpoint(docs
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        rtrim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("w"),
+        col("cnt")))
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val syms = split(trim(col("w")), "  ")
+      val best = vocab
+        .select(explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("cnt"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
+        .groupBy("a", "b").agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        out += ((step, a, b, best(0).getLong(2)))
+        vocab = graft.Materialize.checkpoint(vocab.select(
+          regexp_replace(col("w"),
+            java.util.regex.Pattern.quote(s" $a  $b "), s" $a$b ").as("w"),
+          col("cnt")))
+        step += 1
+      }
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("step", "left_sym", "right_sym", "freq")
+      .orderBy("step")
+  }
+
+  /** Driver-contract form of [[bpeTrain]]. */
+  def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(t(spark, dir, "documents"))
+
   /** Deterministic document fingerprint: polynomial rolling hash
     * h = fold(h*31 + codepoint) mod 1e9+7 over characters. Portable across
     * engines (no murmur dependence). */

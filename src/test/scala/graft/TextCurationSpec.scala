@@ -121,3 +121,55 @@ class SourceMixSpec extends AnyFunSuite {
     assert(again.map(_.getLong(0)).toSeq == mixed.map(_.getLong(0)).toSeq)
   }
 }
+
+/** Differential test for the distributed learned-BPE merge trainer. */
+class BpeTrainSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("distributed BPE merges match a driver-side list-walk reference") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa abab banana bandana"),
+      (2L, "the cat and the hat in the banana stand"),
+      (3L, "aaaaa aaa abab abab abab low lower lowest"),
+      (4L, "Mixed CASE and punct!!! banana?? bandana."))
+      .toDF("doc_id", "text")
+    val merges = 10
+    // reference: greedy leftmost list-walk merging — no regex, so it can
+    // only agree with the two-space regexp_replace encoding if that
+    // encoding really is exact greedy merging (overlapping runs like
+    // "aaaaa" are the adversarial case)
+    def mergeWord(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    var vocab: Map[List[String], Long] = docs.collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(1).toLowerCase))
+      .groupBy(identity).map { case (w, ws) =>
+        w.toList.map(_.toString) -> ws.length.toLong }
+    val expected =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to merges) {
+      val counts = vocab.toSeq
+        .flatMap { case (syms, cnt) => syms.zip(syms.tail).map(_ -> cnt) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (counts.nonEmpty) {
+        val ((a, b), f) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        expected += ((step, a, b, f))
+        vocab = vocab.toSeq
+          .map { case (syms, cnt) => mergeWord(syms, a, b) -> cnt }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      }
+    }
+    val got = graft.llm.TextOps.bpeTrain(docs, merges).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.length == merges) // fixture doesn't exhaust early
+  }
+}
