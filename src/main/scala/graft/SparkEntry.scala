@@ -72,6 +72,7 @@ object SparkEntry {
     "q_fingerprint" -> (llm.TextOps.fingerprint _),
     "q_token_bpe" -> (llm.TextOps.tokenBpe _),
     "q_bpe_train" -> ((s, d) => llm.TextOps.bpeTrainQuery(s, d)),
+    "q_bpe_encode" -> ((s, d) => llm.TextOps.bpeEncodeQuery(s, d)),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -168,32 +169,49 @@ object SparkEntry {
   // merge. The two-space symbol encoding makes ONE replace pass exact
   // greedy leftmost-first merging in BOTH regex engines (no lookaround,
   // which RE2 lacks); see TextOps.bpeTrain.
-  private val bpeTrainOracle: String = {
-    val rounds = 8
+  private val bpeRounds = 8
+
+  // shared CTE chain (v0..vN with the word key carried through, pair
+  // counts pR, argmax bR) — ONE definition feeds both the train and the
+  // encode oracle, so the two cannot disagree on merge semantics
+  private val bpeCteChain: String = {
     val head =
       """WITH v0 AS (
-        |  SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS w,
+        |  SELECT word, ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS w,
         |         count(*) AS cnt
         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
-        |  GROUP BY 1)""".stripMargin
-    val steps = (1 to rounds).map { r =>
+        |  GROUP BY word)""".stripMargin
+    val steps = (1 to bpeRounds).map { r =>
       s"""p$r AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq FROM (
          |  SELECT unnest([{'a': l[i], 'b': l[i+1]} for i in generate_series(1, len(l)-1)], recursive := true), cnt
          |  FROM (SELECT string_split(trim(w), '  ') AS l, cnt FROM v${r - 1})
          |) GROUP BY a, b),
          |b$r AS (SELECT $r AS step, a, b, freq FROM p$r ORDER BY freq DESC, a, b LIMIT 1),
-         |v$r AS (SELECT regexp_replace(v.w, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ', 'g') AS w, v.cnt
+         |v$r AS (SELECT v.word, regexp_replace(v.w, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ', 'g') AS w, v.cnt
          |        FROM v${r - 1} v, b$r m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds).map(r => s"SELECT * FROM b$r")
+    s"$head,\n$steps"
+  }
+
+  private val bpeTrainOracle: String = {
+    val union = (1 to bpeRounds).map(r => s"SELECT * FROM b$r")
       .mkString(" UNION ALL ")
-    s"$head,\n$steps\n" +
+    s"$bpeCteChain\n" +
       "SELECT CAST(step AS INTEGER) AS step, a AS left_sym, " +
       s"b AS right_sym, freq FROM ($union) ORDER BY step"
   }
 
+  private val bpeEncodeOracle: String =
+    s"""$bpeCteChain,
+       |wt AS (SELECT word, len(string_split(trim(w), '  ')) AS n_toks FROM v$bpeRounds),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(n_toks) AS BIGINT) AS n_learned_tokens
+       |FROM dw JOIN wt USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem

@@ -119,16 +119,26 @@ object TextOps {
     * projection with no shuffle. The vocab frame is checkpointed per
     * round so round r never re-derives rounds 1..r−1 — the `ivfTrain`
     * pattern. */
-  def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
+  /** Lowercase letter-run pre-tokens of a text column. */
+  private def letterWords(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** A word as its two-space-joined symbol string (" h  e  y "). */
+  private def spacedWord(word: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+
+  /** The literal merge-application pattern/replacement for pair (a, b). */
+  private def applyMerge(w: Column, a: String, b: String): Column =
+    regexp_replace(w,
+      java.util.regex.Pattern.quote(s" $a  $b "), s" $a$b ")
+
+  /** The training loop proper: the learned merge list, in order. */
+  def trainMerges(docs: DataFrame,
+      merges: Int): Seq[(Int, String, String, Long)] = {
     var vocab = graft.Materialize.checkpoint(docs
-      .select(explode(
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
-        .as("word"))
+      .select(explode(letterWords(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "),
-        rtrim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("w"),
-        col("cnt")))
+      .select(spacedWord(col("word")).as("w"), col("cnt")))
     val out =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -149,20 +159,53 @@ object TextOps {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         out += ((step, a, b, best(0).getLong(2)))
         vocab = graft.Materialize.checkpoint(vocab.select(
-          regexp_replace(col("w"),
-            java.util.regex.Pattern.quote(s" $a  $b "), s" $a$b ").as("w"),
-          col("cnt")))
+          applyMerge(col("w"), a, b).as("w"), col("cnt")))
         step += 1
       }
     }
-    spark.createDataFrame(out.toSeq)
+    out.toSeq
+  }
+
+  def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame =
+    docs.sparkSession.createDataFrame(trainMerges(docs, merges))
       .toDF("step", "left_sym", "right_sym", "freq")
       .orderBy("step")
-  }
 
   /** Driver-contract form of [[bpeTrain]]. */
   def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(t(spark, dir, "documents"))
+
+  /** ENCODE with the learned merges — the tokenizer the merge table
+    * exists for: train on the corpus, then apply the merge list in order
+    * to every distinct word and count each document's learned tokens.
+    * Returns (doc_id, n_words, n_learned_tokens).
+    *
+    * Scale: merges apply to the DISTINCT-WORD table, not the corpus —
+    * the `merges` stacked literal-regex projections fold into one
+    * codegen stage over vocabulary-sized input; documents then join the
+    * (word → token count) map on the word key. Train-then-encode is the
+    * same composition shape as `knnJoinTrained` (train → assign →
+    * probe). */
+  def bpeEncode(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val table = trainMerges(docs, merges)
+    val words = docs.select(col("doc_id"),
+      explode(letterWords(col("text"))).as("word"))
+    val vocab0 = words.select("word").distinct()
+      .withColumn("w", spacedWord(col("word")))
+    val encoded = table.foldLeft(vocab0) { case (v, (_, a, b, _)) =>
+      v.withColumn("w", applyMerge(col("w"), a, b))
+    }
+    val toks = encoded
+      .select(col("word"), size(split(trim(col("w")), "  ")).as("n_toks"))
+    words.join(toks, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_learned_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract form of [[bpeEncode]]. */
+  def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(t(spark, dir, "documents"))
 
   /** Deterministic document fingerprint: polynomial rolling hash
     * h = fold(h*31 + codepoint) mod 1e9+7 over characters. Portable across

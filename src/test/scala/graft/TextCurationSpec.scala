@@ -171,5 +171,24 @@ class BpeTrainSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == expected.toSeq)
     assert(got.length == merges) // fixture doesn't exhaust early
+
+    // encode with the learned table: per-doc token counts must match
+    // applying the reference merges word by word
+    val encExpected = docs.collect().map { r =>
+      val ws = "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq
+      val nToks = ws.map { w =>
+        expected.foldLeft(w.toList.map(_.toString)) {
+          case (syms, (_, a, b, _)) => mergeWord(syms, a, b)
+        }.length.toLong
+      }.sum
+      (r.getLong(0), ws.length.toLong, nToks)
+    }.sortBy(_._1).toSeq
+    val enc = graft.llm.TextOps.bpeEncode(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(enc == encExpected)
+    // merging strictly compressed: fewer learned tokens than characters
+    val rawChars = docs.collect().map(r =>
+      "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).map(_.length).sum).sum
+    assert(enc.map(_._3).sum < rawChars)
   }
 }
