@@ -35,33 +35,42 @@ object Bench {
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def runPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
-        : Map[String, Double] = order.map { case (name, fn) =>
+        : Map[String, (Double, Boolean)] = order.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop localCheckpoint blocks a query left
       // behind so later queries aren't taxed by storage/GC pressure
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> dt
+      name -> (dt, ok)
     }.toMap
     // Two passes, second in reverse order, report per-query minima: a
     // noisy-neighbor window on this shared box is contiguous in TIME, so
     // reversing the order maps it onto different queries in each pass and
     // min() discards it — the record distinguishes contention from a real
-    // regression (a regression is slow in BOTH passes).
+    // regression (a regression is slow in BOTH passes). The min is taken
+    // over SUCCESSFUL runs only (a fast crash must not masquerade as a
+    // speedup); a query with zero successful runs reports -1 and is named
+    // in "failed".
     val npasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(npasses >= 1, s"SPARK_GRAFT_BENCH_PASSES=$npasses must be >= 1")
     val passes = (1 to npasses).map { p =>
       runPass(if (p % 2 == 1) catalog else catalog.reverse)
     }
     val results = catalog.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      val good = passes.map(_(name)).filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
+    val failed = catalog.map(_._1).filter(n => passes.forall(!_(n)._2))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val passTotals = passes.map(_.values.sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$npasses,"pass_totals":$passTotals}""")
+    val passTotals = passes.map(_.values.map(_._1).sum)
+      .mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$npasses,"pass_totals":$passTotals,"failed":$failedJson}""")
     spark.stop()
   }
 }

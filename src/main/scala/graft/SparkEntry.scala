@@ -187,8 +187,11 @@ object SparkEntry {
          |  FROM (SELECT string_split(trim(w), '  ') AS l, cnt FROM v${r - 1})
          |) GROUP BY a, b),
          |b$r AS (SELECT $r AS step, a, b, freq FROM p$r ORDER BY freq DESC, a, b LIMIT 1),
-         |v$r AS (SELECT v.word, regexp_replace(v.w, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ', 'g') AS w, v.cnt
-         |        FROM v${r - 1} v, b$r m)""".stripMargin
+         |v$r AS (SELECT v.word,
+         |          CASE WHEN m.a IS NULL THEN v.w
+         |               ELSE regexp_replace(v.w, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ', 'g') END AS w,
+         |          v.cnt
+         |        FROM v${r - 1} v LEFT JOIN b$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$steps"
   }

@@ -261,7 +261,11 @@ object Similarity {
         .groupBy("vec_id")
         .agg(min(struct(col("d"), col("sid"))).as("m"))
         .select(col("vec_id"), col("m.d").as("d2"), col("m.sid").as("sid"))
-    val first = ex.agg(min("vec_id")).first().getLong(0)
+    val firstRow = ex.agg(min("vec_id")).first()
+    // empty input degrades like "lowest" init (empty centroid frame, empty
+    // training result), not an NPE
+    if (firstRow.isNullAt(0)) return lowestSeedCentroids(ex, k)
+    val first = firstRow.getLong(0)
     var cand = checkpoint(ex.filter(col("vec_id") === first)
       .select(col("vec_id").as("sid"), col("i"), col("x").as("c")))
     val l = 2 * k
@@ -304,6 +308,25 @@ object Similarity {
       val ids = chosen.map(_._1).toSet
       chosen += pool.filterNot(c => ids(c._1))
         .maxBy(c => c._3.toDouble * chosen.map(s => dist2(c._2, s._2)).min)
+    }
+    // oversampling can admit fewer than k candidates (duplicate-heavy or
+    // tiny inputs): fill from the lowest unchosen vec_ids rather than
+    // silently training a smaller quantizer — the exact silent-k-shrink
+    // the rank-based "lowest" seeding was hardened against
+    if (chosen.size < k) {
+      val have = chosen.map(_._1).toSet
+      val fill = ex
+        .join(broadcast(
+          ex.select("vec_id").distinct()
+            .filter(!col("vec_id").isInCollection(have))
+            .orderBy("vec_id").limit(k - chosen.size)), "vec_id")
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("i"), col("x")))).as("v"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray,
+          0L))
+      chosen ++= fill
     }
     val rows = chosen.sortBy(_._1).zipWithIndex.flatMap {
       case ((_, v, _), cid) => v.zipWithIndex.map { case (x, i) =>

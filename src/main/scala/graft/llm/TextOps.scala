@@ -132,13 +132,15 @@ object TextOps {
     regexp_replace(w,
       java.util.regex.Pattern.quote(s" $a  $b "), s" $a$b ")
 
-  /** The training loop proper: the learned merge list, in order. */
-  def trainMerges(docs: DataFrame,
-      merges: Int): Seq[(Int, String, String, Long)] = {
+  /** The training loop proper: the learned merge list in order, plus the
+    * fully-merged vocabulary (word, w, cnt) — encode reuses the latter
+    * instead of re-deriving the word table and replaying every merge. */
+  private def trainLoop(docs: DataFrame,
+      merges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = graft.Materialize.checkpoint(docs
       .select(explode(letterWords(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(spacedWord(col("word")).as("w"), col("cnt")))
+      .select(col("word"), spacedWord(col("word")).as("w"), col("cnt")))
     val out =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -158,13 +160,18 @@ object TextOps {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         out += ((step, a, b, best(0).getLong(2)))
-        vocab = graft.Materialize.checkpoint(vocab.select(
+        vocab = graft.Materialize.checkpoint(vocab.select(col("word"),
           applyMerge(col("w"), a, b).as("w"), col("cnt")))
         step += 1
       }
     }
-    out.toSeq
+    (out.toSeq, vocab)
   }
+
+  /** The learned merge list, in order. */
+  def trainMerges(docs: DataFrame,
+      merges: Int): Seq[(Int, String, String, Long)] =
+    trainLoop(docs, merges)._1
 
   def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame =
     docs.sparkSession.createDataFrame(trainMerges(docs, merges))
@@ -187,15 +194,10 @@ object TextOps {
     * same composition shape as `knnJoinTrained` (train → assign →
     * probe). */
   def bpeEncode(docs: DataFrame, merges: Int = 8): DataFrame = {
-    val table = trainMerges(docs, merges)
+    val (_, vocab) = trainLoop(docs, merges)
     val words = docs.select(col("doc_id"),
       explode(letterWords(col("text"))).as("word"))
-    val vocab0 = words.select("word").distinct()
-      .withColumn("w", spacedWord(col("word")))
-    val encoded = table.foldLeft(vocab0) { case (v, (_, a, b, _)) =>
-      v.withColumn("w", applyMerge(col("w"), a, b))
-    }
-    val toks = encoded
+    val toks = vocab
       .select(col("word"), size(split(trim(col("w")), "  ")).as("n_toks"))
     words.join(toks, "word")
       .groupBy("doc_id")

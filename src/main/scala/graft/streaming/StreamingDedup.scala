@@ -138,7 +138,22 @@ object StreamingDedup {
     * driver thread between microbatches (e.g. at the top of foreachBatch)
     * — deleting source dirs races an in-flight read scan otherwise. */
   def compactHashes(spark: SparkSession, storePath: String,
-      upToBatch: Long): Unit = {
+      upToBatch: Long): Unit =
+    compactStore(spark, storePath, upToBatch, identity)
+
+  /** Shared compaction body (hash store = identity, signature store =
+    * bucket re-cap): replay guards, merge-append, source deletes — ONE
+    * copy so a fix to the safety rules cannot miss a store.
+    *
+    * Idempotent retry: a crash between the append and the deletes
+    * re-runs compaction with some source dirs still present; rows
+    * already copied into the target are anti-joined away before the
+    * second append, so a retry never appends a row twice (the signature
+    * store's bucket-cap bound would otherwise be violated forever —
+    * and never repaired, since the target's own files are never
+    * rewritten). */
+  private def compactStore(spark: SparkSession, storePath: String,
+      upToBatch: Long, transform: DataFrame => DataFrame): Unit = {
     val batches = listBatches(spark, storePath)
     val ids = batches.map(_._1)
     require(ids.contains(upToBatch),
@@ -150,10 +165,15 @@ object StreamingDedup {
         "newest (ideally older than the replay horizon) are replay-safe")
     val old = batches.filter(_._1 < upToBatch)
     if (old.isEmpty) return
-    spark.read.option("basePath", storePath)
-      .parquet(old.map(_._2.toString): _*)
-      .drop("batch").distinct()
-      .write.mode("append").parquet(s"$storePath/batch=$upToBatch")
+    val target = s"$storePath/batch=$upToBatch"
+    val existing = spark.read.parquet(target)
+    val merged = transform(
+      spark.read.option("basePath", storePath)
+        .parquet(old.map(_._2.toString): _*)
+        .drop("batch").distinct())
+    merged.join(existing, existing.columns.toSeq, "left_anti")
+      .select(existing.columns.map(col): _*)
+      .write.mode("append").parquet(target)
     val (fs, _) = fsOf(spark, storePath)
     old.foreach { case (_, dir) => fs.delete(dir, true) }
   }
@@ -257,15 +277,35 @@ object StreamingDedup {
     *
     * Recall rationale (mirrors the batch star guard's): a bucket exceeds
     * the cap only when >cap docs share a full band — mutually near-
-    * identical boilerplate. A future doc similar to a capped-away member
-    * is similar to the bucket's retained min-id representatives too; and
-    * every doc has `bands` independent buckets, so one capped bucket
-    * never erases a doc's presence in the store. The min-doc_id rule is
-    * deterministic, keeping batch replay byte-identical. */
+    * identical boilerplate — so a future doc similar to a capped-away
+    * member is similar to the bucket's retained min-id representatives
+    * too. Sharing ONE band pins only 2 of 8 signature components, so a
+    * doc whose every bucket is hot (several common boilerplate fragments
+    * in one page) could still carry unique content; the cap therefore
+    * never erases a SIGNATURE: a doc that lost every band row and whose
+    * signature is not carried by any kept row gets its minimum
+    * (band, bh) row back (min doc_id per such signature), so at least
+    * one probe path to every distinct content fingerprint survives —
+    * while truly identical boilerplate (the blow-up case) adds nothing,
+    * because its signature already rides on the kept representatives.
+    * The min rules are deterministic, keeping batch replay
+    * byte-identical. */
   def capBandRows(bandRows: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy("band", "bh").orderBy("doc_id")
-    bandRows.withColumn("_rn", row_number().over(w))
+    val kept = bandRows.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= cap).drop("_rn")
+    val floor = bandRows
+      .join(kept.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .groupBy("doc_id")
+      .agg(min(struct(col("band"), col("bh"), col("sig"))).as("m"))
+      .select(col("doc_id"), col("m.sig").as("sig"), col("m.band").as("band"),
+        col("m.bh").as("bh"))
+      .join(kept.select("sig").distinct(), Seq("sig"), "left_anti")
+      .groupBy("sig")
+      .agg(min(struct(col("doc_id"), col("band"), col("bh"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("sig"),
+        col("r.band").as("band"), col("r.bh").as("bh"))
+    kept.select("doc_id", "sig", "band", "bh").unionByName(floor)
   }
 
   /** Default per-(band, bh) store cap — matches the batch path's
@@ -304,27 +344,8 @@ object StreamingDedup {
     * a bucket's visible size after compaction is ≤ 2 × cap: the target's
     * own ≤ cap plus the merged olders' ≤ cap. */
   def compactSignatures(spark: SparkSession, sigPath: String,
-      upToBatch: Long, storeBucketCap: Int = DefaultStoreBucketCap): Unit = {
-    val batches = listBatches(spark, sigPath)
-    val ids = batches.map(_._1)
-    require(ids.contains(upToBatch),
-      s"compaction target batch=$upToBatch does not exist in $sigPath — " +
-        "refusing: a later replay of it would destroy the compacted set")
-    require(ids.max > upToBatch,
-      s"compaction target batch=$upToBatch is the newest partition of " +
-        s"$sigPath — refusing: only batches strictly older than the " +
-        "newest (ideally older than the replay horizon) are replay-safe")
-    val old = batches.filter(_._1 < upToBatch)
-    if (old.isEmpty) return
-    capBandRows(
-      spark.read.option("basePath", sigPath)
-        .parquet(old.map(_._2.toString): _*)
-        .drop("batch").distinct(),
-      storeBucketCap)
-      .write.mode("append").parquet(s"$sigPath/batch=$upToBatch")
-    val (fs, _) = fsOf(spark, sigPath)
-    old.foreach { case (_, dir) => fs.delete(dir, true) }
-  }
+      upToBatch: Long, storeBucketCap: Int = DefaultStoreBucketCap): Unit =
+    compactStore(spark, sigPath, upToBatch, capBandRows(_, storeBucketCap))
 
   /** Wire a (doc_id, text) stream through the incremental near-dup. */
   def incrementalNearDup(docs: DataFrame, sigPath: String, outPath: String,

@@ -215,6 +215,24 @@ class IvfTrainSpec extends AnyFunSuite {
     assert(zeroBased.values.toSet.size == 2)
   }
 
+  test("spread init degrades gracefully: duplicate-heavy and empty inputs") {
+    import spark.implicits._
+    // all vectors identical: oversampling admits nothing (total d2 = 0),
+    // the pool holds one candidate — the fill must still produce k
+    // centroids instead of silently training a smaller quantizer
+    val dup = (0L to 5L).map(i => (i, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.ivfTrain(dup, k = 3, init = "spread")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
+    assert(got.keySet == (0L to 5L).toSet)
+    // identical vectors all tie into the lowest cid
+    assert(got.values.forall(_ == 0), got)
+    // empty frame: no NPE, empty result — same contract as init="lowest"
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.llm.Similarity.ivfTrain(empty, k = 2, init = "spread")
+      .collect().isEmpty)
+  }
+
   test("spread init separates groups the lowest-id seeds cannot see") {
     import spark.implicits._
     // the 3 lowest ids all sit in group A — ingest order is not geometry;

@@ -424,6 +424,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 50L, 61L), survivors)
   }
 
+  test("capBandRows keeps a probe path to every distinct erased signature") {
+    import spark.implicits._
+    // doc 9 carries a UNIQUE signature but every one of its buckets is
+    // dominated by a lower-id crowd of a DIFFERENT signature — the cap
+    // alone would erase doc 9 from the store entirely, and a later
+    // near-dup of doc 9 would slip through as novel
+    val sigA = Seq(1L); val sigB = Seq(2L)
+    val rows = (for {
+      d <- 1L to 3L; b <- 0 to 3
+    } yield (d, sigA, b, s"h$b")) ++ (0 to 3).map(b => (9L, sigB, b, s"h$b"))
+    val capped = graft.streaming.StreamingDedup.capBandRows(
+      rows.toDF("doc_id", "sig", "band", "bh"), cap = 2).collect()
+    val byBucket = capped.groupBy(r => (r.getInt(2), r.getString(3)))
+    // doc 9's signature survives via exactly one floor row
+    val doc9 = capped.filter(_.getLong(0) == 9L)
+    assert(doc9.length == 1, capped.mkString("\n"))
+    // doc 3 (erased everywhere too) adds NOTHING: its signature already
+    // rides on kept docs 1-2
+    assert(!capped.exists(_.getLong(0) == 3L))
+    // bucket bound: cap, +1 only where the floor row landed
+    assert(byBucket.values.forall(_.length <= 3))
+    assert(byBucket.values.count(_.length == 3) == 1)
+  }
+
+  test("compaction retry after a crash mid-delete does not regrow buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndretry").toString
+    val (sigs, out) = (s"$dir/sigs", s"$dir/docs")
+    val boiler = "cookie banner text accept all manage preferences reject " +
+      "nonessential tracking continue to site content"
+    val cap = 4
+    def run(batch: Seq[(Long, String)], id: Long) =
+      graft.streaming.StreamingDedup.nearDupBatch(
+        spark, sigs, out, 0.5, cap)(batch.toDF("doc_id", "text"), id)
+    run((1L to 10L).map(_ -> boiler), 0L)
+    run((21L to 30L).map(_ -> boiler), 1L)
+    run(Seq(50L -> "something else entirely about columnar storage"), 2L)
+    // preserve batch 0's rows, compact, then simulate the crash window:
+    // batch=0 was already merged into batch=1 but its delete never ran
+    val batch0 = spark.read.parquet(s"$sigs/batch=0").collect()
+    graft.streaming.StreamingDedup.compactSignatures(spark, sigs, 1L, cap)
+    val after1 = spark.read.parquet(s"$sigs/batch=1").count()
+    val schema = spark.read.parquet(s"$sigs/batch=1").schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(batch0.toSeq), schema)
+      .write.mode("overwrite").parquet(s"$sigs/batch=0")
+    graft.streaming.StreamingDedup.compactSignatures(spark, sigs, 1L, cap)
+    // the retry anti-joined the already-merged rows away: no growth
+    assert(spark.read.parquet(s"$sigs/batch=1").count() == after1)
+    assert(!new java.io.File(s"$sigs/batch=0").exists())
+  }
+
   test("compaction refuses replay-unsafe targets (ADVICE r4)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
