@@ -73,6 +73,8 @@ object SparkEntry {
     "q_token_bpe" -> (llm.TextOps.tokenBpe _),
     "q_bpe_train" -> ((s, d) => llm.TextOps.bpeTrainQuery(s, d)),
     "q_bpe_encode" -> ((s, d) => llm.TextOps.bpeEncodeQuery(s, d)),
+    "q_tfidf" -> ((s, d) => llm.TextOps.tfIdf(s, d)),
+    "q_bm25" -> ((s, d) => llm.TextOps.bm25(s, d)),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -215,6 +217,52 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    // relevance scoring uses the RATIONAL idf (N-df+0.5)/(df+0.5) — BM25's
+    // idf ratio without ln(), which is not correctly-rounded and differs
+    // between java.lang.Math and DuckDB's libm in the last ulp. Every
+    // fractional constant is CAST to DOUBLE: a bare 0.5/1.2 literal is
+    // DECIMAL in DuckDB and would run the arithmetic in exact decimal,
+    // diverging from Spark's double path.
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT t.doc_id, t.term,
+        |  round(t.tf * ((n.n - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE))), 9) AS score
+        |  FROM tf t JOIN df d USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk
+        |  FROM s)
+        |SELECT doc_id, term, rnk, score FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q_bm25" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM len),
+        |qdf AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('hash', 'join', 'window') GROUP BY term),
+        |per AS (SELECT t.doc_id, t.term,
+        |    ((s.n - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
+        |    ((t.tf * CAST(2.2 AS DOUBLE)) /
+        |     (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))) AS contrib
+        |  FROM tf t JOIN qdf q USING (term)
+        |  JOIN len l ON t.doc_id = l.doc_id CROSS JOIN stats s
+        |  WHERE t.term IN ('hash', 'join', 'window')),
+        |sc AS (SELECT doc_id,
+        |    max(CASE WHEN term = 'hash' THEN contrib END) AS c_hash,
+        |    max(CASE WHEN term = 'join' THEN contrib END) AS c_join,
+        |    max(CASE WHEN term = 'window' THEN contrib END) AS c_window
+        |  FROM per GROUP BY doc_id),
+        |sc2 AS (SELECT doc_id,
+        |    round(coalesce(c_hash, 0) + coalesce(c_join, 0) + coalesce(c_window, 0), 9) AS bm25
+        |  FROM sc),
+        |r AS (SELECT doc_id, bm25,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk FROM sc2)
+        |SELECT doc_id, bm25, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem

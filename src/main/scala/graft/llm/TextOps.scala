@@ -209,6 +209,90 @@ object TextOps {
   def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(t(spark, dir, "documents"))
 
+  /** Term frequencies over lowercase letter-run terms: (doc_id, term, tf)
+    * — the shared first stage of the relevance-scoring family. One
+    * explode + one aggregation with map-side partials; everything
+    * downstream operates on (doc × distinct-term) rows, never the raw
+    * token stream. */
+  private def termFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(letterWords(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF top-k terms per document (the "what is this document about"
+    * signal quality/relevance filters key on), with the RATIONAL idf
+    * (N − df + 0.5)/(df + 0.5) — BM25's idf ratio without the log.
+    * Math.log is not correctly-rounded and differs from DuckDB's libm in
+    * the last ulp, so the oracle-exact formulation stays in IEEE-exact
+    * +/×/÷; the ratio is strictly decreasing in df exactly like log-idf,
+    * so top-k per doc is the same ranking semantics.
+    *
+    * Scale: the df side of the join is vocabulary-sized (broadcastable),
+    * the corpus size is a 1-row broadcast, and the top-k window
+    * partitions by doc_id — nothing global. */
+  def tfIdf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = termFreq(t(spark, dir, "documents"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = t(spark, dir, "documents").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        ((col("n") - col("df") + 0.5) / (col("df") + 0.5)), 9))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("rnk"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** BM25 ranking of the corpus against a fixed query-term set
+    * (Robertson/Sparck Jones; k1/b defaults per the literature), with the
+    * rational idf above. Per (doc, term) there is exactly ONE tf row, so
+    * the per-term contributions pivot into columns via a conditional max
+    * and the final score adds them in FIXED order — a floating-point sum
+    * whose order cannot drift between partitions or engines (a plain
+    * sum() over doubles is combine-order-dependent and would flake the
+    * bit-exact oracle).
+    *
+    * Scale: query-term df and the (N, avgdl) stats are 1-to-few-row
+    * broadcasts; the tf scan is pre-filtered to query terms before any
+    * join; the only wide operation is the final top-k, which
+    * TakeOrderedAndProject keeps at k rows per partition. Docs containing
+    * no query term score nothing and are absent, as in a posting-list
+    * engine. */
+  def bm25(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "window"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val tf = termFreq(t(spark, dir, "documents"))
+    val len = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = len.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val qtf = tf.filter(col("term").isin(query: _*))
+    val qdf = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val per = qtf
+      .join(broadcast(qdf), "term")
+      .join(len, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("tfn", (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", col("idf") * col("tfn"))
+    val aggCols = query.map(q =>
+      max(when(col("term") === q, col("contrib"))).as("c_" + q))
+    val scored = per.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("bm25", round(
+        query.map(q => coalesce(col("c_" + q), lit(0.0))).reduce(_ + _), 9))
+    // top-k FIRST (TakeOrderedAndProject: k rows per partition, no global
+    // sort), then number the k survivors — a global row_number window
+    // would single-partition-sort every scored doc
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("bm25"), asc("doc_id"))
+    scored.orderBy(desc("bm25"), asc("doc_id")).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("bm25"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash
     * h = fold(h*31 + codepoint) mod 1e9+7 over characters. Portable across
     * engines (no murmur dependence). */

@@ -192,3 +192,48 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(enc.map(_._3).sum < rawChars)
   }
 }
+
+/** Relevance-scoring family: ordering/shape properties (exactness is
+  * oracle-checked by q_tfidf / q_bm25). */
+class RelevanceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("tfidf emits k non-increasing scores per doc, favoring rarer terms") {
+    val rows = graft.llm.TextOps.tfIdf(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(ordered.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length))
+      val scores = ordered.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // a term every doc contains scores near the idf floor and cannot be
+    // a top term anywhere unless its tf dominates — spot check: the
+    // ubiquitous term 'a' never beats all others in every doc
+    assert(!byDoc.values.forall(_.exists(r =>
+      r.getString(1) == "a" && r.getAs[Int]("rnk") == 1)))
+  }
+
+  test("bm25 returns a deterministic non-increasing top-20 of query-term docs") {
+    val out = graft.llm.TextOps.bm25(spark, sfDir)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val rows = out.collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to 20))
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+    // every ranked doc really contains a query term
+    val ids = rows.map(_.getLong(0)).toSet
+    val withTerm = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(lower(col("text")).rlike("\\b(hash|join|window)\\b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm))
+    // deterministic across evaluations
+    val again = graft.llm.TextOps.bm25(spark, sfDir).collect()
+    assert(again.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+}
