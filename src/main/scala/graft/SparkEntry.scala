@@ -97,6 +97,9 @@ object SparkEntry {
     "q_ann_pairs" -> ((s, d) => llm.Similarity.annPairs(s, d)),
     "q_knn_join" -> (llm.Similarity.knnJoinQuery _),
     "q_ivf_train" -> (llm.Similarity.ivfTrainQuery _),
+    "q_pq_train" -> (llm.Similarity.pqTrainQuery _),
+    "q_pq_encode" -> (llm.Similarity.pqEncodeQuery _),
+    "q_pq_adc" -> (llm.Similarity.pqAdcQuery _),
     "q_embedding_dedup" -> ((s, d) => llm.Similarity.embeddingDedup(s, d)),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
     "q_binary_meta" -> (llm.Multimodal.binaryMeta _),
@@ -214,7 +217,71 @@ object SparkEntry {
        |FROM dw JOIN wt USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // product quantization: per-subspace Lloyd rounds (the q_ivf_train CTE
+  // pattern × m subspaces), codes via per-subspace argmin pivoted into
+  // fixed columns, ADC via an ORDER BY i list_reduce distance table —
+  // the sequential fold mirrors the driver-side fixed-order fold in
+  // Similarity.pqAdc, the only summation order both engines can pin.
+  // ONE generated chain feeds all three PQ oracles.
+  private val pqChain: String = {
+    val (m, sub, k) = (4, 16, 8)
+    val head =
+      """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+        |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin
+    val subs = (0 until m).map { s =>
+      val lo = s * sub
+      s"""e$s AS (SELECT vec_id, i - $lo AS i, x FROM ex WHERE i >= $lo AND i < ${lo + sub}),
+         |c${s}_0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM e$s WHERE vec_id < $k),
+         |d${s}_1 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+         |            FROM e$s e JOIN c${s}_0 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+         |a${s}_1 AS (SELECT vec_id, cid FROM
+         |             (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d${s}_1)
+         |            WHERE rn = 1),
+         |c${s}_1 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM e$s e JOIN a${s}_1 a USING (vec_id) GROUP BY a.cid, e.i),
+         |d${s}_2 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+         |            FROM e$s e JOIN c${s}_1 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+         |a${s}_2 AS (SELECT vec_id, cid FROM
+         |             (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d${s}_2)
+         |            WHERE rn = 1),
+         |c${s}_2 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM e$s e JOIN a${s}_2 a USING (vec_id) GROUP BY a.cid, e.i),
+         |df$s AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+         |         FROM e$s e JOIN c${s}_2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+         |af$s AS (SELECT vec_id, cid FROM
+         |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df$s)
+         |         WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codes =
+      s"""codes AS (SELECT vec_id,
+         |    ${(0 until m).map(s =>
+              s"max(CASE WHEN m = $s THEN cid END) AS c$s").mkString(", ")}
+         |  FROM (${(0 until m).map(s =>
+              s"SELECT vec_id, $s AS m, cid FROM af$s").mkString(" UNION ALL ")})
+         |  GROUP BY vec_id)""".stripMargin
+    s"$head,\n$subs,\n$codes"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pq_train" ->
+      (pqChain + s""",
+        |u AS (${(0 until 4).map(s =>
+           s"SELECT $s AS m, cid, i, c FROM c${s}_2").mkString(" UNION ALL ")})
+        |SELECT m, cid, i, round(c, 9) AS c FROM u ORDER BY m, cid, i""".stripMargin),
+    "q_pq_encode" ->
+      (pqChain + """
+        |SELECT vec_id, c0, c1, c2, c3 FROM codes ORDER BY vec_id""".stripMargin),
+    "q_pq_adc" ->
+      (pqChain + s""",
+        |q AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
+        |${(0 until 4).map(s =>
+           s"""dt$s AS (SELECT cid,
+              |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
+              |  FROM c${s}_2 c JOIN q ON q.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
+          .mkString(",\n")}
+        |SELECT k.vec_id, round(dt0.d + dt1.d + dt2.d + dt3.d, 9) AS adc
+        |FROM codes k
+        |JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
+        |JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
+        |WHERE k.vec_id <> 0 ORDER BY k.vec_id""".stripMargin),
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     // relevance scoring uses the RATIONAL idf (N-df+0.5)/(df+0.5) — BM25's

@@ -189,22 +189,39 @@ object Similarity {
     * a cell assignment; this IS the training step that produces one. */
   def ivfTrain(emb: DataFrame, k: Int = 4, iters: Int = 2,
       init: String = "lowest"): DataFrame = {
-    val ex = emb.select(col("vec_id"),
+    val ex = explodeVecs(emb)
+    assignCells(ex, lloydCentroids(ex, k, iters, init))
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** (vec_id, i, x) rows of an embeddings frame. */
+  private def explodeVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-    def assign(cent: DataFrame): DataFrame =
-      ex.join(broadcast(cent), Seq("i"))
-        .groupBy("vec_id", "cid")
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** Argmin cell assignment against a broadcast (cid, i, c) centroid
+    * frame; exact distance ties break by cluster id. */
+  private def assignCells(ex: DataFrame, cent: DataFrame): DataFrame =
+    ex.join(broadcast(cent), Seq("i"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** The Lloyd rounds proper: seed, then `iters` assign/update rounds,
+    * returning the final (cid, i, c) centroid frame — shared by the IVF
+    * coarse quantizer and the per-subspace PQ codebooks. */
+  private def lloydCentroids(ex: DataFrame, k: Int, iters: Int,
+      init: String = "lowest"): DataFrame = {
     var cent = graft.Materialize.checkpoint(init match {
       case "spread" => spreadSeedCentroids(ex, k)
       case _ => lowestSeedCentroids(ex, k)
     })
     for (_ <- 1 to iters) {
-      val upd = ex.join(assign(cent), Seq("vec_id"))
+      val upd = ex.join(assignCells(ex, cent), Seq("vec_id"))
         .groupBy("cid", "i").agg(avg(col("x")).as("cnew"))
       // a cluster that loses every member keeps its previous centroid
       // (left join + coalesce) instead of silently shrinking k — at scale
@@ -216,8 +233,7 @@ object Similarity {
           .select(col("cid"), col("i"),
             coalesce(col("cnew"), col("cprev")).as("c")))
     }
-    assign(cent).select(col("vec_id"), col("cid").as("cluster"))
-      .orderBy("vec_id")
+    cent
   }
 
   /** Deterministic default init: the k lowest ACTUAL vec_ids' vectors,
@@ -343,6 +359,117 @@ object Similarity {
   /** Driver-contract form of [[ivfTrain]]. */
   def ivfTrainQuery(spark: SparkSession, dir: String): DataFrame =
     ivfTrain(t(spark, dir, "embeddings"))
+
+  // ---- PRODUCT QUANTIZATION (Jégou et al., TPAMI 2011): the memory-
+  // bound half of IVF-PQ. Split the embedding into m contiguous
+  // subspaces, train a k-codeword Lloyd codebook per subspace (the SAME
+  // hardened rounds as ivfTrain — empty-cluster retention, rank
+  // seeding), store each vector as m small code ids, and score queries
+  // with an asymmetric-distance table. At 100 TB the codes table is
+  // m bytes per vector instead of 4·dim — the difference between an
+  // index that fits executor memory and one that doesn't. ----
+
+  /** Per-subspace codebooks (m, cid, i, c) with i the WITHIN-subspace
+    * dimension index. Sequential per-subspace training: m small
+    * broadcast-join jobs, each identical in shape to ivfTrain's rounds. */
+  def pqTrain(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val parts = pqCodebooks(explodeVecs(emb), m, k, iters, dim)
+    parts.map { case (s, cent) =>
+      cent.select(lit(s).as("m"), col("cid"), col("i"), col("c"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def subSlice(ex: DataFrame, s: Int, sub: Int): DataFrame =
+    ex.filter(col("i") >= s * sub && col("i") < (s + 1) * sub)
+      .select(col("vec_id"), (col("i") - s * sub).as("i"), col("x"))
+
+  private def pqCodebooks(ex: DataFrame, m: Int, k: Int, iters: Int,
+      dim: Int): Seq[(Int, DataFrame)] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    val exCk = graft.Materialize.checkpoint(ex)
+    (0 until m).map { s =>
+      s -> graft.Materialize.checkpoint(
+        lloydCentroids(subSlice(exCk, s, sub), k, iters))
+    }
+  }
+
+  /** PQ codes, pivoted into FIXED columns (vec_id, c0..c{m-1}) so every
+    * downstream distance sum adds subspaces in deterministic order. */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val ex = explodeVecs(emb)
+    val parts = pqCodebooks(ex, m, k, iters, dim)
+    pqCodesOf(ex, parts, m, dim)
+  }
+
+  private def pqCodesOf(ex: DataFrame, parts: Seq[(Int, DataFrame)],
+      m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val assigned = parts.map { case (s, cent) =>
+      assignCells(subSlice(ex, s, sub), cent)
+        .select(col("vec_id"), lit(s).as("m"), col("cid"))
+    }.reduce(_ unionByName _)
+    val aggCols = (0 until m).map(s =>
+      max(when(col("m") === s, col("cid"))).as(s"c$s"))
+    assigned.groupBy("vec_id").agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("vec_id")
+  }
+
+  /** Asymmetric-distance (ADC) scan: squared L2 from the query vector to
+    * every coded vector, via the per-query m×k distance table. The table
+    * is computed ON THE DRIVER with a fixed i-order fold — exactly where
+    * a production ANN engine computes it (k·dim flops per query), and
+    * the only way both engines sum the 16-term subspace distances in an
+    * identical order (the oracle mirrors it with an ORDER BY i
+    * list_reduce). Scoring is then m broadcast lookup joins against the
+    * codes and one fixed-order add — no shuffle after encode. */
+  def pqAdc(emb: DataFrame, qId: Long = 0L, m: Int = 4, k: Int = 8,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val sub = dim / m
+    val ex = explodeVecs(emb)
+    val parts = pqCodebooks(ex, m, k, iters, dim)
+    val codes = pqCodesOf(ex, parts, m, dim)
+    val qVec = ex.filter(col("vec_id") === qId)
+      .select("i", "x").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dtRows = parts.flatMap { case (s, cent) =>
+      cent.collect()
+        .groupBy(_.getAs[Int]("cid")).toSeq
+        .map { case (cid, rows) =>
+          val d = rows.sortBy(_.getAs[Int]("i")).foldLeft(0.0) { (acc, r) =>
+            val diff = qVec(s * sub + r.getAs[Int]("i")) -
+              r.getAs[Double]("c")
+            acc + diff * diff
+          }
+          (s, cid, d)
+        }
+    }
+    val scored = (0 until m).foldLeft(codes) { (df, s) =>
+      val dt = spark.createDataFrame(
+        dtRows.filter(_._1 == s).map { case (_, cid, d) => (cid, d) })
+        .toDF(s"c$s", s"d$s")
+      df.join(broadcast(dt), s"c$s")
+    }
+    scored
+      .withColumn("adc", round(
+        (0 until m).map(s => col(s"d$s")).reduce(_ + _), 9))
+      .filter(col("vec_id") =!= qId)
+      .select("vec_id", "adc")
+      .orderBy("vec_id")
+  }
+
+  /** Driver-contract forms. */
+  def pqTrainQuery(spark: SparkSession, dir: String): DataFrame =
+    pqTrain(t(spark, dir, "embeddings"))
+      .select(col("m"), col("cid"), col("i"), round(col("c"), 9).as("c"))
+      .orderBy("m", "cid", "i")
+  def pqEncodeQuery(spark: SparkSession, dir: String): DataFrame =
+    pqEncode(t(spark, dir, "embeddings"))
+  def pqAdcQuery(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(t(spark, dir, "embeddings"))
 
   /** End-to-end trained ANN join: train the quantizer, relabel both sides
     * with their trained cell, then run the [[knnJoin]] probe — the full

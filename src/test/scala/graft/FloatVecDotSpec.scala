@@ -288,3 +288,53 @@ class KnnTrainedSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Product-quantization family: codebook shape, code determinism, and a
+  * driver-side ADC recomputation (exactness vs DuckDB is oracle-pinned). */
+class PqSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("PQ codebooks/codes/ADC are consistent and deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = graft.llm.Similarity.pqTrain(emb).collect()
+    val byM = cb.groupBy(_.getAs[Int]("m"))
+    assert(byM.keySet == (0 until 4).toSet)
+    byM.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("cid")).toSet == (0 until 8).toSet)
+      rows.groupBy(_.getAs[Int]("cid")).values
+        .foreach(cw => assert(cw.map(_.getAs[Int]("i")).toSet ==
+          (0 until 16).toSet))
+    }
+    val codes = graft.llm.Similarity.pqEncode(emb).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(codes.size == emb.count())
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 8)))
+    // replay-identical (hash seeds, rank init, deterministic ties)
+    val again = graft.llm.Similarity.pqEncode(emb).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(again == codes)
+
+    // differential: recompute ADC on the driver from codebooks + codes
+    // with the same fixed i-order fold
+    val adc = graft.llm.Similarity.pqAdc(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q = emb.filter(col("vec_id") === 0).collect().head
+      .getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+    val cwords = cb.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("cid")))
+      .view.mapValues(_.sortBy(_.getAs[Int]("i"))
+        .map(_.getAs[Double]("c")).toArray).toMap
+    val dt = cwords.map { case ((s, cid), w) =>
+      (s, cid) -> w.zipWithIndex.foldLeft(0.0) { case (acc, (c, i)) =>
+        val diff = q(s * 16 + i) - c; acc + diff * diff
+      }
+    }
+    codes.foreach { case (vid, cs) =>
+      if (vid != 0L) {
+        val expect = BigDecimal(
+          cs.zipWithIndex.map { case (c, s) => dt((s, c)) }.reduce(_ + _))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(adc(vid) - expect) < 1e-12, s"vec $vid")
+      }
+    }
+  }
+}
