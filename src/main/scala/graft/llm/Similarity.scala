@@ -370,49 +370,71 @@ object Similarity {
   // index that fits executor memory and one that doesn't. ----
 
   /** Per-subspace codebooks (m, cid, i, c) with i the WITHIN-subspace
-    * dimension index. Sequential per-subspace training: m small
-    * broadcast-join jobs, each identical in shape to ivfTrain's rounds. */
+    * dimension index. */
   def pqTrain(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
-      dim: Int = 64): DataFrame = {
-    val parts = pqCodebooks(explodeVecs(emb), m, k, iters, dim)
-    parts.map { case (s, cent) =>
-      cent.select(lit(s).as("m"), col("cid"), col("i"), col("c"))
-    }.reduce(_ unionByName _)
-  }
+      dim: Int = 64): DataFrame =
+    pqCodebooksFused(explodeVecs(emb), m, k, iters, dim)
+      .select(col("s").as("m"), col("cid"), col("i"), col("c"))
 
-  private def subSlice(ex: DataFrame, s: Int, sub: Int): DataFrame =
-    ex.filter(col("i") >= s * sub && col("i") < (s + 1) * sub)
-      .select(col("vec_id"), (col("i") - s * sub).as("i"), col("x"))
+  /** (vec_id, s, i, x) rows: the exploded table re-keyed by subspace,
+    * with i the within-subspace index. */
+  private def subspaceRows(ex: DataFrame, sub: Int): DataFrame =
+    ex.select(col("vec_id"), expr(s"i DIV $sub").cast("int").as("s"),
+      (col("i") % sub).as("i"), col("x"))
 
-  private def pqCodebooks(ex: DataFrame, m: Int, k: Int, iters: Int,
-      dim: Int): Seq[(Int, DataFrame)] = {
+  /** ALL m codebooks trained in the SAME jobs: the subspace id rides
+    * every grouping/join key, so one assign/update round trains m
+    * codebooks at the job cost of one — m sequential trainings would pay
+    * m× the driver round-trips and checkpoints for identical
+    * per-subspace math (a vector's rows stay in one partition either
+    * way, so per-(vec, s, cid) distance folds accumulate in the same i
+    * order). Same hardening as [[lloydCentroids]]: rank-based seeds,
+    * empty-cluster retention. */
+  private def pqCodebooksFused(ex: DataFrame, m: Int, k: Int, iters: Int,
+      dim: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
-    val sub = dim / m
-    val exCk = graft.Materialize.checkpoint(ex)
-    (0 until m).map { s =>
-      s -> graft.Materialize.checkpoint(
-        lloydCentroids(subSlice(exCk, s, sub), k, iters))
+    val exS = graft.Materialize.checkpoint(subspaceRows(ex, dim / m))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val seedIds = ex.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .withColumn("cid", (row_number().over(w) - 1).cast("int"))
+    var cent = graft.Materialize.checkpoint(
+      exS.join(broadcast(seedIds), "vec_id")
+        .select(col("s"), col("cid"), col("i"), col("x").as("c")))
+    for (_ <- 1 to iters) {
+      val upd = exS.join(assignSubCells(exS, cent), Seq("vec_id", "s"))
+        .groupBy("s", "cid", "i").agg(avg(col("x")).as("cnew"))
+      cent = graft.Materialize.checkpoint(
+        cent.withColumnRenamed("c", "cprev")
+          .join(upd, Seq("s", "cid", "i"), "left")
+          .select(col("s"), col("cid"), col("i"),
+            coalesce(col("cnew"), col("cprev")).as("c")))
     }
+    cent
   }
+
+  /** Per-subspace argmin assignment (vec_id, s, cid) against a broadcast
+    * fused (s, cid, i, c) codebook frame. */
+  private def assignSubCells(exS: DataFrame, cent: DataFrame): DataFrame =
+    exS.join(broadcast(cent), Seq("s", "i"))
+      .groupBy("vec_id", "s", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
 
   /** PQ codes, pivoted into FIXED columns (vec_id, c0..c{m-1}) so every
     * downstream distance sum adds subspaces in deterministic order. */
   def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
       dim: Int = 64): DataFrame = {
     val ex = explodeVecs(emb)
-    val parts = pqCodebooks(ex, m, k, iters, dim)
-    pqCodesOf(ex, parts, m, dim)
+    pqCodesOf(ex, pqCodebooksFused(ex, m, k, iters, dim), m, dim)
   }
 
-  private def pqCodesOf(ex: DataFrame, parts: Seq[(Int, DataFrame)],
-      m: Int, dim: Int): DataFrame = {
-    val sub = dim / m
-    val assigned = parts.map { case (s, cent) =>
-      assignCells(subSlice(ex, s, sub), cent)
-        .select(col("vec_id"), lit(s).as("m"), col("cid"))
-    }.reduce(_ unionByName _)
+  private def pqCodesOf(ex: DataFrame, cent: DataFrame, m: Int,
+      dim: Int): DataFrame = {
+    val assigned = assignSubCells(subspaceRows(ex, dim / m), cent)
     val aggCols = (0 until m).map(s =>
-      max(when(col("m") === s, col("cid"))).as(s"c$s"))
+      max(when(col("s") === s, col("cid"))).as(s"c$s"))
     assigned.groupBy("vec_id").agg(aggCols.head, aggCols.tail: _*)
       .orderBy("vec_id")
   }
@@ -430,23 +452,21 @@ object Similarity {
     val spark = emb.sparkSession
     val sub = dim / m
     val ex = explodeVecs(emb)
-    val parts = pqCodebooks(ex, m, k, iters, dim)
-    val codes = pqCodesOf(ex, parts, m, dim)
+    val cent = pqCodebooksFused(ex, m, k, iters, dim)
+    val codes = pqCodesOf(ex, cent, m, dim)
     val qVec = ex.filter(col("vec_id") === qId)
       .select("i", "x").collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val dtRows = parts.flatMap { case (s, cent) =>
-      cent.collect()
-        .groupBy(_.getAs[Int]("cid")).toSeq
-        .map { case (cid, rows) =>
-          val d = rows.sortBy(_.getAs[Int]("i")).foldLeft(0.0) { (acc, r) =>
-            val diff = qVec(s * sub + r.getAs[Int]("i")) -
-              r.getAs[Double]("c")
-            acc + diff * diff
-          }
-          (s, cid, d)
+    val dtRows = cent.collect()
+      .groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cid"))).toSeq
+      .map { case ((s, cid), rows) =>
+        val d = rows.sortBy(_.getAs[Int]("i")).foldLeft(0.0) { (acc, r) =>
+          val diff = qVec(s * sub + r.getAs[Int]("i")) -
+            r.getAs[Double]("c")
+          acc + diff * diff
         }
-    }
+        (s, cid, d)
+      }
     val scored = (0 until m).foldLeft(codes) { (df, s) =>
       val dt = spark.createDataFrame(
         dtRows.filter(_._1 == s).map { case (_, cid, d) => (cid, d) })
