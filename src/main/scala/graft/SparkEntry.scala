@@ -75,6 +75,7 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, d) => llm.TextOps.bpeEncodeQuery(s, d)),
     "q_tfidf" -> ((s, d) => llm.TextOps.tfIdf(s, d)),
     "q_bm25" -> ((s, d) => llm.TextOps.bm25(s, d)),
+    "q_ngram_stats" -> ((s, d) => llm.TextOps.ngramStats(s, d)),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -284,6 +285,12 @@ object SparkEntry {
         |WHERE k.vec_id <> 0 ORDER BY k.vec_id""".stripMargin),
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_ngram_stats" ->
+      """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+        |g AS (SELECT unnest([array_to_string(l[j:j+2], ' ') for j in generate_series(1, len(l)-2)]) AS gram
+        |      FROM w WHERE len(l) >= 3)
+        |SELECT gram, count(*) AS cnt FROM g
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
     // relevance scoring uses the RATIONAL idf (N-df+0.5)/(df+0.5) — BM25's
     // idf ratio without ln(), which is not correctly-rounded and differs
     // between java.lang.Math and DuckDB's libm in the last ulp. Every

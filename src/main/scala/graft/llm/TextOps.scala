@@ -293,6 +293,29 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Corpus-wide n-gram statistics: the topK most frequent word n-grams
+    * (contamination screening, memorization analysis, boilerplate
+    * discovery — the corpus-level complement of the per-doc Gopher
+    * repetition stats). One explode + one count aggregation with
+    * map-side partials; the top-k goes through orderBy+limit
+    * (TakeOrderedAndProject), never a global sort of the n-gram table.
+    * Ties on the cut boundary break lexicographically, so the returned
+    * SET is deterministic. */
+  def ngramStats(spark: SparkSession, dir: String, n: Int = 3,
+      topK: Int = 50): DataFrame =
+    ngramStatsOf(t(spark, dir, "documents"), n, topK)
+
+  /** DataFrame-level [[ngramStats]] (fixture-testable). */
+  def ngramStatsOf(docs: DataFrame, n: Int = 3, topK: Int = 50): DataFrame =
+    docs
+      .select(letterWords(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        j => concat_ws(" ", slice(col("w"), j, lit(n))))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("gram")).limit(topK)
+
   /** Deterministic document fingerprint: polynomial rolling hash
     * h = fold(h*31 + codepoint) mod 1e9+7 over characters. Portable across
     * engines (no murmur dependence). */

@@ -193,6 +193,37 @@ class BpeTrainSpec extends AnyFunSuite {
   }
 }
 
+/** Corpus n-gram statistics: differential vs a driver-side count plus a
+  * plan-shape pin (the oracle row checks exact values at sf0.01). */
+class NgramStatsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("ngramStatsOf matches a driver-side trigram count, ties broken lexically") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      1L -> "the quick brown fox jumps over the quick brown dog",
+      2L -> "The Quick Brown fox; the quick brown fox!",
+      3L -> "ab", // < n words after tokenization → contributes nothing
+      4L -> "one two three").toDF("doc_id", "text")
+    val expected = d.collect().flatMap { r =>
+      val ws = "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq
+      ws.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+    }.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+      .toSeq.sortBy { case (g, c) => (-c, g) }.take(5)
+    val got = graft.llm.TextOps.ngramStatsOf(d, n = 3, topK = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+    assert(got.head == ("the quick brown" -> 4L))
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort of the gram table") {
+    val s = spark; import s.implicits._
+    val d = Seq(1L -> "a b c d e f").toDF("doc_id", "text")
+    val p = graft.llm.TextOps.ngramStatsOf(d).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
+
 /** Relevance-scoring family: ordering/shape properties (exactness is
   * oracle-checked by q_tfidf / q_bm25). */
 class RelevanceSpec extends AnyFunSuite {
