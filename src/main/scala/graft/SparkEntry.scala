@@ -102,6 +102,7 @@ object SparkEntry {
     "q_pq_encode" -> (llm.Similarity.pqEncodeQuery _),
     "q_pq_adc" -> (llm.Similarity.pqAdcQuery _),
     "q_embedding_dedup" -> ((s, d) => llm.Similarity.embeddingDedup(s, d)),
+    "q_semdedup" -> (llm.Similarity.semDedupQuery _),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
     "q_binary_meta" -> (llm.Multimodal.binaryMeta _),
     // family 9 extras: scalar functions, conditional agg, pivot, ranking
@@ -146,6 +147,31 @@ object SparkEntry {
       |sig AS (SELECT doc_id, [MIN(h0), MIN(h1), MIN(h2), MIN(h3),
       |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
       |        FROM ab GROUP BY doc_id)""".stripMargin
+
+  // shared trained-IVF CTE chain (2 unrolled Lloyd rounds -> final argmin
+  // assignment `af`) used by q_ivf_train AND q_semdedup — mirrors
+  // Similarity.lloydCentroids/assignCells with "lowest" seeding
+  private val ivfAssignCte =
+    """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM ex WHERE vec_id < 4),
+      |d1 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+      |       FROM ex e JOIN c0 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+      |a1 AS (SELECT vec_id, cid FROM
+      |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+      |       WHERE rn = 1),
+      |c1 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM ex e JOIN a1 a USING (vec_id) GROUP BY a.cid, e.i),
+      |d2 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+      |       FROM ex e JOIN c1 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+      |a2 AS (SELECT vec_id, cid FROM
+      |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+      |       WHERE rn = 1),
+      |c2 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM ex e JOIN a2 a USING (vec_id) GROUP BY a.cid, e.i),
+      |df AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+      |       FROM ex e JOIN c2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+      |af AS (SELECT vec_id, cid FROM
+      |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
+      |       WHERE rn = 1)""".stripMargin
 
   // shared sign-LSH CTE prefix (deterministic md5 plane table -> buckets ->
   // exact-cosine candidate pairs) used by q_ann_pairs AND q_embedding_dedup
@@ -869,27 +895,27 @@ object SparkEntry {
     // trained IVF quantizer: 2 unrolled Lloyd rounds + final assignment;
     // init = k lowest vec_ids, argmin ties break by cluster id
     "q_ivf_train" ->
-      """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
-        |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
-        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM ex WHERE vec_id < 4),
-        |d1 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
-        |       FROM ex e JOIN c0 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
-        |a1 AS (SELECT vec_id, cid FROM
-        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
-        |       WHERE rn = 1),
-        |c1 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM ex e JOIN a1 a USING (vec_id) GROUP BY a.cid, e.i),
-        |d2 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
-        |       FROM ex e JOIN c1 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
-        |a2 AS (SELECT vec_id, cid FROM
-        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
-        |       WHERE rn = 1),
-        |c2 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM ex e JOIN a2 a USING (vec_id) GROUP BY a.cid, e.i),
-        |df AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
-        |       FROM ex e JOIN c2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
-        |af AS (SELECT vec_id, cid FROM
-        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
-        |       WHERE rn = 1)
-        |SELECT vec_id, cid AS cluster FROM af ORDER BY vec_id""".stripMargin,
+      (ivfAssignCte + """
+        |SELECT vec_id, cid AS cluster FROM af ORDER BY vec_id""".stripMargin),
+    // SemDeDup: same trained assignment (shared CTE chain — a fix to the
+    // quantizer cannot silently diverge from the dedup), then exact cosine
+    // within each cluster only, min-id survivor at cos >= 0.3
+    "q_semdedup" ->
+      (ivfAssignCte + """,
+        |m AS (SELECT e.vec_id, a.cid, e.embedding, e.label
+        |      FROM embeddings e JOIN af a USING (vec_id)),
+        |pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |  round(
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(x.embedding, y.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(x.embedding,
+        |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(0.0, list_transform(y.embedding,
+        |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
+        |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        |SELECT vec_id, cid AS cluster, label FROM m
+        |WHERE vec_id NOT IN (SELECT id_b FROM pr WHERE cos_sim >= 0.3)
+        |ORDER BY vec_id""".stripMargin),
     "q_knn_join" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
         |           FROM embeddings WHERE vec_id < 8),

@@ -140,32 +140,82 @@ object Similarity {
     val emb = t(spark, dir, "embeddings")
     // materialize buckets once — both join sides read them
     val e = signBucketTable(emb).join(emb, "vec_id").localCheckpoint(true)
-    val hot = e.groupBy("bucket")
+    groupedCosinePairs(e, "bucket", hotBucketCap)
+      .filter(col("cos_sim") >= minSim)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact-cosine candidate pairs (id_a < id_b) within each group of
+    * `grouped` (needs `vec_id`, `embedding`, and the `key` column) —
+    * the skew-guarded pair kernel shared by the sign-LSH bucket path
+    * ([[annPairs]]) and the k-means cluster path ([[semDedup]]).
+    *
+    * Groups above `cap` switch to a STAR pattern: every member pairs
+    * with the group's min-id hub only (B−1 pairs instead of B(B−1)/2),
+    * so a degenerate group cannot make the self-join quadratic. For
+    * dedup-style consumers the hub keeps the near-dup set connected
+    * (min-id survivor reaches every member); recall of hub-less pairs
+    * inside degenerate groups is the deliberate trade. The hot list is
+    * one groupBy(key).count — at most |rows|/cap groups exceed the cap,
+    * so the list (and hub vectors) broadcast. */
+  private[llm] def groupedCosinePairs(grouped: DataFrame, key: String,
+      cap: Int): DataFrame = {
+    val e = grouped
+    val hot = e.groupBy(key)
       .agg(count(lit(1)).as("_bsz"), min(col("vec_id")).as("_bmin"))
-      .filter(col("_bsz") > hotBucketCap)
-      .select(col("bucket"), col("_bmin"))
-    val normal = e.join(broadcast(hot.select("bucket")),
-      Seq("bucket"), "left_anti")
+      .filter(col("_bsz") > cap)
+      .select(col(key), col("_bmin"))
+    val normal = e.join(broadcast(hot.select(key)), Seq(key), "left_anti")
     val normalPairs = normal.as("a")
-      .join(normal.as("b"), col("a.bucket") === col("b.bucket") &&
+      .join(normal.as("b"), col(s"a.$key") === col(s"b.$key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(cosine(col("a.embedding"), col("b.embedding")), 9)
           .as("cos_sim"))
-    // hubs: one row per hot bucket — tiny, broadcast with its embedding
+    // hubs: one row per hot group — tiny, broadcast with its embedding
     val hubs = e.join(
-        broadcast(hot.withColumnRenamed("bucket", "_hb")),
+        broadcast(hot.withColumnRenamed(key, "_hk")),
         col("vec_id") === col("_bmin"))
-      .select(col("_hb"), col("vec_id").as("id_a"),
+      .select(col("_hk"), col("vec_id").as("id_a"),
         col("embedding").as("ea"))
     val starPairs = e.join(broadcast(hubs),
-        col("bucket") === col("_hb") && col("vec_id") =!= col("id_a"))
+        col(key) === col("_hk") && col("vec_id") =!= col("id_a"))
       .select(col("id_a"), col("vec_id").as("id_b"),
         round(cosine(col("ea"), col("embedding")), 9).as("cos_sim"))
     normalPairs.unionByName(starPairs)
-      .filter(col("cos_sim") >= minSim)
-      .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embeddings with the trained IVF quantizer
+    * ([[ivfTrain]]'s Lloyd rounds, same deterministic seeding), then run
+    * exact cosine WITHIN each cluster only and drop every vector that has
+    * a smaller-id neighbor at cosine ≥ tau (min-id survivor — the same
+    * keep rule as exact dedup and [[embeddingDedup]]). Returns the
+    * survivors as (vec_id, cluster, label).
+    *
+    * Scale: the pair join is cluster-bounded, never corpus-wide — k is
+    * the knob that keeps clusters pair-join-sized (SemDeDup uses k in the
+    * tens of thousands at web scale), and [[groupedCosinePairs]]' star
+    * guard bounds the degenerate cluster that k-means occasionally
+    * produces anyway (boilerplate embeddings collapsing into one cell).
+    * Training is `iters` Lloyd rounds of two equi-shuffles each; the
+    * assignment is computed once and feeds both the pair join and the
+    * survivor projection. */
+  def semDedup(emb: DataFrame, k: Int = 4, iters: Int = 2,
+      tau: Double = 0.3, hotClusterCap: Int = 4096): DataFrame = {
+    val ex = explodeVecs(emb)
+    val asg = assignCells(ex, lloydCentroids(ex, k, iters))
+    val e = emb.join(asg, Seq("vec_id")).localCheckpoint(true)
+    val dropped = groupedCosinePairs(e, "cid", hotClusterCap)
+      .filter(col("cos_sim") >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    e.select(col("vec_id"), col("cid").as("cluster"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedup(t(spark, dir, "embeddings"))
 
   /** TRAINED IVF coarse quantizer: `iters` unrolled Lloyd k-means rounds
     * over the exploded (vec_id, i, x) table, then a final assignment.
