@@ -28,6 +28,8 @@ object SparkEntry {
     "q1_agg" -> (Relational.q1Agg _),
     "q_agg_having" -> (Relational.aggHaving _),
     "q_count_distinct" -> (Relational.countDistinct_ _),
+    "q_kmv_distinct" -> (Sketches.kmvQuery _),
+    "q_cms_freq" -> (Sketches.cmsQuery _),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_topk" -> (Relational.topK _),
@@ -396,6 +398,40 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // KMV distinct sketch: k smallest 60-bit md5 hashes per group,
+    // estimate (k-1)*2^60/h_k — (k-1)*2^60 has <= 6 significant bits
+    // past the power, so the double product is exact in both engines
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type AS g,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        |k AS (SELECT g, CAST(count(*) AS INTEGER) AS n_kept,
+        |             max(CASE WHEN rn = 64 THEN h END) AS hk
+        |      FROM r WHERE rn <= 64 GROUP BY g)
+        |SELECT g AS event_type, n_kept,
+        |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE round(CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
+        |  END AS est_distinct
+        |FROM k ORDER BY event_type""".stripMargin,
+    // Count-Min sketch: d=4 rows x w=1024 counters, est = min of the
+    // item's d counters (never under-counts); probes = user_id < 20
+    "q_cms_freq" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+        |s AS (SELECT j,
+        |        CAST(('0x' || substr(md5(v || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS b,
+        |        count(*) AS c
+        |      FROM v CROSS JOIN range(0, 4) t(j) GROUP BY j, b),
+        |p AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS v
+        |      FROM events WHERE user_id < 20),
+        |pb AS (SELECT p.user_id, j,
+        |         CAST(('0x' || substr(md5(p.v || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS b
+        |       FROM p CROSS JOIN range(0, 4) t(j)),
+        |e AS (SELECT pb.user_id, min(s.c) AS est FROM pb JOIN s USING (j, b) GROUP BY pb.user_id),
+        |x AS (SELECT user_id, count(*) AS n_exact FROM events
+        |      WHERE user_id < 20 GROUP BY user_id)
+        |SELECT e.user_id, e.est, x.n_exact FROM e JOIN x USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsum("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

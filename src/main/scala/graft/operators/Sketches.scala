@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.llm.Dedup.h60
+
+/** Fixed-size probabilistic sketches — the profiling layer a 100 TB
+  * pipeline runs BEFORE committing to exact shuffles (how many distinct
+  * users? how hot is this key?). Both sketches here are deterministic
+  * (md5-derived hashing, no RNG), so results are reproducible across
+  * runs, engines, and partition layouts, and the DuckDB oracle pins them
+  * exactly — unlike approx_count_distinct, whose HLL buckets are not
+  * portable.
+  *
+  * Scale posture: sketch STATE is bounded by construction — k hashes per
+  * group (KMV), d·w counters total (Count-Min) — so the reduce side never
+  * grows with the corpus, only with the parameter choice.
+  */
+object Sketches {
+
+  /** KMV (k-minimum-values) distinct-count estimate per group
+    * (Bar-Yossef et al. 2002): hash each value to a uniform 60-bit
+    * integer, keep the k smallest distinct hashes per group, and
+    * estimate |D| = (k−1) · 2⁶⁰ / h_k from the kth minimum. Groups with
+    * fewer than k distinct values report the exact count (their kth
+    * minimum does not exist — the sketch degrades to exact, never to
+    * garbage).
+    *
+    * Shape: one (g, h) distinct shuffle, then the salted two-phase k-min
+    * ([[graft.llm.Sampling.stratifiedSample]]'s skew rationale): phase 1
+    * ranks within (g, salt) so a hot group's hashes spread over `salts`
+    * partitions, phase 2 re-ranks the ≤ salts·k survivors. No window
+    * ever sorts a whole group. */
+  def kmvDistinct(df: DataFrame, keyCol: String, valCol: String,
+      k: Int = 64, salts: Int = 32): DataFrame = {
+    val hashes = df
+      .select(col(keyCol).as("g"), h60(col(valCol).cast("string")).as("h"))
+      .distinct()
+    val w1 = Window.partitionBy("g", "salt").orderBy("h")
+    val w2 = Window.partitionBy("g").orderBy("h")
+    val kmin = hashes
+      .withColumn("salt",
+        h60(concat(lit("kmv#"), col("h").cast("string"))) % salts)
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+    // (k−1)·2⁶⁰ has ≤ 6 significant bits past the power — the double
+    // product is exact, so the whole estimate is one exact product and
+    // one division in both engines
+    val scale = lit((k - 1).toDouble) * lit(math.pow(2.0, 60))
+    kmin.groupBy("g").agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(col("g"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(scale / col("hk").cast("double"), 6))
+          .as("est_distinct"))
+  }
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005): d hash
+    * rows × w counters; an item's frequency estimate is the MIN of its d
+    * counters, which never under-counts (est ≥ exact always — collisions
+    * only inflate). Returns (v, est) for the probe set.
+    *
+    * Shape: building the sketch is a map-side d-fold expansion of the
+    * value column into (row, bucket) pairs and ONE count aggregation
+    * bounded at d·w output rows; probing joins the BROADCAST sketch
+    * (fixed size by construction, never corpus-sized) against the probe
+    * items. 2⁶⁰ is divisible by any power-of-two w, so the modulo is
+    * exactly uniform. */
+  def countMinEst(df: DataFrame, valCol: String, probes: DataFrame,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    require(w > 0 && (w & (w - 1)) == 0, s"w=$w must be a power of two")
+    def bucket(v: Column, j: Column): Column =
+      h60(concat(v, lit("#"), j.cast("string"))) % w
+    val sketch = df
+      .select(col(valCol).cast("string").as("v"))
+      .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("v"))
+      .select(col("j"), bucket(col("v"), col("j")).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    probes
+      .select(col(probes.columns.head).cast("string").as("v")).distinct()
+      .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("v"), col("j"), bucket(col("v"), col("j")).as("b"))
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("v").agg(min(col("c")).as("est"))
+  }
+
+  /** Oracle query: KMV distinct users per event type (k = 64 against 150
+    * true distinct — a real estimation regime, not the exact fallback). */
+  def kmvQuery(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinct(t(spark, dir, "events"), "event_type", "user_id")
+      .select(col("g").as("event_type"), col("n_kept"), col("est_distinct"))
+      .orderBy("event_type")
+
+  /** Oracle query: Count-Min per-user event-count estimates for a fixed
+    * probe set, alongside the exact counts (the spec asserts est ≥ exact
+    * — the sketch's one-sided error guarantee). */
+  def cmsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val probes = ev.filter(col("user_id") < 20).select("user_id").distinct()
+    val exact = ev.filter(col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    countMinEst(ev, "user_id", probes)
+      .select(col("v").cast("long").as("user_id"), col("est"))
+      .join(exact, Seq("user_id"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+/** Sketch contracts (exact values are oracle-pinned by q_kmv_distinct /
+  * q_cms_freq; these pin the estimator guarantees on fixtures the sf
+  * tables can't produce). */
+class SketchesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("KMV: exact below k, within the estimator's error envelope above it") {
+    val s = spark; import s.implicits._
+    val small = (1 to 10).map(i => ("a", s"v$i"))
+    val big = (1 to 5000).map(i => ("b", s"w$i"))
+    val df = (small ++ big).toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, "g", "v", k = 64).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // below k: degrades to exact, never to garbage
+    assert(out("a").getAs[Int]("n_kept") == 10)
+    assert(out("a").getAs[Double]("est_distinct") == 10.0)
+    // above k: (k-1)/R estimator, relative stderr 1/sqrt(k-1) ~ 12.6%;
+    // 4 sigma leaves the test deterministic-safe (the hash is fixed)
+    val est = out("b").getAs[Double]("est_distinct")
+    assert(out("b").getAs[Int]("n_kept") == 64)
+    assert(est > 5000 * 0.5 && est < 5000 * 1.5, s"est=$est for true 5000")
+  }
+
+  test("KMV: salted two-phase equals the single-window formulation") {
+    val s = spark; import s.implicits._
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"v${i % 911}")).toDF("g", "v")
+    val a = Sketches.kmvDistinct(df, "g", "v", salts = 32).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Sketches.kmvDistinct(df, "g", "v", salts = 1).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("CMS: never under-counts, and deeper sketches never raise an estimate") {
+    val s = spark; import s.implicits._
+    // 500 keys into w=16 buckets: collisions are certain
+    val df = (1 to 5000).map(i => s"k${i % 500}").toDF("v")
+    val probes = (0 until 500).map(i => s"k$i").toDF("v")
+    val exact = df.groupBy("v").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est4 = Sketches.countMinEst(df, "v", probes, d = 4, w = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est1 = Sketches.countMinEst(df, "v", probes, d = 1, w = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est4.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(est4(k) >= n, s"$k: est ${est4(k)} under-counts $n")
+      // row 0 is shared, so min over 4 rows <= the 1-row estimate
+      assert(est4(k) <= est1(k), s"$k: deeper sketch raised the estimate")
+    }
+    // with w=16 and 500 keys, collisions MUST have inflated something —
+    // otherwise the fixture is vacuous
+    assert(exact.exists { case (k, n) => est4(k) > n })
+  }
+
+  test("CMS probe joins the broadcast sketch — no shuffle join on sketch rows") {
+    val plan = Sketches.cmsQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
