@@ -64,7 +64,26 @@ object GraftExtensions {
       arity("map_scrub", 1)(exprs => MapScrub(exprs.head))),
     ("relationship_diff", classOf[RelationshipDiff],
       arity("relationship_diff", 2)(exprs =>
-        RelationshipDiff(exprs(0), exprs(1)))))
+        RelationshipDiff(exprs(0), exprs(1)))),
+    ("bloom_might_contain", classOf[BloomMightContain],
+      arity("bloom_might_contain", 4)(exprs => {
+        // the bitset and geometry ride the plan as constants — SQL callers
+        // pass them as literals (X'…' hex for the bits)
+        def const(e: Expression, name: String, tpe: String): Any = {
+          if (!e.foldable)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`bloom_might_contain`",
+                "paramName" -> s"`$name`",
+                "paramType" -> s""""$tpe""""))
+          e.eval(null)
+        }
+        BloomMightContain(exprs(0),
+          const(exprs(1), "bits", "BINARY").asInstanceOf[Array[Byte]],
+          const(exprs(2), "nh", "INT").asInstanceOf[Number].intValue(),
+          const(exprs(3), "m", "INT").asInstanceOf[Number].intValue())
+      })))
 
   /** Runtime registration into an existing session (shared test sessions,
     * REPLs) — same function list as the builder-time extension point. */

@@ -30,6 +30,7 @@ object SparkEntry {
     "q_count_distinct" -> (Relational.countDistinct_ _),
     "q_kmv_distinct" -> (Sketches.kmvQuery _),
     "q_cms_freq" -> (Sketches.cmsQuery _),
+    "q_bloom_filter" -> (graft.functions.Bloom.bloomQuery _),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_topk" -> (Relational.topK _),
@@ -432,6 +433,23 @@ object SparkEntry {
         |      WHERE user_id < 20 GROUP BY user_id)
         |SELECT e.user_id, e.est, x.n_exact FROM e JOIN x USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // md5-position bloom filter: nh=3 positions in m=8192 bits; a probe
+    // is "might" iff all 3 positions are set. member => might always.
+    "q_bloom_filter" ->
+      """WITH ks AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+        |pos AS (SELECT DISTINCT
+        |          CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS p
+        |        FROM ks CROSS JOIN range(0, 3) t(j)),
+        |probe AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |pp AS (SELECT custkey, j,
+        |         CAST(('0x' || substr(md5(CAST(custkey AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS p
+        |       FROM probe CROSS JOIN range(0, 3) t(j)),
+        |hit AS (SELECT pp.custkey, count(*) AS nhit FROM pp JOIN pos USING (p) GROUP BY pp.custkey)
+        |SELECT probe.custkey,
+        |  COALESCE(hit.nhit, 0) = 3 AS might,
+        |  probe.custkey IN (SELECT k FROM ks) AS member
+        |FROM probe LEFT JOIN hit USING (custkey)
+        |ORDER BY custkey""".stripMargin,
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsum("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

@@ -33,6 +33,15 @@ class ExtensionsSpec extends AnyFunSuite {
         "map('p', array(named_struct('g','1'))), " +
         "map('p', array(named_struct('g','1')))))").isEmpty)
       assert(one("json_canonicalize('{\"b\":1,\"a\":2}')") != null)
+      // bloom: all-ones bitset says might for anything; all-zeros never
+      assert(one("bloom_might_contain('x', X'FF', 2, 8)") == true)
+      assert(one("bloom_might_contain('x', X'00', 2, 8)") == false)
+      // non-literal bitset = analysis error naming the argument
+      val nf = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT bloom_might_contain('x', encode(rand()::string, 'utf-8'), 2, 8)")
+          .collect()
+      }
+      assert(nf.getMessage.contains("bits"), nf.getMessage)
       // wrong arity = analysis error naming the function, not an IOOBE
       val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql("SELECT float_vec_dot(array(cast(1.0 as float)))").collect()
