@@ -79,6 +79,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => llm.TextOps.tfIdf(s, d)),
     "q_bm25" -> ((s, d) => llm.TextOps.bm25(s, d)),
     "q_ngram_stats" -> ((s, d) => llm.TextOps.ngramStats(s, d)),
+    "q_ngram_doc_score" -> ((s, d) => llm.TextOps.ngramDocScore(s, d)),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -320,6 +321,21 @@ object SparkEntry {
         |      FROM w WHERE len(l) >= 3)
         |SELECT gram, count(*) AS cnt FROM g
         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+    // per-doc corpus-informed gram profile: integer counts + one final
+    // division — the portable stand-in for an LM-perplexity filter
+    "q_ngram_doc_score" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+        |g AS (SELECT doc_id, unnest([array_to_string(l[j:j+2], ' ') for j in generate_series(1, len(l)-2)]) AS gram
+        |      FROM w WHERE len(l) >= 3),
+        |c AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |s AS (SELECT g.doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+        |        CAST(count(*) FILTER (WHERE c.c <= 1) AS INTEGER) AS n_rare,
+        |        sum(c.c) AS sum_c
+        |      FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_rare,
+        |  round(CAST(n_rare AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS rare_frac,
+        |  round(CAST(sum_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_score
+        |FROM s ORDER BY doc_id""".stripMargin,
     // relevance scoring uses the RATIONAL idf (N-df+0.5)/(df+0.5) — BM25's
     // idf ratio without ln(), which is not correctly-rounded and differs
     // between java.lang.Math and DuckDB's libm in the last ulp. Every

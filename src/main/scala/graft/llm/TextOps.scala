@@ -316,6 +316,48 @@ object TextOps {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram")).limit(topK)
 
+  /** Per-document corpus-informed n-gram profile — the deterministic
+    * stand-in for an LM-perplexity quality filter (CCNet-style): a doc
+    * whose n-grams are corpus-RARE is unusual text (possible noise), one
+    * whose n-grams are corpus-HOT is boilerplate. Both signals are pure
+    * integer arithmetic (occurrence counts, one final division), so the
+    * score is bit-reproducible across engines — unlike log-probability,
+    * whose ln() is not correctly rounded anywhere.
+    *
+    * Emits per doc: n_grams, n_rare (occurrences whose corpus count ≤
+    * rareMax), rare_frac, and boiler_score (mean corpus count of the
+    * doc's grams). Shape: the gram table is materialized ONCE and feeds
+    * both the corpus model and the join-back (the Curation shared-pass
+    * discipline); all three shuffles are equi-keyed. */
+  def ngramDocScore(spark: SparkSession, dir: String, n: Int = 3,
+      rareMax: Int = 1): DataFrame =
+    ngramDocScoreOf(t(spark, dir, "documents"), n, rareMax)
+
+  /** DataFrame-level [[ngramDocScore]] (fixture-testable). */
+  def ngramDocScoreOf(docs: DataFrame, n: Int = 3,
+      rareMax: Int = 1): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), letterWords(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        j => concat_ws(" ", slice(col("w"), j, lit(n))))).as("gram"))
+      .localCheckpoint(true) // shingled once, read by model AND join-back
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+    grams.join(counts, Seq("gram"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("c") <= rareMax, 1L).otherwise(0L)).cast("int")
+          .as("n_rare"),
+        sum(col("c")).as("sum_c"))
+      .select(col("doc_id"), col("n_grams"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_grams").cast("double"), 6)
+          .as("rare_frac"),
+        round(col("sum_c").cast("double") / col("n_grams").cast("double"), 6)
+          .as("boiler_score"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash
     * h = fold(h*31 + codepoint) mod 1e9+7 over characters. Portable across
     * engines (no murmur dependence). */

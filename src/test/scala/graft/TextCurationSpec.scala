@@ -222,6 +222,28 @@ class NgramStatsSpec extends AnyFunSuite {
     val p = graft.llm.TextOps.ngramStatsOf(d).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("ngramDocScoreOf separates boilerplate from unique text") {
+    val s = spark; import s.implicits._
+    val boiler = "terms of service apply to all users"
+    val d = Seq(
+      1L -> boiler, 2L -> boiler, 3L -> boiler, // 3 identical docs
+      4L -> "wholly unique prose nothing shares these grams",
+      5L -> "xy") // < n words -> no row
+    val out = graft.llm.TextOps.ngramDocScoreOf(d.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(5L))
+    // each boiler doc: 5 trigrams, every gram occurs 3x in the corpus
+    (1L to 3L).foreach { id =>
+      assert(out(id).getAs[Int]("n_grams") == 5)
+      assert(out(id).getAs[Int]("n_rare") == 0)
+      assert(out(id).getAs[Double]("boiler_score") == 3.0)
+      assert(out(id).getAs[Double]("rare_frac") == 0.0)
+    }
+    // the unique doc: every gram is corpus-unique
+    assert(out(4L).getAs[Double]("rare_frac") == 1.0)
+    assert(out(4L).getAs[Double]("boiler_score") == 1.0)
+  }
 }
 
 /** Relevance-scoring family: ordering/shape properties (exactness is
