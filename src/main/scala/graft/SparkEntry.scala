@@ -31,6 +31,7 @@ object SparkEntry {
     "q_kmv_distinct" -> (Sketches.kmvQuery _),
     "q_cms_freq" -> (Sketches.cmsQuery _),
     "q_bloom_filter" -> (graft.functions.Bloom.bloomQuery _),
+    "q_zorder_key" -> (graft.sources.Layout.zorderQuery _),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_topk" -> (Relational.topK _),
@@ -449,6 +450,16 @@ object SparkEntry {
         |      WHERE user_id < 20 GROUP BY user_id)
         |SELECT e.user_id, e.est, x.n_exact FROM e JOIN x USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // 2-D Morton key, 16 bits per dimension, unrolled shift-mask terms —
+    // generated from the same (i, 2i, 2i+1) layout as Layout.zkey2
+    "q_zorder_key" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         |SELECT l_partkey, l_suppkey, $terms AS zkey
+         |FROM p ORDER BY zkey, l_partkey, l_suppkey""".stripMargin
+    },
     // md5-position bloom filter: nh=3 positions in m=8192 bits; a probe
     // is "might" iff all 3 positions are set. member => might always.
     "q_bloom_filter" ->
