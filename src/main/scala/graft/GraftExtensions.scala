@@ -70,14 +70,19 @@ object GraftExtensions {
         // the bitset and geometry ride the plan as constants — SQL callers
         // pass them as literals (X'…' hex for the bits)
         def const(e: Expression, name: String, tpe: String): Any = {
-          if (!e.foldable)
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "NON_FOLDABLE_ARGUMENT",
-              messageParameters = Map(
-                "funcName" -> "`bloom_might_contain`",
-                "paramName" -> s"`$name`",
-                "paramType" -> s""""$tpe""""))
-          e.eval(null)
+          def fail() = throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`bloom_might_contain`",
+              "paramName" -> s"`$name`",
+              "paramType" -> s""""$tpe""""))
+          if (!e.foldable) fail()
+          e.eval(null) match {
+            case b: Array[Byte] if tpe == "BINARY" => b
+            case n: Number if tpe == "INT" => n
+            case null if tpe == "BINARY" => null // geometry check names it
+            case _ => fail() // a foldable wrong-typed literal, e.g. '3'
+          }
         }
         BloomMightContain(exprs(0),
           const(exprs(1), "bits", "BINARY").asInstanceOf[Array[Byte]],

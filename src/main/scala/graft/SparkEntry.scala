@@ -422,7 +422,7 @@ object SparkEntry {
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type AS g,
         |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
         |k AS (SELECT g, CAST(count(*) AS INTEGER) AS n_kept,
         |             max(CASE WHEN rn = 64 THEN h END) AS hk
@@ -445,7 +445,8 @@ object SparkEntry {
         |pb AS (SELECT p.user_id, j,
         |         CAST(('0x' || substr(md5(p.v || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS b
         |       FROM p CROSS JOIN range(0, 4) t(j)),
-        |e AS (SELECT pb.user_id, min(s.c) AS est FROM pb JOIN s USING (j, b) GROUP BY pb.user_id),
+        |e AS (SELECT pb.user_id, min(COALESCE(s.c, 0)) AS est
+        |      FROM pb LEFT JOIN s USING (j, b) GROUP BY pb.user_id),
         |x AS (SELECT user_id, count(*) AS n_exact FROM events
         |      WHERE user_id < 20 GROUP BY user_id)
         |SELECT e.user_id, e.est, x.n_exact FROM e JOIN x USING (user_id)

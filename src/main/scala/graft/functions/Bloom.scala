@@ -65,9 +65,23 @@ case class BloomMightContain(child: Expression, bits: Array[Byte],
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+    // geometry is validated HERE so malformed-but-foldable SQL arguments
+    // (1-byte bitset with m=8192, m=0, NULL bits) fail analysis with a
+    // named error instead of crashing executors mid-scan
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+    else if (bits == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName bits must not be NULL")
+    else if (nh < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName nh=$nh must be >= 1")
+    else if (m < 8 || m % 8 != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName m=$m must be a positive multiple of 8")
+    else if (bits.length != m / 8)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bits has ${bits.length} bytes but m=$m needs ${m / 8}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
     GraftBloom.mightContain(v.asInstanceOf[UTF8String], bits, nh, m)

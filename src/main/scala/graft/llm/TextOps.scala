@@ -305,14 +305,31 @@ object TextOps {
       topK: Int = 50): DataFrame =
     ngramStatsOf(t(spark, dir, "documents"), n, topK)
 
+  /** Non-distinct word n-gram ROWS (doc_id, gram): posexplode the word
+    * stream, window `lead` stitches each gram — whole-stage codegen end
+    * to end, [[Dedup.shingleRows]]'s rationale (a transform/slice lambda
+    * evaluates interpreted per element on the corpus-scan hot path).
+    * Unlike shingleRows this keeps the MULTISET — occurrence counts are
+    * the point of the stats/profile consumers — and tokenizes with
+    * [[letterWords]]. Docs with fewer than n words emit nothing. */
+  private[llm] def gramRows(docs: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"),
+        posexplode(letterWords(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until n).map(j =>
+          if (j == 0) col("tok") else lead(col("tok"), j).over(w)): _*)
+          .as("gram"),
+        lead(col("tok"), n - 1).over(w).as("last"))
+      .filter(col("last").isNotNull)
+      .select(col("doc_id"), col("gram"))
+  }
+
   /** DataFrame-level [[ngramStats]] (fixture-testable). */
   def ngramStatsOf(docs: DataFrame, n: Int = 3, topK: Int = 50): DataFrame =
-    docs
-      .select(letterWords(col("text")).as("w"))
-      .filter(size(col("w")) >= n)
-      .select(explode(transform(
-        sequence(lit(1), size(col("w")) - (n - 1)),
-        j => concat_ws(" ", slice(col("w"), j, lit(n))))).as("gram"))
+    gramRows(docs, n)
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram")).limit(topK)
 
@@ -336,12 +353,7 @@ object TextOps {
   /** DataFrame-level [[ngramDocScore]] (fixture-testable). */
   def ngramDocScoreOf(docs: DataFrame, n: Int = 3,
       rareMax: Int = 1): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), letterWords(col("text")).as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("w")) - (n - 1)),
-        j => concat_ws(" ", slice(col("w"), j, lit(n))))).as("gram"))
+    val grams = gramRows(docs, n)
       .localCheckpoint(true) // shingled once, read by model AND join-back
     val counts = grams.groupBy("gram").agg(count(lit(1)).as("c"))
     grams.join(counts, Seq("gram"))

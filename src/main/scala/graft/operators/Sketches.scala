@@ -35,7 +35,11 @@ object Sketches {
     * ever sorts a whole group. */
   def kmvDistinct(df: DataFrame, keyCol: String, valCol: String,
       k: Int = 64, salts: Int = 32): DataFrame = {
+    // null values are excluded, matching COUNT(DISTINCT) SQL semantics —
+    // a null hash would also rank NULLS FIRST here but NULLS LAST in
+    // DuckDB, silently displacing a real minimum from the sketch
     val hashes = df
+      .filter(col(valCol).isNotNull)
       .select(col(keyCol).as("g"), h60(col(valCol).cast("string")).as("h"))
       .distinct()
     val w1 = Window.partitionBy("g", "salt").orderBy("h")
@@ -70,7 +74,7 @@ object Sketches {
     * items. 2⁶⁰ is divisible by any power-of-two w, so the modulo is
     * exactly uniform. */
   def countMinEst(df: DataFrame, valCol: String, probes: DataFrame,
-      d: Int = 4, w: Int = 1024): DataFrame = {
+      probeCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
     require(w > 0 && (w & (w - 1)) == 0, s"w=$w must be a power of two")
     def bucket(v: Column, j: Column): Column =
       h60(concat(v, lit("#"), j.cast("string"))) % w
@@ -79,12 +83,14 @@ object Sketches {
       .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("v"))
       .select(col("j"), bucket(col("v"), col("j")).as("b"))
       .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    // LEFT join: a probe whose buckets are all empty is a real answer
+    // (est = 0, the item definitely never occurred), not a dropped row
     probes
-      .select(col(probes.columns.head).cast("string").as("v")).distinct()
+      .select(col(probeCol).cast("string").as("v")).distinct()
       .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("j"))
       .select(col("v"), col("j"), bucket(col("v"), col("j")).as("b"))
-      .join(broadcast(sketch), Seq("j", "b"))
-      .groupBy("v").agg(min(col("c")).as("est"))
+      .join(broadcast(sketch), Seq("j", "b"), "left")
+      .groupBy("v").agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
   /** Oracle query: KMV distinct users per event type (k = 64 against 150
@@ -102,7 +108,7 @@ object Sketches {
     val probes = ev.filter(col("user_id") < 20).select("user_id").distinct()
     val exact = ev.filter(col("user_id") < 20)
       .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-    countMinEst(ev, "user_id", probes)
+    countMinEst(ev, "user_id", probes, "user_id")
       .select(col("v").cast("long").as("user_id"), col("est"))
       .join(exact, Seq("user_id"))
       .orderBy("user_id")

@@ -32,11 +32,16 @@ object Layout {
     * partition covers one contiguous Z-curve segment ≈ a small rectangle
     * in (a, b) space — the property the ZorderSpec measures. */
   def zorderLayout(df: DataFrame, a: String, b: String, numParts: Int,
-      bits: Int = 16): DataFrame =
-    df.withColumn("_z", zkey2(col(a), col(b), bits))
-      .repartitionByRange(numParts, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+      bits: Int = 16): DataFrame = {
+    // pick a scratch name the frame doesn't use — withColumn REPLACES an
+    // existing column, and drop would then erase the caller's data
+    val zc = Iterator.from(0).map(i => s"_zkey$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zkey2(col(a), col(b), bits))
+      .repartitionByRange(numParts, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+  }
 
   /** Oracle query: the Morton key of every distinct (l_partkey,
     * l_suppkey) pair — pins the interleave bit-for-bit. */

@@ -42,6 +42,16 @@ class ExtensionsSpec extends AnyFunSuite {
           .collect()
       }
       assert(nf.getMessage.contains("bits"), nf.getMessage)
+      // malformed geometry = analysis error, never an executor crash
+      val geo = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT bloom_might_contain('x', X'FF', 2, 8192)").collect()
+      }
+      assert(geo.getMessage.contains("8192"), geo.getMessage)
+      // a foldable wrong-typed literal names the argument too
+      val wt = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT bloom_might_contain('x', X'FF', '2', 8)").collect()
+      }
+      assert(wt.getMessage.contains("nh"), wt.getMessage)
       // wrong arity = analysis error naming the function, not an IOOBE
       val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql("SELECT float_vec_dot(array(cast(1.0 as float)))").collect()

@@ -44,9 +44,9 @@ class SketchesSpec extends AnyFunSuite {
     val probes = (0 until 500).map(i => s"k$i").toDF("v")
     val exact = df.groupBy("v").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val est4 = Sketches.countMinEst(df, "v", probes, d = 4, w = 16)
+    val est4 = Sketches.countMinEst(df, "v", probes, "v", d = 4, w = 16)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val est1 = Sketches.countMinEst(df, "v", probes, d = 1, w = 16)
+    val est1 = Sketches.countMinEst(df, "v", probes, "v", d = 1, w = 16)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est4.keySet == exact.keySet)
     exact.foreach { case (k, n) =>
@@ -57,6 +57,29 @@ class SketchesSpec extends AnyFunSuite {
     // with w=16 and 500 keys, collisions MUST have inflated something —
     // otherwise the fixture is vacuous
     assert(exact.exists { case (k, n) => est4(k) > n })
+  }
+
+  test("CMS: a probe absent from the corpus answers est = 0, not a dropped row") {
+    val s = spark; import s.implicits._
+    val df = Seq("a", "a", "b").toDF("v")
+    // w large enough that an unseen key's buckets are very likely empty
+    val out = Sketches.countMinEst(df, "v", Seq("a", "zzz").toDF("v"), "v",
+      d = 4, w = 1024).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("a", "zzz"), "absent probe row was dropped")
+    assert(out("a") >= 2L)
+    assert(out("zzz") == 0L)
+  }
+
+  test("KMV excludes null values, like COUNT(DISTINCT)") {
+    val s = spark; import s.implicits._
+    val df = (1 to 80).map(i => ("g", Some(s"v$i"))).toDF("g", "v")
+      .union(Seq(("g", Option.empty[String])).toDF("g", "v"))
+    val withNull = Sketches.kmvDistinct(df, "g", "v", k = 64).collect().head
+    val without = Sketches.kmvDistinct(df.filter(col("v").isNotNull),
+      "g", "v", k = 64).collect().head
+    assert(withNull.getAs[Int]("n_kept") == 64)
+    assert(withNull.getAs[Double]("est_distinct") ==
+      without.getAs[Double]("est_distinct"))
   }
 
   test("CMS probe joins the broadcast sketch — no shuffle join on sketch rows") {
