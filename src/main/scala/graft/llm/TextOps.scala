@@ -345,7 +345,14 @@ object TextOps {
     * rareMax), rare_frac, and boiler_score (mean corpus count of the
     * doc's grams). Shape: the gram table is materialized ONCE and feeds
     * both the corpus model and the join-back (the Curation shared-pass
-    * discipline); all three shuffles are equi-keyed. */
+    * discipline); all three shuffles are equi-keyed.
+    *
+    * Run at n = L (e.g. 8–50) with rareMax = 1, `1 − rare_frac` IS the
+    * exact-substring duplication fraction of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"): the
+    * share of the doc's L-token windows whose exact text occurs more
+    * than once in the corpus — window occurrence counting replaces the
+    * suffix array, which has no good distributed formulation. */
   def ngramDocScore(spark: SparkSession, dir: String, n: Int = 3,
       rareMax: Int = 1): DataFrame =
     ngramDocScoreOf(t(spark, dir, "documents"), n, rareMax)

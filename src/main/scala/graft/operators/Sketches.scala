@@ -73,22 +73,27 @@ object Sketches {
     * (fixed size by construction, never corpus-sized) against the probe
     * items. 2⁶⁰ is divisible by any power-of-two w, so the modulo is
     * exactly uniform. */
-  def countMinEst(df: DataFrame, valCol: String, probes: DataFrame,
-      probeCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+  /** (j, b) bucket rows of a value column — the map-side d-fold
+    * expansion shared by the batch sketch and the streaming maintenance
+    * job ([[graft.streaming.StreamingSketch]]), so the two cannot
+    * disagree on hashing. */
+  private[graft] def bucketRows(df: DataFrame, valCol: String, d: Int,
+      w: Int): DataFrame = {
     require(w > 0 && (w & (w - 1)) == 0, s"w=$w must be a power of two")
     def bucket(v: Column, j: Column): Column =
       h60(concat(v, lit("#"), j.cast("string"))) % w
-    val sketch = df
-      .select(col(valCol).cast("string").as("v"))
-      .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("v"))
-      .select(col("j"), bucket(col("v"), col("j")).as("b"))
+    df.select(col(valCol).cast("string").as("v"))
+      .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("v"), col("j"), bucket(col("v"), col("j")).as("b"))
+  }
+
+  def countMinEst(df: DataFrame, valCol: String, probes: DataFrame,
+      probeCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    val sketch = bucketRows(df, valCol, d, w)
       .groupBy("j", "b").agg(count(lit(1)).as("c"))
     // LEFT join: a probe whose buckets are all empty is a real answer
     // (est = 0, the item definitely never occurred), not a dropped row
-    probes
-      .select(col(probeCol).cast("string").as("v")).distinct()
-      .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("j"))
-      .select(col("v"), col("j"), bucket(col("v"), col("j")).as("b"))
+    bucketRows(probes.select(col(probeCol)).distinct(), probeCol, d, w)
       .join(broadcast(sketch), Seq("j", "b"), "left")
       .groupBy("v").agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
