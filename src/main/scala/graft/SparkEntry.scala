@@ -91,6 +91,8 @@ object SparkEntry {
     "q_hash_split" -> (llm.Sampling.hashSplit _),
     "q_source_mix" -> ((s, d) => llm.Sampling.sourceMix(s, d)),
     "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
+    "q_global_shuffle" -> (llm.Sampling.globalShuffle _),
+    "q_negative_pairs" -> (llm.Sampling.negativePairs _),
     "q_curation_e2e" -> (llm.Curation.curationE2E _),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
     "q_line_dedup" -> (llm.TextCuration.lineDedup _),
@@ -809,6 +811,36 @@ object SparkEntry {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // deterministic epoch shuffle: (shard, pos) is a pure function of
+    // (salt, doc_id); per-shard row_number over the hash
+    "q_global_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shuf#ep0#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |sh AS (SELECT doc_id, h, CAST(h % 8 AS INTEGER) AS shard FROM s)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM sh ORDER BY shard, pos""".stripMargin,
+    // contrastive negatives: k=2 per doc from its shuffle shard at fixed
+    // strides — same hash chain as q_global_shuffle with salt 'neg'
+    "q_negative_pairs" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shuf#neg#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |sh AS (SELECT doc_id, h, CAST(h % 4 AS INTEGER) AS shard FROM s),
+        |p AS (SELECT doc_id, shard,
+        |        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+        |      FROM sh),
+        |z AS (SELECT shard, CAST(count(*) AS INTEGER) AS sz FROM p GROUP BY shard),
+        |t AS (SELECT p.doc_id, p.shard, p.pos, z.sz, CAST(g.j AS INTEGER) AS j
+        |      FROM p JOIN z USING (shard) CROSS JOIN generate_series(1, 2) g(j)),
+        |tt AS (SELECT doc_id, shard, j,
+        |         ((pos - 1 + j * GREATEST(CAST(floor(sz / 3.0) AS INTEGER), 1)) % sz) + 1 AS tpos
+        |       FROM t)
+        |SELECT tt.doc_id, tt.j, p2.doc_id AS neg_id
+        |FROM tt JOIN p p2 ON p2.shard = tt.shard AND p2.pos = tt.tpos
+        |WHERE p2.doc_id <> tt.doc_id
+        |ORDER BY tt.doc_id, tt.j""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

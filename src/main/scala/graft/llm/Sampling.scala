@@ -88,4 +88,53 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("mix_bucket"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic epoch shuffle: every doc gets a reproducible
+    * (shard, pos) training order — a pure function of (salt, doc_id), so
+    * a rerun, a different engine, or a resumed job all read the corpus
+    * in the same pseudo-random order, and a new salt is a fresh epoch.
+    * The sort is PER SHARD (row_number within shard over the hash),
+    * never a global single-partition sort; shards are the parallel read
+    * units a trainer consumes. */
+  def globalShuffleOf(docs: DataFrame, salt: String = "ep0",
+      nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs.select(col("doc_id"),
+        Dedup.h60(concat(lit(s"shuf#$salt#"),
+          col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+  }
+
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame =
+    globalShuffleOf(t(spark, dir, "documents")).orderBy("shard", "pos")
+
+  /** Deterministic contrastive NEGATIVE sampling: k negatives per doc,
+    * drawn from the doc's shuffle shard at fixed strides — uniform with
+    * respect to content (the shuffle hash is content-blind), fully
+    * reproducible, and pure equi-joins: explode k, add j·stride to the
+    * doc's position mod the shard size, join the position table back.
+    * No RNG, no cartesian, no global sort. Self-pairs (tiny shards
+    * wrapping onto themselves) are filtered; j disambiguates the rare
+    * duplicate negative when k·stride wraps. */
+  def negativePairsOf(docs: DataFrame, k: Int = 2, salt: String = "neg",
+      nShards: Int = 4): DataFrame = {
+    val shuf = globalShuffleOf(docs, salt, nShards).localCheckpoint(true)
+    val sizes = shuf.groupBy("shard").agg(count(lit(1)).cast("int").as("sz"))
+    val stride = greatest(floor(col("sz") / lit(k + 1.0)).cast("int"), lit(1))
+    val targets = shuf.join(broadcast(sizes), Seq("shard"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("sz"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("tpos",
+        ((col("pos") - 1 + col("j") * stride) % col("sz")) + 1)
+    targets.join(shuf.select(col("shard"), col("pos").as("tpos"),
+        col("doc_id").as("neg_id")), Seq("shard", "tpos"))
+      .filter(col("neg_id") =!= col("doc_id"))
+      .select("doc_id", "j", "neg_id")
+      .orderBy("doc_id", "j")
+  }
+
+  def negativePairs(spark: SparkSession, dir: String): DataFrame =
+    negativePairsOf(t(spark, dir, "documents"))
 }

@@ -122,6 +122,50 @@ class SourceMixSpec extends AnyFunSuite {
   }
 }
 
+/** Epoch shuffle + contrastive negative sampling contracts (exact
+  * values are oracle-pinned by q_global_shuffle / q_negative_pairs). */
+class ShuffleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("globalShuffle is a reproducible permutation; a new salt is a new epoch") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val a = graft.llm.Sampling.globalShuffleOf(docs).collect()
+    assert(a.length == n && a.map(_.getLong(0)).distinct.length == n)
+    // positions are contiguous 1..sz inside every shard
+    a.groupBy(_.getAs[Int]("shard")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rows.length))
+    }
+    // deterministic across evaluations, different across salts
+    val again = graft.llm.Sampling.globalShuffleOf(docs).collect()
+    assert(again.map(_.toString).sorted.toSeq == a.map(_.toString).sorted.toSeq)
+    val ep1 = graft.llm.Sampling.globalShuffleOf(docs, salt = "ep1").collect()
+    val orderA = a.sortBy(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+      .map(_.getLong(0)).toSeq
+    val orderB = ep1.sortBy(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+      .map(_.getLong(0)).toSeq
+    assert(orderA != orderB, "salt change must reshuffle the epoch")
+  }
+
+  test("negativePairs: k non-self negatives per doc, salt-sensitive, no cartesian") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.llm.Sampling.negativePairsOf(docs, k = 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val rows = out.collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == docs.count())
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.length <= 2)
+      assert(rs.forall(_.getAs[Long]("neg_id") != id), s"self-pair for $id")
+      assert(rs.map(_.getAs[Int]("j")).forall(j => j == 1 || j == 2))
+    }
+    val other = graft.llm.Sampling.negativePairsOf(docs, k = 2, salt = "neg2")
+      .collect()
+    assert(other.map(_.toString).toSeq != rows.map(_.toString).toSeq,
+      "salt change must draw different negatives")
+  }
+}
+
 /** Differential test for the distributed learned-BPE merge trainer. */
 class BpeTrainSpec extends AnyFunSuite {
   import SparkTestSession._
