@@ -108,6 +108,7 @@ object SparkEntry {
     "q_pq_train" -> (llm.Similarity.pqTrainQuery _),
     "q_pq_encode" -> (llm.Similarity.pqEncodeQuery _),
     "q_pq_adc" -> (llm.Similarity.pqAdcQuery _),
+    "q_ivfpq_search" -> (llm.Similarity.ivfPqSearchQuery _),
     "q_embedding_dedup" -> ((s, d) => llm.Similarity.embeddingDedup(s, d)),
     "q_semdedup" -> (llm.Similarity.semDedupQuery _),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
@@ -155,13 +156,13 @@ object SparkEntry {
       |                        MIN(h4), MIN(h5), MIN(h6), MIN(h7)] AS sig
       |        FROM ab GROUP BY doc_id)""".stripMargin
 
-  // shared trained-IVF CTE chain (2 unrolled Lloyd rounds -> final argmin
-  // assignment `af`) used by q_ivf_train AND q_semdedup — mirrors
-  // Similarity.lloydCentroids/assignCells with "lowest" seeding
-  private val ivfAssignCte =
-    """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
-      |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
-      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM ex WHERE vec_id < 4),
+  // trained-IVF Lloyd/argmin CTE body (2 unrolled rounds -> final argmin
+  // assignment `af`; no WITH/ex head) — mirrors Similarity
+  // .lloydCentroids/assignCells with "lowest" seeding. Appended to other
+  // chains that already define `ex` (q_ivfpq_search onto pqChain) and
+  // wrapped as ivfAssignCte for q_ivf_train / q_semdedup
+  private val ivfAssignBody =
+    """c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM ex WHERE vec_id < 4),
       |d1 AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
       |       FROM ex e JOIN c0 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
       |a1 AS (SELECT vec_id, cid FROM
@@ -179,6 +180,14 @@ object SparkEntry {
       |af AS (SELECT vec_id, cid FROM
       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
       |       WHERE rn = 1)""".stripMargin
+
+  // shared trained-IVF CTE chain (2 unrolled Lloyd rounds -> final argmin
+  // assignment `af`) used by q_ivf_train AND q_semdedup — mirrors
+  // Similarity.lloydCentroids/assignCells with "lowest" seeding
+  private val ivfAssignCte =
+    """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+      |""".stripMargin + ivfAssignBody
 
   // shared sign-LSH CTE prefix (deterministic md5 plane table -> buckets ->
   // exact-cosine candidate pairs) used by q_ann_pairs AND q_embedding_dedup
@@ -316,6 +325,31 @@ object SparkEntry {
         |JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
         |JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
         |WHERE k.vec_id <> 0 ORDER BY k.vec_id""".stripMargin),
+    // IVF-PQ search: pqChain's codes + the coarse Lloyd body over the
+    // same `ex`, probe the query's 2 nearest coarse cells, ADC-score the
+    // candidate codes only, top-10 by distance
+    "q_ivfpq_search" ->
+      (pqChain + s""",
+        |$ivfAssignBody,
+        |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
+        |qd AS (SELECT c.cid,
+        |  list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b) AS d
+        |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
+        |probe AS (SELECT cid FROM
+        |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
+        |          WHERE rn <= 2),
+        |cand AS (SELECT a.vec_id FROM af a JOIN probe p ON a.cid = p.cid
+        |         WHERE a.vec_id <> 0),
+        |${(0 until 4).map(s =>
+           s"""dt$s AS (SELECT cid,
+              |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
+              |  FROM c${s}_2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
+          .mkString(",\n")}
+        |SELECT k.vec_id, round(dt0.d + dt1.d + dt2.d + dt3.d, 9) AS adc
+        |FROM codes k JOIN cand USING (vec_id)
+        |JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
+        |JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
+        |ORDER BY adc, k.vec_id LIMIT 10""".stripMargin),
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_ngram_stats" ->

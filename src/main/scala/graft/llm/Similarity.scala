@@ -499,14 +499,30 @@ object Similarity {
     * codes and one fixed-order add — no shuffle after encode. */
   def pqAdc(emb: DataFrame, qId: Long = 0L, m: Int = 4, k: Int = 8,
       iters: Int = 2, dim: Int = 64): DataFrame = {
-    val spark = emb.sparkSession
-    val sub = dim / m
     val ex = explodeVecs(emb)
     val cent = pqCodebooksFused(ex, m, k, iters, dim)
     val codes = pqCodesOf(ex, cent, m, dim)
-    val qVec = ex.filter(col("vec_id") === qId)
+    adcScored(codes, cent, queryVec(ex, qId), m, dim / m)
+      .filter(col("vec_id") =!= qId)
+      .select("vec_id", "adc")
+      .orderBy("vec_id")
+  }
+
+  /** The query vector as an (index → value) map — tiny, driver-side. */
+  private def queryVec(ex: DataFrame, qId: Long): Map[Int, Double] =
+    ex.filter(col("vec_id") === qId)
       .select("i", "x").collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  /** ADC scoring of a codes frame: the per-query m×k distance table is
+    * computed ON THE DRIVER with a fixed i-order fold (where a
+    * production ANN engine computes it, and the only summation order
+    * both engines can pin), then joined broadcast per subspace; `adc`
+    * adds the m parts in fixed order. Shared by the full-corpus
+    * [[pqAdc]] and the cell-pruned [[ivfPqSearch]]. */
+  private def adcScored(codes: DataFrame, cent: DataFrame,
+      qVec: Map[Int, Double], m: Int, sub: Int): DataFrame = {
+    val spark = codes.sparkSession
     val dtRows = cent.collect()
       .groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cid"))).toSeq
       .map { case ((s, cid), rows) =>
@@ -523,13 +539,53 @@ object Similarity {
         .toDF(s"c$s", s"d$s")
       df.join(broadcast(dt), s"c$s")
     }
-    scored
-      .withColumn("adc", round(
-        (0 until m).map(s => col(s"d$s")).reduce(_ + _), 9))
-      .filter(col("vec_id") =!= qId)
-      .select("vec_id", "adc")
-      .orderBy("vec_id")
+    scored.withColumn("adc", round(
+      (0 until m).map(s => col(s"d$s")).reduce(_ + _), 9))
   }
+
+  /** IVF-PQ search — the production ANN composition, assembled from the
+    * pieces this module already trains: coarse-quantize the corpus
+    * ([[ivfTrain]]'s Lloyd rounds), pick the query's `nprobe` nearest
+    * coarse cells (kCells×dim centroid table — driver-side, fixed
+    * i-order fold, ties by cell id), ADC-score ONLY those cells' codes,
+    * and return the top-k by ADC distance. At scale the candidate set
+    * shrinks by nprobe/nlist BEFORE any scoring join, and scoring reads
+    * m one-byte codes per candidate instead of the 4·dim-byte vector —
+    * the memory-bandwidth story that makes IVF-PQ the default ANN
+    * layout. Codes are computed for the full corpus (they are the
+    * stored index, reusable across queries); only the candidate slice
+    * joins the distance tables. */
+  def ivfPqSearch(emb: DataFrame, qId: Long = 0L, topK: Int = 10,
+      nprobe: Int = 2, kCells: Int = 4, m: Int = 4, k: Int = 8,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val ex = explodeVecs(emb) // shared: coarse train + pq train + query
+    val coarse = lloydCentroids(ex, kCells, iters)
+    val asg = assignCells(ex, coarse)
+    val qVec = queryVec(ex, qId)
+    // nprobe nearest coarse cells — kCells rows, driver-side
+    val probed = coarse.collect()
+      .groupBy(_.getAs[Int]("cid")).toSeq
+      .map { case (cid, rows) =>
+        val d = rows.sortBy(_.getAs[Int]("i")).foldLeft(0.0) { (acc, r) =>
+          val diff = qVec(r.getAs[Int]("i")) - r.getAs[Double]("c")
+          acc + diff * diff
+        }
+        (cid, d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+    val cand = asg
+      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
+      .select("vec_id")
+    val cent = pqCodebooksFused(ex, m, k, iters, dim)
+    val codes = pqCodesOf(ex, cent, m, dim).join(cand, "vec_id")
+    adcScored(codes, cent, qVec, m, dim / m)
+      .select("vec_id", "adc")
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  def ivfPqSearchQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPqSearch(t(spark, dir, "embeddings"))
 
   /** Driver-contract forms. */
   def pqTrainQuery(spark: SparkSession, dir: String): DataFrame =

@@ -337,4 +337,24 @@ class PqSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ivfPqSearch prunes to probed cells; probing all cells equals full ADC top-k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // nprobe = kCells: pruning is a no-op, the composition must return
+    // exactly the full ADC scan's top-10 (distance asc, id tiebreak)
+    val all = graft.llm.Similarity
+      .ivfPqSearch(emb, nprobe = 4, kCells = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = graft.llm.Similarity.pqAdc(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(all == full)
+    // nprobe = 1: every result lives in the query's own coarse cell
+    val asg = graft.llm.Similarity.ivfTrain(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val own = graft.llm.Similarity.ivfPqSearch(emb, nprobe = 1).collect()
+      .map(_.getLong(0))
+    assert(own.nonEmpty)
+    own.foreach(id => assert(asg(id) == asg(0L), s"$id outside own cell"))
+  }
 }
