@@ -81,6 +81,8 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => llm.TextOps.bm25(s, d)),
     "q_ngram_stats" -> ((s, d) => llm.TextOps.ngramStats(s, d)),
     "q_ngram_doc_score" -> ((s, d) => llm.TextOps.ngramDocScore(s, d)),
+    "q_quality_clf_train" -> (llm.Classifier.clfTrainQuery _),
+    "q_quality_clf_score" -> (llm.Classifier.clfScoreQuery _),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -303,6 +305,44 @@ object SparkEntry {
     s"$head,\n$subs,\n$codes"
   }
 
+  // batch-perceptron chain (mirrors llm.Classifier: integer features,
+  // 3 unrolled full-batch rounds). Each round: score with the previous
+  // round's weights, count misclassified, add their summed y·x gradient.
+  private def clfScoreExpr(r: String): String =
+    (0 until 5).map(j => s"$r.w$j * x$j").mkString(" + ")
+
+  private val clfChain: String = {
+    val xs = 0 until 5
+    def round(n: Int): String = {
+      val p = s"r${n - 1}"
+      val errPred = s"y * (${clfScoreExpr(p)}) <= 0"
+      s"""u$n AS (SELECT CAST(count(*) FILTER (WHERE $errPred) AS BIGINT) AS n_err,
+         |  ${xs.map(j => s"CAST(coalesce(sum(y * x$j) FILTER (WHERE $errPred), 0) AS BIGINT) AS g$j").mkString(",\n  ")}
+         |  FROM f, $p),
+         |r$n AS (SELECT u$n.n_err, ${xs.map(j => s"$p.w$j + u$n.g$j AS w$j").mkString(", ")} FROM u$n, $p)""".stripMargin
+    }
+    // round 1: w = 0 so every doc is misclassified (y·0 <= 0). Features
+    // are centered by the same fixed integer priors as the Spark side;
+    // the label is the heuristic quality gate being distilled.
+    s"""WITH f AS (SELECT doc_id,
+       |    CASE WHEN ntok >= 25 AND 5 * nstop <= ntok
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+       |    CAST(1 AS BIGINT) AS x0,
+       |    CAST(ntok - 25 AS BIGINT) AS x1,
+       |    CAST(nuniq - 18 AS BIGINT) AS x2,
+       |    CAST(nstop - 2 AS BIGINT) AS x3,
+       |    CAST(n_chars - 140 AS BIGINT) AS x4
+       |  FROM (SELECT doc_id, n_chars, len(toks) AS ntok,
+       |          len(list_distinct(toks)) AS nuniq,
+       |          len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS nstop
+       |        FROM (SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents))),
+       |r1 AS (SELECT CAST(count(*) AS BIGINT) AS n_err,
+       |  ${xs.map(j => s"CAST(sum(y * x$j) AS BIGINT) AS w$j").mkString(", ")}
+       |  FROM f),
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pq_train" ->
       (pqChain + s""",
@@ -373,6 +413,22 @@ object SparkEntry {
         |  round(CAST(n_rare AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS rare_frac,
         |  round(CAST(sum_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_score
         |FROM s ORDER BY doc_id""".stripMargin,
+    // batch-perceptron quality classifier: integer feature counts +
+    // unrolled full-batch rounds — pure int64 arithmetic on both engines
+    // (the ivfTrain/bpeTrain unrolling pattern; DuckDB BIGINT sum() is
+    // HUGEINT, so every sum/count is CAST back). The train oracle pins
+    // the whole trajectory; the score oracle applies r3's weights.
+    "q_quality_clf_train" ->
+      (clfChain + """
+        |SELECT 1 AS step, n_err, w0, w1, w2, w3, w4 FROM r1
+        |UNION ALL SELECT 2, n_err, w0, w1, w2, w3, w4 FROM r2
+        |UNION ALL SELECT 3, n_err, w0, w1, w2, w3, w4 FROM r3
+        |ORDER BY step""".stripMargin),
+    "q_quality_clf_score" ->
+      (clfChain + s"""
+        |SELECT f.doc_id, ${clfScoreExpr("r3")} AS score,
+        |  CASE WHEN ${clfScoreExpr("r3")} > 0 THEN 'keep' ELSE 'drop' END AS pred
+        |FROM f, r3 ORDER BY f.doc_id""".stripMargin),
     // relevance scoring uses the RATIONAL idf (N-df+0.5)/(df+0.5) — BM25's
     // idf ratio without ln(), which is not correctly-rounded and differs
     // between java.lang.Math and DuckDB's libm in the last ulp. Every

@@ -50,7 +50,7 @@ object TextOps {
           .as("avg_token_len"))
       .orderBy("doc_id")
 
-  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private[llm] val stopwords = Seq("the", "a", "of", "and", "to")
 
   /** Quality scoring: stopword ratio, uniqueness ratio, and a CASE label —
     * the shape of heuristic quality filters in pretraining pipelines. */
