@@ -88,6 +88,27 @@ object GraftExtensions {
           const(exprs(1), "bits", "BINARY").asInstanceOf[Array[Byte]],
           const(exprs(2), "nh", "INT").asInstanceOf[Number].intValue(),
           const(exprs(3), "m", "INT").asInstanceOf[Number].intValue())
+      })),
+    ("unicode_normalize", classOf[UnicodeNormalize],
+      arity("unicode_normalize", 2)(exprs => {
+        // the form is a plan constant (NFC/NFD/NFKC/NFKD), not a per-row
+        // value — extract the foldable literal; checkInputDataTypes
+        // validates the name at analysis time
+        val form = exprs(1) match {
+          case e if e.foldable =>
+            e.eval(null) match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case other => String.valueOf(other)
+            }
+          case _ =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`unicode_normalize`",
+                "paramName" -> "`form`",
+                "paramType" -> "\"STRING\""))
+        }
+        UnicodeNormalize(exprs(0), form)
       })))
 
   /** Runtime registration into an existing session (shared test sessions,

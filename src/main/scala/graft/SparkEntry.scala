@@ -75,6 +75,7 @@ object SparkEntry {
     "q_lang_id" -> (llm.TextOps.langId _),
     "q_fingerprint" -> (llm.TextOps.fingerprint _),
     "q_token_bpe" -> (llm.TextOps.tokenBpe _),
+    "q_unicode_norm" -> (llm.TextOps.unicodeNorm _),
     "q_bpe_train" -> ((s, d) => llm.TextOps.bpeTrainQuery(s, d)),
     "q_bpe_encode" -> ((s, d) => llm.TextOps.bpeEncodeQuery(s, d)),
     "q_tfidf" -> ((s, d) => llm.TextOps.tfIdf(s, d)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_pq_encode" -> (llm.Similarity.pqEncodeQuery _),
     "q_pq_adc" -> (llm.Similarity.pqAdcQuery _),
     "q_ivfpq_search" -> (llm.Similarity.ivfPqSearchQuery _),
+    "q_jl_project" -> (llm.Similarity.jlProjectQuery _),
     "q_embedding_dedup" -> ((s, d) => llm.Similarity.embeddingDedup(s, d)),
     "q_semdedup" -> (llm.Similarity.semDedupQuery _),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
@@ -390,6 +392,35 @@ object SparkEntry {
         |JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
         |JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
         |ORDER BY adc, k.vec_id LIMIT 10""".stripMargin),
+    // JL projection: the sign-LSH plane formula at 16 planes, weights
+    // cast through REAL (the Spark literal is ARRAY<FLOAT>), each output
+    // dim an ORDER BY i fold — the same fixed order the native dot runs
+    // unicode NFC: the fixture is ASCII, so real matches are FABRICATED
+    // (the PII-redaction pattern) by injecting a decomposed combining
+    // grave after every 'a'; NFC recomposes to U+00E0 and the codepoint
+    // counts prove actual recomposition. DuckDB length() counts
+    // codepoints like Spark's, but returns BIGINT -> CAST.
+    "q_unicode_norm" ->
+      """WITH m AS (SELECT doc_id, replace(text, 'a', 'a' || chr(768)) AS mangled FROM documents)
+        |SELECT doc_id, CAST(length(mangled) AS INTEGER) AS len_raw,
+        |  nfc_normalize(mangled) AS norm_text,
+        |  CAST(length(nfc_normalize(mangled)) AS INTEGER) AS len_nfc
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_jl_project" ->
+      s"""WITH planes AS (
+        |  SELECT j, i,
+        |    ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+        |  FROM range(0, 16) t(j) CROSS JOIN range(0, 64) s(i)),
+        |ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |p AS (SELECT e.vec_id, pl.j,
+        |        round(list_reduce(list_prepend(0.0,
+        |          list(e.x * CAST(CAST(pl.w AS REAL) AS DOUBLE) ORDER BY e.i)), (a, b) -> a + b), 9) AS y
+        |      FROM ex e JOIN planes pl ON e.i = pl.i GROUP BY e.vec_id, pl.j)
+        |SELECT vec_id,
+        |  ${(0 until 16).map(j =>
+             s"max(CASE WHEN j = $j THEN y END) AS y$j").mkString(", ")}
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_ngram_stats" ->

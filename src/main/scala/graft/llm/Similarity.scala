@@ -587,6 +587,36 @@ object Similarity {
   def ivfPqSearchQuery(spark: SparkSession, dir: String): DataFrame =
     ivfPqSearch(t(spark, dir, "embeddings"))
 
+  /** Johnson–Lindenstrauss random projection: dim → outDim with the
+    * deterministic hyperplane table ([[planeTable]], the same md5 planes
+    * the sign-LSH buckets use). Each output dimension is ONE native
+    * [[dot]] of the embedding against a plane held as an ARRAY<FLOAT>
+    * LITERAL — the whole projection is a zero-shuffle whole-stage-codegen
+    * pass over the scan, where the relational explode ⋈ planes ⋈ groupBy
+    * formulation would shuffle |corpus|·dim rows AND lose the fixed
+    * accumulation order that makes the result engine-reproducible (the
+    * plane weights are cast to float exactly as the literal stores them;
+    * the oracle mirrors with CAST(w AS REAL) and an ORDER BY i fold).
+    * Dim-reduce before ANN is the standard way to cut the O(dim) scoring
+    * cost at corpus scale; the planes broadcast as plan literals, nothing
+    * is trained. */
+  def jlProject(emb: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = planeTable(emb.sparkSession, outDim, dim).collect()
+      .groupBy(_.getAs[Long]("j")).toSeq
+      .map { case (j, rows) =>
+        j -> rows.sortBy(_.getAs[Long]("i"))
+          .map(_.getAs[Double]("w").toFloat).toSeq
+      }
+      .sortBy(_._1)
+    val ys = planes.map { case (j, w) =>
+      round(dot(col("embedding"), typedlit(w)), 9).as(s"y$j")
+    }
+    emb.select(col("vec_id") +: ys: _*).orderBy("vec_id")
+  }
+
+  def jlProjectQuery(spark: SparkSession, dir: String): DataFrame =
+    jlProject(t(spark, dir, "embeddings"))
+
   /** Driver-contract forms. */
   def pqTrainQuery(spark: SparkSession, dir: String): DataFrame =
     pqTrain(t(spark, dir, "embeddings"))

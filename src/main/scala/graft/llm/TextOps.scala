@@ -390,4 +390,24 @@ object TextOps {
     t(spark, dir, "documents")
       .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Unicode NFC normalization over the corpus via the native
+    * [[graft.functions.UnicodeNormalize]] expression — the cleanup pass a
+    * crawl pipeline runs so decomposed and precomposed spellings share one
+    * token/shingle/dedup key. The fixture text is ASCII, so the query
+    * FABRICATES real matches (the PII-redaction pattern): a combining
+    * grave (U+0300) is injected after every 'a', which NFC recomposes to
+    * 'à' — the codepoint counts before/after prove actual recomposition
+    * rather than a vacuous pass-through. */
+  def unicodeNorm(spark: SparkSession, dir: String): DataFrame = {
+    val mangled = regexp_replace(col("text"), "a", "a\u0300")
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(mangled).as("len_raw"),
+        graft.functions.UnicodeNormalize.unicode_normalize(mangled, "NFC")
+          .as("norm_text"))
+      .withColumn("len_nfc", length(col("norm_text")))
+      .orderBy("doc_id")
+  }
 }

@@ -57,6 +57,40 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT float_vec_dot(array(cast(1.0 as float)))").collect()
       }
       assert(e.getMessage.contains("float_vec_dot"), e.getMessage)
+      // unicode_normalize: decomposed a + U+0300 recomposes to U+00E0
+      assert(one("unicode_normalize('a\\u0300', 'NFC')") == "\u00e0")
+      // NFKC folds the fi ligature (U+FB01) to two letters
+      assert(one("unicode_normalize('\\ufb01', 'NFKC')") == "fi")
+      // invalid form = analysis error, never a per-row crash
+      val uf = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+      }
+      assert(uf.getMessage.contains("NFX"), uf.getMessage)
     } finally () // shared-session semantics: do not stop the singleton
+  }
+
+  test("unicode_normalize: ASCII fast path is the identity; forms agree with Normalizer") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    // the fixture corpus is ASCII: every form must pass text through unchanged
+    graft.functions.UnicodeNormalize.forms.foreach { f =>
+      val diff = docs.filter(
+        graft.functions.UnicodeNormalize.unicode_normalize(col("text"), f)
+          =!= col("text")).count()
+      assert(diff == 0, s"form $f mutated ASCII text")
+    }
+    // non-ASCII differential vs java.text.Normalizer, through the engine
+    import spark.implicits._
+    val samples = Seq("àbc", "ﬁn", "é́", "éx", "")
+    val got = samples.toDF("s")
+      .select(col("s"), graft.functions.UnicodeNormalize
+        .unicode_normalize(col("s"), "NFKC").as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    samples.foreach { s =>
+      val want = java.text.Normalizer.normalize(
+        s, java.text.Normalizer.Form.NFKC)
+      assert(got(s) == want, s"NFKC of ${s.map(_.toInt.toHexString)}")
+    }
   }
 }

@@ -358,3 +358,40 @@ class PqSpec extends AnyFunSuite {
     own.foreach(id => assert(asg(id) == asg(0L), s"$id outside own cell"))
   }
 }
+
+/** Differential + plan-shape tests for the JL random projection. */
+class JlProjectSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def md5w(j: Int, i: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j#$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    (((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0).toFloat
+  }
+
+  test("jlProject matches a driver-side fixed-order fold bit-exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.jlProject(emb).collect()
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.length == raw.size)
+    got.foreach { r =>
+      val v = raw(r.getLong(0))
+      (0 until 16).foreach { j =>
+        var acc = 0.0
+        v.indices.foreach(i => acc += v(i).toDouble * md5w(j, i).toDouble)
+        val want = BigDecimal(acc)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(1 + j) == want, s"vec ${r.getLong(0)} y$j")
+      }
+    }
+  }
+
+  test("jlProject plan is a pure projection: no hash exchange, no aggregate") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = Similarity.jlProject(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+}
