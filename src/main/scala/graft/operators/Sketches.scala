@@ -73,6 +73,17 @@ object Sketches {
     * (fixed size by construction, never corpus-sized) against the probe
     * items. 2⁶⁰ is divisible by any power-of-two w, so the modulo is
     * exactly uniform. */
+  /** Scalar form of the KMV estimate rule — shared with the streaming
+    * maintenance job ([[graft.streaming.StreamingSketch.kmvStream]]) so
+    * stream and batch cannot disagree: below k the sketch IS the exact
+    * count; at k, (k−1)·2⁶⁰/h_k rounded exactly as Spark's `round`
+    * (BigDecimal.valueOf + HALF_UP). */
+  private[graft] def kmvEstimate(nKept: Int, hk: Long, k: Int): Double =
+    if (nKept < k) nKept.toDouble
+    else java.math.BigDecimal
+      .valueOf((k - 1).toDouble * math.pow(2.0, 60) / hk.toDouble)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** (j, b) bucket rows of a value column — the map-side d-fold
     * expansion shared by the batch sketch and the streaming maintenance
     * job ([[graft.streaming.StreamingSketch]]), so the two cannot

@@ -36,4 +36,38 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(streamed.size <= 4 * 64)
     } finally q.stop()
   }
+
+  test("streaming KMV equals the batch sketch over the same data; state bounded by k") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingSketch.kmvStream(
+      input.toDF().toDF("g", "v"), "g", "v", k = 16)
+    val q = out.writeStream.format("memory").queryName("kmv")
+      .outputMode("update").start()
+    try {
+      // "hot" exceeds k distinct values (estimate path, incl. re-arrivals
+      // across batches); "cold" stays below k (exact path)
+      val batch1 = (1 to 40).map(i => ("hot", s"v$i")) ++
+        (1 to 5).map(i => ("cold", s"c$i"))
+      val batch2 = (20 to 90).map(i => ("hot", s"v$i")) ++
+        (3 to 7).map(i => ("cold", s"c$i"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // last emitted row per group is the final sketch
+      val streamed = spark.table("kmv").collect()
+        .map(r => (r.getString(0), (r.getInt(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (g, rs) => g -> rs.last._2 }
+      val batch = graft.operators.Sketches.kmvDistinct(
+        (batch1 ++ batch2).toDF("g", "v"), "g", "v", k = 16)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(streamed == batch)
+      // exact below k, estimating at k
+      assert(batch("cold")._1 == 7 && batch("cold")._2 == 7.0)
+      assert(batch("hot")._1 == 16)
+    } finally q.stop()
+  }
 }
