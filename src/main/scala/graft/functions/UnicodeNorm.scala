@@ -34,12 +34,17 @@ case class UnicodeNormalize(child: Expression, form: String)
         s"$prettyName requires a STRING argument, but got ${child.dataType.catalogString}")
     else TypeCheckResult.TypeCheckSuccess
 
+  // the Form enum is resolved ONCE per plan, not per row: eval caches
+  // it here, codegen emits the enum constant itself (the form name was
+  // validated at analysis time, so Form.<form> always exists)
+  @transient private lazy val resolvedForm = java.text.Normalizer.Form.valueOf(form)
+
   override def nullSafeEval(v: Any): Any =
-    UnicodeNormalize.norm(v.asInstanceOf[UTF8String], form)
+    UnicodeNormalize.norm(v.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"""graft.functions.UnicodeNormalize.norm($c, "$form")""")
+      c => s"graft.functions.UnicodeNormalize.norm($c, java.text.Normalizer.Form.$form)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -50,14 +55,14 @@ object UnicodeNormalize {
 
   val forms: Seq[String] = Seq("NFC", "NFD", "NFKC", "NFKD")
 
-  /** Normalize one value (static entry for codegen + eval). ASCII fast
-    * path: a UTF8String whose byte count equals its char count is pure
-    * ASCII, and every normalization form is the identity on ASCII —
+  /** Normalize one value (static entry for codegen + eval; the form
+    * arrives pre-resolved — an enum constant in generated code). ASCII
+    * fast path: a UTF8String whose byte count equals its char count is
+    * pure ASCII, and every normalization form is the identity on ASCII —
     * return the input without materializing a java.lang.String. */
-  def norm(v: UTF8String, form: String): UTF8String =
+  def norm(v: UTF8String, form: java.text.Normalizer.Form): UTF8String =
     if (v.numBytes() == v.numChars()) v
-    else UTF8String.fromString(java.text.Normalizer.normalize(
-      v.toString, java.text.Normalizer.Form.valueOf(form)))
+    else UTF8String.fromString(java.text.Normalizer.normalize(v.toString, form))
 
   /** Column API (classic-session bridge Column ↔ catalyst Expression). */
   def unicode_normalize(c: Column, form: String): Column = {

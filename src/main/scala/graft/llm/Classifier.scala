@@ -50,8 +50,7 @@ object Classifier {
   private def featureFrame(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, w =>
-      array_contains(array(TextOps.stopwords.map(lit): _*), w))).cast("long")
+    val nStop = TextOps.stopwordCount(toks).cast("long")
     docs.select(
       col("doc_id"),
       when(nTok >= 25 && nStop * 5 <= nTok, 1L).otherwise(-1L).as("y"),

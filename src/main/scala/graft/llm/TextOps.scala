@@ -52,13 +52,20 @@ object TextOps {
 
   private[llm] val stopwords = Seq("the", "a", "of", "and", "to")
 
+  /** Stopword count over a token array — ONE definition shared by the
+    * heuristic quality gate ([[qualityScore]]) and the classifier that
+    * distills it ([[Classifier]]); a matching change (e.g. case folding)
+    * must reach both or the distillation target silently drifts. */
+  private[llm] def stopwordCount(toks: Column): Column =
+    size(filter(toks, w =>
+      array_contains(array(stopwords.map(lit): _*), w)))
+
   /** Quality scoring: stopword ratio, uniqueness ratio, and a CASE label —
     * the shape of heuristic quality filters in pretraining pipelines. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
-    val nStop = size(filter(toks, w =>
-      array_contains(array(stopwords.map(lit): _*), w)))
+    val nStop = stopwordCount(toks)
     val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
     t(spark, dir, "documents")
       .select(

@@ -49,35 +49,31 @@ object Sketches {
         h60(concat(lit("kmv#"), col("h").cast("string"))) % salts)
       .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
       .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
-    // (k−1)·2⁶⁰ has ≤ 6 significant bits past the power — the double
-    // product is exact, so the whole estimate is one exact product and
-    // one division in both engines
-    val scale = lit((k - 1).toDouble) * lit(math.pow(2.0, 60))
     kmin.groupBy("g").agg(
         count(lit(1)).cast("int").as("n_kept"),
         max(when(col("rn") === k, col("h"))).as("hk"))
       .select(col("g"), col("n_kept"),
-        when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(round(scale / col("hk").cast("double"), 6))
-          .as("est_distinct"))
+        kmvEstimateCol(col("n_kept"), col("hk"), k).as("est_distinct"))
   }
 
-  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005): d hash
-    * rows × w counters; an item's frequency estimate is the MIN of its d
-    * counters, which never under-counts (est ≥ exact always — collisions
-    * only inflate). Returns (v, est) for the probe set.
-    *
-    * Shape: building the sketch is a map-side d-fold expansion of the
-    * value column into (row, bucket) pairs and ONE count aggregation
-    * bounded at d·w output rows; probing joins the BROADCAST sketch
-    * (fixed size by construction, never corpus-sized) against the probe
-    * items. 2⁶⁰ is divisible by any power-of-two w, so the modulo is
-    * exactly uniform. */
-  /** Scalar form of the KMV estimate rule — shared with the streaming
-    * maintenance job ([[graft.streaming.StreamingSketch.kmvStream]]) so
-    * stream and batch cannot disagree: below k the sketch IS the exact
-    * count; at k, (k−1)·2⁶⁰/h_k rounded exactly as Spark's `round`
-    * (BigDecimal.valueOf + HALF_UP). */
+  /** The KMV estimate rule as a column expression — the ONE batch-side
+    * definition ([[kmvDistinct]] uses it): below k the sketch IS the
+    * exact count; at k, (k−1)·2⁶⁰/h_k rounded to 6 places. (k−1)·2⁶⁰
+    * has ≤ 6 significant bits past the power — the double product is
+    * exact, so the whole estimate is one exact product and one
+    * division in both engines. */
+  private[graft] def kmvEstimateCol(nKept: Column, hk: Column, k: Int): Column = {
+    val scale = lit((k - 1).toDouble) * lit(math.pow(2.0, 60))
+    when(nKept < k, nKept.cast("double"))
+      .otherwise(round(scale / hk.cast("double"), 6))
+  }
+
+  /** Scalar form of the KMV estimate rule for the streaming maintenance
+    * job ([[graft.streaming.StreamingSketch.kmvStream]]): the same
+    * arithmetic as [[kmvEstimateCol]], with Spark's `round` spelled out
+    * (`BigDecimal.valueOf` + HALF_UP). Column expression and scalar
+    * cannot be one definition, so SketchesSpec pins them equal over an
+    * adversarial (nKept, hk) grid — edit both together. */
   private[graft] def kmvEstimate(nKept: Int, hk: Long, k: Int): Double =
     if (nKept < k) nKept.toDouble
     else java.math.BigDecimal
@@ -98,6 +94,17 @@ object Sketches {
       .select(col("v"), col("j"), bucket(col("v"), col("j")).as("b"))
   }
 
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005): d hash
+    * rows × w counters; an item's frequency estimate is the MIN of its d
+    * counters, which never under-counts (est ≥ exact always — collisions
+    * only inflate). Returns (v, est) for the probe set.
+    *
+    * Shape: building the sketch is a map-side d-fold expansion of the
+    * value column into (row, bucket) pairs and ONE count aggregation
+    * bounded at d·w output rows; probing joins the BROADCAST sketch
+    * (fixed size by construction, never corpus-sized) against the probe
+    * items. 2⁶⁰ is divisible by any power-of-two w, so the modulo is
+    * exactly uniform. */
   def countMinEst(df: DataFrame, valCol: String, probes: DataFrame,
       probeCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
     val sketch = bucketRows(df, valCol, d, w)

@@ -28,16 +28,23 @@ object StreamingSketch {
 
   /** Per-group KMV distinct-count maintenance over a stream: keyed state
     * is the ≤ k smallest distinct hashes ([[KmvState]]) — bounded by k
-    * per group, never by stream history. Hashing ([[h60]], the batch
-    * sketch's) and the estimate rule ([[Sketches.kmvEstimate]]) are
-    * SHARED with [[Sketches.kmvDistinct]], so a drifting estimate is
-    * structurally impossible; the parity spec pins stream == batch on
-    * the concatenated data. Emits each touched group's current
-    * (g, n_kept, est_distinct) per trigger (Update mode). */
+    * per group, never by stream history, and the per-trigger merge is
+    * incremental (a bounded sorted set: values above the current kth
+    * minimum are rejected in O(log k) without buffering the batch), so
+    * working memory stays O(k) even when one hot group receives millions
+    * of distinct values in a single microbatch. Hashing is the batch
+    * sketch's [[h60]]; the estimate is [[Sketches.kmvEstimate]], the
+    * scalar twin of the batch column rule (SketchesSpec pins the two
+    * equal over an adversarial grid). The parity spec additionally pins
+    * stream == batch end-to-end on concatenated batches. Emits each
+    * touched group's current (g, n_kept, est_distinct) per trigger
+    * (Update mode); `g` is cast back to the input key column's type so
+    * the output schema matches [[Sketches.kmvDistinct]]'s. */
   def kmvStream(stream: DataFrame, keyCol: String, valCol: String,
       k: Int = 64): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val keyType = stream.schema(keyCol).dataType
     stream.filter(col(valCol).isNotNull)
       .select(col(keyCol).cast("string").as("g"),
         h60(col(valCol).cast("string")).as("h"))
@@ -45,14 +52,22 @@ object StreamingSketch {
       .groupByKey(_._1)
       .flatMapGroupsWithState[KmvState, (String, Int, Double)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (g, rows, state) =>
-        val prev: Set[Long] =
-          if (state.exists) state.get.mins.toSet else Set.empty
-        val merged = (prev ++ rows.map(_._2)).toArray.sorted.take(k)
+        val mins = scala.collection.mutable.TreeSet.empty[Long]
+        if (state.exists) mins ++= state.get.mins
+        rows.foreach { case (_, h) =>
+          if (mins.size < k) mins += h
+          else {
+            val hi = mins.last
+            if (h < hi && mins.add(h)) mins -= hi
+          }
+        }
+        val merged = mins.toArray
         state.update(KmvState(merged))
         val est = Sketches.kmvEstimate(merged.length,
           if (merged.length == k) merged.last else 0L, k)
         Iterator((g, merged.length, est))
       }
       .toDF("g", "n_kept", "est_distinct")
+      .withColumn("g", col("g").cast(keyType))
   }
 }

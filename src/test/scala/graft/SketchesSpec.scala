@@ -87,4 +87,23 @@ class SketchesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("kmvEstimate scalar equals the batch column rule over an adversarial grid") {
+    val s = spark; import s.implicits._
+    val k = 64
+    // below-k rows (hk unused) + at-k rows with hk spanning tiny, huge,
+    // and the 2^53 double-precision boundary where long→double rounds
+    val rows = ((0 until k).map(n => (n, 1L)) ++ Seq(
+      1L, 2L, 3L, 999983L, (1L << 53) - 1, 1L << 53, (1L << 53) + 1,
+      123456789012345L, (1L << 60) - 1, 1L << 60).map(h => (k, h)))
+      .toDF("n_kept", "hk")
+    val cmp = rows.select(col("n_kept"), col("hk"),
+      Sketches.kmvEstimateCol(col("n_kept"), col("hk"), k).as("c"))
+      .collect()
+    cmp.foreach { r =>
+      val want = Sketches.kmvEstimate(r.getInt(0), r.getLong(1), k)
+      assert(r.getDouble(2) == want,
+        s"n_kept=${r.getInt(0)} hk=${r.getLong(1)}")
+    }
+  }
 }

@@ -56,10 +56,13 @@ class StreamingSketchSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData(batch2: _*)
       q.processAllAvailable()
-      // last emitted row per group is the final sketch
+      // the final sketch per group, order-independently: n_kept is
+      // nondecreasing over triggers, and once at k the estimate only
+      // grows (h_k only shrinks) — so the final state is the max
+      // (n_kept, est) pair regardless of sink row order
       val streamed = spark.table("kmv").collect()
         .map(r => (r.getString(0), (r.getInt(1), r.getDouble(2))))
-        .groupBy(_._1).map { case (g, rs) => g -> rs.last._2 }
+        .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).max }
       val batch = graft.operators.Sketches.kmvDistinct(
         (batch1 ++ batch2).toDF("g", "v"), "g", "v", k = 16)
         .collect()
