@@ -113,6 +113,7 @@ object SparkEntry {
     "q_pq_adc" -> (llm.Similarity.pqAdcQuery _),
     "q_ivfpq_search" -> (llm.Similarity.ivfPqSearchQuery _),
     "q_jl_project" -> (llm.Similarity.jlProjectQuery _),
+    "q_pca_power" -> (llm.Similarity.pcaPowerQuery _),
     "q_embedding_dedup" -> ((s, d) => llm.Similarity.embeddingDedup(s, d)),
     "q_semdedup" -> (llm.Similarity.semDedupQuery _),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
@@ -421,6 +422,27 @@ object SparkEntry {
         |  ${(0 until 16).map(j =>
              s"max(CASE WHEN j = $j THEN y END) AS y$j").mkString(", ")}
         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // PCA: Gram via GROUP BY sums (cross-engine ulp noise ~1e-11
+    // relative), then the driver's power iterations replayed op-for-op
+    // (every fold ORDER BY j), pivot division bounds entries to [-1,1]
+    // so round(...,6) has orders-of-magnitude margin over the Gram ulps
+    "q_pca_power" ->
+      """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+        |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |g AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+        |      FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i),
+        |p1 AS (SELECT i, list_reduce(list_prepend(0.0, list(g ORDER BY j)), (u, w) -> u + w) AS v
+        |       FROM g GROUP BY i),
+        |p2 AS (SELECT g.i, list_reduce(list_prepend(0.0, list(g.g * p.v ORDER BY g.j)), (u, w) -> u + w) AS v
+        |       FROM g JOIN p1 p ON p.i = g.j GROUP BY g.i),
+        |p3 AS (SELECT g.i, list_reduce(list_prepend(0.0, list(g.g * p.v ORDER BY g.j)), (u, w) -> u + w) AS v
+        |       FROM g JOIN p2 p ON p.i = g.j GROUP BY g.i),
+        |piv AS (SELECT v FROM p3 ORDER BY abs(v) DESC, i LIMIT 1),
+        |s AS (SELECT p3.i, CAST(CAST(p3.v / piv.v AS REAL) AS DOUBLE) AS s FROM p3, piv),
+        |y AS (SELECT e.vec_id,
+        |        round(list_reduce(list_prepend(0.0, list(e.x * s.s ORDER BY e.i)), (u, w) -> u + w), 6) AS pc1
+        |      FROM ex e JOIN s ON s.i = e.i GROUP BY e.vec_id)
+        |SELECT vec_id, pc1 FROM y ORDER BY vec_id""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_ngram_stats" ->

@@ -617,6 +617,47 @@ object Similarity {
   def jlProjectQuery(spark: SparkSession, dir: String): DataFrame =
     jlProject(t(spark, dir, "embeddings"))
 
+  /** PCA first principal component, the MLlib `RowMatrix` shape: the ONLY
+    * corpus-wide pass builds the d×d Gram matrix (pair expansion ⋈ on
+    * vec_id → ONE d²-bounded aggregation with map-side partials — reduce
+    * state is dim², never corpus-sized); the eigensolve is driver-local
+    * power iteration (`iters` unnormalized rounds from the all-ones
+    * start, every fold sequential in j so the oracle can replay it
+    * op-for-op), pivot-normalized by the max-|entry| component (signed
+    * division — sign-stable, entries in [−1, 1], so the final rounding
+    * has ~500× margin over cross-engine Gram ulps). The projection is
+    * the [[jlProject]] shape: the component as an ARRAY<FLOAT> literal,
+    * one native [[dot]] per row, zero shuffles. JL is the
+    * data-independent reducer; this is the data-driven one — together
+    * they are the dim-reduce choices before ANN/PQ at corpus scale. */
+  def pcaPower(emb: DataFrame, iters: Int = 3, dim: Int = 64): DataFrame = {
+    val ex = explodeVecs(emb)
+    val gm = Array.ofDim[Double](dim, dim)
+    ex.as("a").join(ex.as("b"), "vec_id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("g"))
+      .collect()
+      .foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(dim)(1.0)
+    (1 to iters).foreach { _ =>
+      v = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += gm(i)(j) * v(j); j += 1 }
+        acc
+      }
+    }
+    var piv = 0.0
+    v.foreach(x => if (math.abs(x) > math.abs(piv)) piv = x)
+    val s = v.map(x => (x / piv).toFloat).toSeq
+    emb.select(col("vec_id"),
+        round(dot(col("embedding"), typedlit(s)), 6).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  def pcaPowerQuery(spark: SparkSession, dir: String): DataFrame =
+    pcaPower(t(spark, dir, "embeddings"))
+
   /** Driver-contract forms. */
   def pqTrainQuery(spark: SparkSession, dir: String): DataFrame =
     pqTrain(t(spark, dir, "embeddings"))

@@ -395,3 +395,60 @@ class JlProjectSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), plan)
   }
 }
+
+/** Differential + eigen-property tests for the PCA power-iteration op. */
+class PcaSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("pcaPower agrees with a driver-side recompute; direction dominates axes") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = vecs.head._2.length
+    // driver reference: exact same algorithm, Gram summed locally (sum
+    // order differs from the distributed partials -> compare with a
+    // tolerance far above ulp noise, far below the signal)
+    val gm = Array.ofDim[Double](dim, dim)
+    vecs.foreach { case (_, x) =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { gm(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    var v = Array.fill(dim)(1.0)
+    (1 to 3).foreach { _ =>
+      v = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += gm(i)(j) * v(j); j += 1 }
+        acc
+      }
+    }
+    var piv = 0.0
+    v.foreach(x => if (math.abs(x) > math.abs(piv)) piv = x)
+    val s = v.map(_ / piv)
+    val got = graft.llm.Similarity.pcaPower(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, x) =>
+      val want = x.indices.foldLeft(0.0)((a, i) => a + x(i) * s(i).toFloat)
+      assert(math.abs(got(id) - want) < 1e-4, s"vec $id: ${got(id)} vs $want")
+    }
+    // dominant-direction property: variance along the found component
+    // (unit-normalized) exceeds the variance along every coordinate axis
+    val n = vecs.length.toDouble
+    val norm = math.sqrt(s.map(x => x * x).sum)
+    val proj = vecs.map { case (_, x) =>
+      x.indices.foldLeft(0.0)((a, i) => a + x(i) * s(i)) / norm }
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    val vProj = variance(proj.toSeq)
+    (0 until dim).foreach { i =>
+      val vAxis = variance(vecs.map(_._2(i)).toSeq)
+      assert(vProj >= vAxis - 1e-9, s"axis $i variance $vAxis > pc1 $vProj")
+    }
+  }
+}
