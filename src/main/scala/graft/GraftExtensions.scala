@@ -65,6 +65,8 @@ object GraftExtensions {
     ("relationship_diff", classOf[RelationshipDiff],
       arity("relationship_diff", 2)(exprs =>
         RelationshipDiff(exprs(0), exprs(1)))),
+    ("char_entropy", classOf[CharEntropy],
+      arity("char_entropy", 1)(exprs => CharEntropy(exprs.head))),
     ("bloom_might_contain", classOf[BloomMightContain],
       arity("bloom_might_contain", 4)(exprs => {
         // the bitset and geometry ride the plan as constants — SQL callers

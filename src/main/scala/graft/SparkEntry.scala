@@ -84,6 +84,9 @@ object SparkEntry {
     "q_ngram_doc_score" -> ((s, d) => llm.TextOps.ngramDocScore(s, d)),
     "q_quality_clf_train" -> (llm.Classifier.clfTrainQuery _),
     "q_quality_clf_score" -> (llm.Classifier.clfScoreQuery _),
+    "q_lm_model" -> (llm.TextOps.lmModel _),
+    "q_lm_perplexity" -> (llm.TextOps.lmPerplexity _),
+    "q_char_entropy" -> (llm.TextOps.charEntropy _),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -311,6 +314,20 @@ object SparkEntry {
   // batch-perceptron chain (mirrors llm.Classifier: integer features,
   // 3 unrolled full-batch rounds). Each round: score with the previous
   // round's weights, count misclassified, add their summed y·x gradient.
+  // shared bigram-LM CTE prefix: letter-run bigrams with position (the
+  // gramRows tokenization, both tokens + pos kept) and the 'en' train
+  // slice. pos is 1-based here vs Spark's 0-based posexplode — it is
+  // only ever used for ORDER BY, so the offset is irrelevant.
+  private val lmBigramCte =
+    """WITH w AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+      |bg AS (SELECT doc_id, lang,
+      |         unnest([{'pos': j, 'a': l[j], 'b': l[j+1]}
+      |                 for j in generate_series(1, len(l) - 1)],
+      |                recursive := true)
+      |       FROM w WHERE len(l) >= 2),
+      |tr AS (SELECT * FROM bg WHERE lang = 'en'),
+      |""".stripMargin
+
   private def clfScoreExpr(r: String): String =
     (0 until 5).map(j => s"$r.w$j * x$j").mkString(" + ")
 
@@ -466,6 +483,62 @@ object SparkEntry {
         |  round(CAST(n_rare AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS rare_frac,
         |  round(CAST(sum_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_score
         |FROM s ORDER BY doc_id""".stripMargin,
+    // CCNet-style bigram LM: the model table is pure integer counts + ONE
+    // correctly-rounded division (bit-exact cross-engine); the scorer's
+    // per-doc −mean ln p(b|a) replays the sum as an ORDERED fold
+    // (list(... ORDER BY pos) + list_reduce ≡ Spark's array_sort +
+    // aggregate), the pcaPower discipline — ln() is within-1-ulp, so
+    // identical op order bounds drift to ~n·ulp against a 1e-6 rounding.
+    "q_lm_model" ->
+      (lmBigramCte + """
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM tr GROUP BY a, b),
+        |ca AS (SELECT a, count(*) AS c_a FROM tr GROUP BY a),
+        |v AS (SELECT CAST(count(DISTINCT a) AS DOUBLE) AS v FROM tr)
+        |SELECT cab.a, cab.b, cab.c_ab, ca.c_a,
+        |  round((CAST(cab.c_ab AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |        (CAST(ca.c_a AS DOUBLE) + v.v), 9) AS p
+        |FROM cab JOIN ca ON cab.a = ca.a CROSS JOIN v
+        |ORDER BY cab.a, cab.b""".stripMargin),
+    "q_lm_perplexity" ->
+      (lmBigramCte + """
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM tr GROUP BY a, b),
+        |ca AS (SELECT a, count(*) AS c_a FROM tr GROUP BY a),
+        |v AS (SELECT CAST(count(DISTINCT a) AS DOUBLE) AS v FROM tr),
+        |lp AS (SELECT g.doc_id, g.pos,
+        |         -ln((CAST(coalesce(c.c_ab, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |             (CAST(coalesce(a2.c_a, 0) AS DOUBLE) + v.v)) AS lp
+        |       FROM bg g LEFT JOIN cab c ON g.a = c.a AND g.b = c.b
+        |                 LEFT JOIN ca a2 ON g.a = a2.a CROSS JOIN v),
+        |s AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |        list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+        |                    (u, w2) -> u + w2) AS tot
+        |      FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(tot / CAST(n_bigrams AS DOUBLE), 6) AS xent
+        |FROM s ORDER BY doc_id""".stripMargin),
+    // char entropy: per-codepoint terms folded in ascending-codepoint
+    // order (binary string ORDER BY == codepoint order for single-char
+    // strings) mirrors the native kernel's TreeMap iteration; log2 via
+    // ln·(1/ln 2) in BOTH engines so the op sequence matches.
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest([substr(text, j, 1)
+        |                  for j in generate_series(1, length(text))]) AS c
+        |            FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |n AS (SELECT doc_id, length(text) AS n_cp FROM documents),
+        |s AS (SELECT cc.doc_id,
+        |        list_reduce(list_prepend(0.0, list(
+        |          (CAST(cc.k AS DOUBLE) / CAST(n.n_cp AS DOUBLE)) *
+        |          (ln(CAST(cc.k AS DOUBLE) / CAST(n.n_cp AS DOUBLE)) *
+        |           (CAST(1 AS DOUBLE) / ln(CAST(2 AS DOUBLE))))
+        |          ORDER BY cc.c)), (u, w2) -> u + w2) AS acc
+        |      FROM cc JOIN n ON cc.doc_id = n.doc_id GROUP BY cc.doc_id)
+        |SELECT n.doc_id, CAST(n.n_cp AS INTEGER) AS n_cp,
+        |  round(-s.acc, 6) AS ent,
+        |  CASE WHEN round(-s.acc, 6) < CAST(2.0 AS DOUBLE) THEN 'low_entropy'
+        |       WHEN round(-s.acc, 6) > CAST(5.2 AS DOUBLE) THEN 'high_entropy'
+        |       ELSE 'ok' END AS flag
+        |FROM n JOIN s ON n.doc_id = s.doc_id ORDER BY n.doc_id""".stripMargin,
     // batch-perceptron quality classifier: integer feature counts +
     // unrolled full-batch rounds — pure int64 arithmetic on both engines
     // (the ivfTrain/bpeTrain unrolling pattern; DuckDB BIGINT sum() is

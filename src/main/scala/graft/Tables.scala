@@ -13,8 +13,27 @@ import org.apache.spark.sql.functions._
   * doubles read straight from parquet are already bit-identical.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** events.ts contract: Long NANOSECONDS since epoch, exact and
+    * order-preserving. The driver's testdata has shipped the column both
+    * as parquet TIMESTAMP(NANOS) — which `nanosAsLong` surfaces as Long
+    * directly — and as TIMESTAMP(MICROS), which Spark reads as a
+    * timestamp type. Normalize the latter here so every consumer keeps
+    * the Long-nanos contract and the DuckDB oracle's `epoch_ns(ts)`
+    * stays the mirror image. The NTZ→timestamp cast is wall-clock
+    * identity under the UTC session timezone, exactly how DuckDB's
+    * naive-timestamp epoch_ns treats it; micros·1000 is exact in Long
+    * until year 2262. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
 
   /** Exact decimal sum surfaced as double — matches DuckDB
     * `CAST(SUM(CAST(x AS DECIMAL(14,2))) AS DOUBLE)` bit-for-bit.

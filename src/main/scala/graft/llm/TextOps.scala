@@ -384,6 +384,124 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Consecutive letter-run token pairs (doc_id, lang, pos, a, b) —
+    * [[gramRows]]'s shape but keeping BOTH tokens and the position, so the
+    * LM scorer can left-join model counts per pair and replay the per-doc
+    * log-prob sum in document order. Docs with fewer than two tokens emit
+    * nothing. */
+  private def bigramRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(letterWords(col("text"))).as(Seq("pos", "a")))
+      .select(col("doc_id"), col("lang"), col("pos"), col("a"),
+        lead(col("a"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+  }
+
+  /** Add-one-smoothed bigram counts over a training slice: the pair table
+    * `c_ab`, the context table `c_a` (= Σ_b c_ab), and the one-row context
+    * vocabulary size V. All three are vocabulary-bounded aggregations with
+    * map-side partials — model size is O(distinct bigrams), never corpus-
+    * sized, which is what makes the scoring join broadcast-able in
+    * practice. */
+  private def lmCounts(train: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    train.groupBy("a", "b").agg(count(lit(1)).as("c_ab")),
+    train.groupBy("a").agg(count(lit(1)).as("c_a")),
+    train.agg(countDistinct(col("a")).cast("double").as("v")))
+
+  /** The smoothed conditional probability p(b|a) = (c_ab + 1)/(c_a + V).
+    * Both operands are exact small integers in doubles, so the single
+    * division is correctly rounded and therefore bit-identical across
+    * engines — the model table needs no ulp-margin argument at all. */
+  private def lmProb(cab: Column, ca: Column, v: Column): Column =
+    (coalesce(cab, lit(0L)) + lit(1.0)) / (coalesce(ca, lit(0L)) + v)
+
+  /** TRAINED bigram language model (the artifact): every bigram of the
+    * `trainLang` slice with its counts and add-one-smoothed probability.
+    * This is the distributed-friendly core of the CCNet quality filter
+    * (Wenzek et al., LREC 2020): CCNet ranks crawl text by KenLM
+    * perplexity under a model trained on trusted text; a bigram table IS
+    * that model at n = 2, and unlike a KenLM binary it trains as two
+    * vocabulary-bounded aggregations. The reference's record gates are
+    * fixed predicates over entity fields; a trained corpus-level gate is
+    * the 100 TB-pipeline extension of that idea. [[lmPerplexityOf]]
+    * applies the model. */
+  def lmModelOf(docs: DataFrame, trainLang: String = "en"): DataFrame = {
+    val (cab, ca, v) =
+      lmCounts(bigramRows(docs.filter(col("lang") === trainLang)))
+    cab.join(ca, "a").crossJoin(broadcast(v))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"),
+        round(lmProb(col("c_ab"), col("c_a"), col("v")), 9).as("p"))
+      .orderBy("a", "b")
+  }
+
+  def lmModel(spark: SparkSession, dir: String): DataFrame =
+    lmModelOf(t(spark, dir, "documents"))
+
+  /** LM cross-entropy scoring — the REAL log-probability version of the
+    * quality signal [[ngramDocScoreOf]] approximates with integer counts:
+    * train the [[lmModelOf]] bigram model on the `trainLang` slice, then
+    * score EVERY document by per-token cross-entropy −mean ln p(b|a).
+    * High xent = text the trusted-language model finds surprising (noise,
+    * wrong language, gibberish); low = fluent-under-the-model (CCNet
+    * keeps the low-perplexity head). Unseen context backs off to the
+    * uniform 1/V via the same smoothing formula (c_ab = c_a = 0).
+    *
+    * Determinism: ln() is within-1-ulp (not bit-identical) across
+    * engines, so the per-doc sum is replayed as an ORDERED fold —
+    * collect the (pos, lp) pairs, sort by position, left-fold — exactly
+    * the [[graft.llm.Similarity.pcaPower]] oracle discipline. Identical
+    * op sequence on both engines bounds the drift to ~n·ulp ≈ 1e-13,
+    * orders of magnitude inside the round(...,6) margin.
+    *
+    * Scale: ONE shingle pass ([[Curation]] shared-pass discipline — the
+    * bigram table is checkpointed and feeds model AND scorer), two
+    * vocabulary-keyed equi-joins (model side is vocabulary-bounded →
+    * broadcast in practice), one per-doc aggregation whose state is the
+    * doc's own bigram list (bounded by doc length), no global sort
+    * except the output contract's ORDER BY. */
+  def lmPerplexityOf(docs: DataFrame, trainLang: String = "en"): DataFrame = {
+    val bg = bigramRows(docs).localCheckpoint(true) // feeds model AND scorer
+    val (cab, ca, v) = lmCounts(bg.filter(col("lang") === trainLang))
+    bg.join(cab, Seq("a", "b"), "left")
+      .join(ca, Seq("a"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp", -log(lmProb(col("c_ab"), col("c_a"), col("v"))))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("lp"))).as("lps"))
+      .select(col("doc_id"),
+        size(col("lps")).as("n_bigrams"),
+        round(
+          aggregate(array_sort(col("lps")), lit(0.0),
+            (acc, x) => acc + x.getField("lp")) /
+            size(col("lps")).cast("double"),
+          6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexityOf(t(spark, dir, "documents"))
+
+  /** Character-entropy quality signal over the corpus via the native
+    * [[graft.functions.CharEntropy]] expression: bits per codepoint,
+    * flagging base64/hex/binary-ish blobs (high) and repeated-character
+    * spam (low) that token-level stats miss. A single whole-stage-codegen
+    * projection over the scan — zero shuffles, the [[tokenStats]]
+    * posture. The flag thresholds bracket the natural-language band. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_cp"),
+        round(graft.functions.CharEntropy.char_entropy(col("text")), 6)
+          .as("ent"))
+      .withColumn("flag",
+        when(col("ent") < 2.0, "low_entropy")
+          .when(col("ent") > 5.2, "high_entropy")
+          .otherwise("ok"))
+      .orderBy("doc_id")
+
   /** Deterministic document fingerprint: polynomial rolling hash
     * h = fold(h*31 + codepoint) mod 1e9+7 over characters. Portable across
     * engines (no murmur dependence). */
