@@ -87,6 +87,7 @@ object SparkEntry {
     "q_lm_model" -> (llm.TextOps.lmModel _),
     "q_lm_perplexity" -> (llm.TextOps.lmPerplexity _),
     "q_char_entropy" -> (llm.TextOps.charEntropy _),
+    "q_pagerank" -> (operators.PageRank.pageRank _),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
@@ -516,6 +517,39 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         |  round(tot / CAST(n_bigrams AS DOUBLE), 6) AS xent
         |FROM s ORDER BY doc_id""".stripMargin),
+    // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
+    // pattern): integer edge weights, per-node in-neighbor sums replayed
+    // as ORDERED folds (list(c ORDER BY src) == Spark's array_sort on
+    // (src, c) structs — both binary string order), final-round rounding
+    // only.
+    "q_pagerank" -> {
+      def rnd(k: Int): String =
+        s"""c$k AS (SELECT e.dst, e.src, r.rank * e.w / e.wout AS c
+           |        FROM e JOIN r${k - 1} r ON r.node = e.src),
+           |s$k AS (SELECT dst AS node,
+           |          list_reduce(list_prepend(0.0, list(c ORDER BY src)),
+           |                      (u, v2) -> u + v2) AS s
+           |        FROM c$k GROUP BY dst),
+           |r$k AS (SELECT n.node, CAST(0.15 AS DOUBLE) +
+           |          CAST(0.85 AS DOUBLE) * coalesce(s$k.s, CAST(0 AS DOUBLE)) AS rank
+           |        FROM nodes n LEFT JOIN s$k ON n.node = s$k.node)""".stripMargin
+      s"""WITH pairs AS (SELECT 'C' || CAST(o_custkey AS VARCHAR) AS cust,
+         |                      'S' || CAST(l_suppkey AS VARCHAR) AS supp,
+         |                      count(*) AS w
+         |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |               GROUP BY 1, 2),
+         |e0 AS (SELECT cust AS src, supp AS dst, w FROM pairs
+         |       UNION ALL SELECT supp, cust, w FROM pairs),
+         |wo AS (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) AS w, wo.wout
+         |      FROM e0 JOIN wo ON e0.src = wo.src),
+         |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) AS rank FROM nodes),
+         |${rnd(1)},
+         |${rnd(2)},
+         |${rnd(3)}
+         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
     // char entropy: per-codepoint terms folded in ascending-codepoint
     // order (binary string ORDER BY == codepoint order for single-char
     // strings) mirrors the native kernel's TreeMap iteration; log2 via
