@@ -518,29 +518,35 @@ object SparkEntry {
         |  round(tot / CAST(n_bigrams AS DOUBLE), 6) AS xent
         |FROM s ORDER BY doc_id""".stripMargin),
     // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
-    // pattern): integer edge weights, per-node in-neighbor sums replayed
-    // as ORDERED folds (list(c ORDER BY src) == Spark's array_sort on
-    // (src, c) structs — both binary string order), final-round rounding
-    // only.
+    // pattern): integer edge weights; per-node in-neighbor sums are
+    // FIXED-POINT — each contribution floor-quantized to 1e-9 units as
+    // BIGINT, so the Σ is exact integer arithmetic (order-independent in
+    // BOTH engines; the upstream doubles are identical bits because every
+    // op is a correctly-rounded product/division of identical inputs).
+    // DuckDB sum(BIGINT) is HUGEINT → CAST to BIGINT BEFORE the double
+    // cast (hugeint→double double-rounds; bigint < 2^53 is exact).
     "q_pagerank" -> {
       def rnd(k: Int): String =
-        s"""c$k AS (SELECT e.dst, e.src, r.rank * e.w / e.wout AS c
+        s"""c$k AS (SELECT e.dst,
+           |          CAST(floor(r.rank * e.w / e.wout *
+           |                     CAST(1000000000 AS DOUBLE)) AS BIGINT) AS cq
            |        FROM e JOIN r${k - 1} r ON r.node = e.src),
            |s$k AS (SELECT dst AS node,
-           |          list_reduce(list_prepend(0.0, list(c ORDER BY src)),
-           |                      (u, v2) -> u + v2) AS s
+           |          CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE) /
+           |            CAST(1000000000 AS DOUBLE) AS s
            |        FROM c$k GROUP BY dst),
            |r$k AS (SELECT n.node, CAST(0.15 AS DOUBLE) +
            |          CAST(0.85 AS DOUBLE) * coalesce(s$k.s, CAST(0 AS DOUBLE)) AS rank
            |        FROM nodes n LEFT JOIN s$k ON n.node = s$k.node)""".stripMargin
-      s"""WITH pairs AS (SELECT 'C' || CAST(o_custkey AS VARCHAR) AS cust,
-         |                      'S' || CAST(l_suppkey AS VARCHAR) AS supp,
+      s"""WITH pairs AS (SELECT o_custkey * 2 AS cust,
+         |                      l_suppkey * 2 + 1 AS supp,
          |                      count(*) AS w
          |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |               GROUP BY 1, 2),
          |e0 AS (SELECT cust AS src, supp AS dst, w FROM pairs
          |       UNION ALL SELECT supp, cust, w FROM pairs),
-         |wo AS (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM e0 GROUP BY src),
+         |wo AS (SELECT src, CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS wout
+         |       FROM e0 GROUP BY src),
          |e AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) AS w, wo.wout
          |      FROM e0 JOIN wo ON e0.src = wo.src),
          |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
@@ -548,7 +554,9 @@ object SparkEntry {
          |${rnd(1)},
          |${rnd(2)},
          |${rnd(3)}
-         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+         |SELECT CASE WHEN node % 2 = 0 THEN 'C' || CAST(node // 2 AS VARCHAR)
+         |            ELSE 'S' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+         |  round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
     },
     // char entropy: per-codepoint terms folded in ascending-codepoint
     // order (binary string ORDER BY == codepoint order for single-char

@@ -11,19 +11,26 @@ import graft.Tables._
   * dedup-survivor choice over a link graph in a training-data pipeline).
   *
   * Same execution shape as CC: the edge table is the only corpus-sized
-  * state, each round is ONE equi-join (ranks ⋈ edges on src) plus ONE
-  * aggregation (by dst), all-equi shuffles, rank state is node-sized.
-  * Rounds are UNROLLED (fixed iteration count), the
-  * [[graft.llm.Similarity.ivfTrain]] pattern, so the oracle replays the
-  * whole trajectory as CTEs.
+  * state, each round is ONE broadcast join (node-sized ranks into the
+  * edge scan) plus ONE aggregation (by dst) with map-side partial sums,
+  * rank state is node-sized. Rounds are UNROLLED (fixed iteration
+  * count), the [[graft.llm.Similarity.ivfTrain]] pattern, so the oracle
+  * replays the whole trajectory as CTEs.
   *
-  * Determinism: the per-node Σ of in-neighbor contributions is a double
-  * sum, so it is replayed as an ORDERED fold over in-neighbors (sorted
-  * by source node) — identical op sequence on both engines, the
-  * `pcaPower` discipline. The fold list is bounded by a node's IN-DEGREE;
-  * on power-law graphs where a celebrity node's list would not fit,
-  * swap the fold for a plain `sum` and drop the bit-exact oracle to a
-  * tolerance check — the contract traded is determinism, not correctness.
+  * Determinism via FIXED-POINT QUANTIZATION, not ordered folds: each
+  * contribution rank(src)·w/wout(src) is floor-quantized to 1e-9 units
+  * as a 64-bit integer, so the per-node Σ is exact integer arithmetic —
+  * order-independent, shuffle-safe, and bit-identical on any engine that
+  * replays the same quantization (every upstream double op is a
+  * correctly-rounded product/division of identical inputs). This keeps
+  * the aggregation a native long sum with map-side combine — the ordered
+  * double fold (collect_list + sort + per-element lambda) measured 4–7 s
+  * PER ROUND on the sf0.1 graph and shipped every edge struct through
+  * the shuffle uncombined. Cost: ≤ 1e-9 absolute error per edge per
+  * round (≤ in-degree·1e-9 per rank), identically on both engines.
+  * Bounds: quantized per-node sums stay < 2^53 up to ~10^6-node graph
+  * mass·1e9 — beyond that, drop QScale a decade per 10× nodes.
+  * Contributions must be non-negative (floor is not symmetric).
   *
   * Each directed edge (src, dst, w) contributes
   * rank(src)·w / wout(src); rank' = 0.15 + 0.85·Σ contributions (the
@@ -34,11 +41,14 @@ import graft.Tables._
   */
 object PageRank {
 
-  /** Iterate `iters` rounds over `edges` (src, dst, w: long). Returns
-    * (node, rank) for every node with at least one in- or out-edge. */
+  private val QScale = 1e9
+
+  /** Iterate `iters` rounds over `edges` (src, dst: long, w: long).
+    * Returns (node: long, rank: double) for every node with at least one
+    * in- or out-edge. Node ids are longs on purpose: integer join keys
+    * and integer shuffle hashing — callers map to display names AFTER
+    * the iterations, not inside them. */
   def pageRankOf(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val spark = edges.sparkSession
-    // out-weight per src — exact integers in doubles, bit-stable
     val wout = edges.groupBy("src").agg(sum("w").cast("double").as("wout"))
     val e = edges.join(wout, "src")
       .select(col("src"), col("dst"), col("w").cast("double").as("w"),
@@ -49,20 +59,23 @@ object PageRank {
       .localCheckpoint(true)
     var rank = nodes.withColumn("rank", lit(1.0))
     (1 to iters).foreach { _ =>
-      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
+      // ranks are node-sized: broadcast into the edge scan, so the only
+      // shuffle per round is the (dst, cq) partial-sum aggregation
+      val contrib = e.join(
+          broadcast(rank.withColumnRenamed("node", "src")), "src")
         .select(col("dst"),
-          col("src"), (col("rank") * col("w") / col("wout")).as("c"))
+          floor(col("rank") * col("w") / col("wout") * lit(QScale))
+            .as("cq"))
       rank = nodes.join(
-          contrib.groupBy("dst")
-            .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
+          broadcast(contrib.groupBy("dst")
+            .agg(sum("cq").as("sq"))
             .select(col("dst").as("node"),
-              aggregate(array_sort(col("cs")), lit(0.0),
-                (acc, x) => acc + x.getField("c")).as("s")),
+              (col("sq").cast("double") / lit(QScale)).as("s"))),
           Seq("node"), "left")
         .select(col("node"),
           (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
-        // each round's rank is read twice next round (join + the fold);
-        // checkpoint keeps the plan linear in iters, the CC discipline
+        // each round's rank feeds the next broadcast; checkpoint keeps
+        // the plan linear in iters, the CC discipline
         .localCheckpoint(true)
     }
     rank
@@ -72,21 +85,28 @@ object PageRank {
     * graph — customer→supplier edges weighted by how many lineitems the
     * customer bought from the supplier, mirrored supplier→customer so the
     * chain is ergodic (the standard bipartite-importance construction).
-    * Node ids are prefixed C/S so the two key spaces cannot collide. */
+    * Node ids are 2·custkey / 2·suppkey+1 through the iterations (the
+    * two key spaces cannot collide); the display C…/S… names are a final
+    * projection. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .groupBy(
-        concat(lit("C"), col("o_custkey")).as("cust"),
-        concat(lit("S"), col("l_suppkey")).as("supp"))
+      .groupBy("o_custkey", "l_suppkey") // integer group keys, THEN ids
       .agg(count(lit(1)).as("w"))
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"), col("w"))
     val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"),
         col("w"))
       .union(pairs.select(col("supp").as("src"), col("cust").as("dst"),
         col("w")))
     pageRankOf(edges)
-      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .select(
+        when(col("node") % 2 === 0,
+            concat(lit("C"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("S"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        round(col("rank"), 6).as("rank"))
       .orderBy("node")
   }
 }

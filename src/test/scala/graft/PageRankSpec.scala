@@ -6,19 +6,21 @@ import graft.operators.PageRank
 
 /** Differential + contract tests for weighted PageRank (the oracle row
   * pins engine-vs-engine values on the procurement graph; these pin the
-  * math against an independent driver-side reference). */
+  * math against an independent driver-side reference that replays the
+  * same fixed-point quantization). */
 class PageRankSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def edges(rows: (String, String, Long)*) = {
+  private def edges(rows: (Long, Long, Long)*) = {
     val s = spark; import s.implicits._
     rows.toDF("src", "dst", "w")
   }
 
-  /** Driver-side reference: same formula, same ordered in-neighbor fold,
-    * plain Scala maps. */
-  private def ref(es: Seq[(String, String, Long)],
-      iters: Int): Map[String, Double] = {
+  /** Driver-side reference: same formula, same 1e-9 floor quantization,
+    * plain Scala maps — summation order is free BECAUSE the quantized
+    * contributions are exact integers. */
+  private def ref(es: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, Double] = {
     val wout = es.groupBy(_._1).map { case (s2, g) =>
       s2 -> g.map(_._3).sum.toDouble }
     val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
@@ -26,25 +28,25 @@ class PageRankSpec extends AnyFunSuite {
     (1 to iters).foreach { _ =>
       val in = es.groupBy(_._2)
       rank = nodes.map { n =>
-        val s2 = in.getOrElse(n, Seq.empty).sortBy(_._1)
-          .foldLeft(0.0) { case (acc, (src, _, w)) =>
-            acc + rank(src) * w.toDouble / wout(src)
-          }
-        n -> (0.15 + 0.85 * s2)
+        val sq = in.getOrElse(n, Seq.empty)
+          .map { case (src, _, w) =>
+            math.floor(rank(src) * w.toDouble / wout(src) * 1e9).toLong
+          }.sum
+        n -> (0.15 + 0.85 * (sq.toDouble / 1e9))
       }.toMap
     }
     rank
   }
 
   private val tri = Seq( // weighted triangle plus a bidirectional spur
-    ("a", "b", 2L), ("b", "a", 2L),
-    ("b", "c", 1L), ("c", "b", 1L),
-    ("c", "a", 3L), ("a", "c", 3L),
-    ("c", "d", 1L), ("d", "c", 1L))
+    (1L, 2L, 2L), (2L, 1L, 2L),
+    (2L, 3L, 1L), (3L, 2L, 1L),
+    (3L, 1L, 3L), (1L, 3L, 3L),
+    (3L, 4L, 1L), (4L, 3L, 1L))
 
   test("matches the driver-side reference bit-for-bit") {
     val out = PageRank.pageRankOf(edges(tri: _*)).collect()
-      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
     val want = ref(tri, 3)
     assert(out.keySet == want.keySet)
     want.foreach { case (n, r) =>
@@ -54,25 +56,26 @@ class PageRankSpec extends AnyFunSuite {
 
   test("heavier-linked nodes rank higher; spur leaf ranks lowest") {
     val out = PageRank.pageRankOf(edges(tri: _*), iters = 5).collect()
-      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
-    // d hangs off the graph by one unit edge: strictly least central
-    assert(out("d") < out("a") && out("d") < out("b") && out("d") < out("c"))
-    // a and c share the heavy w=3 edge: both above b
-    assert(out("a") > out("b") && out("c") > out("b"))
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    // node 4 hangs off the graph by one unit edge: strictly least central
+    assert(out(4L) < out(1L) && out(4L) < out(2L) && out(4L) < out(3L))
+    // 1 and 3 share the heavy w=3 edge: both above 2
+    assert(out(1L) > out(2L) && out(3L) > out(2L))
   }
 
-  test("mass is conserved on an ergodic graph (Σrank ≈ N)") {
+  test("mass is conserved on an ergodic graph up to quantization loss") {
     val out = PageRank.pageRankOf(edges(tri: _*), iters = 4).collect()
     val total = out.map(_.getAs[Double]("rank")).sum
-    assert(math.abs(total - out.length) < 1e-9)
+    // each of the 8 edges loses < 1e-9 per round to the floor
+    assert(math.abs(total - out.length) < 1e-6)
   }
 
-  test("the ordered fold makes ranks partition-independent") {
+  test("the quantized sum makes ranks partition-independent") {
     val e = edges(tri: _*)
     val a = PageRank.pageRankOf(e.repartition(1)).collect()
-      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
     val b = PageRank.pageRankOf(e.repartition(5)).collect()
-      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
     assert(a == b)
   }
 }
