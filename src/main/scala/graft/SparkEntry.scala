@@ -106,6 +106,8 @@ object SparkEntry {
     "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
     "q_sequence_pack" -> ((s, d) => llm.TextCuration.sequencePack(s, d)),
     "q_pii_redact" -> (llm.TextCuration.piiRedact _),
+    "q_gopher_rules" -> (llm.TextCuration.gopherRules _),
+    "q_c4_rules" -> (llm.TextCuration.c4Rules _),
     // family 11: llm-ops — similarity search
     "q_cosine_topk" -> ((s, d) => llm.Similarity.cosineTopK(s, d)),
     "q_cosine_topk_ivf" -> ((s, d) => llm.Similarity.cosineTopKIvf(s, d)),
@@ -1232,6 +1234,91 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
         |    '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
         |FROM a ORDER BY doc_id""".stripMargin,
+    // full Gopher rule battery: every rule an integer cross-multiplication
+    // (no ratios, no doubles); %13/%17/%19 slices fabricate bullets /
+    // ellipsis lines / hashes so each rule fires for real
+    "q_gopher_rules" ->
+      (raw"""WITH a AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ${
+          (1 to 10).map(i => s"chr(10) || '• item $i'").mkString(" || ")}
+        |    ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ${
+          (1 to 4).map(i => s"chr(10) || 'to be continued$i ...'").mkString(" || ")}
+        |    ELSE '' END ||
+        |    CASE WHEN doc_id % 19 = 0 THEN ' # # # # # # # #' ELSE '' END AS aug
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(aug), '\s+') AS toks,
+        |    string_split(aug, chr(10)) AS lines,
+        |    length(regexp_replace(trim(aug), '\s+', '', 'g')) AS sum_len,
+        |    len(regexp_extract_all(aug, '#')) +
+        |      len(regexp_extract_all(aug, '\.\.\.')) AS n_sym
+        |  FROM a),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_words, sum_len,
+        |    CAST(len(lines) AS INTEGER) AS n_lines, n_sym,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+        |    len(list_filter(list_distinct(toks),
+        |      t -> list_contains(['the','be','to','of','and','that','have','with'], t))) AS n_stop,
+        |    len(list_filter(lines, l -> l LIKE '• %')) AS n_bullet,
+        |    len(list_filter(lines, l -> l LIKE '%...')) AS n_ell
+        |  FROM m)
+        |SELECT doc_id, n_words, n_lines,
+        |  CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS r_word_count,
+        |  CAST(3 * n_words <= sum_len AND sum_len <= 10 * n_words AS INTEGER) AS r_mean_len,
+        |  CAST(10 * n_sym <= n_words AS INTEGER) AS r_symbol,
+        |  CAST(10 * n_bullet <= 9 * n_lines AS INTEGER) AS r_bullet,
+        |  CAST(10 * n_ell <= 3 * n_lines AS INTEGER) AS r_ellipsis,
+        |  CAST(5 * n_alpha >= 4 * n_words AS INTEGER) AS r_alpha,
+        |  CAST(n_stop >= 2 AS INTEGER) AS r_stop,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+        |    AND 10 * n_sym <= n_words
+        |    AND 10 * n_bullet <= 9 * n_lines
+        |    AND 10 * n_ell <= 3 * n_lines
+        |    AND 5 * n_alpha >= 4 * n_words
+        |    AND n_stop >= 2 AS INTEGER) AS keep
+        |FROM c ORDER BY doc_id""").stripMargin,
+    // C4 line/document heuristics over the 8-word chunks: fabricated
+    // terminal punctuation ((doc_id+line_idx) % 3 != 0), javascript /
+    // lorem-ipsum / curly-brace injections on %23/%29/%31 slices
+    "q_c4_rules" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |ln AS (SELECT doc_id,
+        |         unnest([{'line_idx': i, 'line': array_to_string(toks[i*8+1 : i*8+8], ' ')}
+        |                 FOR i IN generate_series(0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)],
+        |                recursive := true)
+        |       FROM tk),
+        |m0 AS (SELECT doc_id, line_idx,
+        |         CASE WHEN doc_id % 29 = 0 AND line_idx = 0
+        |              THEN 'lorem ipsum ' || line ELSE line END AS l0
+        |       FROM ln),
+        |m1 AS (SELECT doc_id, line_idx,
+        |         CASE WHEN doc_id % 23 = 0 AND line_idx = 1
+        |              THEN l0 || ' javascript' ELSE l0 END AS l1
+        |       FROM m0),
+        |mg AS (SELECT doc_id, line_idx,
+        |         (CASE WHEN doc_id % 31 = 0 AND line_idx = 0
+        |               THEN l1 || ' {' ELSE l1 END) ||
+        |         (CASE WHEN (doc_id + line_idx) % 3 != 0 THEN '.' ELSE '' END) AS line
+        |       FROM m1),
+        |fl AS (SELECT doc_id, line_idx, line,
+        |         line LIKE '%.' AS ends_punct,
+        |         line LIKE '%javascript%' AS has_js
+        |       FROM mg)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INTEGER) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE ends_punct AND NOT has_js) AS INTEGER) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE ends_punct) AS INTEGER) AS n_sent,
+        |  CAST(max(CASE WHEN line LIKE '%lorem ipsum%' THEN 1 ELSE 0 END) AS INTEGER) AS has_lorem,
+        |  CAST(max(CASE WHEN line LIKE '%{%' OR line LIKE '%}%' THEN 1 ELSE 0 END) AS INTEGER) AS has_brace,
+        |  CAST(count(*) FILTER (WHERE ends_punct) >= 3
+        |    AND max(CASE WHEN line LIKE '%lorem ipsum%' THEN 1 ELSE 0 END) = 0
+        |    AND max(CASE WHEN line LIKE '%{%' OR line LIKE '%}%' THEN 1 ELSE 0 END) = 0
+        |    AS INTEGER) AS doc_keep,
+        |  COALESCE(string_agg(line, ' ' ORDER BY line_idx)
+        |    FILTER (WHERE ends_punct AND NOT has_js), '') AS kept_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exactly-k-per-language deterministic sample: rank by md5(doc_id)
     "q_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS r FROM documents),

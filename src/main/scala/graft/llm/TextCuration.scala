@@ -144,6 +144,135 @@ object TextCuration {
       .orderBy("doc_id")
   }
 
+  /** The FULL Gopher quality-rule battery (Rae et al. 2021, §A1.1) — the
+    * document-shape gates run before any model-based filter: word-count
+    * bounds, mean-word-length band, symbol-to-word ratio (# / …),
+    * bullet-start and ellipsis-end line fractions, alphabetic-word
+    * fraction, and the ≥2-distinct-stopwords test. EVERY rule is pure
+    * integer arithmetic via cross-multiplication (10·n_sym ≤ n_words
+    * instead of ratios), so the row is bit-exact on any engine with no
+    * rounding argument at all.
+    *
+    * The synthetic corpus has no bullets/ellipses/hashes, so
+    * deterministic slices are AUGMENTED (the [[piiRedact]] fabrication
+    * discipline): %13 docs gain 10 bullet lines, %17 docs gain 4
+    * ellipsis-terminated lines, %19 docs gain 8 hash symbols — each rule
+    * fires for real in both engines.
+    *
+    * Scale: ONE zero-shuffle projection over the scan; the per-doc
+    * HOF filters run on arrays bounded by document length (the
+    * qualityScore precedent), everything else is codegen'd string/regex
+    * work. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(t(spark, dir, "documents"))
+
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val bullets = (1 to 10).map(i => s"• item $i").mkString("\n", "\n", "")
+    val ells = (1 to 4).map(i => s"to be continued$i ...").mkString("\n", "\n", "")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val aug = concat(col("text"),
+      when(col("doc_id") % 13 === 0, lit(bullets)).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, lit(ells)).otherwise(lit("")),
+      when(col("doc_id") % 19 === 0, lit(" # # # # # # # #"))
+        .otherwise(lit("")))
+    docs
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        split(trim(col("aug")), "\\s+").as("toks"),
+        split(col("aug"), "\n").as("lines"),
+        length(regexp_replace(trim(col("aug")), "\\s+", "")).as("sum_len"),
+        (regexp_count(col("aug"), lit("#")) +
+          regexp_count(col("aug"), lit("\\.\\.\\."))).as("n_sym"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        col("sum_len"),
+        size(col("lines")).as("n_lines"),
+        col("n_sym"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).as("n_alpha"),
+        size(array_intersect(array_distinct(col("toks")),
+          typedlit(stops))).as("n_stop"),
+        size(filter(col("lines"), l => l.startsWith("• "))).as("n_bullet"),
+        size(filter(col("lines"), l => l.endsWith("..."))).as("n_ell"))
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .cast("int").as("r_word_count"),
+        (lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words"))
+          .cast("int").as("r_mean_len"),
+        (lit(10) * col("n_sym") <= col("n_words")).cast("int").as("r_symbol"),
+        (lit(10) * col("n_bullet") <= lit(9) * col("n_lines"))
+          .cast("int").as("r_bullet"),
+        (lit(10) * col("n_ell") <= lit(3) * col("n_lines"))
+          .cast("int").as("r_ellipsis"),
+        (lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+          .cast("int").as("r_alpha"),
+        (col("n_stop") >= 2).cast("int").as("r_stop"))
+      .withColumn("keep",
+        (col("r_word_count") === 1 && col("r_mean_len") === 1 &&
+          col("r_symbol") === 1 && col("r_bullet") === 1 &&
+          col("r_ellipsis") === 1 && col("r_alpha") === 1 &&
+          col("r_stop") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** C4 cleanup heuristics (Raffel et al. 2020, §2.2) at the line level:
+    * keep lines ending in terminal punctuation, drop lines mentioning
+    * javascript, drop whole documents with fewer than 3 sentences or
+    * containing "lorem ipsum" or curly braces. Lines are the same 8-word
+    * chunks as [[lineDedup]] (the corpus has no sentence punctuation, so
+    * terminal punctuation is FABRICATED deterministically: a chunk ends
+    * with '.' unless (doc_id + line_idx) % 3 = 0 — both engines replay
+    * the mangle, so the punctuation gate filters for real); %23 docs get
+    * "javascript" injected into line 1, %29 docs get a lorem-ipsum
+    * prefix on line 0, %31 docs a curly brace.
+    *
+    * Scale: the [[lineDedup]] shape — one chunk aggregation, one per-doc
+    * aggregation, everything keyed by doc; no corpus-wide state beyond
+    * the scan. */
+  def c4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4RulesOf(t(spark, dir, "documents"))
+
+  def c4RulesOf(docs: DataFrame): DataFrame = {
+    val ln = lineRows(docs)
+    val mangled = ln
+      .withColumn("line0",
+        when(col("doc_id") % 29 === 0 && col("line_idx") === 0,
+          concat(lit("lorem ipsum "), col("line")))
+          .otherwise(col("line")))
+      .withColumn("line1",
+        when(col("doc_id") % 23 === 0 && col("line_idx") === 1,
+          concat(col("line0"), lit(" javascript"))).otherwise(col("line0")))
+      .withColumn("line2",
+        when(col("doc_id") % 31 === 0 && col("line_idx") === 0,
+          concat(col("line1"), lit(" {"))).otherwise(col("line1")))
+      .select(col("doc_id"), col("line_idx"),
+        concat(col("line2"),
+          when((col("doc_id") + col("line_idx")) % 3 =!= 0, lit("."))
+            .otherwise(lit(""))).as("line"))
+    val flagged = mangled
+      .withColumn("ends_punct", col("line").endsWith("."))
+      .withColumn("has_js", col("line").contains("javascript"))
+      .withColumn("kept", col("ends_punct") && !col("has_js"))
+    flagged.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("int").as("n_kept"),
+        sum(when(col("ends_punct"), 1L).otherwise(0L)).cast("int")
+          .as("n_sent"),
+        max(col("line").contains("lorem ipsum").cast("int")).as("has_lorem"),
+        max((col("line").contains("{") || col("line").contains("}"))
+          .cast("int")).as("has_brace"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("line_idx"), col("line"))))),
+          s => s("line"))).as("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_sent"),
+        col("has_lorem"), col("has_brace"),
+        (col("n_sent") >= 3 && col("has_lorem") === 0 &&
+          col("has_brace") === 0).cast("int").as("doc_keep"),
+        col("kept_text"))
+      .orderBy("doc_id")
+  }
+
   /** Regex PII redaction: emails → [EMAIL], NNN-NNNN phones → [PHONE],
     * with per-doc match counts. The synthetic corpus contains no PII, so a
     * deterministic slice (doc_id % 7 == 0) is AUGMENTED with a fabricated

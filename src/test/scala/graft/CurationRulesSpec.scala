@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.TextCuration
+
+/** Contract tests for the Gopher rule battery and C4 heuristics on
+  * adversarial fixtures (the oracle rows pin engine-vs-engine values on
+  * the corpus; these pin each rule's firing condition). */
+class CurationRulesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def gopher(rows: (Long, String)*): Map[Long, Map[String, Int]] =
+    TextCuration.gopherRulesOf(docs(rows: _*)).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        Seq("r_word_count", "r_mean_len", "r_symbol", "r_bullet",
+          "r_ellipsis", "r_alpha", "r_stop", "keep")
+          .map(c => c -> r.getAs[Int](c)).toMap
+    }.toMap
+
+  // 60 plain words incl. >=2 gopher stopwords, mean length in [3,10]
+  private val good = ((1 to 58).map(i => s"word$i") ++ Seq("the", "with"))
+    .mkString(" ")
+
+  test("a clean document passes every gopher rule") {
+    val out = gopher(5L -> good) // 5 avoids the %13/%17/%19 fabrications
+    assert(out(5L).values.forall(_ == 1), out(5L).toString)
+  }
+
+  test("each gopher rule fires independently") {
+    val out = gopher(
+      5L -> good,
+      6L -> "too short with the", // < 50 words
+      7L -> ((1 to 58).map(_ => "supercalifragilistic") ++
+        Seq("the", "with")).mkString(" "), // mean word length > 10
+      8L -> (good + " " + (1 to 10).map(_ => "#").mkString(" ")), // symbols
+      9L -> ((1 to 58).map(i => s"$i") ++ Seq("the", "with"))
+        .mkString(" "), // digits: alpha fraction < 0.8
+      10L -> (1 to 60).map(i => s"word$i").mkString(" ")) // no stopwords
+    assert(out(6L)("r_word_count") == 0 && out(6L)("keep") == 0)
+    assert(out(7L)("r_mean_len") == 0 && out(7L)("r_word_count") == 1)
+    assert(out(8L)("r_symbol") == 0 && out(8L)("r_word_count") == 1)
+    assert(out(9L)("r_alpha") == 0)
+    assert(out(10L)("r_stop") == 0 && out(10L)("r_alpha") == 1)
+  }
+
+  test("fabricated slices exercise the line rules for real") {
+    // doc 13: ten bullet lines against ONE original line -> 10/11 > 90%
+    // doc 17: four of five lines end with ellipsis -> > 30%
+    val out = gopher(13L -> good, 17L -> good, 19L -> good)
+    assert(out(13L)("r_bullet") == 0)
+    assert(out(17L)("r_ellipsis") == 0)
+    assert(out(19L)("r_symbol") == 0) // 8 hashes vs 68 words: > 0.1
+  }
+
+  private def c4(rows: (Long, String)*) =
+    TextCuration.c4RulesOf(docs(rows: _*)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("c4 keeps punctuated lines, drops the unpunctuated third") {
+    // doc 5: 24 words = 3 chunks; (5+idx)%3 != 0 for idx 0,2 -> 2 kept
+    val words = (1 to 24).map(i => s"w$i").mkString(" ")
+    val out = c4(5L -> words)
+    assert(out(5L).getAs[Int]("n_lines") == 3)
+    assert(out(5L).getAs[Int]("n_sent") == 2)
+    assert(out(5L).getAs[Int]("n_kept") == 2)
+    // fewer than 3 sentences -> the whole doc is dropped
+    assert(out(5L).getAs[Int]("doc_keep") == 0)
+    val kept = out(5L).getAs[String]("kept_text")
+    assert(kept.split("\\.").length == 2 && kept.endsWith("."))
+  }
+
+  test("c4 doc-level screens: lorem ipsum, braces, javascript lines") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ") // 5 chunks
+    val out = c4(29L -> words, 31L -> words, 23L -> words, 7L -> words)
+    assert(out(29L).getAs[Int]("has_lorem") == 1 &&
+      out(29L).getAs[Int]("doc_keep") == 0)
+    assert(out(31L).getAs[Int]("has_brace") == 1 &&
+      out(31L).getAs[Int]("doc_keep") == 0)
+    // javascript kills its line, not the doc
+    assert(out(23L).getAs[Int]("has_lorem") == 0)
+    assert(out(23L).getAs[Int]("n_kept") < out(23L).getAs[Int]("n_sent")
+      || out(23L).getAs[Int]("doc_keep") == 1)
+    assert(!out(23L).getAs[String]("kept_text").contains("javascript"))
+    assert(out(7L).getAs[Int]("doc_keep") == 1) // clean doc with >=3 sentences
+  }
+}
