@@ -94,6 +94,7 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => llm.Dedup.minhashLsh(s, d)),
     "q_simhash" -> (llm.Dedup.simhash _),
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(s, d)),
+    "q_canonical_docs" -> (llm.Dedup.canonicalDocs _),
     "q_decontaminate" -> ((s, d) => llm.Dedup.decontaminate(s, d)),
     "q_hash_split" -> (llm.Sampling.hashSplit _),
     "q_source_mix" -> ((s, d) => llm.Sampling.sourceMix(s, d)),
@@ -317,6 +318,36 @@ object SparkEntry {
   // batch-perceptron chain (mirrors llm.Classifier: integer features,
   // 3 unrolled full-batch rounds). Each round: score with the previous
   // round's weights, count misclassified, add their summed y·x gradient.
+  // shared near-dup cluster chain (MinHash bands -> >=0.5 signature
+  // agreement -> recursive reachability -> min-id component), ending at
+  // `cls` (doc_id, cluster_id) — consumed by q_dup_clusters and the
+  // quality-survivor q_canonical_docs
+  private lazy val dupClusterCte =
+    raw"""WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+      |       FROM tk),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |${sigCte("ex")},
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+      |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+      |    (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+      |    (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+      |    (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]))
+      |  WHERE CAST(len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+      |cl AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+      |cls AS (SELECT d.doc_id,
+      |          COALESCE(LEAST(cl.mn, d.doc_id), d.doc_id) AS cluster_id
+      |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)""".stripMargin
+
   // shared bigram-LM CTE prefix: letter-run bigrams with position (the
   // gramRows tokenization, both tokens + pos kept) and the 'en' train
   // slice. pos is 1-based here vs Spark's 0-based posexplode — it is
@@ -1022,33 +1053,25 @@ object SparkEntry {
     // transitive closure of the LSH pair relation via WITH RECURSIVE;
     // cluster id = min reachable doc_id, singletons map to themselves
     "q_dup_clusters" ->
-      raw"""WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-        |       FROM tk),
-        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |${sigCte("ex")},
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-        |    (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
-        |    (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
-        |    (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
-        |    (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]))
-        |  WHERE CAST(len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 >= 0.5),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-        |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
-        |cl AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
-        |SELECT d.doc_id,
-        |  COALESCE(LEAST(cl.mn, d.doc_id), d.doc_id) AS cluster_id,
-        |  CAST(CASE WHEN COALESCE(LEAST(cl.mn, d.doc_id), d.doc_id) = d.doc_id
-        |       THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
-        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      (dupClusterCte + """
+        |SELECT doc_id, cluster_id,
+        |  CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
+        |FROM cls ORDER BY doc_id""".stripMargin),
+    // survivor selection by QUALITY: per near-dup cluster keep the doc
+    // with the most content (max n_chars, tie -> min doc_id) — the same
+    // cluster chain, a different keep policy
+    "q_canonical_docs" ->
+      (dupClusterCte + """,
+        |q AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+        |      FROM cls c JOIN documents d ON c.doc_id = d.doc_id),
+        |can AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+        |          SELECT cluster_id, doc_id,
+        |            row_number() OVER (PARTITION BY cluster_id
+        |                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |          FROM q) WHERE rn = 1)
+        |SELECT q.doc_id, q.cluster_id, can.canonical_id,
+        |  CAST(q.doc_id = can.canonical_id AS INTEGER) AS keep
+        |FROM q JOIN can USING (cluster_id) ORDER BY q.doc_id""".stripMargin),
     // benchmark = doc_id % 97 == 0 slice; contamination = shared 3-gram
     "q_decontaminate" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

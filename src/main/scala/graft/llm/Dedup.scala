@@ -312,6 +312,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Survivor selection by QUALITY, not min-id: per near-dup cluster keep
+    * the document with the MOST CONTENT (max n_chars, ties to the smaller
+    * doc_id) — the policy real pipelines want, since the min-id survivor
+    * is an accident of ingestion order while the longest copy is usually
+    * the un-truncated one. Same cluster computation as [[dupClustersOf]];
+    * only the keep rule changes.
+    *
+    * Scale: one extra node-sized aggregation over the cluster table — the
+    * argmax is `max_by` over a (n_chars, −doc_id) struct (map-side
+    * partials, no window over the corpus) — and one equi-join back. */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame =
+    canonicalDocsOf(t(spark, dir, "documents"))
+
+  /** DataFrame-in variant (docs: doc_id, text, n_chars). */
+  def canonicalDocsOf(docs: DataFrame): DataFrame = {
+    val cl = dupClustersOf(docs).select("doc_id", "cluster_id")
+    val can = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), -col("doc_id"))).as("canonical_id"))
+    cl.join(can, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag training documents that share ANY
     * k-gram with an eval/benchmark set (the GPT-3/PaLM-style n-gram-overlap
     * rule; the benchmark here is the deterministic doc_id % 97 == 0 slice).

@@ -172,6 +172,30 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length == docs)
   }
 
+  test("canonical survivor is the longest cluster member, not the min id") {
+    import spark.implicits._
+    // 10 and 11 share identical text (certain near-dup pair); 11 carries
+    // MORE content (n_chars) so the quality policy must pick it over the
+    // min-id 10; 20 is a singleton and survives trivially
+    val docs = Seq(
+      (10L, "aa bb cc dd ee ff gg hh", 100L),
+      (11L, "aa bb cc dd ee ff gg hh", 300L),
+      (20L, "zz yy xx ww vv uu tt ss", 50L)).toDF("doc_id", "text", "n_chars")
+    val got = Dedup.canonicalDocsOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(got(10L) == ((10L, 11L, 0)), got(10L).toString) // cluster min-id 10, canonical 11
+    assert(got(11L) == ((10L, 11L, 1)))
+    assert(got(20L) == ((20L, 20L, 1)))
+    // tie on n_chars -> smaller doc_id wins
+    val tied = Seq(
+      (10L, "aa bb cc dd ee ff gg hh", 100L),
+      (11L, "aa bb cc dd ee ff gg hh", 100L)).toDF("doc_id", "text", "n_chars")
+    val t2 = Dedup.canonicalDocsOf(tied).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t2(10L) == 10L && t2(11L) == 10L)
+  }
+
   test("decontaminate flags exactly the docs sharing a 3-gram with bench") {
     import spark.implicits._
     // bench doc 97 shares "a b c" with train doc 1; doc 2 shares nothing;
