@@ -98,6 +98,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => llm.Dedup.decontaminate(s, d)),
     "q_hash_split" -> (llm.Sampling.hashSplit _),
     "q_source_mix" -> ((s, d) => llm.Sampling.sourceMix(s, d)),
+    "q_temperature_mix" -> (llm.Sampling.temperatureMix _),
     "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
     "q_global_shuffle" -> (llm.Sampling.globalShuffle _),
     "q_negative_pairs" -> (llm.Sampling.negativePairs _),
@@ -1188,6 +1189,23 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, mix_bucket FROM b
         |WHERE mix_bucket < keep_pct ORDER BY doc_id""".stripMargin,
+    // temperature mixing at α=0.5: the rate is an IEEE sqrt (correctly
+    // rounded on BOTH engines, unlike pow), so the integer ppm threshold
+    // is bit-exact with no tolerance argument
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_l) AS n_min FROM c),
+        |r AS (SELECT c.lang,
+        |        CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n_l AS DOUBLE)) *
+        |                   CAST(1000000 AS DOUBLE)) AS BIGINT) AS rate_ppm
+        |      FROM c, m),
+        |b AS (SELECT doc_id, lang,
+        |        CAST(('0x' || substr(md5('tmix#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |          % 1000000 AS bucket
+        |      FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket, r.rate_ppm
+        |FROM b JOIN r USING (lang)
+        |WHERE b.bucket < r.rate_ppm ORDER BY b.doc_id""".stripMargin,
     // C4-style global line dedup: 8-word chunks, first occurrence
     // (smallest doc_id, line_idx) wins corpus-wide
     "q_line_dedup" ->

@@ -89,6 +89,45 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-flattened LANGUAGE mixing — the mT5/XLM-R α-sampling
+    * rule (Xue et al. 2021; Conneau et al. 2020): with α ∈ [0, 1] the
+    * keep rate per language is r_l = (n_min / n_l)^(1−α) — α = 1 keeps
+    * the natural distribution, α = 0 downsamples every language to the
+    * rarest one, values between flatten the head without erasing it.
+    * Membership is the [[sourceMix]] rule: a salted hash bucket under an
+    * integer ppm threshold, reproducible across runs/engines/layouts.
+    *
+    * Determinism: at the α = 0.5 default the rate is an IEEE `sqrt` —
+    * CORRECTLY ROUNDED on every engine (unlike `pow`, which is only
+    * within-1-ulp), so floor(r·1e6) is bit-exact cross-engine with no
+    * tolerance argument; other α values take the pow path and carry the
+    * 1-ulp caveat (a 1-in-10⁶-per-doc threshold flip risk an oracle-gated
+    * pipeline should not take).
+    *
+    * Scale: the language histogram is a handful of rows (map-side
+    * partials), broadcast back; the corpus pass is a zero-shuffle
+    * projection + filter. */
+  def temperatureMixOf(docs: DataFrame, alpha: Double = 0.5,
+      salt: String = "tmix"): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val nmin = counts.agg(min("n_l").as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_l").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1 - alpha))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(nmin))
+      .withColumn("rate_ppm", floor(rate * lit(1e6)).cast("long"))
+      .withColumn("bucket",
+        Dedup.h60(concat(lit(s"$salt#"), col("doc_id").cast("string")))
+          % 1000000L)
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(t(spark, dir, "documents"))
+
   /** Deterministic epoch shuffle: every doc gets a reproducible
     * (shard, pos) training order — a pure function of (salt, doc_id), so
     * a rerun, a different engine, or a resumed job all read the corpus

@@ -122,6 +122,54 @@ class SourceMixSpec extends AnyFunSuite {
   }
 }
 
+/** Temperature-mixing contracts: α-endpoints, rarest-language retention,
+  * determinism (exact values are oracle-pinned by q_temperature_mix). */
+class TemperatureMixSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs() = {
+    val s = spark; import s.implicits._
+    // 64 'en' vs 8 'fr': sqrt flattening keeps all fr, ~sqrt(1/8) of en
+    ((1L to 64L).map(i => (i, "en")) ++ (65L to 72L).map(i => (i, "fr")))
+      .toDF("doc_id", "lang")
+  }
+
+  test("alpha=0.5 keeps the rarest language whole and flattens the head") {
+    val out = graft.llm.Sampling.temperatureMixOf(docs()).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.length).toMap
+    assert(byLang("fr") == 8) // rate 1.0: every fr doc kept
+    // en rate = sqrt(8/64) ≈ 0.354: strictly flattened but not erased
+    assert(byLang("en") < 40 && byLang("en") > 8)
+    val ppm = out.filter(_.getAs[String]("lang") == "en")
+      .map(_.getAs[Long]("rate_ppm")).distinct
+    assert(ppm.length == 1 &&
+      ppm.head == math.floor(math.sqrt(8.0 / 64.0) * 1e6).toLong)
+  }
+
+  test("alpha=1 is the natural distribution; alpha=0 equalizes the threshold") {
+    val all = graft.llm.Sampling.temperatureMixOf(docs(), alpha = 1.0)
+      .collect()
+    assert(all.length == 72) // rate 1.0 everywhere
+    val eq = graft.llm.Sampling.temperatureMixOf(docs(), alpha = 0.0)
+      .collect()
+    val ppm = eq.map(r => r.getAs[String]("lang") -> r.getAs[Long]("rate_ppm"))
+      .toMap
+    assert(ppm("en") == 125000L && ppm.getOrElse("fr", 1000000L) == 1000000L)
+  }
+
+  test("membership is deterministic and a pure function of (salt, doc_id)") {
+    val a = graft.llm.Sampling.temperatureMixOf(docs()).collect()
+      .map(_.getLong(0)).toSeq
+    val b = graft.llm.Sampling.temperatureMixOf(docs()).collect()
+      .map(_.getLong(0)).toSeq
+    assert(a == b)
+    val c = graft.llm.Sampling.temperatureMixOf(docs(), salt = "tmix2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(c != a) // a new salt is a fresh draw
+  }
+}
+
 /** Epoch shuffle + contrastive negative sampling contracts (exact
   * values are oracle-pinned by q_global_shuffle / q_negative_pairs). */
 class ShuffleSpec extends AnyFunSuite {
