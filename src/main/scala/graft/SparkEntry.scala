@@ -610,11 +610,11 @@ object SparkEntry {
         |          ORDER BY cc.c)), (u, w2) -> u + w2) AS acc
         |      FROM cc JOIN n ON cc.doc_id = n.doc_id GROUP BY cc.doc_id)
         |SELECT n.doc_id, CAST(n.n_cp AS INTEGER) AS n_cp,
-        |  round(-s.acc, 6) AS ent,
-        |  CASE WHEN round(-s.acc, 6) < CAST(2.0 AS DOUBLE) THEN 'low_entropy'
-        |       WHEN round(-s.acc, 6) > CAST(5.2 AS DOUBLE) THEN 'high_entropy'
+        |  round(-coalesce(s.acc, 0.0), 6) AS ent,
+        |  CASE WHEN round(-coalesce(s.acc, 0.0), 6) < CAST(2.0 AS DOUBLE) THEN 'low_entropy'
+        |       WHEN round(-coalesce(s.acc, 0.0), 6) > CAST(5.2 AS DOUBLE) THEN 'high_entropy'
         |       ELSE 'ok' END AS flag
-        |FROM n JOIN s ON n.doc_id = s.doc_id ORDER BY n.doc_id""".stripMargin,
+        |FROM n LEFT JOIN s ON n.doc_id = s.doc_id ORDER BY n.doc_id""".stripMargin,
     // batch-perceptron quality classifier: integer feature counts +
     // unrolled full-batch rounds — pure int64 arithmetic on both engines
     // (the ivfTrain/bpeTrain unrolling pattern; DuckDB BIGINT sum() is

@@ -429,8 +429,11 @@ object TextOps {
     * the 100 TB-pipeline extension of that idea. [[lmPerplexityOf]]
     * applies the model. */
   def lmModelOf(docs: DataFrame, trainLang: String = "en"): DataFrame = {
-    val (cab, ca, v) =
-      lmCounts(bigramRows(docs.filter(col("lang") === trainLang)))
+    // the three count aggregations share ONE materialized bigram pass —
+    // without the checkpoint each would re-run the corpus shingle scan
+    val bg = bigramRows(docs.filter(col("lang") === trainLang))
+      .localCheckpoint(true)
+    val (cab, ca, v) = lmCounts(bg)
     cab.join(ca, "a").crossJoin(broadcast(v))
       .select(col("a"), col("b"), col("c_ab"), col("c_a"),
         round(lmProb(col("c_ab"), col("c_a"), col("v")), 9).as("p"))

@@ -11,11 +11,12 @@ import graft.Tables._
   * dedup-survivor choice over a link graph in a training-data pipeline).
   *
   * Same execution shape as CC: the edge table is the only corpus-sized
-  * state, each round is ONE broadcast join (node-sized ranks into the
-  * edge scan) plus ONE aggregation (by dst) with map-side partial sums,
-  * rank state is node-sized. Rounds are UNROLLED (fixed iteration
-  * count), the [[graft.llm.Similarity.ivfTrain]] pattern, so the oracle
-  * replays the whole trajectory as CTEs.
+  * state; each round runs two node-sized broadcast joins (ranks into
+  * the edge scan; summed contributions back into the node table) around
+  * ONE aggregation (by dst) with map-side partial sums — the round's
+  * only shuffle. Rank state is node-sized. Rounds are UNROLLED (fixed
+  * iteration count), the [[graft.llm.Similarity.ivfTrain]] pattern, so
+  * the oracle replays the whole trajectory as CTEs.
   *
   * Determinism via FIXED-POINT QUANTIZATION, not ordered folds: each
   * contribution rank(src)·w/wout(src) is floor-quantized to 1e-9 units
@@ -49,8 +50,13 @@ object PageRank {
     * and integer shuffle hashing — callers map to display names AFTER
     * the iterations, not inside them. */
   def pageRankOf(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val wout = edges.groupBy("src").agg(sum("w").cast("double").as("wout"))
-    val e = edges.join(wout, "src")
+    // a zero/negative-weight edge is NO edge: dropping it here keeps
+    // wout strictly positive, so rank·w/wout can never go NaN (floor
+    // silently maps NaN to 0L while the oracle's BIGINT cast errors —
+    // the one way the engines could disagree)
+    val es = edges.filter(col("w") > 0)
+    val wout = es.groupBy("src").agg(sum("w").cast("double").as("wout"))
+    val e = es.join(wout, "src")
       .select(col("src"), col("dst"), col("w").cast("double").as("w"),
         col("wout"))
       .localCheckpoint(true) // reused every round; lineage must not stack

@@ -70,6 +70,15 @@ class PageRankSpec extends AnyFunSuite {
     assert(math.abs(total - out.length) < 1e-6)
   }
 
+  test("a zero-weight edge is no edge (no NaN leakage)") {
+    val withZero = tri ++ Seq((4L, 5L, 0L)) // 5 only reachable via w=0
+    val out = PageRank.pageRankOf(edges(withZero: _*)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(!out.contains(5L)) // dropped edge -> node never enters the graph
+    assert(out == ref(tri, 3).map { case (k, v) => k -> v }) // rest unchanged
+    assert(out.values.forall(v => !v.isNaN))
+  }
+
   test("the quantized sum makes ranks partition-independent") {
     val e = edges(tri: _*)
     val a = PageRank.pageRankOf(e.repartition(1)).collect()
