@@ -87,6 +87,7 @@ object SparkEntry {
     "q_lm_model" -> (llm.TextOps.lmModel _),
     "q_lm_perplexity" -> (llm.TextOps.lmPerplexity _),
     "q_char_entropy" -> (llm.TextOps.charEntropy _),
+    "q_text_embed" -> (llm.TextOps.embedText _),
     "q_pagerank" -> (operators.PageRank.pageRank _),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
@@ -591,6 +592,29 @@ object SparkEntry {
          |SELECT CASE WHEN node % 2 = 0 THEN 'C' || CAST(node // 2 AS VARCHAR)
          |            ELSE 'S' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
          |  round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
+    // hashing-trick embeddings: integer signed counts, ONE IEEE sqrt of
+    // an exact integer + correctly-rounded divisions — bit-exact
+    "q_text_embed" -> {
+      val dims = 0 until 16
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+         |            FROM documents),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5('emb#' || t), 1, 15)) AS BIGINT) % 16 AS j,
+         |        CASE WHEN CAST(('0x' || substr(md5('emb#' || t), 16, 15)) AS BIGINT) % 2 = 0
+         |             THEN 1 ELSE -1 END AS sgn
+         |      FROM tok),
+         |p AS (SELECT doc_id,
+         |        ${dims.map(k =>
+                    s"CAST(coalesce(sum(CASE WHEN j = $k THEN sgn END), 0) AS BIGINT) AS e$k")
+                  .mkString(",\n         |        ")}
+         |      FROM h GROUP BY doc_id),
+         |n2 AS (SELECT *, ${dims.map(k => s"e$k * e$k").mkString(" + ")} AS ssq FROM p)
+         |SELECT doc_id,
+         |  ${dims.map(k =>
+              s"round(CASE WHEN ssq = 0 THEN 0.0 ELSE CAST(e$k AS DOUBLE) / sqrt(CAST(ssq AS DOUBLE)) END, 9) AS e$k")
+            .mkString(",\n         |  ")}
+         |FROM n2 ORDER BY doc_id""".stripMargin
     },
     // char entropy: per-codepoint terms folded in ascending-codepoint
     // order (binary string ORDER BY == codepoint order for single-char

@@ -136,10 +136,18 @@ object Similarity {
     * bucket self-join plus a broadcast anti-filter. No window sort over
     * the full table, no fetch-back joins. */
   def annPairs(spark: SparkSession, dir: String,
-      minSim: Double = 0.3, hotBucketCap: Int = 256): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+      minSim: Double = 0.3, hotBucketCap: Int = 256): DataFrame =
+    annPairsOf(t(spark, dir, "embeddings"), minSim, hotBucketCap)
+
+  /** DataFrame-in variant (emb: vec_id, embedding: ARRAY<FLOAT>) — also
+    * the entry point for DERIVED vectors ([[TextOps.textEmbedVectors]]'
+    * hashing-trick embeddings consume the identical path). */
+  def annPairsOf(emb: DataFrame, minSim: Double = 0.3,
+      hotBucketCap: Int = 256, nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
     // materialize buckets once — both join sides read them
-    val e = signBucketTable(emb).join(emb, "vec_id").localCheckpoint(true)
+    val e = signBucketTable(emb, nPlanes, dim).join(emb, "vec_id")
+      .localCheckpoint(true)
     groupedCosinePairs(e, "bucket", hotBucketCap)
       .filter(col("cos_sim") >= minSim)
       .orderBy("id_a", "id_b")

@@ -487,6 +487,56 @@ object TextOps {
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
     lmPerplexityOf(t(spark, dir, "documents"))
 
+  /** Feature-hashing text embeddings (the "hashing trick", Weinberger et
+    * al., ICML 2009): each letter-run token hashes to a dimension
+    * j = h60(t) mod dim with a ±1 sign from an independent hash bit;
+    * the doc's vector is the signed token-count histogram, L2-normalized.
+    * No trained model, no vocabulary table — the embedder a pipeline can
+    * run on day one, and the BRIDGE from the text family into the
+    * embedding family: the output feeds [[Similarity.annPairsOf]] /
+    * k-NN / PQ unchanged (see [[textEmbedVectors]]).
+    *
+    * Determinism: components are exact integer sums; the norm is ONE
+    * IEEE sqrt of an exact integer (correctly rounded everywhere) and
+    * each division is correctly rounded — bit-exact cross-engine with
+    * no ordered-fold machinery.
+    *
+    * Scale: one explode + one map-side-combinable aggregation (the
+    * conditional-sum pivot keeps reduce state at dim longs per doc),
+    * zero joins. */
+  def embedTextOf(docs: DataFrame, dim: Int = 16): DataFrame = {
+    val h = docs
+      .select(col("doc_id"),
+        explode(letterWords(col("text"))).as("t"))
+      .select(col("doc_id"),
+        pmod(Dedup.h60(concat(lit("emb#"), col("t"))), lit(dim)).as("j"),
+        when(pmod(Dedup.h60hi(concat(lit("emb#"), col("t"))), lit(2)) === 0,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+    val sums = (0 until dim).map(k =>
+      coalesce(sum(when(col("j") === k, col("sgn"))), lit(0L)).as(s"e$k"))
+    val p = h.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val ssq = (0 until dim).map(k => col(s"e$k") * col(s"e$k"))
+      .reduce(_ + _)
+    val norm = sqrt(ssq.cast("double"))
+    val out = (0 until dim).map(k =>
+      round(when(ssq === 0, lit(0.0))
+        .otherwise(col(s"e$k").cast("double") / norm), 9).as(s"e$k"))
+    p.select(col("doc_id") +: out: _*).orderBy("doc_id")
+  }
+
+  def embedText(spark: SparkSession, dir: String): DataFrame =
+    embedTextOf(t(spark, dir, "documents"))
+
+  /** [[embedTextOf]] reshaped to the embeddings-table contract
+    * (vec_id, embedding: ARRAY<FLOAT>) so every ANN/dedup/PQ operator
+    * consumes derived text vectors exactly like stored ones. */
+  def textEmbedVectors(docs: DataFrame, dim: Int = 16): DataFrame = {
+    val e = embedTextOf(docs, dim)
+    e.select(col("doc_id").as("vec_id"),
+      array((0 until dim).map(k => col(s"e$k").cast("float")): _*)
+        .as("embedding"))
+  }
+
   /** Character-entropy quality signal over the corpus via the native
     * [[graft.functions.CharEntropy]] expression: bits per codepoint,
     * flagging base64/hex/binary-ish blobs (high) and repeated-character

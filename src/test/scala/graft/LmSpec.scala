@@ -93,3 +93,46 @@ class LmSpec extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+/** Hashing-trick text embeddings: unit-norm contract, identical-text
+  * collision, and the bridge into the ANN pair path (exact values are
+  * oracle-pinned by q_text_embed). */
+class TextEmbedSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val fix = Seq(
+    1L -> "the cat sat on the mat and the cat slept",
+    2L -> "the cat sat on the mat and the cat slept", // identical to 1
+    3L -> "completely different words about spark shuffles and joins",
+    4L -> "the cat sat on the mat and the dog slept") // near 1
+
+  test("vectors are unit-norm and a pure function of the text") {
+    val out = TextOps.embedTextOf(docs(fix: _*)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 16).map(k => r.getAs[Double](s"e$k"))).toMap
+    out.values.foreach { v =>
+      val n = v.map(x => x * x).sum
+      assert(math.abs(n - 1.0) < 1e-6, s"norm $n") // rounded components
+    }
+    assert(out(1L) == out(2L)) // same text, same vector, bit for bit
+    assert(out(1L) != out(3L))
+  }
+
+  test("derived vectors flow through the ANN pair path unchanged") {
+    val vecs = TextOps.textEmbedVectors(docs(fix: _*))
+    assert(vecs.schema("embedding").dataType.simpleString == "array<float>")
+    val pairs = graft.llm.Similarity
+      .annPairsOf(vecs, minSim = 0.9, dim = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim")))
+    // identical docs land in the same sign bucket with cosine 1
+    assert(pairs.exists { case (a, b, s2) => a == 1L && b == 2L && s2 == 1.0 })
+    // the unrelated doc 3 pairs with nobody at 0.9
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+}
