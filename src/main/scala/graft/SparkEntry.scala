@@ -100,6 +100,7 @@ object SparkEntry {
     "q_hash_split" -> (llm.Sampling.hashSplit _),
     "q_source_mix" -> ((s, d) => llm.Sampling.sourceMix(s, d)),
     "q_temperature_mix" -> (llm.Sampling.temperatureMix _),
+    "q_kanon_release" -> ((s, d) => Relational.kanonRelease(s, d)),
     "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
     "q_global_shuffle" -> (llm.Sampling.globalShuffle _),
     "q_negative_pairs" -> (llm.Sampling.negativePairs _),
@@ -1213,6 +1214,19 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, mix_bucket FROM b
         |WHERE mix_bucket < keep_pct ORDER BY doc_id""".stripMargin,
+    // k-anonymous stats release: groups under k=10 fold into ONE 'other'
+    // row — pure integer counts
+    "q_kanon_release" ->
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |           FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, source, n, sum_chars FROM g WHERE n >= 10),
+        |s AS (SELECT 'other' AS lang, 'other' AS source,
+        |        CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+        |        CAST(coalesce(sum(sum_chars), 0) AS BIGINT) AS sum_chars
+        |      FROM g WHERE n < 10)
+        |SELECT * FROM (SELECT * FROM r UNION ALL SELECT * FROM s WHERE s.n > 0)
+        |ORDER BY lang, source""".stripMargin,
     // temperature mixing at α=0.5: the rate is an IEEE sqrt (correctly
     // rounded on BOTH engines, unlike pow), so the integer ppm threshold
     // is bit-exact with no tolerance argument

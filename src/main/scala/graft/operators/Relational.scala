@@ -154,4 +154,28 @@ object Relational {
       .union(t(spark, dir, "supplier").select(col("s_nationkey").as("nk")))
       .distinct()
       .orderBy("nk")
+
+  /** k-ANONYMOUS aggregate release (Sweeney 2002): per-(lang, source)
+    * corpus statistics are published only for groups with ≥ k members;
+    * smaller groups fold into ONE 'other' row, so no released row
+    * describes fewer than k documents. The privacy-preserving stats
+    * egress a governance pipeline runs before sharing corpus
+    * composition externally — all integer counts, bit-exact.
+    *
+    * Scale: one map-side-combinable aggregation to the (few-hundred-row)
+    * group table; the suppression split and re-fold happen on that tiny
+    * frame, never the corpus. */
+  def kanonRelease(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val g = t(spark, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+    val released = g.filter(col("n") >= k)
+    val suppressed = g.filter(col("n") < k)
+      .agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("sum_chars"), lit(0L)).as("sum_chars"))
+      .select(lit("other").as("lang"), lit("other").as("source"),
+        col("n"), col("sum_chars"))
+      .filter(col("n") > 0) // no empty 'other' row when nothing suppressed
+    released.unionByName(suppressed).orderBy("lang", "source")
+  }
 }

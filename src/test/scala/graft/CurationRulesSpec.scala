@@ -4,6 +4,28 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.TextCuration
 
+/** k-anonymous release: no published row under k, suppressed mass
+  * conserved, no empty 'other' row. */
+class KAnonSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("no released group has fewer than k members; mass is conserved") {
+    val out = graft.operators.Relational.kanonRelease(spark, sfDir, k = 10)
+      .collect()
+    val named = out.filter(_.getAs[String]("lang") != "other")
+    assert(named.forall(_.getAs[Long]("n") >= 10))
+    val total = out.map(_.getAs[Long]("n")).sum
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(total == docs) // suppression redistributes, never deletes
+  }
+
+  test("when every group clears k there is no 'other' row") {
+    val out = graft.operators.Relational.kanonRelease(spark, sfDir, k = 1)
+      .collect()
+    assert(!out.exists(_.getAs[String]("lang") == "other"))
+  }
+}
+
 /** Contract tests for the Gopher rule battery and C4 heuristics on
   * adversarial fixtures (the oracle rows pin engine-vs-engine values on
   * the corpus; these pin each rule's firing condition). */
