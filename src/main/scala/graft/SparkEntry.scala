@@ -101,6 +101,7 @@ object SparkEntry {
     "q_source_mix" -> ((s, d) => llm.Sampling.sourceMix(s, d)),
     "q_temperature_mix" -> (llm.Sampling.temperatureMix _),
     "q_kanon_release" -> ((s, d) => Relational.kanonRelease(s, d)),
+    "q_budget_select" -> (llm.Sampling.budgetSelect _),
     "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
     "q_global_shuffle" -> (llm.Sampling.globalShuffle _),
     "q_negative_pairs" -> (llm.Sampling.negativePairs _),
@@ -656,6 +657,20 @@ object SparkEntry {
         |SELECT f.doc_id, ${clfScoreExpr("r3")} AS score,
         |  CASE WHEN ${clfScoreExpr("r3")} > 0 THEN 'keep' ELSE 'drop' END AS pred
         |FROM f, r3 ORDER BY f.doc_id""".stripMargin),
+    // token-budget selection: the (score DESC, doc_id) prefix whose
+    // running token sum fits the budget — the oracle states the naive
+    // global-window rule; the Spark side's two-phase cut is proven
+    // equivalent by spec
+    "q_budget_select" ->
+      (clfChain + s"""
+        |, sc AS (SELECT f.doc_id, ${clfScoreExpr("r3")} AS score,
+        |           CAST(f.x1 + 25 AS BIGINT) AS n_tok FROM f, r3),
+        |cum AS (SELECT doc_id, score, n_tok,
+        |          sum(n_tok) OVER (ORDER BY score DESC, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |        FROM sc)
+        |SELECT doc_id, score, n_tok FROM cum WHERE c <= 10000
+        |ORDER BY doc_id""".stripMargin),
     // relevance scoring uses the RATIONAL idf (N-df+0.5)/(df+0.5) — BM25's
     // idf ratio without ln(), which is not correctly-rounded and differs
     // between java.lang.Math and DuckDB's libm in the last ulp. Every

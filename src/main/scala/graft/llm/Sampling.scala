@@ -128,6 +128,61 @@ object Sampling {
   def temperatureMix(spark: SparkSession, dir: String): DataFrame =
     temperatureMixOf(t(spark, dir, "documents"))
 
+  /** Token-BUDGET data selection: keep the best documents — ranked by the
+    * TRAINED quality classifier ([[Classifier.clfScore]]), ties to the
+    * smaller doc_id — until the corpus token budget is spent (the
+    * "select N tokens of the best data" step between scoring and
+    * training). The kept set is exactly the prefix of the
+    * (score DESC, doc_id ASC) order whose running token sum stays ≤
+    * budget.
+    *
+    * Scale: the naive formulation is a GLOBAL running-sum window — one
+    * partition sorting the corpus. This is TWO-PHASE instead: per-score
+    * token totals (integer scores → a small histogram with map-side
+    * partials) come to the driver, which finds the boundary score and
+    * the remaining budget; whole score-groups above the boundary pass
+    * with a filter, and only the boundary GROUP runs a running-sum
+    * window (partitioned by its score — never the corpus). The
+    * [[stratifiedSample]] two-phase discipline, proven equivalent to the
+    * naive window by spec. */
+  def budgetSelectOf(docs: DataFrame, budget: Long = 10000L): DataFrame = {
+    val scored = Classifier.clfScore(docs)
+      .join(docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+        "doc_id")
+      .select(col("doc_id"), col("score"), col("n_tok"))
+      .localCheckpoint(true) // histogram AND selection read it
+    val hist = scored.groupBy("score").agg(sum("n_tok").as("stok"))
+      .collect()
+      .map(r => r.getAs[Long]("score") -> r.getAs[Long]("stok"))
+      .sortBy { case (s, _) => -s }
+    var acc = 0L
+    var boundary: Option[(Long, Long)] = None // (score, remaining budget)
+    var fullMin = Long.MaxValue // lowest score whose group is FULLY kept
+    hist.takeWhile { case (s, st) =>
+      if (acc + st <= budget) { acc += st; fullMin = s; true }
+      else { boundary = Some((s, budget - acc)); false }
+    }
+    val above =
+      if (fullMin == Long.MaxValue) scored.filter(lit(false))
+      else scored.filter(col("score") >= fullMin)
+    val atBoundary = boundary match {
+      case None => scored.filter(lit(false))
+      case Some((bs, rem)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("score").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        scored.filter(col("score") === bs)
+          .withColumn("cum", sum("n_tok").over(w))
+          .filter(col("cum") <= rem)
+          .drop("cum")
+    }
+    above.unionByName(atBoundary).orderBy("doc_id")
+  }
+
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame =
+    budgetSelectOf(t(spark, dir, "documents"))
+
   /** Deterministic epoch shuffle: every doc gets a reproducible
     * (shard, pos) training order — a pure function of (salt, doc_id), so
     * a rerun, a different engine, or a resumed job all read the corpus

@@ -26,6 +26,44 @@ class KAnonSpec extends AnyFunSuite {
   }
 }
 
+/** Budget selection: the two-phase cut must equal the naive global
+  * running-sum window, with sane budget endpoints. */
+class BudgetSelectSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def naive(budget: Long) = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val scored = graft.llm.Classifier.clfScore(docs)
+      .join(docs.select(col("doc_id"),
+        size(graft.llm.TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+        "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored.withColumn("cum", sum("n_tok").over(w))
+      .filter(col("cum") <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  private def twoPhase(budget: Long) = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.llm.Sampling.budgetSelectOf(docs, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("two-phase selection equals the naive global window") {
+    Seq(0L, 100L, 500L, 1000L, 2000L, Long.MaxValue / 4).foreach { b =>
+      assert(twoPhase(b) == naive(b), s"budget $b")
+    }
+  }
+
+  test("budget endpoints: zero selects nothing, infinite selects all") {
+    assert(twoPhase(0L).isEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(twoPhase(Long.MaxValue / 4).size == docs)
+  }
+}
+
 /** Contract tests for the Gopher rule battery and C4 heuristics on
   * adversarial fixtures (the oracle rows pin engine-vs-engine values on
   * the corpus; these pin each rule's firing condition). */
