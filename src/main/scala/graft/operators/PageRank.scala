@@ -65,26 +65,32 @@ object PageRank {
       .localCheckpoint(true)
     var rank = nodes.withColumn("rank", lit(1.0))
     (1 to iters).foreach { _ =>
-      // ranks are node-sized: broadcast into the edge scan, so the only
-      // shuffle per round is the (dst, cq) partial-sum aggregation
-      val contrib = e.join(
-          broadcast(rank.withColumnRenamed("node", "src")), "src")
-        .select(col("dst"),
-          floor(col("rank") * col("w") / col("wout") * lit(QScale))
-            .as("cq"))
-      rank = nodes.join(
-          broadcast(contrib.groupBy("dst")
-            .agg(sum("cq").as("sq"))
-            .select(col("dst").as("node"),
-              (col("sq").cast("double") / lit(QScale)).as("s"))),
-          Seq("node"), "left")
-        .select(col("node"),
-          (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
-        // each round's rank feeds the next broadcast; checkpoint keeps
-        // the plan linear in iters, the CC discipline
-        .localCheckpoint(true)
+      // each round's rank feeds the next broadcast; checkpoint keeps
+      // the plan linear in iters, the CC discipline
+      rank = rankRound(e, nodes, rank).localCheckpoint(true)
     }
     rank
+  }
+
+  /** One un-materialized round (exposed so PlanSpec can pin the shape —
+    * the eager checkpoints erase it from the final query's plan): ranks
+    * are node-sized, so they broadcast into the edge scan, and the only
+    * shuffle is the (dst, cq) partial-sum aggregation. */
+  private[graft] def rankRound(e: DataFrame, nodes: DataFrame,
+      rank: DataFrame): DataFrame = {
+    val contrib = e.join(
+        broadcast(rank.withColumnRenamed("node", "src")), "src")
+      .select(col("dst"),
+        floor(col("rank") * col("w") / col("wout") * lit(QScale))
+          .as("cq"))
+    nodes.join(
+        broadcast(contrib.groupBy("dst")
+          .agg(sum("cq").as("sq"))
+          .select(col("dst").as("node"),
+            (col("sq").cast("double") / lit(QScale)).as("s"))),
+        Seq("node"), "left")
+      .select(col("node"),
+        (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
   }
 
   /** Driver-contract query: PageRank over the BIDIRECTIONAL procurement
