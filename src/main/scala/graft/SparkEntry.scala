@@ -102,6 +102,7 @@ object SparkEntry {
     "q_temperature_mix" -> (llm.Sampling.temperatureMix _),
     "q_kanon_release" -> ((s, d) => Relational.kanonRelease(s, d)),
     "q_budget_select" -> (llm.Sampling.budgetSelect _),
+    "q_data_card" -> (llm.TextOps.dataCard _),
     "q_stratified_sample" -> ((s, d) => llm.Sampling.stratifiedSample(s, d)),
     "q_global_shuffle" -> (llm.Sampling.globalShuffle _),
     "q_negative_pairs" -> (llm.Sampling.negativePairs _),
@@ -1229,6 +1230,30 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, mix_bucket FROM b
         |WHERE mix_bucket < keep_pct ORDER BY doc_id""".stripMargin,
+    // data card: every metric from ONE aggregation; counts exact in
+    // doubles, fractions single correctly-rounded divisions
+    "q_data_card" ->
+      raw"""WITH d AS (SELECT lang, source, text,
+        |             regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |        CAST(CAST(sum(len(toks)) AS BIGINT) AS DOUBLE) AS n_tokens,
+        |        CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+        |        CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+        |        CAST(count(DISTINCT md5(text)) AS DOUBLE) AS n_uniq,
+        |        CAST(CAST(sum(CASE WHEN len(toks) >= 25 AND
+        |              5 * len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) <= len(toks)
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS n_q
+        |      FROM d)
+        |SELECT * FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+        |  UNION ALL SELECT 'n_langs', n_langs FROM a
+        |  UNION ALL SELECT 'n_sources', n_sources FROM a
+        |  UNION ALL SELECT 'mean_doc_tokens', round(n_tokens / n_docs, 6) FROM a
+        |  UNION ALL SELECT 'exact_dup_frac', round(CAST(1.0 AS DOUBLE) - n_uniq / n_docs, 6) FROM a
+        |  UNION ALL SELECT 'quality_keep_frac', round(n_q / n_docs, 6) FROM a)
+        |ORDER BY metric""".stripMargin,
     // k-anonymous stats release: groups under k=10 fold into ONE 'other'
     // row — pure integer counts
     "q_kanon_release" ->

@@ -555,6 +555,48 @@ object TextOps {
           .otherwise("ok"))
       .orderBy("doc_id")
 
+  /** Corpus DATA CARD ("Datasheets for Datasets", Gebru et al. 2021): the
+    * one-row-per-metric composition summary a dataset release ships —
+    * sizes, language/source breadth, exact-duplicate fraction, heuristic
+    * quality keep rate, mean document length. ONE aggregation pass over
+    * the scan computes every metric (map-side partials, a single job);
+    * `stack` pivots the row to (metric, value). Counts are exact
+    * integers in doubles; fractions are single correctly-rounded
+    * divisions — bit-exact with no ordered-fold machinery. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame =
+    dataCardOf(t(spark, dir, "documents"))
+
+  def dataCardOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = stopwordCount(toks).cast("long")
+    val agg1 = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(tokens(col("text")))).cast("double").as("n_tokens"),
+      countDistinct(col("lang")).cast("double").as("n_langs"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      countDistinct(md5(col("text"))).cast("double").as("n_uniq_text"),
+      sum(when(nTok >= 25 && nStop * 5 <= nTok, 1L).otherwise(0L))
+        .cast("double").as("n_quality"))
+    agg1.select(
+      round(col("n_tokens") / col("n_docs"), 6).as("mean_doc_tokens"),
+      round(lit(1.0) - col("n_uniq_text") / col("n_docs"), 6)
+        .as("exact_dup_frac"),
+      round(col("n_quality") / col("n_docs"), 6).as("quality_keep_frac"),
+      col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"))
+      .selectExpr(
+        """stack(7,
+          |  'n_docs', n_docs,
+          |  'n_tokens', n_tokens,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'mean_doc_tokens', mean_doc_tokens,
+          |  'exact_dup_frac', exact_dup_frac,
+          |  'quality_keep_frac', quality_keep_frac) AS (metric, value)"""
+          .stripMargin)
+      .orderBy("metric")
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash
     * h = fold(h*31 + codepoint) mod 1e9+7 over characters. Portable across
     * engines (no murmur dependence). */

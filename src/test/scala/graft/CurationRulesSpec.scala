@@ -4,6 +4,30 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.TextCuration
 
+/** Data card: known-answer metrics on a tiny corpus. */
+class DataCardSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("metrics are exact on a hand-computable fixture") {
+    val s = spark; import s.implicits._
+    val good = ((1 to 23).map(i => s"w$i") ++ Seq("the", "a")).mkString(" ")
+    val d = Seq(
+      (1L, good, "en", "s0"), // 25 toks, 2 stop: passes the quality gate
+      (2L, good, "en", "s1"), // exact duplicate of 1's text
+      (3L, "tiny doc", "de", "s0"), // fails gate (too short)
+      (4L, "the the the the", "en", "s0")) // 4 toks: fails gate
+      .toDF("doc_id", "text", "lang", "source")
+    val card = graft.llm.TextOps.dataCardOf(d).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(card("n_docs") == 4.0)
+    assert(card("n_tokens") == 25.0 + 25.0 + 2.0 + 4.0)
+    assert(card("n_langs") == 2.0 && card("n_sources") == 2.0)
+    assert(card("exact_dup_frac") == 0.25) // 3 distinct texts of 4
+    assert(card("quality_keep_frac") == 0.5) // docs 1 and 2
+    assert(card("mean_doc_tokens") == 14.0)
+  }
+}
+
 /** k-anonymous release: no published row under k, suppressed mass
   * conserved, no empty 'other' row. */
 class KAnonSpec extends AnyFunSuite {
