@@ -552,9 +552,11 @@ object SparkEntry {
         |        list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
         |                    (u, w2) -> u + w2) AS tot
         |      FROM lp GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams,
-        |  round(tot / CAST(n_bigrams AS DOUBLE), 6) AS xent
-        |FROM s ORDER BY doc_id""".stripMargin),
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(round(s.tot / CAST(s.n_bigrams AS DOUBLE), 6),
+        |           (SELECT round(ln(v.v), 6) FROM v)) AS xent
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
     // pattern): integer edge weights; per-node in-neighbor sums are
     // FIXED-POINT — each contribution floor-quantized to 1e-9 units as
@@ -1265,7 +1267,7 @@ object SparkEntry {
         |        CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
         |        CAST(coalesce(sum(sum_chars), 0) AS BIGINT) AS sum_chars
         |      FROM g WHERE n < 10)
-        |SELECT * FROM (SELECT * FROM r UNION ALL SELECT * FROM s WHERE s.n > 0)
+        |SELECT * FROM (SELECT * FROM r UNION ALL SELECT * FROM s WHERE s.n >= 10)
         |ORDER BY lang, source""".stripMargin,
     // temperature mixing at α=0.5: the rate is an IEEE sqrt (correctly
     // rounded on BOTH engines, unlike pow), so the integer ppm threshold

@@ -53,7 +53,7 @@ object Classifier {
     val nStop = TextOps.stopwordCount(toks).cast("long")
     docs.select(
       col("doc_id"),
-      when(nTok >= 25 && nStop * 5 <= nTok, 1L).otherwise(-1L).as("y"),
+      when(TextOps.qualityGate(toks), 1L).otherwise(-1L).as("y"),
       lit(1L).as("x0"),
       (nTok - 25).as("x1"),
       (size(array_distinct(toks)).cast("long") - 18).as("x2"),
@@ -106,6 +106,19 @@ object Classifier {
       s.as("score"),
       when(s > 0, "keep").otherwise("drop").as("pred"))
       .orderBy("doc_id")
+  }
+
+  /** Scored docs WITH the token count recovered from the feature frame
+    * (x1 = n_tok − 25) — consumers that need both (budget selection)
+    * must not re-tokenize the corpus to recompute what the checkpointed
+    * features already hold. */
+  private[llm] def scoredTokens(docs: DataFrame): DataFrame = {
+    val feat = Materialize.checkpoint(featureFrame(docs))
+    val w = trainOn(feat).last._3
+    feat.select(
+      col("doc_id"),
+      scoreCol(w).as("score"),
+      (col("x1") + 25L).as("n_tok"))
   }
 
   def clfTrainQuery(spark: SparkSession, dir: String): DataFrame =

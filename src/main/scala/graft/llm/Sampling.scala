@@ -146,11 +146,10 @@ object Sampling {
     * [[stratifiedSample]] two-phase discipline, proven equivalent to the
     * naive window by spec. */
   def budgetSelectOf(docs: DataFrame, budget: Long = 10000L): DataFrame = {
-    val scored = Classifier.clfScore(docs)
-      .join(docs.select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
-        "doc_id")
-      .select(col("doc_id"), col("score"), col("n_tok"))
+    // n_tok comes off the classifier's checkpointed feature frame
+    // (x1 + 25) — re-tokenizing the corpus here would be a second full
+    // scan plus a join for a number the features already hold
+    val scored = Classifier.scoredTokens(docs)
       .localCheckpoint(true) // histogram AND selection read it
     val hist = scored.groupBy("score").agg(sum("n_tok").as("stok"))
       .collect()

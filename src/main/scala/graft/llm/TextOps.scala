@@ -60,6 +60,16 @@ object TextOps {
     size(filter(toks, w =>
       array_contains(array(stopwords.map(lit): _*), w)))
 
+  /** The heuristic KEEP gate (enough tokens AND stopword ratio ≤ 1/5) —
+    * ONE definition shared by the classifier's distillation label
+    * ([[Classifier.featureFrame]]) and the data card's
+    * quality_keep_frac, so a threshold change reaches every consumer or
+    * none. */
+  private[llm] def qualityGate(toks: Column): Column = {
+    val nTok = size(toks).cast("long")
+    nTok >= 25 && stopwordCount(toks).cast("long") * 5 <= nTok
+  }
+
   /** Quality scoring: stopword ratio, uniqueness ratio, and a CASE label —
     * the shape of heuristic quality filters in pretraining pipelines. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -450,7 +460,9 @@ object TextOps {
     * High xent = text the trusted-language model finds surprising (noise,
     * wrong language, gibberish); low = fluent-under-the-model (CCNet
     * keeps the low-perplexity head). Unseen context backs off to the
-    * uniform 1/V via the same smoothing formula (c_ab = c_a = 0).
+    * uniform 1/V via the same smoothing formula (c_ab = c_a = 0); a doc
+    * too short to form a bigram scores the uniform-model ceiling ln V
+    * with n_bigrams = 0, so every input doc gets a row.
     *
     * Determinism: ln() is within-1-ulp (not bit-identical) across
     * engines, so the per-doc sum is replayed as an ORDERED fold —
@@ -468,7 +480,7 @@ object TextOps {
   def lmPerplexityOf(docs: DataFrame, trainLang: String = "en"): DataFrame = {
     val bg = bigramRows(docs).localCheckpoint(true) // feeds model AND scorer
     val (cab, ca, v) = lmCounts(bg.filter(col("lang") === trainLang))
-    bg.join(cab, Seq("a", "b"), "left")
+    val scored = bg.join(cab, Seq("a", "b"), "left")
       .join(ca, Seq("a"), "left")
       .crossJoin(broadcast(v))
       .withColumn("lp", -log(lmProb(col("c_ab"), col("c_a"), col("v"))))
@@ -481,6 +493,16 @@ object TextOps {
             (acc, x) => acc + x.getField("lp")) /
             size(col("lps")).cast("double"),
           6).as("xent"))
+    // a doc too short to form a bigram (empty, one word, all digits)
+    // must not silently vanish from a quality gate: score it at the
+    // uniform-model ceiling ln V — the exact value fully-UNSEEN text
+    // gets — with n_bigrams = 0 marking it unscorable-by-content
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("xent"), round(log(col("v")), 6)).as("xent"))
       .orderBy("doc_id")
   }
 
@@ -568,15 +590,13 @@ object TextOps {
 
   def dataCardOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nStop = stopwordCount(toks).cast("long")
     val agg1 = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(size(tokens(col("text")))).cast("double").as("n_tokens"),
       countDistinct(col("lang")).cast("double").as("n_langs"),
       countDistinct(col("source")).cast("double").as("n_sources"),
       countDistinct(md5(col("text"))).cast("double").as("n_uniq_text"),
-      sum(when(nTok >= 25 && nStop * 5 <= nTok, 1L).otherwise(0L))
+      sum(when(qualityGate(toks), 1L).otherwise(0L))
         .cast("double").as("n_quality"))
     agg1.select(
       round(col("n_tokens") / col("n_docs"), 6).as("mean_doc_tokens"),

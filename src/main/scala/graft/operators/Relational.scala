@@ -165,17 +165,24 @@ object Relational {
     * Scale: one map-side-combinable aggregation to the (few-hundred-row)
     * group table; the suppression split and re-fold happen on that tiny
     * frame, never the corpus. */
-  def kanonRelease(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val g = t(spark, dir, "documents")
+  def kanonRelease(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    kanonReleaseOf(t(spark, dir, "documents"), k)
+
+  def kanonReleaseOf(docs: DataFrame, k: Int = 10): DataFrame = {
+    val g = docs
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
     val released = g.filter(col("n") >= k)
+    // the fold-row must honor the SAME k floor: if the suppressed groups
+    // together hold fewer than k members, publishing their combined stats
+    // would still describe < k documents (with one suppressed group it
+    // would BE that group) — drop the row entirely in that case
     val suppressed = g.filter(col("n") < k)
       .agg(coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(sum("sum_chars"), lit(0L)).as("sum_chars"))
       .select(lit("other").as("lang"), lit("other").as("source"),
         col("n"), col("sum_chars"))
-      .filter(col("n") > 0) // no empty 'other' row when nothing suppressed
+      .filter(col("n") >= k)
     released.unionByName(suppressed).orderBy("lang", "source")
   }
 }

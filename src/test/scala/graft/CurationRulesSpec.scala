@@ -33,14 +33,37 @@ class DataCardSpec extends AnyFunSuite {
 class KAnonSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("no released group has fewer than k members; mass is conserved") {
+  test("EVERY released row has at least k members — including 'other'") {
     val out = graft.operators.Relational.kanonRelease(spark, sfDir, k = 10)
       .collect()
-    val named = out.filter(_.getAs[String]("lang") != "other")
-    assert(named.forall(_.getAs[Long]("n") >= 10))
+    assert(out.forall(_.getAs[Long]("n") >= 10), out.mkString("; "))
+    // released mass never exceeds the corpus; the shortfall (if any) is
+    // a below-k 'other' fold that must be fully suppressed, not published
     val total = out.map(_.getAs[Long]("n")).sum
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    assert(total == docs) // suppression redistributes, never deletes
+    assert(total <= docs)
+    if (total < docs)
+      assert(!out.exists(_.getAs[String]("lang") == "other"))
+  }
+
+  test("a below-k residue is suppressed entirely, not published as 'other'") {
+    val s = spark; import s.implicits._
+    // one big group + one 3-member group: the residue is under k, and
+    // publishing it as 'other' would disclose that group's exact stats
+    val rows = (1L to 20L).map(i => (i, "en", "s0", 10L)) ++
+      (21L to 23L).map(i => (i, "fr", "s1", 10L))
+    val out = graft.operators.Relational
+      .kanonReleaseOf(rows.toDF("doc_id", "lang", "source", "n_chars"), 10)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("lang") == "en" &&
+      out.head.getAs[Long]("n") == 20L)
+    // and a residue that itself clears k IS published as one fold row
+    val rows2 = rows ++ (24L to 32L).map(i => (i, "zh", "s2", 10L))
+    val out2 = graft.operators.Relational
+      .kanonReleaseOf(rows2.toDF("doc_id", "lang", "source", "n_chars"), 10)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    assert(out2 == Map("en" -> 20L, "other" -> 12L)) // 3 fr + 9 zh folded
   }
 
   test("when every group clears k there is no 'other' row") {

@@ -58,11 +58,18 @@ class LmSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Int]("n_bigrams"), r.getAs[Double]("xent"))).toMap
     val ref = refScores(fixture, "en")
-    assert(out.keySet == ref.keySet && !out.contains(7L))
+    // every input doc gets a row: the bigram-less doc 7 scores the
+    // uniform-model ceiling ln V with n_bigrams = 0
+    assert(out.keySet == ref.keySet + 7L)
     ref.foreach { case (id, (n, x)) =>
       assert(out(id)._1 == n, s"doc $id n_bigrams")
       assert(out(id)._2 == x, s"doc $id xent: got ${out(id)._2}, want $x")
     }
+    val v = TextOps.lmModelOf(docs(fixture: _*))
+      .select("a").distinct().count().toDouble
+    val ceiling = BigDecimal(math.log(v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(7L) == ((0, ceiling)))
   }
 
   test("model trains ONLY on the train-language slice") {
