@@ -79,6 +79,36 @@ class PageRankSpec extends AnyFunSuite {
     assert(out.values.forall(v => !v.isNaN))
   }
 
+  test("random ergodic graphs match the reference (property sweep)") {
+    // deterministic pseudo-random graphs (hash-derived, no RNG): n nodes,
+    // each undirected edge (i, j) present iff md5(seed#i#j) is even,
+    // weight 1 + hash % 5 — always including a ring so the graph is
+    // connected/ergodic
+    def graph(seed: Int, n: Int): Seq[(Long, Long, Long)] = {
+      def h(s: String): Long = math.abs(
+        java.util.UUID.nameUUIDFromBytes(s.getBytes).getLeastSignificantBits)
+      val ring = (0 until n).flatMap { i =>
+        val j = (i + 1) % n
+        Seq((i.toLong, j.toLong, 1L), (j.toLong, i.toLong, 1L))
+      }
+      val extra = (for {
+        i <- 0 until n; j <- (i + 2) until n
+        if h(s"$seed#$i#$j") % 3 == 0
+      } yield {
+        val w = 1L + h(s"w$seed#$i#$j") % 5
+        Seq((i.toLong, j.toLong, w), (j.toLong, i.toLong, w))
+      }).flatten
+      ring ++ extra
+    }
+    Seq((1, 9), (2, 14), (3, 20)).foreach { case (seed, n) =>
+      val es = graph(seed, n)
+      val out = PageRank.pageRankOf(edges(es: _*)).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+      val want = ref(es, 3)
+      assert(out == want, s"seed=$seed n=$n")
+    }
+  }
+
   test("the quantized sum makes ranks partition-independent") {
     val e = edges(tri: _*)
     val a = PageRank.pageRankOf(e.repartition(1)).collect()
