@@ -75,4 +75,59 @@ object Curation {
         Sampling.splitName(Sampling.splitBucket(col("doc_id"))).as("split"))
       .orderBy("doc_id")
   }
+
+  /** The MODERN curation funnel — the round-6 gates chained in the order
+    * a 2020s pretraining pipeline runs them, reported as a per-stage
+    * funnel (stage, ord, n_in, n_kept):
+    *
+    *   1. gopher rules       (document-shape battery)
+    *   2. c4 heuristics      (line punctuation/contaminant screens)
+    *   3. LM perplexity      (keep the fluent-under-model head,
+    *                          xent ≤ maxXent)
+    *   4. canonical near-dup (quality survivor per cluster)
+    *   5. temperature mix    (language-flattened membership)
+    *   6. token budget       (best classifier scores until spent)
+    *
+    * Cheap shape gates first, model scoring second, expensive pairwise
+    * dedup third, membership/budget last — the shrinking-set cost order
+    * [[curationE2E]] establishes. Every stage operator is individually
+    * oracle-checked; the COMPOSITION is pinned by reconciliation spec
+    * (each stage's n_in equals the previous n_kept; each stage equals
+    * the standalone operator applied to the surviving subset). Stages
+    * checkpoint between steps so lineage stays flat. */
+  def curationFunnel(docs: DataFrame, maxXent: Double = 4.0,
+      budget: Long = 10000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def ck(df: DataFrame): DataFrame = graft.Materialize.checkpoint(df)
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    def step(name: String, in: DataFrame, out: DataFrame): DataFrame = {
+      val kept = ck(out)
+      stages += ((name, in.count(), kept.count()))
+      kept
+    }
+    val d0 = ck(docs)
+    val d1 = step("gopher_rules", d0, d0.join(
+      TextCuration.gopherRulesOf(d0).filter(col("keep") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    val d2 = step("c4_rules", d1, d1.join(
+      TextCuration.c4RulesOf(d1).filter(col("doc_keep") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    val d3 = step("lm_perplexity", d2, d2.join(
+      TextOps.lmPerplexityOf(d2).filter(col("xent") <= maxXent)
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    val d4 = step("canonical_dedup", d3, d3.join(
+      Dedup.canonicalDocsOf(d3).filter(col("keep") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    val d5 = step("temperature_mix", d4, d4.join(
+      Sampling.temperatureMixOf(d4).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    step("token_budget", d5, d5.join(
+      Sampling.budgetSelectOf(d5, budget).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    stages.zipWithIndex
+      .map { case ((n, i, k), ord) => (n, ord + 1, i, k) }
+      .toSeq.toDF("stage", "ord", "n_in", "n_kept")
+      .orderBy("ord")
+  }
 }

@@ -4,6 +4,31 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.TextCuration
 
+/** The modern curation funnel: stage accounting must reconcile and each
+  * stage must equal the standalone operator on the surviving subset. */
+class CurationFunnelSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("funnel stages reconcile and agree with standalone operators") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val f = graft.llm.Curation.curationFunnel(docs).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Int]("ord"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_kept")))
+    assert(f.map(_._1).toSeq == Seq("gopher_rules", "c4_rules",
+      "lm_perplexity", "canonical_dedup", "temperature_mix", "token_budget"))
+    // chain accounting: every stage consumes exactly what the previous kept
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._4, s"${b._1} n_in ${b._3} != ${a._1} n_kept ${a._4}")
+    }
+    f.foreach { case (n, _, i, k) => assert(k <= i, s"$n grew the corpus") }
+    assert(f.head._3 == docs.count())
+    // stage 1 must equal the standalone gopher gate on the full corpus
+    val gopherKeep = graft.llm.TextCuration.gopherRulesOf(docs)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1).count()
+    assert(f.head._4 == gopherKeep)
+  }
+}
+
 /** Data card: known-answer metrics on a tiny corpus. */
 class DataCardSpec extends AnyFunSuite {
   import SparkTestSession._
