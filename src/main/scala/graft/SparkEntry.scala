@@ -78,6 +78,7 @@ object SparkEntry {
     "q_unicode_norm" -> (llm.TextOps.unicodeNorm _),
     "q_bpe_train" -> ((s, d) => llm.TextOps.bpeTrainQuery(s, d)),
     "q_bpe_encode" -> ((s, d) => llm.TextOps.bpeEncodeQuery(s, d)),
+    "q_bpe_coverage" -> ((s, d) => llm.TextOps.bpeCoverageQuery(s, d)),
     "q_tfidf" -> ((s, d) => llm.TextOps.tfIdf(s, d)),
     "q_bm25" -> ((s, d) => llm.TextOps.bm25(s, d)),
     "q_ngram_stats" -> ((s, d) => llm.TextOps.ngramStats(s, d)),
@@ -276,6 +277,21 @@ object SparkEntry {
        |SELECT doc_id, count(*) AS n_words, CAST(sum(n_toks) AS BIGINT) AS n_learned_tokens
        |FROM dw JOIN wt USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val bpeCoverageOracle: String =
+    s"""$bpeCteChain,
+       |wt AS (SELECT word, len(string_split(trim(w), '  ')) AS n_toks FROM v$bpeRounds),
+       |dw AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n_words,
+       |        CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE) AS n_tokens,
+       |        CAST(CAST(sum(CASE WHEN n_toks = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS n_single
+       |      FROM dw JOIN wt USING (word))
+       |SELECT * FROM (
+       |  SELECT 'n_words' AS metric, n_words AS value FROM a
+       |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+       |  UNION ALL SELECT 'tokens_per_word', round(n_tokens / n_words, 6) FROM a
+       |  UNION ALL SELECT 'single_token_frac', round(n_single / n_words, 6) FROM a)
+       |ORDER BY metric""".stripMargin
 
   // product quantization: per-subspace Lloyd rounds (the q_ivf_train CTE
   // pattern × m subspaces), codes via per-subspace argmin pivoted into
@@ -501,6 +517,7 @@ object SparkEntry {
         |SELECT vec_id, pc1 FROM y ORDER BY vec_id""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_bpe_coverage" -> bpeCoverageOracle,
     "q_ngram_stats" ->
       """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
         |g AS (SELECT unnest([array_to_string(l[j:j+2], ' ') for j in generate_series(1, len(l)-2)]) AS gram

@@ -226,6 +226,38 @@ object TextOps {
   def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(t(spark, dir, "documents"))
 
+  /** Tokenizer COVERAGE report for the learned merge table: corpus-level
+    * compression (tokens per word) and the occurrence-weighted share of
+    * words the vocabulary encodes as ONE token — the metrics a tokenizer
+    * release ships to justify its merge budget. Same train + encode
+    * machinery as [[bpeEncode]], collapsed to a (metric, value) card;
+    * counts exact, fractions single correctly-rounded divisions. */
+  def bpeCoverage(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val (_, vocab) = trainLoop(docs, merges)
+    val words = docs.select(explode(letterWords(col("text"))).as("word"))
+    val toks = vocab
+      .select(col("word"), size(split(trim(col("w")), "  ")).as("n_toks"))
+    words.join(toks, "word").agg(
+        count(lit(1)).cast("double").as("n_words"),
+        sum("n_toks").cast("double").as("n_tokens"),
+        sum(when(col("n_toks") === 1, 1L).otherwise(0L)).cast("double")
+          .as("n_single"))
+      .select(col("n_words"), col("n_tokens"),
+        round(col("n_tokens") / col("n_words"), 6).as("tokens_per_word"),
+        round(col("n_single") / col("n_words"), 6).as("single_token_frac"))
+      .selectExpr(
+        """stack(4,
+          |  'n_words', n_words,
+          |  'n_tokens', n_tokens,
+          |  'tokens_per_word', tokens_per_word,
+          |  'single_token_frac', single_token_frac) AS (metric, value)"""
+          .stripMargin)
+      .orderBy("metric")
+  }
+
+  def bpeCoverageQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeCoverage(t(spark, dir, "documents"))
+
   /** Term frequencies over lowercase letter-run terms: (doc_id, term, tf)
     * — the shared first stage of the relevance-scoring family. One
     * explode + one aggregation with map-side partials; everything
