@@ -97,18 +97,14 @@ object Classifier {
     * pred) — `keep` iff the margin is positive. Pure projection over the
     * shared feature frame; the weights ride as literals, so the scoring
     * pass stays inside whole-stage codegen. */
-  def clfScore(docs: DataFrame): DataFrame = {
-    val feat = Materialize.checkpoint(featureFrame(docs))
-    val w = trainOn(feat).last._3
-    val s = scoreCol(w)
-    feat.select(
-      col("doc_id"),
-      s.as("score"),
-      when(s > 0, "keep").otherwise("drop").as("pred"))
+  def clfScore(docs: DataFrame): DataFrame =
+    scoredTokens(docs)
+      .select(col("doc_id"), col("score"),
+        when(col("score") > 0, "keep").otherwise("drop").as("pred"))
       .orderBy("doc_id")
-  }
 
-  /** Scored docs WITH the token count recovered from the feature frame
+  /** THE one train-and-score path (clfScore is a projection over it):
+    * scored docs with the token count recovered from the feature frame
     * (x1 = n_tok − 25) — consumers that need both (budget selection)
     * must not re-tokenize the corpus to recompute what the checkpointed
     * features already hold. */

@@ -99,32 +99,40 @@ object Curation {
       budget: Long = 10000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def ck(df: DataFrame): DataFrame = graft.Materialize.checkpoint(df)
+    // checkpointCounted: the eager materialization IS a count job, so
+    // every stage count is free; the previous stage's count carries
+    // forward as the next n_in (no re-count of any frame)
     val stages = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-    def step(name: String, in: DataFrame, out: DataFrame): DataFrame = {
-      val kept = ck(out)
-      stages += ((name, in.count(), kept.count()))
+    val (d0, n0) = graft.Materialize.checkpointCounted(docs)
+    var prev = n0
+    def step(name: String, out: DataFrame): DataFrame = {
+      val (kept, n) = graft.Materialize.checkpointCounted(out)
+      stages += ((name, prev, n))
+      prev = n
       kept
     }
-    val d0 = ck(docs)
-    val d1 = step("gopher_rules", d0, d0.join(
+    val d1 = step("gopher_rules", d0.join(
       TextCuration.gopherRulesOf(d0).filter(col("keep") === 1)
         .select("doc_id"), Seq("doc_id"), "left_semi"))
-    val d2 = step("c4_rules", d1, d1.join(
+    val d2 = step("c4_rules", d1.join(
       TextCuration.c4RulesOf(d1).filter(col("doc_keep") === 1)
         .select("doc_id"), Seq("doc_id"), "left_semi"))
-    val d3 = step("lm_perplexity", d2, d2.join(
-      TextOps.lmPerplexityOf(d2).filter(col("xent") <= maxXent)
+    // the LM trains on the FULL corpus's trusted slice (the CCNet shape —
+    // a reference model, not one fit to whatever survived the shape
+    // gates, whose 'en' slice may even be empty) and scores the survivors
+    val d3 = step("lm_perplexity", d2.join(
+      TextOps.lmCrossPerplexity(d2, d0).filter(col("xent") <= maxXent)
         .select("doc_id"), Seq("doc_id"), "left_semi"))
-    val d4 = step("canonical_dedup", d3, d3.join(
+    val d4 = step("canonical_dedup", d3.join(
       Dedup.canonicalDocsOf(d3).filter(col("keep") === 1)
         .select("doc_id"), Seq("doc_id"), "left_semi"))
-    val d5 = step("temperature_mix", d4, d4.join(
+    val d5 = step("temperature_mix", d4.join(
       Sampling.temperatureMixOf(d4).select("doc_id"),
       Seq("doc_id"), "left_semi"))
-    step("token_budget", d5, d5.join(
-      Sampling.budgetSelectOf(d5, budget).select("doc_id"),
-      Seq("doc_id"), "left_semi"))
+    // the selector emits one row per kept d5 doc: its count IS n_kept —
+    // no semi-join + checkpoint of a frame nobody reads
+    stages += (("token_budget", prev,
+      Sampling.budgetSelectOf(d5, budget).count()))
     stages.zipWithIndex
       .map { case ((n, i, k), ord) => (n, ord + 1, i, k) }
       .toSeq.toDF("stage", "ord", "n_in", "n_kept")

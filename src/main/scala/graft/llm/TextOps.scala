@@ -210,17 +210,23 @@ object TextOps {
     * (word → token count) map on the word key. Train-then-encode is the
     * same composition shape as `knnJoinTrained` (train → assign →
     * probe). */
-  def bpeEncode(docs: DataFrame, merges: Int = 8): DataFrame = {
+  /** (doc_id, word, n_toks) rows under the learned merge table — the ONE
+    * derivation [[bpeEncode]] and [[bpeCoverage]] both consume, so the
+    * symbol-separator encoding and tokenization cannot drift apart. */
+  private def encodedWordRows(docs: DataFrame, merges: Int): DataFrame = {
     val (_, vocab) = trainLoop(docs, merges)
     val words = docs.select(col("doc_id"),
       explode(letterWords(col("text"))).as("word"))
     val toks = vocab
       .select(col("word"), size(split(trim(col("w")), "  ")).as("n_toks"))
     words.join(toks, "word")
+  }
+
+  def bpeEncode(docs: DataFrame, merges: Int = 8): DataFrame =
+    encodedWordRows(docs, merges)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_learned_tokens"))
       .orderBy("doc_id")
-  }
 
   /** Driver-contract form of [[bpeEncode]]. */
   def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame =
@@ -233,11 +239,7 @@ object TextOps {
     * machinery as [[bpeEncode]], collapsed to a (metric, value) card;
     * counts exact, fractions single correctly-rounded divisions. */
   def bpeCoverage(docs: DataFrame, merges: Int = 8): DataFrame = {
-    val (_, vocab) = trainLoop(docs, merges)
-    val words = docs.select(explode(letterWords(col("text"))).as("word"))
-    val toks = vocab
-      .select(col("word"), size(split(trim(col("w")), "  ")).as("n_toks"))
-    words.join(toks, "word").agg(
+    encodedWordRows(docs, merges).agg(
         count(lit(1)).cast("double").as("n_words"),
         sum("n_toks").cast("double").as("n_tokens"),
         sum(when(col("n_toks") === 1, 1L).otherwise(0L)).cast("double")
@@ -509,9 +511,27 @@ object TextOps {
     * broadcast in practice), one per-doc aggregation whose state is the
     * doc's own bigram list (bounded by doc length), no global sort
     * except the output contract's ORDER BY. */
-  def lmPerplexityOf(docs: DataFrame, trainLang: String = "en"): DataFrame = {
+  def lmPerplexityOf(docs: DataFrame, trainLang: String = "en"): DataFrame =
+    lmCrossPerplexity(docs, docs, trainLang)
+
+  /** [[lmPerplexityOf]] with the TRAIN corpus decoupled from the scored
+    * one — the actual CCNet shape: the model learns from the trusted
+    * reference text, then scores candidate documents that may be a
+    * filtered subset (or a different corpus entirely). When both frames
+    * are the same object the bigram pass is shared, not recomputed. */
+  def lmCrossPerplexity(docs: DataFrame, train: DataFrame,
+      trainLang: String = "en"): DataFrame = {
     val bg = bigramRows(docs).localCheckpoint(true) // feeds model AND scorer
-    val (cab, ca, v) = lmCounts(bg.filter(col("lang") === trainLang))
+    val trainBg = if (train eq docs) bg else bigramRows(train)
+    val (cab, ca, v) = lmCounts(trainBg.filter(col("lang") === trainLang))
+    // an empty training slice means V = 0 → every lp/xent NULL → a
+    // downstream gate would silently drop the whole corpus; a trained
+    // model with no training data must fail LOUD instead (the checkpoint
+    // above already ran jobs, so this probe adds one tiny aggregate)
+    val vVal = v.first().getDouble(0)
+    require(vVal > 0,
+      s"lmPerplexityOf: no '$trainLang' bigrams to train on — " +
+        "the model is undefined; pass a trainLang present in the corpus")
     val scored = bg.join(cab, Seq("a", "b"), "left")
       .join(ca, Seq("a"), "left")
       .crossJoin(broadcast(v))
@@ -612,11 +632,16 @@ object TextOps {
   /** Corpus DATA CARD ("Datasheets for Datasets", Gebru et al. 2021): the
     * one-row-per-metric composition summary a dataset release ships —
     * sizes, language/source breadth, exact-duplicate fraction, heuristic
-    * quality keep rate, mean document length. ONE aggregation pass over
-    * the scan computes every metric (map-side partials, a single job);
-    * `stack` pivots the row to (metric, value). Counts are exact
-    * integers in doubles; fractions are single correctly-rounded
-    * divisions — bit-exact with no ordered-fold machinery. */
+    * quality keep rate, mean document length. ONE logical aggregation
+    * over the scan; `stack` pivots the row to (metric, value). Honest
+    * cost note: the three EXACT count-distincts plan via Expand (one
+    * row replica per distinct aggregate — ~3× the scan through the
+    * first shuffle, with the md5 distinct shuffling every text hash);
+    * that is the price of exact breadth metrics on a release card run
+    * once per dataset — at 100 TB swap in approx_count_distinct (HLL)
+    * if 2% error is acceptable. Counts are exact integers in doubles;
+    * fractions are single correctly-rounded divisions — bit-exact with
+    * no ordered-fold machinery. */
   def dataCard(spark: SparkSession, dir: String): DataFrame =
     dataCardOf(t(spark, dir, "documents"))
 

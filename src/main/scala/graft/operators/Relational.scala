@@ -182,7 +182,9 @@ object Relational {
         coalesce(sum("sum_chars"), lit(0L)).as("sum_chars"))
       .select(lit("other").as("lang"), lit("other").as("source"),
         col("n"), col("sum_chars"))
-      .filter(col("n") >= k)
+      // max(k, 1): at k <= 0 nothing is ever suppressed and the coalesced
+      // zero row must not surface as a bogus empty 'other'
+      .filter(col("n") >= math.max(k, 1))
     released.unionByName(suppressed).orderBy("lang", "source")
   }
 }

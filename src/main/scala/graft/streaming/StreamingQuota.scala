@@ -4,10 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-/** Keyed quota state: how many documents this group has admitted so far.
-  * One long per live group — state is group-count-bounded, never
-  * stream-history-bounded. */
-case class QuotaState(admitted: Long)
+/** Keyed quota state: how many documents this group has SEEN so far
+  * (admitted + dropped — the running admission index, compared against
+  * the quota to decide). One long per live group — state is
+  * group-count-bounded, never stream-history-bounded. */
+case class QuotaState(seen: Long)
 
 /** Per-source ingestion QUOTA enforcement on a live stream: admit the
   * first `quota` documents of each source (in stream arrival order) and
@@ -44,7 +45,7 @@ object StreamingQuota {
       .groupByKey(_._2)
       .flatMapGroupsWithState[QuotaState, (Long, String, Int, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (src, rows, state) =>
-        var n = if (state.exists) state.get.admitted else 0L
+        var n = if (state.exists) state.get.seen else 0L
         val out = rows.map { case (id, _) =>
           n += 1
           (id, src, if (n <= quota) 1 else 0, n)

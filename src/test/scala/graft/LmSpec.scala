@@ -91,6 +91,26 @@ class LmSpec extends AnyFunSuite {
     assert(out(6L) > out(1L) && out(6L) > out(2L))
   }
 
+  test("an empty training slice fails loud, not with a NULL-score wipeout") {
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.lmPerplexityOf(docs((1L, "nur deutsche worte hier", "de")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("no 'en' bigrams"))
+  }
+
+  test("cross-perplexity trains on the reference frame, scores the subset") {
+    val all = docs(fixture: _*)
+    val subset = all.filter(org.apache.spark.sql.functions.col("doc_id") <= 3)
+    val cross = TextOps.lmCrossPerplexity(subset, all).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    val self = TextOps.lmPerplexityOf(all).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    // the model is identical (same train corpus), so subset scores match
+    assert(cross.keySet == Set(1L, 2L, 3L))
+    cross.foreach { case (id, x) => assert(x == self(id), s"doc $id") }
+  }
+
   test("the ordered fold makes the score partition-independent") {
     val d = docs(fixture: _*)
     val a = TextOps.lmPerplexityOf(d.repartition(1)).collect()
