@@ -850,12 +850,22 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
         |  quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // two-pass stddev over exact decimal sums (engine-native stddev_samp
+    // is merge-order-dependent and proved input-lucky across engines):
+    // identical five-op double sequence on both sides
     "q_stats" ->
-      """SELECT l_returnflag,
-        |  stddev_samp(l_quantity) AS sd_qty,
-        |  stddev_samp(l_discount) AS sd_disc,
-        |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS s1q,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS s2q,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS s1d,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS s2d,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  sqrt((s2q - s1q * s1q / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))) AS sd_qty,
+        |  sqrt((s2d - s1d * s1d / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))) AS sd_disc,
+        |  n
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(1 + floor((l_quantity - 1) / 5) AS BIGINT) AS bucket,
         |  COUNT(*) AS n

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -107,16 +107,30 @@ object Relational {
         expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
       .orderBy("l_returnflag")
 
-  /** Sample standard deviation per group (Spark and DuckDB agree
-    * bit-for-bit on stddev_samp over these inputs; corr/covar differ in
-    * final ulps from summation order and stay out of the oracle surface). */
-  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+  /** Sample standard deviation per group — NOT the engine-native
+    * `stddev_samp`: both engines implement it as streaming central-moment
+    * accumulation whose result depends on partition/merge order, and the
+    * cross-engine agreement proved input-lucky (bit-identical at sf0.01,
+    * off by one ulp at sf0.001). This is the two-pass formula over EXACT
+    * decimal sums instead: S1 = Σx and S2 = Σx² are exact (2-/4-decimal
+    * scaled integers < 2^53 → their double casts are exact), and
+    * sd = sqrt((S2 − S1²/n)/(n−1)) is the same five correctly-rounded
+    * double ops in the same order on both engines — deterministic at any
+    * scale factor and any partitioning. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    def sd(c: String): Column = {
+      val s1 = sum(dec(col(c))).cast("double")
+      val s2 = sum(dec(col(c)) * dec(col(c))).cast("double")
+      val n = count(lit(1)).cast("double")
+      sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))
+    }
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("stddev_samp(l_quantity)").as("sd_qty"),
-        expr("stddev_samp(l_discount)").as("sd_disc"),
+      .agg(sd("l_quantity").as("sd_qty"),
+        sd("l_discount").as("sd_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+  }
 
   /** Equi-width histogram via width_bucket (DuckDB lacks the function; the
     * oracle emulates the same [1,51) into 10 buckets arithmetic —
