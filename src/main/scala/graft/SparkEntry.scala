@@ -37,6 +37,7 @@ object SparkEntry {
     "q_topk" -> (Relational.topK _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_stats" -> (Relational.statsAgg _),
+    "q_corr" -> (Relational.corrAgg _),
     "q_histogram" -> (Relational.histogram _),
     "q_set_intersect" -> (Relational.setIntersect _),
     "q_set_except" -> (Relational.setExcept _),
@@ -864,6 +865,22 @@ object SparkEntry {
         |SELECT l_returnflag,
         |  sqrt((s2q - s1q * s1q / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))) AS sd_qty,
         |  sqrt((s2d - s1d * s1d / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))) AS sd_disc,
+        |  n
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // two-pass exact-decimal correlation (same technique as q_stats) —
+    // what brings corr into the oracle surface at all
+    "q_corr" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (sxy - sx * sy / CAST(n AS DOUBLE)) /
+        |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) * (syy - sy * sy / CAST(n AS DOUBLE))) AS corr_qd,
         |  n
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->

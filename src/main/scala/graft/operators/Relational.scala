@@ -132,6 +132,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Pearson correlation per group via the SAME two-pass exact-decimal
+    * technique as [[statsAgg]] — which is what finally brings corr INTO
+    * the oracle surface (engine-native `corr` is co-moment streaming,
+    * merge-order-dependent, and was excluded for exactly that reason):
+    * Sx, Sy, Sxy, Sxx, Syy are exact scaled integers < 2^53, and
+    * corr = (Sxy − Sx·Sy/n) / sqrt((Sxx − Sx²/n)·(Syy − Sy²/n)) is an
+    * identical correctly-rounded op sequence on both engines. Uses the
+    * small-valued columns (quantity, discount) so every squared sum
+    * stays exactly castable. */
+  def corrAgg(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: String): Column = dec(col(c))
+    val sx = sum(d("l_quantity")).cast("double")
+    val sy = sum(d("l_discount")).cast("double")
+    val sxy = sum(d("l_quantity") * d("l_discount")).cast("double")
+    val sxx = sum(d("l_quantity") * d("l_quantity")).cast("double")
+    val syy = sum(d("l_discount") * d("l_discount")).cast("double")
+    val n = count(lit(1)).cast("double")
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        ((sxy - sx * sy / n) /
+          sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qd"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Equi-width histogram via width_bucket (DuckDB lacks the function; the
     * oracle emulates the same [1,51) into 10 buckets arithmetic —
     * quantities are integral so the division is exact). */
