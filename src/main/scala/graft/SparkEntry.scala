@@ -38,6 +38,7 @@ object SparkEntry {
     "q_percentiles" -> (Relational.percentiles _),
     "q_stats" -> (Relational.statsAgg _),
     "q_corr" -> (Relational.corrAgg _),
+    "q_mad" -> (Relational.madAgg _),
     "q_histogram" -> (Relational.histogram _),
     "q_set_intersect" -> (Relational.setIntersect _),
     "q_set_except" -> (Relational.setExcept _),
@@ -867,6 +868,18 @@ object SparkEntry {
         |  sqrt((s2d - s1d * s1d / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))) AS sd_disc,
         |  n
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // MAD: two shared-convention percentile passes (rank = p·(n−1) in
+    // both engines, proven by q_percentiles); deviations are
+    // correctly-rounded subtractions of identical doubles
+    "q_mad" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  quantile_cont(abs(CAST(l.l_quantity AS DOUBLE) - m.med_qty), 0.5) AS mad_qty,
+        |  max(m.med_qty) AS med_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     // two-pass exact-decimal correlation (same technique as q_stats) —
     // what brings corr into the oracle surface at all
     "q_corr" ->

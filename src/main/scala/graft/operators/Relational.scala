@@ -158,6 +158,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Median absolute deviation per group — the robust-statistics spread
+    * measure (outlier-resistant where stddev is not): MAD =
+    * median(|x − median(x)|). Two percentile passes joined on the group
+    * key; both engines share the rank = p·(n−1) interpolation convention
+    * (proven by q_percentiles), the deviations are correctly-rounded
+    * subtractions of identical doubles, and the second median
+    * interpolates identically — deterministic with no rounding argument.
+    * Scale: two grouped aggregations + one broadcastable group-keyed
+    * join; exact percentiles need the full group (the approx path would
+    * be approx_percentile, not oracle-matchable by design). */
+  def madAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"))
+    li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("l_quantity").cast("double") - col("med_qty")))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(dev, 0.5)").as("mad_qty"),
+        max(col("med_qty")).as("med_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Equi-width histogram via width_bucket (DuckDB lacks the function; the
     * oracle emulates the same [1,51) into 10 buckets arithmetic —
     * quantities are integral so the division is exact). */
