@@ -70,7 +70,22 @@ object Bench {
     val passTotals = passes.map(_.values.map(_._1).sum)
       .mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$npasses,"pass_totals":$passTotals,"failed":$failedJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$npasses,"pass_totals":$passTotals,"failed":$failedJson}"""
+    println(line)
+    // durable record (VERDICT r6 #4): the driver artifact truncates long
+    // logs, so the full per-query record also lands in the repo —
+    // bench_records/latest.json is the current round's complete record
+    // (the builder archives it as r<N>.json at round close)
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "bench_records")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(
+        dir.resolve(sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD",
+          "latest.json")), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] record write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

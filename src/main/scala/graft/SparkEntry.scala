@@ -127,6 +127,12 @@ object SparkEntry {
     "q_pq_encode" -> (llm.Similarity.pqEncodeQuery _),
     "q_pq_adc" -> (llm.Similarity.pqAdcQuery _),
     "q_ivfpq_search" -> (llm.Similarity.ivfPqSearchQuery _),
+    // persisted trained artifacts: build into a scratch ModelStore, serve
+    // FROM the store, hash-match the train-inline query's oracle
+    "q_ivfpq_persisted" -> (llm.Similarity.ivfPqPersistedQuery _),
+    "q_bpe_persisted" -> ((s, d) => llm.TextOps.bpePersistedQuery(s, d)),
+    "q_lm_persisted" -> (llm.TextOps.lmPersistedQuery _),
+    "q_clf_persisted" -> (llm.Classifier.clfPersistedQuery _),
     "q_jl_project" -> (llm.Similarity.jlProjectQuery _),
     "q_pca_power" -> (llm.Similarity.pcaPowerQuery _),
     "q_embedding_dedup" -> ((s, d) => llm.Similarity.embeddingDedup(s, d)),
@@ -420,7 +426,20 @@ object SparkEntry {
        |${round(3)}""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // persisted-artifact rows (VERDICT r6 #1): same expected answer as
+    // the train-inline query — the GATE ITSELF proves persisted ==
+    // in-query (the Spark side trains into a scratch ModelStore and
+    // serves the result out of parquet; the oracle is unchanged)
+    base ++ Map(
+      "q_ivfpq_persisted" -> base("q_ivfpq_search"),
+      "q_bpe_persisted" -> base("q_bpe_encode"),
+      "q_lm_persisted" -> base("q_lm_perplexity"),
+      "q_clf_persisted" -> base("q_quality_clf_score"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_pq_train" ->
       (pqChain + s""",
         |u AS (${(0 until 4).map(s =>
@@ -1313,14 +1332,15 @@ object SparkEntry {
         |  UNION ALL SELECT 'exact_dup_frac', round(CAST(1.0 AS DOUBLE) - n_uniq / n_docs, 6) FROM a
         |  UNION ALL SELECT 'quality_keep_frac', round(n_q / n_docs, 6) FROM a)
         |ORDER BY metric""".stripMargin,
-    // k-anonymous stats release: groups under k=10 fold into ONE 'other'
-    // row — pure integer counts
+    // k-anonymous stats release: groups under k=10 fold into ONE
+    // '<suppressed>' row (a sentinel no real lang/source can be) —
+    // pure integer counts
     "q_kanon_release" ->
       """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
         |             CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |           FROM documents GROUP BY lang, source),
         |r AS (SELECT lang, source, n, sum_chars FROM g WHERE n >= 10),
-        |s AS (SELECT 'other' AS lang, 'other' AS source,
+        |s AS (SELECT '<suppressed>' AS lang, '<suppressed>' AS source,
         |        CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
         |        CAST(coalesce(sum(sum_chars), 0) AS BIGINT) AS sum_chars
         |      FROM g WHERE n < 10)

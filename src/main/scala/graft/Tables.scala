@@ -31,8 +31,17 @@ object Tables {
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      // a future testdata drop shipping ts as string/double must fail
+      // LOUD at the contract boundary — a catch-all cast would silently
+      // produce nulls in every downstream ts comparison (ADVICE r6)
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as $other — expected Long nanos or a parquet " +
+          "timestamp type; extend normalizeTs deliberately if the physical " +
+          "type changed")
     }
 
   /** Exact decimal sum surfaced as double — matches DuckDB

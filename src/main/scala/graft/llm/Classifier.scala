@@ -117,6 +117,40 @@ object Classifier {
       (col("x1") + 25L).as("n_tok"))
   }
 
+  /** Persist the training trajectory (VERDICT r6 #1) — the final row's
+    * weights are the deployed model; keeping every round makes the
+    * artifact auditable (the same frame `clfTrain` oracles). Returns the
+    * store version. */
+  def clfSave(docs: DataFrame, store: graft.store.ModelStore): Long =
+    store.save(Map("weights" -> clfTrain(docs)))
+
+  /** Score with PERSISTED weights — zero training jobs: the final
+    * round's weights load from the store (a `rounds`-row frame) and ride
+    * the scoring projection as literals, exactly like the in-line path.
+    * Bit-identical to [[clfScore]] over the training corpus (integer
+    * weights round-trip parquet exactly). */
+  def clfScorePersisted(docs: DataFrame,
+      store: graft.store.ModelStore): DataFrame = {
+    val last = store.load("weights").orderBy(col("step").desc)
+      .limit(1).collect()(0)
+    val w = (0 until M).map(j => last.getAs[Long](s"w$j"))
+    featureFrame(docs)
+      .select(col("doc_id"), scoreCol(w).as("score"))
+      .select(col("doc_id"), col("score"),
+        when(col("score") > 0, "keep").otherwise("drop").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle row: train into a scratch store, score FROM the store,
+    * hash-match `q_quality_clf_score`'s oracle — persisted == in-query. */
+  def clfPersistedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.store.ModelStore.scratch(spark, "clf") { store =>
+      clfSave(docs, store)
+      clfScorePersisted(docs, store)
+    }
+  }
+
   def clfTrainQuery(spark: SparkSession, dir: String): DataFrame =
     clfTrain(t(spark, dir, "documents"))
 

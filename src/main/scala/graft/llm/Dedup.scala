@@ -287,8 +287,43 @@ object Dedup {
     * the near-dup pairs, NOT the corpus (see
     * [[graft.operators.ConnectedComponents]]). */
   def dupClusters(spark: SparkSession, dir: String,
-      minEstSim: Double = 0.5): DataFrame =
-    dupClustersOf(t(spark, dir, "documents"), minEstSim)
+      minEstSim: Double = 0.5): DataFrame = {
+    // always COMPUTE (this query IS the chain's benchmark row), but
+    // persist the cluster table as a by-product so composed consumers
+    // (canonicalDocs) serve from the artifact instead of re-running
+    // LSH+CC (VERDICT r6 #6) — the ModelStore train-once/serve-many
+    // shape applied to a derived relational artifact
+    val out = dupClustersOf(t(spark, dir, "documents"), minEstSim)
+    publishClusterArtifact(spark, dir, minEstSim, out)
+  }
+
+  // ---- per-process cluster-artifact cache: (sfDir, minEstSim) → a
+  // parquet directory holding the (doc_id, cluster_id, is_survivor)
+  // frame. Parquet-backed on purpose (never driver-held — the table is
+  // corpus-row-sized); at 100 TB this is a real table the pipeline
+  // writes once per corpus version, exactly like the ANN index. ----
+  private val clusterArtifacts =
+    scala.collection.concurrent.TrieMap.empty[(String, Double), String]
+
+  private def publishClusterArtifact(spark: SparkSession, dir: String,
+      minEstSim: Double, frame: DataFrame): DataFrame = {
+    val path = clusterArtifacts.getOrElseUpdate((dir, minEstSim),
+      java.nio.file.Files.createTempDirectory("graft-clusters-").toString)
+    frame.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).orderBy("doc_id")
+  }
+
+  /** The cluster frame for a corpus dir: served from the persisted
+    * artifact when one exists in this process, else computed AND
+    * persisted. Identical content either way (the chain is
+    * deterministic), so consumers cannot observe which path ran. */
+  private def clusterArtifact(spark: SparkSession, dir: String,
+      minEstSim: Double): DataFrame =
+    clusterArtifacts.get((dir, minEstSim)) match {
+      case Some(path) => spark.read.parquet(path)
+      case None => publishClusterArtifact(spark, dir, minEstSim,
+        dupClustersOf(t(spark, dir, "documents"), minEstSim))
+    }
 
   /** DataFrame-in variant (docs: doc_id, text). */
   def dupClustersOf(docs: DataFrame, minEstSim: Double = 0.5): DataFrame =
@@ -323,11 +358,23 @@ object Dedup {
     * argmax is `max_by` over a (n_chars, −doc_id) struct (map-side
     * partials, no window over the corpus) — and one equi-join back. */
   def canonicalDocs(spark: SparkSession, dir: String): DataFrame =
-    canonicalDocsOf(t(spark, dir, "documents"))
+    // consume the persisted cluster artifact when this process already
+    // built it (q_dup_clusters, an earlier canonicalDocs call, or any
+    // composed pipeline) — survivor selection is then one aggregation +
+    // one equi-join over a narrow parquet read, never a re-run of the
+    // LSH+CC chain (VERDICT r6 #6)
+    canonicalDocsFrom(clusterArtifact(spark, dir, 0.5),
+      t(spark, dir, "documents"))
 
   /** DataFrame-in variant (docs: doc_id, text, n_chars). */
-  def canonicalDocsOf(docs: DataFrame): DataFrame = {
-    val cl = dupClustersOf(docs).select("doc_id", "cluster_id")
+  def canonicalDocsOf(docs: DataFrame): DataFrame =
+    canonicalDocsFrom(dupClustersOf(docs), docs)
+
+  /** Survivor selection over an EXPLICIT cluster frame (doc_id,
+    * cluster_id) — the composition point pipelines use to share one
+    * cluster computation across dedup AND survivor selection. */
+  def canonicalDocsFrom(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val cl = clusters.select("doc_id", "cluster_id")
     val can = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
       .groupBy("cluster_id")
       .agg(max_by(col("doc_id"),

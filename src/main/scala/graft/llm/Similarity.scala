@@ -570,17 +570,7 @@ object Similarity {
     val coarse = lloydCentroids(ex, kCells, iters)
     val asg = assignCells(ex, coarse)
     val qVec = queryVec(ex, qId)
-    // nprobe nearest coarse cells — kCells rows, driver-side
-    val probed = coarse.collect()
-      .groupBy(_.getAs[Int]("cid")).toSeq
-      .map { case (cid, rows) =>
-        val d = rows.sortBy(_.getAs[Int]("i")).foldLeft(0.0) { (acc, r) =>
-          val diff = qVec(r.getAs[Int]("i")) - r.getAs[Double]("c")
-          acc + diff * diff
-        }
-        (cid, d)
-      }
-      .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+    val probed = nearestCells(coarse.collect(), qVec, nprobe)
     val cand = asg
       .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
       .select("vec_id")
@@ -592,8 +582,115 @@ object Similarity {
       .limit(topK)
   }
 
+  /** The `nprobe` nearest coarse cells to the query — kCells rows,
+    * driver-side, fixed i-order fold, exact-distance ties by cell id.
+    * ONE definition shared by the in-query search and the persisted-index
+    * serving path, so the two cannot diverge on probe selection. */
+  private def nearestCells(coarseRows: Array[org.apache.spark.sql.Row],
+      qVec: Map[Int, Double], nprobe: Int): Seq[Int] =
+    coarseRows.toSeq
+      .groupBy(_.getAs[Int]("cid")).toSeq
+      .map { case (cid, rows) =>
+        val d = rows.sortBy(_.getAs[Int]("i")).foldLeft(0.0) { (acc, r) =>
+          val diff = qVec(r.getAs[Int]("i")) - r.getAs[Double]("c")
+          acc + diff * diff
+        }
+        (cid, d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+
   def ivfPqSearchQuery(spark: SparkSession, dir: String): DataFrame =
     ivfPqSearch(t(spark, dir, "embeddings"))
+
+  // ---- PERSISTED IVF-PQ INDEX (VERDICT r6 #1): the train-once /
+  // serve-many shape. [[saveIvfPqIndex]] runs the exact training jobs
+  // [[ivfPqSearch]] runs in-line and writes all four artifacts to a
+  // versioned [[graft.store.ModelStore]]; [[ivfPqSearchPersisted]] serves
+  // a query from the STORE with zero training jobs — probe the persisted
+  // coarse centroids, slice the persisted cells, ADC-score the persisted
+  // codes against the persisted codebooks. At 100 TB the build pass runs
+  // once (or incrementally on ingest — see
+  // [[graft.streaming.StreamingAnn]]) and every query after it touches
+  // only nlist·dim + m·k·sub centroid rows and the probed cells' m-byte
+  // codes. ----
+
+  /** Train the complete IVF-PQ index and persist every artifact. Parts:
+    * "coarse" (cid, i, c), "cells" (vec_id, cid), "codebooks"
+    * (s, cid, i, c), "codes" (vec_id, c0..c{m-1}). Returns the store
+    * version written. */
+  def saveIvfPqIndex(emb: DataFrame, store: graft.store.ModelStore,
+      kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64): Long = {
+    val ex = explodeVecs(emb)
+    val coarse = lloydCentroids(ex, kCells, iters)
+    val cent = pqCodebooksFused(ex, m, k, iters, dim)
+    store.save(Map(
+      "coarse" -> coarse,
+      "cells" -> assignCells(ex, coarse),
+      "codebooks" -> cent,
+      "codes" -> pqCodesOf(ex, cent, m, dim)))
+  }
+
+  /** Serve a top-k query from a persisted index — NO training jobs: the
+    * only distributed work is the candidate slice + m broadcast lookup
+    * joins over the stored codes. Bit-identical to [[ivfPqSearch]] over
+    * the corpus the index was built from (parquet round-trips doubles
+    * exactly; probe + ADC share the in-query definitions). */
+  def ivfPqSearchPersisted(store: graft.store.ModelStore,
+      qVec: Map[Int, Double], qId: Long = -1L, topK: Int = 10,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64): DataFrame =
+    ivfPqSearchOver(store.load("coarse"),
+      store.load("cells").join(store.load("codes"), "vec_id"),
+      store.load("codebooks"), qVec, qId, topK, nprobe, m, dim)
+
+  /** Search over an EXPLICIT coded frame (vec_id, cid, c0..c{m-1}) —
+    * the one probe+ADC body shared by the persisted serving path and the
+    * streaming-incremental union ([[graft.streaming.StreamingAnn]]), so
+    * base and incremented indexes cannot diverge on search semantics. */
+  private[graft] def ivfPqSearchOver(coarse: DataFrame, coded: DataFrame,
+      codebooks: DataFrame, qVec: Map[Int, Double], qId: Long,
+      topK: Int = 10, nprobe: Int = 2, m: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val probed = nearestCells(coarse.collect(), qVec, nprobe)
+    val cand = coded
+      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
+      .drop("cid")
+    adcScored(cand, codebooks, qVec, m, dim / m)
+      .select("vec_id", "adc")
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  /** Assign + PQ-encode vectors against a PERSISTED index's FROZEN
+    * quantizers — the per-increment step of incremental maintenance
+    * (no training jobs: centroids and codebooks broadcast from the
+    * store). Returns (vec_id, cid, c0..c{m-1}) — the coded-row schema
+    * the search path consumes. Encoding is pointwise per vector, so
+    * encoding increments separately is EXACTLY encoding their union:
+    * the property that makes incremental == batch (StreamingAnnSpec). */
+  def encodeWithIndex(store: graft.store.ModelStore, emb: DataFrame,
+      m: Int = 4, dim: Int = 64): DataFrame = {
+    val ex = explodeVecs(emb)
+    assignCells(ex, store.load("coarse"))
+      .join(pqCodesOf(ex, store.load("codebooks"), m, dim), "vec_id")
+  }
+
+  /** Query-vector extraction from an embeddings frame (vec_id,
+    * embedding) — public so serving paths can build probe vectors. */
+  def queryVecOf(emb: DataFrame, qId: Long): Map[Int, Double] =
+    queryVec(explodeVecs(emb), qId)
+
+  /** Oracle row for the persisted path: build the index into a scratch
+    * store, serve the SAME query as `q_ivfpq_search` from the store, and
+    * hash-match that query's oracle — persisted == in-query, proven by
+    * the gate itself. */
+  def ivfPqPersistedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    graft.store.ModelStore.scratch(spark, "ivfpq") { store =>
+      saveIvfPqIndex(emb, store)
+      ivfPqSearchPersisted(store, queryVec(explodeVecs(emb), 0L), qId = 0L)
+    }
+  }
 
   /** Johnson–Lindenstrauss random projection: dim → outDim with the
     * deterministic hyperplane table ([[planeTable]], the same md5 planes

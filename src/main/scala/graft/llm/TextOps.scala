@@ -213,13 +213,54 @@ object TextOps {
   /** (doc_id, word, n_toks) rows under the learned merge table — the ONE
     * derivation [[bpeEncode]] and [[bpeCoverage]] both consume, so the
     * symbol-separator encoding and tokenization cannot drift apart. */
-  private def encodedWordRows(docs: DataFrame, merges: Int): DataFrame = {
-    val (_, vocab) = trainLoop(docs, merges)
+  private def encodedWordRows(docs: DataFrame, merges: Int): DataFrame =
+    encodedWordRowsWith(docs, trainLoop(docs, merges)._2)
+
+  /** The encode body against an EXPLICIT vocabulary frame (word, w, cnt)
+    * — shared by the train-inline path and the persisted-tokenizer path,
+    * so serving from the store replays the identical join. */
+  private def encodedWordRowsWith(docs: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(letterWords(col("text"))).as("word"))
     val toks = vocab
       .select(col("word"), size(split(trim(col("w")), "  ")).as("n_toks"))
     words.join(toks, "word")
+  }
+
+  /** Persist the learned tokenizer (VERDICT r6 #1): "merges" is the
+    * ordered merge list (the artifact a tokenizer RELEASE ships —
+    * sufficient to re-encode any text), "vocab" the fully-merged word
+    * table (the corpus-word fast path [[bpeEncodePersisted]] serves
+    * from, exactly as the in-line encoder consumes it). Returns the
+    * store version. */
+  def bpeSave(docs: DataFrame, store: graft.store.ModelStore,
+      merges: Int = 8): Long = {
+    val (ms, vocab) = trainLoop(docs, merges)
+    store.save(Map(
+      "merges" -> docs.sparkSession.createDataFrame(ms)
+        .toDF("step", "left_sym", "right_sym", "freq"),
+      "vocab" -> vocab))
+  }
+
+  /** Encode with a PERSISTED tokenizer — zero training jobs: the merges
+    * were learned once ([[bpeSave]]); encoding is the vocabulary join.
+    * Bit-identical to [[bpeEncode]] over the training corpus. */
+  def bpeEncodePersisted(docs: DataFrame,
+      store: graft.store.ModelStore): DataFrame =
+    encodedWordRowsWith(docs, store.load("vocab"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_learned_tokens"))
+      .orderBy("doc_id")
+
+  /** Oracle row: train into a scratch store, encode FROM the store,
+    * hash-match `q_bpe_encode`'s oracle — persisted == in-query. */
+  def bpePersistedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.store.ModelStore.scratch(spark, "bpe") { store =>
+      bpeSave(docs, store)
+      bpeEncodePersisted(docs, store)
+    }
   }
 
   def bpeEncode(docs: DataFrame, merges: Int = 8): DataFrame =
@@ -522,14 +563,28 @@ object TextOps {
   def lmCrossPerplexity(docs: DataFrame, train: DataFrame,
       trainLang: String = "en"): DataFrame = {
     val bg = bigramRows(docs).localCheckpoint(true) // feeds model AND scorer
-    val trainBg = if (train eq docs) bg else bigramRows(train)
+    // a DISTINCT train frame's bigram derivation feeds three count
+    // aggregations plus the V probe — checkpoint it like the shared-frame
+    // branch, or the shingle scan re-runs up to 4× (ADVICE r6)
+    val trainBg = if (train eq docs) bg
+      else bigramRows(train.filter(col("lang") === trainLang))
+        .localCheckpoint(true)
     val (cab, ca, v) = lmCounts(trainBg.filter(col("lang") === trainLang))
+    lmScoreWith(docs, bg, cab, ca, v, trainLang)
+  }
+
+  /** The scoring body against EXPLICIT model frames — shared by the
+    * train-inline path and the persisted-model path ([[lmSave]] /
+    * [[lmPerplexityPersisted]]), so serving from the store replays the
+    * identical joins and fold. `bg` is the scored corpus's (checkpointed)
+    * bigram table. */
+  private def lmScoreWith(docs: DataFrame, bg: DataFrame, cab: DataFrame,
+      ca: DataFrame, v: DataFrame, trainLang: String): DataFrame = {
     // an empty training slice means V = 0 → every lp/xent NULL → a
     // downstream gate would silently drop the whole corpus; a trained
-    // model with no training data must fail LOUD instead (the checkpoint
-    // above already ran jobs, so this probe adds one tiny aggregate)
-    val vVal = v.first().getDouble(0)
-    require(vVal > 0,
+    // model with no training data must fail LOUD instead
+    val vRows = v.limit(1).collect()
+    require(vRows.nonEmpty && vRows(0).getDouble(0) > 0,
       s"lmPerplexityOf: no '$trainLang' bigrams to train on — " +
         "the model is undefined; pass a trainLang present in the corpus")
     val scored = bg.join(cab, Seq("a", "b"), "left")
@@ -560,6 +615,39 @@ object TextOps {
 
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
     lmPerplexityOf(t(spark, dir, "documents"))
+
+  /** Persist the trained bigram LM (VERDICT r6 #1): "bigrams" (a, b,
+    * c_ab), "contexts" (a, c_a), "vsize" (v) — the three count frames
+    * [[lmCounts]] derives, i.e. exactly the model state the scorer
+    * joins. Integer counts + one exact double round-trip bit-exactly
+    * through parquet. Returns the store version. */
+  def lmSave(docs: DataFrame, store: graft.store.ModelStore,
+      trainLang: String = "en"): Long = {
+    val bg = bigramRows(docs.filter(col("lang") === trainLang))
+      .localCheckpoint(true)
+    val (cab, ca, v) = lmCounts(bg)
+    store.save(Map("bigrams" -> cab, "contexts" -> ca, "vsize" -> v))
+  }
+
+  /** Score a corpus against a PERSISTED LM — zero training jobs: the
+    * model tables load from the store and broadcast into the scorer.
+    * Bit-identical to [[lmPerplexityOf]] when the store was trained on
+    * the same corpus ([[lmScoreWith]] is the one scoring body). */
+  def lmPerplexityPersisted(docs: DataFrame, store: graft.store.ModelStore,
+      trainLang: String = "en"): DataFrame =
+    lmScoreWith(docs, bigramRows(docs).localCheckpoint(true),
+      store.load("bigrams"), store.load("contexts"), store.load("vsize"),
+      trainLang)
+
+  /** Oracle row: train into a scratch store, score FROM the store,
+    * hash-match `q_lm_perplexity`'s oracle — persisted == in-query. */
+  def lmPersistedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.store.ModelStore.scratch(spark, "lm") { store =>
+      lmSave(docs, store)
+      lmPerplexityPersisted(docs, store)
+    }
+  }
 
   /** Feature-hashing text embeddings (the "hashing trick", Weinberger et
     * al., ICML 2009): each letter-run token hashes to a dimension

@@ -29,9 +29,11 @@ import graft.Tables._
   * PER ROUND on the sf0.1 graph and shipped every edge struct through
   * the shuffle uncombined. Cost: ≤ 1e-9 absolute error per edge per
   * round (≤ in-degree·1e-9 per rank), identically on both engines.
-  * Bounds: quantized per-node sums stay < 2^53 up to ~10^6-node graph
-  * mass·1e9 — beyond that, drop QScale a decade per 10× nodes.
-  * Contributions must be non-negative (floor is not symmetric).
+  * Bounds: quantized per-node sums stay < 2^53 up to ~9·10^6-node graph
+  * mass·1e9 — ENFORCED by [[qscaleFor]], which drops the scale a decade
+  * per 10× nodes beyond that (a loud precision step, never a silent
+  * overflow; ADVICE r6). Contributions must be non-negative (floor is
+  * not symmetric).
   *
   * Each directed edge (src, dst, w) contributes
   * rank(src)·w / wout(src); rank' = 0.15 + 0.85·Σ contributions (the
@@ -43,6 +45,24 @@ import graft.Tables._
 object PageRank {
 
   private val QScale = 1e9
+
+  /** Largest power-of-ten quantization scale whose worst-case per-node
+    * sum stays exact in a long: total rank mass ≈ 0.15 + 0.85·n (every
+    * node's full mass could in principle reach one hub), so the scale
+    * must satisfy mass·scale < 2^53. ≤ ~9·10^6 nodes keeps the full 1e9;
+    * each further 10× of nodes drops one decade — the failure the bound
+    * documents becomes a deliberate, LOUD precision step instead of a
+    * silent overflow (ADVICE r6). Deterministic in n, so both engines
+    * (and any partitioning) agree on the scale. */
+  private[graft] def qscaleFor(nNodes: Long): Double = {
+    val mass = 0.15 + 0.85 * math.max(nNodes, 1L).toDouble
+    var s = QScale
+    while (s > 1.0 && mass * s >= 9.007199254740992e15) s /= 10.0
+    require(mass * s < 9.007199254740992e15,
+      s"pageRankOf: $nNodes nodes — rank mass overflows long quantization " +
+        "even at scale 1; partition the graph or aggregate in decimal")
+    s
+  }
 
   /** Iterate `iters` rounds over `edges` (src, dst: long, w: long).
     * Returns (node: long, rank: double) for every node with at least one
@@ -63,11 +83,14 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    // the node count is already materialized (checkpoint) — counting it
+    // to pick the safe quantization scale costs no extra scan
+    val qs = qscaleFor(nodes.count())
     var rank = nodes.withColumn("rank", lit(1.0))
     (1 to iters).foreach { _ =>
       // each round's rank feeds the next broadcast; checkpoint keeps
       // the plan linear in iters, the CC discipline
-      rank = rankRound(e, nodes, rank).localCheckpoint(true)
+      rank = rankRound(e, nodes, rank, qs).localCheckpoint(true)
     }
     rank
   }
@@ -77,17 +100,17 @@ object PageRank {
     * are node-sized, so they broadcast into the edge scan, and the only
     * shuffle is the (dst, cq) partial-sum aggregation. */
   private[graft] def rankRound(e: DataFrame, nodes: DataFrame,
-      rank: DataFrame): DataFrame = {
+      rank: DataFrame, qs: Double = QScale): DataFrame = {
     val contrib = e.join(
         broadcast(rank.withColumnRenamed("node", "src")), "src")
       .select(col("dst"),
-        floor(col("rank") * col("w") / col("wout") * lit(QScale))
+        floor(col("rank") * col("w") / col("wout") * lit(qs))
           .as("cq"))
     nodes.join(
         broadcast(contrib.groupBy("dst")
           .agg(sum("cq").as("sq"))
           .select(col("dst").as("node"),
-            (col("sq").cast("double") / lit(QScale)).as("s"))),
+            (col("sq").cast("double") / lit(qs)).as("s"))),
         Seq("node"), "left")
       .select(col("node"),
         (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))

@@ -240,10 +240,14 @@ object Relational {
     // together hold fewer than k members, publishing their combined stats
     // would still describe < k documents (with one suppressed group it
     // would BE that group) — drop the row entirely in that case
+    // '<suppressed>' cannot collide with a real lang/source value (the
+    // corpus vocabulary is identifier-shaped) — a genuine group named
+    // 'other' would otherwise be indistinguishable from, or key-collide
+    // with, the fold row (ADVICE r6)
     val suppressed = g.filter(col("n") < k)
       .agg(coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(sum("sum_chars"), lit(0L)).as("sum_chars"))
-      .select(lit("other").as("lang"), lit("other").as("source"),
+      .select(lit("<suppressed>").as("lang"), lit("<suppressed>").as("source"),
         col("n"), col("sum_chars"))
       // max(k, 1): at k <= 0 nothing is ever suppressed and the coalesced
       // zero row must not surface as a bogus empty 'other'

@@ -1,0 +1,109 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned store for TRAINED ARTIFACTS — the train-once / serve-many
+  * shape of a deployable engine (VERDICT r6 #1). The reference
+  * externalizes ALL durable state to an index the jobs re-read
+  * (`/root/reference/scripts/publish_state_job.py:77-84`); this applies
+  * that design point to the LLM-ops models: IVF centroids + PQ codebooks
+  * + codes, BPE merge tables, bigram-LM counts, classifier weights.
+  * Training a 100 TB corpus's quantizer/tokenizer/LM inside every query
+  * is the one shape that cannot ship — the index is built once, versioned,
+  * and served many times.
+  *
+  * Layout: `v<N>/<part>/` parquet directories plus a `_CURRENT` pointer
+  * flipped by atomic rename — the [[DocumentStore]] metadata contract
+  * (single writer; POSIX/HDFS rename atomicity; an object store wants a
+  * table format instead). A model version is SELF-CONTAINED: every part is
+  * rewritten on save (models are small — vocabulary / k·dim / m·k·sub
+  * bounded — so there is nothing to share across versions, unlike document
+  * buckets). A crashed save leaves `_CURRENT` on the previous complete
+  * version; a half-written v<N> dir is invisible and overwritten by the
+  * next save. Parquet round-trips preserve doubles and longs bit-exactly,
+  * so serving from the store is bit-identical to serving the in-memory
+  * training output (ModelStoreSpec pins this byte-for-byte).
+  */
+class ModelStore(spark: SparkSession, path: String) {
+  private val root = Paths.get(path)
+  Files.createDirectories(root)
+  private def pointer = root.resolve("_CURRENT")
+
+  def currentVersion: Option[Long] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong)
+    else None
+
+  private def partDir(v: Long, part: String) =
+    root.resolve(s"v$v").resolve(part)
+
+  /** Persist a complete model version (every named part) and flip the
+    * pointer. Returns the version written. */
+  def save(parts: Map[String, DataFrame]): Long = {
+    require(parts.nonEmpty, "a model version must have at least one part")
+    parts.keys.foreach { p =>
+      require(p.nonEmpty && !p.contains('/') && !p.startsWith("_"),
+        s"bad part name '$p'")
+    }
+    val next = currentVersion.getOrElse(-1L) + 1
+    parts.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(partDir(next, name).toString)
+    }
+    flip(next)
+  }
+
+  /** Part names of the current version. */
+  def partNames: Seq[String] = currentVersion match {
+    case None => Seq.empty
+    case Some(v) =>
+      Files.list(root.resolve(s"v$v")).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Read a part of the current version (serving path). */
+  def load(part: String): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"model store $path is empty"))
+    loadAt(v, part)
+  }
+
+  /** Read a part of a PINNED version — reproducibility: a long-running
+    * scoring job keeps reading the version it started with even if a
+    * retrain flips `_CURRENT` mid-flight. */
+  def loadAt(v: Long, part: String): DataFrame = {
+    val dir = partDir(v, part)
+    require(Files.isDirectory(dir),
+      s"model store $path v$v has no part '$part'")
+    spark.read.parquet(dir.toString)
+  }
+
+  private def flip(next: Long): Long = {
+    val tmp = root.resolve("_CURRENT.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+}
+
+object ModelStore {
+  /** Build-use-discard harness for the oracle's persisted-artifact
+    * queries: train into a scratch store, serve the result OUT OF the
+    * store, materialize it (eager local checkpoint — row content AND
+    * partition order survive the store's deletion), then delete the
+    * scratch directory. Proves persisted == in-query by construction:
+    * the served frame literally read its model from parquet. */
+  def scratch(spark: SparkSession, tag: String)
+      (body: ModelStore => DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft-$tag-")
+    try graft.Materialize.checkpoint(body(new ModelStore(spark, dir.toString)))
+    finally deleteRecursively(dir)
+  }
+
+  private[store] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+}

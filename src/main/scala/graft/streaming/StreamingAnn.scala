@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.llm.Similarity
+import graft.store.ModelStore
+
+/** Incremental ANN index maintenance on ingest (VERDICT r6 #2) — the
+  * vector-side analogue of [[StreamingDedup]]'s signature store: the
+  * quantizers (coarse centroids + PQ codebooks) are TRAINED ONCE on a
+  * base corpus and persisted ([[Similarity.saveIvfPqIndex]]); each
+  * microbatch of newly ingested vectors is ASSIGNED to the frozen coarse
+  * cells and PQ-ENCODED (two broadcast joins, zero training jobs), and
+  * the coded rows land in a `batch=N` parquet store with the signature
+  * store's replay contract — overwrite your own partition, read nothing
+  * newer. Search unions the base index's codes with every streamed
+  * increment through the ONE probe+ADC body
+  * ([[Similarity.ivfPqSearchOver]]).
+  *
+  * Because PQ encoding is pointwise per vector under frozen quantizers,
+  * encoding increments separately IS encoding their union — incremental
+  * search is bit-identical to a batch re-encode of everything
+  * (StreamingAnnSpec pins this), and a replayed microbatch rewrites the
+  * same deterministic rows (effectively-once).
+  *
+  * What this deliberately does NOT do: re-train the quantizers as the
+  * distribution drifts. That is a base-index REBUILD (a new ModelStore
+  * version + re-encode — the serve path then flips atomically), the
+  * standard split in production ANN systems: cheap per-increment
+  * assignment continuously, expensive retraining rarely.
+  */
+object StreamingAnn {
+
+  /** Assign+encode one increment against the frozen quantizers and write
+    * it to `codesPath/batch=N` — idempotent foreachBatch body (the
+    * [[StreamingDedup.dedupBatch]] replay contract). */
+  def annIngestBatch(spark: SparkSession, store: ModelStore,
+      codesPath: String, m: Int = 4, dim: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit =
+    Similarity.encodeWithIndex(store, batch, m, dim)
+      .write.mode("overwrite").parquet(s"$codesPath/batch=$batchId")
+
+  /** Wire a (vec_id, embedding) stream through the incremental encode. */
+  def incrementalAnnIngest(vecs: DataFrame, store: ModelStore,
+      codesPath: String, checkpoint: String, m: Int = 4,
+      dim: Int = 64): DataStreamWriter[Row] =
+    vecs.writeStream
+      .foreachBatch(annIngestBatch(vecs.sparkSession, store, codesPath,
+        m, dim) _)
+      .option("checkpointLocation", checkpoint)
+
+  /** The streamed coded rows (vec_id, cid, c0..c{m-1}), or None before
+    * the first increment. Narrow columns only — the stored base vectors
+    * are never re-read. */
+  def readCodes(spark: SparkSession, codesPath: String): Option[DataFrame] =
+    StreamingDedup.readStore(spark, codesPath).map(_.drop("batch"))
+
+  /** Search the base index PLUS every streamed increment: one union of
+    * coded rows, then the shared probe+ADC body. The increment store is
+    * partition-pruned to the probed cells only after the union — at
+    * scale both legs are narrow (m bytes + a cell id per vector) and the
+    * probe shrinks candidates by nprobe/nlist before any scoring join. */
+  def searchIncremental(spark: SparkSession, store: ModelStore,
+      codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
+      topK: Int = 10, nprobe: Int = 2, m: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val base = store.load("cells").join(store.load("codes"), "vec_id")
+    val coded = readCodes(spark, codesPath) match {
+      case Some(inc) => base.unionByName(inc.select(base.columns.map(col): _*))
+      case None => base
+    }
+    Similarity.ivfPqSearchOver(store.load("coarse"), coded,
+      store.load("codebooks"), qVec, qId, topK, nprobe, m, dim)
+  }
+}

@@ -72,7 +72,7 @@ object StreamingDedup {
       }
   }
 
-  private def readStore(spark: SparkSession, storePath: String)
+  private[streaming] def readStore(spark: SparkSession, storePath: String)
       : Option[DataFrame] = {
     val parts = listBatches(spark, storePath)
     if (parts.isEmpty) None

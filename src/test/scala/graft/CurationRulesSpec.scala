@@ -54,7 +54,7 @@ class DataCardSpec extends AnyFunSuite {
 }
 
 /** k-anonymous release: no published row under k, suppressed mass
-  * conserved, no empty 'other' row. */
+  * conserved, no empty fold row. */
 class KAnonSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -63,15 +63,15 @@ class KAnonSpec extends AnyFunSuite {
       .collect()
     assert(out.forall(_.getAs[Long]("n") >= 10), out.mkString("; "))
     // released mass never exceeds the corpus; the shortfall (if any) is
-    // a below-k 'other' fold that must be fully suppressed, not published
+    // a below-k fold that must be fully suppressed, not published
     val total = out.map(_.getAs[Long]("n")).sum
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     assert(total <= docs)
     if (total < docs)
-      assert(!out.exists(_.getAs[String]("lang") == "other"))
+      assert(!out.exists(_.getAs[String]("lang") == "<suppressed>"))
   }
 
-  test("a below-k residue is suppressed entirely, not published as 'other'") {
+  test("a below-k residue is suppressed entirely, not published as the fold row") {
     val s = spark; import s.implicits._
     // one big group + one 3-member group: the residue is under k, and
     // publishing it as 'other' would disclose that group's exact stats
@@ -88,13 +88,13 @@ class KAnonSpec extends AnyFunSuite {
     val out2 = graft.operators.Relational
       .kanonReleaseOf(rows2.toDF("doc_id", "lang", "source", "n_chars"), 10)
       .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
-    assert(out2 == Map("en" -> 20L, "other" -> 12L)) // 3 fr + 9 zh folded
+    assert(out2 == Map("en" -> 20L, "<suppressed>" -> 12L)) // 3 fr + 9 zh folded
   }
 
-  test("when every group clears k there is no 'other' row") {
+  test("when every group clears k there is no fold row") {
     val out = graft.operators.Relational.kanonRelease(spark, sfDir, k = 1)
       .collect()
-    assert(!out.exists(_.getAs[String]("lang") == "other"))
+    assert(!out.exists(_.getAs[String]("lang") == "<suppressed>"))
   }
 }
 
