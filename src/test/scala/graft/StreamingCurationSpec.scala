@@ -59,4 +59,72 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.size == rows.size)
   }
+
+  // ---- incremental curation FUNNEL parity (VERDICT r6 #7): quota +
+  //      shape gates + near-dup over doc_id-ordered microbatches must
+  //      reproduce the batch reference funnel — stage counts AND
+  //      survivor sets — and replays must be idempotent. Real sf0.001
+  //      documents (20 sources × 25 docs, genuine near-dups). ----
+
+  test("incremental funnel: stage counts + survivors equal the batch funnel; replay idempotent") {
+    val s = spark
+    import graft.streaming.StreamingCuration
+    // the synthetic corpus's vocabulary carries only one Gopher stopword
+    // ("the"), so the unmodified gate keeps 0 docs — a uniform stopword
+    // tail keeps the gate live without touching the near-dup structure
+    // (every doc gains the SAME shingles)
+    val docs = graft.Tables.t(s, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" and that to be of the have with ends"))
+          .as("text"))
+    val quota = 18L
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val (counts, sigs, out, stats) =
+      (s"$dir/counts", s"$dir/sigs", s"$dir/out", s"$dir/stats")
+    // three doc_id-ordered microbatch slices (the stated parity
+    // precondition); funnelBatch is driven directly, like the
+    // StreamingSpec nearDupBatch tests — the MemoryStream wiring adds
+    // only batch-boundary placement, which this fixes deliberately
+    val slices = Seq(
+      docs.filter(col("doc_id") < 170),
+      docs.filter(col("doc_id") >= 170 && col("doc_id") < 330),
+      docs.filter(col("doc_id") >= 330))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StreamingCuration.funnelBatch(s, counts, sigs, out, stats, quota)(
+        b, i.toLong)
+    }
+
+    val streamedReport = StreamingCuration.funnelReport(s, stats)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_kept"))).toMap
+    val refStages = StreamingCuration.referenceFunnelStages(docs, quota)
+    val refCounts = (docs.count() +: refStages.map(_._2.count()))
+    val refReport = refStages.map(_._1).zip(refCounts.zip(refCounts.tail))
+      .toMap
+    assert(streamedReport == refReport,
+      s"stage counts diverged: $streamedReport vs $refReport")
+
+    val streamedSurvivors = s.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val refSurvivors = refStages.last._2
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedSurvivors == refSurvivors)
+    assert(streamedSurvivors.nonEmpty)
+    // quota really dropped rows and the funnel really deduped
+    assert(streamedReport("quota")._2 == 20 * quota)
+    assert(streamedReport("near_dup")._2 < streamedReport("near_dup")._1)
+
+    // replay of the middle batch reads only strictly-earlier state →
+    // byte-identical partitions, global answer unchanged
+    StreamingCuration.funnelBatch(s, counts, sigs, out, stats, quota)(
+      slices(1), 1L)
+    val again = s.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == refSurvivors, "replay diverged")
+    assert(StreamingCuration.funnelReport(s, stats)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_kept"))).toMap
+      == refReport, "replayed stage counts diverged")
+  }
 }
