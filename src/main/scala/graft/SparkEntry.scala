@@ -110,6 +110,10 @@ object SparkEntry {
     "q_global_shuffle" -> (llm.Sampling.globalShuffle _),
     "q_negative_pairs" -> (llm.Sampling.negativePairs _),
     "q_curation_e2e" -> (llm.Curation.curationE2E _),
+    "q_dup_spans" -> (llm.SpanDedup.dupSpans _),
+    "q_span_scrub" -> (llm.SpanDedup.spanScrub _),
+    "q_dsir" -> (llm.Dsir.dsirWeights _),
+    "q_passage_chunks" -> (llm.Chunking.passageChunks _),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
     "q_line_dedup" -> (llm.TextCuration.lineDedup _),
     "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
@@ -1244,6 +1248,124 @@ object SparkEntry {
         |FROM tt JOIN p p2 ON p2.shard = tt.shard AND p2.pos = tt.tpos
         |WHERE p2.doc_id <> tt.doc_id
         |ORDER BY tt.doc_id, tt.j""".stripMargin,
+    // duplicated k-token spans (Lee et al. 2021 shape): sliding 8-token
+    // windows hashed with the portable 60-bit md5 prefix; dup = hash seen
+    // ≥2 times corpus-wide; islands merge overlapping dup spans per doc
+    "q_dup_spans" ->
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sp AS (SELECT doc_id,
+        |         unnest([{'pos': i,
+        |                  'h': CAST(('0x' || substr(md5('span#' || array_to_string(toks[i+1 : i+8], ' ')), 1, 15)) AS BIGINT)}
+        |                 FOR i IN generate_series(0, len(toks) - 8)],
+        |                recursive := true)
+        |       FROM tk WHERE len(toks) >= 8),
+        |d AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+        |occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN d USING (h)),
+        |i1 AS (SELECT doc_id, pos,
+        |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |       FROM occ),
+        |i2 AS (SELECT doc_id, pos,
+        |         sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |       FROM i1),
+        |ig AS (SELECT doc_id, island, min(pos) AS s, max(pos + 7) AS e,
+        |         count(*) AS n_occ
+        |       FROM i2 GROUP BY doc_id, island),
+        |pd AS (SELECT doc_id, CAST(sum(n_occ) AS INTEGER) AS n_dup,
+        |         CAST(count(*) AS INTEGER) AS n_islands,
+        |         CAST(sum(e - s + 1) AS INTEGER) AS n_dup_tokens
+        |       FROM ig GROUP BY doc_id),
+        |ns AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans
+        |       FROM sp GROUP BY doc_id)
+        |SELECT dd.doc_id, coalesce(ns.n_spans, 0) AS n_spans,
+        |  coalesce(pd.n_dup, 0) AS n_dup,
+        |  coalesce(pd.n_islands, 0) AS n_islands,
+        |  coalesce(pd.n_dup_tokens, 0) AS n_dup_tokens
+        |FROM documents dd LEFT JOIN ns USING (doc_id) LEFT JOIN pd USING (doc_id)
+        |ORDER BY dd.doc_id""".stripMargin,
+    // span scrub: drop tokens covered only by NON-canonical duplicated
+    // spans (canonical = global first occurrence by (doc_id, pos))
+    "q_span_scrub" ->
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sp AS (SELECT doc_id,
+        |         unnest([{'pos': i,
+        |                  'h': CAST(('0x' || substr(md5('span#' || array_to_string(toks[i+1 : i+8], ' ')), 1, 15)) AS BIGINT)}
+        |                 FOR i IN generate_series(0, len(toks) - 8)],
+        |                recursive := true)
+        |       FROM tk WHERE len(toks) >= 8),
+        |o AS (SELECT doc_id, pos,
+        |        CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+        |             THEN 1 ELSE 0 END AS is_canon,
+        |        count(*) OVER (PARTITION BY h) AS c
+        |      FROM sp),
+        |docc AS (SELECT doc_id, pos, is_canon FROM o WHERE c >= 2),
+        |cov AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p, is_canon
+        |        FROM docc),
+        |drops AS (SELECT doc_id, p FROM cov GROUP BY doc_id, p
+        |          HAVING max(is_canon) = 0),
+        |tok AS (SELECT doc_id,
+        |          unnest([{'pos': i - 1, 'tok': toks[i]}
+        |                  FOR i IN generate_series(1, len(toks))],
+        |                 recursive := true)
+        |        FROM tk),
+        |kept AS (SELECT t.doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+        |           string_agg(t.tok, ' ' ORDER BY t.pos) AS text_scrub
+        |         FROM tok t LEFT JOIN drops d
+        |           ON t.doc_id = d.doc_id AND t.pos = d.p
+        |         WHERE d.p IS NULL GROUP BY t.doc_id),
+        |nt AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens
+        |       FROM tok GROUP BY doc_id)
+        |SELECT dd.doc_id, nt.n_tokens,
+        |  coalesce(kept.n_kept, 0) AS n_kept,
+        |  coalesce(kept.text_scrub, '') AS text_scrub
+        |FROM documents dd JOIN nt USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY dd.doc_id""".stripMargin,
+    // DSIR importance weights: hashed-unigram add-one-smoothed
+    // log-likelihood ratio, target = 'en' slice, 64 buckets; ordered
+    // per-doc fold (the lm xent discipline)
+    "q_dsir" ->
+      raw"""WITH w AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+        |tok AS (SELECT doc_id, lang,
+        |          unnest([{'pos': j - 1,
+        |                   'f': CAST(('0x' || substr(md5('dsir#' || l[j]), 1, 15)) AS BIGINT) % 64}
+        |                  FOR j IN generate_series(1, len(l))],
+        |                 recursive := true)
+        |        FROM w),
+        |raw0 AS (SELECT f, count(*) AS c_raw FROM tok GROUP BY f),
+        |tgt AS (SELECT f, count(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY f),
+        |tots AS (SELECT (SELECT count(*) FROM tok) AS rt,
+        |                (SELECT count(*) FROM tok WHERE lang = 'en') AS tt),
+        |ratio AS (SELECT r.f,
+        |            ln((CAST(coalesce(g.c_tgt, 0) AS DOUBLE) + 1.0) /
+        |               (CAST(tots.tt AS DOUBLE) + 64.0)) -
+        |            ln((CAST(r.c_raw AS DOUBLE) + 1.0) /
+        |               (CAST(tots.rt AS DOUBLE) + 64.0)) AS lr
+        |          FROM raw0 r LEFT JOIN tgt g USING (f) CROSS JOIN tots),
+        |s AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_feat,
+        |        round(list_reduce(list_prepend(0.0, list(lr ORDER BY pos)),
+        |                          (u, x) -> u + x), 6) AS weight
+        |      FROM tok JOIN ratio USING (f) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_feat, 0) AS n_feat,
+        |  coalesce(s.weight, 0.0) AS weight,
+        |  CASE WHEN coalesce(s.weight, 0.0) > 0 THEN 1 ELSE 0 END AS selected
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // overlapping passage chunks: W=32 tokens, stride 16, trailing
+    // chunks shrink; chunk_id = doc_id·2^20 + ord
+    "q_passage_chunks" ->
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |            FROM documents WHERE length(trim(text)) > 0),
+        |st AS (SELECT doc_id, toks,
+        |         unnest([{'ord': CAST(i // 16 AS INTEGER), 'start': CAST(i AS INTEGER)}
+        |                 FOR i IN generate_series(0, len(toks) - 1, 16)],
+        |                recursive := true)
+        |       FROM tk)
+        |SELECT doc_id, doc_id * 1048576 + ord AS chunk_id, ord, start,
+        |  CAST(len(toks[start + 1 : start + 32]) AS INTEGER) AS n_tok,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, ord""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked
