@@ -114,6 +114,10 @@ object SparkEntry {
     "q_span_scrub" -> (llm.SpanDedup.spanScrub _),
     "q_dsir" -> (llm.Dsir.dsirWeights _),
     "q_passage_chunks" -> (llm.Chunking.passageChunks _),
+    "q_rank_fusion" -> (llm.Fusion.rrfFusion _),
+    "q_epoch_plan" -> (llm.Sampling.epochPlan _),
+    "q_triangle_count" -> (operators.Graphs.triangleCount _),
+    "q_fuzzy_join" -> ((s, d) => operators.FuzzyJoin.fuzzyResolve(s, d)),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
     "q_line_dedup" -> (llm.TextCuration.lineDedup _),
     "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
@@ -1366,6 +1370,73 @@ object SparkEntry {
         |  CAST(len(toks[start + 1 : start + 32]) AS INTEGER) AS n_tok,
         |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, ord""".stripMargin,
+    // RRF fusion of three quality rankings; oracle uses the naive
+    // global row_number — the engine's two-phase bucket ranks must
+    // equal it exactly
+    "q_rank_fusion" ->
+      raw"""WITH x AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_tok,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+        |        len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS n_stop
+        |      FROM x),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r_tok,
+        |        row_number() OVER (ORDER BY uniq_ratio DESC, doc_id) AS r_uniq,
+        |        row_number() OVER (ORDER BY n_stop DESC, doc_id) AS r_stop
+        |      FROM s)
+        |SELECT doc_id, r_tok, r_uniq, r_stop,
+        |  1.0 / (60 + r_tok) + 1.0 / (60 + r_uniq) + 1.0 / (60 + r_stop) AS rrf
+        |FROM r ORDER BY rrf DESC, doc_id""".stripMargin,
+    // Muennighoff-style epoch plan: √-tempered weights (fixed-point
+    // quantized normalizer), budget 2× corpus, epochs capped at 4
+    "q_epoch_plan" ->
+      raw"""WITH a AS (SELECT source,
+        |        CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS avail_tok
+        |      FROM documents GROUP BY source),
+        |q AS (SELECT source, avail_tok,
+        |        CAST(floor(sqrt(CAST(avail_tok AS DOUBLE)) * 1e6) AS BIGINT) AS qq
+        |      FROM a),
+        |t AS (SELECT CAST(sum(qq) AS BIGINT) AS qtot, CAST(sum(avail_tok) AS BIGINT) AS atot FROM q),
+        |e AS (SELECT source, avail_tok,
+        |        CAST(qq AS DOUBLE) / CAST(qtot AS DOUBLE) AS weight,
+        |        least(4.0, 2.0 * CAST(atot AS DOUBLE) * (CAST(qq AS DOUBLE) / CAST(qtot AS DOUBLE)) / CAST(avail_tok AS DOUBLE)) AS epochs
+        |      FROM q CROSS JOIN t)
+        |SELECT source, avail_tok, weight, epochs,
+        |  CAST(floor(epochs * CAST(avail_tok AS DOUBLE)) AS BIGINT) AS realized_tok
+        |FROM e ORDER BY source""".stripMargin,
+    // per-node triangles of the support-2 co-purchase graph; oracle
+    // orients by id (each triangle once as u<v<w) — per-node counts are
+    // orientation-invariant, so they must equal the engine's
+    // degree-ordered count exactly
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |       FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT x AS node FROM tr UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM n GROUP BY node ORDER BY n_tri DESC, node""".stripMargin,
+    // blocked fuzzy ER: block on (head noun, size band), verify
+    // levenshtein ≤ 2 ∧ |Δsize| ≤ 3; best = min (dist, id) via one
+    // bigint-encoded order-free min
+    "q_fuzzy_join" ->
+      raw"""WITH p AS (SELECT p_partkey AS id, p_name AS nm, p_size,
+        |        regexp_extract(p_name, '(\S+)$$', 1) || '#' ||
+        |          CAST(CAST(floor(p_size / 8.0) AS INTEGER) AS VARCHAR) AS blk
+        |      FROM part),
+        |pr AS (SELECT a.id AS id, b.id AS other, levenshtein(a.nm, b.nm) AS dist
+        |       FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id AND abs(a.p_size - b.p_size) <= 3
+        |       WHERE levenshtein(a.nm, b.nm) <= 2),
+        |sided AS (SELECT id, other, dist FROM pr UNION ALL SELECT other AS id, id AS other, dist FROM pr),
+        |s AS (SELECT id, CAST(count(*) AS BIGINT) AS n_match,
+        |        min(CAST(dist AS BIGINT) * 1000000000 + other) AS bk
+        |      FROM sided GROUP BY id)
+        |SELECT p.id AS p_partkey, p.nm,
+        |  coalesce(s.n_match, 0) AS n_match,
+        |  coalesce(s.bk % 1000000000, -1) AS best_id,
+        |  coalesce(s.bk // 1000000000, -1) AS best_dist
+        |FROM p LEFT JOIN s USING (id) ORDER BY p_partkey""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

@@ -230,4 +230,49 @@ object Sampling {
 
   def negativePairs(spark: SparkSession, dir: String): DataFrame =
     negativePairsOf(t(spark, dir, "documents"))
+
+  /** Epoch plan under a token budget — the data-constrained-scaling
+    * recipe (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models"): when the training budget exceeds the unique
+    * corpus, REPEAT sources, but cap the repeats (returns on a 5th+
+    * epoch of the same data decay to ~zero in the paper), and spread
+    * the budget across sources by a tempered weight so small sources
+    * aren't drowned (the [[temperatureMixOf]] α = 0.5 flattening, here
+    * applied to token mass).
+    *
+    *   w_s      = √A_s / Σ√A_s     (A_s = available tokens of source s)
+    *   epochs_s = min(maxEpochs, B·w_s / A_s)
+    *   realized = epochs_s · A_s
+    *
+    * Scale: one token-count aggregation (map-side partials; the only
+    * corpus pass), then source-cardinality-bounded arithmetic. The
+    * √-weight normalizer is a SUM OF DOUBLES across sources — made
+    * order-free by fixed-point quantization (⌊√A·10⁶⌋ summed as
+    * integers, the [[graft.operators.PageRank]] discipline), so the
+    * plan is bit-identical in any engine and under any shuffle order.
+    */
+  def epochPlanOf(docs: DataFrame, budgetFactor: Double = 2.0,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val avail = docs
+      .select(col("source"), size(TextOps.tokens(col("text"))).as("nt"))
+      .groupBy("source").agg(sum(col("nt").cast("long")).as("avail_tok"))
+    // quantized √-weights: exact integer sum, then one double division
+    val q = avail.withColumn("q",
+      floor(sqrt(col("avail_tok").cast("double")) * lit(1e6)).cast("long"))
+    val tot = q.agg(sum("q").as("qtot"), sum("avail_tok").as("atot"))
+    q.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        col("q").cast("double") / col("qtot").cast("double"))
+      .withColumn("epochs",
+        least(lit(maxEpochs),
+          lit(budgetFactor) * col("atot").cast("double") * col("weight") /
+            col("avail_tok").cast("double")))
+      .select(col("source"), col("avail_tok"), col("weight"), col("epochs"),
+        floor(col("epochs") * col("avail_tok").cast("double")).cast("long")
+          .as("realized_tok"))
+      .orderBy("source")
+  }
+
+  def epochPlan(spark: SparkSession, dir: String): DataFrame =
+    epochPlanOf(t(spark, dir, "documents"))
 }

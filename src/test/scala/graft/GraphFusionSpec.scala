@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{FuzzyJoin, Graphs}
+import graft.llm.{Fusion, Sampling}
+
+/** Semantics + plan shapes of the round-7 additions: triangle counting,
+  * blocked fuzzy ER, two-phase global ranks / RRF fusion, epoch plan. */
+class GraphFusionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def edgesOf(rows: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("u", "v")
+  }
+
+  test("triangleCountsOf: two triangles sharing an edge, pendant edge ignored") {
+    // {1,2,3} and {2,3,4} share edge (2,3); (5,6) is triangle-free
+    val e = edgesOf((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 6L))
+    val got = Graphs.triangleCountsOf(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), got)
+  }
+
+  test("triangleCountsOf: degree orientation equals naive id orientation") {
+    // deterministic pseudo-random graph with hubs: edge (a,b) kept when
+    // (a*31+b) mod 5 < 2 — dense enough for hundreds of triangles
+    val ids = (0L until 40L)
+    val e = edgesOf(ids.flatMap(a => ids.filter(b => b > a &&
+      (a * 31 + b) % 5 < 2).map(b => (a, b))): _*)
+    val fast = Graphs.triangleCountsOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: orient by id only (u<v<w), count closures
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty && fast == naive,
+      s"fast=${fast.size} naive=${naive.size}")
+  }
+
+  test("copurchaseEdges: support threshold keeps only repeated pairs") {
+    val s = spark; import s.implicits._
+    // orders: (1,2) together twice, (1,3) once, 2 alone once
+    val dir = java.nio.file.Files.createTempDirectory("cp").toString
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 3L),
+      (13L, 2L), (10L, 2L)) // duplicate membership must not double-count
+      .toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = Graphs.copurchaseEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got)
+  }
+
+  test("q_triangle_count and q_fuzzy_join plan without cartesian products") {
+    for (q <- Seq("q_triangle_count", "q_fuzzy_join")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
+    }
+  }
+
+  private def partsOf(rows: (Long, String, Int)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "nm", "p_size")
+  }
+
+  test("fuzzyResolveOf: within-block edit-distance matches, best by (dist, id)") {
+    val p = partsOf(
+      (1L, "red bolt", 10), (2L, "red bolt", 11),  // dist 0
+      (3L, "ted bolt", 12),                        // dist 1 of "red bolt"
+      (4L, "red gear", 10),                        // different block (noun)
+      (5L, "red bolt", 40))                        // same noun, far band
+    val got = FuzzyJoin.fuzzyResolveOf(p).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // 1: matches 2 (d0) and 3 (d2→ actually d1); best = (0, 2)
+    assert(got(1L) == (2L, 2L, 0L), got(1L))
+    assert(got(2L) == (2L, 1L, 0L), got(2L))
+    assert(got(3L)._1 == 2L && got(3L)._2 == 1L && got(3L)._3 == 1L, got(3L))
+    assert(got(4L) == (0L, -1L, -1L), got(4L)) // alone in its block
+    assert(got(5L) == (0L, -1L, -1L), got(5L)) // banding recall tradeoff
+  }
+
+  test("fuzzyResolveOf: distance and size-diff thresholds verify inside the block") {
+    val p = partsOf(
+      (1L, "aaa bolt", 1), (2L, "zzz bolt", 2),   // same block, dist 3 > 2
+      (3L, "aaa bolt", 7))                        // same band, |Δsize| 6 > 3
+    val got = FuzzyJoin.fuzzyResolveOf(p).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L), got)
+  }
+
+  test("globalRank: two-phase bucket ranks equal the naive global window") {
+    val s = spark; import s.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val sig = docs.select(col("doc_id"), length(col("text")).as("k"))
+    val fast = Fusion.globalRank(sig, col("k"), col("doc_id"),
+      col("k") / 16, "r").select("doc_id", "r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val naive = sig.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("k").desc, col("doc_id").asc)))
+      .select("doc_id", "r").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(fast == naive)
+  }
+
+  test("rrfFusion windows partition by bucket — no SinglePartition window") {
+    val df = Fusion.rrfFusion(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(!_.contains("SinglePartition")),
+      s"corpus-wide window:\n${windowLines.mkString("\n")}")
+    val top = df.limit(3).collect()
+    assert(top.length == 3 && top(0).getDouble(4) >= top(2).getDouble(4))
+  }
+
+  test("epochPlan: weights normalize, epochs capped, realized consistent") {
+    val rows = Sampling.epochPlan(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val wsum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-9, wsum)
+    rows.foreach { r =>
+      val (avail, e, real) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(e > 0 && e <= 4.0, r)
+      assert(real == math.floor(e * avail).toLong, r)
+    }
+    // budget 2× with √-tempered weights must over-sample at least one
+    // below-average source past 2 epochs
+    assert(rows.exists(_.getDouble(3) > 2.0))
+  }
+}
