@@ -118,6 +118,8 @@ object SparkEntry {
     "q_epoch_plan" -> (llm.Sampling.epochPlan _),
     "q_triangle_count" -> (operators.Graphs.triangleCount _),
     "q_fuzzy_join" -> ((s, d) => operators.FuzzyJoin.fuzzyResolve(s, d)),
+    "q_event_funnel" -> ((s, d) => operators.EventAnalytics.funnel(s, d)),
+    "q_cohort_retention" -> (operators.EventAnalytics.cohortRetention _),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
     "q_line_dedup" -> (llm.TextCuration.lineDedup _),
     "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
@@ -1437,6 +1439,39 @@ object SparkEntry {
         |  coalesce(s.bk % 1000000000, -1) AS best_id,
         |  coalesce(s.bk // 1000000000, -1) AS best_dist
         |FROM p LEFT JOIN s USING (id) ORDER BY p_partkey""".stripMargin,
+    // strictly-ordered conversion funnel view→click→purchase: step k =
+    // first step-k event AFTER the user's step-(k−1) time
+    "q_event_funnel" ->
+      """WITH f1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |r2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e JOIN f1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > f1.t1 GROUP BY e.user_id),
+        |f2 AS (SELECT f1.user_id, f1.t1, r2.t2 FROM f1 LEFT JOIN r2 USING (user_id)),
+        |r3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e JOIN f2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND f2.t2 IS NOT NULL AND epoch_ns(e.ts) > f2.t2
+        |       GROUP BY e.user_id),
+        |f3 AS (SELECT f2.user_id, f2.t1, f2.t2, r3.t3 FROM f2 LEFT JOIN r3 USING (user_id)),
+        |tot AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM f3)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+        |    CASE WHEN n1 > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS conv FROM tot
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(n2 AS BIGINT),
+        |    CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END FROM tot
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        |    CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END FROM tot)
+        |ORDER BY step""".stripMargin,
+    // weekly cohort retention: cohort = epoch-week of the user's first
+    // event; cells count distinct active users per offset week
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),
+        |c AS (SELECT DISTINCT ev.user_id, f.d0 // 7 AS cohort_week,
+        |        (ev.d - f.d0) // 7 AS week_offset
+        |      FROM ev JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

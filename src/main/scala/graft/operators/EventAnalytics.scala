@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Product-analytics operators over the event stream table: ordered
+  * conversion funnels and cohort retention — the two queries every
+  * event-warehouse user runs weekly, and the batch mirrors of what the
+  * reference's per-event jobs would feed a dashboard.
+  *
+  * Both are built on per-user aggregation only: every shuffle is an
+  * equi-shuffle on `user_id` (or on the small cohort key) with map-side
+  * partial aggregation, so the plans are user-cardinality-bounded, not
+  * event-cardinality-bounded — 10¹¹ events over 10⁸ users shuffle 10⁸
+  * aggregate rows. Timestamps stay Long nanoseconds throughout (the
+  * engine-wide exact-ts contract); day/week bucketing is integer
+  * division, never a float or calendar op.
+  */
+object EventAnalytics {
+
+  /** Strictly-ordered conversion funnel: for each user, step 1 is the
+    * FIRST `steps(0)` event, step k is the first `steps(k-1)` event
+    * AFTER the user's step-(k-1) time. One row per step:
+    * (step, event_type, n_users, conv) where conv = n_users / step-1
+    * users (1.0 for the first step, 0.0 when the previous step is
+    * empty).
+    *
+    * Shape: one per-user conditional-min aggregation per step — step
+    * k's filter needs step k-1's per-user time, so the dependency chain
+    * is k−1 equi-joins on user_id over user-sized frames (AQE
+    * broadcasts the shrinking side), never a window over the raw
+    * events; the whole chain stays declarative and collapses into one
+    * summary aggregation (zero driver-side loops). */
+  def funnelOf(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    // one row per step-1 user; t_k null until the user reaches step k
+    val perUser = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val reached = events.filter(col("event_type") === step)
+          .join(prev.select(col("user_id"), col(s"t$i")), "user_id")
+          .filter(col("ts") > col(s"t$i"))
+          .groupBy("user_id").agg(min("ts").as(s"t${i + 1}"))
+        prev.join(reached, Seq("user_id"), "left")
+    }
+    val aggCols = steps.indices
+      .map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}"))
+    val totals = perUser.agg(aggCols.head, aggCols.tail: _*)
+    val stepRows = steps.zipWithIndex.map { case (name, i) =>
+      val n = col(s"n${i + 1}")
+      val conv =
+        if (i == 0) when(n > 0, lit(1.0)).otherwise(lit(0.0))
+        else when(col(s"n$i") > 0,
+          n.cast("double") / col(s"n$i").cast("double"))
+          .otherwise(lit(0.0))
+      struct(lit(i + 1).as("step"), lit(name).as("event_type"),
+        n.as("n_users"), conv.as("conv"))
+    }
+    totals.select(explode(array(stepRows: _*)).as("s"))
+      .select(col("s.step"), col("s.event_type"), col("s.n_users"),
+        col("s.conv"))
+      .orderBy("step")
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(t(spark, dir, "events"))
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first event (any type); each (cohort_week, week_offset) cell counts
+    * the distinct users of that cohort active in that later week. Weeks
+    * are epoch-aligned 7-day buckets of the Long-nanos timestamp —
+    * integer division end to end. */
+  def cohortRetentionOf(events: DataFrame): DataFrame = {
+    val day = expr("ts DIV 86400000000000") // ns → epoch day
+    val ev = events.select(col("user_id"), day.as("d"))
+    val firstDay = ev.groupBy("user_id").agg(min("d").as("d0"))
+    ev.join(firstDay, "user_id")
+      .select(col("user_id"), expr("d0 DIV 7").as("cohort_week"),
+        expr("(d - d0) DIV 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(t(spark, dir, "events"))
+}
