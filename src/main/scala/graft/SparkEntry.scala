@@ -120,6 +120,7 @@ object SparkEntry {
     "q_fuzzy_join" -> ((s, d) => operators.FuzzyJoin.fuzzyResolve(s, d)),
     "q_event_funnel" -> ((s, d) => operators.EventAnalytics.funnel(s, d)),
     "q_cohort_retention" -> (operators.EventAnalytics.cohortRetention _),
+    "q_textrank" -> ((s, d) => llm.Keywords.textRank(s, d)),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
     "q_line_dedup" -> (llm.TextCuration.lineDedup _),
     "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
@@ -216,6 +217,23 @@ object SparkEntry {
       |af AS (SELECT vec_id, cid FROM
       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
       |       WHERE rn = 1)""".stripMargin
+
+  // shared PageRank round CTE (fixed-point quantized in-neighbor sums;
+  // see the q_pagerank comment) — used by q_pagerank AND q_textrank so
+  // the iteration arithmetic cannot silently diverge. Expects CTEs `e`
+  // (src, dst, w DOUBLE, wout DOUBLE), `nodes` (node), `r{k-1}` in scope.
+  private def pageRankRoundCte(k: Int): String =
+    s"""c$k AS (SELECT e.dst,
+       |          CAST(floor(r.rank * e.w / e.wout *
+       |                     CAST(1000000000 AS DOUBLE)) AS BIGINT) AS cq
+       |        FROM e JOIN r${k - 1} r ON r.node = e.src),
+       |s$k AS (SELECT dst AS node,
+       |          CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE) /
+       |            CAST(1000000000 AS DOUBLE) AS s
+       |        FROM c$k GROUP BY dst),
+       |r$k AS (SELECT n.node, CAST(0.15 AS DOUBLE) +
+       |          CAST(0.85 AS DOUBLE) * coalesce(s$k.s, CAST(0 AS DOUBLE)) AS rank
+       |        FROM nodes n LEFT JOIN s$k ON n.node = s$k.node)""".stripMargin
 
   // shared trained-IVF CTE chain (2 unrolled Lloyd rounds -> final argmin
   // assignment `af`) used by q_ivf_train AND q_semdedup — mirrors
@@ -614,18 +632,7 @@ object SparkEntry {
     // DuckDB sum(BIGINT) is HUGEINT → CAST to BIGINT BEFORE the double
     // cast (hugeint→double double-rounds; bigint < 2^53 is exact).
     "q_pagerank" -> {
-      def rnd(k: Int): String =
-        s"""c$k AS (SELECT e.dst,
-           |          CAST(floor(r.rank * e.w / e.wout *
-           |                     CAST(1000000000 AS DOUBLE)) AS BIGINT) AS cq
-           |        FROM e JOIN r${k - 1} r ON r.node = e.src),
-           |s$k AS (SELECT dst AS node,
-           |          CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE) /
-           |            CAST(1000000000 AS DOUBLE) AS s
-           |        FROM c$k GROUP BY dst),
-           |r$k AS (SELECT n.node, CAST(0.15 AS DOUBLE) +
-           |          CAST(0.85 AS DOUBLE) * coalesce(s$k.s, CAST(0 AS DOUBLE)) AS rank
-           |        FROM nodes n LEFT JOIN s$k ON n.node = s$k.node)""".stripMargin
+      val rnd = pageRankRoundCte _
       s"""WITH pairs AS (SELECT o_custkey * 2 AS cust,
          |                      l_suppkey * 2 + 1 AS supp,
          |                      count(*) AS w
@@ -1472,6 +1479,37 @@ object SparkEntry {
         |      FROM ev JOIN f USING (user_id))
         |SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // TextRank keywords: PageRank (shared round CTE) over the
+    // content-word adjacency graph; words hash to 60-bit node ids for
+    // the iterations, names join back at the end
+    "q_textrank" -> {
+      def h(x: String): String =
+        s"CAST(('0x' || substr(md5('tr#' || $x), 1, 15)) AS BIGINT)"
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents),
+         |u AS (SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts) + 1)) AS i FROM tk),
+         |seq AS (SELECT doc_id, i, t FROM u
+         |        WHERE length(t) >= 3
+         |          AND t NOT IN ('the', 'a', 'of', 'and', 'to')),
+         |adj AS (SELECT doc_id, t, lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM seq),
+         |pw AS (SELECT least(t, nxt) AS wa, greatest(t, nxt) AS wb, count(*) AS w
+         |       FROM adj WHERE nxt IS NOT NULL AND t <> nxt GROUP BY 1, 2),
+         |e0 AS (SELECT ${h("wa")} AS src, ${h("wb")} AS dst, w FROM pw
+         |       UNION ALL SELECT ${h("wb")}, ${h("wa")}, w FROM pw),
+         |wo AS (SELECT src, CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS wout
+         |       FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) AS w, wo.wout
+         |      FROM e0 JOIN wo ON e0.src = wo.src),
+         |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) AS rank FROM nodes),
+         |${pageRankRoundCte(1)},
+         |${pageRankRoundCte(2)},
+         |${pageRankRoundCte(3)},
+         |names AS (SELECT DISTINCT wa AS word, ${h("wa")} AS node FROM pw
+         |          UNION SELECT DISTINCT wb, ${h("wb")} FROM pw)
+         |SELECT n.word, round(r.rank, 6) AS rank
+         |FROM r3 r JOIN names n USING (node)
+         |ORDER BY rank DESC, word LIMIT 20""".stripMargin
+    },
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

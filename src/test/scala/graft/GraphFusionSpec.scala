@@ -121,6 +121,24 @@ class GraphFusionSpec extends AnyFunSuite {
     assert(top.length == 3 && top(0).getDouble(4) >= top(2).getDouble(4))
   }
 
+  test("textRankOf: the hub word of a star-shaped corpus ranks first") {
+    val s = spark; import s.implicits._
+    // "data" is adjacent to every other content word; stopwords and
+    // short words never become vertices
+    val docs = Seq(
+      (1L, "data quality gates the data pipeline"),
+      (2L, "data curation and data sampling"),
+      (3L, "tokenizer data with a tiny xy"))
+      .toDF("doc_id", "text")
+    val got = llm.Keywords.textRankOf(docs, k = 10).collect()
+    assert(got.head.getString(0) == "data", got.map(_.getString(0)).toSeq)
+    assert(!got.map(_.getString(0)).exists(w =>
+      w == "the" || w == "and" || w == "xy"), got.map(_.getString(0)).toSeq)
+    // ranks are PageRank output: all positive, hub strictly above tail
+    assert(got.forall(_.getDouble(1) > 0) &&
+      got.head.getDouble(1) > got.last.getDouble(1))
+  }
+
   test("epochPlan: weights normalize, epochs capped, realized consistent") {
     val rows = Sampling.epochPlan(spark, sfDir).collect()
     assert(rows.length == 20)
