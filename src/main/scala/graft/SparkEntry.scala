@@ -121,6 +121,8 @@ object SparkEntry {
     "q_event_funnel" -> ((s, d) => operators.EventAnalytics.funnel(s, d)),
     "q_cohort_retention" -> (operators.EventAnalytics.cohortRetention _),
     "q_textrank" -> ((s, d) => llm.Keywords.textRank(s, d)),
+    "q_rfm_segments" -> (operators.EventAnalytics.rfmSegments _),
+    "q_top_paths" -> ((s, d) => operators.EventAnalytics.topPaths(s, d)),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
     "q_line_dedup" -> (llm.TextCuration.lineDedup _),
     "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
@@ -1510,6 +1512,40 @@ object SparkEntry {
          |FROM r3 r JOIN names n USING (node)
          |ORDER BY rank DESC, word LIMIT 20""".stripMargin
     },
+    // RFM segmentation: quintile scores from global ranks (the engine's
+    // two-phase globalRank must equal the naive row_number), decimal-
+    // exact monetary sums, integer quintile arithmetic
+    "q_rfm_segments" ->
+      """WITH b AS (SELECT o_custkey AS custkey,
+        |        max(epoch_ms(o_orderdate) // 86400000) AS r_day,
+        |        CAST(count(*) AS BIGINT) AS freq,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+        |      FROM orders GROUP BY 1),
+        |r AS (SELECT custkey, r_day, freq, monetary,
+        |        row_number() OVER (ORDER BY r_day DESC, custkey) AS rr,
+        |        row_number() OVER (ORDER BY freq DESC, custkey) AS rf,
+        |        row_number() OVER (ORDER BY monetary DESC, custkey) AS rm
+        |      FROM b),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |s AS (SELECT custkey, r_day, freq, monetary,
+        |        5 - ((rr - 1) * 5 // n.n) AS r_score,
+        |        5 - ((rf - 1) * 5 // n.n) AS f_score,
+        |        5 - ((rm - 1) * 5 // n.n) AS m_score
+        |      FROM r CROSS JOIN n)
+        |SELECT custkey, r_day, freq, monetary, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM s ORDER BY custkey""".stripMargin,
+    // top event-type paths: each user's first 5 events by (ts,
+    // event_id), concatenated; most common paths with user counts
+    "q_top_paths" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_ns(ts), event_id) AS rn
+        |      FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY tns, event_id) AS path
+        |      FROM f WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

@@ -88,4 +88,63 @@ object EventAnalytics {
 
   def cohortRetention(spark: SparkSession, dir: String): DataFrame =
     cohortRetentionOf(t(spark, dir, "events"))
+
+  /** RFM customer segmentation (Hughes 1994's classic recency/
+    * frequency/monetary scoring): one per-customer aggregate, then each
+    * dimension quintile-scored 5 (best) … 1 by GLOBAL rank. The ranks
+    * reuse [[graft.llm.Fusion.globalRank]] — the two-phase bucket
+    * discipline — so scoring a 10⁸-customer base never plans a
+    * SinglePartition window; quintile arithmetic is integer end to end.
+    * Monetary sums route through [[graft.Tables.dsum]] (exact decimal),
+    * so ranks can't flip on float summation order. */
+  def rfmSegmentsOf(orders: DataFrame): DataFrame = {
+    val base = orders.groupBy(col("o_custkey").as("custkey")).agg(
+      max(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"))
+        .as("r_day"),
+      count(lit(1)).as("freq"),
+      dsum(col("o_totalprice")).as("monetary"))
+    val r1 = graft.llm.Fusion.globalRank(base, col("r_day"), col("custkey"),
+      col("r_day"), "rr")
+    val r2 = graft.llm.Fusion.globalRank(r1, col("freq"), col("custkey"),
+      col("freq"), "rf")
+    val r3 = graft.llm.Fusion.globalRank(r2, col("monetary"), col("custkey"),
+      floor(col("monetary")).cast("long"), "rm")
+    val n = broadcast(base.agg(count(lit(1)).as("n")))
+    r3.crossJoin(n)
+      .select(col("custkey"), col("r_day"), col("freq"), col("monetary"),
+        expr("5 - ((rr - 1) * 5 DIV n)").as("r_score"),
+        expr("5 - ((rf - 1) * 5 DIV n)").as("f_score"),
+        expr("5 - ((rm - 1) * 5 DIV n)").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("custkey")
+  }
+
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsOf(t(spark, dir, "orders"))
+
+  /** Top event-type paths: each user's first `plen` events (by ts, then
+    * event_id for total order) concatenated into a path string; the
+    * `k` most common paths with their user counts. Per-user windows
+    * only (user-bounded), a path-cardinality-bounded aggregate, and a
+    * TakeOrdered head — no global sort. */
+  def topPathsOf(events: DataFrame, plen: Int = 5, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val firstN = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= plen)
+    firstN.groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        s => s.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
+  def topPaths(spark: SparkSession, dir: String): DataFrame =
+    topPathsOf(t(spark, dir, "events"))
 }

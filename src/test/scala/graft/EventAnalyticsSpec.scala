@@ -56,6 +56,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got)
   }
 
+  test("rfmSegmentsOf: quintile scores follow the global ranks per dimension") {
+    val s = spark; import s.implicits._
+    // 5 customers → rank r gets score 6−r in every dimension
+    // cust: (last day, #orders, spend) — each dimension ordered differently
+    val orders = Seq( // (cust, order, day-number, price)
+      (1L, 10L, 5, 500.0), (2L, 11L, 4, 100.0),
+      (2L, 12L, 1, 100.0), (3L, 13L, 3, 900.0),
+      (3L, 14L, 1, 50.0), (3L, 15L, 1, 50.0),
+      (4L, 16L, 2, 200.0), (5L, 17L, 1, 700.0))
+      .map { case (c, o, d, p) => // epoch-ms timestamps: TZ-proof days
+        (o, c, new java.sql.Timestamp(d * 86400000L), p)
+      }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = EventAnalytics.rfmSegmentsOf(orders).collect()
+      .map(r => r.getLong(0) -> r.getLong(7)).toMap
+    // recency order: 1,4? no — days: c1=Jan5, c2=Jan4, c3=Jan3, c4=Jan2,
+    // c5=Jan1 → r_scores 5,4,3,2,1. freq: c3=3, c2=2, c1=c4=c5=1 (ties →
+    // custkey asc → ranks 3,4,5) → f: c3=5, c2=4, c1=3, c4=2, c5=1.
+    // monetary: c3=1000, c5=700, c1=500, c2=200, c4=200 (tie → c2 first)
+    // → m: c3=5, c5=4, c1=3, c2=2, c4=1.
+    assert(got == Map(1L -> 533L, 2L -> 442L, 3L -> 355L, 4L -> 221L,
+      5L -> 114L), got)
+  }
+
+  test("topPathsOf: only the first 5 events count, ordered by (ts, event_id)") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // user 1: six events; the 6th ("error") must not appear
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "view"),
+      (4L, 1L, 40L, "click"), (5L, 1L, 50L, "purchase"), (6L, 1L, 60L, "error"),
+      // user 2: same prefix; ts tie at 20 broken by event_id (8 before 9)
+      (7L, 2L, 10L, "view"), (9L, 2L, 20L, "purchase"), (8L, 2L, 20L, "click"),
+      (10L, 2L, 30L, "view"), (11L, 2L, 40L, "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.topPathsOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("view>click>purchase>view>click", 1L),
+      ("view>click>view>click>purchase", 1L)), got)
+  }
+
   test("funnel plan: only equi-joins, no cartesian, events scanned per step filter") {
     val p = EventAnalytics.funnel(spark, sfDir)
       .queryExecution.executedPlan.toString
