@@ -35,7 +35,16 @@ object Chunking {
         posexplode(sequence(lit(0), size(col("toks")) - 1,
           lit(stride))).as(Seq("ord", "start")))
       .select(col("doc_id"),
-        (col("doc_id") * lit(1L << 20) + col("ord")).as("chunk_id"),
+        // uniqueness guard: ord ≥ 2^20 would collide with the next
+        // doc_id's chunk 0 — fail LOUD instead of silently duplicating
+        // ids in a retrieval store keyed on them
+        (col("doc_id") * lit(1L << 20) +
+          when(col("ord") < lit(1L << 20), col("ord"))
+            .otherwise(raise_error(concat(lit("passageChunks: doc "),
+              col("doc_id").cast("string"),
+              lit(s" exceeds 2^20 chunks at stride $stride — " +
+                "chunk_id space exhausted; raise the stride or widen " +
+                "the id encoding"))))).as("chunk_id"),
         col("ord"), col("start"),
         slice(col("toks"), col("start") + 1, lit(window)).as("ctoks"))
       .select(col("doc_id"), col("chunk_id"), col("ord"), col("start"),

@@ -98,17 +98,25 @@ object EventAnalytics {
     * Monetary sums route through [[graft.Tables.dsum]] (exact decimal),
     * so ranks can't flip on float summation order. */
   def rfmSegmentsOf(orders: DataFrame): DataFrame = {
+    // checkpoint before ranking: each globalRank drives a driver-side
+    // histogram collect, and without this the orders scan+aggregate
+    // would re-execute once per dimension (the rrfFusionOf discipline)
     val base = orders.groupBy(col("o_custkey").as("custkey")).agg(
       max(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"))
         .as("r_day"),
       count(lit(1)).as("freq"),
       dsum(col("o_totalprice")).as("monetary"))
+      .localCheckpoint(true)
     val r1 = graft.llm.Fusion.globalRank(base, col("r_day"), col("custkey"),
       col("r_day"), "rr")
     val r2 = graft.llm.Fusion.globalRank(r1, col("freq"), col("custkey"),
       col("freq"), "rf")
+    // monetary bucket is COARSE (1024-wide bands) on purpose: per-cent
+    // spend sums are near-unique per customer, so bucket = floor(m)
+    // would hand the driver a customer-sized histogram — the exact
+    // degeneracy the two-phase rank exists to avoid
     val r3 = graft.llm.Fusion.globalRank(r2, col("monetary"), col("custkey"),
-      floor(col("monetary")).cast("long"), "rm")
+      floor(col("monetary") / 1024).cast("long"), "rm")
     val n = broadcast(base.agg(count(lit(1)).as("n")))
     r3.crossJoin(n)
       .select(col("custkey"), col("r_day"), col("freq"), col("monetary"),

@@ -47,15 +47,20 @@ object PageRank {
   private val QScale = 1e9
 
   /** Largest power-of-ten quantization scale whose worst-case per-node
-    * sum stays exact in a long: total rank mass ≈ 0.15 + 0.85·n (every
-    * node's full mass could in principle reach one hub), so the scale
-    * must satisfy mass·scale < 2^53. ≤ ~9·10^6 nodes keeps the full 1e9;
-    * each further 10× of nodes drops one decade — the failure the bound
+    * sum stays exact in a long: total rank mass is n in round 1 (every
+    * rank starts at 1.0) and ≤ 0.15·n + 0.85·n = n in every later round,
+    * and in principle all of it could reach one hub — so the scale must
+    * satisfy n·scale < 2^53. ≤ ~9·10^6 nodes keeps the full 1e9; each
+    * further 10× of nodes drops one decade — the failure the bound
     * documents becomes a deliberate, LOUD precision step instead of a
-    * silent overflow (ADVICE r6). Deterministic in n, so both engines
-    * (and any partitioning) agree on the scale. */
+    * silent overflow (ADVICE r6). Deterministic in n, so any
+    * partitioning agrees on the scale. NOTE the oracle coupling: the
+    * shared DuckDB round CTE pins 1000000000, so the oracle-checked
+    * queries are exact mirrors precisely on graphs under the ~9·10^6
+    * bound (test graphs are ≤ ~10^5 nodes); past it the engine's
+    * documented precision step is engine-only. */
   private[graft] def qscaleFor(nNodes: Long): Double = {
-    val mass = 0.15 + 0.85 * math.max(nNodes, 1L).toDouble
+    val mass = math.max(nNodes, 1L).toDouble
     var s = QScale
     while (s > 1.0 && mass * s >= 9.007199254740992e15) s /= 10.0
     require(mass * s < 9.007199254740992e15,

@@ -57,10 +57,11 @@ class ModelStore(spark: SparkSession, path: String) {
   /** Part names of the current version. */
   def partNames: Seq[String] = currentVersion match {
     case None => Seq.empty
-    case Some(v) =>
-      Files.list(root.resolve(s"v$v")).iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq.sorted
+    case Some(v) => // close the directory stream — fd leak otherwise
+      scala.util.Using.resource(Files.list(root.resolve(s"v$v")))(
+        _.iterator().asScala
+          .filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).toSeq.sorted)
   }
 
   /** Read a part of the current version (serving path). */
@@ -104,6 +105,7 @@ object ModelStore {
   }
 
   private[store] def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) // close the walk stream — fd leak otherwise
+      scala.util.Using.resource(Files.walk(p))(
+        _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
 }

@@ -60,14 +60,30 @@ object StreamingAnn {
     * coded rows, then the shared probe+ADC body. The increment store is
     * partition-pruned to the probed cells only after the union — at
     * scale both legs are narrow (m bytes + a cell id per vector) and the
-    * probe shrinks candidates by nprobe/nlist before any scoring join. */
+    * probe shrinks candidates by nprobe/nlist before any scoring join.
+    *
+    * A vec_id may appear in more than one leg: the replay contract
+    * dedups within a RE-DELIVERED batch (same batchId overwrites its own
+    * partition), but an at-least-once upstream can re-deliver a vector
+    * in a LATER batch, and a re-ingest can carry an updated embedding.
+    * One coded row per vec_id survives — latest batch wins, base loses
+    * to any increment — so the top-K can never hold the same vector
+    * twice (review r7 finding #2). The window partitions by vec_id
+    * (duplicate-count-bounded groups), never globally. */
   def searchIncremental(spark: SparkSession, store: ModelStore,
       codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
       topK: Int = 10, nprobe: Int = 2, m: Int = 4,
       dim: Int = 64): DataFrame = {
     val base = store.load("cells").join(store.load("codes"), "vec_id")
-    val coded = readCodes(spark, codesPath) match {
-      case Some(inc) => base.unionByName(inc.select(base.columns.map(col): _*))
+    val coded = StreamingDedup.readStore(spark, codesPath) match {
+      case Some(inc) =>
+        val all = base.withColumn("__b", lit(-1L)).unionByName(
+          inc.select((base.columns.map(col) :+
+            col("batch").cast("long").as("__b")): _*))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("__b").desc)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__b", "__rn")
       case None => base
     }
     Similarity.ivfPqSearchOver(store.load("coarse"), coded,

@@ -70,7 +70,10 @@ object StressGen {
         else regexp_replace(col("text"), "(\\S+)", "$1" + s"x$i")
       d.withColumn("doc_id", col("doc_id") + lit(i * docStride))
         .withColumn("text", t)
-        .withColumn("n_chars", length(t))
+        // AFTER the text rewrite: length(t) here would re-resolve the
+        // suffix regexp against the already-suffixed column and store
+        // n_chars of a doubly-suffixed string (review r7 finding #1)
+        .withColumn("n_chars", length(col("text")))
     }, "documents")
 
     val ord = read("orders")

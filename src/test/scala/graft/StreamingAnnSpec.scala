@@ -79,6 +79,31 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("a vector re-delivered in a LATER batch does not duplicate in the top-K") {
+    val n = emb.count()
+    val cut = n * 2 / 3
+    val base = emb.filter(col("vec_id") < cut)
+    val inc = emb.filter(col("vec_id") >= cut)
+    withDirs { (store, codesPath) =>
+      llm.Similarity.saveIvfPqIndex(base, store)
+      val qVec = llm.Similarity.queryVecOf(emb, 0L)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(inc, 0L)
+      val once = searchRows(store, codesPath, qVec)
+      // at-least-once upstream: the SAME increment arrives again under a
+      // NEW batch id (replay-contract partition overwrite can't dedup
+      // this), plus a re-delivery of base vectors — the search must
+      // still return one row per vec_id, identical to the single ingest
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(inc, 1L)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(
+        base.limit(50), 2L)
+      val redelivered = searchRows(store, codesPath, qVec)
+      assert(redelivered === once)
+      val ids = StreamingAnn.searchIncremental(spark, store, codesPath,
+        qVec, qId = 0L).select("vec_id").collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length, ids.toSeq)
+    }
+  }
+
   test("MemoryStream wiring: two triggered microbatches land as batch=0/1 and serve identically") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
