@@ -123,6 +123,9 @@ object SparkEntry {
     "q_textrank" -> ((s, d) => llm.Keywords.textRank(s, d)),
     "q_rfm_segments" -> (operators.EventAnalytics.rfmSegments _),
     "q_top_paths" -> ((s, d) => operators.EventAnalytics.topPaths(s, d)),
+    "q_anomaly_flags" -> ((s, d) => operators.EventAnalytics.anomalyFlags(s, d)),
+    "q_quantile_sketch" -> (operators.Sketches.quantileSketchQuery _),
+    "q_inverted_index" -> ((s, d) => llm.TextOps.invertedIndex(s, d)),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
     "q_line_dedup" -> (llm.TextCuration.lineDedup _),
     "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
@@ -1546,6 +1549,41 @@ object SparkEntry {
         |      FROM f WHERE rn <= 5 GROUP BY user_id)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
         |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+    // robust anomaly flags: modified z-score via per-type median/MAD,
+    // cut at 3.5 (Iglewicz–Hoaglin)
+    "q_anomaly_flags" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |        abs(e.value - m.med) AS dev
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.med, md.mad,
+        |  d.dev / (md.mad * 1.4826) AS score
+        |FROM d JOIN md USING (event_type)
+        |WHERE md.mad > 0 AND d.dev / (md.mad * 1.4826) > 3.5
+        |ORDER BY d.event_id""".stripMargin,
+    // bottom-k (min-hash-of-id) quantile sketch vs exact quantiles —
+    // the sample is the k smallest md5-derived hashes, so both engines
+    // draw the IDENTICAL sample
+    "q_quantile_sketch" ->
+      """WITH s AS (SELECT value AS v FROM events
+        |           ORDER BY CAST(('0x' || substr(md5('qsk#' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |                    event_id
+        |           LIMIT 256)
+        |SELECT q, est, exact FROM (
+        |  SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS q,
+        |    unnest((SELECT quantile_cont(v, [0.25, 0.5, 0.75, 0.9, 0.99]) FROM s)) AS est,
+        |    unnest((SELECT quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99]) FROM events)) AS exact)
+        |ORDER BY q""".stripMargin,
+    // inverted index: exact df + first-100 posting block per term
+    "q_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |        unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |      FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  (list(doc_id ORDER BY doc_id))[1:100] AS postings
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

@@ -795,4 +795,23 @@ object TextOps {
       .withColumn("len_nfc", length(col("norm_text")))
       .orderBy("doc_id")
   }
+
+  /** Inverted index build: term \u2192 document frequency + the first
+    * `cap` postings (sorted doc_ids) \u2014 the physical artifact behind
+    * [[tfidf]]/[[bm25]] serving (a keyword-search engine reads posting
+    * blocks, not a scan). One distinct (term, doc) shuffle, then a
+    * vocabulary-cardinality aggregate; postings are CAPPED per term so
+    * a stopword-like term can't materialize a corpus-sized array in one
+    * row (real indexes chunk postings into fixed blocks for the same
+    * reason \u2014 this emits the first block). df stays exact and uncapped. */
+  def invertedIndexOf(docs: DataFrame, cap: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(letterWords(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("postings"))
+      .orderBy("term")
+
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexOf(t(spark, dir, "documents"))
 }

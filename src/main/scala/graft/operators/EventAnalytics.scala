@@ -155,4 +155,32 @@ object EventAnalytics {
 
   def topPaths(spark: SparkSession, dir: String): DataFrame =
     topPathsOf(t(spark, dir, "events"))
+
+  /** Robust anomaly flags: the Iglewicz–Hoaglin modified z-score —
+    * |value − median| / (1.4826 · MAD) per event_type, flagging scores
+    * above 3.5. Median/MAD (not mean/stddev) so the outliers being
+    * hunted can't mask themselves by inflating the spread estimate —
+    * the [[Relational.madAgg]] robust-statistics rationale applied as
+    * a filter. Two grouped exact-percentile passes (group-key
+    * cardinality is tiny, the per-group medians broadcast), then one
+    * flagging projection over the scan; the shared percentile
+    * interpolation convention makes both engines' thresholds
+    * bit-identical. */
+  def anomalyFlagsOf(events: DataFrame, cutoff: Double = 3.5): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("score", col("dev") / (col("mad") * lit(1.4826)))
+      .filter(col("mad") > 0 && col("score") > cutoff)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("score"))
+      .orderBy("event_id")
+  }
+
+  def anomalyFlags(spark: SparkSession, dir: String): DataFrame =
+    anomalyFlagsOf(t(spark, dir, "events"))
 }

@@ -136,4 +136,45 @@ object Sketches {
       .join(exact, Seq("user_id"))
       .orderBy("user_id")
   }
+
+  /** Bottom-k quantile sketch: a deterministic uniform sample — the k
+    * rows whose md5-derived hash of the ROW ID is smallest (bottom-k /
+    * min-wise sampling, Cohen & Kaplan 2007) — with quantiles
+    * interpolated over the sample. The hash plays the role RNG plays in
+    * reservoir sampling, so the sketch is reproducible across runs,
+    * engines, and partition layouts, and MERGEABLE exactly: bottom-k of
+    * a union is the bottom-k of the unions' bottom-ks (spec pins
+    * sketch(b1 ∪ b2) == merge(sketch(b1), sketch(b2)) — the property
+    * that lets every partition/microbatch sketch independently and a
+    * k-row reduce combine them, the KMV state-bound argument applied to
+    * quantiles). */
+  def bottomKSample(df: DataFrame, idCol: String, valCol: String,
+      k: Int = 256, salt: String = "qsk"): DataFrame =
+    df.select(col(idCol).as("id"), col(valCol).as("v"),
+        h60(concat(lit(s"$salt#"), col(idCol).cast("string"))).as("h"))
+      .orderBy("h", "id") // TakeOrdered k — never a full sort
+      .limit(k)
+
+  /** (q, est) quantile estimates from a [[bottomKSample]]. */
+  def quantileEstimates(sample: DataFrame,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame =
+    sample.agg(expr(
+        s"percentile(v, array(${qs.mkString(", ")}))").as("est"))
+      .select(posexplode(col("est")).as(Seq("i", "est")))
+      .select(element_at(typedLit(qs), col("i") + 1).as("q"), col("est"))
+      .orderBy("q")
+
+  /** Oracle query: quantiles of events.value from a 256-row bottom-k
+    * sample next to the exact quantiles (the spec bounds the error). */
+  def quantileSketchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val est = quantileEstimates(
+      bottomKSample(ev, "event_id", "value"))
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val exact = ev.agg(expr(
+        s"percentile(value, array(${qs.mkString(", ")}))").as("ex"))
+      .select(posexplode(col("ex")).as(Seq("i", "exact")))
+      .select(element_at(typedLit(qs), col("i") + 1).as("q"), col("exact"))
+    est.join(exact, Seq("q")).orderBy("q")
+  }
 }

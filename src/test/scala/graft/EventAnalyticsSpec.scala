@@ -95,6 +95,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("view>click>view>click>purchase", 1L)), got)
   }
 
+  test("anomalyFlagsOf: the planted outlier is flagged, the bulk is not") {
+    val s = spark; import s.implicits._
+    // 20 values tightly around 10, one at 1000 — robust stats must flag
+    // exactly the outlier (mean/stddev would let it inflate the spread)
+    val ev = ((1 to 20).map(i => (i.toLong, "click", 10.0 + (i % 5) * 0.1)) :+
+      (99L, "click", 1000.0))
+      .toDF("event_id", "event_type", "value")
+    val got = EventAnalytics.anomalyFlagsOf(ev).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(99L), got.toSeq)
+    assert(got.head.getDouble(5) > 3.5)
+  }
+
+  test("anomalyFlagsOf: a zero-MAD group flags nothing (guard, not infinity)") {
+    val s = spark; import s.implicits._
+    val ev = ((1 to 9).map(i => (i.toLong, "view", 5.0)) :+
+      (10L, "view", 50.0)).toDF("event_id", "event_type", "value")
+    // median=5, deviations: nine 0s and one 45 → MAD 0 → guard drops all
+    assert(EventAnalytics.anomalyFlagsOf(ev).collect().isEmpty)
+  }
+
   test("funnel plan: only equi-joins, no cartesian, events scanned per step filter") {
     val p = EventAnalytics.funnel(spark, sfDir)
       .queryExecution.executedPlan.toString

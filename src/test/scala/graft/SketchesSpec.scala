@@ -106,4 +106,48 @@ class SketchesSpec extends AnyFunSuite {
         s"n_kept=${r.getInt(0)} hk=${r.getLong(1)}")
     }
   }
+
+  test("bottom-k sketch is mergeable: sketch(b1 ∪ b2) == merge(sketch(b1), sketch(b2))") {
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select("event_id", "value")
+    val b1 = ev.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+    val b2 = ev.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 1)
+    val k = 64
+    val whole = Sketches.bottomKSample(ev, "event_id", "value", k)
+      .collect().map(_.getLong(0)).toSeq
+    // merge = bottom-k of the two sketches' union (the k-row reduce a
+    // distributed/streaming maintainer would run)
+    val merged = Sketches.bottomKSample(b1, "event_id", "value", k)
+      .unionByName(Sketches.bottomKSample(b2, "event_id", "value", k))
+      .orderBy("h", "id").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(whole.nonEmpty && whole == merged)
+  }
+
+  test("bottom-k quantile estimates land near the exact quantiles") {
+    val rows = Sketches.quantileSketchQuery(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(1), r.getDouble(2))
+      // 256 uniform samples: binomial quantile deviation; the hash is
+      // fixed so this is deterministic-safe with a generous envelope
+      assert(math.abs(est - exact) <= math.max(5.0, exact * 0.35),
+        s"q=${r.getDouble(0)} est=$est exact=$exact")
+    }
+  }
+
+  test("invertedIndex: postings sorted+capped, df exact beyond the cap") {
+    val s = spark; import s.implicits._
+    val docs = ((1 to 150).map(i => (i.toLong, "common")) :+
+      (200L, "rare common") :+ (201L, "rare rare"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextOps.invertedIndexOf(docs, cap = 100).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("common").getLong(1) == 151) // df uncapped
+    val postings = out("common").getSeq[Long](2)
+    assert(postings.length == 100 && postings == postings.sorted)
+    // repeated term in one doc counts once; postings distinct
+    assert(out("rare").getLong(1) == 2 &&
+      out("rare").getSeq[Long](2) == Seq(200L, 201L))
+  }
 }
