@@ -124,6 +124,8 @@ object SparkEntry {
     "q_rfm_segments" -> (operators.EventAnalytics.rfmSegments _),
     "q_top_paths" -> ((s, d) => operators.EventAnalytics.topPaths(s, d)),
     "q_anomaly_flags" -> ((s, d) => operators.EventAnalytics.anomalyFlags(s, d)),
+    "q_linreg" -> (operators.Relational.linregAgg _),
+    "q_weighted_sample" -> ((s, d) => llm.Sampling.weightedSample(s, d)),
     "q_quantile_sketch" -> (operators.Sketches.quantileSketchQuery _),
     "q_inverted_index" -> ((s, d) => llm.TextOps.invertedIndex(s, d)),
     // family 11: llm-ops — corpus curation (C4/Gopher-style passes)
@@ -1584,6 +1586,30 @@ object SparkEntry {
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
         |  (list(doc_id ORDER BY doc_id))[1:100] AS postings
         |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    // group-wise least squares from the q_corr exact-decimal sums
+    "q_linreg" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
+        |  (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd AS intercept,
+        |  n
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // derandomized A-ES weighted sample: largest ln(u)/w for the
+    // md5-uniform u — identical draw in both engines
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    ln((CAST(CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+        |       / CAST(1152921504606846976 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents)
+        |SELECT doc_id, w FROM d
+        |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

@@ -275,4 +275,36 @@ object Sampling {
 
   def epochPlan(spark: SparkSession, dir: String): DataFrame =
     epochPlanOf(t(spark, dir, "documents"))
+
+  /** Weighted sampling without replacement, derandomized: A-ES
+    * (Efraimidis & Spirtakis 2006) keeps the k items with the largest
+    * u^(1/w) for uniform u — equivalently the largest ln(u)/w, which is
+    * what we rank on (ln is engine-portable where pow is not). The
+    * uniform draw is the md5-hash of the id mapped into (0, 1] — the
+    * engine-wide no-RNG rule — so the sample is a pure function of
+    * (id, weight): reproducible across runs, engines, partition
+    * layouts, and incremental re-ingests, exactly like [[hashSplit]].
+    *
+    * Scale: one projection + a TakeOrdered head — no global sort, no
+    * state. Weighting by n_chars gives the standard length-proportional
+    * document draw. */
+  def weightedSampleOf(docs: DataFrame, k: Int = 100,
+      salt: String = "ws"): DataFrame = {
+    val u = (Dedup.h60(concat(lit(s"$salt#"), col("doc_id").cast("string")))
+      .cast("double") + lit(1.0)) / lit((1L << 60).toDouble)
+    // the key is RANKED on but not EMITTED: ln differs by 1 ulp between
+    // engines on some inputs (the LM family's known caveat), which is
+    // harmless to the top-k selection (distinct documents' keys are far
+    // more than 1 ulp apart) but would fail a bit-exact value compare
+    docs
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"),
+        (log(u) / col("n_chars").cast("double")).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "w")
+      .orderBy("doc_id")
+  }
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleOf(t(spark, dir, "documents"))
 }

@@ -158,6 +158,27 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Group-wise least-squares line (y = slope·x + intercept per group):
+    * the closed form over the same five exact-decimal sums as
+    * [[corrAgg]], so the result is bit-identical in any engine and
+    * under any shuffle order — regression as ONE map-side-combinable
+    * aggregation pass, never an iterative solver. */
+  def linregAgg(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: String): Column = dec(col(c))
+    val sx = sum(d("l_discount")).cast("double")
+    val sy = sum(d("l_quantity")).cast("double")
+    val sxy = sum(d("l_discount") * d("l_quantity")).cast("double")
+    val sxx = sum(d("l_discount") * d("l_discount")).cast("double")
+    val n = count(lit(1)).cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Median absolute deviation per group — the robust-statistics spread
     * measure (outlier-resistant where stddev is not): MAD =
     * median(|x − median(x)|). Two percentile passes joined on the group

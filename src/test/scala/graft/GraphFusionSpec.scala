@@ -139,6 +139,39 @@ class GraphFusionSpec extends AnyFunSuite {
       got.head.getDouble(1) > got.last.getDouble(1))
   }
 
+  test("weightedSample: deterministic and length-biased vs the corpus") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val s1 = Sampling.weightedSampleOf(docs, k = 100).collect()
+      .map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSampleOf(docs, k = 100).collect()
+      .map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.length == 100) // pure function of (id, weight)
+    val sampleMean = Sampling.weightedSampleOf(docs, k = 100)
+      .agg(avg("w")).head().getDouble(0)
+    val corpusMean = docs.agg(avg(col("n_chars").cast("double")))
+      .head().getDouble(0)
+    assert(sampleMean > corpusMean, // longer docs drawn more often
+      s"sample mean $sampleMean vs corpus $corpusMean")
+  }
+
+  test("linreg: the fitted line minimizes squared error (perturbation check)") {
+    val rows = SparkEntry.queries("q_linreg")(spark, sfDir).collect()
+    val data = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_discount").cast("double"),
+        col("l_quantity").cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (flag, slope, icept) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2))
+      def sse(a: Double, b: Double): Double =
+        data(flag).map { case (_, x, y) => val e = y - (a * x + b); e * e }.sum
+      val best = sse(slope, icept)
+      for (da <- Seq(-0.05, 0.05); db <- Seq(-0.05, 0.05))
+        assert(best <= sse(slope + da, icept + db), s"$flag not optimal")
+    }
+  }
+
   test("epochPlan: weights normalize, epochs capped, realized consistent") {
     val rows = Sampling.epochPlan(spark, sfDir).collect()
     assert(rows.length == 20)
