@@ -10,6 +10,10 @@ import graft.operators.Sketches
   * group — the whole sketch, bounded by the parameter k. */
 case class KmvState(mins: Array[Long])
 
+/** Global bottom-k sample state: (hash, id, doubleBits(value)) triples
+  * packed flat — ≤ 3k longs, the whole quantile sketch. */
+case class BottomKState(packed: Array[Long])
+
 /** Streaming sketch maintenance: profile a live ingest WITHOUT storing
   * it. The Count-Min counters are a plain streaming aggregation over the
   * same bucket expansion the batch sketch uses ([[Sketches.bucketRows]]
@@ -69,5 +73,54 @@ object StreamingSketch {
       }
       .toDF("g", "n_kept", "est_distinct")
       .withColumn("g", col("g").cast(keyType))
+  }
+
+  /** Streaming bottom-k sample maintenance — the quantile-sketch twin of
+    * [[kmvStream]]: state is the ≤ k (hash, id, value) triples with the
+    * smallest md5-derived hashes seen so far (the
+    * [[Sketches.bottomKSample]] rule, one hash definition for stream and
+    * batch), merged incrementally per trigger with the same O(log k)
+    * bounded-set rejection, so working memory is O(k) regardless of
+    * stream history. Each trigger emits the CURRENT sample (id, v, h) —
+    * feed it to [[Sketches.quantileEstimates]] for running quantiles;
+    * the parity spec pins the final sample equal to the batch sketch
+    * over the concatenated batches (the bottom-k merge property). */
+  def bottomKStream(stream: DataFrame, idCol: String, valCol: String,
+      k: Int = 256, salt: String = "qsk"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(
+        h60(concat(lit(s"$salt#"), col(idCol).cast("string"))).as("h"),
+        col(idCol).cast("long").as("id"), col(valCol).cast("double").as("v"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_ => 0) // ONE global sketch: the state is k rows total
+      .flatMapGroupsWithState[BottomKState, (Long, Double, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val ord = Ordering.Tuple3[Long, Long, Double]
+        val set = scala.collection.mutable.TreeSet.empty[(Long, Long, Double)](ord)
+        if (state.exists) {
+          val s = state.get
+          var i = 0
+          while (i < s.packed.length / 3) {
+            set += ((s.packed(i * 3), s.packed(i * 3 + 1),
+              java.lang.Double.longBitsToDouble(s.packed(i * 3 + 2))))
+            i += 1
+          }
+        }
+        rows.foreach { case (h, id, v) =>
+          if (set.size < k) set += ((h, id, v))
+          else {
+            val hi = set.last
+            if (ord.lt((h, id, v), hi) && set.add((h, id, v))) set -= hi
+          }
+        }
+        val packed = set.toArray.flatMap { case (h, id, v) =>
+          Array(h, id, java.lang.Double.doubleToLongBits(v))
+        }
+        state.update(BottomKState(packed))
+        set.iterator.map { case (h, id, v) => (id, v, h) }
+      }
+      .toDF("id", "v", "h")
   }
 }

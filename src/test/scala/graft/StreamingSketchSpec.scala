@@ -73,4 +73,33 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(batch("hot")._1 == 16)
     } finally q.stop()
   }
+
+  test("streaming bottom-k sample equals the batch sketch over concatenated batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select(col("event_id"), col("value"))
+      .as[(Long, Double)].collect().toSeq
+    val batches = ev.grouped((ev.size / 3) + 1).toSeq
+    val input = MemoryStream[(Long, Double)]
+    val perTrigger =
+      scala.collection.mutable.ArrayBuffer[Set[(Long, Double, Long)]]()
+    val q = StreamingSketch.bottomKStream(
+        input.toDF().toDF("event_id", "value"), "event_id", "value", k = 64)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        perTrigger += b.collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+        ()
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = perTrigger.last
+    val batch = graft.operators.Sketches.bottomKSample(
+        ev.toDF("event_id", "value"), "event_id", "value", k = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(perTrigger.forall(_.size <= 64)) // state bounded every trigger
+  }
 }
