@@ -125,6 +125,8 @@ object SparkEntry {
     "q_top_paths" -> ((s, d) => operators.EventAnalytics.topPaths(s, d)),
     "q_anomaly_flags" -> ((s, d) => operators.EventAnalytics.anomalyFlags(s, d)),
     "q_linreg" -> (operators.Relational.linregAgg _),
+    "q_funnel_windowed" -> ((s, d) => operators.EventAnalytics.funnelWindowed(s, d)),
+    "q_stickiness" -> (operators.EventAnalytics.stickiness _),
     "q_weighted_sample" -> ((s, d) => llm.Sampling.weightedSample(s, d)),
     "q_quantile_sketch" -> (operators.Sketches.quantileSketchQuery _),
     "q_inverted_index" -> ((s, d) => llm.TextOps.invertedIndex(s, d)),
@@ -1610,6 +1612,41 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, w FROM d
         |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+    // funnel with a 3-day conversion window: step k strictly after
+    // step k−1 AND within 3 days of step 1
+    "q_funnel_windowed" ->
+      """WITH f1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1,
+        |        min(epoch_ns(ts)) + 259200000000000 AS deadline
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |r2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e JOIN f1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > f1.t1
+        |         AND epoch_ns(e.ts) <= f1.deadline GROUP BY e.user_id),
+        |f2 AS (SELECT f1.user_id, f1.t1, f1.deadline, r2.t2 FROM f1 LEFT JOIN r2 USING (user_id)),
+        |r3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e JOIN f2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND f2.t2 IS NOT NULL
+        |         AND epoch_ns(e.ts) > f2.t2 AND epoch_ns(e.ts) <= f2.deadline
+        |       GROUP BY e.user_id),
+        |f3 AS (SELECT f2.user_id, f2.t1, f2.t2, r3.t3 FROM f2 LEFT JOIN r3 USING (user_id)),
+        |tot AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM f3)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users FROM tot
+        |  UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT) FROM tot
+        |  UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT) FROM tot)
+        |ORDER BY step""".stripMargin,
+    // DAU/WAU stickiness: rolling 7-day distinct actives via the
+    // bounded day-range expansion (each activity day feeds ≤ 7 report
+    // days), never a range join
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+        |mx AS (SELECT max(d) AS dmax FROM ud),
+        |ex AS (SELECT DISTINCT user_id, rd FROM (
+        |         SELECT user_id, unnest(range(d, least(d + 6, mx.dmax) + 1)) AS rd
+        |         FROM ud CROSS JOIN mx)),
+        |wau AS (SELECT rd AS d, CAST(count(*) AS BIGINT) AS wau FROM ex GROUP BY rd)
+        |SELECT dau.d, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

@@ -68,6 +68,41 @@ object EventAnalytics {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(t(spark, dir, "events"))
 
+  /** Funnel with a conversion window: step k must land strictly after
+    * step k−1 AND within `windowNs` of step 1 — the "converted within
+    * 7 days" business rule. Same chain shape as [[funnelOf]] with the
+    * deadline carried alongside; the deadline column is pure arithmetic
+    * on the step-1 time, so the plan is unchanged. */
+  def funnelWindowedOf(events: DataFrame, windowNs: Long,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty && windowNs > 0)
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+      .withColumn("deadline", col("t1") + lit(windowNs))
+    val perUser = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val reached = events.filter(col("event_type") === step)
+          .join(prev.select(col("user_id"), col(s"t$i"), col("deadline")),
+            "user_id")
+          .filter(col("ts") > col(s"t$i") && col("ts") <= col("deadline"))
+          .groupBy("user_id").agg(min("ts").as(s"t${i + 1}"))
+        prev.join(reached, Seq("user_id"), "left")
+    }
+    val aggCols = steps.indices
+      .map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}"))
+    val totals = perUser.agg(aggCols.head, aggCols.tail: _*)
+    val stepRows = steps.zipWithIndex.map { case (name, i) =>
+      struct(lit(i + 1).as("step"), lit(name).as("event_type"),
+        col(s"n${i + 1}").as("n_users"))
+    }
+    totals.select(explode(array(stepRows: _*)).as("s"))
+      .select(col("s.step"), col("s.event_type"), col("s.n_users"))
+      .orderBy("step")
+  }
+
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnelWindowedOf(t(spark, dir, "events"), 3L * 86400000000000L) // 3 days
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * first event (any type); each (cohort_week, week_offset) cell counts
     * the distinct users of that cohort active in that later week. Weeks
@@ -183,4 +218,35 @@ object EventAnalytics {
 
   def anomalyFlags(spark: SparkSession, dir: String): DataFrame =
     anomalyFlagsOf(t(spark, dir, "events"))
+
+  /** DAU / WAU stickiness per day: daily active users, the rolling
+    * 7-day active-user count, and their ratio. Rolling DISTINCT counts
+    * don't decompose into window aggregates, so the shape is the
+    * standard one: dedupe to (user, day) once, then a bounded
+    * day-range equi-expansion (each activity day feeds ≤ 7 report
+    * days via a 7-row sequence explode — never a range join) and one
+    * distinct count per (report day). Work is 7× the (user, day)
+    * table, independent of raw event volume. */
+  def stickinessOf(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("d"))
+      .distinct()
+      .localCheckpoint(true) // feeds DAU and the 7-day expansion
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val maxDay = broadcast(ud.agg(max("d").as("dmax")))
+    val wau = ud.crossJoin(maxDay)
+      .select(col("user_id"),
+        explode(sequence(col("d"), least(col("d") + 6, col("dmax"))))
+          .as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "d")
+      .select(col("d"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("d")
+  }
+
+  def stickiness(spark: SparkSession, dir: String): DataFrame =
+    stickinessOf(t(spark, dir, "events"))
 }

@@ -95,6 +95,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("view>click>view>click>purchase", 1L)), got)
   }
 
+  test("funnelWindowedOf: conversion outside the window does not count") {
+    val e = eventsOf(
+      (1L, "view", 100L), (1L, "click", 150L), (1L, "purchase", 190L), // in
+      (2L, "view", 100L), (2L, "click", 250L),              // click too late
+      (3L, "view", 100L), (3L, "click", 150L), (3L, "purchase", 201L)) // 3rd late
+    val got = EventAnalytics.funnelWindowedOf(e, windowNs = 100L).collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    // deadline = t1 + 100 = 200 inclusive
+    assert(got.toSeq == Seq((1, 3L), (2, 2L), (3, 1L)), got.toSeq)
+  }
+
+  test("stickinessOf: WAU is the trailing-7-day distinct union, DAU/WAU bounded by 1") {
+    val e = eventsOf(
+      (1L, "view", 0L), (2L, "view", 0L),                  // day 0: u1,u2
+      (1L, "view", 3L * DayNs),                            // day 3: u1
+      (3L, "view", 8L * DayNs))                            // day 8: u3
+    val got = EventAnalytics.stickinessOf(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // day 0: dau 2, wau 2; day 3: dau 1, wau {1,2}=2;
+    // day 8: dau 1, wau = actives in days 2..8 = {1 (day 3), 3} = 2
+    assert(got == Map(0L -> (2L, 2L), 3L -> (1L, 2L), 8L -> (1L, 2L)), got)
+  }
+
   test("anomalyFlagsOf: the planted outlier is flagged, the bulk is not") {
     val s = spark; import s.implicits._
     // 20 values tightly around 10, one at 1000 — robust stats must flag
