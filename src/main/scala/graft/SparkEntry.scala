@@ -1599,8 +1599,10 @@ object SparkEntry {
         |    COUNT(*) AS n
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
-        |  (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd AS intercept,
+        |  CASE WHEN nd * sxx - sx * sx <> 0
+        |       THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS slope,
+        |  (sy - CASE WHEN nd * sxx - sx * sx <> 0
+        |             THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END * sx) / nd AS intercept,
         |  n
         |FROM s ORDER BY l_returnflag""".stripMargin,
     // derandomized A-ES weighted sample: largest ln(u)/w for the

@@ -34,21 +34,7 @@ object EventAnalytics {
     * summary aggregation (zero driver-side loops). */
   def funnelOf(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(steps.nonEmpty)
-    val first = events.filter(col("event_type") === steps.head)
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    // one row per step-1 user; t_k null until the user reaches step k
-    val perUser = steps.zipWithIndex.drop(1).foldLeft(first) {
-      case (prev, (step, i)) =>
-        val reached = events.filter(col("event_type") === step)
-          .join(prev.select(col("user_id"), col(s"t$i")), "user_id")
-          .filter(col("ts") > col(s"t$i"))
-          .groupBy("user_id").agg(min("ts").as(s"t${i + 1}"))
-        prev.join(reached, Seq("user_id"), "left")
-    }
-    val aggCols = steps.indices
-      .map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}"))
-    val totals = perUser.agg(aggCols.head, aggCols.tail: _*)
+    val totals = funnelTotals(events, steps, window = None)
     val stepRows = steps.zipWithIndex.map { case (name, i) =>
       val n = col(s"n${i + 1}")
       val conv =
@@ -68,29 +54,41 @@ object EventAnalytics {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(t(spark, dir, "events"))
 
-  /** Funnel with a conversion window: step k must land strictly after
-    * step k−1 AND within `windowNs` of step 1 — the "converted within
-    * 7 days" business rule. Same chain shape as [[funnelOf]] with the
-    * deadline carried alongside; the deadline column is pure arithmetic
-    * on the step-1 time, so the plan is unchanged. */
-  def funnelWindowedOf(events: DataFrame, windowNs: Long,
-      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(steps.nonEmpty && windowNs > 0)
-    val first = events.filter(col("event_type") === steps.head)
+  /** THE funnel chain, defined once (review r7b finding #3): one row
+    * per step-1 user, t_k null until the user reaches step k; with a
+    * conversion `window`, a deadline (= t1 + window) is carried through
+    * the chain and every later step must land at or before it. Returns
+    * the one-row totals frame (n1..nK). */
+  private def funnelTotals(events: DataFrame, steps: Seq[String],
+      window: Option[Long]): DataFrame = {
+    require(steps.nonEmpty && window.forall(_ > 0))
+    val base = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("ts").as("t1"))
-      .withColumn("deadline", col("t1") + lit(windowNs))
+    val first = window.fold(base)(w =>
+      base.withColumn("deadline", col("t1") + lit(w)))
+    val carry = Seq(col("user_id")) ++ window.map(_ => col("deadline"))
     val perUser = steps.zipWithIndex.drop(1).foldLeft(first) {
       case (prev, (step, i)) =>
+        val inWindow = window.map(_ => col("ts") <= col("deadline"))
+          .getOrElse(lit(true))
         val reached = events.filter(col("event_type") === step)
-          .join(prev.select(col("user_id"), col(s"t$i"), col("deadline")),
-            "user_id")
-          .filter(col("ts") > col(s"t$i") && col("ts") <= col("deadline"))
+          .join(prev.select(carry :+ col(s"t$i"): _*), "user_id")
+          .filter(col("ts") > col(s"t$i") && inWindow)
           .groupBy("user_id").agg(min("ts").as(s"t${i + 1}"))
         prev.join(reached, Seq("user_id"), "left")
     }
     val aggCols = steps.indices
       .map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}"))
-    val totals = perUser.agg(aggCols.head, aggCols.tail: _*)
+    perUser.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Funnel with a conversion window: step k must land strictly after
+    * step k−1 AND within `windowNs` of step 1 — the "converted within
+    * 7 days" business rule. Shares [[funnelTotals]] with [[funnelOf]],
+    * so the step semantics cannot drift between the two. */
+  def funnelWindowedOf(events: DataFrame, windowNs: Long,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val totals = funnelTotals(events, steps, Some(windowNs))
     val stepRows = steps.zipWithIndex.map { case (name, i) =>
       struct(lit(i + 1).as("step"), lit(name).as("event_type"),
         col(s"n${i + 1}").as("n_users"))

@@ -170,7 +170,12 @@ object Relational {
     val sxy = sum(d("l_discount") * d("l_quantity")).cast("double")
     val sxx = sum(d("l_discount") * d("l_discount")).cast("double")
     val n = count(lit(1)).cast("double")
-    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // zero-variance guard: an all-identical-x group zeroes the
+    // denominator, where Spark's divide yields NULL but DuckDB yields
+    // inf/NaN — make the degenerate answer NULL in BOTH engines (the
+    // anomalyFlagsOf mad>0 discipline)
+    val den = n * sxx - sx * sx
+    val slope = when(den =!= 0.0, (n * sxy - sx * sy) / den)
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(slope.as("slope"),

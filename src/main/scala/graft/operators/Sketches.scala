@@ -165,16 +165,16 @@ object Sketches {
       .orderBy("q")
 
   /** Oracle query: quantiles of events.value from a 256-row bottom-k
-    * sample next to the exact quantiles (the spec bounds the error). */
+    * sample next to the exact quantiles (the spec bounds the error).
+    * ONE quantile list drives both sides through the SAME
+    * [[quantileEstimates]] expansion — a list edited in one place
+    * cannot silently drop rows through the join. */
   def quantileSketchQuery(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    val est = quantileEstimates(
-      bottomKSample(ev, "event_id", "value"))
     val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-    val exact = ev.agg(expr(
-        s"percentile(value, array(${qs.mkString(", ")}))").as("ex"))
-      .select(posexplode(col("ex")).as(Seq("i", "exact")))
-      .select(element_at(typedLit(qs), col("i") + 1).as("q"), col("exact"))
+    val est = quantileEstimates(bottomKSample(ev, "event_id", "value"), qs)
+    val exact = quantileEstimates(ev.select(col("value").as("v")), qs)
+      .withColumnRenamed("est", "exact")
     est.join(exact, Seq("q")).orderBy("q")
   }
 }

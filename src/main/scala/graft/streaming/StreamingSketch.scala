@@ -94,6 +94,23 @@ object StreamingSketch {
         h60(concat(lit(s"$salt#"), col(idCol).cast("string"))).as("h"),
         col(idCol).cast("long").as("id"), col(valCol).cast("double").as("v"))
       .as[(Long, Long, Double)]
+      // map-side pre-reduce (review r7b finding #4): the merge property
+      // (bottom-k of a union == bottom-k of the bottom-ks) means each
+      // input partition can keep its local ≤ k triples first, so the
+      // single-key shuffle below ships ≤ k rows per partition instead
+      // of the whole microbatch
+      .mapPartitions { it =>
+        val ord = Ordering.Tuple3[Long, Long, Double]
+        val set = scala.collection.mutable.TreeSet.empty[(Long, Long, Double)](ord)
+        it.foreach { t =>
+          if (set.size < k) set += t
+          else {
+            val hi = set.last
+            if (ord.lt(t, hi) && set.add(t)) set -= hi
+          }
+        }
+        set.iterator
+      }
       .groupByKey(_ => 0) // ONE global sketch: the state is k rows total
       .flatMapGroupsWithState[BottomKState, (Long, Double, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
