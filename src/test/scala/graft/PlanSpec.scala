@@ -214,4 +214,37 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"),
       s"LM model join lost its broadcast:\n$p")
   }
+
+  test("q_quantile_sketch takes the bottom-k without a global sort") {
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k degenerated to a full sort:\n$p")
+  }
+
+  test("q_stickiness expands day ranges without cartesian or range join") {
+    val p = plan("q_stickiness")
+    assert(!p.contains("CartesianProduct"), s"range-join degeneracy:\n$p")
+    assert(p.contains("Generate"), s"no sequence explode in plan:\n$p")
+  }
+
+  test("q_inverted_index and q_top_paths aggregate with map-side partials") {
+    for (q <- Seq("q_inverted_index", "q_top_paths"))
+      assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+        .findAllIn(plan(q)).size >= 2, s"$q: no partial+final agg pair")
+  }
+
+  test("q_rfm_segments windows partition by bucket — never the whole customer base") {
+    val p = plan("q_rfm_segments")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(!_.contains("SinglePartition")),
+      s"customer-base-wide window:\n${windowLines.mkString("\n")}")
+  }
+
+  test("q_anomaly_flags broadcasts the per-type robust stats") {
+    val p = plan("q_anomaly_flags")
+    assert(p.contains("BroadcastHashJoin"),
+      s"median/MAD join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
