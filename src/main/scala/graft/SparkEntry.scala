@@ -29,7 +29,10 @@ object SparkEntry {
     "q_agg_having" -> (Relational.aggHaving _),
     "q_count_distinct" -> (Relational.countDistinct_ _),
     "q_kmv_distinct" -> (Sketches.kmvQuery _),
+    "q_hll_distinct" -> (Sketches.hllQuery _),
     "q_cms_freq" -> (Sketches.cmsQuery _),
+    "q_skew_report" -> (Profiling.skewReport _),
+    "q_profile" -> (Profiling.columnProfile _),
     "q_bloom_filter" -> (graft.functions.Bloom.bloomQuery _),
     "q_zorder_key" -> (graft.sources.Layout.zorderQuery _),
     "q_rollup" -> (Relational.rollupAgg _),
@@ -127,6 +130,13 @@ object SparkEntry {
     "q_linreg" -> (operators.Relational.linregAgg _),
     "q_funnel_windowed" -> ((s, d) => operators.EventAnalytics.funnelWindowed(s, d)),
     "q_stickiness" -> (operators.EventAnalytics.stickiness _),
+    "q_markov" -> (operators.EventAnalytics.markovTransitions _),
+    "q_session_stats" -> (operators.EventAnalytics.sessionStats _),
+    "q_changepoint" -> (operators.EventAnalytics.changePoint _),
+    "q_pmi" -> (llm.Collocations.pmi _),
+    "q_equidepth" -> ((s, d) => Relational.equidepthHistogram(s, d)),
+    "q_er_clusters" -> (operators.FuzzyJoin.erClusters _),
+    "q_fuzzy_decontam" -> (llm.Dedup.fuzzyDecontaminate _),
     "q_weighted_sample" -> ((s, d) => llm.Sampling.weightedSample(s, d)),
     "q_quantile_sketch" -> (operators.Sketches.quantileSketchQuery _),
     "q_inverted_index" -> ((s, d) => llm.TextOps.invertedIndex(s, d)),
@@ -833,6 +843,77 @@ object SparkEntry {
         |       ELSE round(CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
         |  END AS est_distinct
         |FROM k ORDER BY event_type""".stripMargin,
+    // HyperLogLog, m=64 registers: j = h mod 64, w = h//64 (54 bits),
+    // rho = 55 - bitlength(w) via bin() string length (identical
+    // minimal-binary semantics both engines); harmonic denominator
+    // Z*2^55 = sum 2^(55-M_j) stays an exact BIGINT (<= 2^61); the
+    // numerator is one literal-folded constant. Linear counting below
+    // 2.5*m with V>0; its ln rounds at 6 places (1-ulp caveat, 63
+    // possible arguments).
+    "q_hll_distinct" ->
+      """WITH h AS (SELECT event_type AS g,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT g, h % 64 AS j, h // 64 AS w FROM h),
+        |rr AS (SELECT g, j, CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho FROM r),
+        |m AS (SELECT g, j, max(rho) AS mj FROM rr GROUP BY g, j),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_regs,
+        |        CAST(sum(CAST(power(2, 55 - mj) AS BIGINT)) AS BIGINT) AS zp
+        |      FROM m GROUP BY g),
+        |zz AS (SELECT g, n_regs, zp + (64 - n_regs) * 36028797018963968 AS z FROM a)
+        |SELECT g AS event_type, n_regs, z,
+        |  CASE WHEN (CAST(0.709 AS DOUBLE) * 4096 * CAST(36028797018963968 AS DOUBLE)) / CAST(z AS DOUBLE) <= 160.0
+        |            AND 64 - n_regs > 0
+        |       THEN round(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / CAST(64 - n_regs AS DOUBLE)), 6)
+        |       ELSE round((CAST(0.709 AS DOUBLE) * 4096 * CAST(36028797018963968 AS DOUBLE)) / CAST(z AS DOUBLE), 6)
+        |  END AS est_distinct
+        |FROM zz ORDER BY event_type""".stripMargin,
+    // join-key skew report: per-key frequency table per candidate key,
+    // percentile over the key-bounded table, one double division
+    "q_skew_report" ->
+      """WITH f1 AS (SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |a1 AS (SELECT 'lineitem.l_partkey' AS key_col, CAST(sum(f) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys, CAST(max(f) AS BIGINT) AS max_freq,
+        |         quantile_cont(f, 0.5) AS p50_freq, quantile_cont(f, 0.99) AS p99_freq FROM f1),
+        |f2 AS (SELECT l_suppkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |a2 AS (SELECT 'lineitem.l_suppkey', CAST(sum(f) AS BIGINT),
+        |         CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
+        |         quantile_cont(f, 0.5), quantile_cont(f, 0.99) FROM f2),
+        |f3 AS (SELECT o_custkey AS k, count(*) AS f FROM orders GROUP BY 1),
+        |a3 AS (SELECT 'orders.o_custkey', CAST(sum(f) AS BIGINT),
+        |         CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
+        |         quantile_cont(f, 0.5), quantile_cont(f, 0.99) FROM f3),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+        |SELECT key_col, n_rows, n_keys, max_freq, p50_freq, p99_freq,
+        |  CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share
+        |FROM u ORDER BY key_col""".stripMargin,
+    // per-column numeric profile: null count, exact distinct, min/max
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_v, CAST(max(l_quantity) AS DOUBLE) AS max_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+        |    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_discount) AS BIGINT),
+        |    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_tax) AS BIGINT),
+        |    CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+        |  FROM lineitem)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
     // Count-Min sketch: d=4 rows x w=1024 counters, est = min of the
     // item's d counters (never under-counts); probes = user_id < 20
     "q_cms_freq" ->
@@ -1649,6 +1730,124 @@ object SparkEntry {
         |SELECT dau.d, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin,
+    // first-order Markov transition matrix over event types: per-user
+    // (event, next-event) pairs by (ts, event_id), p = n/n_src as ONE
+    // integer-to-double division (IEEE-deterministic, no rounding)
+    "q_markov" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS dst
+        |  FROM events),
+        |t AS (SELECT event_type AS src, dst, CAST(count(*) AS BIGINT) AS n
+        |      FROM e WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM t GROUP BY src)
+        |SELECT t.src, t.dst, t.n, s.n_src,
+        |  CAST(t.n AS DOUBLE) / CAST(s.n_src AS DOUBLE) AS p
+        |FROM t JOIN s USING (src) ORDER BY src, dst""".stripMargin,
+    // per-user sessionization: gap >= 2h starts a new session (same >=
+    // rule as q_session_window); durations stay Long nanos end to end
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        |m AS (SELECT user_id, event_id, tns,
+        |        CASE WHEN lag(tns) OVER w IS NULL
+        |             OR tns - lag(tns) OVER w >= 7200000000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |g AS (SELECT user_id, tns, event_id,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM m),
+        |se AS (SELECT user_id, sess, count(*) AS n_ev, min(tns) AS t0, max(tns) AS t1
+        |       FROM g GROUP BY user_id, sess)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  CAST(sum(t1 - t0) AS BIGINT) AS total_dur_ns,
+        |  CAST(max(n_ev) AS BIGINT) AS max_events
+        |FROM se GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // CUSUM change point on daily counts: S'_d = Σ (n_days·x_i − total)
+    // is n_days·(x_i − mean) — INTEGER-exact, division-free, so the
+    // argmax cannot flip on float summation order
+    "q_changepoint" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(x) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd FROM d),
+        |s AS (SELECT d.d, d.x,
+        |        CAST(sum(d.x * t.nd - t.t) OVER (ORDER BY d.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+        |      FROM d CROSS JOIN t),
+        |p AS (SELECT max(abs(s)) AS speak FROM s)
+        |SELECT s.d, s.x, s.s, abs(s.s) = p.speak AS is_cp
+        |FROM s CROSS JOIN p ORDER BY s.d""".stripMargin,
+    // PMI collocations over adjacent word pairs: exact integer counts
+    // from the bigram space itself, ONE ratio of exact-double products,
+    // ONE ln rounded at 6; ordered by the pair, never the float
+    "q_pmi" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+        |bg AS (SELECT unnest([{'a': l[j], 'b': l[j+1]}
+        |                      for j in generate_series(1, len(l) - 1)],
+        |               recursive := true)
+        |       FROM w WHERE len(l) >= 2),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+        |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+        |cb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b),
+        |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab)
+        |SELECT cab.a, cab.b, cab.c_ab, ca.c_a, cb.c_b, n.n,
+        |  round(ln(CAST(cab.c_ab * n.n AS DOUBLE) / CAST(ca.c_a * cb.c_b AS DOUBLE)), 6) AS pmi
+        |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN n
+        |WHERE cab.c_ab >= 5 ORDER BY a, b""".stripMargin,
+    // equi-depth histogram: global rank over total order (v DESC, id),
+    // bucket = (rank-1)*k DIV n — boundary ties split by id identically
+    "q_equidepth" ->
+      """WITH b AS (SELECT l_extendedprice AS v, l_orderkey * 16 + l_linenumber AS id FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v DESC, id ASC) AS r FROM b),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+        |SELECT (r - 1) * 8 // n.n AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  CAST(sum(CAST(v AS DECIMAL(14,2))) AS DOUBLE) AS sum_v
+        |FROM r CROSS JOIN n GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // ER transitive closure over the SAME blocked fuzzy pairs as
+    // q_fuzzy_join; cluster id = component min (recursive reach CTE)
+    "q_er_clusters" ->
+      raw"""WITH RECURSIVE p AS (SELECT p_partkey AS id, p_name AS nm, p_size,
+        |       regexp_extract(p_name, '(\S+)$$', 1) || '#' ||
+        |         CAST(CAST(floor(p_size / 8.0) AS INT) AS VARCHAR) AS blk
+        |     FROM part),
+        |pr AS (SELECT a.id AS u, b.id AS v FROM p a JOIN p b
+        |       ON a.blk = b.blk AND a.id < b.id AND abs(a.p_size - b.p_size) <= 3
+        |       WHERE levenshtein(a.nm, b.nm) <= 2),
+        |edges AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+        |reach(u, v) AS (SELECT u, v FROM edges UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |cl AS (SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u),
+        |cid AS (SELECT p.id, COALESCE(LEAST(cl.mn, p.id), p.id) AS cluster_id
+        |        FROM p LEFT JOIN cl USING (id)),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM cid GROUP BY 1)
+        |SELECT cid.id AS p_partkey, cid.cluster_id, sz.n_members,
+        |  cid.id = cid.cluster_id AS is_canonical
+        |FROM cid JOIN sz USING (cluster_id) ORDER BY p_partkey""".stripMargin,
+    // fuzzy decontamination: cross-collection LSH band match (same
+    // split-digest signature scheme) + est_sim >= 0.5 verify; benchmark
+    // slice = doc_id % 31 = 0
+    "q_fuzzy_decontam" ->
+      (raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |       FROM tk),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |""" + sigCte("ex") + raw""",
+        |be AS (SELECT doc_id AS bench_id, sig AS bsig FROM sig WHERE doc_id % 31 = 0),
+        |tr AS (SELECT doc_id, sig FROM sig WHERE doc_id % 31 <> 0),
+        |hits AS (SELECT DISTINCT tr.doc_id, be.bench_id
+        |  FROM tr JOIN be ON (
+        |    (tr.sig[1] = be.bsig[1] AND tr.sig[2] = be.bsig[2]) OR
+        |    (tr.sig[3] = be.bsig[3] AND tr.sig[4] = be.bsig[4]) OR
+        |    (tr.sig[5] = be.bsig[5] AND tr.sig[6] = be.bsig[6]) OR
+        |    (tr.sig[7] = be.bsig[7] AND tr.sig[8] = be.bsig[8]))
+        |  WHERE CAST(len(list_filter(generate_series(1, 8), i -> tr.sig[i] = be.bsig[i])) AS DOUBLE) / 8 >= 0.5),
+        |hc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(hc.n_bench_hits, 0) AS n_bench_hits,
+        |  CAST(COALESCE(hc.n_bench_hits, 0) > 0 AS INT) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
+        |LEFT JOIN hc USING (doc_id) ORDER BY doc_id""").stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = args match {
       case Array(s, o) => (s, o, None)
-      case Array(s, o, q) => (s, o, Some(q)) // dev loop: one query only
+      case Array(s, o, q) => (s, o, Some(q)) // dev loop: query list (comma-sep)
       case _ =>
         System.err.println("usage: graft.Verify <sfDir> <outDir> [queryName]")
         sys.exit(2)
@@ -25,7 +25,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_ == name) }
+      .filter { case (name, _) =>
+        only.forall(_.split(',').contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -451,6 +451,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** FUZZY decontamination: flag training documents NEAR-duplicating a
+    * benchmark document — the production form of [[decontaminateOf]]
+    * (exact n-gram overlap misses a paraphrased or lightly-edited test
+    * item; GPT-3's 13-gram and Llama's token-overlap decontamination
+    * both generalize to this). A training doc is contaminated when it
+    * shares an LSH band bucket with ANY benchmark doc AND the signature
+    * similarity clears `minEstSim` — the [[minhashPairsFromShingles]]
+    * scheme applied cross-collection, via the same [[signatureTable]] /
+    * [[bandRows]] definitions, so corpus dedup and decontamination can
+    * never disagree on what "near" means.
+    *
+    * Shape: signatures for both sides in one staged pass each; the
+    * benchmark band table BROADCASTS (benchmark suites are ~10³–10⁵
+    * docs — tiny next to a training corpus), making the candidate join
+    * map-side: the 100 TB side never shuffles. est_sim = matches/8 is
+    * exact integer-over-8 arithmetic. */
+  def fuzzyDecontaminateOf(docs: DataFrame,
+      minEstSim: Double = 0.5): DataFrame = {
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+    val train = docs.filter(col("doc_id") % 31 =!= 0)
+    val bBk = bandRows(signatureTable(bench))
+      .select(col("doc_id").as("bench_id"), col("sig").as("bsig"),
+        col("band"), col("bh"))
+    val hits = bandRows(signatureTable(train))
+      .join(broadcast(bBk), Seq("band", "bh"))
+      .filter(sigEstSim(col("sig"), col("bsig")) >= minEstSim)
+      .select("doc_id", "bench_id").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bench_hits"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"))
+      .withColumn("contaminated", (col("n_bench_hits") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    fuzzyDecontaminateOf(t(spark, dir, "documents"))
+
   /** SimHash (16-bit, md5-derived): per token take 16 bits of md5, majority
     * vote per bit position across tokens. Staged: tokens → per-token hashes
     * → bit-vote fold. */

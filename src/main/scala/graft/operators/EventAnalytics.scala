@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -247,4 +248,102 @@ object EventAnalytics {
 
   def stickiness(spark: SparkSession, dir: String): DataFrame =
     stickinessOf(t(spark, dir, "events"))
+
+  /** First-order Markov transition matrix over event types: for each
+    * user, the (event → next event) pairs in (ts, event_id) order, with
+    * transition counts and the row-conditional probability
+    * p = n / n_src. The classic product-analytics "where do users go
+    * next" matrix, and the empirical transition model a sequence
+    * simulator samples from.
+    *
+    * Shape: ONE per-user window pass (equi-shuffle on user_id) feeding
+    * a type-pair-bounded aggregate (|types|² rows); the per-source
+    * totals re-aggregate THAT, never the raw events, and broadcast back
+    * for the probability. `p` is one integer-to-double division — IEEE
+    * deterministic, no rounding needed. */
+  def markovTransitionsOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("src").agg(sum("n").as("n_src"))
+    trans.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("n"), col("n_src"),
+        (col("n").cast("double") / col("n_src").cast("double")).as("p"))
+      .orderBy("src", "dst")
+  }
+
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    markovTransitionsOf(t(spark, dir, "events"))
+
+  /** Per-user sessionization stats: gaps-and-islands with a fixed
+    * inactivity gap (a gap ≥ `gapNs` starts a new session — the same
+    * `≥` rule as the session-window query, so the two sessionizers
+    * cannot disagree on a boundary event). Per user: session count,
+    * bounce count (single-event sessions), total in-session dwell
+    * (Σ last−first, Long nanos — exact), and the busiest session's
+    * event count.
+    *
+    * Shape: both windows and both aggregates partition by user_id, so
+    * the whole query is ONE equi-shuffle on user_id; output is
+    * user-cardinality-bounded. */
+  def sessionStatsOf(events: DataFrame,
+      gapNs: Long = 7200L * 1000000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val marked = events.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_s",
+        when(lag("ts", 1).over(w).isNull ||
+          col("ts") - lag("ts", 1).over(w) >= gapNs, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sess = marked.groupBy("user_id", "sess").agg(
+      count(lit(1)).as("n_ev"), min("ts").as("t0"), max("ts").as("t1"))
+    sess.groupBy("user_id").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("t1") - col("t0")).as("total_dur_ns"),
+        max("n_ev").as("max_events"))
+      .orderBy("user_id")
+  }
+
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionStatsOf(t(spark, dir, "events"))
+
+  /** CUSUM change-point detection over the daily event-count series
+    * (Page 1954's cumulative-sum shape, mean-centered): S_d = Σ_{i≤d}
+    * (x_i − mean), with the day maximizing |S_d| flagged as the change
+    * point. The whole series is kept INTEGER-exact by scaling through
+    * the day count — S'_d = Σ (n_days·x_i − total) = n_days·S_d — so no
+    * division ever happens and the argmax cannot flip on float
+    * summation order (the PageRank fixed-point discipline applied to
+    * time series).
+    *
+    * Shape: the only corpus-sized pass is the daily count aggregate
+    * (map-side partial, day-bounded output). The running sum's window
+    * IS single-partition — over the calendar-day series, whose
+    * cardinality is bounded by elapsed days (≤ ~4 k rows a decade),
+    * not by event volume; a day-partitioned corpus never ships more
+    * than the per-day counts here. */
+  def changePointOf(events: DataFrame): DataFrame = {
+    val daily = events.select(expr("ts DIV 86400000000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val tot = broadcast(daily.agg(sum("x").as("t"), count(lit(1)).as("nd")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val s = daily.crossJoin(tot)
+      .withColumn("s", sum(col("x") * col("nd") - col("t")).over(w))
+    val peak = broadcast(s.agg(max(abs(col("s"))).as("speak")))
+    s.crossJoin(peak)
+      .select(col("d"), col("x"), col("s"),
+        (abs(col("s")) === col("speak")).as("is_cp"))
+      .orderBy("d")
+  }
+
+  def changePoint(spark: SparkSession, dir: String): DataFrame =
+    changePointOf(t(spark, dir, "events"))
 }

@@ -29,21 +29,32 @@ import graft.Tables._
   */
 object FuzzyJoin {
 
-  /** Per-record fuzzy-match summary over (id, nm, p_size) records:
-    * (p_partkey, nm, n_match, best_id, best_dist); unmatched records
-    * carry (0, -1, -1). */
-  def fuzzyResolveOf(parts: DataFrame,
-      maxDist: Int = 2, maxSizeDiff: Int = 3): DataFrame = {
-    val p = parts.select(
-      col("id"), col("nm"), col("p_size"),
-      concat(regexp_extract(col("nm"), "(\\S+)$", 1), lit("#"),
-        expr("CAST(floor(p_size / 8.0) AS INT)")).as("blk"))
-    val pairs = p.as("a").join(p.as("b"),
+  /** Blocked records: (id, nm, p_size, blk) with blk = head noun +
+    * size band — the ONE definition of the blocking key, shared by the
+    * per-record summary and the ER clustering so the two cannot
+    * disagree on candidate generation. */
+  private def blocked(parts: DataFrame): DataFrame = parts.select(
+    col("id"), col("nm"), col("p_size"),
+    concat(regexp_extract(col("nm"), "(\\S+)$", 1), lit("#"),
+      expr("CAST(floor(p_size / 8.0) AS INT)")).as("blk"))
+
+  /** Verified match pairs (id < other) within blocks. */
+  private def matchPairs(p: DataFrame,
+      maxDist: Int, maxSizeDiff: Int): DataFrame =
+    p.as("a").join(p.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(col("a.p_size") - col("b.p_size")) <= maxSizeDiff)
       .filter(levenshtein(col("a.nm"), col("b.nm")) <= maxDist)
       .select(col("a.id").as("id"), col("b.id").as("other"),
         levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+
+  /** Per-record fuzzy-match summary over (id, nm, p_size) records:
+    * (p_partkey, nm, n_match, best_id, best_dist); unmatched records
+    * carry (0, -1, -1). */
+  def fuzzyResolveOf(parts: DataFrame,
+      maxDist: Int = 2, maxSizeDiff: Int = 3): DataFrame = {
+    val p = blocked(parts)
+    val pairs = matchPairs(p, maxDist, maxSizeDiff)
     // each surviving pair resolves BOTH records
     val sided = pairs.union(
       pairs.select(col("other").as("id"), col("id").as("other"),
@@ -69,4 +80,36 @@ object FuzzyJoin {
       t(spark, dir, "part").select(col("p_partkey").as("id"),
         col("p_name").as("nm"), col("p_size")),
       maxDist, maxSizeDiff)
+
+  /** Entity-resolution clusters: the transitive closure of the fuzzy
+    * match relation — if A≈B and B≈C, all three are one entity even
+    * when A and C miss each other's edit bound (the record-linkage
+    * standard; Christen 2012 §6). Pairs come from the SAME blocked
+    * [[matchPairs]] as the summary; the closure is
+    * [[ConnectedComponents.components]] unchanged (alternating-star,
+    * O(log² n) rounds), so every scale property proven for near-dup
+    * clustering carries over. Per record: its cluster id (= cluster
+    * min id), the cluster size, and whether it is the canonical
+    * representative. */
+  def erClustersOf(parts: DataFrame,
+      maxDist: Int = 2, maxSizeDiff: Int = 3): DataFrame = {
+    val p = blocked(parts)
+    val pairs = matchPairs(p, maxDist, maxSizeDiff)
+      .select(col("id").as("u"), col("other").as("v"))
+    val cc = ConnectedComponents.components(pairs)
+      .withColumnRenamed("id", "rid")
+    val cid = p.select(col("id"))
+      .join(cc, col("id") === col("rid"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster_id"))
+    val sizes = cid.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cid.join(sizes, "cluster_id")
+      .select(col("id").as("p_partkey"), col("cluster_id"),
+        col("n_members"), (col("id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("p_partkey")
+  }
+
+  def erClusters(spark: SparkSession, dir: String): DataFrame =
+    erClustersOf(t(spark, dir, "part").select(col("p_partkey").as("id"),
+      col("p_name").as("nm"), col("p_size")))
 }

@@ -217,6 +217,33 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Equi-depth histogram: `k` buckets of (near-)equal ROW COUNT over a
+    * totally-ordered (value, id) key — the optimizer-statistics shape
+    * (equi-width [[histogram]] wastes buckets on empty ranges; equi-depth
+    * puts resolution where the data is). bucket = (rank−1)·k DIV n over
+    * the global rank, so bucket 0 holds the top values and boundary ties
+    * split deterministically by id — identical in any engine.
+    *
+    * Shape: the global rank is [[graft.llm.Fusion.globalRank]]'s
+    * two-phase bucket discipline (driver histogram + within-bucket
+    * window — never a SinglePartition sort); the final aggregate is one
+    * map-side-combinable pass with exact-decimal sums. */
+  def equidepthHistogram(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("v"),
+        (col("l_orderkey") * 16 + col("l_linenumber")).as("id"))
+    val ranked = graft.llm.Fusion.globalRank(base, col("v"), col("id"),
+      floor(col("v") / 1024).cast("long"), "r")
+    val n = broadcast(base.agg(count(lit(1)).as("n")))
+    ranked.crossJoin(n)
+      .withColumn("bucket", expr(s"(r - 1) * $k DIV n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"),
+        max("v").as("max_v"), dsum(col("v")).as("sum_v"))
+      .orderBy("bucket")
+  }
+
   def topK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")

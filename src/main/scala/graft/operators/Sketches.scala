@@ -116,6 +116,89 @@ object Sketches {
       .groupBy("v").agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** HyperLogLog distinct-count estimate per group (Flajolet, Fusy,
+    * Gandouet & Meunier 2007), m = 64 registers: the 60-bit md5 hash
+    * splits into register j = h mod 64 and a 54-bit word w; each
+    * register keeps M_j = max ρ(w), where ρ = leading-zero rank
+    * = 55 − bitlength(w) (via `bin()` string length — identical
+    * minimal-binary semantics in both engines, no float log2). The
+    * harmonic denominator is kept INTEGER-exact: Z·2⁵⁵ = Σ 2^(55−M_j)
+    * (empty registers contribute 2⁵⁵ each) is ≤ 2⁶¹, a plain Long sum —
+    * so the estimate is literal-folded-constant / one exact integer
+    * cast, never an order-dependent float sum. Small-range (linear
+    * counting) correction applies below 2.5·m when empty registers
+    * exist, with its single ln() rounded at 6 places (the engine-wide
+    * ln-is-1-ulp caveat; the argument takes only 63 possible values).
+    *
+    * KMV ([[kmvDistinct]]) answers the same question; HLL's state is
+    * 64 registers ≈ fixed bytes per group vs KMV's k hashes, and
+    * registers merge by max — the natural streaming/partition-parallel
+    * sketch ([[graft.streaming.StreamingSketch.hllStream]] maintains
+    * exactly this state incrementally). */
+  def hllDistinct(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val two55 = 36028797018963968L // 2^55
+    val rows = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("g"), h60(col(valCol).cast("string")).as("h"))
+      .select(col("g"), (col("h") % 64).as("j"), expr("h DIV 64").as("w"))
+      .select(col("g"), col("j"), when(col("w") === 0, lit(55))
+        .otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+    val regs = rows.groupBy("g", "j").agg(max("rho").as("mj"))
+    regs.groupBy("g").agg(
+        count(lit(1)).as("n_regs"),
+        sum(pow(lit(2.0), lit(55) - col("mj")).cast("long")).as("zp"))
+      .select(col("g"), col("n_regs"),
+        (col("zp") + (lit(64L) - col("n_regs")) * two55).as("z"))
+      .select(col("g"), col("n_regs"), col("z"),
+        hllEstimateCol(col("z"), col("n_regs")).as("est_distinct"))
+  }
+
+  /** The HLL estimate rule: raw = α·m²·2⁵⁵ / Z (the numerator is one
+    * literal-folded constant — identical literal text on the oracle
+    * side, so the folded double is bit-identical), linear counting
+    * m·ln(m/V) when raw ≤ 2.5·m and V = 64 − n_regs > 0. */
+  private[graft] def hllEstimateCol(z: Column, nRegs: Column): Column = {
+    val num = lit(0.709) * lit(4096) * lit(36028797018963968.0)
+    val raw = num / z.cast("double")
+    val v = lit(64L) - nRegs
+    when(raw <= lit(2.5) * lit(64) && v > 0,
+      round(lit(64.0) * log(lit(64.0) / v.cast("double")), 6))
+      .otherwise(round(raw, 6))
+  }
+
+  /** Scalar twin of [[hllEstimateCol]] for the streaming maintenance job
+    * ([[graft.streaming.StreamingSketch.hllStream]]) — same arithmetic,
+    * Spark's `round` spelled out (the [[kmvEstimate]] discipline;
+    * SketchesSpec pins the two equal over a (z, nRegs) grid). */
+  private[graft] def hllEstimate(z: Long, nRegs: Int): Double = {
+    val raw = 0.709 * 4096 * 36028797018963968.0 / z.toDouble
+    val v = 64 - nRegs
+    val est =
+      if (raw <= 2.5 * 64 && v > 0) 64.0 * math.log(64.0 / v) else raw
+    java.math.BigDecimal.valueOf(est)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** The register-update rule shared conceptually with the stream: for a
+    * 60-bit hash h, register j = h mod 64 and ρ = nlz(h div 64) − 9 —
+    * equal to 55 − bitlength(w) for w > 0 and 55 at w = 0, i.e. exactly
+    * the batch `bin()`-length column rule (SketchesSpec pins the two
+    * equal over a hash grid). */
+  private[graft] def hllRho(w: Long): Int =
+    java.lang.Long.numberOfLeadingZeros(w) - 9
+
+  /** Oracle query: HLL distinct users per event type — the same
+    * question as [[kmvQuery]] through the other classic sketch, so the
+    * two estimates can be compared side by side. At sf0.001 (≈15 true
+    * distinct per group) the linear-counting branch fires; at
+    * sf0.01/0.1 (≈150) the raw harmonic path does — the oracle
+    * exercises both regimes across the SF sweep. */
+  def hllQuery(spark: SparkSession, dir: String): DataFrame =
+    hllDistinct(t(spark, dir, "events"), "event_type", "user_id")
+      .select(col("g").as("event_type"), col("n_regs"), col("z"),
+        col("est_distinct"))
+      .orderBy("event_type")
+
   /** Oracle query: KMV distinct users per event type (k = 64 against 150
     * true distinct — a real estimation regime, not the exact fallback). */
   def kmvQuery(spark: SparkSession, dir: String): DataFrame =

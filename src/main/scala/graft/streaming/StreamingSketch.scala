@@ -14,6 +14,10 @@ case class KmvState(mins: Array[Long])
   * packed flat — ≤ 3k longs, the whole quantile sketch. */
 case class BottomKState(packed: Array[Long])
 
+/** Keyed HLL state: the 64 register maxima for one group — 64 bytes,
+  * the whole sketch, independent of stream history. */
+case class HllState(regs: Array[Byte])
+
 /** Streaming sketch maintenance: profile a live ingest WITHOUT storing
   * it. The Count-Min counters are a plain streaming aggregation over the
   * same bucket expansion the batch sketch uses ([[Sketches.bucketRows]]
@@ -72,6 +76,50 @@ object StreamingSketch {
         Iterator((g, merged.length, est))
       }
       .toDF("g", "n_kept", "est_distinct")
+      .withColumn("g", col("g").cast(keyType))
+  }
+
+  /** Per-group HyperLogLog maintenance over a stream — the third sketch
+    * twin (CMS counters / KMV minima / HLL registers): keyed state is
+    * the 64 register maxima ([[HllState]], 64 BYTES per group — the
+    * smallest state of the family), updated register-by-register per
+    * row; registers merge by max, so the per-trigger update is the
+    * batch rule applied incrementally and replay-idempotent. Hash
+    * split, ρ ([[Sketches.hllRho]] — the scalar twin of the batch
+    * `bin()`-length rule) and the estimate ([[Sketches.hllEstimate]])
+    * are all the batch sketch's definitions; the parity spec pins
+    * stream == batch ([[Sketches.hllDistinct]]) over concatenated
+    * batches. Emits each touched group's (g, n_regs, z, est_distinct)
+    * per trigger (Update mode). */
+  def hllStream(stream: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyType = stream.schema(keyCol).dataType
+    stream.filter(col(valCol).isNotNull)
+      .select(col(keyCol).cast("string").as("g"),
+        h60(col(valCol).cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HllState, (String, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (g, rows, state) =>
+        val regs = if (state.exists) state.get.regs.clone()
+          else new Array[Byte](64)
+        rows.foreach { case (_, h) =>
+          val j = (h % 64).toInt
+          val rho = Sketches.hllRho(h / 64).toByte
+          if (rho > regs(j)) regs(j) = rho
+        }
+        state.update(HllState(regs))
+        var z = 0L; var n = 0L; var j = 0
+        while (j < 64) {
+          z += 1L << (55 - regs(j))
+          if (regs(j) > 0) n += 1
+          j += 1
+        }
+        Iterator((g, n, z, Sketches.hllEstimate(z, n.toInt)))
+      }
+      .toDF("g", "n_regs", "z", "est_distinct")
       .withColumn("g", col("g").cast(keyType))
   }
 

@@ -210,6 +210,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1))
   }
 
+  test("fuzzy decontaminate flags near-dups of bench docs, not exact-overlap-free docs") {
+    import spark.implicits._
+    // 31/62 are bench (id % 31 == 0); train doc 1 is an exact copy of
+    // bench 31 (identical signature — est_sim 1 ≥ 0.5 by construction),
+    // train doc 2 shares nothing, train doc 3 near-dups ANOTHER TRAIN
+    // doc only (5) — corpus-internal duplication is NOT contamination
+    val docs = Seq(
+      (31L, "a b c d e f g h"), (62L, "q w e r t y u i"),
+      (1L, "a b c d e f g h"), (2L, "k l m n o p"),
+      (3L, "s t u v w x y z"), (5L, "s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyDecontaminateOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!byId.contains(31L) && !byId.contains(62L)) // bench excluded
+    assert(byId(1L) == (1L, 1), byId(1L)) // one bench hit
+    assert(byId(2L) == (0L, 0), byId(2L))
+    assert(byId(3L) == (0L, 0), byId(3L)) // train-train dup ≠ contaminated
+    assert(byId(5L) == (0L, 0), byId(5L))
+  }
+
   test("hash split is a deterministic total 80/10/10 partition by bucket") {
     val rows = graft.llm.Sampling.hashSplit(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -143,4 +143,58 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  private def eventsIdOf(rows: (Long, Long, Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("user_id", "event_id", "ts", "event_type")
+  }
+
+  test("markovTransitionsOf: per-user adjacency, conditional p sums to 1 per src") {
+    val e = eventsIdOf(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"), (1L, 3L, 30L, "B"),
+      (2L, 4L, 10L, "B"), (2L, 5L, 20L, "A"))
+    val got = EventAnalytics.markovTransitionsOf(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // u1: A→A, A→B; u2: B→A — no cross-user transition
+    assert(got == Map(
+      ("A", "A") -> (1L, 2L, 0.5), ("A", "B") -> (1L, 2L, 0.5),
+      ("B", "A") -> (1L, 1L, 1.0)), got)
+  }
+
+  test("markovTransitionsOf: ts ties order by event_id") {
+    val e = eventsIdOf(
+      (1L, 2L, 10L, "B"), (1L, 1L, 10L, "A")) // same ts: id 1 first
+    val got = EventAnalytics.markovTransitionsOf(e).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("A", "B")), got.toSeq)
+  }
+
+  test("sessionStatsOf: a gap equal to gapNs starts a new session (the >= rule)") {
+    val e = eventsIdOf(
+      (1L, 1L, 0L, "v"), (1L, 2L, 50L, "v"), (1L, 3L, 150L, "v"),
+      (2L, 4L, 0L, "v"))
+    val got = EventAnalytics.sessionStatsOf(e, gapNs = 100L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // u1: [0,50] then [150] (gap 100 >= 100 splits): 2 sessions, 1 bounce,
+    // dwell 50+0, busiest 2; u2: one bounce session
+    assert(got(1L) == (2L, 1L, 50L, 2L), got(1L))
+    assert(got(2L) == (1L, 1L, 0L, 1L), got(2L))
+  }
+
+  test("changePointOf: the planted level shift is the unique |CUSUM| peak") {
+    val s = spark; import s.implicits._
+    // days 0-4 carry 2 events, days 5-9 carry 6 — shift after day 4
+    val ev = (0 until 10).flatMap { d =>
+      val n = if (d < 5) 2 else 6
+      (0 until n).map(i => Tuple1(d * DayNs + i))
+    }.toDF("ts")
+    val got = EventAnalytics.changePointOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._2).toSeq == Seq.fill(5)(2L) ++ Seq.fill(5)(6L))
+    // S' = 10·x − 40 per day: −20 ×5 then +20 ×5; peak |S| at day 4 only
+    assert(got.filter(_._4).map(_._1).toSeq == Seq(4L), got.toSeq)
+    assert(got.last._3 == 0L) // mean-centered CUSUM returns to zero
+  }
 }

@@ -86,6 +86,21 @@ class GraphFusionSpec extends AnyFunSuite {
     assert(got(5L) == (0L, -1L, -1L), got(5L)) // banding recall tradeoff
   }
 
+  test("erClustersOf: transitive closure merges A≈B≈C even when A and C miss the bound") {
+    val p = partsOf(
+      (1L, "abcdef gg", 10), // lev(1,2)=2, lev(2,3)=2, lev(1,3)=4
+      (2L, "abcdxx gg", 10),
+      (3L, "abxxxx gg", 10),
+      (4L, "zzzzzz gg", 10)) // same block, far from everything
+    val got = FuzzyJoin.erClustersOf(p).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == (1L, 3L, true), got(1L))
+    assert(got(2L) == (1L, 3L, false), got(2L))
+    assert(got(3L) == (1L, 3L, false), got(3L)) // via 2 only
+    assert(got(4L) == (4L, 1L, true), got(4L)) // singleton cluster
+  }
+
   test("fuzzyResolveOf: distance and size-diff thresholds verify inside the block") {
     val p = partsOf(
       (1L, "aaa bolt", 1), (2L, "zzz bolt", 2),   // same block, dist 3 > 2

@@ -136,6 +136,48 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL: raw regime within the estimator envelope, linear counting below 2.5m") {
+    val s = spark; import s.implicits._
+    val big = (1 to 10000).map(i => ("big", s"v$i"))
+    val small = (1 to 20).map(i => ("small", s"s$i"))
+    val df = (big ++ small).toDF("g", "v")
+    val out = Sketches.hllDistinct(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // m=64: relative stderr 1.04/8 = 13%; 3 sigma, hash fixed
+    val eb = out("big").getAs[Double]("est_distinct")
+    assert(eb > 10000 * 0.6 && eb < 10000 * 1.4, s"est=$eb for 10000")
+    // 20 distinct over 64 registers → empty registers exist and the raw
+    // estimate is far below 160: the linear-counting branch must fire,
+    // est = 64·ln(64/V) — bounded by the same coupon-collector envelope
+    val es = out("small").getAs[Double]("est_distinct")
+    assert(out("small").getAs[Long]("n_regs") < 64)
+    assert(es > 20 * 0.6 && es < 20 * 1.4, s"est=$es for 20")
+  }
+
+  test("HLL: scalar estimate rule equals the column rule; duplicates never move a register") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 500) ++ (1 to 500)).map(i => ("g", s"v${i % 97}"))
+      .toDF("g", "v")
+    val row = Sketches.hllDistinct(df, "g", "v").collect().head
+    val (n, z, est) = (row.getAs[Long]("n_regs"), row.getAs[Long]("z"),
+      row.getAs[Double]("est_distinct"))
+    assert(Sketches.hllEstimate(z, n.toInt) == est)
+    // duplicated input: identical sketch to the distinct input
+    val once = (1 to 97).map(i => ("g", s"v${i % 97}")).toDF("g", "v")
+    val r2 = Sketches.hllDistinct(once, "g", "v").collect().head
+    assert((r2.getAs[Long]("n_regs"), r2.getAs[Long]("z")) == (n, z))
+  }
+
+  test("HLL: scalar rho equals the batch bin()-length rule over a w grid") {
+    val s = spark; import s.implicits._
+    val ws = Seq(0L, 1L, 2L, 3L, 63L, 64L, 1L << 20, (1L << 54) - 1)
+    val sparkRho = ws.toDF("w")
+      .select(when(col("w") === 0, lit(55))
+        .otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sparkRho == ws.map(Sketches.hllRho), sparkRho)
+  }
+
   test("invertedIndex: postings sorted+capped, df exact beyond the cap") {
     val s = spark; import s.implicits._
     val docs = ((1 to 150).map(i => (i.toLong, "common")) :+

@@ -74,6 +74,44 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL equals the batch sketch over concatenated batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val perTrigger = scala.collection.mutable
+      .ArrayBuffer[Map[String, (Long, Long, Double)]]()
+    val q = StreamingSketch.hllStream(
+        input.toDF().toDF("g", "v"), "g", "v")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        perTrigger += b.collect()
+          .map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        ()
+      }.start()
+    // "hot" spans both batches with overlap (re-arrivals must not move
+    // registers); "cold" arrives only in batch 1 — its batch-1 emit IS
+    // its final state
+    val batch1 = (1 to 300).map(i => ("hot", s"v$i")) ++
+      (1 to 10).map(i => ("cold", s"c$i"))
+    val batch2 = (200 to 700).map(i => ("hot", s"v$i"))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val finalPerGroup = (perTrigger.head ++ perTrigger.last).keySet.map {
+      g => g -> perTrigger.reverse.collectFirst {
+        case m if m.contains(g) => m(g)
+      }.get
+    }.toMap
+    val batch = graft.operators.Sketches.hllDistinct(
+        (batch1 ++ batch2).toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(finalPerGroup == batch)
+  }
+
   test("streaming bottom-k sample equals the batch sketch over concatenated batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
