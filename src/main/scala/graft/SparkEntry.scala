@@ -137,6 +137,11 @@ object SparkEntry {
     "q_equidepth" -> ((s, d) => Relational.equidepthHistogram(s, d)),
     "q_er_clusters" -> (operators.FuzzyJoin.erClusters _),
     "q_fuzzy_decontam" -> (llm.Dedup.fuzzyDecontaminate _),
+    "q_autocorr" -> (operators.EventAnalytics.autocorr _),
+    "q_seasonality" -> (operators.EventAnalytics.seasonality _),
+    "q_kmv_setops" -> (Sketches.kmvSetOpsQuery _),
+    "q_quantile_norm" -> (llm.Fusion.quantileNorm _),
+    "q_ngram_diversity" -> (llm.Collocations.ngramDiversity _),
     "q_weighted_sample" -> ((s, d) => llm.Sampling.weightedSample(s, d)),
     "q_quantile_sketch" -> (operators.Sketches.quantileSketchQuery _),
     "q_inverted_index" -> ((s, d) => llm.TextOps.invertedIndex(s, d)),
@@ -1848,6 +1853,99 @@ object SparkEntry {
         |  CAST(COALESCE(hc.n_bench_hits, 0) > 0 AS INT) AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
         |LEFT JOIN hc USING (doc_id) ORDER BY doc_id""").stripMargin,
+    // daily-count autocorrelation at lags 1 and 7: five INTEGER-exact
+    // sums per lag (counts and their products), then the q_corr op
+    // sequence — identical correctly-rounded doubles in both engines
+    "q_autocorr" ->
+      """WITH dl AS (SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS x
+        |            FROM events GROUP BY 1),
+        |pr AS (SELECT 1 AS lag, a.x AS x0, b.x AS x1 FROM dl a JOIN dl b ON b.d = a.d + 1
+        |       UNION ALL
+        |       SELECT 7, a.x, b.x FROM dl a JOIN dl b ON b.d = a.d + 7),
+        |s AS (SELECT lag, CAST(count(*) AS BIGINT) AS np,
+        |        CAST(CAST(sum(x0) AS BIGINT) AS DOUBLE) AS sx,
+        |        CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS sy,
+        |        CAST(CAST(sum(x0 * x1) AS BIGINT) AS DOUBLE) AS sxy,
+        |        CAST(CAST(sum(x0 * x0) AS BIGINT) AS DOUBLE) AS sxx,
+        |        CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS syy
+        |      FROM pr GROUP BY lag)
+        |SELECT lag, np AS n_pairs,
+        |  (sxy - sx * sy / CAST(np AS DOUBLE)) /
+        |  sqrt((sxx - sx * sx / CAST(np AS DOUBLE)) * (syy - sy * sy / CAST(np AS DOUBLE))) AS r
+        |FROM s ORDER BY lag""".stripMargin,
+    // weekday profile: integer counts, lift via exact cross-products
+    // and ONE division; weekday 0 = Sunday ((epoch day + 4) mod 7)
+    "q_seasonality" ->
+      """WITH dl AS (SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS x
+        |            FROM events GROUP BY 1),
+        |wd AS (SELECT (d + 4) % 7 AS weekday, CAST(count(*) AS BIGINT) AS n_days,
+        |              CAST(sum(x) AS BIGINT) AS x
+        |       FROM dl GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd_tot, CAST(sum(x) AS BIGINT) AS t FROM dl)
+        |SELECT weekday, n_days, x,
+        |  CAST(x AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_x,
+        |  CAST(x * nd_tot AS DOUBLE) / CAST(n_days * t AS DOUBLE) AS lift
+        |FROM wd CROSS JOIN t ORDER BY weekday""".stripMargin,
+    // KMV sketch algebra: union sketch = bottom-k of merged hash sets,
+    // |A∩B| = overlap/k · |A∪B|; same estimate rule as q_kmv_distinct
+    "q_kmv_setops" ->
+      """WITH va AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |            FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |vb AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |       FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |u AS (SELECT h FROM va UNION SELECT h FROM vb),
+        |ka AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM va),
+        |kb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM vb),
+        |ku AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+        |ea AS (SELECT CAST(count(*) AS INTEGER) AS nk, max(CASE WHEN rn = 64 THEN h END) AS hk
+        |       FROM ka WHERE rn <= 64),
+        |eb AS (SELECT CAST(count(*) AS INTEGER) AS nk, max(CASE WHEN rn = 64 THEN h END) AS hk
+        |       FROM kb WHERE rn <= 64),
+        |eu AS (SELECT CAST(count(*) AS INTEGER) AS nk, max(CASE WHEN rn = 64 THEN h END) AS hk
+        |       FROM ku WHERE rn <= 64),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS o FROM ku
+        |       WHERE rn <= 64 AND h IN (SELECT h FROM va) AND h IN (SELECT h FROM vb)),
+        |ex AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS exact_union,
+        |              (SELECT CAST(count(*) AS BIGINT) FROM va WHERE h IN (SELECT h FROM vb)) AS exact_intersect)
+        |SELECT
+        |  CASE WHEN ea.nk < 64 THEN CAST(ea.nk AS DOUBLE)
+        |       ELSE round(CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(ea.hk AS DOUBLE), 6) END AS est_a,
+        |  CASE WHEN eb.nk < 64 THEN CAST(eb.nk AS DOUBLE)
+        |       ELSE round(CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(eb.hk AS DOUBLE), 6) END AS est_b,
+        |  CASE WHEN eu.nk < 64 THEN CAST(eu.nk AS DOUBLE)
+        |       ELSE round(CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(eu.hk AS DOUBLE), 6) END AS est_union,
+        |  CASE WHEN eu.nk > 0 THEN
+        |    round(CAST(ov.o AS DOUBLE) *
+        |      (CASE WHEN eu.nk < 64 THEN CAST(eu.nk AS DOUBLE)
+        |            ELSE round(CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(eu.hk AS DOUBLE), 6) END)
+        |      / CAST(eu.nk AS DOUBLE), 6)
+        |  ELSE 0.0 END AS est_intersect,
+        |  ex.exact_union, ex.exact_intersect
+        |FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ov CROSS JOIN ex""".stripMargin,
+    // per-source quantile normalization: pct = (n - r)/(n - 1) over the
+    // source's (n_tok DESC, doc_id) total order; NULL for 1-doc sources
+    "q_quantile_norm" ->
+      raw"""WITH tk AS (SELECT doc_id, source,
+        |        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tok
+        |      FROM documents),
+        |r AS (SELECT doc_id, source, n_tok,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id ASC) AS BIGINT) AS r,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM tk)
+        |SELECT doc_id, source, n_tok,
+        |  CASE WHEN n > 1 THEN CAST(n - r AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // per-source bigram diversity: exact distinct/total adjacent pairs
+    "q_ngram_diversity" ->
+      """WITH w AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+        |bg AS (SELECT source, unnest([{'a': l[j], 'b': l[j+1]}
+        |                              for j in generate_series(1, len(l) - 1)],
+        |               recursive := true)
+        |       FROM w WHERE len(l) >= 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(DISTINCT a || '#' || b) AS BIGINT) AS n_distinct,
+        |  CAST(count(DISTINCT a || '#' || b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS diversity
+        |FROM bg GROUP BY source ORDER BY source""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

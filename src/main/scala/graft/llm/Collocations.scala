@@ -59,4 +59,34 @@ object Collocations {
 
   def pmi(spark: SparkSession, dir: String): DataFrame =
     pmiOf(t(spark, dir, "documents"))
+
+  /** Per-source bigram diversity: total vs distinct adjacent word
+    * pairs and their ratio — the cheap corpus-diversity proxy (low
+    * distinct/total = template/boilerplate-heavy source; the
+    * self-repetition facet of what self-BLEU measures) that a mixing
+    * pipeline reads next to source quality before setting weights.
+    * Same one-pass adjacency as [[pmiOf]]; the distinct count is exact
+    * (one aggregate per source over the pair table), ratio is one
+    * division. */
+  def ngramDiversityOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+          lit(0))).as(Seq("pos", "t")))
+      .select(col("source"), col("doc_id"), col("t").as("a"),
+        lead(col("t"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+    bg.groupBy("source").agg(
+        count(lit(1)).as("n_bigrams"),
+        count_distinct(concat(col("a"), lit("#"), col("b")))
+          .as("n_distinct"))
+      .select(col("source"), col("n_bigrams"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_bigrams").cast("double"))
+          .as("diversity"))
+      .orderBy("source")
+  }
+
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
+    ngramDiversityOf(t(spark, dir, "documents"))
 }

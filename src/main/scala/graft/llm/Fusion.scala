@@ -81,4 +81,56 @@ object Fusion {
 
   def rrfFusion(spark: SparkSession, dir: String): DataFrame =
     rrfFusionOf(t(spark, dir, "documents"))
+
+  /** Per-GROUP rank in each group's (key DESC, id ASC) total order —
+    * [[globalRank]]'s two-phase discipline with the histogram and
+    * offsets computed per (group, bucket): the driver table is bounded
+    * by groups × buckets, the window partitions by (group, bucket), and
+    * no partition ever holds more than one bucket of one group. The
+    * per-source normalization primitive: a 10 TB source never plans a
+    * source-wide window. Group column must be a string. */
+  def groupedRank(df: DataFrame, grpCol: String, key: Column, id: Column,
+      bucket: Column, rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val b = df.withColumn("__b", bucket.cast("long"))
+      .withColumn("__g", col(grpCol))
+    val hist = b.groupBy("__g", "__b").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__g"), col("__b").desc).collect() // groups×buckets
+    val offsets = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    var curG: String = null; var acc = 0L
+    hist.foreach { r =>
+      val g = r.getString(0)
+      if (g != curG) { curG = g; acc = 0L }
+      offsets += ((g, r.getLong(1), acc)); acc += r.getLong(2)
+    }
+    val off = spark.createDataFrame(offsets.toSeq)
+      .toDF("__g", "__b", "__off")
+    val w = Window.partitionBy("__g", "__b").orderBy(key.desc, id.asc)
+    b.join(broadcast(off), Seq("__g", "__b"))
+      .withColumn(rankCol, col("__off") + row_number().over(w))
+      .drop("__g", "__b", "__off")
+  }
+
+  /** Quantile normalization of a quality signal WITHIN each source:
+    * pct = (n − r)/(n − 1) over the source's (score DESC, doc_id) total
+    * order — best doc 1.0, worst 0.0, NULL for a single-doc source. The
+    * standard move before mixing heterogeneously-scored sources (a
+    * percentile is comparable across sources; a raw score is not — the
+    * [[rrfFusionOf]] rationale applied per source). Rank via
+    * [[groupedRank]]; pct is one integer-to-double division. */
+  def quantileNormOf(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).as("n_tok"))
+    val ranked = groupedRank(sig, "source", col("n_tok"), col("doc_id"),
+      col("n_tok"), "r")
+    val counts = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), "source")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        when(col("n") > 1, (col("n") - col("r")).cast("double") /
+          (col("n") - 1).cast("double")).as("pct"))
+      .orderBy("doc_id")
+  }
+
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame =
+    quantileNormOf(t(spark, dir, "documents"))
 }

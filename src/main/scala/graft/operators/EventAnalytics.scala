@@ -346,4 +346,64 @@ object EventAnalytics {
 
   def changePoint(spark: SparkSession, dir: String): DataFrame =
     changePointOf(t(spark, dir, "events"))
+
+  /** Autocorrelation of the daily event-count series at the given lags
+    * (lag 1 = momentum, lag 7 = weekly seasonality — the two every
+    * traffic series gets checked for). Pearson r over the (x_d,
+    * x_{d+lag}) pairs via the [[Relational.corrAgg]] two-pass
+    * discipline: the five sums are sums of INTEGER counts and their
+    * products — exact Longs (< 2⁵³ up to ~10⁶ events/day over decades;
+    * beyond that route through decimals) — so r is one identical
+    * correctly-rounded op sequence in both engines.
+    *
+    * Shape: the only corpus-sized pass is the daily aggregate; each lag
+    * is one equi-join of the day-bounded series with its shifted self
+    * plus one five-sum aggregate. */
+  def autocorrOf(events: DataFrame, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val daily = events.select(expr("ts DIV 86400000000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // day-bounded; feeds one join per lag
+    val rows = lags.map { lag =>
+      val a = daily.select(col("d"), col("x").as("x0"))
+      val b = daily.select((col("d") - lag).as("d"), col("x").as("x1"))
+      val sx = sum("x0").cast("double")
+      val sy = sum("x1").cast("double")
+      val sxy = sum(col("x0") * col("x1")).cast("double")
+      val sxx = sum(col("x0") * col("x0")).cast("double")
+      val syy = sum(col("x1") * col("x1")).cast("double")
+      val n = count(lit(1)).cast("double")
+      a.join(b, "d")
+        .agg(count(lit(1)).as("n_pairs"),
+          ((sxy - sx * sy / n) /
+            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("r"))
+        .select(lit(lag).as("lag"), col("n_pairs"), col("r"))
+    }
+    rows.reduce(_ unionByName _).orderBy("lag")
+  }
+
+  def autocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorrOf(t(spark, dir, "events"))
+
+  /** Day-of-week seasonality profile: per weekday (0 = Sunday, epoch
+    * day 0 was a Thursday → weekday = (d+4) mod 7), the day count,
+    * total events, per-day average, and the lift vs the overall daily
+    * average. Lift = (x_w · nd_total)/(nd_w · total): both products are
+    * exact integers, ONE division — no float accumulation anywhere. */
+  def seasonalityOf(events: DataFrame): DataFrame = {
+    val daily = events.select(expr("ts DIV 86400000000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val wd = daily.groupBy(((col("d") + 4) % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum("x").as("x"))
+    val tot = broadcast(daily.agg(count(lit(1)).as("nd_tot"),
+      sum("x").as("t")))
+    wd.crossJoin(tot)
+      .select(col("weekday"), col("n_days"), col("x"),
+        (col("x").cast("double") / col("n_days").cast("double")).as("avg_x"),
+        ((col("x") * col("nd_tot")).cast("double") /
+          (col("n_days") * col("t")).cast("double")).as("lift"))
+      .orderBy("weekday")
+  }
+
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    seasonalityOf(t(spark, dir, "events"))
 }

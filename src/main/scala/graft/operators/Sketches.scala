@@ -220,6 +220,65 @@ object Sketches {
       .orderBy("user_id")
   }
 
+  /** KMV sketch ALGEBRA (Beyer et al. 2007): union and intersection
+    * cardinality estimates from two bottom-k hash sketches — the
+    * pre-join profiling question ("how many keys would this join/union
+    * produce?") answered without materializing either side. The union
+    * sketch is the bottom-k of the merged hash sets (exactly mergeable,
+    * the KMV property); |A∪B| comes from the union sketch's kth
+    * minimum; |A∩B| = (overlap/k)·|A∪B|, where overlap counts union-
+    * sketch hashes present in BOTH sets — the k smallest union hashes
+    * are a uniform sample of the union. Below k everything degrades to
+    * exact. All arithmetic: the shared [[kmvEstimateCol]] rule plus one
+    * product/division pair, rounded at 6.
+    *
+    * Shape: each side is one distinct-hash pass; sketches are ≤ k rows
+    * (TakeOrdered, never a sort); membership tests are k-row broadcast
+    * semi-joins against the hash sets. */
+  def kmvSetEstimates(a: DataFrame, b: DataFrame, k: Int = 64): DataFrame = {
+    def bottomK(df: DataFrame) = df.orderBy("h").limit(k)
+    def estOf(sk: DataFrame, name: String) =
+      sk.agg(count(lit(1)).cast("int").as("nk"), max("h").as("hk"))
+        .select(kmvEstimateCol(col("nk"),
+          when(col("nk") === k, col("hk")), k).as(name))
+    val u = a.union(b).distinct().localCheckpoint(true)
+    val ku = bottomK(u).localCheckpoint(true) // feeds est + both semi-joins
+    val overlap = ku
+      .join(a, Seq("h"), "left_semi").join(b, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("overlap"))
+    val exact = u.agg(count(lit(1)).as("exact_union")).crossJoin(
+      a.join(b, Seq("h"), "left_semi").agg(count(lit(1)).as("exact_intersect")))
+    // the intersection sample size is the union SKETCH size (= k only
+    // once the union exceeds k; below k the sketch is the whole union
+    // and overlap/nk_u·est_union degrades to the exact intersection)
+    val uagg = ku.agg(count(lit(1)).cast("int").as("nk_u"),
+      max("h").as("hk_u"))
+    estOf(bottomK(a), "est_a")
+      .crossJoin(estOf(bottomK(b), "est_b"))
+      .crossJoin(broadcast(uagg))
+      .crossJoin(broadcast(overlap))
+      .crossJoin(broadcast(exact))
+      .withColumn("est_union", kmvEstimateCol(col("nk_u"),
+        when(col("nk_u") === k, col("hk_u")), k))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        when(col("nk_u") > 0,
+          round(col("overlap").cast("double") * col("est_union") /
+            col("nk_u").cast("double"), 6))
+          .otherwise(lit(0.0)).as("est_intersect"),
+        col("exact_union"), col("exact_intersect"))
+  }
+
+  /** Oracle query: distinct-user set algebra of 'view' vs 'click'
+    * events — sketch estimates next to the exact answers. */
+  def kmvSetOpsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def hs(tp: String) = ev
+      .filter(col("event_type") === tp && col("user_id").isNotNull)
+      .select(h60(col("user_id").cast("string")).as("h")).distinct()
+      .localCheckpoint(true) // feeds bottom-k + membership semi-joins
+    kmvSetEstimates(hs("view"), hs("click"))
+  }
+
   /** Bottom-k quantile sketch: a deterministic uniform sample — the k
     * rows whose md5-derived hash of the ROW ID is smallest (bottom-k /
     * min-wise sampling, Cohen & Kaplan 2007) — with quantiles

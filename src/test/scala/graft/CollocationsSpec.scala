@@ -39,6 +39,19 @@ class CollocationsSpec extends AnyFunSuite {
     assert(got == Set(("aa", "bb"), ("bb", "cc")), got)
   }
 
+  test("ngramDiversityOf: template repetition collapses the distinct ratio") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "a b a b a b", "tmpl"), (2L, "a b a b a b", "tmpl"),
+      (3L, "a b c d e f", "div"))
+      .toDF("doc_id", "text", "source")
+    val got = Collocations.ngramDiversityOf(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("tmpl") == (10L, 2L, 0.2), got("tmpl")) // (a,b)/(b,a) only
+    assert(got("div") == (5L, 5L, 1.0), got("div"))
+  }
+
   test("pmiOf: margins are consistent — Σ c_ab over a equals c_a") {
     val d = docsOf((1L, "x y x y x z z x y"))
     val got = Collocations.pmiOf(d, minCount = 1).collect()

@@ -197,4 +197,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.filter(_._4).map(_._1).toSeq == Seq(4L), got.toSeq)
     assert(got.last._3 == 0L) // mean-centered CUSUM returns to zero
   }
+
+  test("autocorrOf: an alternating series has r = −1 at lag 1 and +1 at lag 2") {
+    val s = spark; import s.implicits._
+    val ev = (0 until 10).flatMap { d =>
+      (0 until (if (d % 2 == 0) 1 else 3)).map(i => Tuple1(d * DayNs + i))
+    }.toDF("ts")
+    val got = EventAnalytics.autocorrOf(ev, Seq(1, 2)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1)._1 == 9L && math.abs(got(1)._2 + 1.0) < 1e-12, got(1))
+    assert(got(2)._1 == 8L && math.abs(got(2)._2 - 1.0) < 1e-12, got(2))
+  }
+
+  test("seasonalityOf: lift is the weekday average over the overall average") {
+    val s = spark; import s.implicits._
+    // one week: 1 event/day except epoch day 3 (a Sunday) with 8
+    val ev = (0 until 7).flatMap { d =>
+      (0 until (if (d == 3) 8 else 1)).map(i => Tuple1(d * DayNs + i))
+    }.toDF("ts")
+    val got = EventAnalytics.seasonalityOf(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) == (1L, 8L, 8.0, 4.0), got(0L)) // 8 vs overall 2 → 4×
+    assert(got(1L) == (1L, 1L, 1.0, 0.5), got(1L))
+    assert(got.size == 7)
+  }
 }

@@ -125,6 +125,30 @@ class GraphFusionSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("groupedRank equals the naive per-group window; quantileNorm spans [0,1]") {
+    val s = spark; import s.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val sig = docs.select(col("doc_id"), col("source"),
+      length(col("text")).as("k"))
+    val fast = Fusion.groupedRank(sig, "source", col("k"), col("doc_id"),
+      col("k") / 16, "r").select("doc_id", "r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val naive = sig.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("k").desc, col("doc_id").asc)))
+      .select("doc_id", "r").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(fast == naive)
+    // quantileNorm: every multi-doc source spans exactly [0, 1]
+    val qn = Fusion.quantileNormOf(docs).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    val bySrc = qn.groupBy(_._1)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._2).max == 1.0, src)
+      assert(rows.map(_._2).min == 0.0, src)
+    }
+  }
+
   test("rrfFusion windows partition by bucket — no SinglePartition window") {
     val df = Fusion.rrfFusion(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

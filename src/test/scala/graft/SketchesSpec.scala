@@ -178,6 +178,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(sparkRho == ws.map(Sketches.hllRho), sparkRho)
   }
 
+  test("KMV set algebra: exact below k, estimates within envelope above") {
+    val s = spark; import s.implicits._
+    def hs(vals: Seq[Int]) = vals.toDF("v")
+      .select(graft.llm.Dedup.h60(col("v").cast("string")).as("h")).distinct()
+    // |A|=10, |B|=10, overlap 5 — everything below k degrades to exact
+    val r = Sketches.kmvSetEstimates(hs(1 to 10), hs(6 to 15), k = 64)
+      .collect().head
+    assert(r.getDouble(0) == 10.0 && r.getDouble(1) == 10.0, r)
+    assert(r.getDouble(2) == 15.0, r) // union exact below k
+    assert(r.getDouble(3) == 5.0, r) // overlap/nk_u·est degrades to exact
+    assert(r.getLong(4) == 15L && r.getLong(5) == 5L, r)
+    // estimation regime: 3000 ∪ 3000 with 1000 true intersection
+    val r2 = Sketches.kmvSetEstimates(hs(1 to 3000), hs(2001 to 5000), k = 64)
+      .collect().head
+    assert(r2.getLong(4) == 5000L && r2.getLong(5) == 1000L, r2)
+    assert(math.abs(r2.getDouble(2) - 5000) < 2500, r2) // union est
+    assert(math.abs(r2.getDouble(3) - 1000) < 1000, r2) // intersect est
+  }
+
   test("invertedIndex: postings sorted+capped, df exact beyond the cap") {
     val s = spark; import s.implicits._
     val docs = ((1 to 150).map(i => (i.toLong, "common")) :+
