@@ -247,4 +247,49 @@ class PlanSpec extends AnyFunSuite {
       s"median/MAD join lost its broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("round-7 wave 5/6 queries plan without cartesian products") {
+    for (q <- Seq("q_markov", "q_session_stats", "q_hll_distinct",
+        "q_skew_report", "q_profile", "q_pmi", "q_equidepth",
+        "q_er_clusters", "q_fuzzy_decontam", "q_autocorr",
+        "q_seasonality", "q_kmv_setops", "q_quantile_norm",
+        "q_ngram_diversity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
+    }
+  }
+
+  test("q_markov and q_session_stats windows partition by user — never SinglePartition") {
+    for (q <- Seq("q_markov", "q_session_stats")) {
+      val windowLines = plan(q).linesIterator
+        .filter(_.contains("Window")).toSeq
+      assert(windowLines.nonEmpty &&
+        windowLines.forall(!_.contains("SinglePartition")),
+        s"$q has a corpus-wide window:\n${windowLines.mkString("\n")}")
+    }
+  }
+
+  test("q_equidepth and q_quantile_norm rank via bucket windows — no global sort window") {
+    for (q <- Seq("q_equidepth", "q_quantile_norm")) {
+      val windowLines = plan(q).linesIterator
+        .filter(_.contains("Window")).toSeq
+      assert(windowLines.nonEmpty &&
+        windowLines.forall(!_.contains("SinglePartition")),
+        s"$q has a SinglePartition window:\n${windowLines.mkString("\n")}")
+    }
+  }
+
+  test("q_fuzzy_decontam broadcasts the benchmark band table") {
+    val p = plan("q_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side lost its broadcast:\n$p")
+    // the training side must never be the build side of a shuffle join
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_hll_distinct aggregates registers with map-side partials") {
+    val p = plan("q_hll_distinct")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"register max lost its partial aggregation:\n$p")
+  }
 }
