@@ -38,15 +38,58 @@ object FuzzyJoin {
     concat(regexp_extract(col("nm"), "(\\S+)$", 1), lit("#"),
       expr("CAST(floor(p_size / 8.0) AS INT)")).as("blk"))
 
-  /** Verified match pairs (id < other) within blocks. */
-  private def matchPairs(p: DataFrame,
+  /** Equivalence classes of identical (nm, p_size) records, keyed with
+    * their block: levenshtein(x, y) depends only on the NAMES, so the
+    * verify step need run once per distinct class pair, not per record
+    * pair — on a template-heavy corpus (sf0.1: 64 distinct names over
+    * 20 k parts) that is the difference between ~10³ and ~10⁷ distance
+    * calls. The exact-dup-collapse-before-fuzzy-match move every real
+    * ER pipeline makes. cid = the class's min record id (its
+    * representative), csize = member count. */
+  private def classes(p: DataFrame): DataFrame =
+    p.groupBy("blk", "nm", "p_size")
+      .agg(min("id").as("cid"), count(lit(1)).as("csize"))
+
+  /** Matched class pairs (unordered; a class pairs with ITSELF when it
+    * has ≥ 2 members — identical records are distance-0 matches). The
+    * levenshtein bound sits LAST in the join condition: conjuncts
+    * evaluate in order inside the codegen'd join, so the cheap guards
+    * short-circuit first (a separate `.filter` got its conjunct merged
+    * in FRONT of them — measured 2.6× slower before the class
+    * collapse). */
+  private def classPairs(cls: DataFrame,
       maxDist: Int, maxSizeDiff: Int): DataFrame =
-    p.as("a").join(p.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
-          abs(col("a.p_size") - col("b.p_size")) <= maxSizeDiff)
-      .filter(levenshtein(col("a.nm"), col("b.nm")) <= maxDist)
-      .select(col("a.id").as("id"), col("b.id").as("other"),
+    cls.as("a").join(cls.as("b"),
+        col("a.blk") === col("b.blk") && col("a.cid") <= col("b.cid") &&
+          abs(col("a.p_size") - col("b.p_size")) <= maxSizeDiff &&
+          levenshtein(col("a.nm"), col("b.nm")) <= maxDist)
+      .filter(col("a.cid") < col("b.cid") || col("a.csize") >= 2)
+      .select(col("a.blk").as("blk"),
+        col("a.nm").as("nm_a"), col("a.p_size").as("ps_a"),
+        col("a.cid").as("cid_a"),
+        col("b.nm").as("nm_b"), col("b.p_size").as("ps_b"),
+        col("b.cid").as("cid_b"),
         levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+
+  /** Verified match pairs (id < other): [[classPairs]] expanded back to
+    * record pairs through two hash joins on the class key — no distance
+    * call ever touches a record pair. A self-pair (A, A) expands to
+    * A's within-class pairs via id_a < id_b; a cross-pair (A, B)
+    * expands to the full member cross product, orientation fixed by
+    * least/greatest. */
+  private def matchPairs(p: DataFrame,
+      maxDist: Int, maxSizeDiff: Int): DataFrame = {
+    val cp = classPairs(classes(p), maxDist, maxSizeDiff)
+    val ma = p.select(col("blk"), col("nm").as("nm_a"),
+      col("p_size").as("ps_a"), col("id").as("id_a"))
+    val mb = p.select(col("blk"), col("nm").as("nm_b"),
+      col("p_size").as("ps_b"), col("id").as("id_b"))
+    cp.join(ma, Seq("blk", "nm_a", "ps_a"))
+      .join(mb, Seq("blk", "nm_b", "ps_b"))
+      .filter(col("cid_a") =!= col("cid_b") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id"),
+        greatest(col("id_a"), col("id_b")).as("other"), col("dist"))
+  }
 
   /** Per-record fuzzy-match summary over (id, nm, p_size) records:
     * (p_partkey, nm, n_match, best_id, best_dist); unmatched records
@@ -54,7 +97,9 @@ object FuzzyJoin {
   def fuzzyResolveOf(parts: DataFrame,
       maxDist: Int = 2, maxSizeDiff: Int = 3): DataFrame = {
     val p = blocked(parts)
-    val pairs = matchPairs(p, maxDist, maxSizeDiff)
+    // the verify join is the expensive stage and BOTH union sides read
+    // it — materialize once
+    val pairs = matchPairs(p, maxDist, maxSizeDiff).localCheckpoint(true)
     // each surviving pair resolves BOTH records
     val sided = pairs.union(
       pairs.select(col("other").as("id"), col("id").as("other"),
@@ -94,8 +139,24 @@ object FuzzyJoin {
   def erClustersOf(parts: DataFrame,
       maxDist: Int = 2, maxSizeDiff: Int = 3): DataFrame = {
     val p = blocked(parts)
-    val pairs = matchPairs(p, maxDist, maxSizeDiff)
-      .select(col("id").as("u"), col("other").as("v"))
+    // CC never needs the EXPANDED pair relation: a class's members form
+    // a clique, and a clique's connectivity is its star around the
+    // representative — so the edge set is member→cid stars plus one
+    // edge per matched class pair (~n + |class pairs| edges instead of
+    // the record-pair relation, 587 k → 20 k at sf0.1). The component
+    // minimum is unchanged: representatives ARE record ids and every
+    // member is present. Materialized before iterating — CC's first
+    // round reads the edge set more than once.
+    val cls = classes(p).localCheckpoint(true)
+    val memberEdges = p
+      .join(cls.select(col("blk"), col("nm"), col("p_size"), col("cid")),
+        Seq("blk", "nm", "p_size"))
+      .filter(col("id") =!= col("cid"))
+      .select(col("id").as("u"), col("cid").as("v"))
+    val classEdges = classPairs(cls, maxDist, maxSizeDiff)
+      .filter(col("cid_a") =!= col("cid_b"))
+      .select(col("cid_a").as("u"), col("cid_b").as("v"))
+    val pairs = memberEdges.union(classEdges).localCheckpoint(true)
     val cc = ConnectedComponents.components(pairs)
       .withColumnRenamed("id", "rid")
     val cid = p.select(col("id"))
