@@ -139,6 +139,9 @@ object SparkEntry {
     "q_fuzzy_decontam" -> (llm.Dedup.fuzzyDecontaminate _),
     "q_autocorr" -> (operators.EventAnalytics.autocorr _),
     "q_seasonality" -> (operators.EventAnalytics.seasonality _),
+    "q_funnel_latency" -> (operators.EventAnalytics.funnelLatency _),
+    "q_seq_pairs" -> (operators.EventAnalytics.seqPairs _),
+    "q_user_entropy" -> (operators.EventAnalytics.userEntropy _),
     "q_kmv_setops" -> (Sketches.kmvSetOpsQuery _),
     "q_quantile_norm" -> (llm.Fusion.quantileNorm _),
     "q_ngram_diversity" -> (llm.Collocations.ngramDiversity _),
@@ -428,6 +431,22 @@ object SparkEntry {
       |cls AS (SELECT d.doc_id,
       |          COALESCE(LEAST(cl.mn, d.doc_id), d.doc_id) AS cluster_id
       |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)""".stripMargin
+
+  // shared funnel-chain CTE (f1→f3: per-user step times, strictly-after
+  // rule) — ONE SQL definition of the chain, used by the conversion
+  // counts (q_event_funnel) AND the latency percentiles
+  // (q_funnel_latency), mirroring how both Spark paths share
+  // EventAnalytics.funnelUsers
+  private val funnelChainCte =
+    """WITH f1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |r2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e JOIN f1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > f1.t1 GROUP BY e.user_id),
+      |f2 AS (SELECT f1.user_id, f1.t1, r2.t2 FROM f1 LEFT JOIN r2 USING (user_id)),
+      |r3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e JOIN f2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND f2.t2 IS NOT NULL AND epoch_ns(e.ts) > f2.t2
+      |       GROUP BY e.user_id),
+      |f3 AS (SELECT f2.user_id, f2.t1, f2.t2, r3.t3 FROM f2 LEFT JOIN r3 USING (user_id))""".stripMargin
 
   // shared bigram-LM CTE prefix: letter-run bigrams with position (the
   // gramRows tokenization, both tokens + pos kept) and the 'en' train
@@ -1544,15 +1563,7 @@ object SparkEntry {
     // strictly-ordered conversion funnel view→click→purchase: step k =
     // first step-k event AFTER the user's step-(k−1) time
     "q_event_funnel" ->
-      """WITH f1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
-        |            WHERE event_type = 'view' GROUP BY user_id),
-        |r2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e JOIN f1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > f1.t1 GROUP BY e.user_id),
-        |f2 AS (SELECT f1.user_id, f1.t1, r2.t2 FROM f1 LEFT JOIN r2 USING (user_id)),
-        |r3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e JOIN f2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND f2.t2 IS NOT NULL AND epoch_ns(e.ts) > f2.t2
-        |       GROUP BY e.user_id),
-        |f3 AS (SELECT f2.user_id, f2.t1, f2.t2, r3.t3 FROM f2 LEFT JOIN r3 USING (user_id)),
+      (funnelChainCte + """,
         |tot AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM f3)
         |SELECT * FROM (
         |  SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users,
@@ -1563,7 +1574,48 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
         |    CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END FROM tot)
-        |ORDER BY step""".stripMargin,
+        |ORDER BY step""".stripMargin),
+    // time-to-convert over the SAME funnel chain: p50/p90 of the
+    // step-to-step latency among converters, exact percentiles on
+    // Long-nanos differences
+    "q_funnel_latency" ->
+      (funnelChainCte + """,
+        |lat AS (
+        |  SELECT 1 AS step_from, 'click' AS to_type, CAST(count(*) AS BIGINT) AS n_conv,
+        |    quantile_cont(t2 - t1, 0.5) AS p50_ns, quantile_cont(t2 - t1, 0.9) AS p90_ns
+        |  FROM f3 WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2, 'purchase', CAST(count(*) AS BIGINT),
+        |    quantile_cont(t3 - t2, 0.5), quantile_cont(t3 - t2, 0.9)
+        |  FROM f3 WHERE t3 IS NOT NULL)
+        |SELECT * FROM lat ORDER BY step_from""".stripMargin),
+    // ordered behavior co-occurrence: users who did `first` and LATER
+    // `then` — ∃ a<b ⟺ min(first) < max(then) per user, so the matrix
+    // needs only the (user, type) min/max table
+    "q_seq_pairs" ->
+      """WITH ut AS (SELECT user_id, event_type, min(epoch_ns(ts)) AS t_min,
+        |                   max(epoch_ns(ts)) AS t_max
+        |            FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS first_type, b.event_type AS then_type,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t_min < b.t_max
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-user Shannon entropy over event types: ordered fold of exact
+    // p·ln(1/p) terms (the LM xent discipline), rounded at 6
+    "q_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |             CAST(count(*) AS BIGINT) AS k_types
+        |      FROM c GROUP BY 1)
+        |SELECT t.user_id, t.n_events, t.k_types,
+        |  round(list_reduce(list_prepend(0.0, list(
+        |    (CAST(c.n AS DOUBLE) / CAST(t.n_events AS DOUBLE)) *
+        |    ln(CAST(t.n_events AS DOUBLE) / CAST(c.n AS DOUBLE))
+        |    ORDER BY c.event_type)), (u, w) -> u + w), 6) AS entropy
+        |FROM c JOIN t USING (user_id)
+        |GROUP BY t.user_id, t.n_events, t.k_types
+        |ORDER BY t.user_id""".stripMargin,
     // weekly cohort retention: cohort = epoch-week of the user's first
     // event; cells count distinct active users per offset week
     "q_cohort_retention" ->

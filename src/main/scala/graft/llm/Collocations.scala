@@ -46,9 +46,13 @@ object Collocations {
     val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
     val cb = cab.groupBy("b").agg(sum("c_ab").as("c_b"))
     val n = broadcast(cab.agg(sum("c_ab").as("n")))
+    // margin joins stay equi-joins WITHOUT a broadcast hint: the
+    // margins are vocabulary-sized, and a web-scale vocabulary (typos
+    // included) can reach 10⁸ rows — AQE broadcasts them when they fit,
+    // falls back to hash join when they don't
     cab.filter(col("c_ab") >= minCount)
-      .join(broadcast(ca), "a")
-      .join(broadcast(cb), "b")
+      .join(ca, "a")
+      .join(cb, "b")
       .crossJoin(n)
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         col("n"),

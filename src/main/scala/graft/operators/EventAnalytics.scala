@@ -58,9 +58,8 @@ object EventAnalytics {
   /** THE funnel chain, defined once (review r7b finding #3): one row
     * per step-1 user, t_k null until the user reaches step k; with a
     * conversion `window`, a deadline (= t1 + window) is carried through
-    * the chain and every later step must land at or before it. Returns
-    * the one-row totals frame (n1..nK). */
-  private def funnelTotals(events: DataFrame, steps: Seq[String],
+    * the chain and every later step must land at or before it. */
+  private def funnelUsers(events: DataFrame, steps: Seq[String],
       window: Option[Long]): DataFrame = {
     require(steps.nonEmpty && window.forall(_ > 0))
     val base = events.filter(col("event_type") === steps.head)
@@ -68,7 +67,7 @@ object EventAnalytics {
     val first = window.fold(base)(w =>
       base.withColumn("deadline", col("t1") + lit(w)))
     val carry = Seq(col("user_id")) ++ window.map(_ => col("deadline"))
-    val perUser = steps.zipWithIndex.drop(1).foldLeft(first) {
+    steps.zipWithIndex.drop(1).foldLeft(first) {
       case (prev, (step, i)) =>
         val inWindow = window.map(_ => col("ts") <= col("deadline"))
           .getOrElse(lit(true))
@@ -78,10 +77,93 @@ object EventAnalytics {
           .groupBy("user_id").agg(min("ts").as(s"t${i + 1}"))
         prev.join(reached, Seq("user_id"), "left")
     }
+  }
+
+  /** One-row totals (n1..nK) over [[funnelUsers]]. */
+  private def funnelTotals(events: DataFrame, steps: Seq[String],
+      window: Option[Long]): DataFrame = {
+    val perUser = funnelUsers(events, steps, window)
     val aggCols = steps.indices
       .map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}"))
     perUser.agg(aggCols.head, aggCols.tail: _*)
   }
+
+  /** Time-to-convert per funnel step: for users who reached step i+1,
+    * the count and p50/p90 of (t_{i+1} − t_i) — the "how long does a
+    * click take after the view" latency distribution, over the SAME
+    * [[funnelUsers]] chain as the conversion counts so latency and
+    * conversion can never disagree about who converted. Latencies stay
+    * Long nanos into the shared exact-percentile convention; the
+    * per-user frame is user-bounded and checkpointed once for the K−1
+    * step aggregates. */
+  def funnelLatencyOf(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val pu = funnelUsers(events, steps, None).localCheckpoint(true)
+    val rows = steps.zipWithIndex.drop(1).map { case (name, i) =>
+      pu.filter(col(s"t${i + 1}").isNotNull)
+        .agg(count(lit(1)).as("n_conv"),
+          expr(s"percentile(t${i + 1} - t$i, 0.5)").as("p50_ns"),
+          expr(s"percentile(t${i + 1} - t$i, 0.9)").as("p90_ns"))
+        .select(lit(i).as("step_from"), lit(name).as("to_type"),
+          col("n_conv"), col("p50_ns"), col("p90_ns"))
+    }
+    rows.reduce(_ unionByName _).orderBy("step_from")
+  }
+
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatencyOf(t(spark, dir, "events"))
+
+  /** Ordered behavior co-occurrence: for every event-type pair (first,
+    * then), how many users did `first` and LATER did `then` — not
+    * necessarily adjacently (the funnel asks about a fixed path; this
+    * asks about every path at once). "A then A" counts repeat behavior.
+    * ∃ a before b ⟺ min(ts_first) < max(ts_then), so the whole matrix
+    * needs only the per-(user, type) min/max aggregate — the self-join
+    * is over a ≤ |types| rows/user frame, equi-keyed on user, output
+    * |types|²-bounded. */
+  def seqPairsOf(events: DataFrame): DataFrame = {
+    val ut = events.groupBy("user_id", "event_type")
+      .agg(min("ts").as("t_min"), max("ts").as("t_max"))
+      .localCheckpoint(true) // both self-join sides read it
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.t_min") < col("b.t_max"))
+      .groupBy(col("a.event_type").as("first_type"),
+        col("b.event_type").as("then_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("first_type", "then_type")
+  }
+
+  def seqPairs(spark: SparkSession, dir: String): DataFrame =
+    seqPairsOf(t(spark, dir, "events"))
+
+  /** Per-user behavioral entropy over event types: H = Σ (n_i/N)·
+    * ln(N/n_i) — 0 for a one-track user, ln K for a uniform one. The
+    * Shannon diversity of each user's behavior profile, the per-user
+    * twin of the corpus [[graft.functions.CharEntropy]]. Terms fold in
+    * event-type order (collect → sort → aggregate — the LM xent
+    * ordered-fold discipline), each term two exact divisions, one
+    * multiply and one ln; rounded at 6 (the engine-wide ln caveat). */
+  def userEntropyOf(events: DataFrame): DataFrame = {
+    val c = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("user_id")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("k_types"))
+    c.join(tot, "user_id")
+      .withColumn("term",
+        (col("n").cast("double") / col("n_events").cast("double")) *
+          log(col("n_events").cast("double") / col("n").cast("double")))
+      .groupBy("user_id")
+      .agg(first("n_events").as("n_events"), first("k_types").as("k_types"),
+        collect_list(struct(col("event_type"), col("term"))).as("terms"))
+      .select(col("user_id"), col("n_events"), col("k_types"),
+        round(aggregate(array_sort(col("terms")), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("entropy"))
+      .orderBy("user_id")
+  }
+
+  def userEntropy(spark: SparkSession, dir: String): DataFrame =
+    userEntropyOf(t(spark, dir, "events"))
 
   /** Funnel with a conversion window: step k must land strictly after
     * step k−1 AND within `windowNs` of step 1 — the "converted within

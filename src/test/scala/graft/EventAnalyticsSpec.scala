@@ -209,6 +209,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(2)._1 == 8L && math.abs(got(2)._2 - 1.0) < 1e-12, got(2))
   }
 
+  test("funnelLatencyOf: percentiles over converters only, per step pair") {
+    val e = eventsOf(
+      (1L, "view", 10L), (1L, "click", 30L), (1L, "purchase", 90L),
+      (2L, "view", 0L), (2L, "click", 40L),
+      (3L, "view", 0L)) // never clicks
+    val got = EventAnalytics.funnelLatencyOf(e).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // click latencies {20, 40}: p50 = 30 (interpolated), p90 = 38
+    assert(got(1) == (2L, 30.0, 38.0), got(1))
+    // purchase latency {60}: both percentiles collapse to it
+    assert(got(2) == (1L, 60.0, 60.0), got(2))
+  }
+
+  test("seqPairsOf: min-before-max detects ordered co-occurrence incl. repeats") {
+    val e = eventsOf(
+      (1L, "A", 1L), (1L, "B", 5L), (1L, "A", 10L),
+      (2L, "B", 1L)) // single event: no pair, not even (B,B)
+    val got = EventAnalytics.seqPairsOf(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "A") -> 1L, ("A", "B") -> 1L,
+      ("B", "A") -> 1L), got)
+  }
+
+  test("userEntropyOf: uniform two-type user hits ln 2, one-track user hits 0") {
+    val e = eventsOf(
+      (1L, "A", 1L), (1L, "A", 2L), (1L, "B", 3L), (1L, "B", 4L),
+      (2L, "A", 1L), (2L, "A", 2L), (2L, "A", 3L))
+    val got = EventAnalytics.userEntropyOf(e).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == (4L, 2L, 0.693147), got(1L)) // round(ln 2, 6)
+    assert(got(2L) == (3L, 1L, 0.0), got(2L))
+  }
+
   test("seasonalityOf: lift is the weekday average over the overall average") {
     val s = spark; import s.implicits._
     // one week: 1 event/day except epoch day 3 (a Sunday) with 8
