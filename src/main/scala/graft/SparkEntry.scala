@@ -142,6 +142,9 @@ object SparkEntry {
     "q_funnel_latency" -> (operators.EventAnalytics.funnelLatency _),
     "q_seq_pairs" -> (operators.EventAnalytics.seqPairs _),
     "q_user_entropy" -> (operators.EventAnalytics.userEntropy _),
+    "q_theilsen" -> (operators.EventAnalytics.theilSen _),
+    "q_ab_test" -> (operators.EventAnalytics.abTest _),
+    "q_word_neighbors" -> (llm.Collocations.wordNeighbors _),
     "q_kmv_setops" -> (Sketches.kmvSetOpsQuery _),
     "q_quantile_norm" -> (llm.Fusion.quantileNorm _),
     "q_ngram_diversity" -> (llm.Collocations.ngramDiversity _),
@@ -1998,6 +2001,72 @@ object SparkEntry {
         |  CAST(count(DISTINCT a || '#' || b) AS BIGINT) AS n_distinct,
         |  CAST(count(DISTINCT a || '#' || b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS diversity
         |FROM bg GROUP BY source ORDER BY source""".stripMargin,
+    // Theil–Sen robust trend: median of exact pairwise day slopes
+    "q_theilsen" ->
+      """WITH dl AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |                   CAST(count(*) AS BIGINT) AS x
+        |            FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.event_type,
+        |         CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |       FROM dl a JOIN dl b ON a.event_type = b.event_type AND a.d < b.d)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  quantile_cont(slope, 0.5) AS slope_med
+        |FROM sl GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // two-proportion z on conversion over the deterministic 50/50 hash
+    // split; NULL when se = 0 (engines disagree on x/0)
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT CASE WHEN CAST(('0x' || substr(md5('ab#' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+        |             THEN 'A' ELSE 'B' END AS grp,
+        |        CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |      FROM u GROUP BY 1),
+        |a AS (SELECT n AS n_a, c AS conv_a FROM g WHERE grp = 'A'),
+        |b AS (SELECT n AS n_b, c AS conv_b FROM g WHERE grp = 'B')
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+        |    round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |          sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |               (1 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |               (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |  END AS z
+        |FROM a CROSS JOIN b""".stripMargin,
+    // hashed-PPMI word vectors + cosine: PPMI quantized to 1e-3 fixed
+    // point right after its single ln; every sum from there is exact
+    // integer; one pinned double sequence for the cosine
+    "q_word_neighbors" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+        |bg AS (SELECT unnest([{'a': l[j], 'b': l[j+1]}
+        |                      for j in generate_series(1, len(l) - 1)],
+        |               recursive := true)
+        |       FROM w WHERE len(l) >= 2),
+        |co AS (SELECT a AS w, b AS c FROM bg UNION ALL SELECT b, a FROM bg),
+        |cc AS (SELECT w, c, CAST(count(*) AS BIGINT) AS n_wc FROM co GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(n_wc) AS BIGINT) AS n_w FROM cc GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n_wc) AS BIGINT) AS n FROM cc),
+        |pp AS (SELECT cc.w, cc.c,
+        |         CAST(round(ln(CAST(cc.n_wc * nn.n AS DOUBLE) /
+        |                       CAST(cw1.n_w * cw2.n_w AS DOUBLE)) * 1000) AS BIGINT) AS pq
+        |       FROM cc JOIN cw cw1 ON cc.w = cw1.w
+        |                JOIN cw cw2 ON cc.c = cw2.w CROSS JOIN nn
+        |       WHERE cc.n_wc >= 5
+        |         AND ln(CAST(cc.n_wc * nn.n AS DOUBLE) / CAST(cw1.n_w * cw2.n_w AS DOUBLE)) > 0),
+        |vec AS (SELECT w,
+        |          CAST(('0x' || substr(md5('wv#' || c), 1, 15)) AS BIGINT) % 64 AS j,
+        |          CAST(sum(pq) AS BIGINT) AS v
+        |        FROM pp GROUP BY 1, 2),
+        |nr AS (SELECT w, CAST(sum(v * v) AS BIGINT) AS nrm FROM vec GROUP BY 1),
+        |dt AS (SELECT a.w AS w1, b.w AS w2, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |       FROM vec a JOIN vec b ON a.j = b.j AND a.w < b.w GROUP BY 1, 2)
+        |SELECT dt.w1, dt.w2,
+        |  round(CAST(dt.dot AS DOUBLE) /
+        |        (sqrt(CAST(n1.nrm AS DOUBLE)) * sqrt(CAST(n2.nrm AS DOUBLE))), 6) AS cos
+        |FROM dt JOIN nr n1 ON dt.w1 = n1.w JOIN nr n2 ON dt.w2 = n2.w
+        |ORDER BY w1, w2""".stripMargin,
     // five-stage curation composition: quality gate → exact dedup →
     // LSH-cluster survivor → 3-gram decontamination → hash split; every
     // stage reconstructed as a CTE so the COMPOSITION is oracle-checked

@@ -93,4 +93,75 @@ object Collocations {
 
   def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
     ngramDiversityOf(t(spark, dir, "documents"))
+
+  /** Distributional word similarity from hashed-PPMI vectors — the
+    * count-based member of the word-embedding family (Levy & Goldberg
+    * 2014: word2vec's objective implicitly factorizes this very PMI
+    * matrix). Each word's vector is its positive-PMI mass over
+    * adjacent-context words, hashed into `dims` buckets (the
+    * [[TextOps]] hashing-trick discipline — vocabulary-independent
+    * width); similarity = cosine.
+    *
+    * Determinism end to end: PPMI quantizes to 1e-3 fixed point
+    * immediately after its single ln (BIGINT from then on), vector
+    * components are exact integer sums, norms and dots are exact
+    * integer sums of products (bounded ≪ 2⁵³ by the quantization
+    * scale), and the final cosine is one pinned double sequence
+    * rounded at 6. Pairs sharing no nonzero dimension have cosine 0
+    * and are absent — identical join semantics in both engines.
+    *
+    * Scale: everything after the ONE corpus bigram pass is vocabulary-
+    * bounded; the pair join is blocked by shared dimension (a word
+    * pair joins once per common nonzero dim, ≤ dims times). The
+    * all-pairs output is for an analysis vocabulary — at web-scale
+    * vocabularies cap contexts to the top-k by frequency first. */
+  def wordNeighborsOf(docs: DataFrame, dims: Int = 64,
+      minCount: Long = 5): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = docs
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+          lit(0))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t").as("a"),
+        lead(col("t"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+    // symmetric co-occurrence: context on either side
+    val cooc = bg.select(col("a").as("w"), col("b").as("c"))
+      .union(bg.select(col("b").as("w"), col("a").as("c")))
+      .groupBy("w", "c").agg(count(lit(1)).as("n_wc"))
+      .localCheckpoint(true)
+    val cw = cooc.groupBy("w").agg(sum("n_wc").as("n_w"))
+    val n = broadcast(cooc.agg(sum("n_wc").as("n")))
+    val ppmi = cooc.filter(col("n_wc") >= minCount)
+      .join(cw, "w")
+      .join(cw.select(col("w").as("c"), col("n_w").as("n_c")), "c")
+      .crossJoin(n)
+      .withColumn("pmi", log((col("n_wc") * col("n")).cast("double") /
+        (col("n_w") * col("n_c")).cast("double")))
+      .filter(col("pmi") > 0)
+      .select(col("w"), col("c"),
+        round(col("pmi") * 1000).cast("long").as("pq"))
+    val vec = ppmi
+      .select(col("w"),
+        (graft.llm.Dedup.h60(concat(lit("wv#"), col("c"))) % dims).as("j"),
+        col("pq"))
+      .groupBy("w", "j").agg(sum("pq").as("v"))
+      .localCheckpoint(true) // feeds norms AND both pair-join sides
+    val norms = vec.groupBy("w").agg(sum(col("v") * col("v")).as("nrm"))
+    val dots = vec.as("a").join(vec.as("b"),
+        col("a.j") === col("b.j") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(sum(col("a.v") * col("b.v")).as("dot"))
+    dots
+      .join(norms.select(col("w").as("w1"), col("nrm").as("nrm1")), "w1")
+      .join(norms.select(col("w").as("w2"), col("nrm").as("nrm2")), "w2")
+      .select(col("w1"), col("w2"),
+        round(col("dot").cast("double") /
+          (sqrt(col("nrm1").cast("double")) *
+            sqrt(col("nrm2").cast("double"))), 6).as("cos"))
+      .orderBy("w1", "w2")
+  }
+
+  def wordNeighbors(spark: SparkSession, dir: String): DataFrame =
+    wordNeighborsOf(t(spark, dir, "documents"))
 }

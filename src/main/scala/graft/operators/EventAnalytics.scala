@@ -165,6 +165,75 @@ object EventAnalytics {
   def userEntropy(spark: SparkSession, dir: String): DataFrame =
     userEntropyOf(t(spark, dir, "events"))
 
+  /** Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    * day-slopes of the daily count series (Theil 1950 / Sen 1968) — up
+    * to ~29% of days can be corrupted (outages, spikes) without moving
+    * the estimate, where least squares ([[Relational.linregAgg]]) bends
+    * toward every outlier; the robust-statistics family's trend member
+    * next to [[anomalyFlagsOf]]'s MAD. Each slope is ONE exact integer-
+    * difference division; the median is the shared exact-percentile
+    * convention. Day pairs are O(days²) per type — calendar-bounded,
+    * independent of event volume. */
+  def theilSenOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // both pair-join sides read it
+    daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.x") - col("a.x")).cast("double") /
+          (col("b.d") - col("a.d")).cast("double")).as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("slope_med"))
+      .orderBy("event_type")
+  }
+
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(t(spark, dir, "events"))
+
+  /** Two-proportion A/B test on conversion: users split 50/50 by the
+    * engine's deterministic hash-split rule (md5-derived — the same
+    * reproducibility contract as [[graft.llm.Sampling.splitBucket]]),
+    * converted = did `convType` at least once; z is the standard
+    * pooled two-proportion statistic, every input an exact integer and
+    * the float sequence written identically in both engines. NULL when
+    * degenerate (nobody or everybody converted — se = 0, where the
+    * engines disagree on x/0). */
+  def abTestOf(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+      .select(col("conv"),
+        when(graft.llm.Dedup.h60(
+          concat(lit("ab#"), col("user_id").cast("string"))) % 2 === 0,
+          "A").otherwise("B").as("grp"))
+    val g = users.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a = g.filter(col("grp") === "A")
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = g.filter(col("grp") === "B")
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val cTot = col("conv_a") + col("conv_b")
+    val nTot = col("n_a") + col("n_b")
+    val pp = cTot.cast("double") / nTot.cast("double")
+    val se = sqrt(pp * (lit(1) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    a.crossJoin(b).select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      pA.as("rate_a"), pB.as("rate_b"),
+      when(cTot > 0 && cTot < nTot, round((pA - pB) / se, 6)).as("z"))
+  }
+
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    abTestOf(t(spark, dir, "events"))
+
   /** Funnel with a conversion window: step k must land strictly after
     * step k−1 AND within `windowNs` of step 1 — the "converted within
     * 7 days" business rule. Shares [[funnelTotals]] with [[funnelOf]],

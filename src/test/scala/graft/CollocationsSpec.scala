@@ -52,6 +52,19 @@ class CollocationsSpec extends AnyFunSuite {
     assert(got("div") == (5L, 5L, 1.0), got("div"))
   }
 
+  test("wordNeighborsOf: words with identical context distributions hit cosine 1") {
+    val s = spark; import s.implicits._
+    // aa and bb always appear as "p _ q": identical hashed-PPMI
+    // vectors, so their cosine is exactly 1.0
+    val d = Seq((1L, Seq.fill(6)("p aa q p bb q").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Collocations.wordNeighborsOf(d, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("aa", "bb")) == 1.0, got)
+    // orientation is canonical: no (bb, aa) duplicate
+    assert(!got.contains(("bb", "aa")))
+  }
+
   test("pmiOf: margins are consistent — Σ c_ab over a equals c_a") {
     val d = docsOf((1L, "x y x y x z z x y"))
     val got = Collocations.pmiOf(d, minCount = 1).collect()

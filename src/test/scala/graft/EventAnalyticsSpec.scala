@@ -244,6 +244,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(2L) == (3L, 1L, 0.0), got(2L))
   }
 
+  test("theilSenOf: a planted outlier day cannot move the median slope") {
+    val s = spark; import s.implicits._
+    // counts 10+d (true slope 1), day 5 corrupted to 100: 36 of 45
+    // pairwise slopes are still exactly 1.0 — the median is untouched
+    val ev = (0 until 10).flatMap { d =>
+      val n = if (d == 5) 100 else 10 + d
+      (0 until n).map(i => (d * DayNs + i, "A"))
+    }.toDF("ts", "event_type")
+    val got = EventAnalytics.theilSenOf(ev).collect().head
+    assert(got.getLong(1) == 45L)
+    assert(got.getDouble(2) == 1.0, got.getDouble(2))
+  }
+
+  test("abTestOf: z reproduces the pooled two-proportion formula; degenerate is NULL") {
+    val s = spark; import s.implicits._
+    val ev = ((1 to 40).map(u => (u.toLong, "view")) ++
+      (1 to 40).filter(_ % 3 == 0).map(u => (u.toLong, "purchase")))
+      .toDF("user_id", "event_type")
+    val r = EventAnalytics.abTestOf(ev).collect().head
+    val (na, nb, ca, cb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na + nb == 40 && ca + cb == 13)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    val z = java.math.BigDecimal.valueOf((pa - pb) / se)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r.getDouble(6) == z, s"${r.getDouble(6)} vs $z")
+    // everyone converts → se = 0 → NULL, not ±inf
+    val all = (1 to 10).flatMap(u =>
+      Seq((u.toLong, "view"), (u.toLong, "purchase")))
+      .toDF("user_id", "event_type")
+    assert(EventAnalytics.abTestOf(all).collect().head.isNullAt(6))
+  }
+
   test("seasonalityOf: lift is the weekday average over the overall average") {
     val s = spark; import s.implicits._
     // one week: 1 event/day except epoch day 3 (a Sunday) with 8

@@ -253,7 +253,9 @@ class PlanSpec extends AnyFunSuite {
         "q_skew_report", "q_profile", "q_pmi", "q_equidepth",
         "q_er_clusters", "q_fuzzy_decontam", "q_autocorr",
         "q_seasonality", "q_kmv_setops", "q_quantile_norm",
-        "q_ngram_diversity")) {
+        "q_ngram_diversity", "q_funnel_latency", "q_seq_pairs",
+        "q_user_entropy", "q_theilsen", "q_ab_test",
+        "q_word_neighbors")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
     }
