@@ -145,6 +145,8 @@ object SparkEntry {
     "q_theilsen" -> (operators.EventAnalytics.theilSen _),
     "q_ab_test" -> (operators.EventAnalytics.abTest _),
     "q_word_neighbors" -> (llm.Collocations.wordNeighbors _),
+    "q_assoc_rules" -> ((s, d) => operators.Graphs.assocRules(s, d)),
+    "q_clustering_coef" -> (operators.Graphs.clusteringCoef _),
     "q_kmv_setops" -> (Sketches.kmvSetOpsQuery _),
     "q_quantile_norm" -> (llm.Fusion.quantileNorm _),
     "q_ngram_diversity" -> (llm.Collocations.ngramDiversity _),
@@ -434,6 +436,15 @@ object SparkEntry {
       |cls AS (SELECT d.doc_id,
       |          COALESCE(LEAST(cl.mn, d.doc_id), d.doc_id) AS cluster_id
       |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)""".stripMargin
+
+  // shared co-purchase CTE: distinct basket memberships `li` and the
+  // support-2 edge projection `e` — ONE SQL definition for the triangle
+  // count, association rules, and clustering coefficient (mirrors
+  // Graphs.basketRows/copurchasePairsOf)
+  private val copurchaseCte =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   // shared funnel-chain CTE (f1→f3: per-user step times, strictly-after
   // rule) — ONE SQL definition of the chain, used by the conversion
@@ -1535,14 +1546,41 @@ object SparkEntry {
     // orientation-invariant, so they must equal the engine's
     // degree-ordered count exactly
     "q_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-        |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
-        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      (copurchaseCte + """,
         |tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
         |       FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
         |n AS (SELECT x AS node FROM tr UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
-        |FROM n GROUP BY node ORDER BY n_tri DESC, node""".stripMargin,
+        |FROM n GROUP BY node ORDER BY n_tri DESC, node""".stripMargin),
+    // association rules over the SAME co-purchase pair core: conf and
+    // lift from exact distinct-order counts, one division each
+    "q_assoc_rules" ->
+      (copurchaseCte + """,
+        |pc AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |np AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p),
+        |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        |dr AS (SELECT u AS a, v AS b, c FROM pc UNION ALL SELECT v, u, c FROM pc)
+        |SELECT dr.a, dr.b, dr.c AS n_ab, na.n_p AS n_a, nb.n_p AS n_b,
+        |  CAST(dr.c AS DOUBLE) / CAST(na.n_p AS DOUBLE) AS conf,
+        |  CAST(dr.c * no.n_orders AS DOUBLE) / CAST(na.n_p * nb.n_p AS DOUBLE) AS lift
+        |FROM dr JOIN np na ON dr.a = na.p JOIN np nb ON dr.b = nb.p CROSS JOIN no
+        |ORDER BY a, b""".stripMargin),
+    // local clustering coefficient: 2T/(deg(deg-1)) over the same graph
+    "q_clustering_coef" ->
+      (copurchaseCte + """,
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |       FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nd AS (SELECT x AS node FROM tr UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nd GROUP BY node)
+        |SELECT deg.n AS node, deg.d AS degree, COALESCE(tn.n_tri, 0) AS n_tri,
+        |  CASE WHEN deg.d >= 2
+        |       THEN CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE) / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+        |       ELSE 0.0 END AS coef
+        |FROM deg LEFT JOIN tn ON deg.n = tn.node ORDER BY node""".stripMargin),
     // blocked fuzzy ER: block on (head noun, size band), verify
     // levenshtein ≤ 2 ∧ |Δsize| ≤ 3; best = min (dist, id) via one
     // bigint-encoded order-free min

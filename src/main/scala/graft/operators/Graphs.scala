@@ -30,21 +30,30 @@ import graft.Tables._
   */
 object Graphs {
 
-  /** Undirected support-thresholded co-purchase edges (u < v, one row
-    * per pair). Per-order pair fanout is basket-size-bounded (≤ 13·12/2
-    * in this data; baskets, not corpus size, bound it at scale). */
-  def copurchaseEdges(spark: SparkSession, dir: String,
-      minSupport: Int = 2): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+  /** Distinct (order, part) basket memberships — a part twice in one
+    * order is one membership. */
+  def basketRows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct() // a part twice in one order is one basket membership
+      .distinct()
+
+  /** Support-counted co-purchase pairs (u < v, c = co-occurrence
+    * count) — the ONE pair-counting core shared by the edge projection,
+    * association rules, and clustering coefficient. Per-order pair
+    * fanout is basket-size-bounded (≤ 13·12/2 in this data; baskets,
+    * not corpus size, bound it at scale). */
+  def copurchasePairsOf(li: DataFrame): DataFrame =
     li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("c"))
+
+  /** Undirected support-thresholded co-purchase edges (u < v). */
+  def copurchaseEdges(spark: SparkSession, dir: String,
+      minSupport: Int = 2): DataFrame =
+    copurchasePairsOf(basketRows(spark, dir))
       .filter(col("c") >= minSupport)
       .select("u", "v")
-  }
 
   /** Per-node triangle counts over an undirected edge set (one row per
     * pair, u < v, no self-loops). Returns (node, n_tri) for every node
@@ -84,4 +93,66 @@ object Graphs {
   /** Oracle entry: triangles of the support-2 co-purchase graph. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
     triangleCountsOf(copurchaseEdges(spark, dir))
+
+  /** Association rules over the co-purchase pairs (Agrawal et al.
+    * 1993's support/confidence/lift, the market-basket classic): for
+    * each directional rule a→b with pair support ≥ `minSupport`,
+    * confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_b) — how much more
+    * often b is bought with a than its base rate predicts. Every input
+    * is an exact integer (distinct-order counts), both products stay
+    * ≪ 2⁵³, and each measure is ONE division — no rounding needed.
+    *
+    * Shape: the pair table comes from the shared [[copurchasePairsOf]]
+    * core; margins re-aggregate the basket table, not the pairs; the
+    * rule table is (surviving pairs)×2. */
+  def assocRules(spark: SparkSession, dir: String,
+      minSupport: Int = 2): DataFrame =
+    assocRulesOf(basketRows(spark, dir), minSupport)
+
+  /** Basket-table-in variant ((ok, p) rows). */
+  def assocRulesOf(li0: DataFrame, minSupport: Int = 2): DataFrame = {
+    val li = li0
+      .localCheckpoint(true) // feeds pairs, margins, and the order count
+    val pairs = copurchasePairsOf(li).filter(col("c") >= minSupport)
+    val np = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val nOrders = broadcast(li.select("ok").distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    pairs.select(col("u").as("a"), col("v").as("b"), col("c"))
+      .union(pairs.select(col("v").as("a"), col("u").as("b"), col("c")))
+      .join(np.select(col("p").as("a"), col("n_p").as("n_a")), "a")
+      .join(np.select(col("p").as("b"), col("n_p").as("n_b")), "b")
+      .crossJoin(nOrders)
+      .select(col("a"), col("b"), col("c").as("n_ab"), col("n_a"),
+        col("n_b"),
+        (col("c").cast("double") / col("n_a").cast("double")).as("conf"),
+        ((col("c") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  /** Local clustering coefficient per node of the support-2 co-purchase
+    * graph: 2·T/(deg·(deg−1)) — how close each part's co-purchase
+    * neighborhood is to a clique (Watts & Strogatz 1998). Composes
+    * [[triangleCountsOf]] with the degree table over ONE materialized
+    * edge set; exact integers into one division, 0 for degree-1 nodes. */
+  def clusteringCoef(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoefOf(copurchaseEdges(spark, dir))
+
+  /** Edge-set-in variant (u < v rows). */
+  def clusteringCoefOf(edges0: DataFrame): DataFrame = {
+    val edges = edges0
+      .localCheckpoint(true) // feeds degrees AND the triangle pass
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val tri = triangleCountsOf(edges)
+    deg.join(tri, col("n") === col("node"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          (lit(2) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("coef"))
+      .orderBy("node")
+  }
 }

@@ -125,6 +125,35 @@ class GraphFusionSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("assocRulesOf: confidence and lift from exact basket counts") {
+    val s = spark; import s.implicits._
+    // orders: {a,b,c}, {a,b}, {a,c}, {b} → pairs (a,b):2 (a,c):2 (b,c):1
+    val li = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b")).toDF("ok", "p")
+    val got = Graphs.assocRulesOf(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got.size == 4) // (b,c) misses support 2; 2 pairs × 2 dirs
+    assert(got(("a", "b")) == (2L, 3L, 3L, 2.0 / 3.0, 8.0 / 9.0))
+    assert(got(("c", "a")) == (2L, 2L, 3L, 1.0, 4.0 / 3.0))
+  }
+
+  test("clusteringCoefOf: square plus one diagonal") {
+    val s = spark; import s.implicits._
+    // triangles {1,2,3} and {1,3,4}: nodes 2/4 are closed (coef 1),
+    // hubs 1/3 have one open wedge (coef 2/3)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("u", "v")
+    val got = Graphs.clusteringCoefOf(e).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == (3L, 2L, 2.0 / 3.0), got(1L))
+    assert(got(2L) == (2L, 1L, 1.0))
+    assert(got(3L) == (3L, 2L, 2.0 / 3.0))
+    assert(got(4L) == (2L, 1L, 1.0))
+  }
+
   test("groupedRank equals the naive per-group window; quantileNorm spans [0,1]") {
     val s = spark; import s.implicits._
     val docs = Tables.t(spark, sfDir, "documents")
