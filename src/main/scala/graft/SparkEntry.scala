@@ -147,6 +147,8 @@ object SparkEntry {
     "q_word_neighbors" -> (llm.Collocations.wordNeighbors _),
     "q_assoc_rules" -> ((s, d) => operators.Graphs.assocRules(s, d)),
     "q_clustering_coef" -> (operators.Graphs.clusteringCoef _),
+    "q_psi" -> (operators.StatTests.psi _),
+    "q_chi2" -> (operators.StatTests.chi2 _),
     "q_kmv_setops" -> (Sketches.kmvSetOpsQuery _),
     "q_quantile_norm" -> (llm.Fusion.quantileNorm _),
     "q_ngram_diversity" -> (llm.Collocations.ngramDiversity _),
@@ -2039,6 +2041,54 @@ object SparkEntry {
         |  CAST(count(DISTINCT a || '#' || b) AS BIGINT) AS n_distinct,
         |  CAST(count(DISTINCT a || '#' || b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS diversity
         |FROM bg GROUP BY source ORDER BY source""".stripMargin,
+    // PSI drift per bucket: reference-window equal-width bins, Laplace-
+    // smoothed counts, one exact cross-product ratio into one ln; each
+    // bucket row independently exact (no float fold)
+    "q_psi" ->
+      """WITH v AS (SELECT value, epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |dm AS (SELECT min(d) AS dmin FROM v),
+        |tg AS (SELECT value, (d - dm.dmin < 15) AS is_ref FROM v CROSS JOIN dm),
+        |ed AS (SELECT min(value) AS vmin, max(value) AS vmax FROM tg WHERE is_ref),
+        |bk AS (SELECT is_ref,
+        |         greatest(0, least(9, CAST(floor(((value - ed.vmin) * 10) / (ed.vmax - ed.vmin)) AS INT))) AS bucket
+        |       FROM tg CROSS JOIN ed),
+        |ct AS (SELECT bucket,
+        |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |       FROM bk GROUP BY bucket),
+        |de AS (SELECT r.b AS bucket, COALESCE(ct.c_ref, 0) AS c_ref, COALESCE(ct.c_cur, 0) AS c_cur
+        |       FROM (SELECT CAST(unnest(range(0, 10)) AS INT) AS b) r
+        |       LEFT JOIN ct ON r.b = ct.bucket),
+        |tt AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref, CAST(sum(c_cur) AS BIGINT) AS n_cur FROM de)
+        |SELECT bucket, c_ref, c_cur,
+        |  round(((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE)) -
+        |         (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE))) *
+        |        ln(CAST((c_ref + 1) * (n_cur + 10) AS DOUBLE) /
+        |           CAST((c_cur + 1) * (n_ref + 10) AS DOUBLE)), 6) AS psi_term
+        |FROM de CROSS JOIN tt ORDER BY bucket""".stripMargin,
+    // Pearson chi-square of event_type x weekday over the DENSE grid;
+    // d = O*N - r*c exact, terms fold in (row, col) order
+    "q_chi2" ->
+      """WITH c AS (SELECT event_type AS rk,
+        |             (epoch_ns(ts) // 86400000000000 + 4) % 7 AS ck,
+        |             CAST(count(*) AS BIGINT) AS o
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT rk, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY 1),
+        |cl AS (SELECT ck, CAST(sum(o) AS BIGINT) AS c FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |de AS (SELECT r.rk, cl.ck, r.r, cl.c, COALESCE(c.o, 0) AS o
+        |       FROM r CROSS JOIN cl LEFT JOIN c ON c.rk = r.rk AND c.ck = cl.ck),
+        |tm AS (SELECT de.rk, de.ck,
+        |         CAST(de.o * n.n - de.r * de.c AS DOUBLE) AS d,
+        |         CAST(n.n * de.r * de.c AS DOUBLE) AS den
+        |       FROM de CROSS JOIN n)
+        |SELECT n.n AS n,
+        |  CAST((SELECT count(*) FROM r) AS BIGINT) AS r_levels,
+        |  CAST((SELECT count(*) FROM cl) AS BIGINT) AS c_levels,
+        |  CAST(((SELECT count(*) FROM r) - 1) * ((SELECT count(*) FROM cl) - 1) AS BIGINT) AS dof,
+        |  round(list_reduce(list_prepend(0.0, list(tm.d * tm.d / tm.den ORDER BY tm.rk, tm.ck)),
+        |        (u, w) -> u + w), 6) AS chi2
+        |FROM tm CROSS JOIN n GROUP BY n.n""".stripMargin,
     // Theil–Sen robust trend: median of exact pairwise day slopes
     "q_theilsen" ->
       """WITH dl AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,

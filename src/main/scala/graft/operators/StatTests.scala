@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Statistical monitoring tests — the drift and independence checks a
+  * production data pipeline runs on every refresh: has this feature's
+  * distribution moved since the reference snapshot (PSI), and are
+  * these two categoricals actually independent (χ²)? Both are exact-
+  * integer-count machines with a handful of pinned float ops at the
+  * end, so both engines agree bit for bit.
+  */
+object StatTests {
+
+  /** Population stability index per bucket (the credit-scoring /
+    * ML-monitoring drift standard): bucket edges are 10 equal-width
+    * bins of the REFERENCE window's value range (current-window values
+    * outside it clamp into the edge bins), counts are Laplace-smoothed
+    * (+1 per bucket) so an empty bin cannot blow up the log, and each
+    * bucket's contribution is (p−q)·ln(p/q) with the ratio computed
+    * from one exact integer cross-product. PSI = Σ terms; > 0.25 is
+    * the conventional "investigate" line. Emitted per bucket (10
+    * rows) — each row is independently exact, so no float fold is
+    * needed at all.
+    *
+    * Shape: two scan-side aggregates (reference min/max, then the
+    * bucket counts with map-side partials) over the window-split scan;
+    * the bucket table is parameter-bounded. */
+  def psiOf(events: DataFrame, splitDay: Long = 15,
+      buckets: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    val dayed = events.select(col("value"),
+      expr("ts DIV 86400000000000").as("d"))
+    val dmin = broadcast(dayed.agg(min("d").as("dmin")))
+    val tagged = dayed.crossJoin(dmin)
+      .select(col("value"), (col("d") - col("dmin") < splitDay).as("is_ref"))
+      .localCheckpoint(true) // feeds the edge agg AND the bucket counts
+    val edges = broadcast(tagged.filter(col("is_ref"))
+      .agg(min("value").as("vmin"), max("value").as("vmax")))
+    val b = tagged.crossJoin(edges)
+      .select(col("is_ref"),
+        greatest(lit(0), least(lit(buckets - 1),
+          floor(((col("value") - col("vmin")) * buckets) /
+            (col("vmax") - col("vmin"))).cast("int"))).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val dense = spark.range(0, buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(b, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = broadcast(dense.agg(sum("c_ref").as("n_ref"),
+      sum("c_cur").as("n_cur")))
+    val p = (col("c_ref") + 1).cast("double") /
+      (col("n_ref") + buckets).cast("double")
+    val q = (col("c_cur") + 1).cast("double") /
+      (col("n_cur") + buckets).cast("double")
+    val ratio = ((col("c_ref") + 1) * (col("n_cur") + buckets)).cast("double") /
+      ((col("c_cur") + 1) * (col("n_ref") + buckets)).cast("double")
+    dense.crossJoin(tot)
+      .select(col("bucket"), col("c_ref"), col("c_cur"),
+        round((p - q) * log(ratio), 6).as("psi_term"))
+      .orderBy("bucket")
+  }
+
+  def psi(spark: SparkSession, dir: String): DataFrame =
+    psiOf(t(spark, dir, "events"))
+
+  /** Pearson χ² test of independence between two categoricals (here:
+    * event type × weekday — "does behavior depend on the day?"). Over
+    * the DENSE R×C grid (an absent cell is O = 0, not a dropped term),
+    * each cell's contribution is d²/(N·r·c) with d = O·N − r·c — d and
+    * the denominator are exact integers (the numerator squares in
+    * double, one correctly-rounded product), and the cell terms fold
+    * in (row, col) order (the ordered-fold ln discipline, applied to
+    * a sum of ~R·C doubles). Returns (n, r_levels, c_levels, dof,
+    * chi2). The statistic only; mapping to a p-value is a driver-side
+    * constant-time lookup, not a data operator. */
+  def chi2Of(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type").as("rk"),
+        ((expr("ts DIV 86400000000000") + 4) % 7).as("ck"))
+      .groupBy("rk", "ck").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // feeds margins and the dense grid
+    val rows = cells.groupBy("rk").agg(sum("o").as("r"))
+    val cols = cells.groupBy("ck").agg(sum("o").as("c"))
+    val n = broadcast(cells.agg(sum("o").as("n")))
+    val dense = broadcast(rows).crossJoin(broadcast(cols))
+      .join(cells, Seq("rk", "ck"), "left")
+      .select(col("rk"), col("ck"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val d = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    val term = d * d / (col("n") * col("r") * col("c")).cast("double")
+    dense.crossJoin(n)
+      .select(col("rk"), col("ck"), col("n"), term.as("term"))
+      .groupBy("n")
+      .agg(count_distinct(col("rk")).as("r_levels"),
+        count_distinct(col("ck")).as("c_levels"),
+        collect_list(struct(col("rk"), col("ck"), col("term"))).as("ts"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        round(aggregate(array_sort(col("ts")), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("chi2"))
+  }
+
+  def chi2(spark: SparkSession, dir: String): DataFrame =
+    chi2Of(t(spark, dir, "events"))
+}

@@ -255,7 +255,8 @@ class PlanSpec extends AnyFunSuite {
         "q_seasonality", "q_kmv_setops", "q_quantile_norm",
         "q_ngram_diversity", "q_funnel_latency", "q_seq_pairs",
         "q_user_entropy", "q_theilsen", "q_ab_test",
-        "q_word_neighbors", "q_assoc_rules", "q_clustering_coef")) {
+        "q_word_neighbors", "q_assoc_rules", "q_clustering_coef",
+        "q_psi", "q_chi2")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
     }

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.StatTests
+
+/** PSI drift and χ² independence semantics on hand fixtures. */
+class StatTestsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val DayNs = 86400000000000L
+
+  test("psiOf: identical windows score exactly zero, a shift scores positive") {
+    val s = spark; import s.implicits._
+    // same value histogram in both windows → p == q → every term 0.0
+    val same = (0 until 30).flatMap { d =>
+      (0 until 10).map(i => (d * DayNs + i, i.toDouble))
+    }.toDF("ts", "value")
+    val t0 = StatTests.psiOf(same).collect()
+    assert(t0.length == 10)
+    assert(t0.forall(_.getDouble(3) == 0.0), t0.toSeq)
+    // current window shifted hard to the right → positive total PSI,
+    // and out-of-reference values clamp into the top bucket
+    val shifted = (0 until 30).flatMap { d =>
+      val base = if (d < 15) 0.0 else 100.0
+      (0 until 10).map(i => (d * DayNs + i, base + i))
+    }.toDF("ts", "value")
+    val t1 = StatTests.psiOf(shifted).collect()
+    assert(t1.map(_.getDouble(3)).sum > 0.25, t1.toSeq) // "investigate"
+    // everything current landed in bucket 9 (clamped)
+    val top = t1.find(_.getInt(0) == 9).get
+    assert(top.getLong(2) == 150L, top)
+  }
+
+  test("chi2Of: proportional table scores exactly zero, disjoint table scores N") {
+    val s = spark; import s.implicits._
+    // perfectly proportional: O == r·c/N in every cell → chi2 = 0.0
+    def ev(rows: (String, Int, Int)*) = rows.flatMap { case (tp, d, n) =>
+      (0 until n).map(i => (tp, d * DayNs + i))
+    }.toDF("event_type", "ts")
+    val indep = ev(("A", 0, 10), ("A", 1, 20), ("B", 0, 20), ("B", 1, 40))
+    val r0 = StatTests.chi2Of(indep).collect().head
+    assert(r0.getLong(0) == 90L && r0.getLong(3) == 1L)
+    assert(r0.getDouble(4) == 0.0, r0)
+    // fully dependent 2×2 (diagonal): chi2 = N
+    val dep = ev(("A", 0, 10), ("B", 1, 10))
+    val r1 = StatTests.chi2Of(dep).collect().head
+    assert(r1.getLong(0) == 20L && r1.getDouble(4) == 20.0, r1)
+  }
+}
