@@ -445,8 +445,9 @@ object SparkEntry {
   // Graphs.basketRows/copurchasePairsOf)
   private val copurchaseCte =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-      |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
-      |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+      |pc AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+      |e AS (SELECT u, v FROM pc WHERE c >= 2)""".stripMargin
 
   // shared funnel-chain CTE (f1→f3: per-user step times, strictly-after
   // rule) — ONE SQL definition of the chain, used by the conversion
@@ -1558,12 +1559,10 @@ object SparkEntry {
     // lift from exact distinct-order counts, one division each
     "q_assoc_rules" ->
       (copurchaseCte + """,
-        |pc AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
-        |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
-        |       GROUP BY 1, 2 HAVING count(*) >= 2),
         |np AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p),
         |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
-        |dr AS (SELECT u AS a, v AS b, c FROM pc UNION ALL SELECT v, u, c FROM pc)
+        |sp AS (SELECT u, v, c FROM pc WHERE c >= 2),
+        |dr AS (SELECT u AS a, v AS b, c FROM sp UNION ALL SELECT v, u, c FROM sp)
         |SELECT dr.a, dr.b, dr.c AS n_ab, na.n_p AS n_a, nb.n_p AS n_b,
         |  CAST(dr.c AS DOUBLE) / CAST(na.n_p AS DOUBLE) AS conf,
         |  CAST(dr.c * no.n_orders AS DOUBLE) / CAST(na.n_p * nb.n_p AS DOUBLE) AS lift
@@ -1963,11 +1962,16 @@ object SparkEntry {
         |        CAST(CAST(sum(x0 * x1) AS BIGINT) AS DOUBLE) AS sxy,
         |        CAST(CAST(sum(x0 * x0) AS BIGINT) AS DOUBLE) AS sxx,
         |        CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS syy
-        |      FROM pr GROUP BY lag)
-        |SELECT lag, np AS n_pairs,
-        |  (sxy - sx * sy / CAST(np AS DOUBLE)) /
-        |  sqrt((sxx - sx * sx / CAST(np AS DOUBLE)) * (syy - sy * sy / CAST(np AS DOUBLE))) AS r
-        |FROM s ORDER BY lag""".stripMargin,
+        |      FROM pr GROUP BY lag),
+        |lv AS (SELECT unnest([1, 7]) AS lag)
+        |SELECT lv.lag, CAST(COALESCE(s.np, 0) AS BIGINT) AS n_pairs,
+        |  CASE WHEN (s.sxx - s.sx * s.sx / CAST(s.np AS DOUBLE)) *
+        |            (s.syy - s.sy * s.sy / CAST(s.np AS DOUBLE)) > 0
+        |       THEN (s.sxy - s.sx * s.sy / CAST(s.np AS DOUBLE)) /
+        |            sqrt((s.sxx - s.sx * s.sx / CAST(s.np AS DOUBLE)) *
+        |                 (s.syy - s.sy * s.sy / CAST(s.np AS DOUBLE)))
+        |  END AS r
+        |FROM lv LEFT JOIN s USING (lag) ORDER BY lag""".stripMargin,
     // weekday profile: integer counts, lift via exact cross-products
     // and ONE division; weekday 0 = Sunday ((epoch day + 4) mod 7)
     "q_seasonality" ->
@@ -2050,7 +2054,9 @@ object SparkEntry {
         |tg AS (SELECT value, (d - dm.dmin < 15) AS is_ref FROM v CROSS JOIN dm),
         |ed AS (SELECT min(value) AS vmin, max(value) AS vmax FROM tg WHERE is_ref),
         |bk AS (SELECT is_ref,
-        |         greatest(0, least(9, CAST(floor(((value - ed.vmin) * 10) / (ed.vmax - ed.vmin)) AS INT))) AS bucket
+        |         CASE WHEN ed.vmax > ed.vmin
+        |              THEN greatest(0, least(9, CAST(floor(((value - ed.vmin) * 10) / (ed.vmax - ed.vmin)) AS INT)))
+        |              ELSE 0 END AS bucket
         |       FROM tg CROSS JOIN ed),
         |ct AS (SELECT bucket,
         |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
@@ -2067,7 +2073,8 @@ object SparkEntry {
         |           CAST((c_cur + 1) * (n_ref + 10) AS DOUBLE)), 6) AS psi_term
         |FROM de CROSS JOIN tt ORDER BY bucket""".stripMargin,
     // Pearson chi-square of event_type x weekday over the DENSE grid;
-    // d = O*N - r*c exact, terms fold in (row, col) order
+    // d = O*N - r*c with per-factor double casts (Long products would
+    // overflow at ~10^7 events), terms fold in (row, col) order
     "q_chi2" ->
       """WITH c AS (SELECT event_type AS rk,
         |             (epoch_ns(ts) // 86400000000000 + 4) % 7 AS ck,
@@ -2079,8 +2086,9 @@ object SparkEntry {
         |de AS (SELECT r.rk, cl.ck, r.r, cl.c, COALESCE(c.o, 0) AS o
         |       FROM r CROSS JOIN cl LEFT JOIN c ON c.rk = r.rk AND c.ck = cl.ck),
         |tm AS (SELECT de.rk, de.ck,
-        |         CAST(de.o * n.n - de.r * de.c AS DOUBLE) AS d,
-        |         CAST(n.n * de.r * de.c AS DOUBLE) AS den
+        |         CAST(de.o AS DOUBLE) * CAST(n.n AS DOUBLE) -
+        |           CAST(de.r AS DOUBLE) * CAST(de.c AS DOUBLE) AS d,
+        |         CAST(n.n AS DOUBLE) * CAST(de.r AS DOUBLE) * CAST(de.c AS DOUBLE) AS den
         |       FROM de CROSS JOIN n)
         |SELECT n.n AS n,
         |  CAST((SELECT count(*) FROM r) AS BIGINT) AS r_levels,

@@ -31,15 +31,27 @@ import graft.Tables._
   */
 object Collocations {
 
-  def pmiOf(docs: DataFrame, minCount: Long = 5): DataFrame = {
+  /** Adjacent word pairs per doc — the ONE tokenization + adjacency
+    * definition shared by PMI, diversity, and the word vectors (a
+    * regex or ordering change cannot silently desynchronize one of the
+    * three oracles). `carry` = extra doc columns to keep alongside
+    * (doc_id, a, b). [[Keywords.textRankOf]] stays separate by design:
+    * its adjacency is over the stopword-filtered content-word
+    * sequence, a different relation. */
+  private[llm] def adjacentBigrams(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bg = docs
-      .select(col("doc_id"),
+    docs
+      .select(col("doc_id") +: carry.map(col) :+
         posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
-          lit(0))).as(Seq("pos", "t")))
-      .select(col("doc_id"), col("t").as("a"),
-        lead(col("t"), 1).over(w).as("b"))
+          lit(0))).as(Seq("pos", "t")): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("t").as("a") :+ lead(col("t"), 1).over(w).as("b"): _*)
       .filter(col("b").isNotNull)
+  }
+
+  def pmiOf(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val bg = adjacentBigrams(docs)
     // the ONE corpus-sized aggregation; margins/total read this table
     val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       .localCheckpoint(true)
@@ -73,14 +85,7 @@ object Collocations {
     * (one aggregate per source over the pair table), ratio is one
     * division. */
   def ngramDiversityOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bg = docs
-      .select(col("doc_id"), col("source"),
-        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
-          lit(0))).as(Seq("pos", "t")))
-      .select(col("source"), col("doc_id"), col("t").as("a"),
-        lead(col("t"), 1).over(w).as("b"))
-      .filter(col("b").isNotNull)
+    val bg = adjacentBigrams(docs, carry = Seq("source"))
     bg.groupBy("source").agg(
         count(lit(1)).as("n_bigrams"),
         count_distinct(concat(col("a"), lit("#"), col("b")))
@@ -117,14 +122,7 @@ object Collocations {
     * vocabularies cap contexts to the top-k by frequency first. */
   def wordNeighborsOf(docs: DataFrame, dims: Int = 64,
       minCount: Long = 5): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bg = docs
-      .select(col("doc_id"),
-        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
-          lit(0))).as(Seq("pos", "t")))
-      .select(col("doc_id"), col("t").as("a"),
-        lead(col("t"), 1).over(w).as("b"))
-      .filter(col("b").isNotNull)
+    val bg = adjacentBigrams(docs)
     // symmetric co-occurrence: context on either side
     val cooc = bg.select(col("a").as("w"), col("b").as("c"))
       .union(bg.select(col("b").as("w"), col("a").as("c")))

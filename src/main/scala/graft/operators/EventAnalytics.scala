@@ -147,6 +147,7 @@ object EventAnalytics {
   def userEntropyOf(events: DataFrame): DataFrame = {
     val c = events.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // user×type-bounded; totals AND join read it
     val tot = c.groupBy("user_id")
       .agg(sum("n").as("n_events"), count(lit(1)).as("k_types"))
     c.join(tot, "user_id")
@@ -421,6 +422,7 @@ object EventAnalytics {
       .filter(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // |types|² rows; totals AND the join read it
     val totals = trans.groupBy("src").agg(sum("n").as("n_src"))
     trans.join(broadcast(totals), "src")
       .select(col("src"), col("dst"), col("n"), col("n_src"),
@@ -483,6 +485,7 @@ object EventAnalytics {
   def changePointOf(events: DataFrame): DataFrame = {
     val daily = events.select(expr("ts DIV 86400000000000").as("d"))
       .groupBy("d").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // day-bounded; totals AND the series read it
     val tot = broadcast(daily.agg(sum("x").as("t"), count(lit(1)).as("nd")))
     val w = org.apache.spark.sql.expressions.Window.orderBy("d")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -523,10 +526,16 @@ object EventAnalytics {
       val sxx = sum(col("x0") * col("x0")).cast("double")
       val syy = sum(col("x1") * col("x1")).cast("double")
       val n = count(lit(1)).cast("double")
+      // zero-variance guard (the linregAgg discipline): a single pair
+      // or a constant series zeroes a variance factor, where Spark's
+      // 0/0 is NULL but DuckDB's is NaN — the degenerate answer is
+      // NULL in BOTH engines
+      val varx = sxx - sx * sx / n
+      val vary = syy - sy * sy / n
       a.join(b, "d")
         .agg(count(lit(1)).as("n_pairs"),
-          ((sxy - sx * sy / n) /
-            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("r"))
+          when(varx * vary > 0,
+            (sxy - sx * sy / n) / sqrt(varx * vary)).as("r"))
         .select(lit(lag).as("lag"), col("n_pairs"), col("r"))
     }
     rows.reduce(_ unionByName _).orderBy("lag")
@@ -543,6 +552,7 @@ object EventAnalytics {
   def seasonalityOf(events: DataFrame): DataFrame = {
     val daily = events.select(expr("ts DIV 86400000000000").as("d"))
       .groupBy("d").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // day-bounded; weekday AND total aggs read it
     val wd = daily.groupBy(((col("d") + 4) % 7).as("weekday"))
       .agg(count(lit(1)).as("n_days"), sum("x").as("x"))
     val tot = broadcast(daily.agg(count(lit(1)).as("nd_tot"),

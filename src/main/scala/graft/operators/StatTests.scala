@@ -38,11 +38,16 @@ object StatTests {
       .localCheckpoint(true) // feeds the edge agg AND the bucket counts
     val edges = broadcast(tagged.filter(col("is_ref"))
       .agg(min("value").as("vmin"), max("value").as("vmax")))
+    // degenerate reference (vmax == vmin — a constant column) puts
+    // everything in bucket 0 in BOTH engines; the raw formula would
+    // divide by zero, which Spark nulls and DuckDB infs
     val b = tagged.crossJoin(edges)
       .select(col("is_ref"),
-        greatest(lit(0), least(lit(buckets - 1),
-          floor(((col("value") - col("vmin")) * buckets) /
-            (col("vmax") - col("vmin"))).cast("int"))).as("bucket"))
+        when(col("vmax") > col("vmin"),
+          greatest(lit(0), least(lit(buckets - 1),
+            floor(((col("value") - col("vmin")) * buckets) /
+              (col("vmax") - col("vmin"))).cast("int"))))
+          .otherwise(lit(0)).as("bucket"))
       .groupBy("bucket")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
@@ -72,11 +77,12 @@ object StatTests {
   /** Pearson χ² test of independence between two categoricals (here:
     * event type × weekday — "does behavior depend on the day?"). Over
     * the DENSE R×C grid (an absent cell is O = 0, not a dropped term),
-    * each cell's contribution is d²/(N·r·c) with d = O·N − r·c — d and
-    * the denominator are exact integers (the numerator squares in
-    * double, one correctly-rounded product), and the cell terms fold
-    * in (row, col) order (the ordered-fold ln discipline, applied to
-    * a sum of ~R·C doubles). Returns (n, r_levels, c_levels, dof,
+    * each cell's contribution is d²/(N·r·c) with d = O·N − r·c,
+    * computed entirely in double with per-factor casts (Long products
+    * would overflow at ~10⁷ events; double products are correctly
+    * rounded identically in both engines and exact below 2⁵³), and the
+    * cell terms fold in (row, col) order (the ordered-fold ln
+    * discipline, applied to a sum of ~R·C doubles). Returns (n, r_levels, c_levels, dof,
     * chi2). The statistic only; mapping to a p-value is a driver-side
     * constant-time lookup, not a data operator. */
   def chi2Of(events: DataFrame): DataFrame = {
@@ -92,8 +98,16 @@ object StatTests {
       .join(cells, Seq("rk", "ck"), "left")
       .select(col("rk"), col("ck"), col("r"), col("c"),
         coalesce(col("o"), lit(0L)).as("o"))
-    val d = (col("o") * col("n") - col("r") * col("c")).cast("double")
-    val term = d * d / (col("n") * col("r") * col("c")).cast("double")
+    // every factor casts to double BEFORE multiplying: the Long
+    // products n·r·c (and o·n, r·c past ~10⁹ events) overflow int64
+    // long before doubles lose anything — Spark would wrap silently
+    // and DuckDB would abort, so integer products are the wrong tool
+    // here; double products are correctly rounded identically in both
+    // engines (and exact below 2⁵³ anyway)
+    val d = col("o").cast("double") * col("n").cast("double") -
+      col("r").cast("double") * col("c").cast("double")
+    val term = d * d / (col("n").cast("double") *
+      col("r").cast("double") * col("c").cast("double"))
     dense.crossJoin(n)
       .select(col("rk"), col("ck"), col("n"), term.as("term"))
       .groupBy("n")

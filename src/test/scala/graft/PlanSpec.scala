@@ -263,12 +263,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_markov and q_session_stats windows partition by user — never SinglePartition") {
-    for (q <- Seq("q_markov", "q_session_stats")) {
-      val windowLines = plan(q).linesIterator
-        .filter(_.contains("Window")).toSeq
+    // q_markov's window sits behind a localCheckpoint (its count table
+    // feeds two consumers), so probe the adjacency stage directly
+    val markovAdj = graft.Tables.t(spark, sfDir, "events")
+      .withColumn("dst", org.apache.spark.sql.functions.lead(
+        org.apache.spark.sql.functions.col("event_type"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")))
+      .queryExecution.executedPlan.toString
+    val probes = Seq("markov-adjacency" -> markovAdj,
+      "q_session_stats" -> plan("q_session_stats"))
+    for ((name, p) <- probes) {
+      val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
       assert(windowLines.nonEmpty &&
         windowLines.forall(!_.contains("SinglePartition")),
-        s"$q has a corpus-wide window:\n${windowLines.mkString("\n")}")
+        s"$name has a corpus-wide window:\n${windowLines.mkString("\n")}")
     }
   }
 
