@@ -149,6 +149,8 @@ object SparkEntry {
     "q_clustering_coef" -> (operators.Graphs.clusteringCoef _),
     "q_psi" -> (operators.StatTests.psi _),
     "q_chi2" -> (operators.StatTests.chi2 _),
+    "q_mutual_info" -> (operators.StatTests.mutualInfo _),
+    "q_spearman" -> (operators.StatTests.spearman _),
     "q_kmv_setops" -> (Sketches.kmvSetOpsQuery _),
     "q_quantile_norm" -> (llm.Fusion.quantileNorm _),
     "q_ngram_diversity" -> (llm.Collocations.ngramDiversity _),
@@ -448,6 +450,18 @@ object SparkEntry {
       |pc AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
       |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
       |e AS (SELECT u, v FROM pc WHERE c >= 2)""".stripMargin
+
+  // shared (event_type × weekday) contingency CTE: cells c, margins
+  // r/cl, total n — ONE SQL definition for chi-square AND mutual
+  // information (mirrors StatTests.typeWeekdayCells)
+  private val contingencyCte =
+    """WITH c AS (SELECT event_type AS rk,
+      |             (epoch_ns(ts) // 86400000000000 + 4) % 7 AS ck,
+      |             CAST(count(*) AS BIGINT) AS o
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT rk, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY 1),
+      |cl AS (SELECT ck, CAST(sum(o) AS BIGINT) AS c FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)""".stripMargin
 
   // shared funnel-chain CTE (f1→f3: per-user step times, strictly-after
   // rule) — ONE SQL definition of the chain, used by the conversion
@@ -2076,13 +2090,7 @@ object SparkEntry {
     // d = O*N - r*c with per-factor double casts (Long products would
     // overflow at ~10^7 events), terms fold in (row, col) order
     "q_chi2" ->
-      """WITH c AS (SELECT event_type AS rk,
-        |             (epoch_ns(ts) // 86400000000000 + 4) % 7 AS ck,
-        |             CAST(count(*) AS BIGINT) AS o
-        |           FROM events GROUP BY 1, 2),
-        |r AS (SELECT rk, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY 1),
-        |cl AS (SELECT ck, CAST(sum(o) AS BIGINT) AS c FROM c GROUP BY 1),
-        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+      (contingencyCte + """,
         |de AS (SELECT r.rk, cl.ck, r.r, cl.c, COALESCE(c.o, 0) AS o
         |       FROM r CROSS JOIN cl LEFT JOIN c ON c.rk = r.rk AND c.ck = cl.ck),
         |tm AS (SELECT de.rk, de.ck,
@@ -2096,7 +2104,54 @@ object SparkEntry {
         |  CAST(((SELECT count(*) FROM r) - 1) * ((SELECT count(*) FROM cl) - 1) AS BIGINT) AS dof,
         |  round(list_reduce(list_prepend(0.0, list(tm.d * tm.d / tm.den ORDER BY tm.rk, tm.ck)),
         |        (u, w) -> u + w), 6) AS chi2
-        |FROM tm CROSS JOIN n GROUP BY n.n""".stripMargin,
+        |FROM tm CROSS JOIN n GROUP BY n.n""".stripMargin),
+    // mutual information of the SAME contingency table (shared CTE):
+    // observed cells only (zero cells contribute exactly 0), per-factor
+    // double casts, (row, col) ordered fold
+    "q_mutual_info" ->
+      (contingencyCte + """,
+        |tm AS (SELECT c.rk, c.ck,
+        |         (CAST(c.o AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |         ln((CAST(c.o AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+        |            (CAST(r.r AS DOUBLE) * CAST(cl.c AS DOUBLE))) AS term
+        |       FROM c JOIN r USING (rk) JOIN cl USING (ck) CROSS JOIN n)
+        |SELECT n.n AS n,
+        |  CAST((SELECT count(*) FROM r) AS BIGINT) AS r_levels,
+        |  CAST((SELECT count(*) FROM cl) AS BIGINT) AS c_levels,
+        |  round(list_reduce(list_prepend(0.0, list(tm.term ORDER BY tm.rk, tm.ck)),
+        |        (u, w) -> u + w), 6) AS mi
+        |FROM tm CROSS JOIN n GROUP BY n.n""".stripMargin),
+    // Spearman over the daily series: Pearson on tie-averaged DOUBLED
+    // ranks (min pos + max pos within a tie group — exact integers; the
+    // x2 scale cancels); windows span calendar days only
+    "q_spearman" ->
+      """WITH dl AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+        |              CAST(count(*) AS BIGINT) AS x,
+        |              CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv
+        |            FROM events GROUP BY 1),
+        |da AS (SELECT d, x, sv / CAST(x AS DOUBLE) AS avg_v FROM dl),
+        |rx AS (SELECT d, x, avg_v, row_number() OVER (ORDER BY x, d) AS px FROM da),
+        |r2x AS (SELECT d, x, avg_v,
+        |          CAST(min(px) OVER (PARTITION BY x) + max(px) OVER (PARTITION BY x) AS BIGINT) AS x2
+        |        FROM rx),
+        |ry AS (SELECT d, avg_v, x2, row_number() OVER (ORDER BY avg_v, d) AS py FROM r2x),
+        |r2y AS (SELECT d, x2,
+        |          CAST(min(py) OVER (PARTITION BY avg_v) + max(py) OVER (PARTITION BY avg_v) AS BIGINT) AS y2
+        |        FROM ry),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x2) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+        |        CAST(sum(x2 * y2) AS BIGINT) AS sxy,
+        |        CAST(sum(x2 * x2) AS BIGINT) AS sxx,
+        |        CAST(sum(y2 * y2) AS BIGINT) AS syy
+        |      FROM r2y)
+        |SELECT n AS n_days,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |            (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |       THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |                  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM s""".stripMargin,
     // Theil–Sen robust trend: median of exact pairwise day slopes
     "q_theilsen" ->
       """WITH dl AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,

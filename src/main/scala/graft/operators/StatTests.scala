@@ -74,6 +74,23 @@ object StatTests {
   def psi(spark: SparkSession, dir: String): DataFrame =
     psiOf(t(spark, dir, "events"))
 
+  /** The (event type × weekday) contingency margins shared by [[chi2Of]]
+    * and [[mutualInfoOf]] — one cell definition, the two tests cannot
+    * disagree on the table. Cells are checkpointed (they feed margins
+    * and the final grid). */
+  private def typeWeekdayCells(events: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cells = events
+      .select(col("event_type").as("rk"),
+        ((expr("ts DIV 86400000000000") + 4) % 7).as("ck"))
+      .groupBy("rk", "ck").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy("rk").agg(sum("o").as("r"))
+    val cols = cells.groupBy("ck").agg(sum("o").as("c"))
+    val n = broadcast(cells.agg(sum("o").as("n")))
+    (cells, rows, cols, n)
+  }
+
   /** Pearson χ² test of independence between two categoricals (here:
     * event type × weekday — "does behavior depend on the day?"). Over
     * the DENSE R×C grid (an absent cell is O = 0, not a dropped term),
@@ -86,14 +103,7 @@ object StatTests {
     * chi2). The statistic only; mapping to a p-value is a driver-side
     * constant-time lookup, not a data operator. */
   def chi2Of(events: DataFrame): DataFrame = {
-    val cells = events
-      .select(col("event_type").as("rk"),
-        ((expr("ts DIV 86400000000000") + 4) % 7).as("ck"))
-      .groupBy("rk", "ck").agg(count(lit(1)).as("o"))
-      .localCheckpoint(true) // feeds margins and the dense grid
-    val rows = cells.groupBy("rk").agg(sum("o").as("r"))
-    val cols = cells.groupBy("ck").agg(sum("o").as("c"))
-    val n = broadcast(cells.agg(sum("o").as("n")))
+    val (cells, rows, cols, n) = typeWeekdayCells(events)
     val dense = broadcast(rows).crossJoin(broadcast(cols))
       .join(cells, Seq("rk", "ck"), "left")
       .select(col("rk"), col("ck"), col("r"), col("c"),
@@ -122,4 +132,76 @@ object StatTests {
 
   def chi2(spark: SparkSession, dir: String): DataFrame =
     chi2Of(t(spark, dir, "events"))
+
+  /** Mutual information of the SAME contingency table as [[chi2Of]]
+    * (shared [[typeWeekdayCells]]): I = Σ p_ij·ln(O·N/(r·c)) in nats —
+    * χ² asks "is there dependence", MI asks "how many bits/nats of one
+    * variable the other carries" (feature-selection's ranking measure).
+    * Zero cells contribute exactly 0 (lim p→0 of p·ln p), so only the
+    * OBSERVED cells enter — no smoothing, no dense grid. Per-factor
+    * double casts (the χ² overflow lesson) and the (row, col)
+    * ordered fold. */
+  def mutualInfoOf(events: DataFrame): DataFrame = {
+    val (cells, rows, cols, n) = typeWeekdayCells(events)
+    val joined = cells
+      .join(broadcast(rows), "rk")
+      .join(broadcast(cols), "ck")
+      .crossJoin(n)
+    val term = (col("o").cast("double") / col("n").cast("double")) *
+      log((col("o").cast("double") * col("n").cast("double")) /
+        (col("r").cast("double") * col("c").cast("double")))
+    joined
+      .select(col("rk"), col("ck"), col("n"), term.as("term"))
+      .groupBy("n")
+      .agg(count_distinct(col("rk")).as("r_levels"),
+        count_distinct(col("ck")).as("c_levels"),
+        collect_list(struct(col("rk"), col("ck"), col("term"))).as("ts"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        round(aggregate(array_sort(col("ts")), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("mi"))
+  }
+
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame =
+    mutualInfoOf(t(spark, dir, "events"))
+
+  /** Spearman rank correlation between the DAILY series' volume and
+    * its average value ("do busier days carry higher-valued events?"):
+    * Pearson over TIE-AVERAGED doubled ranks — rank2 = min(pos) +
+    * max(pos) within each tied value equals twice the classical
+    * average rank and stays an exact integer, so all five correlation
+    * sums are exact and rho is one pinned float sequence (the ×2
+    * cancels in Pearson). Day-bounded series ⇒ the ranking windows'
+    * single partition holds calendar days, not events (the
+    * [[EventAnalytics.changePointOf]] rationale). NULL when a side is
+    * constant (zero variance). */
+  def spearmanOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(expr("ts DIV 86400000000000").as("d"), col("value"))
+      .groupBy("d").agg(count(lit(1)).as("x"), dsum(col("value")).as("sv"))
+      .withColumn("avg_v", col("sv") / col("x").cast("double"))
+      .localCheckpoint(true) // day-bounded; both rank passes read it
+    def rank2(df: DataFrame, key: String, out: String): DataFrame = {
+      val pos = row_number().over(Window.orderBy(col(key).asc, col("d").asc))
+      df.withColumn("__p", pos)
+        .withColumn(out,
+          (min("__p").over(Window.partitionBy(col(key))) +
+            max("__p").over(Window.partitionBy(col(key)))).cast("long"))
+        .drop("__p")
+    }
+    val ranked = rank2(rank2(daily, "x", "x2"), "avg_v", "y2")
+    val nD = count(lit(1)).cast("double")
+    val sx = sum("x2").cast("double"); val sy = sum("y2").cast("double")
+    val sxy = sum(col("x2") * col("y2")).cast("double")
+    val sxx = sum(col("x2") * col("x2")).cast("double")
+    val syy = sum(col("y2") * col("y2")).cast("double")
+    val denx = nD * sxx - sx * sx
+    val deny = nD * syy - sy * sy
+    ranked.agg(count(lit(1)).as("n_days"),
+      when(denx * deny > 0,
+        round((nD * sxy - sx * sy) / sqrt(denx * deny), 6)).as("rho"))
+  }
+
+  def spearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanOf(t(spark, dir, "events"))
 }

@@ -31,6 +31,39 @@ class StatTestsSpec extends AnyFunSuite {
     assert(top.getLong(2) == 150L, top)
   }
 
+  test("mutualInfoOf: proportional table carries zero information, diagonal carries ln 2") {
+    val s = spark; import s.implicits._
+    def ev(rows: (String, Int, Int)*) = rows.flatMap { case (tp, d, n) =>
+      (0 until n).map(i => (tp, d * DayNs + i))
+    }.toDF("event_type", "ts")
+    // proportional: every observed ratio O·N/(r·c) is exactly 1 → 0.0
+    val indep = ev(("A", 0, 10), ("A", 1, 20), ("B", 0, 20), ("B", 1, 40))
+    assert(StatTests.mutualInfoOf(indep).collect().head.getDouble(3) == 0.0)
+    // diagonal 2×2: two cells at p = 1/2, ratio 2 → MI = ln 2
+    val dep = ev(("A", 0, 10), ("B", 1, 10))
+    val r = StatTests.mutualInfoOf(dep).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.693147, r) // round(ln 2, 6)
+  }
+
+  test("spearmanOf: monotone daily series hits ±1 exactly, constant side is NULL") {
+    val s = spark; import s.implicits._
+    def daily(xs: Seq[(Int, Double)]) = xs.zipWithIndex.flatMap {
+      case ((n, v), d) => (0 until n).map(i => (d * DayNs + i, v))
+    }.toDF("ts", "value")
+    // volume up, value up → rho 1; ranks are identical so the Pearson
+    // collapses to den/den — exactly 1.0
+    val up = daily((1 to 8).map(d => (d, d.toDouble)))
+    assert(StatTests.spearmanOf(up).collect().head.getDouble(1) == 1.0)
+    // volume up, value down → −1
+    val down = daily((1 to 8).map(d => (d, (9 - d).toDouble)))
+    assert(StatTests.spearmanOf(down).collect().head.getDouble(1) == -1.0)
+    // constant volume → zero variance on x2 → NULL, not NaN
+    val const = daily(Seq.fill(8)((3, 1.0)).zipWithIndex
+      .map { case ((n, _), d) => (n, d.toDouble) })
+    assert(StatTests.spearmanOf(const).collect().head.isNullAt(1))
+  }
+
   test("chi2Of: proportional table scores exactly zero, disjoint table scores N") {
     val s = spark; import s.implicits._
     // perfectly proportional: O == r·c/N in every cell → chi2 = 0.0
