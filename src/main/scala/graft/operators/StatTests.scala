@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -27,33 +27,28 @@ object StatTests {
     * Shape: two scan-side aggregates (reference min/max, then the
     * bucket counts with map-side partials) over the window-split scan;
     * the bucket table is parameter-bounded. */
-  def psiOf(events: DataFrame, splitDay: Long = 15,
-      buckets: Int = 10): DataFrame = {
-    val spark = events.sparkSession
-    val dayed = events.select(col("value"),
-      expr("ts DIV 86400000000000").as("d"))
-    val dmin = broadcast(dayed.agg(min("d").as("dmin")))
-    val tagged = dayed.crossJoin(dmin)
-      .select(col("value"), (col("d") - col("dmin") < splitDay).as("is_ref"))
-      .localCheckpoint(true) // feeds the edge agg AND the bucket counts
-    val edges = broadcast(tagged.filter(col("is_ref"))
-      .agg(min("value").as("vmin"), max("value").as("vmax")))
-    // degenerate reference (vmax == vmin — a constant column) puts
-    // everything in bucket 0 in BOTH engines; the raw formula would
-    // divide by zero, which Spark nulls and DuckDB infs
-    val b = tagged.crossJoin(edges)
-      .select(col("is_ref"),
-        when(col("vmax") > col("vmin"),
-          greatest(lit(0), least(lit(buckets - 1),
-            floor(((col("value") - col("vmin")) * buckets) /
-              (col("vmax") - col("vmin"))).cast("int"))))
-          .otherwise(lit(0)).as("bucket"))
-      .groupBy("bucket")
-      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+  /** The bucket rule, defined once for the batch test AND the
+    * streaming monitor ([[graft.streaming.StreamingDrift]]): 10
+    * equal-width bins of [vmin, vmax] with out-of-range clamping; a
+    * degenerate reference (vmax == vmin — a constant column) puts
+    * everything in bucket 0 in BOTH engines (the raw formula would
+    * divide by zero, which Spark nulls and DuckDB infs). */
+  private[graft] def bucketCol(v: Column, vmin: Column, vmax: Column,
+      buckets: Int): Column =
+    when(vmax > vmin,
+      greatest(lit(0), least(lit(buckets - 1),
+        floor(((v - vmin) * buckets) / (vmax - vmin)).cast("int"))))
+      .otherwise(lit(0))
+
+  /** The smoothing + term rule over a SPARSE (bucket, c_ref, c_cur)
+    * count table — shared by [[psiOf]] and the streaming monitor's
+    * report step, so the two cannot disagree on what PSI means. */
+  private[graft] def psiTermsOf(counts: DataFrame,
+      buckets: Int): DataFrame = {
+    val spark = counts.sparkSession
     val dense = spark.range(0, buckets)
       .select(col("id").cast("int").as("bucket"))
-      .join(b, Seq("bucket"), "left")
+      .join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("c_ref"), lit(0L)).as("c_ref"),
         coalesce(col("c_cur"), lit(0L)).as("c_cur"))
@@ -69,6 +64,26 @@ object StatTests {
       .select(col("bucket"), col("c_ref"), col("c_cur"),
         round((p - q) * log(ratio), 6).as("psi_term"))
       .orderBy("bucket")
+  }
+
+  def psiOf(events: DataFrame, splitDay: Long = 15,
+      buckets: Int = 10): DataFrame = {
+    val dayed = events.select(col("value"),
+      expr("ts DIV 86400000000000").as("d"))
+    val dmin = broadcast(dayed.agg(min("d").as("dmin")))
+    val tagged = dayed.crossJoin(dmin)
+      .select(col("value"), (col("d") - col("dmin") < splitDay).as("is_ref"))
+      .localCheckpoint(true) // feeds the edge agg AND the bucket counts
+    val edges = broadcast(tagged.filter(col("is_ref"))
+      .agg(min("value").as("vmin"), max("value").as("vmax")))
+    val b = tagged.crossJoin(edges)
+      .select(col("is_ref"),
+        bucketCol(col("value"), col("vmin"), col("vmax"), buckets)
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    psiTermsOf(b, buckets)
   }
 
   def psi(spark: SparkSession, dir: String): DataFrame =
