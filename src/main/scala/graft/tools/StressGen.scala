@@ -99,6 +99,21 @@ object StressGen {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(n => write(read(n), n))
 
+    // ER stress variant: 10× the ENTITY catalog as `part10` — the
+    // "more entities" growth shape. The last name token (the blocking
+    // head noun) gets a per-replica suffix, so blocks are DISJOINT
+    // across replicas (within-replica distances are unchanged: a
+    // common suffix never moves levenshtein). The shared `part` stays
+    // untouched as lineitem's referential dimension.
+    val pt = read("part")
+    val ptStride = maxOf(pt, "p_partkey")
+    write(replicate(pt) { (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * ptStride))
+        .withColumn("p_name",
+          if (i == 0) col("p_name")
+          else concat(col("p_name"), lit(s"_r$i")))
+    }, "part10")
+
     Seq("events", "documents", "orders", "lineitem", "embeddings")
       .foreach { n =>
         println(s"[stress] $n -> " +
