@@ -151,6 +151,10 @@ object SparkEntry {
     "q_chi2" -> (operators.StatTests.chi2 _),
     "q_mutual_info" -> (operators.StatTests.mutualInfo _),
     "q_spearman" -> (operators.StatTests.spearman _),
+    "q_psi_persisted" -> (operators.StatTests.psiPersistedQuery _),
+    "q_containment" -> (llm.Dedup.containmentPairs _),
+    "q_trimmed_mean" -> (Relational.trimmedMean _),
+    "q_itemsets3" -> ((s, d) => operators.Graphs.itemsets3(s, d)),
     "q_kmv_setops" -> (Sketches.kmvSetOpsQuery _),
     "q_quantile_norm" -> (llm.Fusion.quantileNorm _),
     "q_ngram_diversity" -> (llm.Collocations.ngramDiversity _),
@@ -538,7 +542,8 @@ object SparkEntry {
       "q_ivfpq_persisted" -> base("q_ivfpq_search"),
       "q_bpe_persisted" -> base("q_bpe_encode"),
       "q_lm_persisted" -> base("q_lm_perplexity"),
-      "q_clf_persisted" -> base("q_quality_clf_score"))
+      "q_clf_persisted" -> base("q_quality_clf_score"),
+      "q_psi_persisted" -> base("q_psi"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2152,6 +2157,51 @@ object SparkEntry {
         |                       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS rho
         |FROM s""".stripMargin,
+    // shingle containment (|A∩B|/min): quote/embedding detection that
+    // symmetric Jaccard misses; ratio bound is explicit; empty-shingle
+    // docs excluded (their 0/0 splits the engines NULL-vs-NaN)
+    "q_containment" ->
+      raw"""WITH tk AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, lang, source,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |       FROM tk)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS BIGINT) AS inter,
+        |  CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+        |  CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE) /
+        |    CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND CAST(greatest(len(a.sh), len(b.sh)) AS DOUBLE) <= 3.0 * CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+        |  AND CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE) /
+        |      CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // trimmed (10-90) mean: robust location over the group's own band
+    "q_trimmed_mean" ->
+      """WITH th AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.1) AS p10,
+        |                   quantile_cont(l_quantity, 0.9) AS p90
+        |            FROM lineitem GROUP BY 1)
+        |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(CAST(li.l_quantity AS DECIMAL(14,2))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS trimmed_mean
+        |FROM lineitem li JOIN th USING (l_returnflag)
+        |WHERE li.l_quantity >= th.p10 AND li.l_quantity <= th.p90
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
+    // Apriori level-3: triples over the shared basket/pair CTEs; the
+    // all-sub-pairs prune is lossless for the >= 2 support answer
+    "q_itemsets3" ->
+      (copurchaseCte + """,
+        |t3 AS (SELECT a.ok, a.p AS x, b.p AS y, c.p AS z
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |                 JOIN li c ON b.ok = c.ok AND b.p < c.p),
+        |pr AS (SELECT t3.* FROM t3
+        |       WHERE EXISTS (SELECT 1 FROM e WHERE e.u = t3.x AND e.v = t3.y)
+        |         AND EXISTS (SELECT 1 FROM e WHERE e.u = t3.x AND e.v = t3.z)
+        |         AND EXISTS (SELECT 1 FROM e WHERE e.u = t3.y AND e.v = t3.z))
+        |SELECT x, y, z, CAST(count(*) AS BIGINT) AS support
+        |FROM pr GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY 1, 2, 3""".stripMargin),
     // Theil–Sen robust trend: median of exact pairwise day slopes
     "q_theilsen" ->
       """WITH dl AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,

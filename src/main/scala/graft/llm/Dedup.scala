@@ -107,8 +107,23 @@ object Dedup {
   /** DataFrame-in variant (docs: doc_id, text, lang, source) — unit tests
     * feed synthetic corpora with adversarial repeated k-grams here. */
   def ngramJaccardPairsOf(docs: DataFrame,
-      threshold: Double = 0.2): DataFrame = {
-    require(threshold > 0, "prefix-filter formulation skips 0-overlap pairs")
+      threshold: Double = 0.2): DataFrame =
+    ngramCandidateOverlaps(docs, threshold)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+
+  /** The AllPairs candidate generation + exact overlap verification
+    * shared by the Jaccard pairs and the containment pairs: rarest-
+    * first prefix filter at `prefixThreshold` (complete for any pair
+    * whose JACCARD clears it), then (inter, n_a, n_b) computed on the
+    * candidate set only. */
+  private def ngramCandidateOverlaps(docs: DataFrame,
+      prefixThreshold: Double): DataFrame = {
+    require(prefixThreshold > 0,
+      "prefix-filter formulation skips 0-overlap pairs")
     val sr = graft.Materialize.checkpoint(shingleRows(docs)
       .join(docs.select("doc_id", "lang", "source"), "doc_id"))
     val freq = sr.groupBy("lang", "source", "s").agg(count(lit(1)).as("f"))
@@ -119,7 +134,7 @@ object Dedup {
       .withColumn("rnk", row_number().over(wDoc))
       .withColumn("n_sh", count(lit(1)).over(nDoc))
       .filter(col("rnk") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+        col("n_sh") - ceil(lit(prefixThreshold) * col("n_sh")) + 1)
       .select("doc_id", "lang", "source", "s")
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.lang") === col("b.lang") &&
@@ -132,13 +147,39 @@ object Dedup {
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        size(col("sha")).as("n_a"), size(col("shb")).as("n_b"))
+  }
+
+  /** Shingle CONTAINMENT pairs (Broder 1997's second resemblance
+    * measure): |A∩B| / min(|A|,|B|) ≥ `minContain` — detects a doc
+    * QUOTED or EMBEDDED inside a larger one, which symmetric Jaccard
+    * misses (A ⊂ B at size ratio 3 has J ≈ 0.36). Candidates come from
+    * the shared [[ngramCandidateOverlaps]] prefix filter at the
+    * Jaccard lower bound implied by (`minContain`, `maxRatio`):
+    * J ≥ t/(1 + r − t) for containment t at size ratio ≤ r — complete
+    * within the ratio bound, which is also returned as an explicit
+    * filter (an unbounded ratio would need an asymmetric index; the
+    * bound is the standard engineering trade, stated not hidden). */
+  def containmentPairsOf(docs: DataFrame, minContain: Double = 0.8,
+      maxRatio: Double = 3.0): DataFrame = {
+    val jmin = minContain / (1 + maxRatio - minContain)
+    ngramCandidateOverlaps(docs, jmin)
+      .filter(col("n_a") > 0 && col("n_b") > 0 &&
+        greatest(col("n_a"), col("n_b")).cast("double") <=
+          lit(maxRatio) * least(col("n_a"), col("n_b")).cast("double"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("containment"))
       .orderBy("id_a", "id_b")
   }
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(t(spark, dir, "documents"))
 
   /** Salt for the digest feeding components (2j, 2j+1); "" = the shingle
     * itself. Each md5 digest is split into two independent 60-bit hashes

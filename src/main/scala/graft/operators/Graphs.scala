@@ -130,6 +130,43 @@ object Graphs {
       .orderBy("a", "b")
   }
 
+  /** Frequent 3-itemsets (Apriori level 3; Agrawal & Srikant 1994):
+    * part triples bought together in ≥ `minSupport` distinct orders.
+    * Candidates are Apriori-pruned — a triple survives only when ALL
+    * THREE sub-pairs are frequent (lossless for the final answer,
+    * since triple support ≤ each pair's support) — so the triple
+    * fan-out joins against the small frequent-pair edge set before any
+    * counting. Per-order triple fan-out is basket-bounded (C(b,3)). */
+  def itemsets3(spark: SparkSession, dir: String,
+      minSupport: Int = 2): DataFrame =
+    itemsets3Of(basketRows(spark, dir), minSupport)
+
+  /** Basket-table-in variant ((ok, p) rows). */
+  def itemsets3Of(li0: DataFrame, minSupport: Int = 2): DataFrame = {
+    val li = li0
+      .localCheckpoint(true) // three triple legs read it
+    val e = copurchasePairsOf(li).filter(col("c") >= minSupport)
+      .select("u", "v")
+      .localCheckpoint(true) // three prune probes read it
+    val t3 = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.p") < col("b.p"))
+      .join(li.as("c"), col("b.ok") === col("c.ok") &&
+        col("b.p") < col("c.p"))
+      .select(col("a.ok").as("ok"), col("a.p").as("x"),
+        col("b.p").as("y"), col("c.p").as("z"))
+    val pruned = t3
+      .join(e.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      .join(e.select(col("u").as("x"), col("v").as("z")),
+        Seq("x", "z"), "left_semi")
+      .join(e.select(col("u").as("y"), col("v").as("z")),
+        Seq("y", "z"), "left_semi")
+    pruned.groupBy("x", "y", "z").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy("x", "y", "z")
+  }
+
   /** Local clustering coefficient per node of the support-2 co-purchase
     * graph: 2·T/(deg·(deg−1)) — how close each part's co-purchase
     * neighborhood is to a clique (Watts & Strogatz 1998). Composes

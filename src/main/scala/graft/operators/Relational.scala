@@ -244,6 +244,28 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Trimmed (10–90) mean per group — the robust-location member next
+    * to [[madAgg]]'s robust spread: the mean over values INSIDE the
+    * group's own [p10, p90] band, immune to the tail outliers a plain
+    * mean chases. Thresholds use the shared exact-percentile
+    * convention; the band filter re-scans with a broadcast threshold
+    * join; the mean is one exact-decimal sum over one count. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame =
+    trimmedMeanOf(t(spark, dir, "lineitem"), "l_returnflag", "l_quantity")
+
+  /** DataFrame-in variant over (grp, v) columns. */
+  def trimmedMeanOf(df: DataFrame, grp: String, v: String): DataFrame = {
+    val th = df.groupBy(grp).agg(
+      expr(s"percentile($v, 0.1)").as("p10"),
+      expr(s"percentile($v, 0.9)").as("p90"))
+    df.join(broadcast(th), grp)
+      .filter(col(v) >= col("p10") && col(v) <= col("p90"))
+      .groupBy(grp)
+      .agg(count(lit(1)).as("n_kept"),
+        (dsum(col(v)) / count(lit(1)).cast("double")).as("trimmed_mean"))
+      .orderBy(grp)
+  }
+
   def topK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")

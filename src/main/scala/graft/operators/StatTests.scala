@@ -89,6 +89,55 @@ object StatTests {
   def psi(spark: SparkSession, dir: String): DataFrame =
     psiOf(t(spark, dir, "events"))
 
+  /** Persist the reference side of the drift test (edges + histogram)
+    * into a [[graft.store.ModelStore]] — the snapshot a production
+    * monitor trains ONCE; [[psiPersisted]] then scores any window
+    * against it without re-scanning the reference. */
+  def psiSave(events: DataFrame, store: graft.store.ModelStore,
+      splitDay: Long = 15, buckets: Int = 10): Long = {
+    val dayed = events.select(col("value"),
+      expr("ts DIV 86400000000000").as("d"))
+    val dmin = broadcast(dayed.agg(min("d").as("dmin")))
+    val ref = dayed.crossJoin(dmin)
+      .filter(col("d") - col("dmin") < splitDay).select("value")
+      .localCheckpoint(true) // feeds the edge agg AND the histogram
+    val edges = ref.agg(min("value").as("vmin"), max("value").as("vmax"))
+    val hist = ref.crossJoin(broadcast(edges))
+      .select(bucketCol(col("value"), col("vmin"), col("vmax"), buckets)
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_ref"))
+    store.save(Map("psi_edges" -> edges, "psi_hist" -> hist))
+  }
+
+  /** Score the post-split window against the PERSISTED reference —
+    * bit-identical to [[psiOf]] when the store was trained on the same
+    * events (shared [[bucketCol]]/[[psiTermsOf]] rules; the oracle row
+    * q_psi_persisted hash-matches q_psi's). */
+  def psiPersisted(events: DataFrame, store: graft.store.ModelStore,
+      splitDay: Long = 15, buckets: Int = 10): DataFrame = {
+    val dayed = events.select(col("value"),
+      expr("ts DIV 86400000000000").as("d"))
+    val dmin = broadcast(dayed.agg(min("d").as("dmin")))
+    val curCounts = dayed.crossJoin(dmin)
+      .filter(col("d") - col("dmin") >= splitDay)
+      .crossJoin(broadcast(store.load("psi_edges")))
+      .select(bucketCol(col("value"), col("vmin"), col("vmax"), buckets)
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_cur"))
+    graft.streaming.StreamingDrift.psiReport(
+      store.load("psi_hist"), curCounts, buckets)
+  }
+
+  /** Oracle row: train the reference into a scratch store, score FROM
+    * the store, hash-match q_psi. */
+  def psiPersistedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    graft.store.ModelStore.scratch(spark, "psi") { store =>
+      psiSave(events, store)
+      psiPersisted(events, store)
+    }
+  }
+
   /** The (event type × weekday) contingency margins shared by [[chi2Of]]
     * and [[mutualInfoOf]] — one cell definition, the two tests cannot
     * disagree on the table. Cells are checkpointed (they feed margins

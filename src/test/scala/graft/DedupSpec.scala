@@ -231,6 +231,26 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(5L) == (0L, 0), byId(5L))
   }
 
+  test("containment finds an embedded doc that symmetric Jaccard misses") {
+    import spark.implicits._
+    // B embeds all of A's text (containment 1.0) but J = 3/7 < 0.8;
+    // C is unrelated; D is a >3× blowup of A — outside the ratio bound
+    val docs = Seq(
+      (1L, "a b c d e", "en", "s"),
+      (2L, "a b c d e f g h i", "en", "s"),
+      (3L, "p q r s t u", "en", "s"),
+      (4L, "a b c d e " + (1 to 20).map(i => s"w$i").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set((1L, 2L)), got)
+    assert(got((1L, 2L)) == (3L, 3L, 7L, 1.0), got)
+    // the same pair is invisible to the Jaccard query at 0.8
+    val j = Dedup.ngramJaccardPairsOf(docs, threshold = 0.8).collect()
+    assert(j.isEmpty, j.toSeq)
+  }
+
   test("hash split is a deterministic total 80/10/10 partition by bucket") {
     val rows = graft.llm.Sampling.hashSplit(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

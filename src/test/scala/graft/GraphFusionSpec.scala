@@ -139,6 +139,20 @@ class GraphFusionSpec extends AnyFunSuite {
     assert(got(("c", "a")) == (2L, 2L, 3L, 1.0, 4.0 / 3.0))
   }
 
+  test("itemsets3Of: Apriori prune is lossless, infrequent triples drop") {
+    val s = spark; import s.implicits._
+    // {1,2,3} twice, {1,2,4} once → only (1,2,3) clears support 2;
+    // the (1,4)/(2,4) pairs are infrequent so the 124 triple is pruned
+    // before counting (and would fail support anyway)
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L)).toDF("ok", "p")
+    val got = Graphs.itemsets3Of(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 2L)), got.toSeq)
+  }
+
   test("clusteringCoefOf: square plus one diagonal") {
     val s = spark; import s.implicits._
     // triangles {1,2,3} and {1,3,4}: nodes 2/4 are closed (coef 1),

@@ -256,7 +256,8 @@ class PlanSpec extends AnyFunSuite {
         "q_ngram_diversity", "q_funnel_latency", "q_seq_pairs",
         "q_user_entropy", "q_theilsen", "q_ab_test",
         "q_word_neighbors", "q_assoc_rules", "q_clustering_coef",
-        "q_psi", "q_chi2", "q_mutual_info", "q_spearman")) {
+        "q_psi", "q_chi2", "q_mutual_info", "q_spearman",
+        "q_containment", "q_trimmed_mean", "q_itemsets3")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
     }

@@ -64,6 +64,23 @@ class StatTestsSpec extends AnyFunSuite {
     assert(StatTests.spearmanOf(const).collect().head.isNullAt(1))
   }
 
+  test("trimmedMeanOf: the 10-90 band drops the outlier the raw mean chases") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 1000.0))
+      .toDF("grp", "v")
+    val r = graft.operators.Relational.trimmedMeanOf(df, "grp", "v")
+      .collect().head
+    // thresholds: p10 = 1.9, p90 = 108.1 → keeps 2..9
+    assert(r.getLong(1) == 8L && r.getDouble(2) == 5.5, r)
+  }
+
+  test("psiPersisted serves the stored reference bit-identically to the inline test") {
+    val streamed = StatTests.psiPersistedQuery(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    val inline = StatTests.psi(spark, sfDir).collect().map(_.toString).toSeq
+    assert(streamed == inline)
+  }
+
   test("chi2Of: proportional table scores exactly zero, disjoint table scores N") {
     val s = spark; import s.implicits._
     // perfectly proportional: O == r·c/N in every cell → chi2 = 0.0
