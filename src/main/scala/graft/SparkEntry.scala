@@ -2165,17 +2165,17 @@ object SparkEntry {
         |sh AS (SELECT doc_id, lang, source,
         |         list_distinct([array_to_string(toks[i:i+2], ' ')
         |                        FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-        |       FROM tk)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS BIGINT) AS inter,
-        |  CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
-        |  CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE) /
-        |    CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |  AND CAST(greatest(len(a.sh), len(b.sh)) AS DOUBLE) <= 3.0 * CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
-        |  AND CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE) /
-        |      CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.8
+        |       FROM tk),
+        |pv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS BIGINT) AS inter,
+        |         CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+        |       FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |       WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |         AND CAST(greatest(len(a.sh), len(b.sh)) AS DOUBLE) <= 3.0 * CAST(least(len(a.sh), len(b.sh)) AS DOUBLE))
+        |SELECT id_a, id_b, inter, n_a, n_b,
+        |  CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+        |FROM pv
+        |WHERE CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     // trimmed (10-90) mean: robust location over the group's own band
     "q_trimmed_mean" ->

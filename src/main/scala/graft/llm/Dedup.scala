@@ -165,10 +165,14 @@ object Dedup {
   def containmentPairsOf(docs: DataFrame, minContain: Double = 0.8,
       maxRatio: Double = 3.0): DataFrame = {
     val jmin = minContain / (1 + maxRatio - minContain)
+    // no empty-shingle guard needed HERE: a candidate id exists only
+    // because the doc contributed ≥ 1 shingle row, so n_a, n_b ≥ 1 by
+    // construction (the ORACLE's brute-force join keeps empty shingle
+    // lists and guards len > 0 explicitly — its 0/0 would split the
+    // engines NULL-vs-NaN)
     ngramCandidateOverlaps(docs, jmin)
-      .filter(col("n_a") > 0 && col("n_b") > 0 &&
-        greatest(col("n_a"), col("n_b")).cast("double") <=
-          lit(maxRatio) * least(col("n_a"), col("n_b")).cast("double"))
+      .filter(greatest(col("n_a"), col("n_b")).cast("double") <=
+        lit(maxRatio) * least(col("n_a"), col("n_b")).cast("double"))
       .withColumn("containment", col("inter").cast("double") /
         least(col("n_a"), col("n_b")).cast("double"))
       .filter(col("containment") >= minContain)

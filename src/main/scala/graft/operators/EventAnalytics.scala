@@ -413,13 +413,20 @@ object EventAnalytics {
     * totals re-aggregate THAT, never the raw events, and broadcast back
     * for the probability. `p` is one integer-to-double division — IEEE
     * deterministic, no rounding needed. */
-  def markovTransitionsOf(events: DataFrame): DataFrame = {
+  /** The per-user adjacency stage of [[markovTransitionsOf]] — exposed
+    * so PlanSpec can pin its window shape (the checkpoint in the full
+    * operator truncates the visible plan). */
+  private[graft] def markovAdjacency(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
-    val trans = events
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("dst", lead("event_type", 1).over(w))
       .filter(col("dst").isNotNull)
+  }
+
+  def markovTransitionsOf(events: DataFrame): DataFrame = {
+    val trans = markovAdjacency(events)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // |types|² rows; totals AND the join read it

@@ -66,14 +66,37 @@ object StatTests {
       .orderBy("bucket")
   }
 
-  def psiOf(events: DataFrame, splitDay: Long = 15,
-      buckets: Int = 10): DataFrame = {
+  /** Combine a reference histogram (bucket, c_ref) with current counts
+    * (bucket, c_cur) into the per-bucket PSI report — the ONE combine
+    * rule, used by [[psiOf]]'s inline path, [[psiPersisted]], and the
+    * streaming monitor ([[graft.streaming.StreamingDrift]] delegates
+    * here; the combine is batch logic and lives with the test). */
+  def psiCombine(refHist: DataFrame, curCounts: DataFrame,
+      buckets: Int = 10): DataFrame =
+    psiTermsOf(
+      refHist.join(curCounts, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+          coalesce(col("c_cur"), lit(0L)).as("c_cur")),
+      buckets)
+
+  /** The window-split rule, defined once for all three PSI paths
+    * (inline, save, persisted-score — a boundary edit in one copy
+    * would silently break the pinned psiOf == psiPersisted parity):
+    * (value, is_ref) with is_ref ⟺ day < first day + `splitDay`.
+    * Checkpointed — every caller fans out over it. */
+  private def windowSplit(events: DataFrame, splitDay: Long): DataFrame = {
     val dayed = events.select(col("value"),
       expr("ts DIV 86400000000000").as("d"))
     val dmin = broadcast(dayed.agg(min("d").as("dmin")))
-    val tagged = dayed.crossJoin(dmin)
+    dayed.crossJoin(dmin)
       .select(col("value"), (col("d") - col("dmin") < splitDay).as("is_ref"))
-      .localCheckpoint(true) // feeds the edge agg AND the bucket counts
+      .localCheckpoint(true)
+  }
+
+  def psiOf(events: DataFrame, splitDay: Long = 15,
+      buckets: Int = 10): DataFrame = {
+    val tagged = windowSplit(events, splitDay)
     val edges = broadcast(tagged.filter(col("is_ref"))
       .agg(min("value").as("vmin"), max("value").as("vmax")))
     val b = tagged.crossJoin(edges)
@@ -95,12 +118,8 @@ object StatTests {
     * against it without re-scanning the reference. */
   def psiSave(events: DataFrame, store: graft.store.ModelStore,
       splitDay: Long = 15, buckets: Int = 10): Long = {
-    val dayed = events.select(col("value"),
-      expr("ts DIV 86400000000000").as("d"))
-    val dmin = broadcast(dayed.agg(min("d").as("dmin")))
-    val ref = dayed.crossJoin(dmin)
-      .filter(col("d") - col("dmin") < splitDay).select("value")
-      .localCheckpoint(true) // feeds the edge agg AND the histogram
+    val ref = windowSplit(events, splitDay)
+      .filter(col("is_ref")).select("value")
     val edges = ref.agg(min("value").as("vmin"), max("value").as("vmax"))
     val hist = ref.crossJoin(broadcast(edges))
       .select(bucketCol(col("value"), col("vmin"), col("vmax"), buckets)
@@ -115,17 +134,13 @@ object StatTests {
     * q_psi_persisted hash-matches q_psi's). */
   def psiPersisted(events: DataFrame, store: graft.store.ModelStore,
       splitDay: Long = 15, buckets: Int = 10): DataFrame = {
-    val dayed = events.select(col("value"),
-      expr("ts DIV 86400000000000").as("d"))
-    val dmin = broadcast(dayed.agg(min("d").as("dmin")))
-    val curCounts = dayed.crossJoin(dmin)
-      .filter(col("d") - col("dmin") >= splitDay)
+    val curCounts = windowSplit(events, splitDay)
+      .filter(!col("is_ref"))
       .crossJoin(broadcast(store.load("psi_edges")))
       .select(bucketCol(col("value"), col("vmin"), col("vmax"), buckets)
         .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c_cur"))
-    graft.streaming.StreamingDrift.psiReport(
-      store.load("psi_hist"), curCounts, buckets)
+    psiCombine(store.load("psi_hist"), curCounts, buckets)
   }
 
   /** Oracle row: train the reference into a scratch store, score FROM

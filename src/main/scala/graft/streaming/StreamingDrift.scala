@@ -33,14 +33,11 @@ object StreamingDrift {
 
   /** Combine a reference histogram (bucket, c_ref) with the monitor's
     * current counts (bucket, c_cur) into per-bucket PSI terms — a
-    * BATCH step over two ≤ `buckets`-row frames, shared with
-    * [[StatTests.psiOf]] via [[StatTests.psiTermsOf]]. */
+    * BATCH step over two ≤ `buckets`-row frames; the combine rule
+    * itself lives with the batch test ([[StatTests.psiCombine]], also
+    * used by the persisted-reference path) and this is a thin
+    * streaming-side alias. */
   def psiReport(refHist: DataFrame, curCounts: DataFrame,
       buckets: Int = 10): DataFrame =
-    StatTests.psiTermsOf(
-      refHist.join(curCounts, Seq("bucket"), "full_outer")
-        .select(col("bucket"),
-          coalesce(col("c_ref"), lit(0L)).as("c_ref"),
-          coalesce(col("c_cur"), lit(0L)).as("c_cur")),
-      buckets)
+    StatTests.psiCombine(refHist, curCounts, buckets)
 }

@@ -265,12 +265,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_markov and q_session_stats windows partition by user — never SinglePartition") {
     // q_markov's window sits behind a localCheckpoint (its count table
-    // feeds two consumers), so probe the adjacency stage directly
-    val markovAdj = graft.Tables.t(spark, sfDir, "events")
-      .withColumn("dst", org.apache.spark.sql.functions.lead(
-        org.apache.spark.sql.functions.col("event_type"), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts", "event_id")))
+    // feeds two consumers), so probe the operator's REAL adjacency
+    // stage, not a reconstruction
+    val markovAdj = graft.operators.EventAnalytics
+      .markovAdjacency(graft.Tables.t(spark, sfDir, "events"))
       .queryExecution.executedPlan.toString
     val probes = Seq("markov-adjacency" -> markovAdj,
       "q_session_stats" -> plan("q_session_stats"))
