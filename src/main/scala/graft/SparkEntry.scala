@@ -155,6 +155,9 @@ object SparkEntry {
     "q_containment" -> (llm.Dedup.containmentPairs _),
     "q_trimmed_mean" -> (Relational.trimmedMean _),
     "q_itemsets3" -> ((s, d) => operators.Graphs.itemsets3(s, d)),
+    "q_graph_summary" -> (operators.Graphs.graphSummary _),
+    "q_type_overlap" -> (operators.EventAnalytics.typeOverlap _),
+    "q_daily_percentiles" -> (operators.EventAnalytics.dailyPercentiles _),
     "q_kmv_setops" -> (Sketches.kmvSetOpsQuery _),
     "q_quantile_norm" -> (llm.Fusion.quantileNorm _),
     "q_ngram_diversity" -> (llm.Collocations.ngramDiversity _),
@@ -2202,6 +2205,36 @@ object SparkEntry {
         |SELECT x, y, z, CAST(count(*) AS BIGINT) AS support
         |FROM pr GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY 1, 2, 3""".stripMargin),
+    // one-row degree summary of the shared co-purchase graph
+    "q_graph_summary" ->
+      (copurchaseCte + """,
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_nodes, m.m AS n_edges,
+        |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg,
+        |  CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_deg,
+        |  quantile_cont(d, 0.5) AS p50_deg, quantile_cont(d, 0.9) AS p90_deg
+        |FROM deg CROSS JOIN m GROUP BY m.m""".stripMargin),
+    // exact audience overlap per type pair — the exact twin of
+    // q_kmv_setops' estimates
+    "q_type_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS inter
+        |       FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT iv.type_a, iv.type_b, iv.inter, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(iv.inter AS DOUBLE) / CAST(sa.n + sb.n - iv.inter AS DOUBLE) AS jaccard
+        |FROM iv JOIN sz sa ON iv.type_a = sa.event_type
+        |        JOIN sz sb ON iv.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    // daily p50/p90 band of the value column
+    "q_daily_percentiles" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
     // Theil–Sen robust trend: median of exact pairwise day slopes
     "q_theilsen" ->
       """WITH dl AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,

@@ -235,6 +235,52 @@ object EventAnalytics {
   def abTest(spark: SparkSession, dir: String): DataFrame =
     abTestOf(t(spark, dir, "events"))
 
+  /** Exact audience overlap between event types: |users(A) ∩ users(B)|
+    * and the Jaccard, for every type pair — the segment-overlap matrix
+    * a campaign tool draws, and the EXACT twin of the KMV estimates in
+    * [[Sketches.kmvSetEstimates]] (at sketch-scale you'd use those;
+    * the exact form is one distinct + one user-equi self-join over the
+    * (type, user) table, |types|²-bounded output). */
+  def typeOverlapOf(events: DataFrame): DataFrame = {
+    val tu = events.select("event_type", "user_id").distinct()
+      .localCheckpoint(true) // sizes + both self-join sides read it
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("inter"), col("n_a"),
+        col("n_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  def typeOverlap(spark: SparkSession, dir: String): DataFrame =
+    typeOverlapOf(t(spark, dir, "events"))
+
+  /** Daily percentile series of the value column — the p50/p90 band
+    * every latency/revenue dashboard draws; grouped exact percentiles
+    * over the day partition (map-side partials into a day-bounded
+    * aggregate). */
+  def dailyPercentilesOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(expr("ts DIV 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .orderBy("d")
+
+  def dailyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    dailyPercentilesOf(t(spark, dir, "events"))
+
   /** Funnel with a conversion window: step k must land strictly after
     * step k−1 AND within `windowNs` of step 1 — the "converted within
     * 7 days" business rule. Shares [[funnelTotals]] with [[funnelOf]],

@@ -130,6 +130,68 @@ object Graphs {
       .orderBy("a", "b")
   }
 
+  /** One-row structural summary of an undirected edge set: node/edge
+    * counts and the degree distribution's min/max/avg + exact p50/p90
+    * — the first thing to read before choosing a graph algorithm's
+    * parameters (a power-law max_degree ≫ p90 says "orient before you
+    * join"). Avg = one exact-integer division (2m/n); percentiles over
+    * the node-bounded degree table. */
+  def graphSummaryOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // summary + percentile both read it
+    val m = broadcast(edges.agg(count(lit(1)).as("m")))
+    deg.agg(count(lit(1)).as("n_nodes"), min("d").as("min_deg"),
+        max("d").as("max_deg"), sum("d").as("deg_sum"),
+        expr("percentile(d, 0.5)").as("p50_deg"),
+        expr("percentile(d, 0.9)").as("p90_deg"))
+      .crossJoin(m)
+      .select(col("n_nodes"), col("m").as("n_edges"), col("min_deg"),
+        col("max_deg"),
+        (col("deg_sum").cast("double") / col("n_nodes").cast("double"))
+          .as("avg_deg"),
+        col("p50_deg"), col("p90_deg"))
+  }
+
+  def graphSummary(spark: SparkSession, dir: String): DataFrame =
+    graphSummaryOf(copurchaseEdges(spark, dir))
+
+  /** k-core decomposition (Seidman 1983; the Batagelj–Zaveršnik peel
+    * expressed as whole-graph rounds): repeatedly delete every node
+    * with degree < k until none remains — the survivors are the
+    * k-core, the standard "dense enough to matter" subgraph filter
+    * before expensive per-node analytics. Each round is ONE degree
+    * aggregate + two semi-joins over the shrinking edge set,
+    * materialized per round (the ConnectedComponents checkpoint
+    * discipline); rounds are bounded by the peel depth (≤ the
+    * degeneracy ordering's length, in practice a handful). NOT
+    * oracle-expressible — iterative deletion is non-monotone, so no
+    * recursive CTE exists; covered by spec instead. */
+  def kCoreOf(edges0: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    var edges = edges0.localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val deg = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      val pruned = edges
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      // one job per round: the pruned count tells us both the new size
+      // and (vs the old) whether the peel reached a fixed point
+      val before = edges.count()
+      val after = pruned.count()
+      edges = pruned
+      done = after == before || after == 0
+    }
+    edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .distinct().orderBy("n")
+  }
+
   /** Frequent 3-itemsets (Apriori level 3; Agrawal & Srikant 1994):
     * part triples bought together in ≥ `minSupport` distinct orders.
     * Candidates are Apriori-pruned — a triple survives only when ALL

@@ -244,6 +244,18 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(2L) == (3L, 1L, 0.0), got(2L))
   }
 
+  test("typeOverlapOf: exact intersections; zero-overlap pairs are absent") {
+    val e = eventsOf(
+      (1L, "A", 1L), (2L, "A", 1L), (3L, "A", 1L),
+      (2L, "B", 2L), (3L, "B", 2L),
+      (9L, "C", 3L))
+    val got = EventAnalytics.typeOverlapOf(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("A", "B")), got) // C shares nobody
+    assert(got(("A", "B")) == (2L, 3L, 2L, 2.0 / 3.0), got)
+  }
+
   test("theilSenOf: a planted outlier day cannot move the median slope") {
     val s = spark; import s.implicits._
     // counts 10+d (true slope 1), day 5 corrupted to 100: 36 of 45

@@ -139,6 +139,32 @@ class GraphFusionSpec extends AnyFunSuite {
     assert(got(("c", "a")) == (2L, 2L, 3L, 1.0, 4.0 / 3.0))
   }
 
+  test("kCoreOf: the tail peels off in rounds, the clique survives") {
+    val s = spark; import s.implicits._
+    // K4 on {1,2,3,4} plus a tail 4—5—6
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    // k=3: node 6 peels first, THEN 5 (two rounds — the iterative part)
+    assert(Graphs.kCoreOf(e, 3).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // k=4 empties the graph
+    assert(Graphs.kCoreOf(e, 4).collect().isEmpty)
+    // k=1 keeps everything
+    assert(Graphs.kCoreOf(e, 1).collect().length == 6)
+  }
+
+  test("graphSummaryOf: square plus one diagonal degree profile") {
+    val s = spark; import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("u", "v")
+    val r = Graphs.graphSummaryOf(e).collect().head
+    // degrees: 3,2,3,2 → min 2, max 3, avg 2.5, p50 2.5, p90 3.0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 5L, 2L, 3L))
+    assert(r.getDouble(4) == 2.5 && r.getDouble(5) == 2.5 &&
+      r.getDouble(6) == 3.0, r)
+  }
+
   test("itemsets3Of: Apriori prune is lossless, infrequent triples drop") {
     val s = spark; import s.implicits._
     // {1,2,3} twice, {1,2,4} once → only (1,2,3) clears support 2;

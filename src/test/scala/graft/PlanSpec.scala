@@ -257,7 +257,8 @@ class PlanSpec extends AnyFunSuite {
         "q_user_entropy", "q_theilsen", "q_ab_test",
         "q_word_neighbors", "q_assoc_rules", "q_clustering_coef",
         "q_psi", "q_chi2", "q_mutual_info", "q_spearman",
-        "q_containment", "q_trimmed_mean", "q_itemsets3")) {
+        "q_containment", "q_trimmed_mean", "q_itemsets3",
+        "q_graph_summary", "q_type_overlap", "q_daily_percentiles")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
     }
