@@ -1788,7 +1788,7 @@ object SparkEntry {
         |        unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
         |      FROM documents)
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
-        |  (list(doc_id ORDER BY doc_id))[1:100] AS postings
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:100], '|') AS postings
         |FROM tok GROUP BY term ORDER BY term""".stripMargin,
     // group-wise least squares from the q_corr exact-decimal sums
     "q_linreg" ->

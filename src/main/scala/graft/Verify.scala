@@ -9,7 +9,8 @@ object Verify {
       case Array(s, o) => (s, o, None)
       case Array(s, o, q) => (s, o, Some(q)) // dev loop: query list (comma-sep)
       case _ =>
-        System.err.println("usage: graft.Verify <sfDir> <outDir> [queryName]")
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [queryName[,queryName...]]")
         sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

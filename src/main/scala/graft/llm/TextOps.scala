@@ -812,6 +812,13 @@ object TextOps {
         slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("postings"))
       .orderBy("term")
 
+  /** Oracle-facing serving shape of [[invertedIndexOf]]: the postings
+    * block serializes to a '|'-joined string (the driver's compare
+    * hashes scalar cells; bare arrays crash its pandas sort — same
+    * discipline as q_array_agg). The typed-array artifact stays
+    * available via [[invertedIndexOf]]. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     invertedIndexOf(t(spark, dir, "documents"))
+      .withColumn("postings",
+        concat_ws("|", transform(col("postings"), _.cast("string"))))
 }

@@ -40,6 +40,26 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("harness contract: no oracle query emits array/map/struct columns") {
+    // The driver's DuckDB compare hashes scalar cells via a pandas
+    // sort_values; a bare ARRAY/MAP/STRUCT column crashes it
+    // ("unhashable type: numpy.ndarray" — the r7 q_inverted_index red
+    // row). Complex outputs must serialize to '|'-joined canonical
+    // strings (the q_array_agg discipline). This spec makes that
+    // contract enforceable instead of conventional.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"oracle-checked queries with complex-typed columns: $offenders")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -64,6 +64,15 @@ def main(sf_dir, out_dir):
             exp = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        # the DRIVER's compare crashes on list/ndarray cells (pandas
+        # sort_values: "unhashable type"); fail loudly here instead of
+        # masking it with the JSON sort key (r7 q_inverted_index lesson)
+        complex_cols = [c for c in got.columns if got[c].map(
+            lambda v: isinstance(v, (list, dict, np.ndarray))).any()]
+        if complex_cols:
+            print(f"FAIL {name}: complex-typed output columns {complex_cols} "
+                  "(driver harness would crash; serialize to '|'-joined strings)")
+            n_fail += 1; continue
         g, x = norm(got), norm(exp)
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(x.columns)}")
