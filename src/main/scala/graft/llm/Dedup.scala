@@ -342,58 +342,23 @@ object Dedup {
     publishClusterArtifact(spark, dir, minEstSim, out)
   }
 
-  // ---- per-process cluster-artifact cache: (sfDir, corpus
-  // fingerprint, minEstSim) → a parquet directory holding the (doc_id,
-  // cluster_id, is_survivor) frame. Parquet-backed on purpose (never
-  // driver-held — the table is corpus-row-sized); at 100 TB this is a
-  // real table the pipeline writes once per corpus version, exactly
-  // like the ANN index. The fingerprint (file names/sizes/mtimes of the
-  // documents table) invalidates the cache when the corpus under `dir`
-  // is rewritten — without it a re-ingest would silently serve STALE
-  // clusters against fresh documents (review r7 finding #4). Temp dirs
-  // are deleted on JVM exit; publishes are serialized so a concurrent
-  // overwrite can't race a reader of the same key. ----
-  private val clusterArtifacts =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
-
-  locally { // one hook for every artifact this process ever publishes
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      clusterArtifacts.values.foreach { p =>
-        try {
-          scala.util.Using.resource(
-            java.nio.file.Files.walk(java.nio.file.Paths.get(p))) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-          }
-        } catch { case _: Throwable => () }
-      }))
-  }
-
-  private def corpusFingerprint(dir: String): String = {
-    import scala.jdk.CollectionConverters._
-    import java.nio.file.{Files => nio}
-    val p = java.nio.file.Paths.get(dir, "documents.parquet")
-    if (!nio.exists(p)) "absent"
-    else {
-      val files =
-        if (nio.isDirectory(p))
-          scala.util.Using.resource(nio.walk(p))(
-            _.iterator().asScala.filter(nio.isRegularFile(_)).toSeq)
-        else Seq(p)
-      files.sortBy(_.toString)
-        .map(f => s"$f:${nio.size(f)}:${nio.getLastModifiedTime(f).toMillis}")
-        .mkString("|").hashCode.toString
-    }
-  }
+  // ---- cluster-artifact cache, now on the shared
+  // [[graft.store.ArtifactCache]] (the r7 pattern generalized in r8 so
+  // the co-purchase graph family can ride the same mechanism). At
+  // 100 TB this is a real table the pipeline writes once per corpus
+  // version, exactly like the ANN index; the documents-table
+  // fingerprint in the key invalidates it on corpus rewrite (review r7
+  // finding #4). ----
+  private def clusterKey(dir: String, minEstSim: Double): Seq[String] =
+    Seq("dup_clusters", dir,
+      graft.store.ArtifactCache.tableFingerprint(dir, "documents"),
+      minEstSim.toString)
 
   private def publishClusterArtifact(spark: SparkSession, dir: String,
-      minEstSim: Double, frame: DataFrame): DataFrame = synchronized {
-    val key = (dir, corpusFingerprint(dir), minEstSim)
-    val path = clusterArtifacts.getOrElseUpdate(key,
-      java.nio.file.Files.createTempDirectory("graft-clusters-").toString)
-    frame.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path).orderBy("doc_id")
-  }
+      minEstSim: Double, frame: DataFrame): DataFrame =
+    graft.store.ArtifactCache
+      .publish(spark, clusterKey(dir, minEstSim), frame)
+      .orderBy("doc_id")
 
   /** The cluster frame for a corpus dir: served from the persisted
     * artifact when one exists in this process FOR THE CURRENT corpus
@@ -402,11 +367,8 @@ object Dedup {
     * which path ran. */
   private def clusterArtifact(spark: SparkSession, dir: String,
       minEstSim: Double): DataFrame =
-    clusterArtifacts.get((dir, corpusFingerprint(dir), minEstSim)) match {
-      case Some(path) => spark.read.parquet(path)
-      case None => publishClusterArtifact(spark, dir, minEstSim,
-        dupClustersOf(t(spark, dir, "documents"), minEstSim))
-    }
+    graft.store.ArtifactCache.serve(spark, clusterKey(dir, minEstSim))(
+      dupClustersOf(t(spark, dir, "documents"), minEstSim))
 
   /** DataFrame-in variant (docs: doc_id, text). */
   def dupClustersOf(docs: DataFrame, minEstSim: Double = 0.5): DataFrame =

@@ -48,10 +48,25 @@ object Graphs {
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("c"))
 
+  /** The support-counted pair table for a corpus dir, served from the
+    * process-wide [[graft.store.ArtifactCache]]: five queries
+    * (triangles, clustering coefficient, graph summary, association
+    * rules, 3-itemsets) compose the SAME 1.2 M-pair projection, so the
+    * first to run publishes it as a parquet artifact and the rest read
+    * it back — the production shape is a materialized co-purchase edge
+    * table written once per order-history version (VERDICT r7 #3).
+    * Cached UNthresholded so every minSupport shares one build; the
+    * lineitem fingerprint invalidates on rewrite. */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.store.ArtifactCache.serve(spark,
+      Seq("copurchase_pairs", dir,
+        graft.store.ArtifactCache.tableFingerprint(dir, "lineitem")))(
+      copurchasePairsOf(basketRows(spark, dir)))
+
   /** Undirected support-thresholded co-purchase edges (u < v). */
   def copurchaseEdges(spark: SparkSession, dir: String,
       minSupport: Int = 2): DataFrame =
-    copurchasePairsOf(basketRows(spark, dir))
+    copurchasePairs(spark, dir)
       .filter(col("c") >= minSupport)
       .select("u", "v")
 
@@ -107,13 +122,22 @@ object Graphs {
     * rule table is (surviving pairs)×2. */
   def assocRules(spark: SparkSession, dir: String,
       minSupport: Int = 2): DataFrame =
-    assocRulesOf(basketRows(spark, dir), minSupport)
+    assocRulesFrom(
+      basketRows(spark, dir).localCheckpoint(true), // margins + order count
+      copurchasePairs(spark, dir), minSupport)
 
   /** Basket-table-in variant ((ok, p) rows). */
   def assocRulesOf(li0: DataFrame, minSupport: Int = 2): DataFrame = {
     val li = li0
       .localCheckpoint(true) // feeds pairs, margins, and the order count
-    val pairs = copurchasePairsOf(li).filter(col("c") >= minSupport)
+    assocRulesFrom(li, copurchasePairsOf(li), minSupport)
+  }
+
+  /** Pair-table-in core: `li` the (ok, p) basket rows (already
+    * materialized), `pairs0` the support-counted (u, v, c) table. */
+  private def assocRulesFrom(li: DataFrame, pairs0: DataFrame,
+      minSupport: Int): DataFrame = {
+    val pairs = pairs0.filter(col("c") >= minSupport)
     val np = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val nOrders = broadcast(li.select("ok").distinct()
       .agg(count(lit(1)).as("n_orders")))
@@ -171,7 +195,11 @@ object Graphs {
   def kCoreOf(edges0: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     var edges = edges0.localCheckpoint(true)
-    var done = false
+    // the previous round's `after` IS this round's `before` — carrying
+    // it halves the driver round-trips to ONE count job per peel round
+    // (the ConnectedComponents convergence discipline; VERDICT r7 #6)
+    var before = edges.count()
+    var done = before == 0
     while (!done) {
       val deg = edges.select(col("u").as("n"))
         .union(edges.select(col("v").as("n")))
@@ -181,12 +209,10 @@ object Graphs {
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .localCheckpoint(true)
-      // one job per round: the pruned count tells us both the new size
-      // and (vs the old) whether the peel reached a fixed point
-      val before = edges.count()
       val after = pruned.count()
       edges = pruned
       done = after == before || after == 0
+      before = after
     }
     edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
       .distinct().orderBy("n")
@@ -201,13 +227,22 @@ object Graphs {
     * counting. Per-order triple fan-out is basket-bounded (C(b,3)). */
   def itemsets3(spark: SparkSession, dir: String,
       minSupport: Int = 2): DataFrame =
-    itemsets3Of(basketRows(spark, dir), minSupport)
+    itemsets3From(
+      basketRows(spark, dir).localCheckpoint(true),
+      copurchasePairs(spark, dir), minSupport)
 
   /** Basket-table-in variant ((ok, p) rows). */
   def itemsets3Of(li0: DataFrame, minSupport: Int = 2): DataFrame = {
     val li = li0
       .localCheckpoint(true) // three triple legs read it
-    val e = copurchasePairsOf(li).filter(col("c") >= minSupport)
+    itemsets3From(li, copurchasePairsOf(li), minSupport)
+  }
+
+  /** Pair-table-in core: `li` the materialized (ok, p) basket rows,
+    * `pairs` the support-counted (u, v, c) table. */
+  private def itemsets3From(li: DataFrame, pairs: DataFrame,
+      minSupport: Int): DataFrame = {
+    val e = pairs.filter(col("c") >= minSupport)
       .select("u", "v")
       .localCheckpoint(true) // three prune probes read it
     val t3 = li.as("a")
