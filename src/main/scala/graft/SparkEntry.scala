@@ -465,7 +465,9 @@ object SparkEntry {
     """WITH c AS (SELECT event_type AS rk,
       |             (epoch_ns(ts) // 86400000000000 + 4) % 7 AS ck,
       |             CAST(count(*) AS BIGINT) AS o
-      |           FROM events GROUP BY 1, 2),
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |           GROUP BY 1, 2),
       |r AS (SELECT rk, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY 1),
       |cl AS (SELECT ck, CAST(sum(o) AS BIGINT) AS c FROM c GROUP BY 1),
       |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)""".stripMargin

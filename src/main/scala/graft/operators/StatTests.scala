@@ -160,6 +160,13 @@ object StatTests {
   private def typeWeekdayCells(events: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cells = events
+      // NULL categoricals are excluded EXPLICITLY (and mirrored in the
+      // oracle's contingency CTE): without the filter, a NULL
+      // event_type level would be counted by the margin CTE but
+      // dropped by count_distinct and zeroed by the dense-grid join —
+      // degenerate input defined once, not by accidental join
+      // semantics (ADVICE r7)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
       .select(col("event_type").as("rk"),
         ((expr("ts DIV 86400000000000") + 4) % 7).as("ck"))
       .groupBy("rk", "ck").agg(count(lit(1)).as("o"))

@@ -19,11 +19,16 @@ object Profile {
       val n = f
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    val base = t(spark, "/root/testdata/sf0.1", "part")
+    // data layout overridable per checkout (ADVICE r7): base dir from
+    // the same env var Bench reads, stress path from its own override
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val stressPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_PATH",
+      "/root/repo/stress/sf1/part10.parquet")
+    val base = t(spark, sfDir, "part")
       .select(col("p_partkey").as("id"), col("p_name").as("nm"),
         col("p_size"))
     val stress = spark.read
-      .parquet("/root/repo/stress/sf1/part10.parquet")
+      .parquet(stressPath)
       .select(col("p_partkey").as("id"), col("p_name").as("nm"),
         col("p_size"))
     time("warm base") { base.count() }

@@ -218,6 +218,20 @@ class GraphFusionSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedRank keeps NULL-group rows, ranked as their own group") {
+    val s = spark; import s.implicits._
+    val sig = Seq((1L, Some("a"), 10), (2L, Some("a"), 5),
+      (3L, None: Option[String], 7), (4L, None: Option[String], 9))
+      .toDF("doc_id", "source", "k")
+    val got = Fusion.groupedRank(sig, "source", col("k"), col("doc_id"),
+      lit(0), "r").select("doc_id", "source", "r").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // window PARTITION BY source semantics: NULL is one partition, its
+    // rows RETAINED (pre-fix the equi-join on the group key dropped
+    // them — ADVICE r7); source column itself stays NULL in the output
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L, 3L -> 2L), got)
+  }
+
   test("rrfFusion windows partition by bucket — no SinglePartition window") {
     val df = Fusion.rrfFusion(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

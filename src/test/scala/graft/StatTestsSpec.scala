@@ -96,4 +96,19 @@ class StatTestsSpec extends AnyFunSuite {
     val r1 = StatTests.chi2Of(dep).collect().head
     assert(r1.getLong(0) == 20L && r1.getDouble(4) == 20.0, r1)
   }
+
+  test("chi2Of: NULL categoricals are excluded, not a phantom level") {
+    val s = spark; import s.implicits._
+    val base = Seq(("A", 0L * DayNs), ("A", 1L * DayNs),
+      ("B", 0L * DayNs), ("B", 1L * DayNs))
+    val clean = base.toDF("event_type", "ts")
+    val withNulls = (base.map { case (t, d) => (Option(t), Option(d)) } ++
+      Seq((None: Option[String], Some(0L)), (Some("A"), None: Option[Long])))
+      .toDF("event_type", "ts")
+    // a NULL event_type / ts row changes NOTHING: not n, not the level
+    // counts, not the statistic (ADVICE r7 — defined once by an explicit
+    // filter, not by count_distinct vs margin-join disagreement)
+    assert(StatTests.chi2Of(withNulls).collect().toSeq ==
+      StatTests.chi2Of(clean).collect().toSeq)
+  }
 }
