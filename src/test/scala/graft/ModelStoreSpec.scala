@@ -92,6 +92,30 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("annRecall: monotone in nprobe, exhaustive probe equals the pure PQ ranking") {
+    val rows = llm.Similarity.annRecall(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    val recalls = rows.map(_.getDouble(3))
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0, recalls.toSeq))
+    // NOT asserted: monotonicity in nprobe. The candidate SET is
+    // monotone, but recall against exact-cosine truth is not — ADC
+    // ranks by squared L2 over unnormalized vectors, so a wider probe
+    // can admit a close-in-L2/wrong-in-cosine candidate that displaces
+    // a true neighbor from the top-k (observed: 0.2, 0.2, 0.1 at
+    // sf0.001). Surfacing that metric mismatch is the point of the
+    // measurement row.
+    // nprobe = kCells probes every cell, so the IVF layer prunes
+    // nothing: the search must return exactly the full-corpus ADC
+    // top-k — any residual recall loss is PQ quantization, not probing
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exhaustive = llm.Similarity
+      .ivfPqSearch(emb, nprobe = 4, kCells = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val pureAdc = llm.Similarity.pqAdc(emb).orderBy(asc("adc"), asc("vec_id"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exhaustive.toSeq == pureAdc.toSeq)
+  }
+
   test("persisted BPE / LM / classifier serve bit-identically to train-inline") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     withStore { store =>
