@@ -269,6 +269,21 @@ object Similarity {
       .agg(min(struct(col("d"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
 
+  /** (vec_id, d): squared L2 from each vector to its assigned (argmin)
+    * coarse centroid — the residual a frozen quantizer leaves on a
+    * vector. Its DISTRIBUTION is the quantizer-staleness signal: a
+    * drifted ingest assigns far from every centroid, so the residuals
+    * shift right long before search quality visibly degrades
+    * ([[graft.streaming.StreamingAnn.quantizerDriftGate]]). Same
+    * broadcast-join/argmin shape as the assignment itself. */
+  def assignDistances(emb: DataFrame, coarse: DataFrame): DataFrame =
+    explodeVecs(emb).join(broadcast(coarse), Seq("i"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.d").as("d"))
+
   /** The Lloyd rounds proper: seed, then `iters` assign/update rounds,
     * returning the final (cid, i, c) centroid frame — shared by the IVF
     * coarse quantizer and the per-subspace PQ codebooks. */

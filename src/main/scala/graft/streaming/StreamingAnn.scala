@@ -50,6 +50,73 @@ object StreamingAnn {
         m, dim) _)
       .option("checkpointLocation", checkpoint)
 
+  // ---- drift-triggered rebuild signal (VERDICT r7 #7): incremental
+  // ingest deliberately never retrains the quantizers, which makes
+  // staleness the design's open question. This closes the loop: the
+  // per-vector ASSIGNMENT RESIDUAL (squared L2 to the assigned frozen
+  // centroid, [[Similarity.assignDistances]]) is the observable — a
+  // drifted ingest lands far from every centroid, shifting the residual
+  // distribution right — and the monitor is the SAME persisted-PSI
+  // machinery the value-drift tests use (shared bucket/smoothing/term
+  // rules, so "drift" means one thing engine-wide). Reference = the
+  // base corpus's residual histogram, snapshotted at index-build time;
+  // each increment scores against it and trips a rebuild gate at the
+  // conventional PSI 0.2. The gate OBSERVES; the rebuild itself stays
+  // the explicit base-index rebuild + atomic version flip. ----
+
+  /** Snapshot the drift reference at index-build time: bucket edges
+    * (vmin, vmax) and histogram (bucket, c_ref) of the BASE corpus's
+    * assignment residuals, persisted beside (not inside) the index —
+    * its own store so re-snapshotting the monitor never rewrites the
+    * serving artifacts. */
+  def saveDriftReference(emb: DataFrame, indexStore: ModelStore,
+      driftStore: ModelStore, buckets: Int = 10): Long = {
+    val dist = Similarity.assignDistances(emb, indexStore.load("coarse"))
+      .localCheckpoint(true) // edges + histogram both read it
+    val edges = dist.agg(min("d").as("vmin"), max("d").as("vmax"))
+      .localCheckpoint(true) // histogram reads it too
+    val hist = dist.crossJoin(broadcast(edges))
+      .select(graft.operators.StatTests.bucketCol(col("d"), col("vmin"),
+        col("vmax"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_ref"))
+    driftStore.save(Map("drift_edges" -> edges, "drift_hist" -> hist))
+  }
+
+  /** Score one increment's assignment residuals against the persisted
+    * reference → ONE row (n_cur, psi, rebuild). Work per increment:
+    * one broadcast assign over the batch + a ≤ `buckets`-row PSI
+    * combine ([[StreamingDrift.psiReport]] — the shared rule). */
+  def quantizerDriftGate(indexStore: ModelStore, driftStore: ModelStore,
+      increment: DataFrame, threshold: Double = 0.2,
+      buckets: Int = 10): DataFrame = {
+    val curCounts = Similarity
+      .assignDistances(increment, indexStore.load("coarse"))
+      .crossJoin(broadcast(driftStore.load("drift_edges")))
+      .select(graft.operators.StatTests.bucketCol(col("d"), col("vmin"),
+        col("vmax"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_cur"))
+    StreamingDrift.psiReport(driftStore.load("drift_hist"), curCounts,
+      buckets)
+      .agg(sum("c_cur").as("n_cur"),
+        round(sum("psi_term"), 6).as("psi"))
+      .select(col("n_cur"), col("psi"),
+        (col("psi") > threshold).as("rebuild"))
+  }
+
+  /** foreachBatch body composing ingest + monitoring: encode the
+    * increment into `codesPath/batch=N` AND append its one-row drift
+    * report to `monitorPath/batch=N` — both partition-overwrite writes,
+    * so a re-delivered batch rewrites the same rows (the replay
+    * contract holds for the monitor too). */
+  def annIngestWithDriftBatch(spark: SparkSession, indexStore: ModelStore,
+      driftStore: ModelStore, codesPath: String, monitorPath: String,
+      threshold: Double = 0.2, m: Int = 4, dim: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    annIngestBatch(spark, indexStore, codesPath, m, dim)(batch, batchId)
+    quantizerDriftGate(indexStore, driftStore, batch, threshold)
+      .write.mode("overwrite").parquet(s"$monitorPath/batch=$batchId")
+  }
+
   /** The streamed coded rows (vec_id, cid, c0..c{m-1}), or None before
     * the first increment. Narrow columns only — the stored base vectors
     * are never re-read. */

@@ -104,6 +104,58 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("drift gate: stationary increment stays quiet, drifted increment trips rebuild; monitor replay idempotent") {
+    // interleaved 2/3-1/3 split: the held-out increment is OUT of the
+    // training set but drawn from the SAME distribution (a contiguous
+    // tail slice is not — the fixture varies with vec_id, and the gate
+    // correctly flags it at PSI ≈ 0.43)
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val stationary = emb.filter(col("vec_id") % 3 === 0)
+    // drifted ingest: same ids, every component shifted +8 — residuals
+    // to the FROZEN centroids explode, the cosine of the story where
+    // a new data source lands far from the trained cells
+    val drifted = stationary.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
+    withDirs { (store, codesPath) =>
+      val driftDir = Files.createTempDirectory("graft-ann-drift-")
+      val monDir = Files.createTempDirectory("graft-ann-mon-")
+      try {
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        llm.Similarity.saveIvfPqIndex(base, store)
+        StreamingAnn.saveDriftReference(base, store, driftStore)
+        assert(driftStore.partNames === Seq("drift_edges", "drift_hist"))
+
+        val quiet = StreamingAnn
+          .quantizerDriftGate(store, driftStore, stationary)
+          .collect().head
+        assert(!quiet.getBoolean(2),
+          s"stationary increment tripped the gate: $quiet")
+        val loud = StreamingAnn
+          .quantizerDriftGate(store, driftStore, drifted)
+          .collect().head
+        assert(loud.getBoolean(2) && loud.getDouble(1) > 0.2,
+          s"drifted increment did not trip the gate: $loud")
+        assert(loud.getDouble(1) > quiet.getDouble(1))
+
+        // composed foreachBatch body: codes AND the monitor row land
+        // per batch; replay overwrites the same partition (idempotent)
+        StreamingAnn.annIngestWithDriftBatch(spark, store, driftStore,
+          codesPath, monDir.toString)(drifted, 0L)
+        val rep1 = spark.read.parquet(s"$monDir/batch=0")
+          .collect().map(_.toString).toSeq
+        StreamingAnn.annIngestWithDriftBatch(spark, store, driftStore,
+          codesPath, monDir.toString)(drifted, 0L)
+        val rep2 = spark.read.parquet(s"$monDir/batch=0")
+          .collect().map(_.toString).toSeq
+        assert(rep1 === rep2 && rep1.length == 1)
+        assert(rep1.head.contains("true")) // the persisted gate fired
+      } finally Seq(driftDir, monDir).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
   test("MemoryStream wiring: two triggered microbatches land as batch=0/1 and serve identically") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
