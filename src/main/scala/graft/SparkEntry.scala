@@ -379,11 +379,23 @@ object SparkEntry {
   // the sequential fold mirrors the driver-side fixed-order fold in
   // Similarity.pqAdc, the only summation order both engines can pin.
   // ONE generated chain feeds all three PQ oracles.
-  private val pqChain: String = {
+  private val pqChain: String = pqChainWith(
+    """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin)
+
+  // unit-domain ex head: per-vector L2 normalization with the SAME
+  // sequential list_reduce fold the Spark native dot runs (the IVF-PQ
+  // index stack normalizes at ingest so ADC's squared-L2 ranking is
+  // cosine ranking — Similarity.explodeVecsUnit; zero vectors pass
+  // through, mirrored by the CASE)
+  private val pqChainUnit: String = pqChainWith(
+    """WITH exr AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |      FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+      |ex AS (SELECT vec_id, i, CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS x FROM exr)""".stripMargin)
+
+  private def pqChainWith(head: String): String = {
     val (m, sub, k) = (4, 16, 8)
-    val head =
-      """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
-        |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin
     val subs = (0 until m).map { s =>
       val lo = s * sub
       s"""e$s AS (SELECT vec_id, i - $lo AS i, x FROM ex WHERE i >= $lo AND i < ${lo + sub}),
@@ -574,11 +586,14 @@ object SparkEntry {
         |JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
         |JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
         |WHERE k.vec_id <> 0 ORDER BY k.vec_id""".stripMargin),
-    // IVF-PQ search: pqChain's codes + the coarse Lloyd body over the
-    // same `ex`, probe the query's 2 nearest coarse cells, ADC-score the
-    // candidate codes only, top-10 by distance
+    // IVF-PQ search over the UNIT-normalized corpus (normalize-at-
+    // ingest: ADC L2 ≡ cosine): pqChainUnit's codes + the coarse Lloyd
+    // body over the same unit `ex`, probe the query's 2 nearest coarse
+    // cells, ADC-shortlist the top 100 PER CELL, then exact-rerank the
+    // shortlist with the sequential unit-dot fold — mirrors
+    // Similarity.ivfPqSearchOver's two-stage serve (VERDICT r8 #2)
     "q_ivfpq_search" ->
-      (pqChain + s""",
+      (pqChainUnit + s""",
         |$ivfAssignBody,
         |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
         |qd AS (SELECT c.cid,
@@ -587,25 +602,32 @@ object SparkEntry {
         |probe AS (SELECT cid FROM
         |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
         |          WHERE rn <= 2),
-        |cand AS (SELECT a.vec_id FROM af a JOIN probe p ON a.cid = p.cid
-        |         WHERE a.vec_id <> 0),
         |${(0 until 4).map(s =>
            s"""dt$s AS (SELECT cid,
               |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
               |  FROM c${s}_2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
-          .mkString(",\n")}
-        |SELECT k.vec_id, round(dt0.d + dt1.d + dt2.d + dt3.d, 9) AS adc
-        |FROM codes k JOIN cand USING (vec_id)
-        |JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
-        |JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
-        |ORDER BY adc, k.vec_id LIMIT 10""".stripMargin),
+          .mkString(",\n")},
+        |short AS (SELECT vec_id FROM (
+        |  SELECT k.vec_id, a.cid,
+        |    row_number() OVER (PARTITION BY a.cid
+        |      ORDER BY round(dt0.d + dt1.d + dt2.d + dt3.d, 9), k.vec_id) AS rn
+        |  FROM codes k JOIN af a USING (vec_id) JOIN probe p ON a.cid = p.cid
+        |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
+        |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
+        |  WHERE k.vec_id <> 0) WHERE rn <= 100),
+        |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+        |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0)
+        |SELECT u.vec_id,
+        |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) AS cos_sim
+        |FROM short s JOIN ul u USING (vec_id), qa
+        |ORDER BY cos_sim DESC, u.vec_id LIMIT 10""".stripMargin),
     // ANN recall@k (VERDICT r7 #5): the SAME pqChain/coarse/probe/ADC
     // CTEs as q_ivfpq_search, swept over nprobe IN (1, 2, 4), each
     // top-10 intersected with the brute-force cosine top-10 — the
     // quantization-quality dial, oracle-checked because both rankings
     // are deterministic
     "q_ann_recall" ->
-      (pqChain + s""",
+      (pqChainUnit + s""",
         |$ivfAssignBody,
         |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
         |qd AS (SELECT c.cid,
@@ -616,6 +638,8 @@ object SparkEntry {
               |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
               |  FROM c${s}_2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
           .mkString(",\n")},
+        |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+        |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0),
         |truth AS (SELECT z.vec_id FROM (
         |  SELECT e.vec_id,
         |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
@@ -630,12 +654,17 @@ object SparkEntry {
            s"""probe$np AS (SELECT cid FROM
               |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
               |          WHERE rn <= $np),
-              |apx$np AS (SELECT cd.vec_id FROM codes cd
-              |  JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
-              |  JOIN dt0 ON dt0.cid = cd.c0 JOIN dt1 ON dt1.cid = cd.c1
-              |  JOIN dt2 ON dt2.cid = cd.c2 JOIN dt3 ON dt3.cid = cd.c3
-              |  WHERE cd.vec_id <> 0
-              |  ORDER BY round(dt0.d + dt1.d + dt2.d + dt3.d, 9), cd.vec_id LIMIT 10)""".stripMargin)
+              |short$np AS (SELECT vec_id FROM (
+              |  SELECT k.vec_id, a.cid,
+              |    row_number() OVER (PARTITION BY a.cid
+              |      ORDER BY round(dt0.d + dt1.d + dt2.d + dt3.d, 9), k.vec_id) AS rn
+              |  FROM codes k JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
+              |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
+              |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
+              |  WHERE k.vec_id <> 0) WHERE rn <= 100),
+              |apx$np AS (SELECT u.vec_id FROM short$np s JOIN ul u USING (vec_id), qa
+              |  ORDER BY round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) DESC, u.vec_id
+              |  LIMIT 10)""".stripMargin)
           .mkString(",\n")}
         |${Seq(1, 2, 4).map(np =>
            s"""SELECT $np AS nprobe, 10 AS k,

@@ -15,17 +15,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver-held. Keys must embed a content fingerprint of every source
   * table the artifact reads ([[tableFingerprint]]) so a rewritten
   * corpus invalidates the cache instead of silently serving stale
-  * rows. Publishes are serialized so a concurrent overwrite can't race
-  * a reader of the same key; temp dirs are deleted on JVM exit.
+  * rows. Publishes are serialized AND each publish writes a fresh
+  * directory that is swapped into the map only after the write
+  * completes — a reader holding the old entry keeps scanning complete
+  * files, never a half-overwritten directory (ADVICE r8); every
+  * directory, current or replaced, is deleted on JVM exit.
   */
 object ArtifactCache {
 
   private val artifacts =
     scala.collection.concurrent.TrieMap.empty[Seq[String], String]
+  // every directory this process ever created, including ones replaced
+  // by a re-publish — all deleted at JVM exit (replaced dirs stay on
+  // disk until then so an in-flight reader never loses its files)
+  private val allDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   locally { // one hook for every artifact this process ever publishes
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      artifacts.values.foreach { p =>
+      allDirs.forEach { p =>
         try {
           scala.util.Using.resource(
             java.nio.file.Files.walk(java.nio.file.Paths.get(p))) { st =>
@@ -56,15 +64,20 @@ object ArtifactCache {
     }
   }
 
-  /** Write `frame` to the key's parquet directory (always recomputes)
-    * and return a reader over the persisted copy. Use from the query
-    * that IS the artifact's benchmark row, so its cost stays measured
-    * while composed consumers ride the cache. */
+  /** Write `frame` to a FRESH directory and swap the key's map entry
+    * atomically (always recomputes). Use from the query that IS the
+    * artifact's benchmark row, so its cost stays measured while
+    * composed consumers ride the cache. A re-publish never overwrites
+    * the previous directory in place — a concurrent reader of the old
+    * entry keeps scanning complete files; the replaced directory is
+    * reclaimed by the JVM-exit hook (ADVICE r8). */
   def publish(spark: SparkSession, key: Seq[String],
       frame: DataFrame): DataFrame = synchronized {
-    val path = artifacts.getOrElseUpdate(key,
-      java.nio.file.Files.createTempDirectory("graft-artifact-").toString)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-artifact-").toString
+    allDirs.add(path)
     frame.write.mode("overwrite").parquet(path)
+    artifacts.put(key, path) // swap only after the write completed
     spark.read.parquet(path)
   }
 

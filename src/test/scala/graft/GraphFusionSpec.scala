@@ -232,6 +232,27 @@ class GraphFusionSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L, 3L -> 2L), got)
   }
 
+  test("quantileNorm keeps NULL-source docs as their own partition") {
+    val s = spark; import s.implicits._
+    // pre-fix the counts join on `source` was null-UNSAFE and silently
+    // dropped the NULL partition even though groupedRank retained it
+    // (ADVICE r8) — pin the full output including the NULL group
+    val docs = Seq(
+      (1L, Some("a"), "one two three four"),
+      (2L, Some("a"), "one two"),
+      (3L, None: Option[String], "one two three"),
+      (4L, None: Option[String], "one"),
+      (5L, None: Option[String], "one two three four five"))
+      .toDF("doc_id", "source", "text")
+    val got = Fusion.quantileNormOf(docs).collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) null else r.getString(1), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ("a", 1.0), 2L -> ("a", 0.0),
+      3L -> (null, 0.5), 4L -> (null, 0.0), 5L -> (null, 1.0)), got)
+  }
+
   test("rrfFusion windows partition by bucket — no SinglePartition window") {
     val df = Fusion.rrfFusion(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -80,40 +80,50 @@ class ModelStoreSpec extends AnyFunSuite {
     val inline = llm.Similarity.ivfPqSearch(emb).collect().map(_.toString)
     withStore { store =>
       llm.Similarity.saveIvfPqIndex(emb, store)
-      // all four artifacts present
-      assert(store.partNames === Seq("cells", "coarse", "codebooks", "codes"))
-      val qVec = emb.filter(col("vec_id") === 0L)
-        .select(posexplode(col("embedding")).as(Seq("i", "x")))
-        .collect().map(r => r.getInt(0) -> r.getFloat(1).toDouble).toMap
+      // all five artifacts present (vectors = the exact-rerank payload)
+      assert(store.partNames ===
+        Seq("cells", "coarse", "codebooks", "codes", "vectors"))
       val served = llm.Similarity
-        .ivfPqSearchPersisted(store, qVec, qId = 0L)
+        .ivfPqSearchPersisted(store, llm.Similarity.queryVecOf(emb, 0L),
+          qId = 0L)
         .collect().map(_.toString)
       assert(served.toSeq === inline.toSeq)
     }
   }
 
-  test("annRecall: monotone in nprobe, exhaustive probe equals the pure PQ ranking") {
-    val rows = llm.Similarity.annRecall(spark, sfDir).collect()
-    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
-    val recalls = rows.map(_.getDouble(3))
-    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0, recalls.toSeq))
-    // NOT asserted: monotonicity in nprobe. The candidate SET is
-    // monotone, but recall against exact-cosine truth is not — ADC
-    // ranks by squared L2 over unnormalized vectors, so a wider probe
-    // can admit a close-in-L2/wrong-in-cosine candidate that displaces
-    // a true neighbor from the top-k (observed: 0.2, 0.2, 0.1 at
-    // sf0.001). Surfacing that metric mismatch is the point of the
-    // measurement row.
-    // nprobe = kCells probes every cell, so the IVF layer prunes
-    // nothing: the search must return exactly the full-corpus ADC
-    // top-k — any residual recall loss is PQ quantization, not probing
+  test("annRecall: monotone in nprobe; recall >= 0.8 at the exhaustive probe (sf0.01)") {
+    // the r8 measurement surfaced recall 0.1–0.2, NON-monotone in
+    // nprobe: ADC ranked by squared L2 over unnormalized vectors while
+    // truth is cosine. Normalize-at-ingest plus the per-cell-shortlist
+    // + exact-rerank serving path (VERDICT r8 #2) makes the candidate
+    // sets nested in nprobe and the final ranking exact over the
+    // shortlist, so recall is monotone and lands at the rerank ceiling
+    // instead of the raw PQ-quantization floor.
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val rows = llm.Similarity.annRecall(spark, dir).collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+      val recalls = rows.map(_.getDouble(3))
+      recalls.foreach(r => assert(r >= 0.0 && r <= 1.0, recalls.toSeq))
+      assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+        s"recall not monotone in nprobe at $dir: ${recalls.toSeq}")
+      assert(recalls.last >= 0.8,
+        s"exhaustive-probe recall below 0.8 at $dir: ${recalls.toSeq}")
+    }
+  }
+
+  test("exhaustive probe + corpus-wide rerank equals brute-force cosine top-k") {
+    // nprobe = kCells probes every cell and rerankK >= |corpus| reranks
+    // every candidate exactly — the IVF and PQ layers both prune
+    // nothing, so the search must return exactly the brute-force cosine
+    // top-k ids (scores are the same unit dot up to last-ulp fold
+    // order, so compare ids; both orderings break ties by vec_id)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exhaustive = llm.Similarity
-      .ivfPqSearch(emb, nprobe = 4, kCells = 4).collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
-    val pureAdc = llm.Similarity.pqAdc(emb).orderBy(asc("adc"), asc("vec_id"))
-      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(exhaustive.toSeq == pureAdc.toSeq)
+      .ivfPqSearch(emb, nprobe = 4, kCells = 4, rerankK = 1000000)
+      .collect().map(_.getLong(0))
+    val brute = llm.Similarity.cosineTopK(spark, sfDir, 0L, 10)
+      .collect().map(_.getLong(0))
+    assert(exhaustive.toSeq == brute.toSeq)
   }
 
   test("persisted BPE / LM / classifier serve bit-identically to train-inline") {

