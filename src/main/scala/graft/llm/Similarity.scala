@@ -774,6 +774,89 @@ object Similarity {
   def queryVecOf(emb: DataFrame, qId: Long): Map[Int, Double] =
     queryVec(explodeVecsUnit(emb), qId)
 
+  /** BATCHED IVF-PQ k-NN: top-k for EVERY query in `queries`, served
+    * from a persisted index — the serving shape at scale. The
+    * single-query path ([[ivfPqSearchPersisted]]) builds its probe
+    * list and ADC distance table on the driver (correct for one
+    * query; Q driver round-trips for Q queries); here every per-query
+    * step is relational, so a million-query batch is the same plan:
+    *
+    *  1. probe: queries ⋈ broadcast coarse centroids → per-(query,
+    *     cell) distances → per-query top-nprobe cells (window over
+    *     nlist rows per query);
+    *  2. distance tables: queries ⋈ broadcast codebooks → (qid, s,
+    *     cid, dq) — Q·m·k rows, broadcast to the scoring join;
+    *  3. ADC: candidates = coded rows equi-joined to their probed
+    *     queries on the CELL key (each query reads nprobe/nlist of
+    *     the codes), m broadcast lookups, fixed-order add;
+    *  4. per-(query, cell) shortlists (nested in nprobe) + exact
+    *     unit-dot rerank of shortlist ids against the stored vectors
+    *     — the same two-stage cosine-correct serve as the
+    *     single-query path.
+    *
+    * Orderings on computed doubles round to 9 first (grouped sums are
+    * not combine-order-pinned across engines; rounding absorbs the
+    * last-ulp noise — the [[assignCells]] contract). Returns
+    * (qid, vec_id, cos_sim, rnk), the [[knnJoin]] output shape. */
+  def ivfPqKnnJoin(store: graft.store.ModelStore, queries: DataFrame,
+      topK: Int = 5, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      rerankK: Int = 50): DataFrame = {
+    val sub = dim / m
+    val exQ = explodeVecsUnit(queries).localCheckpoint(true)
+    val qcd = exQ.join(broadcast(store.load("coarse")), Seq("i"))
+      .groupBy(col("vec_id").as("qid"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(asc("d"), asc("cid"))
+    val probes = qcd.withColumn("d", round(col("d"), 9))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe).select("qid", "cid")
+    val dts = exQ
+      .select(col("vec_id").as("qid"),
+        (col("i") / sub).cast("int").as("s"),
+        (col("i") % sub).as("i"), col("x"))
+      .join(broadcast(store.load("codebooks")), Seq("s", "i"))
+      .groupBy("qid", "s", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dq"))
+      .localCheckpoint(true) // m scoring joins read it
+    val coded = store.load("cells").join(store.load("codes"), "vec_id")
+    val cand = coded.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+    val scored = (0 until m).foldLeft(cand) { (df, s) =>
+      df.join(broadcast(dts.filter(col("s") === s)
+        .select(col("qid"), col("cid").as(s"c$s"), col("dq").as(s"d$s"))),
+        Seq("qid", s"c$s"))
+    }.withColumn("adc",
+      round((0 until m).map(s => col(s"d$s")).reduce(_ + _), 9))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "cid").orderBy(asc("adc"), asc("vec_id"))
+    val short = scored.withColumn("__rn", row_number().over(ws))
+      .filter(col("__rn") <= rerankK).select("qid", "vec_id")
+    val qvecs = unitArrays(exQ)
+      .select(col("vec_id").as("qid"), col("ux").as("qx"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+    short.join(store.load("vectors"), "vec_id")
+      .join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(zip_with(col("ux"), col("qx"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v), 9).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= topK)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Driver-contract form of [[ivfPqKnnJoin]]: train into a scratch
+    * store, serve the first 8 vectors as the query batch ([[knnJoin]]'s
+    * query-set convention). */
+  def ivfPqKnnJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    graft.store.ModelStore.scratch(spark, "ivfpqbatch") { store =>
+      saveIvfPqIndex(emb, store)
+      ivfPqKnnJoin(store, emb.filter(col("vec_id") < 8))
+    }
+  }
+
   /** Oracle row for the persisted path: build the index into a scratch
     * store, serve the SAME query as `q_ivfpq_search` from the store, and
     * hash-match that query's oracle — persisted == in-query, proven by

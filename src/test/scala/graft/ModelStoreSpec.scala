@@ -111,6 +111,30 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("batched IVF-PQ serve equals the single-query path, query by query") {
+    // the batch path replaces the driver-side probe/distance-table steps
+    // with relational joins; at equal dials the two must serve the same
+    // neighbors with the same scores
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    withStore { store =>
+      llm.Similarity.saveIvfPqIndex(emb, store)
+      val batch = llm.Similarity
+        .ivfPqKnnJoin(store, emb.filter(col("vec_id") < 8),
+          topK = 10, nprobe = 2, rerankK = 100)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(3))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+      (0L until 8L).foreach { q =>
+        val single = llm.Similarity
+          .ivfPqSearchPersisted(store, llm.Similarity.queryVecOf(emb, q),
+            qId = q, topK = 10, nprobe = 2, rerankK = 100)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(q) === single, s"query $q diverged")
+      }
+    }
+  }
+
   test("exhaustive probe + corpus-wide rerank equals brute-force cosine top-k") {
     // nprobe = kCells probes every cell and rerankK >= |corpus| reranks
     // every candidate exactly — the IVF and PQ layers both prune
