@@ -304,4 +304,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max") || p.contains("partial_"),
       s"register max lost its partial aggregation:\n$p")
   }
+
+  test("IVF-PQ serve paths join equi/broadcast — no cartesian, no nested loop") {
+    // the rerank stage joins a tiny shortlist back to the stored
+    // vectors, and the batch path joins per-query distance tables: all
+    // of it must stay equi-join + broadcast (a cartesian here would
+    // scan the corpus per query at scale)
+    val p1 = plan("q_ivfpq_search")
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoop"), s"q_ivfpq_search degenerated:\n$p1")
+    assert(p1.contains("BroadcastHashJoin"),
+      s"q_ivfpq_search lost its broadcasts:\n$p1")
+    // the batch query's public form serves out of a scratch store and
+    // checkpoints (plan = one RDD scan) — audit the serving frame itself
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-planspec-")
+    try {
+      val store = new graft.store.ModelStore(spark, dir.toString)
+      graft.llm.Similarity.saveIvfPqIndex(emb, store)
+      val p2 = graft.llm.Similarity
+        .ivfPqKnnJoin(store, emb.filter(org.apache.spark.sql.functions
+          .col("vec_id") < 8))
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("CartesianProduct") &&
+        !p2.contains("BroadcastNestedLoop"), s"q_ivfpq_batch degenerated:\n$p2")
+      assert(p2.contains("BroadcastHashJoin"),
+        s"q_ivfpq_batch lost its broadcasts:\n$p2")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
 }
