@@ -269,9 +269,26 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_learned_tokens"))
       .orderBy("doc_id")
 
-  /** Driver-contract form of [[bpeEncode]]. */
+  /** The process-shared trained tokenizer for `dir`'s documents table
+    * ([[graft.store.ModelStore.shared]]): trained once per (corpus
+    * fingerprint, merge budget), served by every tokenizer consumer
+    * after that. `q_bpe_train` stays the measured build row and
+    * `q_bpe_persisted` the scratch persisted==inline gate, so the
+    * serve-from-cache rows are hash-pinned equal to their train-inline
+    * definitions. */
+  private def sharedBpe(spark: SparkSession,
+      dir: String): graft.store.ModelStore =
+    graft.store.ModelStore.shared(spark, Seq("bpe",
+      graft.store.ArtifactCache.tableFingerprint(dir, "documents"),
+      "merges=8")) { store =>
+      bpeSave(t(spark, dir, "documents"), store); ()
+    }
+
+  /** Driver-contract form of [[bpeEncode]] — serves from the
+    * process-shared tokenizer (zero training jobs when any tokenizer
+    * row already built it). */
   def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame =
-    bpeEncode(t(spark, dir, "documents"))
+    bpeEncodePersisted(t(spark, dir, "documents"), sharedBpe(spark, dir))
 
   /** Tokenizer COVERAGE report for the learned merge table: corpus-level
     * compression (tokens per word) and the occurrence-weighted share of
@@ -279,8 +296,13 @@ object TextOps {
     * release ships to justify its merge budget. Same train + encode
     * machinery as [[bpeEncode]], collapsed to a (metric, value) card;
     * counts exact, fractions single correctly-rounded divisions. */
-  def bpeCoverage(docs: DataFrame, merges: Int = 8): DataFrame = {
-    encodedWordRows(docs, merges).agg(
+  def bpeCoverage(docs: DataFrame, merges: Int = 8): DataFrame =
+    coverageOf(encodedWordRows(docs, merges))
+
+  /** The coverage aggregation over (doc_id, word, n_toks) rows — ONE
+    * body consumed by the train-inline and shared-tokenizer paths. */
+  private def coverageOf(rows: DataFrame): DataFrame = {
+    rows.agg(
         count(lit(1)).cast("double").as("n_words"),
         sum("n_toks").cast("double").as("n_tokens"),
         sum(when(col("n_toks") === 1, 1L).otherwise(0L)).cast("double")
@@ -298,8 +320,14 @@ object TextOps {
       .orderBy("metric")
   }
 
-  def bpeCoverageQuery(spark: SparkSession, dir: String): DataFrame =
-    bpeCoverage(t(spark, dir, "documents"))
+  /** Driver-contract form of [[bpeCoverage]] — the coverage card over
+    * the process-shared tokenizer's vocabulary (the same
+    * `encodedWordRowsWith` body the persisted==inline gate pins). */
+  def bpeCoverageQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    coverageOf(encodedWordRowsWith(docs,
+      sharedBpe(spark, dir).load("vocab")))
+  }
 
   /** Term frequencies over lowercase letter-run terms: (doc_id, term, tf)
     * — the shared first stage of the relevance-scoring family. One
@@ -613,8 +641,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The process-shared trained bigram LM for `dir`'s documents table
+    * (counterpart of [[sharedBpe]]): `q_lm_model` stays the measured
+    * build row, `q_lm_persisted` the scratch persisted==inline gate. */
+  private def sharedLm(spark: SparkSession,
+      dir: String): graft.store.ModelStore =
+    graft.store.ModelStore.shared(spark, Seq("lm",
+      graft.store.ArtifactCache.tableFingerprint(dir, "documents"),
+      "trainLang=en")) { store =>
+      lmSave(t(spark, dir, "documents"), store); ()
+    }
+
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
-    lmPerplexityOf(t(spark, dir, "documents"))
+    lmPerplexityPersisted(t(spark, dir, "documents"), sharedLm(spark, dir))
 
   /** Persist the trained bigram LM (VERDICT r6 #1): "bigrams" (a, b,
     * c_ab), "contexts" (a, c_a), "vsize" (v) — the three count frames

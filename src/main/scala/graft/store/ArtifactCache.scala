@@ -44,6 +44,10 @@ object ArtifactCache {
       }))
   }
 
+  /** Register an externally-created directory for JVM-exit reclamation
+    * (the [[ModelStore.shared]] model cache rides this hook). */
+  private[store] def trackDir(p: String): Unit = { allDirs.add(p); () }
+
   /** Content fingerprint of `dir/table.parquet` (file names, sizes,
     * mtimes) — cheap, no data read, and changes whenever the table is
     * rewritten. Embed one per source table in the artifact key. */

@@ -104,6 +104,35 @@ object ModelStore {
     finally deleteRecursively(dir)
   }
 
+  // process-level shared trained-model cache: key → store directory
+  private val sharedDirs =
+    scala.collection.concurrent.TrieMap.empty[Seq[String], String]
+
+  /** Process-level cache of TRAINED models — the [[ArtifactCache]]
+    * discipline applied to model directories. Key = source-table
+    * content fingerprints + training dials; the first caller trains
+    * into a fresh directory, every later caller serves from it with
+    * ZERO training jobs — the train-once / serve-many shape applied
+    * across queries in the same process, exactly what a model registry
+    * does per corpus version in production. Training must be
+    * deterministic (all graft trainers are — derandomized seeding,
+    * fixed fold orders), so consumers cannot observe which path ran.
+    * Each `*_persisted` gate row keeps its own [[scratch]] build so
+    * the BUILD cost stays a measured benchmark row while serve-only
+    * consumers ride the cache. Directories are reclaimed at JVM exit
+    * (the artifact-cache shutdown hook). */
+  def shared(spark: SparkSession, key: Seq[String])
+      (train: ModelStore => Unit): ModelStore = synchronized {
+    val dir = sharedDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-model-").toString
+      ArtifactCache.trackDir(d)
+      train(new ModelStore(spark, d)) // throws → nothing cached
+      d
+    })
+    new ModelStore(spark, dir)
+  }
+
   private[store] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) // close the walk stream — fd leak otherwise
       scala.util.Using.resource(Files.walk(p))(

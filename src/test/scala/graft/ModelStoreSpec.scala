@@ -185,4 +185,34 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(
       new java.net.URI(path).getPath)))
   }
+
+  test("shared model cache trains once per key, serves identically, and a new key retrains") {
+    import spark.implicits._
+    var builds = 0
+    def train(tag: String)(store: ModelStore): Unit = {
+      builds += 1
+      store.save(Map("m" -> Seq((tag, builds)).toDF("tag", "b"))); ()
+    }
+    val key = Seq("spec-shared", "fp-1", "dial=1")
+    val a = ModelStore.shared(spark, key)(train("k1"))
+    val b = ModelStore.shared(spark, key)(train("k1"))
+    assert(builds === 1, "second call with the same key retrained")
+    // both handles serve the one trained copy
+    assert(a.load("m").collect().map(_.toString).toSeq ===
+      b.load("m").collect().map(_.toString).toSeq)
+    // a changed fingerprint/dial is a different key → retrain
+    ModelStore.shared(spark, Seq("spec-shared", "fp-2", "dial=1"))(
+      train("k2"))
+    assert(builds === 2)
+    // a failed training publishes nothing: the key stays absent and the
+    // next call trains again
+    val failKey = Seq("spec-shared", "fp-3", "dial=1")
+    intercept[RuntimeException] {
+      ModelStore.shared(spark, failKey)(_ =>
+        throw new RuntimeException("boom"))
+    }
+    val c = ModelStore.shared(spark, failKey)(train("k3"))
+    assert(builds === 3)
+    assert(c.load("m").filter($"tag" === "k3").count() === 1L)
+  }
 }
