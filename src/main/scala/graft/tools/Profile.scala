@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage profiler for slow queries (dev tool; body rotates to
-  * whatever is under investigation). Current body (round 9): the third
-  * 10× stress battery's non-oracle members — k-core decomposition
-  * (spec-only, so it never appears in Bench) and the cold-vs-warm
-  * ArtifactCache split of the co-purchase pair artifact (Bench's
-  * per-query minima can't separate the publish pass from the serve
-  * pass; this times them explicitly). */
+  * whatever is under investigation). Current body (round 9b): stage
+  * split of `q_pipeline_e2e` — Bench's one number can't say whether
+  * the ~10 s goes to the audit-JSON parse, the diff/messages
+  * checkpoints, the dispatcher apply, or the final flatten/sort — plus
+  * the cold-vs-warm split of the new shared-model cache
+  * ([[graft.store.ModelStore.shared]]) at base and 10× scale. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -27,31 +27,77 @@ object Profile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val stressDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR",
       "/root/repo/stress/sf1")
-    time("warm base lineitem") {
-      graft.Tables.t(spark, sfDir, "lineitem").count()
+
+    // ---- q_pipeline_e2e stage split (two reps: first-touch codegen
+    // of the dispatcher plans is a one-per-process cost; rep 2 is the
+    // steady state a microbatch deployment pays per batch) ----
+    import graft.jobs.Pipeline
+    for (rep <- 1 to 2) {
+      val raw = Pipeline.syntheticAuditEvents(spark, sfDir)
+      time(s"e2e[$rep] raw events") { raw.count() }
+      time(s"e2e[$rep] parse only") {
+        Pipeline.parse(raw)._1.count()
+      }
+      time(s"e2e[$rep] versions") {
+        Pipeline.toVersions(Pipeline.parse(raw)._1).count()
+      }
+      time(s"e2e[$rep] changes ckpt") {
+        graft.Materialize.checkpoint(graft.diff.EntityDiff.determineChange(
+          Pipeline.toVersions(Pipeline.parse(raw)._1))).count()
+      }
+      var prep: (Long, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = null
+      time(s"e2e[$rep] prepare") {
+        val (_, messages, direct, _) = Pipeline.prepare(raw)
+        prep = (messages.count(), messages, direct)
+        prep._1
+      }
+      val (_, messages, direct) = prep
+      val docs0 = graft.docs.DocumentAlgebra.createDocs(
+        Pipeline.toVersions(Pipeline.parse(raw)._1).limit(0)
+          .select(col("guid"), col("typeName"),
+            lit("q").as("qualifiedName"), col("attributes"))
+          .withColumn("name", lit(null).cast("string"))
+          .withColumn("definition", lit(null).cast("string"))
+          .withColumn("email", lit(null).cast("string")))
+      time(s"e2e[$rep] applyChanges") {
+        graft.jobs.SynchronizeSearch.applyChanges(docs0,
+          graft.jobs.SynchronizeSearch.directOnly(messages)).count()
+      }
+      time(s"e2e[$rep] applyAll") {
+        Pipeline.applyAll(docs0, messages, direct).count()
+      }
+      time(s"e2e[$rep] full query") {
+        Pipeline.pipelineE2E(spark, sfDir).count()
+      }
     }
-    time("warm 10x lineitem") {
-      graft.Tables.t(spark, stressDir, "lineitem").count()
-    }
-    // ArtifactCache: first touch of a dir publishes (compute + parquet
-    // write), second serves from the parquet copy
+
+    // ---- shared-model cache cold/warm (4th battery): first touch per
+    // (corpus, dials) trains + persists, second serves store-only ----
     for (d <- Seq(sfDir -> "base", stressDir -> "10x")) {
-      time(s"copurchase cold ${d._2}") {
-        graft.operators.Graphs.copurchasePairs(spark, d._1).count()
+      time(s"annRecall cold ${d._2}") {
+        graft.llm.Similarity.annRecall(spark, d._1).count()
       }
-      time(s"copurchase warm ${d._2}") {
-        graft.operators.Graphs.copurchasePairs(spark, d._1).count()
+      time(s"annRecall warm ${d._2}") {
+        graft.llm.Similarity.annRecall(spark, d._1).count()
       }
-    }
-    // k-core over the (now warm) co-purchase edges, two reps each
-    for (p <- 1 to 2) {
-      time(s"kCore(3) base $p") {
-        graft.operators.Graphs.kCoreOf(
-          graft.operators.Graphs.copurchaseEdges(spark, sfDir), 3).count()
+      time(s"ivfpqBatch warm ${d._2}") {
+        graft.llm.Similarity.ivfPqKnnJoinQuery(spark, d._1).count()
       }
-      time(s"kCore(3) 10x $p") {
-        graft.operators.Graphs.kCoreOf(
-          graft.operators.Graphs.copurchaseEdges(spark, stressDir), 3).count()
+      time(s"bpeEncode cold ${d._2}") {
+        graft.llm.TextOps.bpeEncodeQuery(spark, d._1).count()
+      }
+      time(s"bpeEncode warm ${d._2}") {
+        graft.llm.TextOps.bpeEncodeQuery(spark, d._1).count()
+      }
+      time(s"bpeCoverage warm ${d._2}") {
+        graft.llm.TextOps.bpeCoverageQuery(spark, d._1).count()
+      }
+      time(s"lmPerplexity cold ${d._2}") {
+        graft.llm.TextOps.lmPerplexity(spark, d._1).count()
+      }
+      time(s"lmPerplexity warm ${d._2}") {
+        graft.llm.TextOps.lmPerplexity(spark, d._1).count()
       }
     }
     spark.stop()
