@@ -598,7 +598,7 @@ object SparkEntry {
         |$ivfAssignBody,
         |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
         |qd AS (SELECT c.cid,
-        |  list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b) AS d
+        |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
         |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
         |probe AS (SELECT cid FROM
         |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
@@ -632,7 +632,7 @@ object SparkEntry {
         |$ivfAssignBody,
         |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
         |qd AS (SELECT c.cid,
-        |  list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b) AS d
+        |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
         |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
         |${(0 until 4).map(s =>
            s"""dt$s AS (SELECT cid,

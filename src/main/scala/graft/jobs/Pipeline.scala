@@ -216,17 +216,25 @@ object Pipeline {
   def pipelineE2EWarmup(spark: SparkSession, dir: String): DataFrame =
     pipelineE2EImpl(spark, dir, Some(512))
 
-  private def pipelineE2EImpl(spark: SparkSession, dir: String,
-      limitRows: Option[Int]): DataFrame = {
-    val raw0 = syntheticAuditEvents(spark, dir)
-    val raw = limitRows.map(raw0.limit).getOrElse(raw0)
-    val docs0 = graft.docs.DocumentAlgebra.createDocs(
+  /** An EMPTY document store with the SearchDocument schema, derived
+    * from the audit stream's own parsed shape (limit(0) folds to an
+    * empty relation — zero scan cost). The bootstrap docs0 of the e2e
+    * benchmark AND the profiler's stage split, kept as one definition
+    * so the two cannot measure different apply paths. */
+  def emptyDocsFor(raw: DataFrame): DataFrame =
+    graft.docs.DocumentAlgebra.createDocs(
       toVersions(parse(raw)._1).limit(0)
         .select(col("guid"), col("typeName"),
           lit("q").as("qualifiedName"), col("attributes"))
         .withColumn("name", lit(null).cast("string"))
         .withColumn("definition", lit(null).cast("string"))
         .withColumn("email", lit(null).cast("string")))
+
+  private def pipelineE2EImpl(spark: SparkSession, dir: String,
+      limitRows: Option[Int]): DataFrame = {
+    val raw0 = syntheticAuditEvents(spark, dir)
+    val raw = limitRows.map(raw0.limit).getOrElse(raw0)
+    val docs0 = emptyDocsFor(raw)
     val (docs, _, _, _) = run(spark, raw, docs0)
     // oracle-harness shape: arrays/maps flattened to deterministic scalar
     // strings (sorted k=v entries for maps) so the result is sortable/hashable

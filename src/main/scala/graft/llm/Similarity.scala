@@ -618,15 +618,21 @@ object Similarity {
     val cent = pqCodebooksFused(ex, m, k, iters, dim)
     val coded = assignCells(ex, coarse)
       .join(pqCodesOf(ex, cent, m, dim), "vec_id")
-      .join(unitArrays(ex), "vec_id")
-    ivfPqSearchOver(coarse, coded, cent, queryVec(ex, qId), qId, topK,
-      nprobe, m, dim, rerankK)
+    ivfPqSearchOver(coarse, coded, unitArrays(ex), cent, queryVec(ex, qId),
+      qId, topK, nprobe, m, dim, rerankK)
   }
 
   /** The `nprobe` nearest coarse cells to the query — kCells rows,
-    * driver-side, fixed i-order fold, exact-distance ties by cell id.
-    * ONE definition shared by the in-query search and the persisted-index
-    * serving path, so the two cannot diverge on probe selection. */
+    * driver-side, fixed i-order fold, distances ROUNDED to 9 before
+    * ranking (ties by cell id). ONE definition shared by the in-query
+    * search and the persisted-index serving path, and the SAME
+    * round-then-rank rule the batched path's grouped probe uses
+    * ([[ivfPqKnnJoin]] can only compute grouped sums, which are not
+    * combine-order-pinned, so it must round — aligning the driver fold
+    * on the same rule is what makes batch probe selection provably
+    * equal to single-query probe selection instead of
+    * equal-up-to-a-sub-1e-9-tie). The oracle probe CTEs round
+    * identically. */
   private def nearestCells(coarseRows: Array[org.apache.spark.sql.Row],
       qVec: Map[Int, Double], nprobe: Int): Seq[Int] =
     coarseRows.toSeq
@@ -636,7 +642,9 @@ object Similarity {
           val diff = qVec(r.getAs[Int]("i")) - r.getAs[Double]("c")
           acc + diff * diff
         }
-        (cid, d)
+        (cid, BigDecimal(d)
+          .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
       }
       .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
 
@@ -702,15 +710,22 @@ object Similarity {
       nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 100): DataFrame =
     ivfPqSearchOver(store.load("coarse"),
-      store.load("cells").join(store.load("codes"), "vec_id")
-        .join(store.load("vectors"), "vec_id"),
+      store.load("cells").join(store.load("codes"), "vec_id"),
+      store.load("vectors"),
       store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
 
-  /** Search over an EXPLICIT coded frame (vec_id, cid, c0..c{m-1}, ux)
-    * — the one probe+ADC+rerank body shared by the persisted serving
-    * path and the streaming-incremental union
-    * ([[graft.streaming.StreamingAnn]]), so base and incremented
-    * indexes cannot diverge on search semantics.
+  /** Search over an EXPLICIT coded frame (vec_id, cid, c0..c{m-1}) plus
+    * a SEPARATE full-precision frame (vec_id, ux) — the one
+    * probe+ADC+rerank body shared by the persisted serving path and the
+    * streaming-incremental union ([[graft.streaming.StreamingAnn]]), so
+    * base and incremented indexes cannot diverge on search semantics.
+    * `vectors` is kept OUT of `coded` so the ADC pass never carries or
+    * joins the 8·dim-byte payload — the rerank joins the ≤
+    * nprobe·rerankK shortlist ids into the vectors table directly
+    * (broadcast of the tiny shortlist: no corpus-wide shuffle of ux).
+    * A `coded` frame that still carries a ux column (the streaming
+    * dedup union, where codes and payload must win TOGETHER per
+    * vec_id) is accepted — the column is dropped before scoring.
     *
     * Two stages, both required for a cosine-correct result (VERDICT r8
     * #2): (1) ADC shortlist — score the probed cells' codes against
@@ -728,20 +743,20 @@ object Similarity {
     * shortlist only — the memory-bandwidth split production ANN
     * engines (FAISS IVFPQ+refine) ship. */
   private[graft] def ivfPqSearchOver(coarse: DataFrame, coded: DataFrame,
-      codebooks: DataFrame, qVec: Map[Int, Double], qId: Long,
-      topK: Int = 10, nprobe: Int = 2, m: Int = 4,
+      vectors: DataFrame, codebooks: DataFrame, qVec: Map[Int, Double],
+      qId: Long, topK: Int = 10, nprobe: Int = 2, m: Int = 4,
       dim: Int = 64, rerankK: Int = 100): DataFrame = {
     val probed = nearestCells(coarse.collect(), qVec, nprobe)
-    val cand = coded
+    val cand = coded.drop("ux")
       .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy(asc("adc"), asc("vec_id"))
-    val short = adcScored(cand.drop("ux"), codebooks, qVec, m, dim / m)
+    val short = adcScored(cand, codebooks, qVec, m, dim / m)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= rerankK)
       .select("vec_id")
     val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
-    cand.select(col("vec_id"), col("ux")).join(broadcast(short), "vec_id")
+    vectors.select(col("vec_id"), col("ux")).join(broadcast(short), "vec_id")
       .select(col("vec_id"),
         round(aggregate(zip_with(col("ux"), typedlit(qArr),
           (a, b) => a * b), lit(0.0), (acc, v) => acc + v), 9)
@@ -779,7 +794,7 @@ object Similarity {
     * single-query path ([[ivfPqSearchPersisted]]) builds its probe
     * list and ADC distance table on the driver (correct for one
     * query; Q driver round-trips for Q queries); here every per-query
-    * step is relational, so a million-query batch is the same plan:
+    * step is relational, so a whole serving batch is ONE plan:
     *
     *  1. probe: queries ⋈ broadcast coarse centroids → per-(query,
     *     cell) distances → per-query top-nprobe cells (window over
@@ -796,12 +811,32 @@ object Similarity {
     *
     * Orderings on computed doubles round to 9 first (grouped sums are
     * not combine-order-pinned across engines; rounding absorbs the
-    * last-ulp noise — the [[assignCells]] contract). Returns
-    * (qid, vec_id, cos_sim, rnk), the [[knnJoin]] output shape. */
+    * last-ulp noise — the [[assignCells]] contract; the single-query
+    * driver fold rounds probe distances by the SAME rule, so batch
+    * probe selection provably equals [[nearestCells]]). Returns
+    * (qid, vec_id, cos_sim, rnk), the [[knnJoin]] output shape.
+    *
+    * `excludeSelf` (default true) drops the corpus vector whose vec_id
+    * equals the query's qid — correct when the queries ARE corpus
+    * members (the `q_ivfpq_batch` convention, matching the
+    * single-query qId exclusion). An EXTERNAL query batch whose id
+    * space can collide with corpus ids must pass false, the batch
+    * analogue of [[ivfPqSearchPersisted]]'s qId = -1 convention.
+    *
+    * `broadcastQueries` (default true) broadcasts the per-query
+    * structures (unit query vectors: Q·dim doubles; distance-table
+    * slices: Q·k rows per subspace) — right for serving batches up to
+    * ~10⁵ queries. Beyond that the per-query structures outgrow the
+    * broadcast limit: pass false and the same plan runs them as
+    * shuffle equi-joins (qid is the join key on every one), trading
+    * per-executor copies for one shuffle of the candidate set. */
   def ivfPqKnnJoin(store: graft.store.ModelStore, queries: DataFrame,
       topK: Int = 5, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
-      rerankK: Int = 50): DataFrame = {
+      rerankK: Int = 50, excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
     val sub = dim / m
+    val bq: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast(_) else identity
     val exQ = explodeVecsUnit(queries).localCheckpoint(true)
     val qcd = exQ.join(broadcast(store.load("coarse")), Seq("i"))
       .groupBy(col("vec_id").as("qid"), col("cid"))
@@ -820,10 +855,11 @@ object Similarity {
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dq"))
       .localCheckpoint(true) // m scoring joins read it
     val coded = store.load("cells").join(store.load("codes"), "vec_id")
-    val cand = coded.join(probes, Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
+    val cand0 = coded.join(probes, Seq("cid"))
+    val cand =
+      if (excludeSelf) cand0.filter(col("vec_id") =!= col("qid")) else cand0
     val scored = (0 until m).foldLeft(cand) { (df, s) =>
-      df.join(broadcast(dts.filter(col("s") === s)
+      df.join(bq(dts.filter(col("s") === s)
         .select(col("qid"), col("cid").as(s"c$s"), col("dq").as(s"d$s"))),
         Seq("qid", s"c$s"))
     }.withColumn("adc",
@@ -837,7 +873,7 @@ object Similarity {
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
     short.join(store.load("vectors"), "vec_id")
-      .join(broadcast(qvecs), "qid")
+      .join(bq(qvecs), "qid")
       .select(col("qid"), col("vec_id"),
         round(aggregate(zip_with(col("ux"), col("qx"), (a, b) => a * b),
           lit(0.0), (acc, v) => acc + v), 9).as("cos_sim"))

@@ -25,9 +25,14 @@ object ArtifactCache {
 
   private val artifacts =
     scala.collection.concurrent.TrieMap.empty[Seq[String], String]
-  // every directory this process ever created, including ones replaced
-  // by a re-publish — all deleted at JVM exit (replaced dirs stay on
-  // disk until then so an in-flight reader never loses its files)
+  // per key, the directory the CURRENT one replaced: retained so a
+  // reader that resolved the old entry keeps scanning complete files,
+  // reclaimed when the NEXT publish of the same key makes it two
+  // generations old — disk is bounded at two generations per key, not
+  // one per publish (review r9)
+  private val prevDirs =
+    scala.collection.concurrent.TrieMap.empty[Seq[String], String]
+  // every directory not yet individually reclaimed — deleted at JVM exit
   private val allDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
@@ -81,7 +86,18 @@ object ArtifactCache {
       java.nio.file.Files.createTempDirectory("graft-artifact-").toString
     allDirs.add(path)
     frame.write.mode("overwrite").parquet(path)
-    artifacts.put(key, path) // swap only after the write completed
+    val replaced = artifacts.put(key, path) // swap after the write completed
+    // reclaim the two-generations-old directory: it became unreachable
+    // before this publish even began, so only a reader spanning TWO
+    // publishes of the same key could still hold it — accepted, since
+    // publishes of a key are as rare as corpus rewrites; best-effort,
+    // the exit hook sweeps stragglers
+    replaced.foreach { r =>
+      prevDirs.put(key, r).foreach { old =>
+        try ModelStore.deleteRecursively(java.nio.file.Paths.get(old))
+        catch { case _: java.io.IOException => () }
+      }
+    }
     spark.read.parquet(path)
   }
 

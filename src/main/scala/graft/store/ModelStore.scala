@@ -104,9 +104,13 @@ object ModelStore {
     finally deleteRecursively(dir)
   }
 
-  // process-level shared trained-model cache: key → store directory
+  // process-level shared trained-model cache: key → store directory.
+  // ConcurrentHashMap.computeIfAbsent gives per-key(-bin) locking: two
+  // threads building DIFFERENT models (the IVF-PQ index and the BPE
+  // tokenizer, say) train concurrently instead of serializing behind a
+  // global lock; same-key callers still build exactly once (review r9)
   private val sharedDirs =
-    scala.collection.concurrent.TrieMap.empty[Seq[String], String]
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], String]()
 
   /** Process-level cache of TRAINED models — the [[ArtifactCache]]
     * discipline applied to model directories. Key = source-table
@@ -122,8 +126,8 @@ object ModelStore {
     * consumers ride the cache. Directories are reclaimed at JVM exit
     * (the artifact-cache shutdown hook). */
   def shared(spark: SparkSession, key: Seq[String])
-      (train: ModelStore => Unit): ModelStore = synchronized {
-    val dir = sharedDirs.getOrElseUpdate(key, {
+      (train: ModelStore => Unit): ModelStore = {
+    val dir = sharedDirs.computeIfAbsent(key, _ => {
       val d = java.nio.file.Files
         .createTempDirectory("graft-model-").toString
       ArtifactCache.trackDir(d)

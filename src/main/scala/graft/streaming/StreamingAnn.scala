@@ -111,12 +111,13 @@ object StreamingAnn {
     * sample-training shape anyway. */
   def buildIndexWithDriftReference(emb: DataFrame, indexStore: ModelStore,
       driftStore: ModelStore, calibMod: Int = 10, buckets: Int = 10,
-      kCells: Int = 4, m: Int = 4, k: Int = 8, dim: Int = 64): Long = {
+      kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64): Long = {
     require(calibMod >= 2, s"calibMod=$calibMod must leave a training slice")
     val calib = emb.filter(pmod(col("vec_id"), lit(calibMod)) === 0)
     val train = emb.filter(pmod(col("vec_id"), lit(calibMod)) =!= 0)
     val v = Similarity.saveIvfPqIndexTrainedOn(train, emb, indexStore,
-      kCells, m, k, dim = dim)
+      kCells, m, k, iters, dim)
     saveDriftReference(calib, indexStore, driftStore, buckets)
     v
   }
@@ -181,20 +182,26 @@ object StreamingAnn {
       codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
       topK: Int = 10, nprobe: Int = 2, m: Int = 4,
       dim: Int = 64, rerankK: Int = 100): DataFrame = {
-    val base = store.load("cells").join(store.load("codes"), "vec_id")
-      .join(store.load("vectors"), "vec_id") // rerank payload
-    val coded = StreamingDedup.readStore(spark, codesPath) match {
+    val baseCodes = store.load("cells").join(store.load("codes"), "vec_id")
+    val (coded, vectors) = StreamingDedup.readStore(spark, codesPath) match {
       case Some(inc) =>
+        val base = baseCodes
+          .join(store.load("vectors"), "vec_id") // rerank payload
         val all = base.withColumn("__b", lit(-1L)).unionByName(
           inc.select((base.columns.map(col) :+
             col("batch").cast("long").as("__b")): _*))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("__b").desc)
-        all.withColumn("__rn", row_number().over(w))
+        // codes and rerank payload must win TOGETHER per vec_id (an
+        // increment can carry an updated embedding), so ONE dedup
+        // window decides the winner and both serve legs read it; the
+        // ADC leg drops ux inside the shared search body
+        val dd = all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__b", "__rn")
-      case None => base
+        (dd, dd.select("vec_id", "ux"))
+      case None => (baseCodes, store.load("vectors"))
     }
-    Similarity.ivfPqSearchOver(store.load("coarse"), coded,
+    Similarity.ivfPqSearchOver(store.load("coarse"), coded, vectors,
       store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
   }
 }

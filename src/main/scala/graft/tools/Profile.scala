@@ -53,13 +53,7 @@ object Profile {
         prep._1
       }
       val (_, messages, direct) = prep
-      val docs0 = graft.docs.DocumentAlgebra.createDocs(
-        Pipeline.toVersions(Pipeline.parse(raw)._1).limit(0)
-          .select(col("guid"), col("typeName"),
-            lit("q").as("qualifiedName"), col("attributes"))
-          .withColumn("name", lit(null).cast("string"))
-          .withColumn("definition", lit(null).cast("string"))
-          .withColumn("email", lit(null).cast("string")))
+      val docs0 = Pipeline.emptyDocsFor(raw)
       time(s"e2e[$rep] applyChanges") {
         graft.jobs.SynchronizeSearch.applyChanges(docs0,
           graft.jobs.SynchronizeSearch.directOnly(messages)).count()

@@ -132,6 +132,18 @@ class ModelStoreSpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         assert(batch(q) === single, s"query $q diverged")
       }
+      // external-batch contract: excludeSelf=false keeps the id-colliding
+      // corpus vector — each query's own vector is its unit-cosine top hit
+      val ext = llm.Similarity
+        .ivfPqKnnJoin(store, emb.filter(col("vec_id") < 4),
+          topK = 3, nprobe = 2, rerankK = 100, excludeSelf = false)
+        .filter(col("rnk") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(ext.length === 4)
+      ext.foreach { case (qid, vid, sim) =>
+        assert(vid === qid && sim === 1.0,
+          s"query $qid top hit was ($vid, $sim), expected itself at 1.0")
+      }
     }
   }
 

@@ -61,7 +61,8 @@ class StreamingAnnSpec extends AnyFunSuite {
         .unionByName(llm.Similarity.encodeWithIndex(store,
           inc1.unionByName(inc2)))
       val batch = llm.Similarity.ivfPqSearchOver(store.load("coarse"),
-        unionCoded, store.load("codebooks"), qVec, qId = 0L)
+        unionCoded, unionCoded.select("vec_id", "ux"),
+        store.load("codebooks"), qVec, qId = 0L)
         .collect().map(_.toString).toSeq
       assert(incremental === batch)
 
