@@ -92,11 +92,13 @@ object SparkEntry {
     "q_quality_clf_score" -> (llm.Classifier.clfScoreQuery _),
     "q_lm_model" -> (llm.TextOps.lmModel _),
     "q_lm_perplexity" -> (llm.TextOps.lmPerplexity _),
+    "q_ccnet_buckets" -> (llm.TextOps.ccnetBuckets _),
     "q_char_entropy" -> (llm.TextOps.charEntropy _),
     "q_text_embed" -> (llm.TextOps.embedText _),
     "q_pagerank" -> (operators.PageRank.pageRank _),
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
+    "q_soft_dedup" -> (llm.Dedup.softDedup _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
     "q_minhash_lsh" -> ((s, d) => llm.Dedup.minhashLsh(s, d)),
     "q_simhash" -> (llm.Dedup.simhash _),
@@ -177,6 +179,9 @@ object SparkEntry {
     "q_ann_pairs" -> ((s, d) => llm.Similarity.annPairs(s, d)),
     "q_knn_join" -> (llm.Similarity.knnJoinQuery _),
     "q_ivf_train" -> (llm.Similarity.ivfTrainQuery _),
+    "q_proto_prune" -> ((s, d) => llm.Similarity.protoPrune(s, d)),
+    "q_cluster_purity" -> ((s, d) => llm.Similarity.clusterPurity(s, d)),
+    "q_int8_quant" -> (llm.Similarity.int8Audit _),
     "q_pq_train" -> (llm.Similarity.pqTrainQuery _),
     "q_pq_encode" -> (llm.Similarity.pqEncodeQuery _),
     "q_pq_adc" -> (llm.Similarity.pqAdcQuery _),
@@ -516,6 +521,29 @@ object SparkEntry {
       |tr AS (SELECT * FROM bg WHERE lang = 'en'),
       |""".stripMargin
 
+  // bigram-LM scoring chain (model counts → per-position −ln p → per-doc
+  // ordered-fold cross-entropy in `px`): shared by q_lm_perplexity AND
+  // q_ccnet_buckets, so the bucketing cannot silently diverge from the
+  // score it buckets. Ends at the `px` CTE (doc_id, lang, n_bigrams,
+  // xent) with no trailing comma.
+  private val lmScoreCte = lmBigramCte +
+    """cab AS (SELECT a, b, count(*) AS c_ab FROM tr GROUP BY a, b),
+      |ca AS (SELECT a, count(*) AS c_a FROM tr GROUP BY a),
+      |v AS (SELECT CAST(count(DISTINCT a) AS DOUBLE) AS v FROM tr),
+      |lp AS (SELECT g.doc_id, g.pos,
+      |         -ln((CAST(coalesce(c.c_ab, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) /
+      |             (CAST(coalesce(a2.c_a, 0) AS DOUBLE) + v.v)) AS lp
+      |       FROM bg g LEFT JOIN cab c ON g.a = c.a AND g.b = c.b
+      |                 LEFT JOIN ca a2 ON g.a = a2.a CROSS JOIN v),
+      |s AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+      |        list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+      |                    (u, w2) -> u + w2) AS tot
+      |      FROM lp GROUP BY doc_id),
+      |px AS (SELECT d.doc_id, d.lang, coalesce(s.n_bigrams, 0) AS n_bigrams,
+      |         coalesce(round(s.tot / CAST(s.n_bigrams AS DOUBLE), 6),
+      |                  (SELECT round(ln(v.v), 6) FROM v)) AS xent
+      |       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)""".stripMargin
+
   private def clfScoreExpr(r: String): String =
     (0 until 5).map(j => s"$r.w$j * x$j").mkString(" + ")
 
@@ -803,24 +831,24 @@ object SparkEntry {
         |FROM cab JOIN ca ON cab.a = ca.a CROSS JOIN v
         |ORDER BY cab.a, cab.b""".stripMargin),
     "q_lm_perplexity" ->
-      (lmBigramCte + """
-        |cab AS (SELECT a, b, count(*) AS c_ab FROM tr GROUP BY a, b),
-        |ca AS (SELECT a, count(*) AS c_a FROM tr GROUP BY a),
-        |v AS (SELECT CAST(count(DISTINCT a) AS DOUBLE) AS v FROM tr),
-        |lp AS (SELECT g.doc_id, g.pos,
-        |         -ln((CAST(coalesce(c.c_ab, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) /
-        |             (CAST(coalesce(a2.c_a, 0) AS DOUBLE) + v.v)) AS lp
-        |       FROM bg g LEFT JOIN cab c ON g.a = c.a AND g.b = c.b
-        |                 LEFT JOIN ca a2 ON g.a = a2.a CROSS JOIN v),
-        |s AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
-        |        list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
-        |                    (u, w2) -> u + w2) AS tot
-        |      FROM lp GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
-        |  coalesce(round(s.tot / CAST(s.n_bigrams AS DOUBLE), 6),
-        |           (SELECT round(ln(v.v), 6) FROM v)) AS xent
-        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-        |ORDER BY d.doc_id""".stripMargin),
+      (lmScoreCte + """
+        |SELECT doc_id, n_bigrams, xent FROM px
+        |ORDER BY doc_id""".stripMargin),
+    // CCNet head/middle/tail split: per-language perplexity tertiles over
+    // the SAME scoring chain (ntile over the rounded xent + doc_id
+    // tie-break is engine-deterministic; both engines define ntile as
+    // first (n mod 3) groups get the extra row)
+    "q_ccnet_buckets" ->
+      (lmScoreCte + """,
+        |bk AS (SELECT lang, xent,
+        |         ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS b
+        |       FROM px)
+        |SELECT lang,
+        |  CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, round(avg(xent), 6) AS avg_xent,
+        |  min(xent) AS min_xent, max(xent) AS max_xent
+        |FROM bk GROUP BY lang, b ORDER BY lang, bucket""".stripMargin),
     // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
     // pattern): integer edge weights; per-node in-neighbor sums are
     // FIXED-POINT — each contribution floor-quantized to 1e-9 units as
@@ -1426,6 +1454,16 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // soft dedup: every copy of an n-duplicate text keeps weight 1/n —
+    // per-source raw vs effective corpus accounting
+    "q_soft_dedup" ->
+      """WITH d AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+        |s AS (SELECT h, count(*) AS n FROM d GROUP BY h)
+        |SELECT source, count(*) AS n_docs,
+        |  round(sum(CAST(1 AS DOUBLE) / n), 6) AS eff_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  round(sum(CAST(n_chars AS DOUBLE) / n), 6) AS eff_chars
+        |FROM d JOIN s USING (h) GROUP BY source ORDER BY source""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, lang, source,
@@ -2727,6 +2765,59 @@ object SparkEntry {
     "q_ivf_train" ->
       (ivfAssignCte + """
         |SELECT vec_id, cid AS cluster FROM af ORDER BY vec_id""".stripMargin),
+    // prototypicality pruning (Sorscher et al. 2022): same trained
+    // assignment chain; distance rounds to 9 BEFORE the within-cell rank
+    // (grouped double sums are not combine-order-pinned across engines),
+    // closest 25% of each cell flagged
+    "q_proto_prune" ->
+      (ivfAssignCte + """,
+        |ad AS (SELECT a.vec_id, a.cid, round(d.d, 9) AS d
+        |       FROM af a JOIN df d ON a.vec_id = d.vec_id AND a.cid = d.cid),
+        |r AS (SELECT vec_id, cid, d,
+        |        CAST(row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS INTEGER) AS rk,
+        |        count(*) OVER (PARTITION BY cid) AS cell_n
+        |      FROM ad)
+        |SELECT vec_id, cid, d, rk,
+        |  CASE WHEN rk <= floor(CAST(cell_n AS DOUBLE) * CAST(0.25 AS DOUBLE))
+        |       THEN 1 ELSE 0 END AS prune
+        |FROM r ORDER BY vec_id""".stripMargin),
+    // per-cluster label purity over the same trained assignment:
+    // majority label (ties to the smaller label), purity = majority/total
+    "q_cluster_purity" ->
+      (ivfAssignCte + """,
+        |m AS (SELECT a.cid, e.label FROM af a JOIN embeddings e USING (vec_id)),
+        |cl AS (SELECT cid, label, count(*) AS n FROM m GROUP BY cid, label),
+        |r AS (SELECT cid, label, n,
+        |        row_number() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rk,
+        |        sum(n) OVER (PARTITION BY cid) AS cell_n
+        |      FROM cl)
+        |SELECT cid AS cluster, CAST(cell_n AS BIGINT) AS n_vecs,
+        |  label AS top_label, round(CAST(n AS DOUBLE) / cell_n, 6) AS purity
+        |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin),
+    // INT8 scalar-quantization audit: symmetric max-abs scale, left-fold
+    // reconstruction MSE in array index order (bit-identical across
+    // engines), per-label roll-up
+    "q_int8_quant" ->
+      """WITH p AS (SELECT vec_id, label,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+        |  FROM embeddings),
+        |m AS (SELECT p.vec_id, p.label, p.amax,
+        |    CASE WHEN p.amax = 0 THEN CAST(0 AS DOUBLE) ELSE
+        |      list_reduce(list_prepend(0.0, list_transform(e.embedding,
+        |        x -> (CAST(x AS DOUBLE)
+        |              - floor(CAST(x AS DOUBLE) / (p.amax / CAST(127 AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+        |                * (p.amax / CAST(127 AS DOUBLE)))
+        |           * (CAST(x AS DOUBLE)
+        |              - floor(CAST(x AS DOUBLE) / (p.amax / CAST(127 AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+        |                * (p.amax / CAST(127 AS DOUBLE))))),
+        |        (a, b) -> a + b) / CAST(64 AS DOUBLE) END AS mse
+        |  FROM embeddings e JOIN p USING (vec_id))
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(round(mse, 9)), 6) AS avg_mse,
+        |  max(round(mse, 9)) AS max_mse,
+        |  round(avg(round(amax, 9)), 6) AS avg_amax
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     // SemDeDup: same trained assignment (shared CTE chain — a fix to the
     // quantizer cannot silently diverge from the dedup), then exact cosine
     // within each cluster only, min-id survivor at cos >= 0.3

@@ -38,6 +38,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("h")
 
+  /** Soft deduplication: duplicates are DOWN-WEIGHTED, not dropped — each
+    * exact-duplicate cluster of size n contributes total weight 1 (every
+    * copy keeps 1/n), so boilerplate stops dominating the training mix
+    * while no document vanishes (the soft-dedup alternative to [[exact]]'s
+    * keep-one; cf. SlimPajama-style corpus accounting). Output is the
+    * per-source ledger a mixing step consumes: raw vs EFFECTIVE doc and
+    * char counts. Invariant: Σ eff_docs over all sources = number of
+    * distinct texts in the corpus.
+    *
+    * Scale: the exact-dedup hash aggregation for cluster sizes, one
+    * equi-join back on the 60-bit-class hash, one per-source roll-up —
+    * no new shuffle class beyond exact dedup, state bounded by
+    * |sources|. */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"))
+    val sizes = d.groupBy("h").agg(count(lit(1)).as("n"))
+    d.join(sizes, Seq("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(lit(1.0) / col("n")), 6).as("eff_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        round(sum(col("n_chars").cast("double") / col("n")), 6)
+          .as("eff_chars"))
+      .orderBy("source")
+  }
+
   /** k-word shingles from an already-materialized tokens ATTRIBUTE
     * (distinct, as array). Do not pass a computed expression — stage it. */
   def shinglesFromTokens(toks: Column, k: Int = 3): Column =

@@ -1115,4 +1115,109 @@ object Similarity {
       .filter(col("rnk") <= k)
       .orderBy("q_id", "rnk")
   }
+
+  /** Prototypicality pruning over the trained coarse quantizer
+    * (Sorscher et al. 2022, "Beyond neural scaling laws": when data is
+    * abundant, prune the EASY examples — the ones closest to their
+    * cluster prototype — and keep the informative tail). Assignment is
+    * the q_ivf_train quantizer verbatim (raw domain, k=4, 2 Lloyd
+    * rounds, lowest-id seeding, argmin ties to the smaller cell), so a
+    * quantizer fix cannot silently diverge from the pruning policy.
+    * Each vector gets its cell, its distance-to-centroid (rounded to 9
+    * BEFORE ranking — grouped double sums are not combine-order-pinned
+    * across engines), its within-cell rank ascending, and a prune flag
+    * for the closest `frac` of the cell.
+    *
+    * Scale: centroids are k×dim — broadcast; assignment is one scan.
+    * The within-cell row_number is the only per-cell sort; at
+    * production scale (cells of ~corpus/k rows) replace the exact rank
+    * with a per-cell distance threshold from approxQuantile(frac) — one
+    * extra aggregation, ε-approximate selection, no per-cell sort. The
+    * exact rank is kept here because the oracle contract is exact. */
+  def protoPrune(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 2, frac: Double = 0.25): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val ex = explodeVecs(emb)
+    val cent = lloydCentroids(ex, k, iters, "lowest")
+    val assigned = ex.join(broadcast(cent), Seq("i"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        round(col("m.d"), 9).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("d"), col("vec_id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(wc))
+      .select(col("vec_id"), col("cid"), col("d"), col("rk"),
+        (col("rk") <= floor(col("cell_n").cast("double") * lit(frac)))
+          .cast("int").as("prune"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-cluster label-purity audit over the SAME trained quantizer as
+    * [[protoPrune]]/q_ivf_train: cluster size, majority label (ties to
+    * the smaller label), and purity = majority/total — the standard
+    * sanity read on whether unsupervised cells line up with known
+    * strata before they are used for balancing or pruning. Scale: one
+    * assignment scan, one (cid, label) aggregation whose state is
+    * k × |labels| rows. */
+  def clusterPurity(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val ex = explodeVecs(emb)
+    val assigned = assignCells(ex, lloydCentroids(ex, k, iters, "lowest"))
+    val cl = assigned.join(emb.select("vec_id", "label"), Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("n").desc, col("label"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    cl.withColumn("rk", row_number().over(w))
+      .withColumn("cell_n", sum(col("n")).over(wc))
+      .filter(col("rk") === 1)
+      .select(col("cid").as("cluster"), col("cell_n").as("n_vecs"),
+        col("label").as("top_label"),
+        round(col("n").cast("double") / col("cell_n"), 6).as("purity"))
+      .orderBy("cluster")
+  }
+
+  /** INT8 scalar-quantization audit, per vector: symmetric max-abs
+    * scale (scale = max|x|/127, code = floor(x/scale + 0.5), recon =
+    * code·scale) and the reconstruction MSE — the measured loss of
+    * storing the embedding column at 1 byte/dim instead of 4 (a 4×
+    * smaller store + shuffle payload at 100 TB; the compressed-domain
+    * cousin of [[pqEncode]], without a codebook). The error fold runs
+    * in array index order (both engines reduce left-to-right over the
+    * same correctly-rounded ops → bit-identical), zero vectors audit
+    * as mse 0 explicitly. */
+  def int8AuditOf(emb: DataFrame): DataFrame = {
+    val staged = emb.select(col("vec_id"), col("label"), col("embedding"),
+      array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))).as("amax"))
+    val scale = col("amax") / lit(127.0)
+    def errSum = aggregate(col("embedding"), lit(0.0), (acc, xf) => {
+      val x = xf.cast("double")
+      val rec = floor(x / scale + lit(0.5)) * scale
+      acc + (x - rec) * (x - rec)
+    })
+    staged.select(col("vec_id"), col("label"),
+      round(col("amax"), 9).as("amax"),
+      round(when(col("amax") === 0d, lit(0.0))
+        .otherwise(errSum / lit(64.0)), 9).as("mse"))
+  }
+
+  /** Per-label roll-up of [[int8AuditOf]] — the audit a storage-format
+    * decision reads: vectors, mean/max reconstruction MSE, mean scale
+    * numerator. One scan, |labels|-row state. */
+  def int8Audit(spark: SparkSession, dir: String): DataFrame =
+    int8AuditOf(t(spark, dir, "embeddings"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("mse")), 6).as("avg_mse"),
+        max(col("mse")).as("max_mse"),
+        round(avg(col("amax")), 6).as("avg_amax"))
+      .orderBy("label")
 }

@@ -655,6 +655,39 @@ object TextOps {
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
     lmPerplexityPersisted(t(spark, dir, "documents"), sharedLm(spark, dir))
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    * document with the trained bigram LM ([[lmPerplexity]] — served from
+    * the process-shared model, zero extra training jobs), then split each
+    * LANGUAGE into perplexity tertiles — `head` (most fluent under the
+    * trusted-language model), `middle`, `tail` — exactly the partition
+    * CCNet keeps/samples/drops. Output is the per-(lang, bucket) ledger:
+    * doc count and xent mean/min/max. Tertile assignment is ntile(3)
+    * over (xent, doc_id) — the rounded score plus the id tie-break make
+    * the bucket boundary engine-deterministic.
+    *
+    * Scale: the LM score is the lmPerplexity plan verbatim; the ntile
+    * window partitions by language (bounded fan-out, skew bounded by the
+    * largest language — at production scale swap ntile for per-lang
+    * approx xent quantile cut points, one aggregation, no per-lang
+    * sort). Final state is |langs|×3 rows. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+    t(spark, dir, "documents").select("doc_id", "lang")
+      .join(lmPerplexity(spark, dir), Seq("doc_id"))
+      .withColumn("b", ntile(3).over(w))
+      .groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("xent")), 6).as("avg_xent"),
+        min(col("xent")).as("min_xent"),
+        max(col("xent")).as("max_xent"))
+      .select(col("lang"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("avg_xent"), col("min_xent"), col("max_xent"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Persist the trained bigram LM (VERDICT r6 #1): "bigrams" (a, b,
     * c_ab), "contexts" (a, c_a), "vsize" (v) — the three count frames
     * [[lmCounts]] derives, i.e. exactly the model state the scorer

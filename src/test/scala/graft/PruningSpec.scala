@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave 15 — data-pruning & storage-efficiency family: soft dedup,
+  * prototypicality pruning, cluster purity, CCNet buckets, int8 audit. */
+class PruningSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("softDedup: per-source effective mass sums to the distinct-text count") {
+    val out = llm.Dedup.softDedup(spark, sfDir).collect()
+    val docs = Tables.t(spark, sfDir, "documents")
+    val distinctTexts = docs.select("text").distinct().count()
+    val effTotal = out.map(_.getAs[Double]("eff_docs")).sum
+    assert(math.abs(effTotal - distinctTexts) < 1e-3,
+      s"sum(eff_docs)=$effTotal != distinct texts $distinctTexts")
+    out.foreach { r =>
+      assert(r.getAs[Double]("eff_docs") <= r.getAs[Long]("n_docs") + 1e-9)
+      assert(r.getAs[Double]("eff_chars") <= r.getAs[Long]("n_chars") + 1e-6)
+    }
+  }
+
+  test("protoPrune: each cell prunes exactly floor(25%) and prunes its closest vectors") {
+    val rows = llm.Similarity.protoPrune(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Int]("cid")).foreach { case (cid, cell) =>
+      val n = cell.length
+      val pruned = cell.filter(_.getAs[Int]("prune") == 1)
+      assert(pruned.length == math.floor(n * 0.25).toInt,
+        s"cell $cid: ${pruned.length} pruned of $n")
+      if (pruned.nonEmpty && pruned.length < n) {
+        val maxPruned = pruned.map(_.getAs[Double]("d")).max
+        val minKept = cell.filter(_.getAs[Int]("prune") == 0)
+          .map(_.getAs[Double]("d")).min
+        assert(maxPruned <= minKept,
+          s"cell $cid: pruned d $maxPruned > kept d $minKept")
+      }
+      // ranks are a permutation of 1..n within the cell
+      assert(cell.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to n))
+    }
+  }
+
+  test("clusterPurity: sizes sum to the corpus, purity is a valid majority share") {
+    val rows = llm.Similarity.clusterPurity(spark, sfDir).collect()
+    val total = Tables.t(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("purity")
+      assert(p > 0.0 && p <= 1.0)
+      // a majority share over L labels is at least 1/L of the cell
+      assert(p * r.getAs[Long]("n_vecs") >= 1.0 - 1e-9)
+    }
+  }
+
+  test("ccnetBuckets: tertiles cover every doc, sizes within 1, monotone mean xent") {
+    val rows = llm.TextOps.ccnetBuckets(spark, sfDir).collect()
+    val total = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, bs) =>
+      val byName = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      assert(byName.keySet == Set("head", "middle", "tail") ||
+        bs.map(_.getAs[Long]("n_docs")).sum < 3, s"$lang buckets: ${byName.keySet}")
+      if (byName.size == 3) {
+        val sizes = bs.map(_.getAs[Long]("n_docs"))
+        assert(sizes.max - sizes.min <= 1, s"$lang ntile sizes $sizes")
+        val h = byName("head"); val m = byName("middle"); val t = byName("tail")
+        assert(h.getAs[Double]("avg_xent") <= m.getAs[Double]("avg_xent") + 1e-9)
+        assert(m.getAs[Double]("avg_xent") <= t.getAs[Double]("avg_xent") + 1e-9)
+        // bucket ranges do not overlap: head's max <= middle's min, etc.
+        assert(h.getAs[Double]("max_xent") <= m.getAs[Double]("min_xent") + 1e-9)
+        assert(m.getAs[Double]("max_xent") <= t.getAs[Double]("min_xent") + 1e-9)
+      }
+    }
+  }
+
+  test("int8AuditOf: per-vector mse within the scale/2 worst-case bound; zero vector audits clean") {
+    val s = spark
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val zero = Row(999L, Seq.fill(64)(0.0f), 0)
+    val ramp = Row(1000L, (0 until 64).map(i => (i - 32) / 17.0f), 1)
+    val synth = s.createDataFrame(
+      java.util.Arrays.asList(zero, ramp), schema)
+    val real = Tables.t(s, sfDir, "embeddings").limit(200)
+    val out = llm.Similarity.int8AuditOf(real.unionByName(synth)).collect()
+    out.foreach { r =>
+      val amax = r.getAs[Double]("amax")
+      val mse = r.getAs[Double]("mse")
+      val bound = (amax / 254.0) * (amax / 254.0) // (scale/2)^2
+      assert(mse >= 0.0 && mse <= bound + 1e-9,
+        s"vec ${r.getAs[Long]("vec_id")}: mse $mse > bound $bound")
+    }
+    val z = out.find(_.getAs[Long]("vec_id") == 999L).get
+    assert(z.getAs[Double]("amax") == 0.0 && z.getAs[Double]("mse") == 0.0)
+  }
+}
