@@ -83,6 +83,7 @@ object SparkEntry {
     "q_unicode_norm" -> (llm.TextOps.unicodeNorm _),
     "q_bpe_train" -> ((s, d) => llm.TextOps.bpeTrainQuery(s, d)),
     "q_bpe_encode" -> ((s, d) => llm.TextOps.bpeEncodeQuery(s, d)),
+    "q_bpe_fertility" -> (llm.TextOps.bpeFertility _),
     "q_bpe_coverage" -> ((s, d) => llm.TextOps.bpeCoverageQuery(s, d)),
     "q_tfidf" -> ((s, d) => llm.TextOps.tfIdf(s, d)),
     "q_bm25" -> ((s, d) => llm.TextOps.bm25(s, d)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_line_dedup" -> (llm.TextCuration.lineDedup _),
     "q_repetition_filter" -> ((s, d) => llm.TextCuration.repetitionStats(s, d)),
     "q_sequence_pack" -> ((s, d) => llm.TextCuration.sequencePack(s, d)),
+    "q_shard_plan" -> ((s, d) => llm.Sampling.shardPlan(s, d)),
     "q_pii_redact" -> (llm.TextCuration.piiRedact _),
     "q_gopher_rules" -> (llm.TextCuration.gopherRules _),
     "q_c4_rules" -> (llm.TextCuration.c4Rules _),
@@ -792,6 +794,18 @@ object SparkEntry {
         |SELECT vec_id, pc1 FROM y ORDER BY vec_id""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    // per-language fertility over the same learned merge table: the
+    // encode CTE chain grouped by documents.lang instead of doc_id
+    "q_bpe_fertility" ->
+      s"""$bpeCteChain,
+         |wt AS (SELECT word, len(string_split(trim(w), '  ')) AS n_toks FROM v$bpeRounds),
+         |dw AS (SELECT d.lang, unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS word FROM documents d)
+         |SELECT lang, count(*) AS n_words,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE) / count(*), 6) AS tokens_per_word,
+         |  round(CAST(CAST(sum(CASE WHEN n_toks = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*), 6) AS single_token_frac
+         |FROM dw JOIN wt USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_bpe_coverage" -> bpeCoverageOracle,
     "q_ngram_stats" ->
       """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
@@ -2617,6 +2631,21 @@ object SparkEntry {
         |FROM bstat b JOIN lstat l ON b.doc_id = l.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     // greedy sequential packing into 2048-token sequences, per 8-way shard
+    // balanced shard plan: global (n_tok DESC, doc_id) rank dealt
+    // round-robin over 8 shards — sorted-descending round-robin bounds
+    // any two shards' token totals within one max-document
+    "q_shard_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |        len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |      FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |        row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+        |      FROM d)
+        |SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tot_tokens,
+        |  CAST(min(n_tok) AS INTEGER) AS min_tok,
+        |  CAST(max(n_tok) AS INTEGER) AS max_tok
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_sequence_pack" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens

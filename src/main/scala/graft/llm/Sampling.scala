@@ -305,6 +305,32 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Balanced output-shard plan: docs sorted by token count descending
+    * are dealt round-robin over `shards` writers, so every shard's
+    * token total lands within ONE max-document of every other
+    * (sorted-descending round-robin telescopes: total_i − total_j ≤
+    * the largest item) — the write-side bin packing that keeps output
+    * files uniform for the next reader, without a driver-side packer.
+    * Output is the per-shard ledger (docs, token totals, size range).
+    *
+    * Scale: the global order uses [[Fusion.globalRank]]'s two-phase
+    * bucket discipline (driver sees only the token-count histogram,
+    * never rows; within-bucket ranks are distributed) — no
+    * SinglePartition window. */
+  def shardPlan(spark: SparkSession, dir: String,
+      shards: Int = 8): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tok"))
+    Fusion.globalRank(docs, col("n_tok"), col("doc_id"),
+        col("n_tok"), "rk")
+      .withColumn("shard", ((col("rk") - 1) % shards).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("tot_tokens"),
+        min("n_tok").as("min_tok"), max("n_tok").as("max_tok"))
+      .orderBy("shard")
+  }
+
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     weightedSampleOf(t(spark, dir, "documents"))
 }

@@ -320,6 +320,28 @@ object TextOps {
       .orderBy("metric")
   }
 
+  /** Per-language tokenizer FERTILITY audit over the learned merge
+    * table: tokens-per-word and single-token share BY LANGUAGE — the
+    * read that shows which languages the tokenizer under-serves (a
+    * tokenizer trained on one language fragments the others; fertility
+    * is the standard multilingual-tokenizer metric). Same
+    * shared-tokenizer encode pass as [[bpeEncodeQuery]] (zero training
+    * jobs), one extra doc_id equi-join for the language, |langs|-row
+    * state. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    encodedWordRowsWith(docs, sharedBpe(spark, dir).load("vocab"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_toks").as("n_tokens"),
+        round(sum("n_toks").cast("double") / count(lit(1)), 6)
+          .as("tokens_per_word"),
+        round(sum(when(col("n_toks") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("single_token_frac"))
+      .orderBy("lang")
+  }
+
   /** Driver-contract form of [[bpeCoverage]] — the coverage card over
     * the process-shared tokenizer's vocabulary (the same
     * `encodedWordRowsWith` body the persisted==inline gate pins). */

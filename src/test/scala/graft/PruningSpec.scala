@@ -75,6 +75,33 @@ class PruningSpec extends AnyFunSuite {
     }
   }
 
+  test("shardPlan: doc counts within 1, token totals within one max-document") {
+    val rows = llm.Sampling.shardPlan(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val total = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1, s"doc skew: ${counts.toSeq}")
+    val tots = rows.map(_.getAs[Long]("tot_tokens"))
+    val maxDoc = rows.map(_.getAs[Int]("max_tok")).max.toLong
+    assert(tots.max - tots.min <= maxDoc,
+      s"token skew ${tots.max - tots.min} > max doc $maxDoc")
+  }
+
+  test("bpeFertility: per-lang rows aggregate exactly to the corpus coverage card") {
+    val fert = llm.TextOps.bpeFertility(spark, sfDir).collect()
+    val card = llm.TextOps.bpeCoverageQuery(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(fert.map(_.getAs[Long]("n_words")).sum == card("n_words").toLong)
+    assert(fert.map(_.getAs[Long]("n_tokens")).sum == card("n_tokens").toLong)
+    fert.foreach { r =>
+      val tpw = r.getAs[Double]("tokens_per_word")
+      assert(tpw >= 1.0 - 1e-9, s"${r.getAs[String]("lang")}: fertility $tpw < 1")
+      val stf = r.getAs[Double]("single_token_frac")
+      assert(stf >= 0.0 && stf <= 1.0)
+    }
+  }
+
   test("int8AuditOf: per-vector mse within the scale/2 worst-case bound; zero vector audits clean") {
     val s = spark
     val schema = StructType(Seq(
