@@ -210,9 +210,16 @@ object Similarity {
     * assignment is computed once and feeds both the pair join and the
     * survivor projection. */
   def semDedup(emb: DataFrame, k: Int = 4, iters: Int = 2,
-      tau: Double = 0.3, hotClusterCap: Int = 4096): DataFrame = {
-    val ex = explodeVecs(emb)
-    val asg = assignCells(ex, lloydCentroids(ex, k, iters))
+      tau: Double = 0.3, hotClusterCap: Int = 4096): DataFrame =
+    semDedupWith(emb, lloydCentroids(explodeVecs(emb), k, iters),
+      tau, hotClusterCap)
+
+  /** The SemDeDup body against an EXPLICIT centroid frame — shared by
+    * the train-inline path and the shared-quantizer serving path, so
+    * serving cannot diverge from the inline definition. */
+  private def semDedupWith(emb: DataFrame, cent: DataFrame,
+      tau: Double, hotClusterCap: Int): DataFrame = {
+    val asg = assignCells(explodeVecs(emb), cent)
     val e = emb.join(asg, Seq("vec_id")).localCheckpoint(true)
     val dropped = groupedCosinePairs(e, "cid", hotClusterCap)
       .filter(col("cos_sim") >= tau)
@@ -222,8 +229,29 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The process-shared trained RAW-domain coarse quantizer for `dir`'s
+    * embeddings table (the [[graft.store.ModelStore.shared]] discipline
+    * applied to the q_ivf_train k-means): trained once per (corpus
+    * fingerprint, dials), served by every raw-quantizer consumer after
+    * that — q_semdedup, q_proto_prune, q_cluster_purity. `q_ivf_train`
+    * stays the measured build row (always recomputes), and the oracle
+    * CTEs retrain per query, so every serving row is hash-pinned equal
+    * to its train-inline definition. Centroid doubles round-trip
+    * parquet bit-exactly. */
+  private def sharedRawQuantizer(spark: SparkSession, dir: String,
+      k: Int = 4, iters: Int = 2): graft.store.ModelStore =
+    graft.store.ModelStore.shared(spark, Seq("ivfraw",
+      graft.store.ArtifactCache.tableFingerprint(dir, "embeddings"),
+      s"k=$k", s"iters=$iters", "init=lowest")) { store =>
+      val ex = explodeVecs(t(spark, dir, "embeddings"))
+      store.save(Map("centroids" -> lloydCentroids(ex, k, iters, "lowest")))
+      ()
+    }
+
   def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
-    semDedup(t(spark, dir, "embeddings"))
+    semDedupWith(t(spark, dir, "embeddings"),
+      sharedRawQuantizer(spark, dir).load("centroids"),
+      tau = 0.3, hotClusterCap = 4096)
 
   /** TRAINED IVF coarse quantizer: `iters` unrolled Lloyd k-means rounds
     * over the exploded (vec_id, i, x) table, then a final assignment.
@@ -1138,7 +1166,7 @@ object Similarity {
       iters: Int = 2, frac: Double = 0.25): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val ex = explodeVecs(emb)
-    val cent = lloydCentroids(ex, k, iters, "lowest")
+    val cent = sharedRawQuantizer(spark, dir, k, iters).load("centroids")
     val assigned = ex.join(broadcast(cent), Seq("i"))
       .groupBy("vec_id", "cid")
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
@@ -1169,7 +1197,8 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val ex = explodeVecs(emb)
-    val assigned = assignCells(ex, lloydCentroids(ex, k, iters, "lowest"))
+    val assigned = assignCells(ex,
+      sharedRawQuantizer(spark, dir, k, iters).load("centroids"))
     val cl = assigned.join(emb.select("vec_id", "label"), Seq("vec_id"))
       .groupBy("cid", "label").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window

@@ -75,6 +75,15 @@ class PruningSpec extends AnyFunSuite {
     }
   }
 
+  test("shared raw quantizer serves the inline q_ivf_train assignment exactly") {
+    val served = llm.Similarity.protoPrune(spark, sfDir)
+      .select(col("vec_id"), col("cid").as("cluster"))
+    val inline = llm.Similarity.ivfTrainQuery(spark, sfDir)
+    assert(served.count() == inline.count())
+    assert(served.except(inline).count() == 0,
+      "shared-quantizer assignment diverged from the inline training")
+  }
+
   test("shardPlan: doc counts within 1, token totals within one max-document") {
     val rows = llm.Sampling.shardPlan(spark, sfDir).collect()
     assert(rows.length == 8)
