@@ -2630,7 +2630,6 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS INTEGER) AS flagged
         |FROM bstat b JOIN lstat l ON b.doc_id = l.doc_id
         |ORDER BY b.doc_id""".stripMargin,
-    // greedy sequential packing into 2048-token sequences, per 8-way shard
     // balanced shard plan: global (n_tok DESC, doc_id) rank dealt
     // round-robin over 8 shards — sorted-descending round-robin bounds
     // any two shards' token totals within one max-document
@@ -2646,6 +2645,7 @@ object SparkEntry {
         |  CAST(min(n_tok) AS INTEGER) AS min_tok,
         |  CAST(max(n_tok) AS INTEGER) AS max_tok
         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    // greedy sequential packing into 2048-token sequences, per 8-way shard
     "q_sequence_pack" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens

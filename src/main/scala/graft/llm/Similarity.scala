@@ -209,8 +209,15 @@ object Similarity {
     * Training is `iters` Lloyd rounds of two equi-shuffles each; the
     * assignment is computed once and feeds both the pair join and the
     * survivor projection. */
+  // the one definition of SemDeDup's dials — the API default AND the
+  // registered q_semdedup serving path read these, so retuning cannot
+  // silently fork the two
+  private val SemDedupTau = 0.3
+  private val SemDedupHotCap = 4096
+
   def semDedup(emb: DataFrame, k: Int = 4, iters: Int = 2,
-      tau: Double = 0.3, hotClusterCap: Int = 4096): DataFrame =
+      tau: Double = SemDedupTau,
+      hotClusterCap: Int = SemDedupHotCap): DataFrame =
     semDedupWith(emb, lloydCentroids(explodeVecs(emb), k, iters),
       tau, hotClusterCap)
 
@@ -251,7 +258,7 @@ object Similarity {
   def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
     semDedupWith(t(spark, dir, "embeddings"),
       sharedRawQuantizer(spark, dir).load("centroids"),
-      tau = 0.3, hotClusterCap = 4096)
+      tau = SemDedupTau, hotClusterCap = SemDedupHotCap)
 
   /** TRAINED IVF coarse quantizer: `iters` unrolled Lloyd k-means rounds
     * over the exploded (vec_id, i, x) table, then a final assignment.
@@ -316,15 +323,24 @@ object Similarity {
       transform(sort_array(collect_list(struct(col("i"), col("x")))),
         s => s("x")).as("ux"))
 
-  /** Argmin cell assignment against a broadcast (cid, i, c) centroid
-    * frame; exact distance ties break by cluster id. */
-  private def assignCells(ex: DataFrame, cent: DataFrame): DataFrame =
+  /** Argmin cell assignment WITH the winning squared-L2 distance,
+    * against a broadcast (cid, i, c) centroid frame; exact distance
+    * ties break by cluster id. The ONE assignment body — [[assignCells]],
+    * [[assignDistances]], and [[protoPrune]] are projections of it, so
+    * a tie-break or distance fix cannot diverge between consumers. */
+  private def assignCellsWithDistance(ex: DataFrame,
+      cent: DataFrame): DataFrame =
     ex.join(broadcast(cent), Seq("i"))
       .groupBy("vec_id", "cid")
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"))
+
+  /** Argmin cell assignment against a broadcast (cid, i, c) centroid
+    * frame; exact distance ties break by cluster id. */
+  private def assignCells(ex: DataFrame, cent: DataFrame): DataFrame =
+    assignCellsWithDistance(ex, cent).select("vec_id", "cid")
 
   /** (vec_id, d): squared L2 from each vector to its assigned (argmin)
     * coarse centroid — the residual a frozen quantizer leaves on a
@@ -336,12 +352,8 @@ object Similarity {
     * domain — the monitor must measure residuals in the SAME space the
     * index assigns in ([[explodeVecsUnit]]). */
   def assignDistances(emb: DataFrame, coarse: DataFrame): DataFrame =
-    explodeVecsUnit(emb).join(broadcast(coarse), Seq("i"))
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.d").as("d"))
+    assignCellsWithDistance(explodeVecsUnit(emb), coarse)
+      .select("vec_id", "d")
 
   /** The Lloyd rounds proper: seed, then `iters` assign/update rounds,
     * returning the final (cid, i, c) centroid frame — shared by the IVF
@@ -1167,13 +1179,8 @@ object Similarity {
     val emb = t(spark, dir, "embeddings")
     val ex = explodeVecs(emb)
     val cent = sharedRawQuantizer(spark, dir, k, iters).load("centroids")
-    val assigned = ex.join(broadcast(cent), Seq("i"))
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"),
-        round(col("m.d"), 9).as("d"))
+    val assigned = assignCellsWithDistance(ex, cent)
+      .select(col("vec_id"), col("cid"), round(col("d"), 9).as("d"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy(col("d"), col("vec_id"))
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid")
@@ -1235,7 +1242,8 @@ object Similarity {
     staged.select(col("vec_id"), col("label"),
       round(col("amax"), 9).as("amax"),
       round(when(col("amax") === 0d, lit(0.0))
-        .otherwise(errSum / lit(64.0)), 9).as("mse"))
+        .otherwise(errSum / size(col("embedding")).cast("double")), 9)
+        .as("mse"))
   }
 
   /** Per-label roll-up of [[int8AuditOf]] — the audit a storage-format

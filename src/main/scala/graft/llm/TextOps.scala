@@ -629,6 +629,16 @@ object TextOps {
     * identical joins and fold. `bg` is the scored corpus's (checkpointed)
     * bigram table. */
   private def lmScoreWith(docs: DataFrame, bg: DataFrame, cab: DataFrame,
+      ca: DataFrame, v: DataFrame, trainLang: String): DataFrame =
+    lmScoreRows(docs, bg, cab, ca, v, trainLang)
+      .select("doc_id", "n_bigrams", "xent")
+      .orderBy("doc_id")
+
+  /** The UNORDERED scoring frame (doc_id, lang, n_bigrams, xent) —
+    * consumers that aggregate or window next ([[ccnetBuckets]]) read
+    * this directly so they don't pay [[lmScoreWith]]'s output-contract
+    * global sort or a second documents scan for the language. */
+  private def lmScoreRows(docs: DataFrame, bg: DataFrame, cab: DataFrame,
       ca: DataFrame, v: DataFrame, trainLang: String): DataFrame = {
     // an empty training slice means V = 0 → every lp/xent NULL → a
     // downstream gate would silently drop the whole corpus; a trained
@@ -654,13 +664,12 @@ object TextOps {
     // must not silently vanish from a quality gate: score it at the
     // uniform-model ceiling ln V — the exact value fully-UNSEEN text
     // gets — with n_bigrams = 0 marking it unscorable-by-content
-    docs.select("doc_id")
+    docs.select("doc_id", "lang")
       .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(v))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
         coalesce(col("xent"), round(log(col("v")), 6)).as("xent"))
-      .orderBy("doc_id")
   }
 
   /** The process-shared trained bigram LM for `dir`'s documents table
@@ -678,8 +687,9 @@ object TextOps {
     lmPerplexityPersisted(t(spark, dir, "documents"), sharedLm(spark, dir))
 
   /** CCNet-style quality bucketing (Wenzek et al. 2020): score every
-    * document with the trained bigram LM ([[lmPerplexity]] — served from
-    * the process-shared model, zero extra training jobs), then split each
+    * document with the trained bigram LM (the [[lmScoreRows]] body served
+    * from the process-shared model — zero extra training jobs, no
+    * output-contract sort, lang carried through the one scan), then split each
     * LANGUAGE into perplexity tertiles — `head` (most fluent under the
     * trusted-language model), `middle`, `tail` — exactly the partition
     * CCNet keeps/samples/drops. Output is the per-(lang, bucket) ledger:
@@ -695,8 +705,11 @@ object TextOps {
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
-    t(spark, dir, "documents").select("doc_id", "lang")
-      .join(lmPerplexity(spark, dir), Seq("doc_id"))
+    val docs = t(spark, dir, "documents")
+    val store = sharedLm(spark, dir)
+    lmScoreRows(docs, bigramRows(docs).localCheckpoint(true),
+        store.load("bigrams"), store.load("contexts"),
+        store.load("vsize"), "en")
       .withColumn("b", ntile(3).over(w))
       .groupBy(col("lang"), col("b"))
       .agg(count(lit(1)).as("n_docs"),
