@@ -113,6 +113,50 @@ object StreamingDedup {
       .parquet(s"$outPath/batch=$batchId")
   }
 
+  /** (d) Soft-dedup corpus LEDGER, incrementally — the streaming twin of
+    * [[graft.llm.Dedup.softDedup]]: each microbatch writes its
+    * PRE-AGGREGATED per-(hash, source) doc/char counts to `batch=N`
+    * (overwrite — a replayed batch rewrites its own partition, so retry
+    * is idempotent); [[softLedger]] aggregates the store into the same
+    * per-source raw/effective accounting over everything ingested.
+    * Identical text ⇒ identical n_chars, so per-(h, source) char sums
+    * divide exactly like per-doc ones (cnt/n vs 1/n summed cnt times
+    * differ only in last-ulp association, inside the 1e-6 rounding).
+    *
+    * Store scaling: O(distinct texts in batch) narrow rows per dir.
+    * NOTE: [[compactHashes]]' contract does NOT transfer here — counts
+    * are not set-semantics (a retried merge-append would double-count),
+    * so compacting this store needs the ArtifactCache discipline
+    * (merge-aggregate into a fresh generation, atomic swap), not
+    * [[compactStore]]'s merge-append. */
+  def softCountsBatch(spark: SparkSession, storePath: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    batch.select(md5(col("text")).as("h"), col("source"), col("n_chars"))
+      .groupBy("h", "source")
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+
+  /** The per-source soft-dedup ledger over everything ingested so far —
+    * equals [[graft.llm.Dedup.softDedup]] on the union of the ingested
+    * batches (spec-pinned parity). */
+  def softLedger(spark: SparkSession, storePath: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val byHashSource = readStore(spark, storePath)
+      .getOrElse(emptyDf(spark, "h" -> StringType, "source" -> StringType,
+        "cnt" -> LongType, "chars" -> LongType))
+      .groupBy("h", "source")
+      .agg(sum("cnt").as("cnt"), sum("chars").as("chars"))
+    val totals = byHashSource.groupBy("h").agg(sum("cnt").as("n"))
+    byHashSource.join(totals, Seq("h"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_docs"),
+        round(sum(col("cnt").cast("double") / col("n")), 6).as("eff_docs"),
+        sum("chars").as("n_chars"),
+        round(sum(col("chars").cast("double") / col("n")), 6)
+          .as("eff_chars"))
+      .orderBy("source")
+  }
+
   /** Compact store partitions `batch < upToBatch` into the
     * `batch=upToBatch` dir — the small-files countermeasure for a store
     * that gains one directory per microbatch (at one batch/minute that is

@@ -336,4 +336,31 @@ class PlanSpec extends AnyFunSuite {
         .foreach(java.nio.file.Files.delete)
     }
   }
+  test("wave-15 rows: broadcast assignment, partitioned windows, no cartesian") {
+    val pp = plan("q_proto_prune")
+    assert(pp.contains("BroadcastHashJoin"),
+      s"proto_prune assignment join is not broadcast:\n$pp")
+    assert(pp.contains("hashpartitioning(cid"),
+      s"proto_prune rank window is not cell-partitioned:\n$pp")
+    assert(!pp.contains("CartesianProduct"), s"cartesian in proto_prune:\n$pp")
+
+    val cb = plan("q_ccnet_buckets")
+    assert(cb.contains("hashpartitioning(lang"),
+      s"ccnet ntile window is not lang-partitioned:\n$cb")
+    assert(!cb.contains("SinglePartition"),
+      s"ccnet degenerated to a single-partition window:\n$cb")
+
+    val sp = plan("q_shard_plan")
+    assert(sp.contains("hashpartitioning(__b"),
+      s"shard_plan rank is not bucket-partitioned:\n$sp")
+    assert(!sp.contains("CartesianProduct"), s"cartesian in shard_plan:\n$sp")
+
+    val sd = plan("q_soft_dedup")
+    assert(sd.contains("partial_count") || sd.contains("partial count"),
+      s"soft_dedup cluster sizes lack map-side partials:\n$sd")
+
+    val iq = plan("q_int8_quant")
+    assert(!iq.contains("Join"),
+      s"int8 audit should be a pure scan + aggregation:\n$iq")
+  }
 }

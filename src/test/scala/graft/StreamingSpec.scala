@@ -233,6 +233,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental soft-dedup ledger equals the batch ledger; replay idempotent") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-softledger").toString
+    val store = s"$dir/counts"
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text", "source", "n_chars")
+    def slice(k: Int) = docs.filter(col("doc_id") % 3 === k)
+    (0 until 3).foreach(k => graft.streaming.StreamingDedup
+      .softCountsBatch(spark, store)(slice(k), k.toLong))
+    val batch = llm.Dedup.softDedup(spark, sfDir)
+    val ledger = graft.streaming.StreamingDedup.softLedger(spark, store)
+    assert(ledger.except(batch).count() == 0 &&
+      batch.except(ledger).count() == 0,
+      "incremental ledger diverged from the batch ledger")
+    // replay increment 1 (failure retry): rewrites only its own
+    // partition — the ledger is unchanged
+    graft.streaming.StreamingDedup.softCountsBatch(spark, store)(
+      slice(1), 1L)
+    val again = graft.streaming.StreamingDedup.softLedger(spark, store)
+    assert(again.except(batch).count() == 0 &&
+      batch.except(again).count() == 0, "replay diverged")
+  }
+
   test("hash-store compaction preserves the dedup-visible hash set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
