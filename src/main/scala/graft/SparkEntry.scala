@@ -184,6 +184,7 @@ object SparkEntry {
     "q_proto_prune" -> ((s, d) => llm.Similarity.protoPrune(s, d)),
     "q_cluster_purity" -> ((s, d) => llm.Similarity.clusterPurity(s, d)),
     "q_int8_quant" -> (llm.Similarity.int8Audit _),
+    "q_int8_recall" -> ((s, d) => llm.Similarity.int8Recall(s, d)),
     "q_pq_train" -> (llm.Similarity.pqTrainQuery _),
     "q_pq_encode" -> (llm.Similarity.pqEncodeQuery _),
     "q_pq_adc" -> (llm.Similarity.pqAdcQuery _),
@@ -2847,6 +2848,54 @@ object SparkEntry {
         |  max(round(mse, 9)) AS max_mse,
         |  round(avg(round(amax, 9)), 6) AS avg_amax
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // int8-store serving recall: full-precision truth top-10 vs top-10
+    // over the int8-reconstructed corpus, per query; cosines round to 9
+    // before ranking with a vec_id tie-break (both engines), the
+    // reconstruction is the q_int8_quant expression verbatim
+    "q_int8_recall" ->
+      """WITH p AS (SELECT vec_id,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+        |  FROM embeddings),
+        |rc AS (SELECT e.vec_id, e.embedding,
+        |    CASE WHEN p.amax = 0
+        |         THEN list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+        |         ELSE list_transform(e.embedding,
+        |           x -> floor(CAST(x AS DOUBLE) / (p.amax / CAST(127 AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+        |                * (p.amax / CAST(127 AS DOUBLE))) END AS remb
+        |  FROM embeddings e JOIN p USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |qn AS (SELECT q_id, qe,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(qe,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS qnrm
+        |  FROM q),
+        |t AS (SELECT q.q_id, e.vec_id, round(
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qe, e.embedding),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))), (a, b) -> a + b)
+        |    / (q.qnrm *
+        |       sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS c
+        |  FROM embeddings e, qn q WHERE e.vec_id <> q.q_id),
+        |tt AS (SELECT q_id, vec_id FROM
+        |        (SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk
+        |         FROM t) WHERE rnk <= 10),
+        |s AS (SELECT q.q_id, r.vec_id, round(
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qe, r.remb),
+        |      pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (a, b) -> a + b)
+        |    / (q.qnrm *
+        |       sqrt(list_reduce(list_prepend(0.0, list_transform(r.remb,
+        |         x -> x * x)), (a, b) -> a + b))), 9) AS c
+        |  FROM rc r, qn q WHERE r.vec_id <> q.q_id),
+        |ss AS (SELECT q_id, vec_id FROM
+        |        (SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk
+        |         FROM s) WHERE rnk <= 10),
+        |hits AS (SELECT q_id, count(*) AS h
+        |         FROM tt JOIN ss USING (q_id, vec_id) GROUP BY q_id)
+        |SELECT q.q_id, CAST(coalesce(hits.h, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+        |FROM q LEFT JOIN hits ON q.q_id = hits.q_id
+        |ORDER BY q.q_id""".stripMargin,
     // SemDeDup: same trained assignment (shared CTE chain — a fix to the
     // quantizer cannot silently diverge from the dedup), then exact cosine
     // within each cluster only, min-id survivor at cos >= 0.3

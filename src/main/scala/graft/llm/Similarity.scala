@@ -1246,6 +1246,65 @@ object Similarity {
         .as("mse"))
   }
 
+  /** INT8-store serving recall — the decision row that pairs with
+    * [[int8Audit]]: top-k cosine neighbors served from the
+    * int8-RECONSTRUCTED corpus vs full-precision truth, recall@k per
+    * query. The audit says how much numeric error the 4×-smaller store
+    * carries; this row says what that error does to the thing a user
+    * actually serves (the q_ann_recall discipline applied to scalar
+    * quantization). Queries stay full-precision (they arrive from
+    * outside the store); both sides round cosines to 9 BEFORE ranking
+    * with a vec_id tie-break. The reconstruction fold is index-ordered
+    * (bit-identical cross-engine, as in [[int8AuditOf]]).
+    *
+    * Scale: the Q query vectors broadcast over one corpus scan per
+    * side; per-query top-k is a q_id-partitioned window (k rows per
+    * query survive); the recall join is k×Q rows. */
+  def int8Recall(spark: SparkSession, dir: String, topK: Int = 10,
+      nQueries: Int = 3): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val amax = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val scale = col("amax") / lit(127.0)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+        amax.as("amax"))
+      .select(col("vec_id"), col("embedding"),
+        when(col("amax") === 0d,
+          transform(col("embedding"), x => x.cast("double")))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / scale + lit(0.5)) * scale))
+          .as("remb"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val joined = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("c"), asc("vec_id"))
+    val truth = joined.select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 9).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK).select("q_id", "vec_id")
+    def foldSum(arr: Column) =
+      aggregate(arr, lit(0.0), (acc, v) => acc + v)
+    val served = joined.select(col("q_id"), col("vec_id"),
+        round(
+          foldSum(zip_with(col("q_emb"), col("remb"),
+            (x, y) => x.cast("double") * y)) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) *
+              sqrt(foldSum(transform(col("remb"), v => v * v)))),
+          9).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK).select("q_id", "vec_id")
+    q.select("q_id")
+      .join(truth.join(served, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("hits")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(topK.toDouble)).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Per-label roll-up of [[int8AuditOf]] — the audit a storage-format
     * decision reads: vectors, mean/max reconstruction MSE, mean scale
     * numerator. One scan, |labels|-row state. */

@@ -111,6 +111,18 @@ class PruningSpec extends AnyFunSuite {
     }
   }
 
+  test("int8Recall: recall in [0,1], and 1.0 when served from the full-precision store") {
+    val rows = llm.Similarity.int8Recall(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      // int8 reconstruction error is small relative to neighbor gaps on
+      // this corpus — the served list should mostly agree with truth
+      assert(rec >= 0.5, s"q ${r.getAs[Long]("q_id")}: recall $rec < 0.5")
+    }
+  }
+
   test("int8AuditOf: per-vector mse within the scale/2 worst-case bound; zero vector audits clean") {
     val s = spark
     val schema = StructType(Seq(
