@@ -263,4 +263,27 @@ object Multimodal {
         length(col("text").cast("binary")).as("n_bytes"),
         sha2(col("text").cast("binary"), 256).as("sha_hex"))
       .orderBy("doc_id")
+
+  /** Image NEAR-duplicate pairs: decoded luminance-grid features fed
+    * into the sign-LSH ANN pair kernel
+    * ([[graft.llm.Similarity.annPairsOf]]) — the image analogue of
+    * MinHash text dedup. Re-encodes (png↔jpeg), resizes, and light
+    * edits keep the grid luminance, so they pair at high cosine, while
+    * different scenes don't (grid features are non-negative, but a 4×2
+    * gradient vs its inverse still cosines ≈ 0.5 ≪ the 0.9 gate).
+    * Zero-feature rows (null payloads, all-black frames) cannot
+    * cosine-match and are dropped explicitly. Spec-covered — binary
+    * decode has no SQL oracle; the pair kernel itself is the
+    * oracle-checked annPairs machinery, bucketed-never-all-pairs at
+    * scale. */
+  def imageNearDup(media: Dataset[MediaRow],
+      minSim: Double = 0.9): DataFrame =
+    graft.llm.Similarity.annPairsOf(
+      decodeFeatures(media).toDF()
+        .filter(col("media_type") === "image")
+        .filter(aggregate(transform(col("features"),
+          v => abs(v.cast("double"))), lit(0.0), (a, b) => a + b) > 0)
+        .select(col("doc_id").as("vec_id"),
+          col("features").as("embedding")),
+      minSim, nPlanes = 8, dim = FeatureDim)
 }

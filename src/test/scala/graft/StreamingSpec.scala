@@ -604,6 +604,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("image near-dup pairs a jpeg re-encode with its png, not a different scene") {
+    def gradientBytes(w: Int, h: Int, invert: Boolean,
+        format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / (w - 1)
+        val lv = if (invert) 255 - v else v
+        img.setRGB(x, y, lv * 0x10101)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val media = mediaDs(Seq(
+      MediaRow(1L, "image", gradientBytes(32, 16, invert = false, "png")),
+      MediaRow(2L, "image", gradientBytes(32, 16, invert = false, "jpg")),
+      MediaRow(3L, "image", gradientBytes(32, 16, invert = true, "png")),
+      MediaRow(4L, "image", null), // zero features must not NaN the kernel
+      MediaRow(5L, "audio", gradientBytes(8, 8, invert = false, "png"))))
+    val pairs = Multimodal.imageNearDup(media).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"re-encode not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"inverted scene falsely paired: $pairs")
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L),
+      s"null/non-image rows leaked into the kernel: $pairs")
+  }
+
   test("frame sampling decodes REAL frames from an animated GIF") {
     // 6 solid-gray frames (levels 0,40,...,200); GIF palettes preserve
     // solid colors exactly
