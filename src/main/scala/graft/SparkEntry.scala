@@ -2858,28 +2858,27 @@ object SparkEntry {
         |      x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
         |  FROM embeddings),
         |rc AS (SELECT e.vec_id, e.embedding,
-        |    CASE WHEN p.amax = 0
-        |         THEN list_transform(e.embedding, x -> CAST(x AS DOUBLE))
-        |         ELSE list_transform(e.embedding,
-        |           x -> floor(CAST(x AS DOUBLE) / (p.amax / CAST(127 AS DOUBLE)) + CAST(0.5 AS DOUBLE))
-        |                * (p.amax / CAST(127 AS DOUBLE))) END AS remb
-        |  FROM embeddings e JOIN p USING (vec_id)),
+        |    list_transform(e.embedding,
+        |      x -> floor(CAST(x AS DOUBLE) / (p.amax / CAST(127 AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+        |           * (p.amax / CAST(127 AS DOUBLE))) AS remb
+        |  FROM embeddings e JOIN p USING (vec_id) WHERE p.amax > 0),
         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
         |qn AS (SELECT q_id, qe,
         |    sqrt(list_reduce(list_prepend(0.0, list_transform(qe,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS qnrm
         |  FROM q),
-        |t AS (SELECT q.q_id, e.vec_id, round(
-        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qe, e.embedding),
+        |t AS (SELECT q.q_id, r.vec_id, round(
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qe, r.embedding),
         |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))), (a, b) -> a + b)
         |    / (q.qnrm *
-        |       sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+        |       sqrt(list_reduce(list_prepend(0.0, list_transform(r.embedding,
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS c
-        |  FROM embeddings e, qn q WHERE e.vec_id <> q.q_id),
+        |  FROM rc r, qn q WHERE r.vec_id <> q.q_id),
         |tt AS (SELECT q_id, vec_id FROM
         |        (SELECT q_id, vec_id,
         |           row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk
         |         FROM t) WHERE rnk <= 10),
+        |dn AS (SELECT q_id, count(*) AS denom FROM tt GROUP BY q_id),
         |s AS (SELECT q.q_id, r.vec_id, round(
         |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qe, r.remb),
         |      pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (a, b) -> a + b)
@@ -2893,8 +2892,10 @@ object SparkEntry {
         |         FROM s) WHERE rnk <= 10),
         |hits AS (SELECT q_id, count(*) AS h
         |         FROM tt JOIN ss USING (q_id, vec_id) GROUP BY q_id)
-        |SELECT q.q_id, CAST(coalesce(hits.h, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
-        |FROM q LEFT JOIN hits ON q.q_id = hits.q_id
+        |SELECT q.q_id, CAST(coalesce(hits.h, 0) AS DOUBLE)
+        |  / CAST(greatest(coalesce(dn.denom, 0), 1) AS DOUBLE) AS recall
+        |FROM q LEFT JOIN dn ON q.q_id = dn.q_id
+        |       LEFT JOIN hits ON q.q_id = hits.q_id
         |ORDER BY q.q_id""".stripMargin,
     // SemDeDup: same trained assignment (shared CTE chain — a fix to the
     // quantizer cannot silently diverge from the dedup), then exact cosine

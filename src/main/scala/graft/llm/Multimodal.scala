@@ -271,16 +271,20 @@ object Multimodal {
     * edits keep the grid luminance, so they pair at high cosine, while
     * different scenes don't (grid features are non-negative, but a 4×2
     * gradient vs its inverse still cosines ≈ 0.5 ≪ the 0.9 gate).
-    * Zero-feature rows (null payloads, all-black frames) cannot
-    * cosine-match and are dropped explicitly. Spec-covered — binary
-    * decode has no SQL oracle; the pair kernel itself is the
-    * oracle-checked annPairs machinery, bucketed-never-all-pairs at
-    * scale. */
+    * Only REAL-codec decodes reach the kernel: stub fallbacks (webp,
+    * corrupt payloads — their "features" are container header bytes,
+    * not pixels, so two different undecodable files would falsely
+    * pair) and null payloads are excluded by codec, and zero-feature
+    * rows (all-black frames) cannot cosine-match and are dropped.
+    * Spec-covered — binary decode has no SQL oracle; the pair kernel
+    * itself is the oracle-checked annPairs machinery,
+    * bucketed-never-all-pairs at scale. */
   def imageNearDup(media: Dataset[MediaRow],
       minSim: Double = 0.9): DataFrame =
     graft.llm.Similarity.annPairsOf(
       decodeFeatures(media).toDF()
         .filter(col("media_type") === "image")
+        .filter(!col("codec").isin("stub", "null"))
         .filter(aggregate(transform(col("features"),
           v => abs(v.cast("double"))), lit(0.0), (a, b) => a + b) > 0)
         .select(col("doc_id").as("vec_id"),

@@ -1261,18 +1261,31 @@ object Similarity {
     * side; per-query top-k is a q_id-partitioned window (k rows per
     * query survive); the recall join is k×Q rows. */
   def int8Recall(spark: SparkSession, dir: String, topK: Int = 10,
+      nQueries: Int = 3): DataFrame =
+    int8RecallOf(t(spark, dir, "embeddings"), topK, nQueries)
+
+  /** [[int8Recall]] over an explicit embeddings frame (testable on
+    * synthetic corpora). Zero vectors have no cosine direction — they
+    * are excluded from the CORPUS side of both lists (under Spark 4's
+    * default ANSI mode a zero reconstructed norm would otherwise throw
+    * DIVIDE_BY_ZERO on the served side while the native cosine NaNs on
+    * the truth side); the oracle applies the same amax > 0 filter.
+    * The recall denominator is the TRUTH list's actual size (≤ topK —
+    * a corpus smaller than topK+1 must still reach recall 1.0 when the
+    * lists agree). Served cosine reuses [[dotFold]]/[[norm]] — the
+    * pinned differential references — so the fold arithmetic lives in
+    * one place. */
+  def int8RecallOf(emb: DataFrame, topK: Int = 10,
       nQueries: Int = 3): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
     val amax = array_max(transform(col("embedding"),
       x => abs(x.cast("double"))))
     val scale = col("amax") / lit(127.0)
     val corpus = emb.select(col("vec_id"), col("embedding"),
         amax.as("amax"))
+      .filter(col("amax") > 0)
       .select(col("vec_id"), col("embedding"),
-        when(col("amax") === 0d,
-          transform(col("embedding"), x => x.cast("double")))
-          .otherwise(transform(col("embedding"),
-            x => floor(x.cast("double") / scale + lit(0.5)) * scale))
+        transform(col("embedding"),
+          x => floor(x.cast("double") / scale + lit(0.5)) * scale)
           .as("remb"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1284,24 +1297,23 @@ object Similarity {
         round(cosine(col("embedding"), col("q_emb")), 9).as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK).select("q_id", "vec_id")
-    def foldSum(arr: Column) =
-      aggregate(arr, lit(0.0), (acc, v) => acc + v)
     val served = joined.select(col("q_id"), col("vec_id"),
         round(
-          foldSum(zip_with(col("q_emb"), col("remb"),
-            (x, y) => x.cast("double") * y)) /
-            (sqrt(dot(col("q_emb"), col("q_emb"))) *
-              sqrt(foldSum(transform(col("remb"), v => v * v)))),
+          dotFold(col("q_emb"), col("remb")) /
+            (norm(col("q_emb")) * sqrt(dotFold(col("remb"), col("remb")))),
           9).as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK).select("q_id", "vec_id")
     q.select("q_id")
+      .join(truth.groupBy("q_id").agg(count(lit(1)).as("denom")),
+        Seq("q_id"), "left")
       .join(truth.join(served, Seq("q_id", "vec_id"))
           .groupBy("q_id").agg(count(lit(1)).as("hits")),
         Seq("q_id"), "left")
       .select(col("q_id"),
         (coalesce(col("hits"), lit(0L)).cast("double") /
-          lit(topK.toDouble)).as("recall"))
+          greatest(coalesce(col("denom"), lit(0L)), lit(1L))
+            .cast("double")).as("recall"))
       .orderBy("q_id")
   }
 

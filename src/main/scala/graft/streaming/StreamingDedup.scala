@@ -211,6 +211,16 @@ object StreamingDedup {
     if (old.isEmpty) return
     val target = s"$storePath/batch=$upToBatch"
     val existing = spark.read.parquet(target)
+    // merge-append + set-semantics retry recovery corrupt COUNT stores
+    // (the soft-ledger's (h, source, cnt, chars) rows are not a set —
+    // collapsing equal rows from different batches under-counts). The
+    // doc comment on softCountsBatch names the fresh-generation merge
+    // as that store's compaction path; enforce the boundary here
+    // instead of trusting it.
+    require(!existing.columns.contains("cnt"),
+      s"$storePath holds per-batch COUNTS (soft-ledger store) — " +
+        "merge-append compaction would silently corrupt the sums; " +
+        "use a fresh-generation aggregate merge instead")
     val merged = transform(
       spark.read.option("basePath", storePath)
         .parquet(old.map(_._2.toString): _*)

@@ -111,7 +111,7 @@ class PruningSpec extends AnyFunSuite {
     }
   }
 
-  test("int8Recall: recall in [0,1], and 1.0 when served from the full-precision store") {
+  test("int8Recall on the corpus: recall in [0,1] and mostly agreeing lists") {
     val rows = llm.Similarity.int8Recall(spark, sfDir).collect()
     assert(rows.length == 3)
     rows.foreach { r =>
@@ -121,6 +121,29 @@ class PruningSpec extends AnyFunSuite {
       // this corpus — the served list should mostly agree with truth
       assert(rec >= 0.5, s"q ${r.getAs[Long]("q_id")}: recall $rec < 0.5")
     }
+  }
+
+  test("int8Recall self-check: exact reconstruction serves recall 1.0 on a sub-topK corpus") {
+    // integer-valued components with amax = 127 make scale = 1.0, so the
+    // int8 round-trip is EXACT — served must equal truth, and with only
+    // 8 vectors the denominator must be the 7-row truth list, not topK
+    val s = spark
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows: Seq[Row] = (0L until 8L).map { j =>
+      val arr = (0 until 64).map { i =>
+        if (i == 0) 127.0f else (((j * 31 + i * 7) % 255) - 127).toFloat
+      }
+      Row(j, arr, 0)
+    }
+    import scala.jdk.CollectionConverters._
+    val emb = s.createDataFrame(rows.asJava, schema)
+    val out = llm.Similarity.int8RecallOf(emb).collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getAs[Double]("recall") == 1.0,
+      s"exact store must serve perfectly: $r"))
   }
 
   test("int8AuditOf: per-vector mse within the scale/2 worst-case bound; zero vector audits clean") {
