@@ -182,6 +182,7 @@ object SparkEntry {
     "q_knn_join" -> (llm.Similarity.knnJoinQuery _),
     "q_ivf_train" -> (llm.Similarity.ivfTrainQuery _),
     "q_proto_prune" -> ((s, d) => llm.Similarity.protoPrune(s, d)),
+    "q_cluster_sample" -> ((s, d) => llm.Similarity.clusterSample(s, d)),
     "q_cluster_purity" -> ((s, d) => llm.Similarity.clusterPurity(s, d)),
     "q_int8_quant" -> (llm.Similarity.int8Audit _),
     "q_int8_recall" -> ((s, d) => llm.Similarity.int8Recall(s, d)),
@@ -2811,6 +2812,16 @@ object SparkEntry {
         |  CASE WHEN rk <= floor(CAST(cell_n AS DOUBLE) * CAST(0.25 AS DOUBLE))
         |       THEN 1 ELSE 0 END AS prune
         |FROM r ORDER BY vec_id""".stripMargin),
+    // cluster-balanced sample: ≤ 64 per trained cell by deterministic
+    // md5(vec_id) hash order — coverage-preserving, skew-indifferent
+    "q_cluster_sample" ->
+      (ivfAssignCte + """,
+        |hh AS (SELECT vec_id, cid, md5(CAST(vec_id AS VARCHAR)) AS h FROM af),
+        |r AS (SELECT vec_id, cid,
+        |        CAST(row_number() OVER (PARTITION BY cid ORDER BY h, vec_id) AS INTEGER) AS rk
+        |      FROM hh)
+        |SELECT vec_id, cid, rk FROM r WHERE rk <= 64
+        |ORDER BY vec_id""".stripMargin),
     // per-cluster label purity over the same trained assignment:
     // majority label (ties to the smaller label), purity = majority/total
     "q_cluster_purity" ->

@@ -1193,6 +1193,53 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The production-scale form of [[protoPrune]]: instead of an exact
+    * within-cell rank (a per-cell sort over ~corpus/k rows), the prune
+    * threshold per cell comes from one `percentile_approx` aggregation
+    * (mergeable GK sketch, map-side partials) and the flag is a
+    * broadcast-join + compare — no per-cell sort anywhere. Selection is
+    * ε-approximate in COUNT (the sketch's rank error), never in order:
+    * every pruned distance is ≤ every kept distance by construction.
+    * Spec pins the approx selection against the exact one. */
+  def protoPruneApprox(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 2, frac: Double = 0.25,
+      accuracy: Int = 10000): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cent = sharedRawQuantizer(spark, dir, k, iters).load("centroids")
+    val assigned = assignCellsWithDistance(explodeVecs(emb), cent)
+      .select(col("vec_id"), col("cid"), round(col("d"), 9).as("d"))
+    val thr = assigned.groupBy("cid")
+      .agg(percentile_approx(col("d"), lit(frac), lit(accuracy)).as("thr"))
+    assigned.join(broadcast(thr), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("d"),
+        (col("d") <= col("thr")).cast("int").as("prune"))
+      .orderBy("vec_id")
+  }
+
+  /** Cluster-BALANCED sampling over the shared quantizer: keep at most
+    * `cap` vectors per cell, chosen by a deterministic hash order
+    * (md5 of the vec_id — a reproducible "random" draw), so every
+    * region of embedding space stays represented no matter how skewed
+    * the cell sizes are — the coverage-preserving counterpart of
+    * [[protoPrune]] (which drops by distance, not for balance).
+    * Scale: one assignment scan + a per-cell top-cap window; at
+    * production scale the same cap applies per (cell, salt) shard. */
+  def clusterSample(spark: SparkSession, dir: String, cap: Int = 64,
+      k: Int = 4, iters: Int = 2): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val assigned = assignCells(explodeVecs(emb),
+      sharedRawQuantizer(spark, dir, k, iters).load("centroids"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid")
+      .orderBy(col("h"), col("vec_id"))
+    assigned
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("vec_id"), col("cid"), col("rk"))
+      .orderBy("vec_id")
+  }
+
   /** Per-cluster label-purity audit over the SAME trained quantizer as
     * [[protoPrune]]/q_ivf_train: cluster size, majority label (ties to
     * the smaller label), and purity = majority/total — the standard

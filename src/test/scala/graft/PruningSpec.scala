@@ -75,6 +75,44 @@ class PruningSpec extends AnyFunSuite {
     }
   }
 
+  test("protoPruneApprox selects within sketch tolerance of the exact rank, order-consistently") {
+    val exact = llm.Similarity.protoPrune(spark, sfDir).collect()
+      .groupBy(_.getAs[Int]("cid"))
+    val approx = llm.Similarity.protoPruneApprox(spark, sfDir).collect()
+      .groupBy(_.getAs[Int]("cid"))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (cid, ecell) =>
+      val acell = approx(cid)
+      val en = ecell.count(_.getAs[Int]("prune") == 1)
+      val an = acell.count(_.getAs[Int]("prune") == 1)
+      // accuracy=10000 on sub-10k cells: the GK sketch is near-exact;
+      // allow only tie-width slack around the threshold
+      assert(math.abs(an - en) <= math.max(2, ecell.length / 100),
+        s"cell $cid: approx pruned $an vs exact $en of ${ecell.length}")
+      // order consistency: every pruned d <= every kept d
+      val pruned = acell.filter(_.getAs[Int]("prune") == 1)
+      val kept = acell.filter(_.getAs[Int]("prune") == 0)
+      if (pruned.nonEmpty && kept.nonEmpty)
+        assert(pruned.map(_.getAs[Double]("d")).max <=
+          kept.map(_.getAs[Double]("d")).min)
+    }
+  }
+
+  test("clusterSample caps every cell and keeps a deterministic draw") {
+    val rows = llm.Similarity.clusterSample(spark, sfDir).collect()
+    val byCell = rows.groupBy(_.getAs[Int]("cid"))
+    val total = Tables.t(spark, sfDir, "embeddings").count()
+    byCell.foreach { case (cid, cell) =>
+      assert(cell.length <= 64, s"cell $cid over cap: ${cell.length}")
+      assert(cell.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to cell.length))
+    }
+    assert(rows.length == math.min(total, byCell.keySet.size * 64L) ||
+      rows.length <= total)
+    val again = llm.Similarity.clusterSample(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(again == rows.map(_.getAs[Long]("vec_id")).sorted.toSeq)
+  }
+
   test("shared raw quantizer serves the inline q_ivf_train assignment exactly") {
     val served = llm.Similarity.protoPrune(spark, sfDir)
       .select(col("vec_id"), col("cid").as("cluster"))
