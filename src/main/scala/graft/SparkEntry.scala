@@ -94,6 +94,7 @@ object SparkEntry {
     "q_lm_model" -> (llm.TextOps.lmModel _),
     "q_lm_perplexity" -> (llm.TextOps.lmPerplexity _),
     "q_ccnet_buckets" -> (llm.TextOps.ccnetBuckets _),
+    "q_corpus_release" -> ((s, d) => llm.TextOps.corpusRelease(s, d)),
     "q_char_entropy" -> (llm.TextOps.charEntropy _),
     "q_text_embed" -> (llm.TextOps.embedText _),
     "q_pagerank" -> (operators.PageRank.pageRank _),
@@ -865,6 +866,27 @@ object SparkEntry {
         |  count(*) AS n_docs, round(avg(xent), 6) AS avg_xent,
         |  min(xent) AS min_xent, max(xent) AS max_xent
         |FROM bk GROUP BY lang, b ORDER BY lang, bucket""".stripMargin),
+    // release composition: exact-dedup keep-one -> CCNet gate (tertiles
+    // 1-2 per lang over the SAME scoring chain, windowed over survivors
+    // only) -> token-balanced shard ledger (q_shard_plan's rank body)
+    "q_corpus_release" ->
+      (lmScoreCte + """,
+        |k AS (SELECT d.doc_id, d.text FROM documents d
+        |      JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |            FROM documents GROUP BY 1) s
+        |        ON d.doc_id = s.keep_id),
+        |g AS (SELECT k.doc_id, k.text,
+        |        ntile(3) OVER (PARTITION BY px.lang ORDER BY px.xent, px.doc_id) AS b
+        |      FROM px JOIN k ON px.doc_id = k.doc_id),
+        |t2 AS (SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |       FROM g WHERE b <= 2),
+        |r AS (SELECT doc_id, n_tok,
+        |        row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+        |      FROM t2)
+        |SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tot_tokens
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin),
     // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
     // pattern): integer edge weights; per-node in-neighbor sums are
     // FIXED-POINT — each contribution floor-quantized to 1e-9 units as

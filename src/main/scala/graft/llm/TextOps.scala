@@ -723,6 +723,51 @@ object TextOps {
       .orderBy("lang", "bucket")
   }
 
+  /** Corpus RELEASE composition — the end-to-end curation plan a
+    * release pipeline runs, as ONE declarative DataFrame graph:
+    * exact-dedup keep-one (min doc_id per text hash) → CCNet gate
+    * (keep each language's head+middle perplexity tertiles under the
+    * process-shared bigram LM — zero training jobs) → token-balanced
+    * output-shard ledger ([[graft.llm.Fusion.globalRank]]'s two-phase
+    * rank dealt round-robin, the [[graft.llm.Sampling.shardPlan]]
+    * discipline over the survivors). Per-doc LM scores depend only on
+    * the doc's own bigrams + the model, so scoring the survivor subset
+    * equals scoring everything and filtering — the oracle does the
+    * latter over the shared `lmScoreCte` chain.
+    *
+    * Scale: the dedup keep is one hash aggregation + equi-join; the
+    * gate is the lmPerplexity serve plan plus a per-lang ntile; the
+    * only global structure is the bucketed shard rank (driver sees the
+    * token histogram only). */
+  def corpusRelease(spark: SparkSession, dir: String,
+      shards: Int = 8): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val keep = docs.groupBy(md5(col("text")).as("hh"))
+      .agg(min("doc_id").as("doc_id"))
+    val survivors = docs.join(keep.select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "lang", "text").localCheckpoint(true)
+    val store = sharedLm(spark, dir)
+    val scored = lmScoreRows(survivors,
+      bigramRows(survivors).localCheckpoint(true),
+      store.load("bigrams"), store.load("contexts"),
+      store.load("vsize"), "en")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+    val gated = scored.withColumn("b", ntile(3).over(w))
+      .filter(col("b") <= 2)
+    val withTok = gated.select("doc_id")
+      .join(survivors.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok")),
+        Seq("doc_id"))
+    Fusion.globalRank(withTok, col("n_tok"), col("doc_id"),
+        col("n_tok"), "rk")
+      .withColumn("shard", ((col("rk") - 1) % shards).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("tot_tokens"))
+      .orderBy("shard")
+  }
+
   /** Persist the trained bigram LM (VERDICT r6 #1): "bigrams" (a, b,
     * c_ab), "contexts" (a, c_a), "vsize" (v) — the three count frames
     * [[lmCounts]] derives, i.e. exactly the model state the scorer

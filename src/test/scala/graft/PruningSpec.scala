@@ -122,6 +122,26 @@ class PruningSpec extends AnyFunSuite {
       "shared-quantizer assignment diverged from the inline training")
   }
 
+  test("corpusRelease: gate keeps ~2/3 of dedup survivors, shards token-balanced") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val survivors = docs.select("text").distinct().count()
+    val rows = llm.TextOps.corpusRelease(spark, sfDir).collect()
+    val released = rows.map(_.getAs[Long]("n_docs")).sum
+    // ntile(3) keep-1-and-2 keeps between floor(2n/3) and ceil(2n/3)
+    // per language; summed over langs the bound is ±|langs|
+    val nLangs = docs.select("lang").distinct().count()
+    assert(math.abs(released - survivors * 2.0 / 3.0) <= nLangs + 1,
+      s"released $released of $survivors survivors")
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1)
+    val tots = rows.map(_.getAs[Long]("tot_tokens"))
+    // round-robin over the descending token order: spread <= one max doc
+    val maxDoc = docs.select(
+      max(size(split(trim(col("text")), "\\s+")))).head().getInt(0).toLong
+    assert(tots.max - tots.min <= maxDoc,
+      s"token spread ${tots.max - tots.min} > max doc $maxDoc")
+  }
+
   test("shardPlan: doc counts within 1, token totals within one max-document") {
     val rows = llm.Sampling.shardPlan(spark, sfDir).collect()
     assert(rows.length == 8)
