@@ -38,6 +38,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("h")
 
+  /** The keep-one survivor ids of exact dedup (min doc_id per text
+    * hash) — the ONE keep policy compositions join against
+    * ([[graft.llm.TextOps.corpusRelease]]); [[exact]] reports the same
+    * policy with its cluster accounting. */
+  def keepOneIds(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
   /** Soft deduplication: duplicates are DOWN-WEIGHTED, not dropped — each
     * exact-duplicate cluster of size n contributes total weight 1 (every
     * copy keeps 1/n), so boilerplate stops dominating the training mix

@@ -1174,13 +1174,19 @@ object Similarity {
     * with a per-cell distance threshold from approxQuantile(frac) — one
     * extra aggregation, ε-approximate selection, no per-cell sort. The
     * exact rank is kept here because the oracle contract is exact. */
+  /** (vec_id, cid, d): the served assignment with the round-9 distance —
+    * the ONE rounding/tie policy both prune forms rank on (grouped
+    * double sums are not combine-order-pinned across engines, so the
+    * round happens BEFORE any ranking). */
+  private def servedAssignedDistances(spark: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame =
+    assignCellsWithDistance(explodeVecs(t(spark, dir, "embeddings")),
+      sharedRawQuantizer(spark, dir, k, iters).load("centroids"))
+      .select(col("vec_id"), col("cid"), round(col("d"), 9).as("d"))
+
   def protoPrune(spark: SparkSession, dir: String, k: Int = 4,
       iters: Int = 2, frac: Double = 0.25): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val ex = explodeVecs(emb)
-    val cent = sharedRawQuantizer(spark, dir, k, iters).load("centroids")
-    val assigned = assignCellsWithDistance(ex, cent)
-      .select(col("vec_id"), col("cid"), round(col("d"), 9).as("d"))
+    val assigned = servedAssignedDistances(spark, dir, k, iters)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy(col("d"), col("vec_id"))
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid")
@@ -1204,10 +1210,7 @@ object Similarity {
   def protoPruneApprox(spark: SparkSession, dir: String, k: Int = 4,
       iters: Int = 2, frac: Double = 0.25,
       accuracy: Int = 10000): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val cent = sharedRawQuantizer(spark, dir, k, iters).load("centroids")
-    val assigned = assignCellsWithDistance(explodeVecs(emb), cent)
-      .select(col("vec_id"), col("cid"), round(col("d"), 9).as("d"))
+    val assigned = servedAssignedDistances(spark, dir, k, iters)
     val thr = assigned.groupBy("cid")
       .agg(percentile_approx(col("d"), lit(frac), lit(accuracy)).as("thr"))
     assigned.join(broadcast(thr), Seq("cid"))

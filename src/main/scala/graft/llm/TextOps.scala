@@ -702,15 +702,26 @@ object TextOps {
     * largest language — at production scale swap ntile for per-lang
     * approx xent quantile cut points, one aggregation, no per-lang
     * sort). Final state is |langs|×3 rows. */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lang, n_bigrams, xent, b): the scored frame with its
+    * per-language perplexity tertile — the ONE gate body
+    * [[ccnetBuckets]] aggregates and [[corpusRelease]] filters, so the
+    * tertile tie-break and the serve path cannot diverge between them.
+    * The model serves from the process-shared store for `dir`; `docs`
+    * may be a filtered subset (per-doc scores depend only on the doc's
+    * own bigrams + the model). */
+  private def ccnetScoredRows(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
-    val docs = t(spark, dir, "documents")
     val store = sharedLm(spark, dir)
     lmScoreRows(docs, bigramRows(docs).localCheckpoint(true),
         store.load("bigrams"), store.load("contexts"),
         store.load("vsize"), "en")
       .withColumn("b", ntile(3).over(w))
+  }
+
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    ccnetScoredRows(spark, dir, t(spark, dir, "documents"))
       .groupBy(col("lang"), col("b"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("xent")), 6).as("avg_xent"),
@@ -742,18 +753,10 @@ object TextOps {
   def corpusRelease(spark: SparkSession, dir: String,
       shards: Int = 8): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val keep = docs.groupBy(md5(col("text")).as("hh"))
-      .agg(min("doc_id").as("doc_id"))
-    val survivors = docs.join(keep.select("doc_id"), Seq("doc_id"))
+    val survivors = docs
+      .join(graft.llm.Dedup.keepOneIds(docs), Seq("doc_id"))
       .select("doc_id", "lang", "text").localCheckpoint(true)
-    val store = sharedLm(spark, dir)
-    val scored = lmScoreRows(survivors,
-      bigramRows(survivors).localCheckpoint(true),
-      store.load("bigrams"), store.load("contexts"),
-      store.load("vsize"), "en")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
-    val gated = scored.withColumn("b", ntile(3).over(w))
+    val gated = ccnetScoredRows(spark, dir, survivors)
       .filter(col("b") <= 2)
     val withTok = gated.select("doc_id")
       .join(survivors.select(col("doc_id"),

@@ -89,25 +89,33 @@ class PruningSpec extends AnyFunSuite {
       // allow only tie-width slack around the threshold
       assert(math.abs(an - en) <= math.max(2, ecell.length / 100),
         s"cell $cid: approx pruned $an vs exact $en of ${ecell.length}")
-      // order consistency: every pruned d <= every kept d
-      val pruned = acell.filter(_.getAs[Int]("prune") == 1)
-      val kept = acell.filter(_.getAs[Int]("prune") == 0)
-      if (pruned.nonEmpty && kept.nonEmpty)
-        assert(pruned.map(_.getAs[Double]("d")).max <=
-          kept.map(_.getAs[Double]("d")).min)
+      // set-level agreement (not just counts): the approx SELECTION may
+      // differ from the exact rank only in boundary rows
+      val exactSet = ecell.filter(_.getAs[Int]("prune") == 1)
+        .map(_.getAs[Long]("vec_id")).toSet
+      val approxSet = acell.filter(_.getAs[Int]("prune") == 1)
+        .map(_.getAs[Long]("vec_id")).toSet
+      val disagree = (exactSet diff approxSet) ++ (approxSet diff exactSet)
+      assert(disagree.size <= math.max(2, ecell.length / 100),
+        s"cell $cid: ${disagree.size} selection disagreements")
     }
   }
 
   test("clusterSample caps every cell and keeps a deterministic draw") {
     val rows = llm.Similarity.clusterSample(spark, sfDir).collect()
     val byCell = rows.groupBy(_.getAs[Int]("cid"))
-    val total = Tables.t(spark, sfDir, "embeddings").count()
     byCell.foreach { case (cid, cell) =>
       assert(cell.length <= 64, s"cell $cid over cap: ${cell.length}")
       assert(cell.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to cell.length))
     }
-    assert(rows.length == math.min(total, byCell.keySet.size * 64L) ||
-      rows.length <= total)
+    // exact expected size: sum over cells of min(cellSize, cap), with
+    // cell sizes from the same served quantizer assignment
+    val cellSizes = llm.Similarity.protoPrune(spark, sfDir).collect()
+      .groupBy(_.getAs[Int]("cid")).map { case (c, v) => c -> v.length }
+    assert(byCell.keySet == cellSizes.keySet.filter(cellSizes(_) > 0))
+    val expected = cellSizes.values.map(n => math.min(n, 64)).sum
+    assert(rows.length == expected,
+      s"sampled ${rows.length}, expected $expected from cells $cellSizes")
     val again = llm.Similarity.clusterSample(spark, sfDir).collect()
       .map(_.getAs[Long]("vec_id")).sorted.toSeq
     assert(again == rows.map(_.getAs[Long]("vec_id")).sorted.toSeq)
