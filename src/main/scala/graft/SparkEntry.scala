@@ -101,6 +101,7 @@ object SparkEntry {
     // family 11: llm-ops — dedup
     "q_dedup_exact" -> (llm.Dedup.exact _),
     "q_soft_dedup" -> (llm.Dedup.softDedup _),
+    "q_mix_ledger" -> (llm.Sampling.mixLedger _),
     "q_ngram_jaccard" -> ((s, d) => llm.Dedup.ngramJaccardPairs(s, d)),
     "q_minhash_lsh" -> ((s, d) => llm.Dedup.minhashLsh(s, d)),
     "q_simhash" -> (llm.Dedup.simhash _),
@@ -1502,6 +1503,21 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |  round(sum(CAST(n_chars AS DOUBLE) / n), 6) AS eff_chars
         |FROM d JOIN s USING (h) GROUP BY source ORDER BY source""".stripMargin,
+    // temperature mixing on the soft-dedup ledger's EFFECTIVE char mass
+    // (alpha = 0.5 -> one IEEE sqrt); shares round to 6
+    "q_mix_ledger" ->
+      """WITH d AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+        |s AS (SELECT h, count(*) AS n FROM d GROUP BY h),
+        |led AS (SELECT source,
+        |          round(sum(CAST(n_chars AS DOUBLE) / n), 6) AS eff_chars
+        |        FROM d JOIN s USING (h) GROUP BY source),
+        |w AS (SELECT source, eff_chars, sqrt(eff_chars) AS w FROM led),
+        |tot AS (SELECT CAST(sum(w) AS DOUBLE) AS tw,
+        |               CAST(sum(eff_chars) AS DOUBLE) AS te FROM w)
+        |SELECT source, eff_chars,
+        |  round(eff_chars / te, 6) AS p_raw,
+        |  round(w / tw, 6) AS p_mix
+        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, lang, source,

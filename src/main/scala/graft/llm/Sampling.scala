@@ -305,6 +305,29 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature mixing on EFFECTIVE corpus mass: sampling weights from
+    * the soft-dedup ledger's effective char counts
+    * ([[graft.llm.Dedup.softDedup]] — each n-duplicate cluster carries
+    * total mass 1), flattened with the alpha=0.5 temperature exponent —
+    * so duplicates cannot buy their source extra sampling weight (raw
+    * counts over-sample boilerplate-heavy sources; cf. the multilingual
+    * alpha-mixing recipe of XLM-R / mC4 applied to effective mass).
+    * Determinism: the ledger's eff_chars is an already-rounded decimal
+    * (hash-pinned row), the flatten is ONE IEEE sqrt, and the shares
+    * round to 6 against sub-ulp sum noise.
+    * Scale: the softDedup plan + a |sources|-row broadcast total. */
+  def mixLedger(spark: SparkSession, dir: String): DataFrame = {
+    val ledger = graft.llm.Dedup.softDedup(spark, dir)
+      .select(col("source"), col("eff_chars"))
+      .withColumn("w", sqrt(col("eff_chars")))
+    val tot = ledger.agg(sum("w").as("tw"), sum("eff_chars").as("te"))
+    ledger.crossJoin(broadcast(tot))
+      .select(col("source"), col("eff_chars"),
+        round(col("eff_chars") / col("te"), 6).as("p_raw"),
+        round(col("w") / col("tw"), 6).as("p_mix"))
+      .orderBy("source")
+  }
+
   /** Balanced output-shard plan: docs sorted by token count descending
     * are dealt round-robin over `shards` writers, so every shard's
     * token total lands within ONE max-document of every other

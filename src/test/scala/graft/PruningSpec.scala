@@ -130,6 +130,20 @@ class PruningSpec extends AnyFunSuite {
       "shared-quantizer assignment diverged from the inline training")
   }
 
+  test("mixLedger: shares sum to 1, temperature flattens toward uniform") {
+    val rows = llm.Sampling.mixLedger(spark, sfDir).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("p_raw")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("p_mix")).sum - 1.0) < 1e-4)
+    // flattening: the heaviest source loses share, the lightest gains
+    val byMass = rows.sortBy(_.getAs[Double]("eff_chars"))
+    val heavy = byMass.last; val light = byMass.head
+    assert(heavy.getAs[Double]("p_mix") <= heavy.getAs[Double]("p_raw") + 1e-9)
+    assert(light.getAs[Double]("p_mix") >= light.getAs[Double]("p_raw") - 1e-9)
+    // mass ordering is preserved (flattened, not reshuffled)
+    val mixOrder = byMass.map(_.getAs[Double]("p_mix"))
+    assert(mixOrder.zip(mixOrder.tail).forall { case (a, b) => a <= b + 1e-9 })
+  }
+
   test("corpusRelease: gate keeps ~2/3 of dedup survivors, shards token-balanced") {
     val docs = Tables.t(spark, sfDir, "documents")
     val survivors = docs.select("text").distinct().count()
