@@ -109,6 +109,9 @@ object SparkEntry {
     "q_canonical_docs" -> (llm.Dedup.canonicalDocs _),
     "q_decontaminate" -> ((s, d) => llm.Dedup.decontaminate(s, d)),
     "q_hash_split" -> (llm.Sampling.hashSplit _),
+    "q_split_leakage" -> (llm.Sampling.splitLeakage _),
+    "q_content_split" -> (llm.Sampling.contentSplit _),
+    "q_neardup_split" -> (llm.Sampling.neardupSplit _),
     "q_source_mix" -> ((s, d) => llm.Sampling.sourceMix(s, d)),
     "q_temperature_mix" -> (llm.Sampling.temperatureMix _),
     "q_kanon_release" -> ((s, d) => Relational.kanonRelease(s, d)),
@@ -1555,6 +1558,17 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
         |FROM cls ORDER BY doc_id""".stripMargin),
+    // the q_hash_split bucket rule keyed on the near-dup CLUSTER id —
+    // a doc and all its LSH near-duplicates share a split
+    "q_neardup_split" ->
+      (dupClusterCte + """
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |        CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |      FROM cls)
+        |ORDER BY doc_id""".stripMargin),
     // survivor selection by QUALITY: per near-dup cluster keep the doc
     // with the most content (max n_chars, tie -> min doc_id) — the same
     // cluster chain, a different keep policy
@@ -1587,6 +1601,33 @@ object SparkEntry {
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // leakage audit of the doc-id split: per eval split, how many docs'
+    // exact text hash also appears in train
+    "q_split_leakage" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    CASE WHEN b < 80 THEN 'train'
+        |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM d),
+        |tr AS (SELECT DISTINCT h FROM s WHERE split = 'train')
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(count(tr.h) AS BIGINT) AS n_leaked,
+        |  round(avg(CASE WHEN tr.h IS NULL THEN 0.0 ELSE 1.0 END), 6) AS leak_rate
+        |FROM s LEFT JOIN tr ON s.h = tr.h
+        |WHERE s.split <> 'train'
+        |GROUP BY split ORDER BY split""".stripMargin,
+    // the q_hash_split bucket rule keyed on the TEXT (content) instead of
+    // the id — byte-identical copies share a split by construction
+    "q_content_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
         |  FROM documents)
         |SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

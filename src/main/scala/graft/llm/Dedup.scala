@@ -402,7 +402,7 @@ object Dedup {
     * contents, else computed AND persisted. Identical content either
     * way (the chain is deterministic), so consumers cannot observe
     * which path ran. */
-  private def clusterArtifact(spark: SparkSession, dir: String,
+  private[llm] def clusterArtifact(spark: SparkSession, dir: String,
       minEstSim: Double): DataFrame =
     graft.store.ArtifactCache.serve(spark, clusterKey(dir, minEstSim))(
       dupClustersOf(t(spark, dir, "documents"), minEstSim))

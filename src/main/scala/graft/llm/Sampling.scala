@@ -356,4 +356,66 @@ object Sampling {
 
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     weightedSampleOf(t(spark, dir, "documents"))
+
+  /** Split-leakage AUDIT: how much eval data is secretly training data?
+    * Under the doc-id-keyed 80/10/10 split ([[hashSplit]]), an
+    * exact-duplicate cluster that spans the boundary leaks its content
+    * into eval — the classic train/test contamination a web corpus
+    * exhibits by default (near-30% of common eval sets per Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better").
+    * Reports, per eval split, the fraction of docs whose exact text hash
+    * also appears in train. [[contentSplit]] / [[neardupSplit]] are the
+    * fixes this row motivates.
+    *
+    * Scale: one projection (doc_id, md5(text)), a distinct over the
+    * train hashes, one equi-join on the hash, a 2-row roll-up — the
+    * exact-dedup shuffle class, nothing new. The train side is ~80% of
+    * the corpus so the join shuffles both sides on h; no broadcast. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        splitName(splitBucket(col("doc_id"))).as("split"))
+    val trainH = d.filter(col("split") === "train").select("h").distinct()
+      .withColumn("in_train", lit(1))
+    d.filter(col("split") =!= "train")
+      .join(trainH, Seq("h"), "left")
+      .withColumn("leak", coalesce(col("in_train"), lit(0)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("leak")).cast("bigint").as("n_leaked"),
+        round(avg(col("leak").cast("double")), 6).as("leak_rate"))
+      .orderBy("split")
+  }
+
+  /** CONTENT-keyed split: the [[splitBucket]] rule over the text itself
+    * instead of the id, so every byte-identical copy of a document lands
+    * in the same split by construction — exact-dup leakage
+    * ([[splitLeakage]]) is structurally zero, with no join against a
+    * cluster table. The standard fix when only exact duplication matters.
+    *
+    * Scale: a pure projection (one md5 per row) — zero shuffle, and the
+    * scan reads only (doc_id, text). */
+  def contentSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), splitBucket(col("text")).as("bucket"))
+      .withColumn("split", splitName(col("bucket")))
+      .orderBy("doc_id")
+
+  /** NEAR-dup-cluster-keyed split: the [[splitBucket]] rule over the LSH
+    * near-duplicate cluster id ([[Dedup.dupClusters]]'s min-id
+    * component), so a document and ALL its near-duplicates — not just
+    * byte-identical copies — land in the same split. This is the split
+    * real eval hygiene needs: a paraphrased or whitespace-perturbed
+    * train doc cannot sit in test ([[contentSplit]] would separate
+    * them; the cluster key cannot).
+    *
+    * Scale: serves the persisted cluster artifact (computed once per
+    * corpus version by the dedup pass — the ArtifactCache path), then a
+    * zero-shuffle projection. The split adds NO work beyond the dedup
+    * the pipeline already runs. */
+  def neardupSplit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterArtifact(spark, dir, 0.5)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("split", splitName(splitBucket(col("cluster_id"))))
+      .orderBy("doc_id")
 }

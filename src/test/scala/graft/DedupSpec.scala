@@ -266,6 +266,58 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("split leakage audit counts exactly the eval docs with a train twin") {
+    import spark.implicits._
+    val got = graft.llm.Sampling.splitLeakage(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == Set("val", "test"))
+    // brute-force reference over the same rule
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        graft.llm.Sampling.splitName(
+          graft.llm.Sampling.splitBucket(col("doc_id"))).as("split"))
+      .as[(Long, String, String)].collect()
+    val trainH = docs.collect { case (_, h, "train") => h }.toSet
+    for (s <- Seq("val", "test")) {
+      val ev = docs.filter(_._3 == s)
+      val leaked = ev.count(d => trainH(d._2))
+      val (nDocs, nLeaked, rate) = got(s)
+      assert(nDocs == ev.length && nLeaked == leaked)
+      assert(math.abs(rate - leaked.toDouble / ev.length) < 1e-6)
+    }
+  }
+
+  test("content and near-dup splits keep duplicate docs in one split") {
+    import spark.implicits._
+    // content split: every exact-dup class (same md5) has ONE split
+    val cs = graft.llm.Sampling.contentSplit(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), md5(col("text")).as("h")), "doc_id")
+    val splitsPerHash = cs.groupBy("h")
+      .agg(countDistinct("split").as("k"))
+      .agg(max("k")).as[Long].head()
+    assert(splitsPerHash == 1L)
+    // so its exact-dup leakage is structurally zero
+    val csRows = cs.select("doc_id", "h", "split")
+      .as[(Long, String, String)].collect()
+    val trainH = csRows.collect { case (_, h, "train") => h }.toSet
+    assert(!csRows.exists(r => r._3 != "train" && trainH(r._2)))
+    // near-dup split: every LSH cluster has ONE split, and the split is
+    // the hash-bucket rule applied to the cluster id
+    val ns = graft.llm.Sampling.neardupSplit(spark, sfDir)
+    val perCluster = ns.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k"))
+      .agg(max("k")).as[Long].head()
+    assert(perCluster == 1L)
+    val expected = ns.select(col("doc_id"),
+        graft.llm.Sampling.splitName(
+          graft.llm.Sampling.splitBucket(col("cluster_id"))).as("e"))
+    val mismatched = ns.join(expected, "doc_id")
+      .filter(col("split") =!= col("e")).count()
+    assert(mismatched == 0L)
+  }
+
   test("salted two-phase stratified sample equals the naive single window") {
     import org.apache.spark.sql.expressions.Window
     val k = 7
