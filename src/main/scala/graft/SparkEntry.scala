@@ -189,6 +189,9 @@ object SparkEntry {
     "q_proto_prune" -> ((s, d) => llm.Similarity.protoPrune(s, d)),
     "q_cluster_sample" -> ((s, d) => llm.Similarity.clusterSample(s, d)),
     "q_cluster_purity" -> ((s, d) => llm.Similarity.clusterPurity(s, d)),
+    "q_label_noise" -> ((s, d) => llm.Similarity.labelNoise(s, d)),
+    "q_margin_pairs" -> ((s, d) => llm.Similarity.marginPairs(s, d)),
+    "q_source_cap" -> ((s, d) => llm.Sampling.sourceCap(s, d)),
     "q_int8_quant" -> (llm.Similarity.int8Audit _),
     "q_int8_recall" -> ((s, d) => llm.Similarity.int8Recall(s, d)),
     "q_pq_train" -> (llm.Similarity.pqTrainQuery _),
@@ -301,6 +304,27 @@ object SparkEntry {
     """WITH ex AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
       |            FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
       |""".stripMargin + ivfAssignBody
+
+  // shared in-cell DIRECTED cosine pair chain over the trained assignment
+  // (mirrors Similarity.cellDirectedPairs: each unordered in-cell pair's
+  // cosine computed once, round 9, then both directions) — used by
+  // q_label_noise AND q_margin_pairs so the pair table cannot diverge
+  private val cellPairsCte = ivfAssignCte + """,
+    |emb2 AS (SELECT e.vec_id, e.embedding, e.label, a.cid
+    |         FROM embeddings e JOIN af a USING (vec_id)),
+    |p AS (SELECT a.vec_id AS id_a, a.label AS la,
+    |        b.vec_id AS id_b, b.label AS lb,
+    |        round(
+    |          list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),
+    |            q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))), (x, y) -> x + y)
+    |          / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding,
+    |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+    |             * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding,
+    |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))), 9) AS cos_sim
+    |      FROM emb2 a JOIN emb2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    |z AS (SELECT id_a AS q_id, la AS ql, id_b AS vid, lb AS nl, cos_sim FROM p
+    |      UNION ALL
+    |      SELECT id_b AS q_id, lb AS ql, id_a AS vid, la AS nl, cos_sim FROM p)""".stripMargin
 
   // shared sign-LSH CTE prefix (deterministic md5 plane table -> buckets ->
   // exact-cosine candidate pairs) used by q_ann_pairs AND q_embedding_dedup
@@ -1623,6 +1647,17 @@ object SparkEntry {
         |FROM s LEFT JOIN tr ON s.h = tr.h
         |WHERE s.split <> 'train'
         |GROUP BY split ORDER BY split""".stripMargin,
+    // proportional source cap: first floor(3% of N) docs per source in
+    // md5-of-id order (the naive window form; Spark runs the two-phase
+    // bucket plan, pinned equal by this oracle)
+    "q_source_cap" ->
+      """WITH n AS (SELECT CAST(count(*) * 3 / 100 AS BIGINT) AS cap FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT doc_id, source FROM r CROSS JOIN n WHERE rk <= cap
+        |ORDER BY doc_id""".stripMargin,
     // the q_hash_split bucket rule keyed on the TEXT (content) instead of
     // the id — byte-identical copies share a split by construction
     "q_content_split" ->
@@ -2914,6 +2949,41 @@ object SparkEntry {
         |SELECT cid AS cluster, CAST(cell_n AS BIGINT) AS n_vecs,
         |  label AS top_label, round(CAST(n AS DOUBLE) / cell_n, 6) AS purity
         |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin),
+    // kNN label-noise audit: in-cell cosine 5-NN majority vote (count
+    // desc, label asc ties) vs the stored label
+    "q_label_noise" ->
+      (cellPairsCte + """,
+        |r AS (SELECT q_id, ql, vid, nl,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vid) AS rnk
+        |      FROM z),
+        |v AS (SELECT q_id, ql, nl, count(*) AS votes
+        |      FROM r WHERE rnk <= 5 GROUP BY q_id, ql, nl),
+        |m AS (SELECT q_id, ql, nl,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, nl) AS vr
+        |      FROM v)
+        |SELECT q_id AS vec_id, ql AS label, nl AS knn_label,
+        |  CAST(CASE WHEN nl <> ql THEN 1 ELSE 0 END AS INTEGER) AS suspect
+        |FROM m WHERE vr = 1 ORDER BY vec_id""".stripMargin),
+    // Artetxe-Schwenk ratio margin over in-cell A(label<5)/B(label>=5)
+    // sides: top-1 cosine over the mean of both endpoints' 4-NN means;
+    // accept compares the ROUNDED margin (no epsilon straddle)
+    "q_margin_pairs" ->
+      (cellPairsCte + """,
+        |fwd AS (SELECT q_id, vid, cos_sim,
+        |          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vid) AS rnk
+        |        FROM z WHERE ql < 5 AND nl >= 5),
+        |bwd AS (SELECT q_id, vid, cos_sim,
+        |          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vid) AS rnk
+        |        FROM z WHERE ql >= 5 AND nl < 5),
+        |ma AS (SELECT q_id, avg(cos_sim) AS m_a FROM fwd WHERE rnk <= 4 GROUP BY q_id),
+        |mb AS (SELECT q_id, avg(cos_sim) AS m_b FROM bwd WHERE rnk <= 4 GROUP BY q_id),
+        |c AS (SELECT q_id AS id_a, vid AS id_b, cos_sim FROM fwd WHERE rnk = 1)
+        |SELECT c.id_a, c.id_b, c.cos_sim,
+        |  round(c.cos_sim / ((ma.m_a + mb.m_b) / 2), 6) AS margin,
+        |  CAST(CASE WHEN round(c.cos_sim / ((ma.m_a + mb.m_b) / 2), 6) >= 1.05
+        |       THEN 1 ELSE 0 END AS INTEGER) AS accept
+        |FROM c JOIN ma ON c.id_a = ma.q_id JOIN mb ON c.id_b = mb.q_id
+        |ORDER BY c.id_a""".stripMargin),
     // INT8 scalar-quantization audit: symmetric max-abs scale, left-fold
     // reconstruction MSE in array index order (bit-identical across
     // engines), per-label roll-up

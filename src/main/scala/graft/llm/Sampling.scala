@@ -401,6 +401,61 @@ object Sampling {
       .withColumn("split", splitName(col("bucket")))
       .orderBy("doc_id")
 
+  /** Proportional SOURCE-frequency cap (the C4/RefinedWeb hot-domain
+    * guard): no source may exceed `pct`% of the released corpus. Kept
+    * docs per source are the first floor(pct%·N) in the deterministic
+    * md5-of-id order — a reproducible "random" draw, the engine-wide
+    * no-RNG rule. Sources under the cap pass whole.
+    *
+    * Scale: the naive form is a per-source window rank over the FULL
+    * source — a hot domain (most of a web crawl) through one partition.
+    * This is the [[budgetSelectOf]] two-phase discipline keyed on the
+    * hash itself: the rank order is (h, doc_id) and the first hex char
+    * of h is ORDER-ALIGNED with it, so a per-(source, hex-prefix)
+    * histogram (|sources|·256 rows to the driver) locates each source's
+    * boundary bucket; full buckets pass with a filter and only the
+    * boundary BUCKET is window-ranked — partition bounded by n_s/256
+    * (longer prefixes at larger scale). Spec + oracle pin it equal to
+    * the naive window. */
+  def sourceCapOf(docs: DataFrame, pct: Int = 3): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("b", substring(col("h"), 1, 2))
+      .localCheckpoint(true) // histogram AND both keep paths read it
+    val total = d.count()
+    val cap = (total * pct) / 100 // floor(pct% · N): ints, exact
+    val hist = d.groupBy("source", "b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // per source: the first bucket where cumulative count crosses cap
+    // ("g" > every hex char = no boundary, source passes whole)
+    val plans = hist.groupBy(_._1).map { case (src, rows) =>
+      var acc = 0L; var boundary = "g"; var rem = 0L
+      rows.sortBy(_._2).foreach { case (_, b, n) =>
+        if (boundary == "g") {
+          if (acc + n > cap) { boundary = b; rem = cap - acc }
+          else acc += n
+        }
+      }
+      (src, boundary, rem)
+    }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val planDf = broadcast(plans.toDF("source", "boundary", "rem"))
+    val joined = d.join(planDf, Seq("source"))
+    val full = joined.filter(col("b") < col("boundary"))
+    val wb = Window.partitionBy("source").orderBy("h", "doc_id")
+    val atBoundary = joined.filter(col("b") === col("boundary"))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= col("rem"))
+      .drop("rk")
+    full.unionByName(atBoundary)
+      .select("doc_id", "source").orderBy("doc_id")
+  }
+
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCapOf(t(spark, dir, "documents"))
+
   /** NEAR-dup-cluster-keyed split: the [[splitBucket]] rule over the LSH
     * near-duplicate cluster id ([[Dedup.dupClusters]]'s min-id
     * component), so a document and ALL its near-duplicates — not just

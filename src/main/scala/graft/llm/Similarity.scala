@@ -1270,6 +1270,127 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** (vec_id, embedding, label, cid): the embeddings table with its
+    * served shared-quantizer cell — the input frame of the in-cell
+    * audit family ([[labelNoise]], [[marginPairs]]). Checkpointed:
+    * both sides of the in-cell self-join read it. */
+  private def servedCellFrame(spark: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    emb.join(assignCells(explodeVecs(emb),
+        sharedRawQuantizer(spark, dir, k, iters).load("centroids")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("label"), col("cid"))
+      .localCheckpoint(true)
+  }
+
+  /** DIRECTED in-cell cosine pair table (q_id, q_label, vec_id, n_label,
+    * cos_sim): every ordered (query, candidate) pair sharing a cell.
+    * Each unordered pair's cosine is computed ONCE (a < b join, native
+    * single-pass [[cosine]], round 9) and mirrored — halving the
+    * dominant cost of the in-cell audits.
+    *
+    * Scale: the join is cell-bounded, never corpus-wide — the SemDeDup
+    * argument; k (nlist) is the knob that keeps cells pair-join-sized,
+    * and a production corpus adds [[groupedCosinePairs]]' hot-cell star
+    * guard. */
+  private def cellDirectedPairs(e: DataFrame): DataFrame = {
+    val p = e.as("a").join(e.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("a.label").as("la"),
+        col("b.vec_id").as("id_b"), col("b.label").as("lb"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 9)
+          .as("cos_sim"))
+    p.select(col("id_a").as("q_id"), col("la").as("q_label"),
+        col("id_b").as("vec_id"), col("lb").as("n_label"), col("cos_sim"))
+      .unionByName(
+        p.select(col("id_b").as("q_id"), col("lb").as("q_label"),
+          col("id_a").as("vec_id"), col("la").as("n_label"),
+          col("cos_sim")))
+  }
+
+  /** k-NN LABEL-NOISE audit (the confident-learning read, Northcutt et
+    * al. 2021 "Confident Learning", applied with a kNN voter): a vector
+    * whose in-cell cosine k-nearest neighbors majority-vote a DIFFERENT
+    * label is a suspected mislabel — the label-quality triage a
+    * classifier-training pipeline runs before trusting its targets.
+    * Neighbors come from the vector's own served-quantizer cell (the
+    * SemDeDup blocking argument: at web scale exact corpus-wide kNN is
+    * off the table, and a mislabel's nearest neighbors are in its cell
+    * by construction of the quantizer). Majority ties break to the
+    * smaller label; vectors in singleton cells have no neighbors and no
+    * verdict (dropped, same as the oracle).
+    *
+    * Scale: one assignment scan + the cell-bounded pair join
+    * ([[cellDirectedPairs]]); the vote is a (q, label)-keyed count —
+    * state k·|labels| per query group, map-side combinable. */
+  def labelNoiseFrom(e: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    val votes = cellDirectedPairs(e)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("q_id", "q_label", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("votes"), asc("n_label"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("q_id").as("vec_id"), col("q_label").as("label"),
+        col("n_label").as("knn_label"),
+        (col("n_label") =!= col("q_label")).cast("int").as("suspect"))
+      .orderBy("vec_id")
+  }
+
+  def labelNoise(spark: SparkSession, dir: String, k: Int = 5,
+      kCells: Int = 4, iters: Int = 2): DataFrame =
+    labelNoiseFrom(servedCellFrame(spark, dir, kCells, iters), k)
+
+  /** Margin-based pair MINING (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining" — the ratio margin): treating labels 0–4
+    * as side A and 5–9 as side B, find for each A-vector its best
+    * in-cell B-neighbor and score the pair by
+    *   margin = cos(a, b) / ((meanₖ(a→B) + meanₖ(b→A)) / 2),
+    * the top-1 similarity relative to BOTH endpoints' neighborhood
+    * density. The ratio cancels hubness: a vector that is "close to
+    * everything" has a high neighborhood mean, so its pairs need to be
+    * exceptional to clear the same threshold — the property that makes
+    * margin scoring the standard mined-bitext filter. `accept` flags
+    * margin ≥ 1.05 on the ROUNDED margin (both engines compare the same
+    * round-6 value — no epsilon-straddle flake).
+    *
+    * Scale: rides [[cellDirectedPairs]] (cell-bounded, computed once,
+    * mirrored); the means are k-row aggregates per endpoint; no global
+    * sort — per-endpoint window ranks only. */
+  def marginPairsFrom(e: DataFrame, k: Int = 4,
+      threshold: Double = 1.05): DataFrame = {
+    val z = cellDirectedPairs(e)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    val fwd = z.filter(col("q_label") < 5 && col("n_label") >= 5)
+      .withColumn("rnk", row_number().over(w))
+    val bwd = z.filter(col("q_label") >= 5 && col("n_label") < 5)
+      .withColumn("rnk", row_number().over(w))
+    val ma = fwd.filter(col("rnk") <= k)
+      .groupBy("q_id").agg(avg("cos_sim").as("m_a"))
+    val mb = bwd.filter(col("rnk") <= k)
+      .groupBy("q_id").agg(avg("cos_sim").as("m_b"))
+    fwd.filter(col("rnk") === 1)
+      .select(col("q_id").as("id_a"), col("vec_id").as("id_b"),
+        col("cos_sim"))
+      .join(ma.withColumnRenamed("q_id", "id_a"), Seq("id_a"))
+      .join(mb.withColumnRenamed("q_id", "id_b"), Seq("id_b"))
+      .withColumn("margin",
+        round(col("cos_sim") / ((col("m_a") + col("m_b")) / 2), 6))
+      .select(col("id_a"), col("id_b"), col("cos_sim"), col("margin"),
+        (col("margin") >= threshold).cast("int").as("accept"))
+      .orderBy("id_a")
+  }
+
+  def marginPairs(spark: SparkSession, dir: String, k: Int = 4,
+      kCells: Int = 4, iters: Int = 2): DataFrame =
+    marginPairsFrom(servedCellFrame(spark, dir, kCells, iters), k)
+
   /** INT8 scalar-quantization audit, per vector: symmetric max-abs
     * scale (scale = max|x|/127, code = floor(x/scale + 0.5), recon =
     * code·scale) and the reconstruction MSE — the measured loss of

@@ -318,6 +318,35 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatched == 0L)
   }
 
+  test("two-phase source cap equals the naive per-source window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = graft.llm.Sampling.sourceCapOf(docs, pct = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val cap = docs.count() * 3 / 100
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = docs
+      .select(col("doc_id"), col("source"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= cap)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    // every source contributes exactly min(cap, n_s)
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrc = got.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+    assert(perSrc == sizes.map { case (s, n) => s -> math.min(cap, n) })
+    // and a skewed fixture exercises an active boundary bucket
+    import spark.implicits._
+    val skew = (1L to 200L).map(i =>
+      (i, if (i <= 150) "hot" else "cold", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val capped = graft.llm.Sampling.sourceCapOf(skew, pct = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byS = capped.groupBy(_._2).map { case (s, g) => s -> g.size }
+    assert(byS == Map("hot" -> 60, "cold" -> 50)) // cap=60 binds hot only
+  }
+
   test("salted two-phase stratified sample equals the naive single window") {
     import org.apache.spark.sql.expressions.Window
     val k = 7

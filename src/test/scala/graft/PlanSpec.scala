@@ -363,4 +363,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!iq.contains("Join"),
       s"int8 audit should be a pure scan + aggregation:\n$iq")
   }
+
+  test("wave-16/17 rows: cell-bounded pair joins, two-phase cap, no cartesian") {
+    // the in-cell audits pair via an equi-join on cid — never cartesian —
+    // and rank inside per-query windows, never SinglePartition
+    Seq("q_label_noise", "q_margin_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      assert(p.contains("hashpartitioning(q_id"),
+        s"$q window is not query-partitioned:\n$p")
+    }
+    // source cap: the boundary plan broadcasts; the only window is the
+    // boundary bucket's, partitioned by source — no global sort of docs
+    val sc = plan("q_source_cap")
+    assert(sc.contains("BroadcastHashJoin"),
+      s"source_cap plan table is not broadcast:\n$sc")
+    assert(!sc.contains("CartesianProduct"), s"cartesian in source_cap:\n$sc")
+    // content split is a pure projection — no join, no window, no shuffle
+    // beyond the output sort
+    val cs = plan("q_content_split")
+    assert(!cs.contains("Join") && !cs.contains("Window"),
+      s"content_split should be scan+project:\n$cs")
+  }
 }
