@@ -202,6 +202,7 @@ object SparkEntry {
     // FROM the store, hash-match the train-inline query's oracle
     "q_ivfpq_persisted" -> (llm.Similarity.ivfPqPersistedQuery _),
     "q_ann_recall" -> ((s, d) => llm.Similarity.annRecall(s, d)),
+    "q_ann_recall_auto" -> ((s, d) => llm.Similarity.annRecallAuto(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
     "q_bpe_persisted" -> ((s, d) => llm.TextOps.bpePersistedQuery(s, d)),
     "q_lm_persisted" -> (llm.TextOps.lmPersistedQuery _),
@@ -465,6 +466,119 @@ object SparkEntry {
               s"SELECT vec_id, $s AS m, cid FROM af$s").mkString(" UNION ALL ")})
          |  GROUP BY vec_id)""".stripMargin
     s"$head,\n$subs,\n$codes"
+  }
+
+  // auto-dialed sample-trained IVF-PQ recall replay (q_ann_recall_auto;
+  // mirrors Similarity.annRecallAuto / saveIvfPqIndexAuto): the dial rule
+  // itself is SQL — k = clamp(ceil(sqrt(N)), 4, trainN // 39) — so a
+  // silent change to the rule hash-mismatches; the quantizers train on
+  // the vec_id % 2 <> 0 slice only (rank-based seeds over the SLICE:
+  // `vec_id < k` no longer holds on non-contiguous ids), with the
+  // empty-cluster retention the Spark Lloyd rounds apply (LEFT JOIN +
+  // coalesce per round — at k≈√N a duplicate seed vector CAN empty a
+  // cell, unlike the fixed kCells=4 chains), then encode ALL vectors
+  // and serve probe → per-cell ADC shortlist → exact rerank per nprobe.
+  private lazy val annRecallAutoOracle: String = {
+    // one Lloyd round with retention: prev centroids `p` + points `pts`
+    // (vec_id, i, x) → assignments a$tag, updates u$tag, next c = $out
+    def lloydRound(pts: String, p: String, out: String, tag: String) =
+      s"""d$tag AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+         |        FROM $pts e JOIN $p c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+         |a$tag AS (SELECT vec_id, cid FROM
+         |         (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$tag)
+         |        WHERE rn = 1),
+         |u$tag AS (SELECT a.cid, e.i, avg(e.x) AS c FROM $pts e JOIN a$tag a USING (vec_id) GROUP BY a.cid, e.i),
+         |$out AS (SELECT p.cid, p.i, coalesce(u.c, p.c) AS c
+         |        FROM $p p LEFT JOIN u$tag u ON u.cid = p.cid AND u.i = p.i)""".stripMargin
+    val head =
+      """WITH exr AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x,
+        |        sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS nrm
+        |      FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS x FROM exr),
+        |ext AS (SELECT * FROM ex WHERE vec_id % 2 <> 0),
+        |kk AS (SELECT greatest(4, least(CAST(ceil(sqrt(CAST(a.n AS DOUBLE))) AS BIGINT),
+        |                                greatest(4, b.tn // 39))) AS k
+        |       FROM (SELECT count(*) AS n FROM embeddings) a
+        |       CROSS JOIN (SELECT count(*) AS tn FROM embeddings WHERE vec_id % 2 <> 0) b),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        |        FROM (SELECT DISTINCT vec_id FROM ext)),
+        |seeds AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM ids
+        |          WHERE rn <= (SELECT k FROM kk)),
+        |seeds8 AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM ids WHERE rn <= 8),
+        |g0 AS (SELECT s.cid, e.i, e.x AS c FROM ext e JOIN seeds s USING (vec_id))""".stripMargin
+    val coarse = Seq(
+      lloydRound("ext", "g0", "g1", "g1r"),
+      lloydRound("ext", "g1", "g2", "g2r"),
+      // full-corpus assignment against the trained coarse quantizer
+      """gdf AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+        |        FROM ex e JOIN g2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+        |af AS (SELECT vec_id, cid FROM
+        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM gdf)
+        |       WHERE rn = 1)""".stripMargin).mkString(",\n")
+    val pq = (0 until 4).map { s =>
+      val lo = s * 16
+      Seq(
+        s"t$s AS (SELECT vec_id, i - $lo AS i, x FROM ext WHERE i >= $lo AND i < ${lo + 16})",
+        s"f$s AS (SELECT vec_id, i - $lo AS i, x FROM ex WHERE i >= $lo AND i < ${lo + 16})",
+        s"p${s}0 AS (SELECT c.cid, e.i, e.x AS c FROM t$s e JOIN seeds8 c USING (vec_id))",
+        lloydRound(s"t$s", s"p${s}0", s"p${s}1", s"p${s}r1"),
+        lloydRound(s"t$s", s"p${s}1", s"p${s}2", s"p${s}r2"),
+        s"""pdf$s AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+           |         FROM f$s e JOIN p${s}2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+           |paf$s AS (SELECT vec_id, cid FROM
+           |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM pdf$s)
+           |         WHERE rn = 1)""".stripMargin).mkString(",\n")
+    }.mkString(",\n")
+    val codes =
+      s"""codes AS (SELECT vec_id,
+         |    ${(0 until 4).map(s =>
+              s"max(CASE WHEN m = $s THEN cid END) AS c$s").mkString(", ")}
+         |  FROM (${(0 until 4).map(s =>
+              s"SELECT vec_id, $s AS m, cid FROM paf$s").mkString(" UNION ALL ")})
+         |  GROUP BY vec_id)""".stripMargin
+    val query =
+      s"""qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
+         |qd AS (SELECT c.cid,
+         |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
+         |  FROM g2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
+         |${(0 until 4).map(s =>
+            s"""dt$s AS (SELECT cid,
+               |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
+               |  FROM p${s}2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
+            .mkString(",\n")},
+         |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+         |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0),
+         |truth AS (SELECT z.vec_id FROM (
+         |  SELECT e.vec_id,
+         |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+         |     (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+         |      sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
+         |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z)""".stripMargin
+    val sweeps = Seq(1, 2, 4, 8).map(np =>
+      s"""probe$np AS (SELECT cid FROM
+         |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
+         |          WHERE rn <= $np),
+         |short$np AS (SELECT vec_id FROM (
+         |  SELECT k.vec_id, a.cid,
+         |    row_number() OVER (PARTITION BY a.cid
+         |      ORDER BY round(dt0.d + dt1.d + dt2.d + dt3.d, 9), k.vec_id) AS rn
+         |  FROM codes k JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
+         |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
+         |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
+         |  WHERE k.vec_id <> 0) WHERE rn <= 100),
+         |apx$np AS (SELECT u.vec_id FROM short$np s JOIN ul u USING (vec_id), qa
+         |  ORDER BY round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) DESC, u.vec_id
+         |  LIMIT 10)""".stripMargin).mkString(",\n")
+    val tail = Seq(1, 2, 4, 8).map(np =>
+      s"""SELECT $np AS nprobe, (SELECT CAST(k AS INTEGER) FROM kk) AS n_cells, 10 AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM apx$np JOIN truth USING (vec_id)) AS n_hits,
+         |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
+      .mkString(" UNION ALL\n")
+    s"$head,\n$coarse,\n$pq,\n$codes,\n$query,\n$sweeps\n$tail\nORDER BY nprobe"
   }
 
   // batch-perceptron chain (mirrors llm.Classifier: integer features,
@@ -734,6 +848,12 @@ object SparkEntry {
               |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
           .mkString(" UNION ALL\n")}
         |ORDER BY nprobe""".stripMargin),
+    // auto-dialed sample-trained IVF-PQ recall sweep: the dial rule
+    // (k = clamp(ceil(sqrt(N)), 4, trainN // 39)), the vec_id % 2 train
+    // slice, rank-based seeding over the slice, retention-hardened Lloyd,
+    // full-corpus encode, and the probe/shortlist/rerank serve — all
+    // replayed in SQL (see annRecallAutoOracle)
+    "q_ann_recall_auto" -> annRecallAutoOracle,
     // batched IVF-PQ k-NN serving: every per-query step of
     // q_ivfpq_search as a relational join over the query batch (first 8
     // vectors) — per-query probe via grouped centroid distances,
@@ -1651,7 +1771,7 @@ object SparkEntry {
     // md5-of-id order (the naive window form; Spark runs the two-phase
     // bucket plan, pinned equal by this oracle)
     "q_source_cap" ->
-      """WITH n AS (SELECT CAST(count(*) * 3 / 100 AS BIGINT) AS cap FROM documents),
+      """WITH n AS (SELECT CAST(count(*) * 3 // 100 AS BIGINT) AS cap FROM documents),
         |r AS (SELECT doc_id, source,
         |        row_number() OVER (PARTITION BY source
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
@@ -3022,7 +3142,9 @@ object SparkEntry {
         |      x -> floor(CAST(x AS DOUBLE) / (p.amax / CAST(127 AS DOUBLE)) + CAST(0.5 AS DOUBLE))
         |           * (p.amax / CAST(127 AS DOUBLE))) AS remb
         |  FROM embeddings e JOIN p USING (vec_id) WHERE p.amax > 0),
-        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |q AS (SELECT e.vec_id AS q_id, e.embedding AS qe
+        |      FROM embeddings e JOIN p USING (vec_id)
+        |      WHERE e.vec_id < 3 AND p.amax > 0),
         |qn AS (SELECT q_id, qe,
         |    sqrt(list_reduce(list_prepend(0.0, list_transform(qe,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS qnrm

@@ -410,8 +410,8 @@ object Sampling {
     * Scale: the naive form is a per-source window rank over the FULL
     * source — a hot domain (most of a web crawl) through one partition.
     * This is the [[budgetSelectOf]] two-phase discipline keyed on the
-    * hash itself: the rank order is (h, doc_id) and the first hex char
-    * of h is ORDER-ALIGNED with it, so a per-(source, hex-prefix)
+    * hash itself: the rank order is (h, doc_id) and the first two hex
+    * chars of h (256 buckets) are ORDER-ALIGNED with it, so a per-(source, hex-prefix)
     * histogram (|sources|·256 rows to the driver) locates each source's
     * boundary bucket; full buckets pass with a filter and only the
     * boundary BUCKET is window-ranked — partition bounded by n_s/256

@@ -999,6 +999,80 @@ object Similarity {
     }.reduce(_ union _).orderBy("nprobe")
   }
 
+  /** Production IVF dial rule (the FAISS sizing practice): nlist grows
+    * as √N — cell populations then grow as √N too, so probe cost and
+    * cell-scan cost stay balanced as the corpus scales — capped by the
+    * training sample's capacity (≥ 39 training points per centroid,
+    * FAISS's `min_points_per_centroid`: fewer and the Lloyd update is
+    * too noisy to place the cell), floored at 4 (below that IVF is
+    * pointless). At 10⁸ vectors with a 50% training sample this yields
+    * nlist = 10⁴, each probe scanning ~10⁴ codes — the shape a real
+    * deployment runs; the fixed kCells=4 dial the oracle-pinned rows
+    * keep is a toy that would put 2.5·10⁷ vectors in each cell. */
+  def autoNlist(n: Long, trainN: Long): Int = {
+    val byTrain = math.max(4L, trainN / 39L)
+    math.max(4L,
+      math.min(math.ceil(math.sqrt(n.toDouble)).toLong, byTrain)).toInt
+  }
+
+  /** Auto-dialed, sample-trained index build — the production shape:
+    * the quantizers train on the deterministic `vec_id % trainMod ≠ 0`
+    * slice ([[graft.streaming.StreamingAnn.buildIndexWithDriftReference]]'s
+    * split rule), nlist comes from [[autoNlist]], and the index encodes
+    * the FULL corpus. Returns the chosen nlist so callers can size
+    * their probe budget against it. The two driver-side counts are one
+    * column-pruned scan each — noise next to the encode pass. */
+  def saveIvfPqIndexAuto(emb: DataFrame, store: graft.store.ModelStore,
+      trainMod: Int = 2, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64): Int = {
+    require(trainMod >= 2, s"trainMod=$trainMod must leave a training slice")
+    val n = emb.select("vec_id").distinct().count()
+    val train = emb.filter(pmod(col("vec_id"), lit(trainMod)) =!= 0)
+    val kc = autoNlist(n, train.select("vec_id").distinct().count())
+    saveIvfPqIndexTrainedOn(train, emb, store, kc, m, k, iters, dim)
+    kc
+  }
+
+  /** [[annRecall]] at the PRODUCTION dials: auto-sized nlist
+    * ([[autoNlist]]) over a sample-trained quantizer
+    * ([[saveIvfPqIndexAuto]], trainMod=2 — the quantizer never saw half
+    * the corpus, including query 0 itself), swept to nprobe=8. At the
+    * fixed kCells=4 dial the sf0.1 recall ceilinged at 0.7 because 4
+    * giant cells × rerankK=100 truncate the per-cell shortlist below
+    * the true neighbor set; at √N-scaled cells the per-cell population
+    * (~N/nlist ≈ 80 at sf0.1) sits UNDER rerankK, so the rerank is
+    * exact over every probed cell and recall is bounded by the probe
+    * budget alone — which the sweep then buys off. n_cells is in the
+    * output so the dial rule itself is oracle-pinned: the DuckDB replay
+    * computes the same clamp(⌈√N⌉, 4, trainN/39) in SQL and a silent
+    * rule change hash-mismatches. Serves from the process-shared
+    * auto-dial index (train once, sweep many). */
+  def annRecallAuto(spark: SparkSession, dir: String, topK: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8), trainMod: Int = 2): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    var chosen = 0
+    val store = graft.store.ModelStore.shared(spark, Seq("ivfpq-auto",
+      graft.store.ArtifactCache.tableFingerprint(dir, "embeddings"),
+      s"trainMod=$trainMod", "m=4", "k=8", "iters=2", "dim=64")) { st =>
+      chosen = saveIvfPqIndexAuto(emb, st, trainMod); ()
+    }
+    // cache hit skips the train body: recover the dial from the stored
+    // coarse table instead of retraining (nlist = its distinct cids)
+    val kCells =
+      if (chosen > 0) chosen
+      else store.load("coarse").select("cid").distinct().count().toInt
+    val truth = cosineTopK(spark, dir, 0L, topK).select("vec_id")
+    val qv = queryVecOf(emb, 0L)
+    nprobes.map { np =>
+      ivfPqSearchPersisted(store, qv, qId = 0L, topK = topK, nprobe = np)
+        .join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), lit(kCells).as("n_cells"),
+          lit(topK).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / topK).as("recall"))
+    }.reduce(_ union _).orderBy("nprobe")
+  }
+
   /** Johnson–Lindenstrauss random projection: dim → outDim with the
     * deterministic hyperplane table ([[planeTable]], the same md5 planes
     * the sign-LSH buckets use). Each output dimension is ONE native
@@ -1437,10 +1511,13 @@ object Similarity {
 
   /** [[int8Recall]] over an explicit embeddings frame (testable on
     * synthetic corpora). Zero vectors have no cosine direction — they
-    * are excluded from the CORPUS side of both lists (under Spark 4's
-    * default ANSI mode a zero reconstructed norm would otherwise throw
+    * are excluded from BOTH sides — corpus (under Spark 4's default
+    * ANSI mode a zero reconstructed norm would otherwise throw
     * DIVIDE_BY_ZERO on the served side while the native cosine NaNs on
-    * the truth side); the oracle applies the same amax > 0 filter.
+    * the truth side) AND queries (a zero-norm query divides by zero in
+    * the cosine: DuckDB yields NULL, Spark doubles yield NaN/Infinity —
+    * rankings would diverge between engines); the oracle applies the
+    * same amax > 0 filter on both sides.
     * The recall denominator is the TRUTH list's actual size (≤ topK —
     * a corpus smaller than topK+1 must still reach recall 1.0 when the
     * lists agree). Served cosine reuses [[dotFold]]/[[norm]] — the
@@ -1459,6 +1536,7 @@ object Similarity {
           x => floor(x.cast("double") / scale + lit(0.5)) * scale)
           .as("remb"))
     val q = emb.filter(col("vec_id") < nQueries)
+      .filter(amax > 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val joined = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))

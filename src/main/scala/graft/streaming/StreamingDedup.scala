@@ -130,11 +130,33 @@ object StreamingDedup {
     * (merge-aggregate into a fresh generation, atomic swap), not
     * [[compactStore]]'s merge-append. */
   def softCountsBatch(spark: SparkSession, storePath: String)(
-      batch: DataFrame, batchId: Long): Unit =
+      batch: DataFrame, batchId: Long): Unit = {
+    markCountSemantics(spark, storePath)
     batch.select(md5(col("text")).as("h"), col("source"), col("n_chars"))
       .groupBy("h", "source")
       .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+  }
+
+  /** Marker file naming a store's merge semantics as COUNT (rows are
+    * per-batch sums, NOT a set). [[compactStore]]'s merge-append +
+    * retry-recovery assumes set semantics; the marker makes the refusal
+    * explicit instead of inferred from a column name (ADVICE r9 — a
+    * renamed count column must not silently re-enable the corruption). */
+  private val CountSemanticsMarker = "_COUNT_SEMANTICS"
+
+  private def markCountSemantics(spark: SparkSession, storePath: String)
+      : Unit = {
+    val (fs, _) = fsOf(spark, storePath)
+    val p = new org.apache.hadoop.fs.Path(storePath, CountSemanticsMarker)
+    if (!fs.exists(p)) { fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** True iff the store was stamped by a count-semantics writer. */
+  def hasCountSemantics(spark: SparkSession, storePath: String): Boolean = {
+    val (fs, _) = fsOf(spark, storePath)
+    fs.exists(new org.apache.hadoop.fs.Path(storePath, CountSemanticsMarker))
+  }
 
   /** The per-source soft-dedup ledger over everything ingested so far —
     * equals [[graft.llm.Dedup.softDedup]] on the union of the ingested
@@ -216,7 +238,13 @@ object StreamingDedup {
     // collapsing equal rows from different batches under-counts). The
     // doc comment on softCountsBatch names the fresh-generation merge
     // as that store's compaction path; enforce the boundary here
-    // instead of trusting it.
+    // instead of trusting it. Primary check: the explicit semantics
+    // marker stamped by the count-store writer; the column-name check
+    // stays as a fallback for stores written before the marker existed.
+    require(!hasCountSemantics(spark, storePath),
+      s"$storePath is stamped $CountSemanticsMarker (per-batch COUNT " +
+        "rows) — merge-append compaction would silently corrupt the " +
+        "sums; use a fresh-generation aggregate merge instead")
     require(!existing.columns.contains("cnt"),
       s"$storePath holds per-batch COUNTS (soft-ledger store) — " +
         "merge-append compaction would silently corrupt the sums; " +

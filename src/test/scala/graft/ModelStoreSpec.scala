@@ -111,6 +111,31 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("annRecallAuto: sqrt(N) dial, sample-trained, monotone, recall >= 0.9 in the sweep at every SF") {
+    // the production dials (VERDICT r9 #2): nlist = clamp(ceil(sqrt(N)),
+    // 4, trainN/39) over a quantizer trained on the vec_id % 2 != 0
+    // slice only. At the fixed kCells=4 dial sf0.1 recall ceilinged at
+    // 0.7 because 4 giant cells x rerankK=100 truncate the shortlist;
+    // sqrt(N)-scaled cells put the per-cell population under rerankK, so
+    // the swept probe budget buys recall all the way up.
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val expectK = llm.Similarity.autoNlist(n,
+        emb.filter(col("vec_id") % 2 =!= 0).count())
+      val rows = llm.Similarity.annRecallAuto(spark, dir).collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+      // the dial rule is in the output — a rule change is visible
+      assert(rows.map(_.getInt(1)).distinct.toSeq == Seq(expectK),
+        s"n_cells mismatch at $dir")
+      val recalls = rows.map(_.getDouble(4))
+      assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+        s"recall not monotone in nprobe at $dir: ${recalls.toSeq}")
+      assert(recalls.max >= 0.9,
+        s"no swept nprobe reached recall 0.9 at $dir: ${recalls.toSeq}")
+    }
+  }
+
   test("batched IVF-PQ serve equals the single-query path, query by query") {
     // the batch path replaces the driver-side probe/distance-table steps
     // with relational joins; at equal dials the two must serve the same

@@ -254,6 +254,26 @@ class StreamingSpec extends AnyFunSuite {
     val again = graft.streaming.StreamingDedup.softLedger(spark, store)
     assert(again.except(batch).count() == 0 &&
       batch.except(again).count() == 0, "replay diverged")
+    // the writer stamps the store's merge semantics explicitly
+    assert(graft.streaming.StreamingDedup.hasCountSemantics(spark, store),
+      "softCountsBatch did not stamp _COUNT_SEMANTICS")
+  }
+
+  test("compaction refuses a count-semantics store even with a renamed column") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cntguard").toString
+    // three batch dirs whose count column is NOT named "cnt" — the
+    // column-name fallback cannot fire; only the marker protects them
+    (0 to 2).foreach { k =>
+      Seq(("h" + k, "web", 2L)).toDF("h", "source", "tally")
+        .write.mode("overwrite").parquet(s"$store/batch=$k")
+    }
+    assert(new java.io.File(store, "_COUNT_SEMANTICS").createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.compactHashes(spark, store, 1L)
+    }
+    assert(e.getMessage.contains("_COUNT_SEMANTICS"), e.getMessage)
   }
 
   test("hash-store compaction preserves the dedup-visible hash set") {
