@@ -469,15 +469,21 @@ object SparkEntry {
   }
 
   // auto-dialed sample-trained IVF-PQ recall replay (q_ann_recall_auto;
-  // mirrors Similarity.annRecallAuto / saveIvfPqIndexAuto): the dial rule
-  // itself is SQL — k = clamp(ceil(sqrt(N)), 4, trainN // 39) — so a
-  // silent change to the rule hash-mismatches; the quantizers train on
-  // the vec_id % 2 <> 0 slice only (rank-based seeds over the SLICE:
-  // `vec_id < k` no longer holds on non-contiguous ids), with the
-  // empty-cluster retention the Spark Lloyd rounds apply (LEFT JOIN +
-  // coalesce per round — at k≈√N a duplicate seed vector CAN empty a
-  // cell, unlike the fixed kCells=4 chains), then encode ALL vectors
-  // and serve probe → per-cell ADC shortlist → exact rerank per nprobe.
+  // mirrors Similarity.annRecallAuto / saveIvfPqIndexAuto): BOTH dial
+  // rules are SQL — k = clamp(ceil(sqrt(N)), 4, trainN // 39) and
+  // spill = clamp(k // 6, 1, 4) — so a silent change to either
+  // hash-mismatches; the quantizers train on the vec_id % 2 <> 0 slice
+  // only (rank-based seeds over the SLICE: `vec_id < k` no longer holds
+  // on non-contiguous ids), with the empty-cluster retention the Spark
+  // Lloyd rounds apply (LEFT JOIN + coalesce per round — at k≈√N a
+  // duplicate seed vector CAN empty a cell, unlike the fixed kCells=4
+  // chains), then encode ALL vectors into their top-`spill` cells
+  // (rn <= spill over the same (d, cid) ranking whose rn = 1 is the
+  // argmin assignment) and serve probe → per-cell ADC shortlist of
+  // 100·spill (the replication multiplies probed-cell population, so
+  // the budget scales with it) → DISTINCT shortlist ids (a spilled
+  // vector can surface from two probed cells) → exact rerank per
+  // nprobe.
   private lazy val annRecallAutoOracle: String = {
     // one Lloyd round with retention: prev centroids `p` + points `pts`
     // (vec_id, i, x) → assignments a$tag, updates u$tag, next c = $out
@@ -496,10 +502,11 @@ object SparkEntry {
         |      FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
         |ex AS (SELECT vec_id, i, CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS x FROM exr),
         |ext AS (SELECT * FROM ex WHERE vec_id % 2 <> 0),
-        |kk AS (SELECT greatest(4, least(CAST(ceil(sqrt(CAST(a.n AS DOUBLE))) AS BIGINT),
-        |                                greatest(4, b.tn // 39))) AS k
-        |       FROM (SELECT count(*) AS n FROM embeddings) a
-        |       CROSS JOIN (SELECT count(*) AS tn FROM embeddings WHERE vec_id % 2 <> 0) b),
+        |kk0 AS (SELECT greatest(4, least(CAST(ceil(sqrt(CAST(a.n AS DOUBLE))) AS BIGINT),
+        |                                 greatest(4, b.tn // 39))) AS k
+        |        FROM (SELECT count(*) AS n FROM embeddings) a
+        |        CROSS JOIN (SELECT count(*) AS tn FROM embeddings WHERE vec_id % 2 <> 0) b),
+        |kk AS (SELECT k, greatest(1, least(4, k // 6)) AS sp FROM kk0),
         |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
         |        FROM (SELECT DISTINCT vec_id FROM ext)),
         |seeds AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM ids
@@ -509,12 +516,13 @@ object SparkEntry {
     val coarse = Seq(
       lloydRound("ext", "g0", "g1", "g1r"),
       lloydRound("ext", "g1", "g2", "g2r"),
-      // full-corpus assignment against the trained coarse quantizer
+      // full-corpus SPILLED assignment: top-`sp` cells per vector (the
+      // rn = 1 prefix of this ranking IS the argmin assignment)
       """gdf AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
         |        FROM ex e JOIN g2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
         |af AS (SELECT vec_id, cid FROM
         |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM gdf)
-        |       WHERE rn = 1)""".stripMargin).mkString(",\n")
+        |       WHERE rn <= (SELECT sp FROM kk))""".stripMargin).mkString(",\n")
     val pq = (0 until 4).map { s =>
       val lo = s * 16
       Seq(
@@ -562,19 +570,20 @@ object SparkEntry {
       s"""probe$np AS (SELECT cid FROM
          |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
          |          WHERE rn <= $np),
-         |short$np AS (SELECT vec_id FROM (
+         |short$np AS (SELECT DISTINCT vec_id FROM (
          |  SELECT k.vec_id, a.cid,
          |    row_number() OVER (PARTITION BY a.cid
          |      ORDER BY round(dt0.d + dt1.d + dt2.d + dt3.d, 9), k.vec_id) AS rn
          |  FROM codes k JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
          |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
          |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
-         |  WHERE k.vec_id <> 0) WHERE rn <= 100),
+         |  WHERE k.vec_id <> 0) WHERE rn <= 100 * (SELECT sp FROM kk)),
          |apx$np AS (SELECT u.vec_id FROM short$np s JOIN ul u USING (vec_id), qa
          |  ORDER BY round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) DESC, u.vec_id
          |  LIMIT 10)""".stripMargin).mkString(",\n")
     val tail = Seq(1, 2, 4, 8).map(np =>
-      s"""SELECT $np AS nprobe, (SELECT CAST(k AS INTEGER) FROM kk) AS n_cells, 10 AS k,
+      s"""SELECT $np AS nprobe, (SELECT CAST(k AS INTEGER) FROM kk) AS n_cells,
+         |  (SELECT CAST(sp AS INTEGER) FROM kk) AS spill, 10 AS k,
          |  (SELECT CAST(count(*) AS BIGINT) FROM apx$np JOIN truth USING (vec_id)) AS n_hits,
          |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
       .mkString(" UNION ALL\n")

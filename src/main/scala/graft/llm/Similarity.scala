@@ -342,6 +342,33 @@ object Similarity {
   private def assignCells(ex: DataFrame, cent: DataFrame): DataFrame =
     assignCellsWithDistance(ex, cent).select("vec_id", "cid")
 
+  /** SPILLED cell assignment: each vector lands in its `a` NEAREST
+    * cells, not just the argmin (a=1 degrades to [[assignCells]], same
+    * tie-break). This is the boundary-replication move production ANN
+    * systems make when neighbors-at-the-metric scatter across Voronoi
+    * cells (SPANN's boundary duplication / ScaNN's spilling; multi-probe
+    * from the WRITE side): a true neighbor that straddles a cell border
+    * is findable from EITHER adjacent cell, so recall at a fixed probe
+    * budget rises without retraining anything. The cost lands on the
+    * CHEAP artifact — the m-byte PQ codes table grows ×a while the
+    * 8·dim-byte rerank vectors stay ×1 — which is exactly the side of
+    * the memory split you can afford to replicate at 10⁸ vectors.
+    * Per-vector work is a window over the nlist candidate rows already
+    * computed for argmin: bounded per group, no new shuffle shape. */
+  private def assignCellsTopA(ex: DataFrame, cent: DataFrame,
+      a: Int): DataFrame =
+    if (a <= 1) assignCells(ex, cent)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(asc("d"), asc("cid"))
+      ex.join(broadcast(cent), Seq("i"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= a)
+        .select("vec_id", "cid")
+    }
+
   /** (vec_id, d): squared L2 from each vector to its assigned (argmin)
     * coarse centroid — the residual a frozen quantizer leaves on a
     * vector. Its DISTRIBUTION is the quantizer-staleness signal: a
@@ -726,14 +753,14 @@ object Similarity {
     * ([[explodeVecsUnit]]). */
   def saveIvfPqIndexTrainedOn(trainEmb: DataFrame, encodeEmb: DataFrame,
       store: graft.store.ModelStore, kCells: Int = 4, m: Int = 4,
-      k: Int = 8, iters: Int = 2, dim: Int = 64): Long = {
+      k: Int = 8, iters: Int = 2, dim: Int = 64, spill: Int = 1): Long = {
     val exT = explodeVecsUnit(trainEmb)
     val ex = explodeVecsUnit(encodeEmb)
     val coarse = lloydCentroids(exT, kCells, iters)
     val cent = pqCodebooksFused(exT, m, k, iters, dim)
     store.save(Map(
       "coarse" -> coarse,
-      "cells" -> assignCells(ex, coarse),
+      "cells" -> assignCellsTopA(ex, coarse, spill),
       "codebooks" -> cent,
       "codes" -> pqCodesOf(ex, cent, m, dim),
       "vectors" -> unitArrays(ex)))
@@ -791,10 +818,13 @@ object Similarity {
       .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy(asc("adc"), asc("vec_id"))
+    // distinct: a spilled index ([[assignCellsTopA]]) can shortlist the
+    // same vec_id from two probed cells; the rerank must score it once
+    // (shortlist rows are ≤ nprobe·rerankK — the distinct is noise)
     val short = adcScored(cand, codebooks, qVec, m, dim / m)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= rerankK)
-      .select("vec_id")
+      .select("vec_id").distinct()
     val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
     vectors.select(col("vec_id"), col("ux")).join(broadcast(short), "vec_id")
       .select(col("vec_id"),
@@ -906,8 +936,10 @@ object Similarity {
       round((0 until m).map(s => col(s"d$s")).reduce(_ + _), 9))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("qid", "cid").orderBy(asc("adc"), asc("vec_id"))
+    // distinct for the same spilled-index reason as the single-query
+    // path: one (qid, vec_id) may survive two probed cells' windows
     val short = scored.withColumn("__rn", row_number().over(ws))
-      .filter(col("__rn") <= rerankK).select("qid", "vec_id")
+      .filter(col("__rn") <= rerankK).select("qid", "vec_id").distinct()
     val qvecs = unitArrays(exQ)
       .select(col("vec_id").as("qid"), col("ux").as("qx"))
     val wk = org.apache.spark.sql.expressions.Window
@@ -1015,13 +1047,37 @@ object Similarity {
       math.min(math.ceil(math.sqrt(n.toDouble)).toLong, byTrain)).toInt
   }
 
+  /** Spill dial paired with [[autoNlist]]: how many nearest cells each
+    * vector is encoded into ([[assignCellsTopA]]). clamp(nlist/6, 1, 4):
+    * toy dials (nlist ≤ 11, where a modest probe budget already covers
+    * most cells) stay single-assigned — identical artifacts to the
+    * historical build — while production dials replicate boundary
+    * vectors into up to 4 cells. Why it's needed at all: round-10
+    * measurement showed that at nlist=25 the true top-10 neighbors of a
+    * query scatter across up to 20 of the 25 cells (their cosine sits at
+    * 0.3–0.4 — neighbor-at-the-metric, not cluster-mate), so NO
+    * quantizer quality fix (spread seeding, more Lloyd rounds — both
+    * measured, both plateau at recall ≈ 0.7) can make an 8-of-25 probe
+    * find 9 of them; replicating each vector into its 4 nearest cells
+    * can, because a border vector becomes findable from every cell it
+    * plausibly belongs to. The serve-side pair of this dial is a
+    * rerank budget scaled ×spill ([[annRecallAuto]]): spilling
+    * multiplies probed-cell population by spill, and an unscaled
+    * per-cell ADC shortlist would truncate back the very candidates
+    * the replication added (measured: recall 0.9 → 0.7 without the
+    * scaling). */
+  def autoSpill(nlist: Int): Int =
+    math.max(1, math.min(4, nlist / 6))
+
   /** Auto-dialed, sample-trained index build — the production shape:
     * the quantizers train on the deterministic `vec_id % trainMod ≠ 0`
     * slice ([[graft.streaming.StreamingAnn.buildIndexWithDriftReference]]'s
     * split rule), nlist comes from [[autoNlist]], and the index encodes
-    * the FULL corpus. Returns the chosen nlist so callers can size
-    * their probe budget against it. The two driver-side counts are one
-    * column-pruned scan each — noise next to the encode pass. */
+    * the FULL corpus, each vector spilled into its [[autoSpill]](nlist)
+    * nearest cells. Returns the chosen nlist so callers can size their
+    * probe budget against it (spill is derivable: autoSpill(nlist)).
+    * The two driver-side counts are one column-pruned scan each —
+    * noise next to the encode pass. */
   def saveIvfPqIndexAuto(emb: DataFrame, store: graft.store.ModelStore,
       trainMod: Int = 2, m: Int = 4, k: Int = 8, iters: Int = 2,
       dim: Int = 64): Int = {
@@ -1029,31 +1085,38 @@ object Similarity {
     val n = emb.select("vec_id").distinct().count()
     val train = emb.filter(pmod(col("vec_id"), lit(trainMod)) =!= 0)
     val kc = autoNlist(n, train.select("vec_id").distinct().count())
-    saveIvfPqIndexTrainedOn(train, emb, store, kc, m, k, iters, dim)
+    saveIvfPqIndexTrainedOn(train, emb, store, kc, m, k, iters, dim,
+      spill = autoSpill(kc))
     kc
   }
 
   /** [[annRecall]] at the PRODUCTION dials: auto-sized nlist
     * ([[autoNlist]]) over a sample-trained quantizer
     * ([[saveIvfPqIndexAuto]], trainMod=2 — the quantizer never saw half
-    * the corpus, including query 0 itself), swept to nprobe=8. At the
-    * fixed kCells=4 dial the sf0.1 recall ceilinged at 0.7 because 4
-    * giant cells × rerankK=100 truncate the per-cell shortlist below
-    * the true neighbor set; at √N-scaled cells the per-cell population
-    * (~N/nlist ≈ 80 at sf0.1) sits UNDER rerankK, so the rerank is
-    * exact over every probed cell and recall is bounded by the probe
-    * budget alone — which the sweep then buys off. n_cells is in the
-    * output so the dial rule itself is oracle-pinned: the DuckDB replay
-    * computes the same clamp(⌈√N⌉, 4, trainN/39) in SQL and a silent
-    * rule change hash-mismatches. Serves from the process-shared
-    * auto-dial index (train once, sweep many). */
+    * the corpus, including query 0 itself), spilled assignment
+    * ([[autoSpill]]) and a spill-scaled rerank budget, swept to
+    * nprobe=8. The round-10 failure taught the geometry lesson: at
+    * √N-scaled cells a query's true top-10 (cosine 0.3–0.4 — weakly
+    * similar, not cluster-mates) scatter across most of the cells, so
+    * single-assignment recall at an 8-of-25 probe ceilings near 0.7 NO
+    * MATTER how well the quantizer trains (spread seeding and extra
+    * Lloyd rounds were both measured and both plateau there). Spilling
+    * each vector into its autoSpill(nlist) nearest cells is what buys
+    * the rest — and the rerank budget must scale ×spill with it, or
+    * the per-cell ADC shortlist truncates the replicated candidates
+    * right back out. BOTH dial rules are in the output (n_cells,
+    * spill): the DuckDB replay recomputes clamp(⌈√N⌉, 4, trainN/39)
+    * AND clamp(nlist/6, 1, 4) in SQL, so a silent change to either
+    * hash-mismatches. Serves from the process-shared auto-dial index
+    * (train once, sweep many). */
   def annRecallAuto(spark: SparkSession, dir: String, topK: Int = 10,
       nprobes: Seq[Int] = Seq(1, 2, 4, 8), trainMod: Int = 2): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     var chosen = 0
     val store = graft.store.ModelStore.shared(spark, Seq("ivfpq-auto",
       graft.store.ArtifactCache.tableFingerprint(dir, "embeddings"),
-      s"trainMod=$trainMod", "m=4", "k=8", "iters=2", "dim=64")) { st =>
+      s"trainMod=$trainMod", "m=4", "k=8", "iters=2", "dim=64",
+      "spill=auto")) { st =>
       chosen = saveIvfPqIndexAuto(emb, st, trainMod); ()
     }
     // cache hit skips the train body: recover the dial from the stored
@@ -1061,14 +1124,16 @@ object Similarity {
     val kCells =
       if (chosen > 0) chosen
       else store.load("coarse").select("cid").distinct().count().toInt
+    val sp = autoSpill(kCells)
     val truth = cosineTopK(spark, dir, 0L, topK).select("vec_id")
     val qv = queryVecOf(emb, 0L)
     nprobes.map { np =>
-      ivfPqSearchPersisted(store, qv, qId = 0L, topK = topK, nprobe = np)
+      ivfPqSearchPersisted(store, qv, qId = 0L, topK = topK, nprobe = np,
+        rerankK = 100 * sp)
         .join(truth, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np).as("nprobe"), lit(kCells).as("n_cells"),
-          lit(topK).as("k"), col("n_hits"),
+          lit(sp).as("spill"), lit(topK).as("k"), col("n_hits"),
           (col("n_hits").cast("double") / topK).as("recall"))
     }.reduce(_ union _).orderBy("nprobe")
   }

@@ -111,13 +111,16 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
-  test("annRecallAuto: sqrt(N) dial, sample-trained, monotone, recall >= 0.9 in the sweep at every SF") {
-    // the production dials (VERDICT r9 #2): nlist = clamp(ceil(sqrt(N)),
-    // 4, trainN/39) over a quantizer trained on the vec_id % 2 != 0
-    // slice only. At the fixed kCells=4 dial sf0.1 recall ceilinged at
-    // 0.7 because 4 giant cells x rerankK=100 truncate the shortlist;
-    // sqrt(N)-scaled cells put the per-cell population under rerankK, so
-    // the swept probe budget buys recall all the way up.
+  test("annRecallAuto: sqrt(N) dial, sample-trained, spilled, monotone, recall >= 0.9 in the sweep at every SF") {
+    // the production dials (VERDICT r9 #2, r10 #1): nlist =
+    // clamp(ceil(sqrt(N)), 4, trainN/39) over a quantizer trained on the
+    // vec_id % 2 != 0 slice only, with each vector spilled into its
+    // clamp(nlist/6, 1, 4) nearest cells and the rerank budget scaled
+    // x spill. Round 10 proved NO single-assignment quantizer reaches
+    // 0.9 here: at nlist=25 the true top-10 (cosine 0.3-0.4) scatter
+    // across up to 20 cells, so an 8-cell probe ceilings at ~0.7
+    // regardless of seeding/iterations; boundary replication (the
+    // SPANN/ScaNN move) is what buys the rest.
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
@@ -125,10 +128,13 @@ class ModelStoreSpec extends AnyFunSuite {
         emb.filter(col("vec_id") % 2 =!= 0).count())
       val rows = llm.Similarity.annRecallAuto(spark, dir).collect()
       assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
-      // the dial rule is in the output — a rule change is visible
+      // both dial rules are in the output — a rule change is visible
       assert(rows.map(_.getInt(1)).distinct.toSeq == Seq(expectK),
         s"n_cells mismatch at $dir")
-      val recalls = rows.map(_.getDouble(4))
+      assert(rows.map(_.getInt(2)).distinct.toSeq ==
+        Seq(llm.Similarity.autoSpill(expectK)),
+        s"spill mismatch at $dir")
+      val recalls = rows.map(_.getDouble(5))
       assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
         s"recall not monotone in nprobe at $dir: ${recalls.toSeq}")
       assert(recalls.max >= 0.9,
