@@ -758,12 +758,19 @@ object Similarity {
     val ex = explodeVecsUnit(encodeEmb)
     val coarse = lloydCentroids(exT, kCells, iters)
     val cent = pqCodebooksFused(exT, m, k, iters, dim)
+    // the index carries its own dials (the FAISS-header discipline):
+    // incremental encode and serve paths read spill from here instead
+    // of guessing it from the cells table's shape
+    val dials = trainEmb.sparkSession.range(1).select(
+      lit(kCells).as("nlist"), lit(spill).as("spill"), lit(m).as("m"),
+      lit(k).as("k"), lit(iters).as("iters"), lit(dim).as("dim"))
     store.save(Map(
       "coarse" -> coarse,
       "cells" -> assignCellsTopA(ex, coarse, spill),
       "codebooks" -> cent,
       "codes" -> pqCodesOf(ex, cent, m, dim),
-      "vectors" -> unitArrays(ex)))
+      "vectors" -> unitArrays(ex),
+      "dials" -> dials))
   }
 
   /** Serve a top-k query from a persisted index — NO training jobs: the
@@ -846,10 +853,19 @@ object Similarity {
   def encodeWithIndex(store: graft.store.ModelStore, emb: DataFrame,
       m: Int = 4, dim: Int = 64): DataFrame = {
     val ex = explodeVecsUnit(emb) // the index lives in the unit domain
-    assignCells(ex, store.load("coarse"))
+    assignCellsTopA(ex, store.load("coarse"), indexSpill(store))
       .join(pqCodesOf(ex, store.load("codebooks"), m, dim), "vec_id")
       .join(unitArrays(ex), "vec_id") // rerank payload rides the codes
   }
+
+  /** The spill dial a persisted index was built with ([[assignCellsTopA]]),
+    * read from its "dials" part — increments MUST replicate into the same
+    * number of cells as the base or incremental ≠ batch. Indexes written
+    * before the dials part existed are single-assigned (spill=1). */
+  def indexSpill(store: graft.store.ModelStore): Int =
+    if (store.partNames.contains("dials"))
+      store.load("dials").select("spill").head().getInt(0)
+    else 1
 
   /** Query-vector extraction from an embeddings frame (vec_id,
     * embedding) — public so serving paths can build probe vectors.

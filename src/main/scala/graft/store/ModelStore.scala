@@ -57,12 +57,17 @@ class ModelStore(spark: SparkSession, path: String) {
   /** Part names of the current version. */
   def partNames: Seq[String] = currentVersion match {
     case None => Seq.empty
-    case Some(v) => // close the directory stream — fd leak otherwise
+    case Some(v) => partNamesAt(v)
+  }
+
+  /** Part names of a PINNED version (the [[loadAt]] companion). */
+  def partNamesAt(v: Long): Seq[String] =
+    if (!Files.isDirectory(root.resolve(s"v$v"))) Seq.empty
+    else // close the directory stream — fd leak otherwise
       scala.util.Using.resource(Files.list(root.resolve(s"v$v")))(
         _.iterator().asScala
           .filter(Files.isDirectory(_))
           .map(_.getFileName.toString).toSeq.sorted)
-  }
 
   /** Read a part of the current version (serving path). */
   def load(part: String): DataFrame = {

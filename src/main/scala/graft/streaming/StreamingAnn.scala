@@ -112,12 +112,12 @@ object StreamingAnn {
   def buildIndexWithDriftReference(emb: DataFrame, indexStore: ModelStore,
       driftStore: ModelStore, calibMod: Int = 10, buckets: Int = 10,
       kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
-      dim: Int = 64): Long = {
+      dim: Int = 64, spill: Int = 1): Long = {
     require(calibMod >= 2, s"calibMod=$calibMod must leave a training slice")
     val calib = emb.filter(pmod(col("vec_id"), lit(calibMod)) === 0)
     val train = emb.filter(pmod(col("vec_id"), lit(calibMod)) =!= 0)
     val v = Similarity.saveIvfPqIndexTrainedOn(train, emb, indexStore,
-      kCells, m, k, iters, dim)
+      kCells, m, k, iters, dim, spill)
     saveDriftReference(calib, indexStore, driftStore, buckets)
     v
   }
@@ -220,19 +220,39 @@ object StreamingAnn {
       driftStore: ModelStore, base: DataFrame, codesPath: String,
       monitorPath: String, rawPath: String, calibMod: Int = 4,
       threshold: Double = 0.2, buckets: Int = 10, kCells: Int = 4,
-      m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64)(
+      m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64,
+      minRebuildN: Long = 50L, autoDial: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     batch.select("vec_id", "embedding").write.mode("overwrite")
       .parquet(s"$rawPath/batch=$batchId")
     annIngestWithDriftBatch(spark, indexStore, driftStore,
       versionedCodesPath(codesPath, indexStore), monitorPath, threshold,
       m, dim)(batch, batchId)
-    val fired = spark.read.parquet(s"$monitorPath/batch=$batchId")
-      .select("rebuild").collect().head.getBoolean(0)
+    val mon = spark.read.parquet(s"$monitorPath/batch=$batchId")
+      .select("rebuild", "n_cur").collect().head
+    // n_cur floor (ADVICE r10): a tiny or empty microbatch leaves most
+    // reference buckets at c_cur=0, so its PSI is noise-dominated (an
+    // EMPTY batch maxes it out) — retraining the whole index on that
+    // evidence is thrash, not maintenance. The gate needs both the
+    // statistic AND enough samples behind it (~5 per bucket).
+    val fired = mon.getBoolean(0) && mon.getLong(1) >= minRebuildN
     if (fired) {
-      buildIndexWithDriftReference(
-        rebuildCorpus(spark, base, rawPath), indexStore, driftStore,
-        calibMod, buckets, kCells, m, k, iters, dim)
+      val corpus = rebuildCorpus(spark, base, rawPath)
+      // autoDial (ADVICE r10): the automated loop otherwise retrains at
+      // the fixed toy kCells forever while the folded-in increments grow
+      // the corpus — opt in to re-sizing nlist/spill by the production
+      // rules over the CURRENT rebuild corpus ([[Similarity.autoNlist]] /
+      // [[Similarity.autoSpill]]; the same calibMod split supplies the
+      // training slice, so trainN is its size)
+      if (autoDial) {
+        val n = corpus.select("vec_id").distinct().count()
+        val kc = Similarity.autoNlist(n, n - n / calibMod)
+        buildIndexWithDriftReference(corpus, indexStore, driftStore,
+          calibMod, buckets, kc, m, k, iters, dim,
+          spill = Similarity.autoSpill(kc))
+      } else
+        buildIndexWithDriftReference(corpus, indexStore, driftStore,
+          calibMod, buckets, kCells, m, k, iters, dim)
       // nothing else to do: the flipped _CURRENT pointer re-routes the
       // next batch's encode AND every search to the new version + its
       // fresh codes dir
@@ -240,13 +260,26 @@ object StreamingAnn {
   }
 
   /** [[searchIncremental]] against the CURRENT index version's codes
-    * dir — the serve-side half of the automated loop's atomic flip. */
+    * dir — the serve-side half of the automated loop's atomic flip.
+    * `_CURRENT` is read ONCE and every artifact of the query is served
+    * from that pinned version (ADVICE r10: the previous shape re-read
+    * the pointer per part, so a rebuild flipping mid-query could pair
+    * the old version's increment codes with the new coarse table —
+    * exactly the cross-version cell-id mismatch the per-version codes
+    * dir exists to prevent). The rerank budget scales by the pinned
+    * version's spill dial, the [[Similarity.annRecallAuto]] serve rule. */
   def searchAuto(spark: SparkSession, store: ModelStore,
       codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
       topK: Int = 10, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
-      rerankK: Int = 100): DataFrame =
-    searchIncremental(spark, store, versionedCodesPath(codesPath, store),
-      qVec, qId, topK, nprobe, m, dim, rerankK)
+      rerankK: Int = 100): DataFrame = {
+    val v = store.currentVersion.getOrElse(0L)
+    val sp =
+      if (store.partNamesAt(v).contains("dials"))
+        store.loadAt(v, "dials").select("spill").head().getInt(0)
+      else 1
+    searchIncremental(spark, store, s"$codesPath/v=$v",
+      qVec, qId, topK, nprobe, m, dim, rerankK * sp, version = Some(v))
+  }
 
   /** Search the base index PLUS every streamed increment: one union of
     * coded rows, then the shared probe+ADC+rerank body. The increment
@@ -259,34 +292,49 @@ object StreamingAnn {
     * dedups within a RE-DELIVERED batch (same batchId overwrites its own
     * partition), but an at-least-once upstream can re-deliver a vector
     * in a LATER batch, and a re-ingest can carry an updated embedding.
-    * One coded row per vec_id survives — latest batch wins, base loses
-    * to any increment — so the top-K can never hold the same vector
-    * twice (review r7 finding #2). The window partitions by vec_id
-    * (duplicate-count-bounded groups), never globally. */
+    * The coded rows of ONE winning batch per vec_id survive — latest
+    * batch wins, base loses to any increment — so the top-K can never
+    * hold the same vector twice (review r7 finding #2). "Rows", not
+    * "row": a spilled index ([[Similarity.autoSpill]]) legitimately
+    * codes a vector into several cells, so the dedup keeps every row of
+    * the winning batch (max-__b filter) rather than a single row — and
+    * the rerank-payload leg collapses back to one ux per vec_id. The
+    * window partitions by vec_id (duplicate-count-bounded groups),
+    * never globally.
+    *
+    * `version`: pin every store artifact to one index version
+    * ([[ModelStore.loadAt]]) — [[searchAuto]] passes the version whose
+    * codes dir it resolved, so a rebuild flipping `_CURRENT` mid-query
+    * cannot mix old-version codes with new-version centroids. */
   def searchIncremental(spark: SparkSession, store: ModelStore,
       codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
       topK: Int = 10, nprobe: Int = 2, m: Int = 4,
-      dim: Int = 64, rerankK: Int = 100): DataFrame = {
-    val baseCodes = store.load("cells").join(store.load("codes"), "vec_id")
+      dim: Int = 64, rerankK: Int = 100,
+      version: Option[Long] = None): DataFrame = {
+    def ld(part: String): DataFrame = version match {
+      case Some(v) => store.loadAt(v, part)
+      case None => store.load(part)
+    }
+    val baseCodes = ld("cells").join(ld("codes"), "vec_id")
     val (coded, vectors) = StreamingDedup.readStore(spark, codesPath) match {
       case Some(inc) =>
         val base = baseCodes
-          .join(store.load("vectors"), "vec_id") // rerank payload
+          .join(ld("vectors"), "vec_id") // rerank payload
         val all = base.withColumn("__b", lit(-1L)).unionByName(
           inc.select((base.columns.map(col) :+
             col("batch").cast("long").as("__b")): _*))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("__b").desc)
+          .partitionBy("vec_id")
         // codes and rerank payload must win TOGETHER per vec_id (an
         // increment can carry an updated embedding), so ONE dedup
-        // window decides the winner and both serve legs read it; the
-        // ADC leg drops ux inside the shared search body
-        val dd = all.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__b", "__rn")
-        (dd, dd.select("vec_id", "ux"))
-      case None => (baseCodes, store.load("vectors"))
+        // rule decides the winning batch and both serve legs read it;
+        // the ADC leg drops ux inside the shared search body
+        val dd = all.withColumn("__mx", max(col("__b")).over(w))
+          .filter(col("__b") === col("__mx")).drop("__b", "__mx")
+        (dd, dd.select("vec_id", "ux").dropDuplicates("vec_id"))
+      case None => (baseCodes, ld("vectors"))
     }
-    Similarity.ivfPqSearchOver(store.load("coarse"), coded, vectors,
-      store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+    Similarity.ivfPqSearchOver(ld("coarse"), coded, vectors,
+      ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
   }
 }

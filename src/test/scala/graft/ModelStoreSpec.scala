@@ -80,9 +80,10 @@ class ModelStoreSpec extends AnyFunSuite {
     val inline = llm.Similarity.ivfPqSearch(emb).collect().map(_.toString)
     withStore { store =>
       llm.Similarity.saveIvfPqIndex(emb, store)
-      // all five artifacts present (vectors = the exact-rerank payload)
+      // all six artifacts present (vectors = the exact-rerank payload,
+      // dials = the build's own nlist/spill/m/k record)
       assert(store.partNames ===
-        Seq("cells", "coarse", "codebooks", "codes", "vectors"))
+        Seq("cells", "coarse", "codebooks", "codes", "dials", "vectors"))
       val served = llm.Similarity
         .ivfPqSearchPersisted(store, llm.Similarity.queryVecOf(emb, 0L),
           qId = 0L)

@@ -285,6 +285,130 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("spilled index: increments replicate like the base, incremental == batch re-encode, no dup vec_id in top-K") {
+    // a spill>1 base index codes each vector into several cells; the
+    // increment encode must read that dial from the index's own dials
+    // part (not guess), and the search dedup must keep ALL winning-batch
+    // rows per vec_id (not collapse the spill) while still never serving
+    // a vector twice
+    val n = emb.count()
+    val cut = n * 2 / 3
+    val base = emb.filter(col("vec_id") < cut)
+    val inc = emb.filter(col("vec_id") >= cut)
+    withDirs { (store, codesPath) =>
+      llm.Similarity.saveIvfPqIndexTrainedOn(base, base, store,
+        kCells = 6, spill = 3)
+      assert(llm.Similarity.indexSpill(store) === 3)
+      // per-vec cell replication is really 3 on the cells artifact
+      val perVec = store.load("cells").groupBy("vec_id").count()
+        .agg(min("count"), max("count")).first()
+      assert((perVec.getLong(0), perVec.getLong(1)) === ((3L, 3L)))
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(inc, 0L)
+      // increments inherited the spill dial
+      val incPerVec = spark.read.parquet(s"$codesPath/batch=0")
+        .groupBy("vec_id").count().agg(min("count"), max("count")).first()
+      assert((incPerVec.getLong(0), incPerVec.getLong(1)) === ((3L, 3L)))
+      val qVec = llm.Similarity.queryVecOf(emb, 0L)
+      val streamed = StreamingAnn
+        .searchIncremental(spark, store, codesPath, qVec, qId = 0L)
+        .collect().map(_.toString).toSeq
+      // == one batch build over the union at the same dials
+      withDirs { (store2, _) =>
+        llm.Similarity.saveIvfPqIndexTrainedOn(base, emb, store2,
+          kCells = 6, spill = 3)
+        val batch = llm.Similarity
+          .ivfPqSearchPersisted(store2, qVec, qId = 0L)
+          .collect().map(_.toString).toSeq
+        assert(streamed === batch)
+      }
+      val ids = streamed.map(_.split("[\\[,]")(1))
+      assert(ids.distinct.length === ids.length, streamed)
+    }
+  }
+
+  test("rebuild gate floor: a drifted-but-tiny batch (and an empty one) does not thrash a retrain") {
+    // ADVICE r10: PSI over a handful of rows is noise-dominated (an
+    // EMPTY batch zeroes every c_cur bucket and maxes the statistic) —
+    // the automated loop must demand samples as well as signal
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val tiny = emb.filter(col("vec_id") % 3 === 0).limit(8)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
+    val empty = emb.filter(lit(false)).select("vec_id", "embedding")
+    withDirs { (store, codesPath) =>
+      val driftDir = Files.createTempDirectory("graft-ann-floor-")
+      val monDir = Files.createTempDirectory("graft-ann-floormon-")
+      val rawDir = Files.createTempDirectory("graft-ann-floorraw-")
+      try {
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
+          driftStore, calibMod = 4)
+        val body = StreamingAnn.annAutoRebuildBatch(spark, store,
+          driftStore, base, codesPath, monDir.toString, rawDir.toString,
+          calibMod = 4) _
+        body(tiny, 0L)  // gate may fire statistically, floor blocks it
+        body(empty, 1L) // PSI maxes out on all-zero buckets, floor blocks
+        assert(store.currentVersion === Some(v0),
+          "a sub-floor batch retrained the index")
+        // the monitor still RECORDS the signal — the floor gates the
+        // ACTION, not the observation
+        val mon = spark.read.parquet(monDir.toString)
+          .select("batch", "n_cur", "rebuild").collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+        assert(mon(0)._1 === 8L && mon(1)._1 === 0L, mon)
+        assert(mon(1)._2 === true, s"empty batch should max PSI: $mon")
+      } finally Seq(driftDir, monDir, rawDir).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
+  test("autoDial rebuild re-sizes nlist and spill by the production rules over the grown corpus") {
+    // ADVICE r10: without this the automated loop retrains at the toy
+    // kCells forever as increments grow the corpus
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val drifted = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
+    withDirs { (store, codesPath) =>
+      val driftDir = Files.createTempDirectory("graft-ann-adial-")
+      val monDir = Files.createTempDirectory("graft-ann-adialmon-")
+      val rawDir = Files.createTempDirectory("graft-ann-adialraw-")
+      try {
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
+          driftStore, calibMod = 4)
+        val body = StreamingAnn.annAutoRebuildBatch(spark, store,
+          driftStore, base, codesPath, monDir.toString, rawDir.toString,
+          calibMod = 4, autoDial = true) _
+        body(drifted, 0L)
+        assert(store.currentVersion === Some(v0 + 1), "gate did not fire")
+        val corpusN = StreamingAnn
+          .rebuildCorpus(spark, base, rawDir.toString).count()
+        val expectK = llm.Similarity.autoNlist(corpusN,
+          corpusN - corpusN / 4)
+        val dials = store.load("dials").first()
+        assert(dials.getAs[Int]("nlist") === expectK, dials)
+        assert(dials.getAs[Int]("spill") ===
+          llm.Similarity.autoSpill(expectK), dials)
+        // the coarse table really has the re-sized cell count
+        assert(store.load("coarse").select("cid").distinct().count()
+          === expectK.toLong)
+        // and the flipped version serves, version-pinned, without dups
+        val dq = drifted.agg(min("vec_id")).first().getLong(0)
+        val served = StreamingAnn.searchAuto(spark, store, codesPath,
+          llm.Similarity.queryVecOf(drifted, dq), qId = dq)
+          .select("vec_id").collect().map(_.getLong(0))
+        assert(served.nonEmpty)
+        assert(served.distinct.length === served.length, served.toSeq)
+      } finally Seq(driftDir, monDir, rawDir).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
   test("MemoryStream wiring: two triggered microbatches land as batch=0/1 and serve identically") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
