@@ -95,6 +95,8 @@ object SparkEntry {
     "q_lm_perplexity" -> (llm.TextOps.lmPerplexity _),
     "q_ccnet_buckets" -> (llm.TextOps.ccnetBuckets _),
     "q_corpus_release" -> ((s, d) => llm.TextOps.corpusRelease(s, d)),
+    "q_corpus_release_inc" ->
+      (streaming.StreamingRelease.corpusReleaseIncrementalQuery _),
     "q_char_entropy" -> (llm.TextOps.charEntropy _),
     "q_text_embed" -> (llm.TextOps.embedText _),
     "q_pagerank" -> (operators.PageRank.pageRank _),
@@ -700,6 +702,29 @@ object SparkEntry {
       |                  (SELECT round(ln(v.v), 6) FROM v)) AS xent
       |       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)""".stripMargin
 
+  // the wholesale release composition: exact-dedup keep-one -> CCNet
+  // gate (tertiles 1-2 per lang over survivors) -> token-balanced shard
+  // ledger. ONE string, bound to BOTH q_corpus_release (the batch row)
+  // and q_corpus_release_inc (the streaming-ledger row): the incremental
+  // path must hash-match the wholesale replay exactly.
+  private lazy val corpusReleaseOracle: String = lmScoreCte + """,
+    |k AS (SELECT d.doc_id, d.text FROM documents d
+    |      JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
+    |            FROM documents GROUP BY 1) s
+    |        ON d.doc_id = s.keep_id),
+    |g AS (SELECT k.doc_id, k.text,
+    |        ntile(3) OVER (PARTITION BY px.lang ORDER BY px.xent, px.doc_id) AS b
+    |      FROM px JOIN k ON px.doc_id = k.doc_id),
+    |t2 AS (SELECT doc_id,
+    |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+    |       FROM g WHERE b <= 2),
+    |r AS (SELECT doc_id, n_tok,
+    |        row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+    |      FROM t2)
+    |SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+    |  CAST(sum(n_tok) AS BIGINT) AS tot_tokens
+    |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
   private def clfScoreExpr(r: String): String =
     (0 until 5).map(j => s"$r.w$j * x$j").mkString(" + ")
 
@@ -1026,24 +1051,14 @@ object SparkEntry {
     // release composition: exact-dedup keep-one -> CCNet gate (tertiles
     // 1-2 per lang over the SAME scoring chain, windowed over survivors
     // only) -> token-balanced shard ledger (q_shard_plan's rank body)
-    "q_corpus_release" ->
-      (lmScoreCte + """,
-        |k AS (SELECT d.doc_id, d.text FROM documents d
-        |      JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
-        |            FROM documents GROUP BY 1) s
-        |        ON d.doc_id = s.keep_id),
-        |g AS (SELECT k.doc_id, k.text,
-        |        ntile(3) OVER (PARTITION BY px.lang ORDER BY px.xent, px.doc_id) AS b
-        |      FROM px JOIN k ON px.doc_id = k.doc_id),
-        |t2 AS (SELECT doc_id,
-        |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
-        |       FROM g WHERE b <= 2),
-        |r AS (SELECT doc_id, n_tok,
-        |        row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
-        |      FROM t2)
-        |SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard, count(*) AS n_docs,
-        |  CAST(sum(n_tok) AS BIGINT) AS tot_tokens
-        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin),
+    "q_corpus_release" -> corpusReleaseOracle,
+    // incremental release (q_corpus_release_inc): the Spark side ingests
+    // three ascending-doc_id microbatches through the hash + score
+    // ledgers and serves the manifest FROM the ledgers
+    // (StreamingRelease); the oracle is the WHOLESALE batch composition
+    // VERBATIM — hash-matching it pins that microbatch boundaries are
+    // invisible in the released artifact
+    "q_corpus_release_inc" -> corpusReleaseOracle,
     // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
     // pattern): integer edge weights; per-node in-neighbor sums are
     // FIXED-POINT — each contribution floor-quantized to 1e-9 units as

@@ -756,13 +756,31 @@ object TextOps {
     val survivors = docs
       .join(graft.llm.Dedup.keepOneIds(docs), Seq("doc_id"))
       .select("doc_id", "lang", "text").localCheckpoint(true)
-    val gated = ccnetScoredRows(spark, dir, survivors)
-      .filter(col("b") <= 2)
-    val withTok = gated.select("doc_id")
+    val scored = lmScoreRowsPersisted(survivors, sharedLm(spark, dir))
       .join(survivors.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_tok")),
         Seq("doc_id"))
-    Fusion.globalRank(withTok, col("n_tok"), col("doc_id"),
+    releaseManifestFrom(scored, shards)
+  }
+
+  /** The tertile gate + token-balanced shard ledger over a SCORED
+    * survivor frame (doc_id, lang, xent, n_tok) — the ONE
+    * release-manifest body shared by the batch composition
+    * ([[corpusRelease]]) and the incremental ledger
+    * ([[graft.streaming.StreamingRelease.releaseManifest]]), so the
+    * tertile tie-break and the shard deal cannot diverge between them.
+    * The tertile is a GLOBAL per-language rank — the one release step
+    * that cannot be computed per increment — which is exactly why the
+    * incremental design stores per-doc scores and defers only this
+    * aggregation to release time. */
+  private[graft] def releaseManifestFrom(scored: DataFrame,
+      shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+    val gated = scored.withColumn("b", ntile(3).over(w))
+      .filter(col("b") <= 2)
+      .select("doc_id", "n_tok")
+    Fusion.globalRank(gated, col("n_tok"), col("doc_id"),
         col("n_tok"), "rk")
       .withColumn("shard", ((col("rk") - 1) % shards).cast("int"))
       .groupBy("shard")
@@ -770,6 +788,24 @@ object TextOps {
         sum(col("n_tok").cast("long")).as("tot_tokens"))
       .orderBy("shard")
   }
+
+  /** Per-doc LM scores (doc_id, lang, n_bigrams, xent) against a
+    * PERSISTED model, unsorted — the pointwise scoring body the
+    * incremental release ingests each microbatch through (a doc's
+    * score depends only on its own bigrams + the frozen model, so
+    * scoring increments separately IS scoring their union). */
+  private[graft] def lmScoreRowsPersisted(docs: DataFrame,
+      store: graft.store.ModelStore, trainLang: String = "en"): DataFrame =
+    lmScoreRows(docs, bigramRows(docs).localCheckpoint(true),
+      store.load("bigrams"), store.load("contexts"), store.load("vsize"),
+      trainLang)
+
+  /** Public handle on the process-shared LM for `dir` — the frozen
+    * model the incremental release's driver-contract query scores
+    * against (its batch parity target [[corpusRelease]] serves from the
+    * same store, so the two rows share one training job). */
+  private[graft] def sharedLmFor(spark: SparkSession,
+      dir: String): graft.store.ModelStore = sharedLm(spark, dir)
 
   /** Persist the trained bigram LM (VERDICT r6 #1): "bigrams" (a, b,
     * c_ab), "contexts" (a, c_a), "vsize" (v) — the three count frames

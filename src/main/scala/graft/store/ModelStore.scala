@@ -142,7 +142,7 @@ object ModelStore {
     new ModelStore(spark, dir)
   }
 
-  private[store] def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) // close the walk stream — fd leak otherwise
       scala.util.Using.resource(Files.walk(p))(
         _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
