@@ -215,6 +215,7 @@ object SparkEntry {
     "q_semdedup" -> (llm.Similarity.semDedupQuery _),
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
     "q_binary_meta" -> (llm.Multimodal.binaryMeta _),
+    "q_multimodal_release" -> (llm.Multimodal.multimodalReleaseQuery _),
     // family 9 extras: scalar functions, conditional agg, pivot, ranking
     "q_string_funcs" -> (Scalar.stringFuncs _),
     "q_date_funcs" -> (Scalar.dateFuncs _),
@@ -3256,6 +3257,25 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // multimodal release composition: text keep-one ∧ media-canonical
+    // (min doc_id per sha256 of the image-typed payload's 16-char
+    // slice) -> per-lang accounting. The whole composition replays in
+    // SQL; pixel-clustered media input is spec territory.
+    "q_multimodal_release" ->
+      raw"""WITH tk AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |            FROM documents GROUP BY 1),
+        |mc AS (SELECT doc_id, sha256(substr(text, 1, 16)) AS cid
+        |       FROM documents WHERE doc_id % 2 = 0),
+        |mk AS (SELECT cid, min(doc_id) AS keep_id FROM mc GROUP BY cid),
+        |mdrop AS (SELECT m.doc_id FROM mc m
+        |          WHERE m.doc_id NOT IN (SELECT keep_id FROM mk)),
+        |s AS (SELECT d.lang, d.text FROM documents d
+        |      JOIN tk ON d.doc_id = tk.keep_id
+        |      WHERE d.doc_id NOT IN (SELECT doc_id FROM mdrop))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS tot_tokens
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS upper_name, lower(p_brand) AS lower_brand,
         |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,

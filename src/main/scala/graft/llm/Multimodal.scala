@@ -290,4 +290,74 @@ object Multimodal {
         .select(col("doc_id").as("vec_id"),
           col("features").as("embedding")),
       minSim, nPlanes = 8, dim = FeatureDim)
+
+  /** (doc_id, cluster_id) media clusters from [[imageNearDup]] pairs —
+    * min-id connected components over the pair graph (the
+    * [[graft.operators.ConnectedComponents]] star machinery: O(log² n)
+    * rounds, never a driver-side union-find). Docs in no pair are
+    * omitted; [[multimodalRelease]] treats absence as "no media
+    * duplicate", so singletons keep without carrying rows. */
+  def imageNearDupClusters(media: Dataset[MediaRow],
+      minSim: Double = 0.9): DataFrame = {
+    val pairs = imageNearDup(media, minSim)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    graft.operators.ConnectedComponents.components(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  /** Multimodal RELEASE composition (VERDICT r9 #5 / r10 #4): one
+    * manifest over documents AND their media. A doc survives iff
+    *
+    *   (a) it is the TEXT keep-one survivor (min doc_id per text hash —
+    *       [[graft.llm.Dedup.keepOneIds]], the one keep policy every
+    *       release composition joins against), AND
+    *   (b) it is the canonical (min doc_id) member of its MEDIA
+    *       near-dup cluster — a doc whose image duplicates an earlier
+    *       doc's is dropped even when its text is novel (the
+    *       re-encoded-screenshot case text dedup cannot see).
+    *
+    * `mediaClusters` is (doc_id, cluster_id) from ANY media clustering —
+    * pixel-level [[imageNearDupClusters]] in production (spec-covered:
+    * a planted png↔jpeg re-encode drops), exact payload-hash clusters
+    * in the oracle row (engine-neutral, so the COMPOSITION is
+    * hash-pinned end to end). Docs with no media row pass (b)
+    * trivially. Output is the per-language release accounting
+    * (lang, n_docs, tot_tokens).
+    *
+    * Scale: two hash aggregations + two semi/anti equi-joins + one
+    * per-lang aggregate — every join keyed, nothing quadratic; the
+    * cluster table is |paired media| rows, not |corpus|. */
+  def multimodalRelease(docs: DataFrame,
+      mediaClusters: DataFrame): DataFrame = {
+    val textKeep = graft.llm.Dedup.keepOneIds(docs)
+    val mediaKeep = mediaClusters.groupBy("cluster_id")
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val mediaDrop = mediaClusters.select("doc_id").distinct()
+      .join(mediaKeep, Seq("doc_id"), "left_anti")
+    docs.join(textKeep, Seq("doc_id"), "left_semi")
+      .join(mediaDrop, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("tot_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Driver-contract query (`q_multimodal_release`): the composition
+    * over [[mediaTable]]'s image-typed docs (doc_id % 2 = 0), with
+    * media clusters keyed by the sha256 of the payload's first-16-chars
+    * slice — a byte-exact media fingerprint both engines compute, so
+    * the DuckDB oracle replays the WHOLE composition (text keep-one ∧
+    * media-canonical ∧ accounting) and hash-pins it; two docs sharing a
+    * 16-char prefix share media, which makes the media policy drop docs
+    * the text policy alone would keep. Pixel-clustered input is the
+    * spec's job ([[imageNearDupClusters]] — no SQL oracle can decode). */
+  def multimodalReleaseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val mc = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+          .as("cluster_id"))
+    multimodalRelease(docs, mc)
+  }
 }

@@ -653,6 +653,51 @@ class MultimodalSpec extends AnyFunSuite {
       s"null/non-image rows leaked into the kernel: $pairs")
   }
 
+  test("multimodal release drops a planted jpeg re-encode whose TEXT is novel (VERDICT r10 #4)") {
+    def gradientBytes(w: Int, h: Int, invert: Boolean,
+        format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / (w - 1)
+        val lv = if (invert) 255 - v else v
+        img.setRGB(x, y, lv * 0x10101)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val s = spark; import s.implicits._
+    // doc 2 re-posts doc 1's image re-encoded png→jpeg under a NEW
+    // caption: text dedup keeps it, the media policy must drop it.
+    // doc 3 is a different scene (kept); doc 4 duplicates doc 3's TEXT
+    // (text policy drops it); doc 5 has no media (kept).
+    val docs = Seq(
+      (1L, "en", "original scene with its caption"),
+      (2L, "en", "totally different caption same pixels"),
+      (3L, "en", "another scene entirely"),
+      (4L, "de", "another scene entirely"),
+      (5L, "en", "text only document")).toDF("doc_id", "lang", "text")
+    val media = mediaDs(Seq(
+      MediaRow(1L, "image", gradientBytes(32, 16, invert = false, "png")),
+      MediaRow(2L, "image", gradientBytes(32, 16, invert = false, "jpg")),
+      MediaRow(3L, "image", gradientBytes(32, 16, invert = true, "png"))))
+    val clusters = Multimodal.imageNearDupClusters(media)
+    val rel = Multimodal.multimodalRelease(docs, clusters)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // survivors: 1 (canonical image), 3 (distinct scene), 5 (no media)
+    // — all "en"; dropped: 2 (media dup), 4 (text dup)
+    val enToks = Seq("original scene with its caption",
+      "another scene entirely", "text only document")
+      .map(_.split("\\s+").length.toLong).sum
+    assert(rel.toSeq === Seq(("en", 3L, enToks)), rel.toSeq)
+    // and the cluster table really linked the re-encode to the original
+    val byDoc = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.get(1L) === byDoc.get(2L) && byDoc.contains(1L))
+    assert(byDoc.get(3L).forall(_ != byDoc(1L)))
+  }
+
   test("frame sampling decodes REAL frames from an animated GIF") {
     // 6 solid-gray frames (levels 0,40,...,200); GIF palettes preserve
     // solid colors exactly
