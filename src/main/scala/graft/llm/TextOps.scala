@@ -711,13 +711,11 @@ object TextOps {
     * own bigrams + the model). */
   private def ccnetScoredRows(spark: SparkSession, dir: String,
       docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
     val store = sharedLm(spark, dir)
-    lmScoreRows(docs, bigramRows(docs).localCheckpoint(true),
+    perLangTertiles(
+      lmScoreRows(docs, bigramRows(docs).localCheckpoint(true),
         store.load("bigrams"), store.load("contexts"),
-        store.load("vsize"), "en")
-      .withColumn("b", ntile(3).over(w))
+        store.load("vsize"), "en"))
   }
 
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
@@ -775,11 +773,7 @@ object TextOps {
     * aggregation to release time. */
   private[graft] def releaseManifestFrom(scored: DataFrame,
       shards: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
-    val gated = scored.withColumn("b", ntile(3).over(w))
-      .filter(col("b") <= 2)
-      .select("doc_id", "n_tok")
+    val gated = tertileKeep(scored).select("doc_id", "n_tok")
     Fusion.globalRank(gated, col("n_tok"), col("doc_id"),
         col("n_tok"), "rk")
       .withColumn("shard", ((col("rk") - 1) % shards).cast("int"))
@@ -787,6 +781,74 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok").cast("long")).as("tot_tokens"))
       .orderBy("shard")
+  }
+
+  /** The head+middle tertile survivors — [[perLangTertiles]] filtered
+    * to b ≤ 2. Bit-equal to the ntile(3) ≤ 2 gate the release oracle
+    * replays (q_corpus_release / q_corpus_release_inc hash-pin it). */
+  private def tertileKeep(scored: DataFrame): DataFrame =
+    perLangTertiles(scored).filter(col("b") <= 2).drop("b")
+
+  /** Per-language perplexity tertile assignment — ntile(3) over
+    * (xent, doc_id) per lang — WITHOUT a per-language global sort: the
+    * budgetSelect two-phase discipline keyed on the score itself (the
+    * scale path the round-9 ccnetBuckets note called for; at 100 TB
+    * with a dominant language the per-lang ntile window is a
+    * single-partition killer).
+    *
+    *   1. Histogram per (lang, ⌊xent·64⌋) — floor is order-aligned
+    *      with the rank key and xent ties share a bucket, so cumulative
+    *      counts place every BUCKET's rank span exactly; the driver
+    *      sees |langs|·O(ln V·64) narrow rows, never documents.
+    *   2. ntile's front-loaded sizes give exact cut RANKS per lang
+    *      (cut1 = ⌊n/3⌋ + [n mod 3 ≥ 1], cut2 = 2⌊n/3⌋ + [≥1] + [≥2]).
+    *      A bucket whose whole rank span sits inside one tertile takes
+    *      its label with a FILTER + literal; only the ≤ 2 buckets per
+    *      language that STRADDLE a cut are window-ranked, each
+    *      partition ≈ n_l/buckets rows.
+    *
+    * Worst case — a language whose scores all quantize into one bucket
+    * (uniform-score degeneracy) — falls back to exactly the old per-lang
+    * sort and no worse. Output (scored columns + b) is bit-equal to the
+    * ntile form: q_ccnet_buckets' per-bucket avg/min/max hash-pins the
+    * assignment, the release rows pin the b ≤ 2 gate. */
+  private def perLangTertiles(scored: DataFrame): DataFrame = {
+    val d = scored.withColumn("bq",
+      floor(col("xent") * 64).cast("long")).localCheckpoint(true)
+    val hist = d.groupBy("lang", "bq").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plans = hist.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val nl = rows.map(_._3).sum
+      val q3 = nl / 3; val r3 = nl % 3
+      val cut1 = q3 + (if (r3 >= 1) 1L else 0L)
+      val cut2 = cut1 + q3 + (if (r3 >= 2) 1L else 0L)
+      def bOf(pos: Long): Int =
+        if (pos <= cut1) 1 else if (pos <= cut2) 2 else 3
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, bq, n) =>
+        val bFirst = bOf(acc + 1); val bLast = bOf(acc + n)
+        val row = (lang, bq, acc,
+          if (bFirst == bLast) bFirst else 0, cut1, cut2)
+        acc += n
+        row
+      }
+    }
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val planDf = broadcast(
+      plans.toDF("lang", "bq", "base", "uniform", "cut1", "cut2"))
+    val joined = d.join(planDf, Seq("lang", "bq"))
+    val uniform = joined.filter(col("uniform") > 0)
+      .withColumn("b", col("uniform"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "bq").orderBy(col("xent"), col("doc_id"))
+    val straddle = joined.filter(col("uniform") === 0)
+      .withColumn("__pos", col("base") + row_number().over(wb))
+      .withColumn("b", when(col("__pos") <= col("cut1"), 1)
+        .when(col("__pos") <= col("cut2"), 2).otherwise(3))
+      .drop("__pos")
+    uniform.unionByName(straddle)
+      .drop("bq", "base", "uniform", "cut1", "cut2")
   }
 
   /** Per-doc LM scores (doc_id, lang, n_bigrams, xent) against a
