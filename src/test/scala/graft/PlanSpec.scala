@@ -305,6 +305,25 @@ class PlanSpec extends AnyFunSuite {
       s"register max lost its partial aggregation:\n$p")
   }
 
+  test("round-11 rows: multimodal release joins equi, tertile windows never SinglePartition") {
+    val pm = plan("q_multimodal_release")
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoop"),
+      s"q_multimodal_release degenerated:\n$pm")
+    // the two-phase tertile must have replaced the per-language ntile
+    // sort: every window in the release/ccnet plans partitions by at
+    // least (lang, bucket) or a rank bucket — a SinglePartition window
+    // would be the corpus-sized sort the round removed
+    // (q_corpus_release_inc serves a checkpointed manifest, so the
+    // shared body is audited through these two)
+    for (q <- Seq("q_ccnet_buckets", "q_corpus_release")) {
+      val windowLines = plan(q).linesIterator
+        .filter(_.contains("Window")).toSeq
+      assert(windowLines.forall(!_.contains("SinglePartition")),
+        s"$q has a corpus-wide window:\n${windowLines.mkString("\n")}")
+    }
+  }
+
   test("IVF-PQ serve paths join equi/broadcast — no cartesian, no nested loop") {
     // the rerank stage joins a tiny shortlist back to the stored
     // vectors, and the batch path joins per-query distance tables: all
