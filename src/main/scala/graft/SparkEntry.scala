@@ -216,6 +216,8 @@ object SparkEntry {
     // family 11: llm-ops — multimodal plumbing (oracle-checkable slice)
     "q_binary_meta" -> (llm.Multimodal.binaryMeta _),
     "q_multimodal_release" -> (llm.Multimodal.multimodalReleaseQuery _),
+    "q_multimodal_release_inc" ->
+      (streaming.StreamingRelease.multimodalReleaseIncrementalQuery _),
     // family 9 extras: scalar functions, conditional agg, pivot, ranking
     "q_string_funcs" -> (Scalar.stringFuncs _),
     "q_date_funcs" -> (Scalar.dateFuncs _),
@@ -725,6 +727,28 @@ object SparkEntry {
     |SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard, count(*) AS n_docs,
     |  CAST(sum(n_tok) AS BIGINT) AS tot_tokens
     |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // the wholesale multimodal release composition: text keep-one ∧
+  // media-canonical (min doc_id per sha256 of the image-typed payload's
+  // 16-char slice) -> per-lang accounting. ONE string bound to BOTH
+  // q_multimodal_release (batch) and q_multimodal_release_inc (the
+  // two-ledger streaming twin): the incremental path must hash-match
+  // the wholesale replay exactly.
+  private lazy val multimodalReleaseOracle: String =
+    raw"""WITH tk AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+      |            FROM documents GROUP BY 1),
+      |mc AS (SELECT doc_id, sha256(substr(text, 1, 16)) AS cid
+      |       FROM documents WHERE doc_id % 2 = 0),
+      |mk AS (SELECT cid, min(doc_id) AS keep_id FROM mc GROUP BY cid),
+      |mdrop AS (SELECT m.doc_id FROM mc m
+      |          WHERE m.doc_id NOT IN (SELECT keep_id FROM mk)),
+      |s AS (SELECT d.lang, d.text FROM documents d
+      |      JOIN tk ON d.doc_id = tk.keep_id
+      |      WHERE d.doc_id NOT IN (SELECT doc_id FROM mdrop))
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |    AS tot_tokens
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
   private def clfScoreExpr(r: String): String =
     (0 until 5).map(j => s"$r.w$j * x$j").mkString(" + ")
@@ -3261,21 +3285,14 @@ object SparkEntry {
     // (min doc_id per sha256 of the image-typed payload's 16-char
     // slice) -> per-lang accounting. The whole composition replays in
     // SQL; pixel-clustered media input is spec territory.
-    "q_multimodal_release" ->
-      raw"""WITH tk AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
-        |            FROM documents GROUP BY 1),
-        |mc AS (SELECT doc_id, sha256(substr(text, 1, 16)) AS cid
-        |       FROM documents WHERE doc_id % 2 = 0),
-        |mk AS (SELECT cid, min(doc_id) AS keep_id FROM mc GROUP BY cid),
-        |mdrop AS (SELECT m.doc_id FROM mc m
-        |          WHERE m.doc_id NOT IN (SELECT keep_id FROM mk)),
-        |s AS (SELECT d.lang, d.text FROM documents d
-        |      JOIN tk ON d.doc_id = tk.keep_id
-        |      WHERE d.doc_id NOT IN (SELECT doc_id FROM mdrop))
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-        |    AS tot_tokens
-        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_multimodal_release" -> multimodalReleaseOracle,
+    // incremental multimodal release: the Spark side ingests three
+    // ascending-doc_id microbatches through TWO hash ledgers (text
+    // hash + media fingerprint, first writer wins) and serves the
+    // accounting from the survivor ledger; the oracle is the wholesale
+    // composition VERBATIM — microbatch boundaries hash-pinned
+    // invisible for both keep policies at once
+    "q_multimodal_release_inc" -> multimodalReleaseOracle,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS upper_name, lower(p_brand) AS lower_brand,
         |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,

@@ -120,6 +120,123 @@ object StreamingRelease {
         hashPath, scorePath, trainLang) _)
       .option("checkpointLocation", checkpoint)
 
+  // ---- incremental MULTIMODAL release (the streaming twin of
+  // [[graft.llm.Multimodal.multimodalRelease]]): the text keep-one and
+  // the media-canonical policies are both "first batch to present this
+  // fingerprint wins" rules under the ascending-doc_id convention, so
+  // the increment pays two hash anti-joins (text hash store + media
+  // fingerprint store) and stores one narrow (doc_id, lang, n_tok) row
+  // per survivor; the per-language accounting aggregates the ledger at
+  // release time. No model, no pixels in the loop: media clusters enter
+  // as a per-batch (doc_id, cluster_id) frame — exact fingerprints for
+  // the oracle row, [[graft.llm.Multimodal.imageNearDupClusters]]-style
+  // pixel clusters where a codec is in play (near-dup media clustering
+  // across batch boundaries would ride an ANN signature store, the
+  // [[StreamingAnn]] machinery — deliberately out of this operator). ----
+
+  /** The idempotent foreachBatch body for the multimodal release.
+    * `batch` needs (doc_id, lang, text); `mediaClusters` maps THIS
+    * batch's docs to media cluster ids (absent doc_id = no media).
+    * A doc survives iff its text hash is novel (across history AND
+    * within the batch, min doc_id wins) and its media cluster — when
+    * it has one — is novel too. Writes the text-hash and media-cluster
+    * stores plus the survivor accounting ledger, each an overwrite of
+    * its own `batch=N` partition. */
+  def multimodalIngestBatch(spark: SparkSession, textHashPath: String,
+      mediaHashPath: String, ledgerPath: String)(
+      batch: DataFrame, mediaClusters: DataFrame, batchId: Long): Unit = {
+    def prior(path: String): DataFrame =
+      StreamingDedup.readHashes(spark, path)
+        .map(_.filter(col("batch") < batchId).select("h"))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          new org.apache.spark.sql.types.StructType()
+            .add("h", org.apache.spark.sql.types.StringType)))
+    // text policy: one keeper per novel text hash (min doc_id in batch)
+    val cand = batch
+      .select(md5(col("text")).as("h"), col("doc_id"), col("lang"),
+        col("text"))
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("lang"), col("text"))).as("m"))
+      .select(col("h"), col("m.doc_id").as("doc_id"),
+        col("m.lang").as("lang"), col("m.text").as("text"))
+    val textNovel = graft.Materialize.checkpoint(
+      cand.join(prior(textHashPath), Seq("h"), "left_anti"))
+    textNovel.select("h").write.mode("overwrite")
+      .parquet(s"$textHashPath/batch=$batchId")
+    // media policy: one canonical doc per novel cluster (min doc_id in
+    // batch); every OTHER doc of a seen-or-shared cluster drops
+    val mc = mediaClusters
+      .select(col("doc_id"), col("cluster_id").cast("string").as("h"))
+    val mediaCanon = mc.groupBy("h").agg(min("doc_id").as("doc_id"))
+    val mediaNovel = graft.Materialize.checkpoint(
+      mediaCanon.join(prior(mediaHashPath), Seq("h"), "left_anti"))
+    mediaNovel.select("h").write.mode("overwrite")
+      .parquet(s"$mediaHashPath/batch=$batchId")
+    // a doc with media survives the media policy iff it IS a novel
+    // cluster's canonical doc; media-less docs pass trivially
+    val mediaDrop = mc.join(broadcast(mediaNovel.select("doc_id")),
+      Seq("doc_id"), "left_anti").select("doc_id").distinct()
+    val survivors = textNovel
+      .join(mediaDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+    survivors.write.mode("overwrite")
+      .parquet(s"$ledgerPath/batch=$batchId")
+  }
+
+  /** Per-language accounting over everything ingested — equals
+    * [[graft.llm.Multimodal.multimodalRelease]] on the union of the
+    * ingested batches (spec- and oracle-pinned parity). */
+  def multimodalManifest(spark: SparkSession,
+      ledgerPath: String): DataFrame =
+    StreamingDedup.readStore(spark, ledgerPath) match {
+      case Some(led) =>
+        led.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok").cast("long")).as("tot_tokens"))
+          .orderBy("lang")
+      case None =>
+        import org.apache.spark.sql.types.{LongType, StringType,
+          StructType}
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          new StructType().add("lang", StringType)
+            .add("n_docs", LongType).add("tot_tokens", LongType))
+    }
+
+  /** Driver-contract query (`q_multimodal_release_inc`): three
+    * ascending-doc_id microbatches through [[multimodalIngestBatch]],
+    * media clusters = the sha256 payload fingerprints of the
+    * image-typed docs (the `q_multimodal_release` convention), manifest
+    * served from the ledger. The oracle is the batch
+    * `q_multimodal_release` SQL VERBATIM — microbatch boundaries are
+    * hash-pinned invisible, for BOTH keep policies at once. */
+  def multimodalReleaseIncrementalQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val textDir = Files.createTempDirectory("graft-mmtext-")
+    val mediaDir = Files.createTempDirectory("graft-mmmedia-")
+    val ledgerDir = Files.createTempDirectory("graft-mmledger-")
+    try {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(3).over(w))
+        .localCheckpoint(true)
+      (1 to 3).foreach { s =>
+        val b = sliced.filter(col("__s") === s).drop("__s")
+        val mc = b.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+              .as("cluster_id"))
+        multimodalIngestBatch(spark, textDir.toString,
+          mediaDir.toString, ledgerDir.toString)(b, mc, s - 1L)
+      }
+      graft.Materialize.checkpoint(
+        multimodalManifest(spark, ledgerDir.toString))
+    } finally Seq(textDir, mediaDir, ledgerDir)
+      .foreach(ModelStore.deleteRecursively)
+  }
+
   /** Driver-contract query (`q_corpus_release_inc`): split `dir`'s
     * documents into three ascending-doc_id microbatches, run each
     * through [[releaseIngestBatch]] against the process-shared LM

@@ -105,6 +105,53 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental multimodal release: cross-batch media dup drops, replay idempotent, batch parity") {
+    val s = spark; import s.implicits._
+    def fp = sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+    def mcOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), fp.as("cluster_id"))
+    // batch 1's doc 6 re-posts doc 2's media (same 16-char prefix ⇒
+    // same fingerprint) under NOVEL text — only the media policy can
+    // drop it; doc 7 has no media but duplicates doc 4's text — only
+    // the text policy can drop it
+    val b0 = Seq(
+      (2L, "en", "shared media prefix AAAA original tail"),
+      (3L, "en", "text only survivor one"),
+      (4L, "de", "a german document body")).toDF("doc_id", "lang", "text")
+    val b1 = Seq(
+      (6L, "en", "shared media prefix AAAA different tail entirely"),
+      (7L, "de", "a german document body"),
+      (8L, "en", "a fresh image doc with its own pixels"))
+      .toDF("doc_id", "lang", "text")
+    val all = b0.unionByName(b1)
+    val dirs = Seq("graft-mmt-", "graft-mmm-", "graft-mml-")
+      .map(Files.createTempDirectory(_))
+    try {
+      val Seq(t, m, l) = dirs.map(_.toString)
+      val ingest = graft.streaming.StreamingRelease
+        .multimodalIngestBatch(spark, t, m, l) _
+      ingest(b0, mcOf(b0), 0L)
+      ingest(b1, mcOf(b1), 1L)
+      val streamed = graft.streaming.StreamingRelease
+        .multimodalManifest(spark, l).collect().map(_.toString).toSeq
+      // == the batch composition over the union with the same clusters
+      val batch = llm.Multimodal.multimodalRelease(all, mcOf(all))
+        .collect().map(_.toString).toSeq
+      assert(streamed === batch)
+      // the planted drops really happened: survivors are 2, 3, 4, 8
+      val ledgerIds = spark.read.option("basePath", l)
+        .parquet(s"$l/batch=0", s"$l/batch=1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ledgerIds === Set(2L, 3L, 4L, 8L), ledgerIds)
+      // replay of batch 1: identical partitions, identical manifest
+      ingest(b1, mcOf(b1), 1L)
+      assert(graft.streaming.StreamingRelease
+        .multimodalManifest(spark, l).collect().map(_.toString).toSeq
+        === streamed)
+    } finally dirs.foreach(ModelStore.deleteRecursively)
+  }
+
   test("MemoryStream wiring: triggered microbatches land as batch=0/1 and serve the same manifest") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
