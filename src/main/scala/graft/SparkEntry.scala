@@ -203,6 +203,7 @@ object SparkEntry {
     // persisted trained artifacts: build into a scratch ModelStore, serve
     // FROM the store, hash-match the train-inline query's oracle
     "q_ivfpq_persisted" -> (llm.Similarity.ivfPqPersistedQuery _),
+    "q_ivfpq_merged" -> (llm.Similarity.ivfPqMergedQuery _),
     "q_ann_recall" -> ((s, d) => llm.Similarity.annRecall(s, d)),
     "q_ann_recall_auto" -> ((s, d) => llm.Similarity.annRecallAuto(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
@@ -793,6 +794,10 @@ object SparkEntry {
     // serves the result out of parquet; the oracle is unchanged)
     base ++ Map(
       "q_ivfpq_persisted" -> base("q_ivfpq_search"),
+      // distributed-build gate: two shards encoded in parallel against
+      // frozen quantizers, merged, served — merged == single-build,
+      // proven by hash-matching the single-build oracle verbatim
+      "q_ivfpq_merged" -> base("q_ivfpq_search"),
       "q_bpe_persisted" -> base("q_bpe_encode"),
       "q_lm_persisted" -> base("q_lm_perplexity"),
       "q_clf_persisted" -> base("q_quality_clf_score"),

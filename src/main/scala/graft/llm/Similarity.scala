@@ -1009,6 +1009,76 @@ object Similarity {
     }
   }
 
+  /** Quantizer-only store version: train the coarse quantizer and PQ
+    * codebooks (plus the dials record) with EMPTY data artifacts — the
+    * first step of a distributed index build, where N workers then
+    * encode their slices against these frozen quantizers in parallel
+    * ([[encodeWithIndex]]) and [[saveMergedIndex]] unions the shards
+    * into one served version. */
+  def saveQuantizers(trainEmb: DataFrame, store: graft.store.ModelStore,
+      kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64, spill: Int = 1): Long =
+    saveIvfPqIndexTrainedOn(trainEmb, trainEmb.limit(0), store, kCells,
+      m, k, iters, dim, spill)
+
+  /** Merge PARALLEL-ENCODED shards into one served index version — the
+    * distributed-build completion of the ANN stack: quantizers train
+    * once ([[saveQuantizers]] or any existing version), each worker
+    * encodes its slice against them ([[encodeWithIndex]] — two
+    * broadcast joins, no training jobs, shards never talk to each
+    * other), and this call writes cells/codes/vectors as the union of
+    * the shard rows while carrying the quantizers forward. The version
+    * flip serves the merged index atomically
+    * ([[graft.store.ModelStore.save]]).
+    *
+    * Because encoding is pointwise per vector under frozen quantizers,
+    * the merged artifacts are IDENTICAL to a single-job encode of the
+    * shard union — bit-equal serving, which the `q_ivfpq_merged` oracle
+    * row pins against the single-build SQL. The disjointness audit is
+    * one count-distinct pass (a vec_id in two shards would serve
+    * twice); skip it only when the upstream split is provably keyed.
+    * At 10⁸ vectors the merge itself moves no vectors through the
+    * driver and performs no shuffle beyond the union write. */
+  def saveMergedIndex(store: graft.store.ModelStore,
+      shards: Seq[DataFrame], m: Int = 4,
+      requireDisjoint: Boolean = true): Long = {
+    require(shards.nonEmpty, "saveMergedIndex: no shards")
+    val all = shards.reduce(_ unionByName _)
+    if (requireDisjoint) {
+      val ids = all.select("vec_id")
+      val (n, d) = (ids.count(), ids.distinct().count())
+      val sp = indexSpill(store)
+      require(n == d * sp,
+        s"saveMergedIndex: shards overlap ($n coded rows for $d distinct " +
+          s"vec_ids at spill=$sp — a vec_id encoded in two shards would " +
+          "serve twice)")
+    }
+    val codeCols = col("vec_id") +: (0 until m).map(s => col(s"c$s"))
+    store.save(Map(
+      "coarse" -> store.load("coarse"),
+      "codebooks" -> store.load("codebooks"),
+      "dials" -> store.load("dials"),
+      "cells" -> all.select("vec_id", "cid"),
+      "codes" -> all.select(codeCols: _*).dropDuplicates("vec_id"),
+      "vectors" -> all.select("vec_id", "ux").dropDuplicates("vec_id")))
+  }
+
+  /** Oracle row (`q_ivfpq_merged`): quantizers from the full corpus,
+    * two disjoint shards encoded separately, merged, served — must
+    * hash-match `q_ivfpq_search`'s oracle, exactly like the persisted
+    * gate: merged == single-build, proven by the gate itself. */
+  def ivfPqMergedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    graft.store.ModelStore.scratch(spark, "ivfpq-merge") { store =>
+      saveQuantizers(emb, store)
+      val mid = emb.agg(max("vec_id")).first().getLong(0) / 2
+      saveMergedIndex(store, Seq(
+        encodeWithIndex(store, emb.filter(col("vec_id") <= mid)),
+        encodeWithIndex(store, emb.filter(col("vec_id") > mid))))
+      ivfPqSearchPersisted(store, queryVecOf(emb, 0L), qId = 0L)
+    }
+  }
+
   /** ANN quality measurement (VERDICT r7 #5): recall@k of IVF-PQ
     * search against brute-force cosine over the same corpus, one row
     * per nprobe — the tuning dial real ANN deployments watch (recall

@@ -143,6 +143,39 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("merged parallel-encoded shards serve bit-identically to a single build; overlap refused") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = llm.Similarity.queryVecOf(emb, 0L)
+    // single build at a SPILLED dial — the merge must respect spill in
+    // both the shard rows and the disjointness arithmetic
+    val single = withStore { store =>
+      llm.Similarity.saveIvfPqIndexTrainedOn(emb, emb, store,
+        kCells = 6, spill = 3)
+      llm.Similarity.ivfPqSearchPersisted(store, qv, qId = 0L)
+        .collect().map(_.toString).toSeq
+    }
+    withStore { store =>
+      llm.Similarity.saveQuantizers(emb, store, kCells = 6, spill = 3)
+      val mid = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+        .first().getLong(0) / 2
+      val lo = llm.Similarity
+        .encodeWithIndex(store, emb.filter(col("vec_id") <= mid))
+      val hi = llm.Similarity
+        .encodeWithIndex(store, emb.filter(col("vec_id") > mid))
+      // overlapping shards must refuse loudly, not serve a vector twice
+      val err = intercept[IllegalArgumentException] {
+        llm.Similarity.saveMergedIndex(store, Seq(lo, lo))
+      }
+      assert(err.getMessage.contains("overlap"), err.getMessage)
+      val v = llm.Similarity.saveMergedIndex(store, Seq(lo, hi))
+      assert(store.currentVersion === Some(v))
+      val merged = llm.Similarity
+        .ivfPqSearchPersisted(store, qv, qId = 0L)
+        .collect().map(_.toString).toSeq
+      assert(merged === single)
+    }
+  }
+
   test("batched IVF-PQ serve equals the single-query path, query by query") {
     // the batch path replaces the driver-side probe/distance-table steps
     // with relational joins; at equal dials the two must serve the same
