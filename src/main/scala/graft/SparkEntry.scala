@@ -206,6 +206,8 @@ object SparkEntry {
     "q_ivfpq_merged" -> (llm.Similarity.ivfPqMergedQuery _),
     "q_ann_recall" -> ((s, d) => llm.Similarity.annRecall(s, d)),
     "q_ann_recall_auto" -> ((s, d) => llm.Similarity.annRecallAuto(s, d)),
+    "q_ann_recall_residual" ->
+      ((s, d) => llm.Similarity.annRecallResidual(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
     "q_bpe_persisted" -> ((s, d) => llm.TextOps.bpePersistedQuery(s, d)),
     "q_lm_persisted" -> (llm.TextOps.lmPersistedQuery _),
@@ -280,10 +282,10 @@ object SparkEntry {
       |a2 AS (SELECT vec_id, cid FROM
       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
       |       WHERE rn = 1),
-      |c2 AS (SELECT a.cid, e.i, avg(e.x) AS c FROM ex e JOIN a2 a USING (vec_id) GROUP BY a.cid, e.i),
+      |c2 AS MATERIALIZED (SELECT a.cid, e.i, avg(e.x) AS c FROM ex e JOIN a2 a USING (vec_id) GROUP BY a.cid, e.i),
       |df AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
       |       FROM ex e JOIN c2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
-      |af AS (SELECT vec_id, cid FROM
+      |af AS MATERIALIZED (SELECT vec_id, cid FROM
       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
       |       WHERE rn = 1)""".stripMargin
 
@@ -729,6 +731,103 @@ object SparkEntry {
     |  CAST(sum(n_tok) AS BIGINT) AS tot_tokens
     |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // residual IVF-PQ recall replay (q_ann_recall_residual; mirrors
+  // Similarity.saveIvfPqResidualIndex / annRecallResidual): the coarse
+  // chain is the shared ivfAssignBody over the unit ex; the PQ rounds
+  // train on rx = x − c_assigned (the FAISS residual semantics); the
+  // serve builds a PER-CELL distance table (query residual differs per
+  // probed cell) and sweeps nprobe 1/2/4 against the brute-force cosine
+  // truth. Hash-pins the 0.7 → 0.9 recall claim.
+  private lazy val annRecallResidualOracle: String = {
+    def lloydRound(pts: String, p: String, out: String, tag: String) =
+      s"""d$tag AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+         |        FROM $pts e JOIN $p c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+         |a$tag AS (SELECT vec_id, cid FROM
+         |         (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$tag)
+         |        WHERE rn = 1),
+         |u$tag AS (SELECT a.cid, e.i, avg(e.x) AS c FROM $pts e JOIN a$tag a USING (vec_id) GROUP BY a.cid, e.i),
+         |$out AS MATERIALIZED (SELECT p.cid, p.i, coalesce(u.c, p.c) AS c
+         |        FROM $p p LEFT JOIN u$tag u ON u.cid = p.cid AND u.i = p.i)""".stripMargin
+    val head =
+      """WITH exr AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x,
+        |        sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS nrm
+        |      FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |ex AS MATERIALIZED (SELECT vec_id, i, CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS x FROM exr)""".stripMargin
+    // residual rows against the trained coarse assignment (c2/af from
+    // the shared ivfAssignBody), then PQ rounds over rx per subspace
+    val rx =
+      """rx AS MATERIALIZED (SELECT e.vec_id, e.i, e.x - g.c AS x
+        |       FROM ex e JOIN af a USING (vec_id)
+        |       JOIN c2 g ON g.cid = a.cid AND g.i = e.i)""".stripMargin
+    val pq = (0 until 4).map { s =>
+      val lo = s * 16
+      Seq(
+        s"re$s AS MATERIALIZED (SELECT vec_id, i - $lo AS i, x FROM rx WHERE i >= $lo AND i < ${lo + 16})",
+        s"rp${s}0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM re$s WHERE vec_id < 8)",
+        lloydRound(s"re$s", s"rp${s}0", s"rp${s}1", s"rp${s}r1"),
+        lloydRound(s"re$s", s"rp${s}1", s"rp${s}2", s"rp${s}r2"),
+        s"""rdf$s AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
+           |         FROM re$s e JOIN rp${s}2 c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+           |raf$s AS (SELECT vec_id, cid FROM
+           |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM rdf$s)
+           |         WHERE rn = 1)""".stripMargin).mkString(",\n")
+    }.mkString(",\n")
+    val codes =
+      s"""rcodes AS MATERIALIZED (SELECT vec_id,
+         |    ${(0 until 4).map(s =>
+              s"max(CASE WHEN m = $s THEN cid END) AS c$s").mkString(", ")}
+         |  FROM (${(0 until 4).map(s =>
+              s"SELECT vec_id, $s AS m, cid FROM raf$s").mkString(" UNION ALL ")})
+         |  GROUP BY vec_id)""".stripMargin
+    val query =
+      s"""qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
+         |qd AS (SELECT c.cid,
+         |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
+         |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
+         |qr AS (SELECT c.cid AS pcid, c.i AS gi, qq.qx - c.c AS qx
+         |       FROM c2 c JOIN qq ON qq.gi = c.i),
+         |${(0 until 4).map(s =>
+            s"""rdt$s AS (SELECT q.pcid, c.cid,
+               |  list_reduce(list_prepend(0.0, list((q.qx - c.c) * (q.qx - c.c) ORDER BY c.i)), (a, b) -> a + b) AS d
+               |  FROM rp${s}2 c JOIN qr q ON q.gi = ${s * 16} + c.i GROUP BY q.pcid, c.cid)""".stripMargin)
+            .mkString(",\n")},
+         |ul AS MATERIALIZED (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+         |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0),
+         |truth AS (SELECT z.vec_id FROM (
+         |  SELECT e.vec_id,
+         |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+         |     (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+         |      sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
+         |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z)""".stripMargin
+    val sweeps = Seq(1, 2, 4).map(np =>
+      s"""probe$np AS (SELECT cid FROM
+         |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
+         |          WHERE rn <= $np),
+         |short$np AS (SELECT DISTINCT vec_id FROM (
+         |  SELECT k.vec_id, a.cid,
+         |    row_number() OVER (PARTITION BY a.cid
+         |      ORDER BY round(rdt0.d + rdt1.d + rdt2.d + rdt3.d, 9), k.vec_id) AS rn
+         |  FROM rcodes k JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
+         |  JOIN rdt0 ON rdt0.pcid = a.cid AND rdt0.cid = k.c0
+         |  JOIN rdt1 ON rdt1.pcid = a.cid AND rdt1.cid = k.c1
+         |  JOIN rdt2 ON rdt2.pcid = a.cid AND rdt2.cid = k.c2
+         |  JOIN rdt3 ON rdt3.pcid = a.cid AND rdt3.cid = k.c3
+         |  WHERE k.vec_id <> 0) WHERE rn <= 100),
+         |apx$np AS (SELECT u.vec_id FROM short$np s JOIN ul u USING (vec_id), qa
+         |  ORDER BY round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) DESC, u.vec_id
+         |  LIMIT 10)""".stripMargin).mkString(",\n")
+    val tail = Seq(1, 2, 4).map(np =>
+      s"""SELECT $np AS nprobe, 10 AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM apx$np JOIN truth USING (vec_id)) AS n_hits,
+         |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
+      .mkString(" UNION ALL\n")
+    s"$head,\n$ivfAssignBody,\n$rx,\n$pq,\n$codes,\n$query,\n$sweeps\n$tail\nORDER BY nprobe"
+  }
+
   // the wholesale multimodal release composition: text keep-one ∧
   // media-canonical (min doc_id per sha256 of the image-typed payload's
   // 16-char slice) -> per-lang accounting. ONE string bound to BOTH
@@ -918,6 +1017,10 @@ object SparkEntry {
     // full-corpus encode, and the probe/shortlist/rerank serve — all
     // replayed in SQL (see annRecallAutoOracle)
     "q_ann_recall_auto" -> annRecallAutoOracle,
+    // residual-PQ recall sweep: the FAISS residual-encoding semantics,
+    // fully replayed (coarse chain + residual PQ rounds + per-cell
+    // distance tables) — pins the measured 0.7 -> 0.9 lift
+    "q_ann_recall_residual" -> annRecallResidualOracle,
     // batched IVF-PQ k-NN serving: every per-query step of
     // q_ivfpq_search as a relational join over the query batch (first 8
     // vectors) — per-query probe via grouped centroid distances,

@@ -143,6 +143,28 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("residual-PQ recall dominates raw-PQ recall at every swept nprobe (the FAISS residual-encoding claim)") {
+    // same dials, same probe budget, same storage: the residual
+    // distribution is tighter than the raw one, so m·log2(k) bits
+    // quantize it with less error and the ADC shortlist keeps more
+    // true neighbors. At sf0.1 the measured lift is 0.7 -> 0.9 flat.
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val raw = llm.Similarity.annRecall(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+      val res = llm.Similarity.annRecallResidual(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+      assert(res.keySet === raw.keySet)
+      raw.foreach { case (np, rr) =>
+        assert(res(np) >= rr,
+          s"residual recall below raw at $dir nprobe=$np: ${res(np)} < $rr")
+      }
+      val sweep = res.toSeq.sortBy(_._1).map(_._2)
+      assert(sweep.sliding(2).forall(p => p(0) <= p(1)),
+        s"residual recall not monotone at $dir: $sweep")
+      assert(sweep.last >= 0.8, s"residual recall low at $dir: $sweep")
+    }
+  }
+
   test("merged parallel-encoded shards serve bit-identically to a single build; overlap refused") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qv = llm.Similarity.queryVecOf(emb, 0L)
