@@ -783,11 +783,13 @@ object Similarity {
   def ivfPqSearchPersisted(store: graft.store.ModelStore,
       qVec: Map[Int, Double], qId: Long = -1L, topK: Int = 10,
       nprobe: Int = 2, m: Int = 4, dim: Int = 64,
-      rerankK: Int = 100): DataFrame =
+      rerankK: Int = 100): DataFrame = {
+    requireVariant(store, "raw", "ivfPqSearchPersisted")
     ivfPqSearchOver(store.load("coarse"),
       store.load("cells").join(store.load("codes"), "vec_id"),
       store.load("vectors"),
       store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+  }
 
   /** Search over an EXPLICIT coded frame (vec_id, cid, c0..c{m-1}) plus
     * a SEPARATE full-precision frame (vec_id, ux) — the one
@@ -853,6 +855,7 @@ object Similarity {
     * the property that makes incremental == batch (StreamingAnnSpec). */
   def encodeWithIndex(store: graft.store.ModelStore, emb: DataFrame,
       m: Int = 4, dim: Int = 64): DataFrame = {
+    requireVariant(store, "raw", "encodeWithIndex")
     val ex = explodeVecsUnit(emb) // the index lives in the unit domain
     assignCellsTopA(ex, store.load("coarse"), indexSpill(store))
       .join(pqCodesOf(ex, store.load("codebooks"), m, dim), "vec_id")
@@ -867,6 +870,27 @@ object Similarity {
     if (store.partNames.contains("dials"))
       store.load("dials").select("spill").head().getInt(0)
     else 1
+
+  /** The encoding variant a persisted index was built with ("raw" or
+    * "residual"). Pre-dials indexes are raw. */
+  def indexVariant(store: graft.store.ModelStore): String =
+    if (store.partNames.contains("dials") &&
+        store.load("dials").columns.contains("variant"))
+      store.load("dials").select("variant").head().getString(0)
+    else "raw"
+
+  /** Refuse to serve/extend an index through a path built for the
+    * other encoding variant: raw ADC tables scored against residual
+    * codes (or vice versa) return silently wrong neighbors — the
+    * worst failure mode an index can have. One tiny driver read. */
+  private def requireVariant(store: graft.store.ModelStore,
+      expected: String, path: String): Unit = {
+    val v = indexVariant(store)
+    require(v == expected,
+      s"$path serves '$expected'-coded indexes but the store is " +
+        s"'$v'-coded — scoring would be silently wrong; use the " +
+        "matching search/encode path")
+  }
 
   /** Query-vector extraction from an embeddings frame (vec_id,
     * embedding) — public so serving paths can build probe vectors.
@@ -921,6 +945,7 @@ object Similarity {
       topK: Int = 5, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 50, excludeSelf: Boolean = true,
       broadcastQueries: Boolean = true): DataFrame = {
+    requireVariant(store, "raw", "ivfPqKnnJoin")
     val sub = dim / m
     val bq: DataFrame => DataFrame =
       if (broadcastQueries) broadcast(_) else identity
@@ -1063,6 +1088,7 @@ object Similarity {
       qVec: Map[Int, Double], qId: Long = -1L, topK: Int = 10,
       nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 100): DataFrame = {
+    requireVariant(store, "residual", "ivfPqSearchResidualPersisted")
     val coarseRows = store.load("coarse").collect()
     val probed = nearestCells(coarseRows, qVec, nprobe)
     val centBy = coarseRows.groupBy(_.getAs[Int]("cid"))
@@ -1158,6 +1184,7 @@ object Similarity {
       shards: Seq[DataFrame], m: Int = 4,
       requireDisjoint: Boolean = true): Long = {
     require(shards.nonEmpty, "saveMergedIndex: no shards")
+    requireVariant(store, "raw", "saveMergedIndex")
     val all = shards.reduce(_ unionByName _)
     if (requireDisjoint) {
       val ids = all.select("vec_id")

@@ -165,6 +165,33 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-variant serving refuses: raw paths reject a residual store and vice versa") {
+    // raw ADC tables scored against residual codes (or vice versa)
+    // return silently wrong neighbors — the guard must fail LOUD
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = llm.Similarity.queryVecOf(emb, 0L)
+    withStore { store =>
+      llm.Similarity.saveIvfPqResidualIndex(emb, store)
+      for ((name, body) <- Seq[(String, () => Any)](
+        "search" -> (() =>
+          llm.Similarity.ivfPqSearchPersisted(store, qv, qId = 0L)),
+        "knnJoin" -> (() => llm.Similarity
+          .ivfPqKnnJoin(store, emb.filter(col("vec_id") < 2))),
+        "encode" -> (() => llm.Similarity.encodeWithIndex(store, emb)),
+        "merge" -> (() =>
+          llm.Similarity.saveMergedIndex(store, Seq(emb))))) {
+        val e = intercept[IllegalArgumentException](body())
+        assert(e.getMessage.contains("residual"), s"$name: ${e.getMessage}")
+      }
+    }
+    withStore { store =>
+      llm.Similarity.saveIvfPqIndex(emb, store)
+      val e = intercept[IllegalArgumentException](
+        llm.Similarity.ivfPqSearchResidualPersisted(store, qv, qId = 0L))
+      assert(e.getMessage.contains("raw"), e.getMessage)
+    }
+  }
+
   test("merged parallel-encoded shards serve bit-identically to a single build; overlap refused") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qv = llm.Similarity.queryVecOf(emb, 0L)
