@@ -120,6 +120,83 @@ object StreamingRelease {
         hashPath, scorePath, trainLang) _)
       .option("checkpointLocation", checkpoint)
 
+  // ---- release QUALITY drift gate: the incremental release scores
+  // every novel doc anyway; the DISTRIBUTION of those scores is the
+  // free observable that says the crawl went bad (spam wave, encoding
+  // rot, a new boilerplate source) BEFORE the tertile gate quietly
+  // starts admitting garbage as "head" of a degraded population. Same
+  // machinery as the ANN quantizer-drift gate: a persisted reference
+  // histogram of a HELD-OUT calibration slice's xent (the LM trained
+  // on the trusted corpus — in-sample scores are systematically low,
+  // the StreamingAnn r8 miscalibration lesson applies verbatim), each
+  // batch's scores PSI'd against it through the one shared rule
+  // ([[StreamingDrift.psiReport]]). The gate OBSERVES; acting on it
+  // (pause the release, quarantine the source) is the operator's
+  // caller's decision. ----
+
+  /** Snapshot the xent drift reference: bucket edges + histogram of the
+    * calibration docs' LM scores, persisted to its own store. `calib`
+    * must be docs the LM did NOT train on exclusively — score a slice
+    * that is exchangeable with future honest ingest. */
+  def saveXentReference(calib: DataFrame, lmStore: ModelStore,
+      driftStore: ModelStore, trainLang: String = "en",
+      buckets: Int = 10): Long = {
+    val xent = TextOps.lmScoreRowsPersisted(calib, lmStore, trainLang)
+      .select(col("xent").as("d")).localCheckpoint(true)
+    val edges = xent.agg(min("d").as("vmin"), max("d").as("vmax"))
+      .localCheckpoint(true)
+    val hist = xent.crossJoin(broadcast(edges))
+      .select(graft.operators.StatTests.bucketCol(col("d"), col("vmin"),
+        col("vmax"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_ref"))
+    driftStore.save(Map("drift_edges" -> edges, "drift_hist" -> hist))
+  }
+
+  /** Score one batch's xent distribution against the persisted
+    * reference → ONE row (n_cur, psi, shifted). Work: the batch's own
+    * LM scoring (which the release ingest pays anyway) + a
+    * ≤ buckets-row PSI combine. */
+  def releaseQualityGate(lmStore: ModelStore, driftStore: ModelStore,
+      batch: DataFrame, threshold: Double = 0.2,
+      trainLang: String = "en", buckets: Int = 10): DataFrame = {
+    val cur = TextOps.lmScoreRowsPersisted(batch, lmStore, trainLang)
+      .crossJoin(broadcast(driftStore.load("drift_edges")))
+      .select(graft.operators.StatTests.bucketCol(col("xent"),
+        col("vmin"), col("vmax"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_cur"))
+    StreamingDrift.psiReport(driftStore.load("drift_hist"), cur, buckets)
+      .agg(sum("c_cur").as("n_cur"), round(sum("psi_term"), 6).as("psi"))
+      .select(col("n_cur"), col("psi"),
+        (col("psi") > threshold).as("shifted"))
+  }
+
+  /** [[releaseIngestBatch]] plus the quality monitor: the gate row for
+    * each batch lands in `monitorPath/batch=N` (partition-overwrite —
+    * the replay contract holds for the monitor too). The monitored
+    * population is the batch's NOVEL docs — the rows that would enter
+    * the release; re-sent duplicates carry no new quality evidence. */
+  def releaseIngestWithQualityBatch(spark: SparkSession,
+      lmStore: ModelStore, driftStore: ModelStore, hashPath: String,
+      scorePath: String, monitorPath: String, threshold: Double = 0.2,
+      trainLang: String = "en")(
+      batch: DataFrame, batchId: Long): Unit = {
+    releaseIngestBatch(spark, lmStore, hashPath, scorePath,
+      trainLang)(batch, batchId)
+    // the scores were just persisted — monitor FROM the ledger row
+    // rather than re-scoring the text
+    val scored = spark.read.parquet(s"$scorePath/batch=$batchId")
+    val cur = scored
+      .crossJoin(broadcast(driftStore.load("drift_edges")))
+      .select(graft.operators.StatTests.bucketCol(col("xent"),
+        col("vmin"), col("vmax"), 10).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_cur"))
+    StreamingDrift.psiReport(driftStore.load("drift_hist"), cur, 10)
+      .agg(sum("c_cur").as("n_cur"), round(sum("psi_term"), 6).as("psi"))
+      .select(col("n_cur"), col("psi"),
+        (col("psi") > lit(threshold)).as("shifted"))
+      .write.mode("overwrite").parquet(s"$monitorPath/batch=$batchId")
+  }
+
   // ---- incremental MULTIMODAL release (the streaming twin of
   // [[graft.llm.Multimodal.multimodalRelease]]): the text keep-one and
   // the media-canonical policies are both "first batch to present this

@@ -105,6 +105,50 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("release quality gate: stationary batch quiet, degraded batch fires, monitor replay idempotent") {
+    // LM trains on one slice, the xent reference snapshots a DISJOINT
+    // calibration slice (the quantizer-drift calibration lesson:
+    // in-sample scores are systematically low), a third disjoint slice
+    // plays the honest future ingest and a scrambled copy of it plays
+    // the spam wave (unseen words -> every bigram at the ln V ceiling)
+    val train = docs.filter(col("doc_id") % 3 === 0)
+    val calib = docs.filter(col("doc_id") % 3 === 1)
+    val honest = docs.filter(col("doc_id") % 3 === 2)
+    val degraded = honest.select(col("doc_id") + lit(5000000L) as "doc_id",
+      col("lang"), regexp_replace(col("text"), "[a-zA-Z]", "z").as("text"))
+    val dirs = Seq("graft-qg-lm-", "graft-qg-drift-", "graft-qg-hash-",
+      "graft-qg-score-", "graft-qg-mon-").map(Files.createTempDirectory(_))
+    try {
+      val Seq(lmDir, driftDir, hashDir, scoreDir, monDir) = dirs
+      val lmStore = new ModelStore(spark, lmDir.toString)
+      val driftStore = new ModelStore(spark, driftDir.toString)
+      llm.TextOps.lmSave(train, lmStore)
+      graft.streaming.StreamingRelease
+        .saveXentReference(calib, lmStore, driftStore)
+      val ingest = graft.streaming.StreamingRelease
+        .releaseIngestWithQualityBatch(spark, lmStore, driftStore,
+          hashDir.toString, scoreDir.toString, monDir.toString) _
+      ingest(honest, 0L)
+      ingest(degraded, 1L)
+      def mon = spark.read.parquet(monDir.toString)
+        .select("batch", "n_cur", "psi", "shifted").collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      val m1 = mon
+      assert(!m1(0)._3, s"honest ingest tripped the quality gate: $m1")
+      assert(m1(1)._3, s"degraded ingest stayed quiet: $m1")
+      assert(m1(0)._1 > 0 && m1(1)._1 > 0)
+      // the standalone gate agrees with the composed monitor row
+      val solo = graft.streaming.StreamingRelease
+        .releaseQualityGate(lmStore, driftStore, degraded)
+        .collect().head
+      assert(solo.getBoolean(2), solo.toString)
+      // replay of the degraded batch rewrites the identical row
+      ingest(degraded, 1L)
+      assert(mon === m1)
+    } finally dirs.foreach(ModelStore.deleteRecursively)
+  }
+
   test("incremental multimodal release: cross-batch media dup drops, replay idempotent, batch parity") {
     val s = spark; import s.implicits._
     def fp = sha2(substring(col("text"), 1, 16).cast("binary"), 256)
