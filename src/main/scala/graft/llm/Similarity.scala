@@ -1079,16 +1079,22 @@ object Similarity {
   }
 
   /** Serve a top-k query from a residual-encoded index: probe as
-    * usual, then score each probed cell's codes against THAT cell's
-    * residual distance table (q − c_cell vs the residual codebooks),
-    * per-cell shortlists (nested in nprobe — monotone recall), exact
-    * unit-dot rerank of the distinct shortlist. nprobe small driver
-    * legs, each a broadcast-joined filter of the coded table. */
+    * usual, then score every probed cell's codes against THAT cell's
+    * residual distance table (q − c_cell vs the residual codebooks) in
+    * ONE scan of the coded table — the per-(cell, subspace, code)
+    * tables for all probed cells are computed on the driver
+    * (nprobe·m·k entries) and broadcast-joined on (cid, code), exactly
+    * the SQL oracle's rdt shape, so the candidate pass reads the codes
+    * once however many cells are probed (an nprobe-legged union would
+    * re-scan the table per cell at corpus scale). Per-cell shortlists
+    * stay nested in nprobe (monotone recall); exact unit-dot rerank of
+    * the distinct shortlist. */
   def ivfPqSearchResidualPersisted(store: graft.store.ModelStore,
       qVec: Map[Int, Double], qId: Long = -1L, topK: Int = 10,
       nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 100): DataFrame = {
     requireVariant(store, "residual", "ivfPqSearchResidualPersisted")
+    val spark = store.load("coarse").sparkSession
     val coarseRows = store.load("coarse").collect()
     val probed = nearestCells(coarseRows, qVec, nprobe)
     val centBy = coarseRows.groupBy(_.getAs[Int]("cid"))
@@ -1096,20 +1102,38 @@ object Similarity {
         cid -> rows.sortBy(_.getAs[Int]("i"))
           .map(_.getAs[Double]("c")).toArray
       }
+    val sub = dim / m
+    // per-(probed cell, subspace, code) residual distance entries,
+    // all on the driver: |probed|·m·k rows
+    val bookRows = store.load("codebooks").collect()
+      .groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cid"))).toSeq
+    val dtRows = probed.flatMap { pc =>
+      val cv = centBy(pc)
+      bookRows.map { case ((s, code), rows) =>
+        val d = rows.sortBy(_.getAs[Int]("i")).foldLeft(0.0) { (acc, r) =>
+          val i = r.getAs[Int]("i")
+          val diff = (qVec.getOrElse(s * sub + i, 0.0) - cv(s * sub + i)) -
+            r.getAs[Double]("c")
+          acc + diff * diff
+        }
+        (pc, s, code, d)
+      }
+    }
     val coded = store.load("cells").join(store.load("codes"), "vec_id")
-    val books = store.load("codebooks")
+      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
+    import spark.implicits._
+    val scored = (0 until m).foldLeft(coded) { (df, s) =>
+      val dt = broadcast(dtRows.filter(_._2 == s)
+        .map { case (pc, _, code, d) => (pc, code, d) }
+        .toDF("cid", s"c$s", s"d$s"))
+      df.join(dt, Seq("cid", s"c$s"))
+    }.withColumn("adc",
+      round((0 until m).map(s => col(s"d$s")).reduce(_ + _), 9))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy(asc("adc"), asc("vec_id"))
-    val short = probed.map { c =>
-      val cv = centBy(c)
-      val qr = (0 until dim).map(i =>
-        i -> (qVec.getOrElse(i, 0.0) - cv(i))).toMap
-      adcScored(coded.filter(col("cid") === c && col("vec_id") =!= qId),
-          books, qr, m, dim / m)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= rerankK)
-        .select("vec_id")
-    }.reduce(_ union _).distinct()
+    val short = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= rerankK)
+      .select("vec_id").distinct()
     val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
     store.load("vectors").join(broadcast(short), "vec_id")
       .select(col("vec_id"),
