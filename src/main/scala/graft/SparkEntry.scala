@@ -208,6 +208,8 @@ object SparkEntry {
     "q_ann_recall_auto" -> ((s, d) => llm.Similarity.annRecallAuto(s, d)),
     "q_ann_recall_residual" ->
       ((s, d) => llm.Similarity.annRecallResidual(s, d)),
+    "q_ann_residual_inc" ->
+      (streaming.StreamingAnn.annResidualIncrementalQuery _),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
     "q_bpe_persisted" -> ((s, d) => llm.TextOps.bpePersistedQuery(s, d)),
     "q_lm_persisted" -> (llm.TextOps.lmPersistedQuery _),
@@ -1021,6 +1023,13 @@ object SparkEntry {
     // fully replayed (coarse chain + residual PQ rounds + per-cell
     // distance tables) — pins the measured 0.7 -> 0.9 lift
     "q_ann_recall_residual" -> annRecallResidualOracle,
+    // residual index maintained incrementally (quantizers trained once,
+    // every coded row ingested through three microbatches, served
+    // through the streaming union path): residual assignment + encoding
+    // are pointwise under frozen quantizers, so the sweep is
+    // bit-identical to the batch row — the oracle is its SQL VERBATIM,
+    // hash-pinning that microbatching a residual index is invisible
+    "q_ann_residual_inc" -> annRecallResidualOracle,
     // batched IVF-PQ k-NN serving: every per-query step of
     // q_ivfpq_search as a relational join over the query batch (first 8
     // vectors) — per-query probe via grouped centroid distances,

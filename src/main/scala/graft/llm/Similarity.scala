@@ -879,6 +879,15 @@ object Similarity {
       store.load("dials").select("variant").head().getString(0)
     else "raw"
 
+  /** [[indexVariant]] pinned to one store version — the serve path that
+    * resolved a version must read the variant of THAT version, not of a
+    * `_CURRENT` pointer a rebuild may flip mid-query. */
+  def indexVariantAt(store: graft.store.ModelStore, v: Long): String =
+    if (store.partNamesAt(v).contains("dials") &&
+        store.loadAt(v, "dials").columns.contains("variant"))
+      store.loadAt(v, "dials").select("variant").head().getString(0)
+    else "raw"
+
   /** Refuse to serve/extend an index through a path built for the
     * other encoding variant: raw ADC tables scored against residual
     * codes (or vice versa) return silently wrong neighbors — the
@@ -1056,16 +1065,39 @@ object Similarity {
     * wanted). */
   def saveIvfPqResidualIndex(emb: DataFrame,
       store: graft.store.ModelStore, kCells: Int = 4, m: Int = 4,
-      k: Int = 8, iters: Int = 2, dim: Int = 64): Long = {
-    val ex = graft.Materialize.checkpoint(explodeVecsUnit(emb))
-    val coarse = lloydCentroids(ex, kCells, iters)
+      k: Int = 8, iters: Int = 2, dim: Int = 64): Long =
+    saveIvfPqResidualIndexTrainedOn(emb, emb, store, kCells, m, k,
+      iters, dim)
+
+  /** Residual-vector frame of `ex` under `coarse`/`cells`: (vec_id, i,
+    * x = x − c_assigned(i)) — the domain residual PQ trains and encodes
+    * in. One broadcast join; pointwise per vector under frozen
+    * centroids, which is what makes residual incremental == batch. */
+  private def residualRows(ex: DataFrame, cells: DataFrame,
+      coarse: DataFrame): DataFrame =
+    ex.join(cells, "vec_id")
+      .join(broadcast(coarse), Seq("cid", "i"))
+      .select(col("vec_id"), col("i"), (col("x") - col("c")).as("x"))
+
+  /** Split-aware residual build ([[saveIvfPqIndexTrainedOn]]'s twin):
+    * coarse quantizer and residual codebooks train on `trainEmb` only,
+    * the index encodes ALL of `encodeEmb` — the hook the drift-monitored
+    * / incrementally-maintained residual index needs (a held-out slice's
+    * out-of-sample residuals calibrate the gate, and the streaming loop
+    * can rebuild a residual store without changing its variant). */
+  def saveIvfPqResidualIndexTrainedOn(trainEmb: DataFrame,
+      encodeEmb: DataFrame, store: graft.store.ModelStore,
+      kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64): Long = {
+    val exT = graft.Materialize.checkpoint(explodeVecsUnit(trainEmb))
+    val coarse = lloydCentroids(exT, kCells, iters)
+    val rxT = graft.Materialize.checkpoint(
+      residualRows(exT, assignCells(exT, coarse), coarse))
+    val cent = pqCodebooksFused(rxT, m, k, iters, dim)
+    val ex = graft.Materialize.checkpoint(explodeVecsUnit(encodeEmb))
     val cells = assignCells(ex, coarse)
-    val rx = graft.Materialize.checkpoint(
-      ex.join(cells, "vec_id")
-        .join(broadcast(coarse), Seq("cid", "i"))
-        .select(col("vec_id"), col("i"), (col("x") - col("c")).as("x")))
-    val cent = pqCodebooksFused(rx, m, k, iters, dim)
-    val dials = emb.sparkSession.range(1).select(
+    val rx = residualRows(ex, cells, coarse)
+    val dials = trainEmb.sparkSession.range(1).select(
       lit(kCells).as("nlist"), lit(1).as("spill"), lit(m).as("m"),
       lit(k).as("k"), lit(iters).as("iters"), lit(dim).as("dim"),
       lit("residual").as("variant"))
@@ -1077,6 +1109,40 @@ object Similarity {
       "vectors" -> unitArrays(ex),
       "dials" -> dials))
   }
+
+  /** Assign + residual-PQ-encode vectors against a persisted RESIDUAL
+    * index's frozen quantizers — [[encodeWithIndex]]'s residual twin,
+    * the per-increment step that lets [[graft.streaming.StreamingAnn]]
+    * maintain a residual store. Returns the same coded-row schema
+    * (vec_id, cid, c0..c{m-1}, ux). Assignment is single-cell (the
+    * residual-of-THE-cell is what ADC corrects) and both assignment and
+    * encoding are pointwise per vector under the frozen coarse table and
+    * codebooks, so encoding increments separately IS encoding their
+    * union — residual incremental == residual batch re-encode
+    * (StreamingAnnSpec pins it). */
+  def encodeResidualWithIndex(store: graft.store.ModelStore,
+      emb: DataFrame, m: Int = 4, dim: Int = 64): DataFrame = {
+    requireVariant(store, "residual", "encodeResidualWithIndex")
+    val ex = explodeVecsUnit(emb)
+    val coarse = store.load("coarse")
+    val cells = assignCells(ex, coarse)
+    cells
+      .join(pqCodesOf(residualRows(ex, cells, coarse),
+        store.load("codebooks"), m, dim), "vec_id")
+      .join(unitArrays(ex), "vec_id")
+  }
+
+  /** Variant-dispatched incremental encode: read the store's own
+    * `variant` dial and run the matching encoder — the one entry point
+    * ingest loops should call, so a residual store is maintained with
+    * residual codes and a raw store with raw codes, and the
+    * cross-variant mistake ([[requireVariant]]) cannot be reached. */
+  def encodeForIndex(store: graft.store.ModelStore, emb: DataFrame,
+      m: Int = 4, dim: Int = 64): DataFrame =
+    indexVariant(store) match {
+      case "residual" => encodeResidualWithIndex(store, emb, m, dim)
+      case _ => encodeWithIndex(store, emb, m, dim)
+    }
 
   /** Serve a top-k query from a residual-encoded index: probe as
     * usual, then score every probed cell's codes against THAT cell's
@@ -1094,8 +1160,27 @@ object Similarity {
       nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 100): DataFrame = {
     requireVariant(store, "residual", "ivfPqSearchResidualPersisted")
-    val spark = store.load("coarse").sparkSession
-    val coarseRows = store.load("coarse").collect()
+    ivfPqSearchResidualOver(store.load("coarse"),
+      store.load("cells").join(store.load("codes"), "vec_id"),
+      store.load("vectors"), store.load("codebooks"),
+      qVec, qId, topK, nprobe, m, dim, rerankK)
+  }
+
+  /** Residual serve over EXPLICIT frames — [[ivfPqSearchOver]]'s
+    * residual twin, the one probe+residual-ADC+rerank body shared by
+    * the persisted path and the streaming-incremental union
+    * ([[graft.streaming.StreamingAnn.searchIncremental]] dispatches
+    * here when the pinned version's variant is "residual"), so base and
+    * incremented residual indexes cannot diverge on search semantics. A
+    * `coded` frame still carrying the ux payload (the streaming dedup
+    * union) is accepted — dropped before scoring, same as the raw body. */
+  private[graft] def ivfPqSearchResidualOver(coarse: DataFrame,
+      coded: DataFrame, vectors: DataFrame, codebooks: DataFrame,
+      qVec: Map[Int, Double], qId: Long, topK: Int = 10,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      rerankK: Int = 100): DataFrame = {
+    val spark = coarse.sparkSession
+    val coarseRows = coarse.collect()
     val probed = nearestCells(coarseRows, qVec, nprobe)
     val centBy = coarseRows.groupBy(_.getAs[Int]("cid"))
       .map { case (cid, rows) =>
@@ -1105,7 +1190,7 @@ object Similarity {
     val sub = dim / m
     // per-(probed cell, subspace, code) residual distance entries,
     // all on the driver: |probed|·m·k rows
-    val bookRows = store.load("codebooks").collect()
+    val bookRows = codebooks.collect()
       .groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cid"))).toSeq
     val dtRows = probed.flatMap { pc =>
       val cv = centBy(pc)
@@ -1119,10 +1204,10 @@ object Similarity {
         (pc, s, code, d)
       }
     }
-    val coded = store.load("cells").join(store.load("codes"), "vec_id")
+    val cand = coded.drop("ux")
       .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
     import spark.implicits._
-    val scored = (0 until m).foldLeft(coded) { (df, s) =>
+    val scored = (0 until m).foldLeft(cand) { (df, s) =>
       val dt = broadcast(dtRows.filter(_._2 == s)
         .map { case (pc, _, code, d) => (pc, code, d) }
         .toDF("cid", s"c$s", s"d$s"))
@@ -1135,7 +1220,7 @@ object Similarity {
       .filter(col("__rn") <= rerankK)
       .select("vec_id").distinct()
     val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
-    store.load("vectors").join(broadcast(short), "vec_id")
+    vectors.select(col("vec_id"), col("ux")).join(broadcast(short), "vec_id")
       .select(col("vec_id"),
         round(aggregate(zip_with(col("ux"), typedlit(qArr),
           (a, b) => a * b), lit(0.0), (acc, v) => acc + v), 9)
@@ -1208,7 +1293,6 @@ object Similarity {
       shards: Seq[DataFrame], m: Int = 4,
       requireDisjoint: Boolean = true): Long = {
     require(shards.nonEmpty, "saveMergedIndex: no shards")
-    requireVariant(store, "raw", "saveMergedIndex")
     val all = shards.reduce(_ unionByName _)
     if (requireDisjoint) {
       val ids = all.select("vec_id")
@@ -1220,10 +1304,21 @@ object Similarity {
           "serve twice)")
     }
     val codeCols = col("vec_id") +: (0 until m).map(s => col(s"c$s"))
+    // a pre-dials legacy index is raw/spill=1 by definition
+    // ([[indexSpill]]/[[indexVariant]]) — synthesize that record rather
+    // than failing on a missing part, so the merged version always
+    // carries explicit dials forward
+    val dials =
+      if (store.partNames.contains("dials")) store.load("dials")
+      else store.load("coarse").sparkSession.range(1).select(
+        lit(store.load("coarse").select("cid").distinct().count().toInt)
+          .as("nlist"),
+        lit(1).as("spill"), lit(m).as("m"), lit(8).as("k"),
+        lit(2).as("iters"), lit(64).as("dim"), lit("raw").as("variant"))
     store.save(Map(
       "coarse" -> store.load("coarse"),
       "codebooks" -> store.load("codebooks"),
-      "dials" -> store.load("dials"),
+      "dials" -> dials,
       "cells" -> all.select("vec_id", "cid"),
       "codes" -> all.select(codeCols: _*).dropDuplicates("vec_id"),
       "vectors" -> all.select("vec_id", "ux").dropDuplicates("vec_id")))

@@ -34,11 +34,14 @@ object StreamingAnn {
 
   /** Assign+encode one increment against the frozen quantizers and write
     * it to `codesPath/batch=N` — idempotent foreachBatch body (the
-    * [[StreamingDedup.dedupBatch]] replay contract). */
+    * [[StreamingDedup.dedupBatch]] replay contract). Dispatches on the
+    * store's own `variant` dial ([[Similarity.encodeForIndex]]): a
+    * residual store gets residual codes, a raw store raw codes —
+    * incremental maintenance of BOTH variants through one body. */
   def annIngestBatch(spark: SparkSession, store: ModelStore,
       codesPath: String, m: Int = 4, dim: Int = 64)(
       batch: DataFrame, batchId: Long): Unit =
-    Similarity.encodeWithIndex(store, batch, m, dim)
+    Similarity.encodeForIndex(store, batch, m, dim)
       .write.mode("overwrite").parquet(s"$codesPath/batch=$batchId")
 
   /** Wire a (vec_id, embedding) stream through the incremental encode. */
@@ -112,12 +115,23 @@ object StreamingAnn {
   def buildIndexWithDriftReference(emb: DataFrame, indexStore: ModelStore,
       driftStore: ModelStore, calibMod: Int = 10, buckets: Int = 10,
       kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
-      dim: Int = 64, spill: Int = 1): Long = {
+      dim: Int = 64, spill: Int = 1, variant: String = "raw"): Long = {
     require(calibMod >= 2, s"calibMod=$calibMod must leave a training slice")
     val calib = emb.filter(pmod(col("vec_id"), lit(calibMod)) === 0)
     val train = emb.filter(pmod(col("vec_id"), lit(calibMod)) =!= 0)
-    val v = Similarity.saveIvfPqIndexTrainedOn(train, emb, indexStore,
-      kCells, m, k, iters, dim, spill)
+    // the drift observable (assignment residual against the coarse
+    // table) is variant-independent, so the reference snapshot below is
+    // shared; only the PQ-encoding arm dispatches
+    val v = variant match {
+      case "residual" =>
+        require(spill == 1,
+          "residual indexes are single-assigned (spill=1): the " +
+            "residual-of-THE-cell is what ADC corrects")
+        Similarity.saveIvfPqResidualIndexTrainedOn(train, emb,
+          indexStore, kCells, m, k, iters, dim)
+      case _ => Similarity.saveIvfPqIndexTrainedOn(train, emb,
+        indexStore, kCells, m, k, iters, dim, spill)
+    }
     saveDriftReference(calib, indexStore, driftStore, buckets)
     v
   }
@@ -238,21 +252,33 @@ object StreamingAnn {
     val fired = mon.getBoolean(0) && mon.getLong(1) >= minRebuildN
     if (fired) {
       val corpus = rebuildCorpus(spark, base, rawPath)
+      // the rebuild preserves the store's encoding variant: a residual
+      // store retrains as residual, raw as raw — the loop never flips
+      // an index's semantics under its serving paths
+      val variant = Similarity.indexVariant(indexStore)
       // autoDial (ADVICE r10): the automated loop otherwise retrains at
       // the fixed toy kCells forever while the folded-in increments grow
       // the corpus — opt in to re-sizing nlist/spill by the production
       // rules over the CURRENT rebuild corpus ([[Similarity.autoNlist]] /
-      // [[Similarity.autoSpill]]; the same calibMod split supplies the
-      // training slice, so trainN is its size)
+      // [[Similarity.autoSpill]]). trainN is the COUNTED size of the
+      // actual calibMod training slice (ADVICE r11: the n − n/calibMod
+      // estimate assumed uniform ids; a skewed rebuild-corpus id
+      // distribution could let autoNlist exceed the trainN/39 clamp the
+      // oracle-pinned rule enforces) — one distinct-count pass computes
+      // both sides
       if (autoDial) {
-        val n = corpus.select("vec_id").distinct().count()
-        val kc = Similarity.autoNlist(n, n - n / calibMod)
+        val cnt = corpus.agg(
+          countDistinct(col("vec_id")).as("n"),
+          countDistinct(when(pmod(col("vec_id"), lit(calibMod)) =!= 0,
+            col("vec_id"))).as("trainN")).first()
+        val kc = Similarity.autoNlist(cnt.getLong(0), cnt.getLong(1))
+        val sp = if (variant == "residual") 1 else Similarity.autoSpill(kc)
         buildIndexWithDriftReference(corpus, indexStore, driftStore,
-          calibMod, buckets, kc, m, k, iters, dim,
-          spill = Similarity.autoSpill(kc))
+          calibMod, buckets, kc, m, k, iters, dim, spill = sp,
+          variant = variant)
       } else
         buildIndexWithDriftReference(corpus, indexStore, driftStore,
-          calibMod, buckets, kCells, m, k, iters, dim)
+          calibMod, buckets, kCells, m, k, iters, dim, variant = variant)
       // nothing else to do: the flipped _CURRENT pointer re-routes the
       // next batch's encode AND every search to the new version + its
       // fresh codes dir
@@ -279,6 +305,51 @@ object StreamingAnn {
       else 1
     searchIncremental(spark, store, s"$codesPath/v=$v",
       qVec, qId, topK, nprobe, m, dim, rerankK * sp, version = Some(v))
+  }
+
+  /** Driver-contract query (`q_ann_residual_inc`): the residual index
+    * maintained INCREMENTALLY — quantizers train once on the full
+    * corpus with empty data parts ([[Similarity
+    * .saveIvfPqResidualIndexTrainedOn]] with a limit(0) encode arm, the
+    * distributed-build shape), three ascending-vec_id microbatches
+    * supply every coded row through [[annIngestBatch]] (which
+    * dispatches to the residual encoder off the store's variant dial),
+    * and the recall sweep serves through [[searchIncremental]] (which
+    * dispatches the residual ADC body). Because residual assignment and
+    * encoding are pointwise under frozen quantizers, the sweep is
+    * bit-identical to the batch [[Similarity.annRecallResidual]] — the
+    * oracle is that row's SQL VERBATIM, so the driver's DuckDB replay
+    * hash-pins that microbatching a residual index is invisible. */
+  def annResidualIncrementalQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val truth = Similarity.cosineTopK(spark, dir, 0L, 10)
+      .select("vec_id")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-resinc-codes-")
+    try {
+      graft.store.ModelStore.scratch(spark, "resinc") { store =>
+        Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb.limit(0),
+          store)
+        val n = emb.count()
+        val cuts = Seq(0L, n / 3, 2 * n / 3, n)
+        (0 until 3).foreach { b =>
+          annIngestBatch(spark, store, codesDir.toString)(
+            emb.filter(col("vec_id") >= cuts(b) &&
+              col("vec_id") < cuts(b + 1)), b.toLong)
+        }
+        val qv = Similarity.queryVecOf(emb, 0L)
+        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+          searchIncremental(spark, store, codesDir.toString, qv,
+            qId = 0L, topK = 10, nprobe = np)
+            .join(truth, "vec_id")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), lit(10).as("k"),
+              col("n_hits"),
+              (col("n_hits").cast("double") / 10).as("recall"))
+        }.reduce(_ union _).orderBy("nprobe"))
+      }
+    } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 
   /** Search the base index PLUS every streamed increment: one union of
@@ -334,7 +405,17 @@ object StreamingAnn {
         (dd, dd.select("vec_id", "ux").dropDuplicates("vec_id"))
       case None => (baseCodes, ld("vectors"))
     }
-    Similarity.ivfPqSearchOver(ld("coarse"), coded, vectors,
-      ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+    // serve with the PINNED version's encoding semantics (ADVICE r11:
+    // the raw-only body served a residual store's codes against raw ADC
+    // tables — silently wrong neighbors, the failure requireVariant
+    // exists to prevent; dispatch makes the mistake unreachable)
+    val variant = version.map(Similarity.indexVariantAt(store, _))
+      .getOrElse(Similarity.indexVariant(store))
+    if (variant == "residual")
+      Similarity.ivfPqSearchResidualOver(ld("coarse"), coded, vectors,
+        ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+    else
+      Similarity.ivfPqSearchOver(ld("coarse"), coded, vectors,
+        ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
   }
 }

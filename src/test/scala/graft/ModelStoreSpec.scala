@@ -177,18 +177,57 @@ class ModelStoreSpec extends AnyFunSuite {
           llm.Similarity.ivfPqSearchPersisted(store, qv, qId = 0L)),
         "knnJoin" -> (() => llm.Similarity
           .ivfPqKnnJoin(store, emb.filter(col("vec_id") < 2))),
-        "encode" -> (() => llm.Similarity.encodeWithIndex(store, emb)),
-        "merge" -> (() =>
-          llm.Similarity.saveMergedIndex(store, Seq(emb))))) {
+        "encode" -> (() => llm.Similarity.encodeWithIndex(store, emb)))) {
         val e = intercept[IllegalArgumentException](body())
         assert(e.getMessage.contains("residual"), s"$name: ${e.getMessage}")
       }
     }
     withStore { store =>
       llm.Similarity.saveIvfPqIndex(emb, store)
-      val e = intercept[IllegalArgumentException](
-        llm.Similarity.ivfPqSearchResidualPersisted(store, qv, qId = 0L))
-      assert(e.getMessage.contains("raw"), e.getMessage)
+      for ((name, body) <- Seq[(String, () => Any)](
+        "search" -> (() => llm.Similarity
+          .ivfPqSearchResidualPersisted(store, qv, qId = 0L)),
+        "encode" -> (() =>
+          llm.Similarity.encodeResidualWithIndex(store, emb)))) {
+        val e = intercept[IllegalArgumentException](body())
+        assert(e.getMessage.contains("raw"), s"$name: ${e.getMessage}")
+      }
+      // the DISPATCHED encode never hits the guard: it reads the dial
+      // and runs the matching encoder on either variant
+      assert(llm.Similarity.encodeForIndex(store, emb.limit(4))
+        .count() === 4L)
+    }
+  }
+
+  test("residual shards merge and serve bit-identically to a single residual build") {
+    // saveMergedIndex is variant-agnostic: shards produced by
+    // encodeForIndex against the store's own quantizers match its
+    // variant by construction, and the union write carries the dials
+    // (variant included) forward — so the distributed-build path exists
+    // for BOTH encodings
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = llm.Similarity.queryVecOf(emb, 0L)
+    val single = withStore { store =>
+      llm.Similarity.saveIvfPqResidualIndex(emb, store)
+      llm.Similarity.ivfPqSearchResidualPersisted(store, qv, qId = 0L)
+        .collect().map(_.toString).toSeq
+    }
+    withStore { store =>
+      llm.Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb.limit(0),
+        store)
+      val mid = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+        .first().getLong(0) / 2
+      val lo = llm.Similarity
+        .encodeForIndex(store, emb.filter(col("vec_id") <= mid))
+      val hi = llm.Similarity
+        .encodeForIndex(store, emb.filter(col("vec_id") > mid))
+      val v = llm.Similarity.saveMergedIndex(store, Seq(lo, hi))
+      assert(store.currentVersion === Some(v))
+      assert(llm.Similarity.indexVariant(store) === "residual")
+      val merged = llm.Similarity
+        .ivfPqSearchResidualPersisted(store, qv, qId = 0L)
+        .collect().map(_.toString).toSeq
+      assert(merged === single)
     }
   }
 

