@@ -65,7 +65,19 @@ object StreamingRelease {
     * so a re-delivered batch rewrites identical rows. */
   def releaseIngestBatch(spark: SparkSession, lmStore: ModelStore,
       hashPath: String, scorePath: String, trainLang: String = "en")(
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long): Unit =
+    ingestNovelScored(spark, lmStore, hashPath, trainLang)(batch, batchId)
+      .write.mode("overwrite").parquet(s"$scorePath/batch=$batchId")
+
+  /** The shared ingest body: record the batch's novel text hashes and
+    * return its scored ledger rows (doc_id, lang, n_bigrams, xent,
+    * n_tok) — WHERE those rows land (the score ledger directly, or the
+    * quarantine when the quality gate fires) is the caller's routing
+    * decision, so the admit and quarantine arms cannot diverge on what
+    * a ledger row is. */
+  private def ingestNovelScored(spark: SparkSession, lmStore: ModelStore,
+      hashPath: String, trainLang: String)(
+      batch: DataFrame, batchId: Long): DataFrame = {
     val prior = StreamingDedup.readHashes(spark, hashPath)
       .map(_.filter(col("batch") < batchId).select("h"))
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -86,11 +98,10 @@ object StreamingRelease {
     novel.select("h").write.mode("overwrite")
       .parquet(s"$hashPath/batch=$batchId")
     val docs = novel.select("doc_id", "lang", "text")
-    val scored = TextOps.lmScoreRowsPersisted(docs, lmStore, trainLang)
+    TextOps.lmScoreRowsPersisted(docs, lmStore, trainLang)
       .join(docs.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_tok")),
         Seq("doc_id"))
-    scored.write.mode("overwrite").parquet(s"$scorePath/batch=$batchId")
   }
 
   /** The release manifest over everything ingested so far: the score
@@ -158,8 +169,20 @@ object StreamingRelease {
     * ≤ buckets-row PSI combine. */
   def releaseQualityGate(lmStore: ModelStore, driftStore: ModelStore,
       batch: DataFrame, threshold: Double = 0.2,
-      trainLang: String = "en", buckets: Int = 10): DataFrame = {
-    val cur = TextOps.lmScoreRowsPersisted(batch, lmStore, trainLang)
+      trainLang: String = "en", buckets: Int = 10): DataFrame =
+    xentGateFrom(TextOps.lmScoreRowsPersisted(batch, lmStore, trainLang),
+      driftStore, threshold, buckets)
+
+  /** The ONE gate body: PSI an already-scored frame's xent distribution
+    * against the persisted reference → one row (n_cur, psi, shifted).
+    * Shared by the standalone gate and both ingest arms (ADVICE r11:
+    * the composed ingest re-implemented this with buckets hard-coded to
+    * 10, silently mis-bucketing against a reference saved at any other
+    * width — one body makes the paths unable to diverge). `buckets`
+    * MUST match the [[saveXentReference]] width. */
+  private def xentGateFrom(scored: DataFrame, driftStore: ModelStore,
+      threshold: Double, buckets: Int): DataFrame = {
+    val cur = scored
       .crossJoin(broadcast(driftStore.load("drift_edges")))
       .select(graft.operators.StatTests.bucketCol(col("xent"),
         col("vmin"), col("vmax"), buckets).as("bucket"))
@@ -178,24 +201,75 @@ object StreamingRelease {
   def releaseIngestWithQualityBatch(spark: SparkSession,
       lmStore: ModelStore, driftStore: ModelStore, hashPath: String,
       scorePath: String, monitorPath: String, threshold: Double = 0.2,
-      trainLang: String = "en")(
+      trainLang: String = "en", buckets: Int = 10)(
       batch: DataFrame, batchId: Long): Unit = {
     releaseIngestBatch(spark, lmStore, hashPath, scorePath,
       trainLang)(batch, batchId)
     // the scores were just persisted — monitor FROM the ledger row
-    // rather than re-scoring the text
-    val scored = spark.read.parquet(s"$scorePath/batch=$batchId")
-    val cur = scored
-      .crossJoin(broadcast(driftStore.load("drift_edges")))
-      .select(graft.operators.StatTests.bucketCol(col("xent"),
-        col("vmin"), col("vmax"), 10).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("c_cur"))
-    StreamingDrift.psiReport(driftStore.load("drift_hist"), cur, 10)
-      .agg(sum("c_cur").as("n_cur"), round(sum("psi_term"), 6).as("psi"))
-      .select(col("n_cur"), col("psi"),
-        (col("psi") > lit(threshold)).as("shifted"))
+    // rather than re-scoring the text, through the one shared gate body
+    xentGateFrom(spark.read.parquet(s"$scorePath/batch=$batchId"),
+      driftStore, threshold, buckets)
       .write.mode("overwrite").parquet(s"$monitorPath/batch=$batchId")
   }
+
+  // ---- the gate's ACTING arm (VERDICT r11 #3): the observe-only
+  // monitor row says the crawl went bad, but nothing stopped the
+  // degraded batch from entering the manifest — the asymmetry with the
+  // ANN loop, whose ingest consumes its own drift row. This closes it:
+  // the quarantining ingest ROUTES each batch's scored rows by its own
+  // gate verdict — clean batches land in the score ledger as usual;
+  // shifted batches land in a quarantine store the manifest never
+  // reads. Quarantine is reversible (the rows are the same ledger
+  // rows): [[admitQuarantined]] re-admits a cleared batch
+  // deterministically. The text-hash store is written EITHER WAY — the
+  // docs were seen, and re-admission is an operator decision on the
+  // held rows, not a re-crawl. ----
+
+  /** [[releaseIngestWithQualityBatch]] with the verdict acted on:
+    * score the batch's novel docs, gate the scored distribution, then
+    * write the rows to `scorePath/batch=N` (clean) or
+    * `quarantinePath/batch=N` (shifted) — never both. The monitor row
+    * records the verdict either way. `minGateN` is the sample floor
+    * ([[StreamingAnn.annAutoRebuildBatch]]'s minRebuildN rule): PSI
+    * over a handful of rows is noise-dominated, and quarantining an
+    * EMPTY batch's zero rows is meaningless — below the floor the
+    * batch is admitted and only the monitor records the signal.
+    * Replay is idempotent: the verdict is a deterministic function of
+    * the scored rows and the frozen reference, so a re-delivered batch
+    * rewrites the same partition of the same store — and a replay
+    * after [[admitQuarantined]] rewrites only the quarantine copy,
+    * leaving the admitted rows in place (the release state machine
+    * moves forward only). */
+  def releaseIngestWithQuarantineBatch(spark: SparkSession,
+      lmStore: ModelStore, driftStore: ModelStore, hashPath: String,
+      scorePath: String, quarantinePath: String, monitorPath: String,
+      threshold: Double = 0.2, trainLang: String = "en",
+      buckets: Int = 10, minGateN: Long = 50L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val scored = graft.Materialize.checkpoint(
+      ingestNovelScored(spark, lmStore, hashPath, trainLang)(
+        batch, batchId))
+    val monitor = xentGateFrom(scored, driftStore, threshold, buckets)
+      .localCheckpoint(true) // read twice: persisted row + verdict
+    monitor.write.mode("overwrite")
+      .parquet(s"$monitorPath/batch=$batchId")
+    val mon = monitor.select("shifted", "n_cur").head()
+    val hold = mon.getBoolean(0) && mon.getLong(1) >= minGateN
+    val dest = if (hold) quarantinePath else scorePath
+    scored.write.mode("overwrite").parquet(s"$dest/batch=$batchId")
+  }
+
+  /** Operator clear arm: re-admit a quarantined batch by copying its
+    * held ledger rows into the score ledger — the rows are already the
+    * exact rows an admitted ingest would have written
+    * ([[ingestNovelScored]] is the one body), so admission is
+    * deterministic and a replayed admit rewrites the same partition.
+    * The quarantine copy is left in place as the audit record; the
+    * manifest reads the score ledger only. */
+  def admitQuarantined(spark: SparkSession, quarantinePath: String,
+      scorePath: String, batchId: Long): Unit =
+    spark.read.parquet(s"$quarantinePath/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$scorePath/batch=$batchId")
 
   // ---- incremental MULTIMODAL release (the streaming twin of
   // [[graft.llm.Multimodal.multimodalRelease]]): the text keep-one and
@@ -261,6 +335,25 @@ object StreamingRelease {
     survivors.write.mode("overwrite")
       .parquet(s"$ledgerPath/batch=$batchId")
   }
+
+  /** Wire a (doc_id, lang, text, …) stream through the incremental
+    * multimodal release — the writeStream symmetry the corpus twin has
+    * ([[incrementalRelease]]). `mediaClustersOf` maps each microbatch
+    * to its (doc_id, cluster_id) media-cluster frame (exact
+    * fingerprints, or [[graft.llm.Multimodal.imageNearDupClusters]]
+    * output where a codec is in play) — a function because the cluster
+    * source is the caller's, computed per batch from the batch. */
+  def incrementalMultimodalRelease(docs: DataFrame,
+      mediaClustersOf: DataFrame => DataFrame, textHashPath: String,
+      mediaHashPath: String, ledgerPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        multimodalIngestBatch(docs.sparkSession, textHashPath,
+          mediaHashPath, ledgerPath)(batch, mediaClustersOf(batch),
+          batchId)
+      }
+      .option("checkpointLocation", checkpoint)
 
   /** Per-language accounting over everything ingested — equals
     * [[graft.llm.Multimodal.multimodalRelease]] on the union of the
