@@ -281,15 +281,25 @@ object Multimodal {
     * bucketed-never-all-pairs at scale. */
   def imageNearDup(media: Dataset[MediaRow],
       minSim: Double = 0.9): DataFrame =
-    graft.llm.Similarity.annPairsOf(
-      decodeFeatures(media).toDF()
-        .filter(col("media_type") === "image")
-        .filter(!col("codec").isin("stub", "null"))
-        .filter(aggregate(transform(col("features"),
-          v => abs(v.cast("double"))), lit(0.0), (a, b) => a + b) > 0)
-        .select(col("doc_id").as("vec_id"),
-          col("features").as("embedding")),
+    graft.llm.Similarity.annPairsOf(imageFeatureVectors(media),
       minSim, nPlanes = 8, dim = FeatureDim)
+
+  /** The (vec_id, embedding) feature frame the near-dup kernels consume:
+    * decoded luminance grids of REAL-codec image rows only — stub
+    * fallbacks (their "features" are container header bytes, not
+    * pixels), null payloads, and zero-feature all-black frames are
+    * excluded exactly as [[imageNearDup]] requires. Shared by the batch
+    * pair kernel and the cross-batch signature store
+    * ([[graft.streaming.StreamingRelease.multimodalIngestNearDupBatch]]),
+    * so "an image's signature" means one thing engine-wide. */
+  def imageFeatureVectors(media: Dataset[MediaRow]): DataFrame =
+    decodeFeatures(media).toDF()
+      .filter(col("media_type") === "image")
+      .filter(!col("codec").isin("stub", "null"))
+      .filter(aggregate(transform(col("features"),
+        v => abs(v.cast("double"))), lit(0.0), (a, b) => a + b) > 0)
+      .select(col("doc_id").as("vec_id"),
+        col("features").as("embedding"))
 
   /** (doc_id, cluster_id) media clusters from [[imageNearDup]] pairs —
     * min-id connected components over the pair graph (the

@@ -166,7 +166,7 @@ object Similarity {
     * inside degenerate groups is the deliberate trade. The hot list is
     * one groupBy(key).count — at most |rows|/cap groups exceed the cap,
     * so the list (and hub vectors) broadcast. */
-  private[llm] def groupedCosinePairs(grouped: DataFrame, key: String,
+  private[graft] def groupedCosinePairs(grouped: DataFrame, key: String,
       cap: Int): DataFrame = {
     val e = grouped
     val hot = e.groupBy(key)

@@ -78,14 +78,28 @@ object StreamingRelease {
   private def ingestNovelScored(spark: SparkSession, lmStore: ModelStore,
       hashPath: String, trainLang: String)(
       batch: DataFrame, batchId: Long): DataFrame = {
+    val docs = novelTextKeepers(spark, hashPath)(batch, batchId)
+      .select("doc_id", "lang", "text")
+    TextOps.lmScoreRowsPersisted(docs, lmStore, trainLang)
+      .join(docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok")),
+        Seq("doc_id"))
+  }
+
+  /** The text keep-one step every incremental release shares: one
+    * candidate per text hash within the batch (min doc_id — doc_id is
+    * unique, so the struct-min is decided by it), drop hashes any
+    * strictly-earlier batch already keeps, record this batch's novel
+    * hashes in `hashPath/batch=N` (partition-overwrite — the replay
+    * contract), and return the novel keepers (h, doc_id, lang, text),
+    * checkpointed. */
+  private def novelTextKeepers(spark: SparkSession, hashPath: String)(
+      batch: DataFrame, batchId: Long): DataFrame = {
     val prior = StreamingDedup.readHashes(spark, hashPath)
       .map(_.filter(col("batch") < batchId).select("h"))
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         new org.apache.spark.sql.types.StructType()
           .add("h", org.apache.spark.sql.types.StringType)))
-    // one candidate per hash within the batch (min doc_id — doc_id is
-    // unique, so the struct-min is decided by it), then drop hashes any
-    // earlier batch already keeps
     val cand = batch
       .select(md5(col("text")).as("h"), col("doc_id"), col("lang"),
         col("text"))
@@ -97,11 +111,7 @@ object StreamingRelease {
       cand.join(prior, Seq("h"), "left_anti"))
     novel.select("h").write.mode("overwrite")
       .parquet(s"$hashPath/batch=$batchId")
-    val docs = novel.select("doc_id", "lang", "text")
-    TextOps.lmScoreRowsPersisted(docs, lmStore, trainLang)
-      .join(docs.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tok")),
-        Seq("doc_id"))
+    novel
   }
 
   /** The release manifest over everything ingested so far: the score
@@ -304,17 +314,7 @@ object StreamingRelease {
           new org.apache.spark.sql.types.StructType()
             .add("h", org.apache.spark.sql.types.StringType)))
     // text policy: one keeper per novel text hash (min doc_id in batch)
-    val cand = batch
-      .select(md5(col("text")).as("h"), col("doc_id"), col("lang"),
-        col("text"))
-      .groupBy("h")
-      .agg(min(struct(col("doc_id"), col("lang"), col("text"))).as("m"))
-      .select(col("h"), col("m.doc_id").as("doc_id"),
-        col("m.lang").as("lang"), col("m.text").as("text"))
-    val textNovel = graft.Materialize.checkpoint(
-      cand.join(prior(textHashPath), Seq("h"), "left_anti"))
-    textNovel.select("h").write.mode("overwrite")
-      .parquet(s"$textHashPath/batch=$batchId")
+    val textNovel = novelTextKeepers(spark, textHashPath)(batch, batchId)
     // media policy: one canonical doc per novel cluster (min doc_id in
     // batch); every OTHER doc of a seen-or-shared cluster drops
     val mc = mediaClusters
@@ -334,6 +334,88 @@ object StreamingRelease {
         size(split(trim(col("text")), "\\s+")).as("n_tok"))
     survivors.write.mode("overwrite")
       .parquet(s"$ledgerPath/batch=$batchId")
+  }
+
+  /** Cross-batch NEAR-DUP multimodal ingest (VERDICT r11 #4): the
+    * exact-fingerprint ingest above lets a batch-2 png→jpeg re-encode
+    * of a batch-1 image survive — only byte-identical media crosses
+    * batch boundaries. This arm rides a persisted SIGNATURE store (the
+    * [[StreamingAnn]] pattern applied to media): every batch writes its
+    * decoded image signatures — the sign-LSH bucket plus the
+    * luminance-grid feature vector, [[graft.llm.Multimodal
+    * .imageFeatureVectors]]'s one definition of "an image's signature"
+    * — to `mediaSigPath/batch=N`, and each new batch's media policy is
+    *
+    *   a doc survives iff it is the min-doc_id canonical of its
+    *   WITHIN-BATCH pixel cluster ([[graft.llm.Multimodal
+    *   .imageNearDupClusters]]' rule) AND no member of that cluster
+    *   near-dups any strictly-earlier batch's stored signature.
+    *
+    * Under the ascending-doc_id batch convention this reproduces the
+    * batch composition's keep set over the union: a union cluster's
+    * canonical is its earliest doc, so later batches' members are
+    * exactly the ones a cross-batch signature hit removes (spec-pinned
+    * on the planted re-encode AND by whole-manifest parity with
+    * [[graft.llm.Multimodal.multimodalRelease]] over the union).
+    *
+    * Scale: signatures are nPlanes bits + dim floats per media doc —
+    * the observational index, never pixels; the within-batch pair
+    * kernel is the bucketed-never-all-pairs [[graft.llm.Similarity
+    * .annPairsOf]] machinery (hot-bucket star guard included); the
+    * cross-batch check is ONE equi-join on the bucket key against the
+    * store with exact cosine inside the bucket — per bucket the work is
+    * |batch ∩ bucket| × |store ∩ bucket|, linear in the store (the
+    * candidate-verification cost any LSH pays), and at production scale
+    * the store is written bucket-partitioned so the join prunes.
+    * Replay: every write overwrites its own `batch=N` partition and
+    * reads strictly-earlier batches only — the standard contract. */
+  def multimodalIngestNearDupBatch(spark: SparkSession,
+      textHashPath: String, mediaSigPath: String, ledgerPath: String,
+      minSim: Double = 0.9, nPlanes: Int = 8,
+      dim: Int = graft.llm.Multimodal.FeatureDim)(
+      batch: DataFrame, mediaFeatures: DataFrame, batchId: Long): Unit = {
+    import graft.llm.Similarity
+    val textNovel = novelTextKeepers(spark, textHashPath)(batch, batchId)
+    val mf = graft.Materialize.checkpoint(
+      mediaFeatures.select(col("vec_id"), col("embedding")))
+    val sigs = graft.Materialize.checkpoint(
+      Similarity.signBucketTable(mf, nPlanes, dim).join(mf, "vec_id"))
+    sigs.write.mode("overwrite").parquet(s"$mediaSigPath/batch=$batchId")
+    // within-batch pixel clusters; docs in no pair are their own cluster
+    val pairs = Similarity.groupedCosinePairs(sigs, "bucket", 256)
+      .filter(col("cos_sim") >= minSim)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val comps = graft.operators.ConnectedComponents.components(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+    val clusterOf = graft.Materialize.checkpoint(
+      mf.select(col("vec_id").as("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster")))
+    // a cluster is SEEN when any member near-dups an earlier batch's
+    // stored signature
+    val seenClusters = StreamingDedup.readStore(spark, mediaSigPath)
+      .map(_.filter(col("batch") < batchId)) match {
+      case Some(prior) =>
+        val hits = sigs.join(
+            prior.select(col("bucket"), col("embedding").as("pe")),
+            Seq("bucket"))
+          .filter(round(Similarity.cosine(col("embedding"), col("pe")),
+            9) >= minSim)
+          .select(col("vec_id").as("doc_id")).distinct()
+        clusterOf.join(hits, Seq("doc_id"), "left_semi")
+          .select("cluster").distinct()
+      case None => clusterOf.filter(lit(false)).select("cluster")
+    }
+    val canon = clusterOf.groupBy("cluster").agg(min("doc_id").as("doc_id"))
+    val mediaKeep = canon.join(seenClusters, Seq("cluster"), "left_anti")
+      .select("doc_id")
+    val mediaDrop = clusterOf.select("doc_id")
+      .join(mediaKeep, Seq("doc_id"), "left_anti")
+    textNovel.join(mediaDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      .write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
   }
 
   /** Wire a (doc_id, lang, text, …) stream through the incremental

@@ -698,6 +698,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byDoc.get(3L).forall(_ != byDoc(1L)))
   }
 
+  test("cross-batch near-dup media: a batch-2 jpeg re-encode of a batch-1 png drops via the signature store") {
+    // VERDICT r11 #4: the exact-fingerprint incremental ingest let a
+    // later batch's pixel re-encode survive; the signature-store arm
+    // must catch it — and reproduce the batch composition's manifest
+    // over the union
+    def gradientBytes(w: Int, h: Int, invert: Boolean,
+        format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / (w - 1)
+        val lv = if (invert) 255 - v else v
+        img.setRGB(x, y, lv * 0x10101)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val s = spark; import s.implicits._
+    val docs0 = Seq(
+      (1L, "en", "original scene with its caption"),
+      (3L, "en", "another scene entirely"),
+      (5L, "en", "text only document")).toDF("doc_id", "lang", "text")
+    val docs1 = Seq(
+      (6L, "en", "fresh caption for recycled pixels"), // media dup of 1
+      (7L, "de", "text only document"),                // text dup of 5
+      (8L, "en", "a genuinely new halftone image"),
+      (9L, "en", "same-batch re-encode of the halftone")) // dup of 8
+      .toDF("doc_id", "lang", "text")
+    val media0 = mediaDs(Seq(
+      MediaRow(1L, "image", gradientBytes(32, 16, invert = false, "png")),
+      MediaRow(3L, "image", gradientBytes(32, 16, invert = true, "png"))))
+    val media1 = mediaDs(Seq(
+      MediaRow(6L, "image", gradientBytes(32, 16, invert = false, "jpg")),
+      MediaRow(8L, "image", halfToneBytes(48, 20, "png")),
+      MediaRow(9L, "image", halfToneBytes(48, 20, "jpg"))))
+    val dirs = Seq("graft-xnd-t-", "graft-xnd-s-", "graft-xnd-l-")
+      .map(java.nio.file.Files.createTempDirectory(_))
+    try {
+      val Seq(t, sg, l) = dirs.map(_.toString)
+      val ingest = graft.streaming.StreamingRelease
+        .multimodalIngestNearDupBatch(spark, t, sg, l) _
+      ingest(docs0, Multimodal.imageFeatureVectors(media0), 0L)
+      ingest(docs1, Multimodal.imageFeatureVectors(media1), 1L)
+      def manifest = graft.streaming.StreamingRelease
+        .multimodalManifest(spark, l).collect().map(_.toString).toSeq
+      val streamed = manifest
+      // survivors: 1, 3, 5 (batch 0), 8 (new scene); dropped: 6 (CROSS-
+      // batch pixel dup), 7 (text dup), 9 (within-batch pixel dup)
+      val ledgerIds = spark.read.option("basePath", l)
+        .parquet(s"$l/batch=0", s"$l/batch=1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ledgerIds === Set(1L, 3L, 5L, 8L), ledgerIds)
+      // whole-manifest parity with the batch composition over the union
+      val allDocs = docs0.unionByName(docs1)
+      val allMedia = mediaDs((media0.collect() ++ media1.collect()).toSeq)
+      val batchRel = Multimodal.multimodalRelease(allDocs,
+        Multimodal.imageNearDupClusters(allMedia))
+        .collect().map(_.toString).toSeq
+      assert(streamed === batchRel)
+      // replay of batch 1: identical partitions, identical manifest
+      ingest(docs1, Multimodal.imageFeatureVectors(media1), 1L)
+      assert(manifest === streamed)
+    } finally dirs.foreach(graft.store.ModelStore.deleteRecursively)
+  }
+
   test("frame sampling decodes REAL frames from an animated GIF") {
     // 6 solid-gray frames (levels 0,40,...,200); GIF palettes preserve
     // solid colors exactly
