@@ -269,6 +269,21 @@ object StreamingRelease {
     scored.write.mode("overwrite").parquet(s"$dest/batch=$batchId")
   }
 
+  /** Wire a (doc_id, lang, text) stream through the QUARANTINING
+    * release ingest — [[incrementalRelease]]'s symmetry for the acting
+    * gate, so the production wiring is one call for either arm. */
+  def incrementalReleaseWithQuarantine(docs: DataFrame,
+      lmStore: ModelStore, driftStore: ModelStore, hashPath: String,
+      scorePath: String, quarantinePath: String, monitorPath: String,
+      checkpoint: String, threshold: Double = 0.2,
+      trainLang: String = "en", buckets: Int = 10,
+      minGateN: Long = 50L): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch(releaseIngestWithQuarantineBatch(docs.sparkSession,
+        lmStore, driftStore, hashPath, scorePath, quarantinePath,
+        monitorPath, threshold, trainLang, buckets, minGateN) _)
+      .option("checkpointLocation", checkpoint)
+
   /** Operator clear arm: re-admit a quarantined batch by copying its
     * held ledger rows into the score ledger — the rows are already the
     * exact rows an admitted ingest would have written

@@ -338,6 +338,43 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantine MemoryStream wiring: a degraded microbatch is held, the honest one flows") {
+    val s = spark; import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = docs.filter(col("doc_id") % 3 === 0)
+    val calib = docs.filter(col("doc_id") % 3 === 1)
+    val honest = docs.filter(col("doc_id") % 3 === 2)
+    val degraded = honest.select(col("doc_id") + lit(5000000L) as "doc_id",
+      col("lang"), regexp_replace(col("text"), "[a-zA-Z]", "z").as("text"))
+    val dirs = Seq("graft-qw-lm-", "graft-qw-drift-", "graft-qw-hash-",
+      "graft-qw-score-", "graft-qw-quar-", "graft-qw-mon-",
+      "graft-qw-ck-").map(Files.createTempDirectory(_))
+    try {
+      val Seq(lmDir, driftDir, hashDir, scoreDir, quarDir, monDir, ck) =
+        dirs
+      val lmStore = new ModelStore(spark, lmDir.toString)
+      val driftStore = new ModelStore(spark, driftDir.toString)
+      llm.TextOps.lmSave(train, lmStore)
+      StreamingRelease.saveXentReference(calib, lmStore, driftStore)
+      val hv = honest.as[(Long, String, String)].collect().toSeq
+      val dv = degraded.as[(Long, String, String)].collect().toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val q = StreamingRelease.incrementalReleaseWithQuarantine(
+        input.toDF().toDF("doc_id", "lang", "text"), lmStore, driftStore,
+        hashDir.toString, scoreDir.toString, quarDir.toString,
+        monDir.toString, ck.toString).start()
+      try {
+        input.addData(hv: _*); q.processAllAvailable()
+        input.addData(dv: _*); q.processAllAvailable()
+      } finally q.stop()
+      // honest batch released; degraded batch held in the quarantine
+      assert(Files.exists(scoreDir.resolve("batch=0")))
+      assert(!Files.exists(scoreDir.resolve("batch=1")))
+      assert(Files.exists(quarDir.resolve("batch=1")))
+      assert(manifestRows(scoreDir.toString).nonEmpty)
+    } finally dirs.foreach(ModelStore.deleteRecursively)
+  }
+
   test("multimodal MemoryStream wiring: the writeStream wrapper serves the same manifest as direct ingest") {
     // VERDICT r11 #7: the corpus release had a writeStream wrapper but
     // the multimodal twin exposed only the foreachBatch body
