@@ -211,6 +211,8 @@ object SparkEntry {
     "q_ann_residual_inc" ->
       (streaming.StreamingAnn.annResidualIncrementalQuery _),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
+    "q_ivfpq_batch_residual" ->
+      (llm.Similarity.ivfPqKnnJoinResidualQuery _),
     "q_bpe_persisted" -> ((s, d) => llm.TextOps.bpePersistedQuery(s, d)),
     "q_lm_persisted" -> (llm.TextOps.lmPersistedQuery _),
     "q_clf_persisted" -> (llm.Classifier.clfPersistedQuery _),
@@ -740,7 +742,12 @@ object SparkEntry {
   // serve builds a PER-CELL distance table (query residual differs per
   // probed cell) and sweeps nprobe 1/2/4 against the brute-force cosine
   // truth. Hash-pins the 0.7 → 0.9 recall claim.
-  private lazy val annRecallResidualOracle: String = {
+  // the residual INDEX chain (unit ex -> trained coarse c2/af -> residual
+  // rows rx -> per-subspace residual PQ rounds rp${s}2 -> rcodes), shared
+  // by the recall sweep (q_ann_recall_residual / q_ann_residual_inc) and
+  // the batched residual serve (q_ivfpq_batch_residual) — ONE definition
+  // of the trained residual artifacts, so the oracles cannot drift apart
+  private lazy val residualChainSql: String = {
     def lloydRound(pts: String, p: String, out: String, tag: String) =
       s"""d$tag AS (SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d
          |        FROM $pts e JOIN $p c ON e.i = c.i GROUP BY e.vec_id, c.cid),
@@ -781,6 +788,10 @@ object SparkEntry {
          |  FROM (${(0 until 4).map(s =>
               s"SELECT vec_id, $s AS m, cid FROM raf$s").mkString(" UNION ALL ")})
          |  GROUP BY vec_id)""".stripMargin
+    s"$head,\n$ivfAssignBody,\n$rx,\n$pq,\n$codes"
+  }
+
+  private lazy val annRecallResidualOracle: String = {
     val query =
       s"""qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
          |qd AS (SELECT c.cid,
@@ -827,8 +838,51 @@ object SparkEntry {
          |  (SELECT CAST(count(*) AS BIGINT) FROM apx$np JOIN truth USING (vec_id)) AS n_hits,
          |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
       .mkString(" UNION ALL\n")
-    s"$head,\n$ivfAssignBody,\n$rx,\n$pq,\n$codes,\n$query,\n$sweeps\n$tail\nORDER BY nprobe"
+    s"$residualChainSql,\n$query,\n$sweeps\n$tail\nORDER BY nprobe"
   }
+
+  // batched residual serve replay (q_ivfpq_batch_residual; mirrors
+  // Similarity.ivfPqKnnJoinResidual over the first-8 query batch): the
+  // shared residual chain, per-query probes (distances rounded to 9
+  // before ranking — the cross-engine combine-order rule), PER-(query,
+  // probed-cell) residual distance tables (the residual wrinkle: the
+  // query residual differs per cell, so qrr restricts query components
+  // to probed cells before the codebook join), per-(query, cell)
+  // shortlists, exact unit-dot rerank
+  private lazy val ivfPqBatchResidualOracle: String =
+    residualChainSql + s""",
+      |exq AS (SELECT vec_id AS qid, i, x FROM ex WHERE vec_id < 8),
+      |qcd AS (SELECT q.qid, c.cid, round(sum((q.x - c.c) * (q.x - c.c)), 9) AS d
+      |        FROM exq q JOIN c2 c ON q.i = c.i GROUP BY q.qid, c.cid),
+      |probes AS (SELECT qid, cid FROM
+      |            (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qcd)
+      |           WHERE rn <= 2),
+      |qrr AS (SELECT q.qid, p.cid AS pcid, c.i AS gi, q.x - c.c AS rx
+      |        FROM exq q JOIN probes p ON p.qid = q.qid
+      |        JOIN c2 c ON c.cid = p.cid AND c.i = q.i),
+      |${(0 until 4).map(s =>
+         s"""brdt$s AS (SELECT q.qid, q.pcid, c.cid, sum((q.rx - c.c) * (q.rx - c.c)) AS dq
+            |  FROM rp${s}2 c JOIN qrr q ON q.gi = ${s * 16} + c.i GROUP BY q.qid, q.pcid, c.cid)""".stripMargin)
+        .mkString(",\n")},
+      |scored AS (SELECT p.qid, k.vec_id, a.cid,
+      |    round(brdt0.dq + brdt1.dq + brdt2.dq + brdt3.dq, 9) AS adc
+      |  FROM rcodes k JOIN af a USING (vec_id)
+      |  JOIN probes p ON a.cid = p.cid AND k.vec_id <> p.qid
+      |  JOIN brdt0 ON brdt0.qid = p.qid AND brdt0.pcid = a.cid AND brdt0.cid = k.c0
+      |  JOIN brdt1 ON brdt1.qid = p.qid AND brdt1.pcid = a.cid AND brdt1.cid = k.c1
+      |  JOIN brdt2 ON brdt2.qid = p.qid AND brdt2.pcid = a.cid AND brdt2.cid = k.c2
+      |  JOIN brdt3 ON brdt3.qid = p.qid AND brdt3.pcid = a.cid AND brdt3.cid = k.c3),
+      |short AS (SELECT qid, vec_id FROM
+      |           (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid, cid ORDER BY adc, vec_id) AS rn FROM scored)
+      |          WHERE rn <= 50),
+      |bul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+      |buq AS (SELECT qid, list(x ORDER BY i) AS qx FROM exq GROUP BY qid),
+      |rr AS (SELECT s.qid, s.vec_id,
+      |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, q.qx), p -> p[1] * p[2])), (a, b) -> a + b), 9) AS cos_sim
+      |  FROM short s JOIN bul u USING (vec_id) JOIN buq q USING (qid))
+      |SELECT qid, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM
+      |  (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM rr)
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   // the wholesale multimodal release composition: text keep-one ∧
   // media-canonical (min doc_id per sha256 of the image-typed payload's
@@ -1023,6 +1077,12 @@ object SparkEntry {
     // fully replayed (coarse chain + residual PQ rounds + per-cell
     // distance tables) — pins the measured 0.7 -> 0.9 lift
     "q_ann_recall_residual" -> annRecallResidualOracle,
+    // batched residual k-NN serving: every per-query step of the
+    // residual single-query serve as a relational join over the first-8
+    // query batch, with PER-(query, probed-cell) residual distance
+    // tables — the full composition replayed through the shared
+    // residual chain
+    "q_ivfpq_batch_residual" -> ivfPqBatchResidualOracle,
     // residual index maintained incrementally (quantizers trained once,
     // every coded row ingested through three microbatches, served
     // through the streaming union path): residual assignment + encoding

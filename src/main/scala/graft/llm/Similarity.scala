@@ -1229,6 +1229,96 @@ object Similarity {
       .limit(topK)
   }
 
+  /** BATCHED residual k-NN: [[ivfPqKnnJoin]]'s residual twin — top-k
+    * for every query in `queries` from a persisted RESIDUAL index, the
+    * whole serving batch as ONE relational plan. The residual wrinkle
+    * is the distance table: the query residual differs per probed cell,
+    * so the lookup tables are per-(query, CELL, subspace, code) —
+    * Q·nprobe·m·k rows instead of the raw path's Q·m·k — built by
+    * restricting the query components to their probed cells (one keyed
+    * join) before the codebook join. Probe selection, per-(query, cell)
+    * shortlists, and the exact unit-dot rerank are the raw batch path's
+    * verbatim (probe distances round to 9 before ranking — grouped sums
+    * are not combine-order-pinned, the [[ivfPqKnnJoin]] contract), so
+    * batch == single-query ([[ivfPqSearchResidualPersisted]]) holds
+    * query by query, spec-pinned. Returns (qid, vec_id, cos_sim, rnk).
+    *
+    * `broadcastQueries` bounds as in the raw path; the per-(query,
+    * cell) tables are nprobe× larger, so the broadcast ceiling arrives
+    * nprobe× sooner — pass false beyond ~10⁴ queries and the same plan
+    * runs shuffle equi-joins on (qid, cid). */
+  def ivfPqKnnJoinResidual(store: graft.store.ModelStore,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2, m: Int = 4,
+      dim: Int = 64, rerankK: Int = 50, excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    requireVariant(store, "residual", "ivfPqKnnJoinResidual")
+    val sub = dim / m
+    val bq: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast(_) else identity
+    val exQ = explodeVecsUnit(queries).localCheckpoint(true)
+    val qcd = exQ.join(broadcast(store.load("coarse")), Seq("i"))
+      .groupBy(col("vec_id").as("qid"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(asc("d"), asc("cid"))
+    val probes = qcd.withColumn("d", round(col("d"), 9))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe).select("qid", "cid")
+      .localCheckpoint(true) // residual tables AND candidate join read it
+    // per-(query, probed cell) residual components: rx = x − c_cell
+    val qr = exQ.select(col("vec_id").as("qid"), col("i"), col("x"))
+      .join(bq(probes), Seq("qid"))
+      .join(broadcast(store.load("coarse")), Seq("cid", "i"))
+      .select(col("qid"), col("cid"), col("i"),
+        (col("x") - col("c")).as("rx"))
+    val dts = qr
+      .select(col("qid"), col("cid"),
+        (col("i") / sub).cast("int").as("s"),
+        (col("i") % sub).as("i"), col("rx"))
+      .join(broadcast(store.load("codebooks"))
+        .withColumnRenamed("cid", "code"), Seq("s", "i"))
+      .groupBy("qid", "cid", "s", "code")
+      .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("dq"))
+      .localCheckpoint(true) // m scoring joins read it
+    val coded = store.load("cells").join(store.load("codes"), "vec_id")
+    val cand0 = coded.join(probes, Seq("cid"))
+    val cand =
+      if (excludeSelf) cand0.filter(col("vec_id") =!= col("qid")) else cand0
+    val scored = (0 until m).foldLeft(cand) { (df, s) =>
+      df.join(bq(dts.filter(col("s") === s)
+        .select(col("qid"), col("cid"), col("code").as(s"c$s"),
+          col("dq").as(s"d$s"))),
+        Seq("qid", "cid", s"c$s"))
+    }.withColumn("adc",
+      round((0 until m).map(s => col(s"d$s")).reduce(_ + _), 9))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "cid").orderBy(asc("adc"), asc("vec_id"))
+    val short = scored.withColumn("__rn", row_number().over(ws))
+      .filter(col("__rn") <= rerankK).select("qid", "vec_id").distinct()
+    val qvecs = unitArrays(exQ)
+      .select(col("vec_id").as("qid"), col("ux").as("qx"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+    short.join(store.load("vectors"), "vec_id")
+      .join(bq(qvecs), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(zip_with(col("ux"), col("qx"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v), 9).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= topK)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Driver-contract form of [[ivfPqKnnJoinResidual]]: first 8 vectors
+    * as the query batch from the process-shared residual index — the
+    * [[ivfPqKnnJoinQuery]] convention on the residual variant. */
+  def ivfPqKnnJoinResidualQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    ivfPqKnnJoinResidual(sharedResidualIndex(spark, dir),
+      emb.filter(col("vec_id") < 8))
+  }
+
   /** The process-shared residual index for `dir` (counterpart of
     * [[sharedIvfPqIndex]] at the same fixed dials). */
   private def sharedResidualIndex(spark: SparkSession,

@@ -300,6 +300,50 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("batched RESIDUAL serve equals the residual single-query path, query by query") {
+    // the residual twin of the raw batch==single gate: per-(query, cell)
+    // residual distance tables as relational joins must reproduce the
+    // driver-side per-cell tables of ivfPqSearchResidualPersisted
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    withStore { store =>
+      llm.Similarity.saveIvfPqResidualIndex(emb, store)
+      val batch = llm.Similarity
+        .ivfPqKnnJoinResidual(store, emb.filter(col("vec_id") < 8),
+          topK = 10, nprobe = 2, rerankK = 100)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(3))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+      (0L until 8L).foreach { q =>
+        val single = llm.Similarity
+          .ivfPqSearchResidualPersisted(store,
+            llm.Similarity.queryVecOf(emb, q), qId = q, topK = 10,
+            nprobe = 2, rerankK = 100)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(q) === single, s"query $q diverged")
+      }
+      // external-batch contract holds on the residual path too
+      val ext = llm.Similarity
+        .ivfPqKnnJoinResidual(store, emb.filter(col("vec_id") < 4),
+          topK = 3, nprobe = 2, rerankK = 100, excludeSelf = false)
+        .filter(col("rnk") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(ext.length === 4)
+      ext.foreach { case (qid, vid, sim) =>
+        assert(vid === qid && sim === 1.0,
+          s"query $qid top hit was ($vid, $sim), expected itself at 1.0")
+      }
+    }
+    // and the variant guard refuses a raw store
+    withStore { store =>
+      llm.Similarity.saveIvfPqIndex(emb, store)
+      val e = intercept[IllegalArgumentException](
+        llm.Similarity.ivfPqKnnJoinResidual(store,
+          emb.filter(col("vec_id") < 2)))
+      assert(e.getMessage.contains("raw"), e.getMessage)
+    }
+  }
+
   test("exhaustive probe + corpus-wide rerank equals brute-force cosine top-k") {
     // nprobe = kCells probes every cell and rerankK >= |corpus| reranks
     // every candidate exactly — the IVF and PQ layers both prune
