@@ -976,7 +976,14 @@ object Similarity {
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dq"))
       .localCheckpoint(true) // m scoring joins read it
     val coded = store.load("cells").join(store.load("codes"), "vec_id")
-    val cand0 = coded.join(probes, Seq("cid"))
+    // the probe list is Q·nprobe ids but arrives through a window, so
+    // Catalyst cannot size it for auto-broadcast — without the explicit
+    // hint this candidate join sort-merges, i.e. shuffles AND sorts the
+    // corpus-sized codes table by cell (the one full-corpus shuffle the
+    // whole plan exists to avoid). bq governs it like every other
+    // per-query structure: broadcast for serving batches, keyed shuffle
+    // beyond the knob.
+    val cand0 = coded.join(bq(probes), Seq("cid"))
     val cand =
       if (excludeSelf) cand0.filter(col("vec_id") =!= col("qid")) else cand0
     val scored = (0 until m).foldLeft(cand) { (df, s) =>
@@ -1281,7 +1288,9 @@ object Similarity {
       .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("dq"))
       .localCheckpoint(true) // m scoring joins read it
     val coded = store.load("cells").join(store.load("codes"), "vec_id")
-    val cand0 = coded.join(probes, Seq("cid"))
+    // explicit bq on the windowed probe list for the same reason as the
+    // raw path: without it the candidate join sort-merges the corpus
+    val cand0 = coded.join(bq(probes), Seq("cid"))
     val cand =
       if (excludeSelf) cand0.filter(col("vec_id") =!= col("qid")) else cand0
     val scored = (0 until m).foldLeft(cand) { (df, s) =>
