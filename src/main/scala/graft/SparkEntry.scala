@@ -211,6 +211,8 @@ object SparkEntry {
     "q_ann_residual_inc" ->
       (streaming.StreamingAnn.annResidualIncrementalQuery _),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
+    "q_ivfpq_batch_inc" ->
+      (streaming.StreamingAnn.ivfPqBatchIncrementalQuery _),
     "q_ivfpq_batch_residual" ->
       (llm.Similarity.ivfPqKnnJoinResidualQuery _),
     "q_bpe_persisted" -> ((s, d) => llm.TextOps.bpePersistedQuery(s, d)),
@@ -742,6 +744,42 @@ object SparkEntry {
   // serve builds a PER-CELL distance table (query residual differs per
   // probed cell) and sweeps nprobe 1/2/4 against the brute-force cosine
   // truth. Hash-pins the 0.7 → 0.9 recall claim.
+  // the batched raw serve replay, bound to BOTH q_ivfpq_batch and
+  // q_ivfpq_batch_inc (the streaming union must hash-match the batch
+  // serving SQL verbatim)
+  private lazy val ivfPqBatchOracle: String =
+    (pqChainUnit + s""",
+        |$ivfAssignBody,
+        |exq AS (SELECT vec_id AS qid, i, x FROM ex WHERE vec_id < 8),
+        |qcd AS (SELECT q.qid, c.cid, round(sum((q.x - c.c) * (q.x - c.c)), 9) AS d
+        |        FROM exq q JOIN c2 c ON q.i = c.i GROUP BY q.qid, c.cid),
+        |probes AS (SELECT qid, cid FROM
+        |            (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qcd)
+        |           WHERE rn <= 2),
+        |${(0 until 4).map(s =>
+           s"""qdt$s AS (SELECT q.qid, c.cid, sum((q.x - c.c) * (q.x - c.c)) AS dq
+              |  FROM c${s}_2 c JOIN exq q ON q.i = ${s * 16} + c.i GROUP BY q.qid, c.cid)""".stripMargin)
+          .mkString(",\n")},
+        |scored AS (SELECT p.qid, k.vec_id, a.cid,
+        |    round(qdt0.dq + qdt1.dq + qdt2.dq + qdt3.dq, 9) AS adc
+        |  FROM codes k JOIN af a USING (vec_id)
+        |  JOIN probes p ON a.cid = p.cid AND k.vec_id <> p.qid
+        |  JOIN qdt0 ON qdt0.qid = p.qid AND qdt0.cid = k.c0
+        |  JOIN qdt1 ON qdt1.qid = p.qid AND qdt1.cid = k.c1
+        |  JOIN qdt2 ON qdt2.qid = p.qid AND qdt2.cid = k.c2
+        |  JOIN qdt3 ON qdt3.qid = p.qid AND qdt3.cid = k.c3),
+        |short AS (SELECT qid, vec_id FROM
+        |           (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid, cid ORDER BY adc, vec_id) AS rn FROM scored)
+        |          WHERE rn <= 50),
+        |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+        |uq AS (SELECT qid, list(x ORDER BY i) AS qx FROM exq GROUP BY qid),
+        |rr AS (SELECT s.qid, s.vec_id,
+        |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, q.qx), p -> p[1] * p[2])), (a, b) -> a + b), 9) AS cos_sim
+        |  FROM short s JOIN ul u USING (vec_id) JOIN uq q USING (qid))
+        |SELECT qid, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM
+        |  (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM rr)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)
+
   // the residual INDEX chain (unit ex -> trained coarse c2/af -> residual
   // rows rx -> per-subspace residual PQ rounds rp${s}2 -> rcodes), shared
   // by the recall sweep (q_ann_recall_residual / q_ann_residual_inc) and
@@ -1097,38 +1135,12 @@ object SparkEntry {
     // cells, per-(query, cell) shortlists, exact unit-dot rerank.
     // Grouped sums are not combine-order-pinned across engines, so
     // every ordering on a computed double rounds to 9 first
-    "q_ivfpq_batch" ->
-      (pqChainUnit + s""",
-        |$ivfAssignBody,
-        |exq AS (SELECT vec_id AS qid, i, x FROM ex WHERE vec_id < 8),
-        |qcd AS (SELECT q.qid, c.cid, round(sum((q.x - c.c) * (q.x - c.c)), 9) AS d
-        |        FROM exq q JOIN c2 c ON q.i = c.i GROUP BY q.qid, c.cid),
-        |probes AS (SELECT qid, cid FROM
-        |            (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qcd)
-        |           WHERE rn <= 2),
-        |${(0 until 4).map(s =>
-           s"""qdt$s AS (SELECT q.qid, c.cid, sum((q.x - c.c) * (q.x - c.c)) AS dq
-              |  FROM c${s}_2 c JOIN exq q ON q.i = ${s * 16} + c.i GROUP BY q.qid, c.cid)""".stripMargin)
-          .mkString(",\n")},
-        |scored AS (SELECT p.qid, k.vec_id, a.cid,
-        |    round(qdt0.dq + qdt1.dq + qdt2.dq + qdt3.dq, 9) AS adc
-        |  FROM codes k JOIN af a USING (vec_id)
-        |  JOIN probes p ON a.cid = p.cid AND k.vec_id <> p.qid
-        |  JOIN qdt0 ON qdt0.qid = p.qid AND qdt0.cid = k.c0
-        |  JOIN qdt1 ON qdt1.qid = p.qid AND qdt1.cid = k.c1
-        |  JOIN qdt2 ON qdt2.qid = p.qid AND qdt2.cid = k.c2
-        |  JOIN qdt3 ON qdt3.qid = p.qid AND qdt3.cid = k.c3),
-        |short AS (SELECT qid, vec_id FROM
-        |           (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid, cid ORDER BY adc, vec_id) AS rn FROM scored)
-        |          WHERE rn <= 50),
-        |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
-        |uq AS (SELECT qid, list(x ORDER BY i) AS qx FROM exq GROUP BY qid),
-        |rr AS (SELECT s.qid, s.vec_id,
-        |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, q.qx), p -> p[1] * p[2])), (a, b) -> a + b), 9) AS cos_sim
-        |  FROM short s JOIN ul u USING (vec_id) JOIN uq q USING (qid))
-        |SELECT qid, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM
-        |  (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM rr)
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+    "q_ivfpq_batch" -> ivfPqBatchOracle,
+    // raw index maintained incrementally, then BATCH-served through the
+    // streaming union: pointwise encoding makes base∪increments
+    // bit-equal to the batch build, so the oracle is the batch serving
+    // SQL verbatim — microbatching is invisible to the serving tier
+    "q_ivfpq_batch_inc" -> ivfPqBatchOracle,
     // JL projection: the sign-LSH plane formula at 16 planes, weights
     // cast through REAL (the Spark literal is ARRAY<FLOAT>), each output
     // dim an ORDER BY i fold — the same fixed order the native dot runs

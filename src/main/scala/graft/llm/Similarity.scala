@@ -955,11 +955,30 @@ object Similarity {
       rerankK: Int = 50, excludeSelf: Boolean = true,
       broadcastQueries: Boolean = true): DataFrame = {
     requireVariant(store, "raw", "ivfPqKnnJoin")
+    ivfPqKnnJoinOver(store.load("coarse"),
+      store.load("cells").join(store.load("codes"), "vec_id"),
+      store.load("vectors"), store.load("codebooks"), queries,
+      topK, nprobe, m, dim, rerankK, excludeSelf, broadcastQueries)
+  }
+
+  /** [[ivfPqKnnJoin]] over EXPLICIT frames — the batched raw serve the
+    * streaming-incremental union dispatches to
+    * ([[graft.streaming.StreamingAnn.knnJoinIncremental]]), mirroring
+    * the single-query [[ivfPqSearchOver]] split so base and incremented
+    * indexes cannot diverge on batch-serving semantics either. A
+    * `coded` frame still carrying the ux payload is accepted (dropped
+    * before scoring). */
+  private[graft] def ivfPqKnnJoinOver(coarse: DataFrame,
+      coded0: DataFrame, vectors: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2, m: Int = 4,
+      dim: Int = 64, rerankK: Int = 50, excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val coded = coded0.drop("ux")
     val sub = dim / m
     val bq: DataFrame => DataFrame =
       if (broadcastQueries) broadcast(_) else identity
     val exQ = explodeVecsUnit(queries).localCheckpoint(true)
-    val qcd = exQ.join(broadcast(store.load("coarse")), Seq("i"))
+    val qcd = exQ.join(broadcast(coarse), Seq("i"))
       .groupBy(col("vec_id").as("qid"), col("cid"))
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
     val wp = org.apache.spark.sql.expressions.Window
@@ -971,11 +990,10 @@ object Similarity {
       .select(col("vec_id").as("qid"),
         (col("i") / sub).cast("int").as("s"),
         (col("i") % sub).as("i"), col("x"))
-      .join(broadcast(store.load("codebooks")), Seq("s", "i"))
+      .join(broadcast(codebooks), Seq("s", "i"))
       .groupBy("qid", "s", "cid")
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dq"))
       .localCheckpoint(true) // m scoring joins read it
-    val coded = store.load("cells").join(store.load("codes"), "vec_id")
     // the probe list is Q·nprobe ids but arrives through a window, so
     // Catalyst cannot size it for auto-broadcast — without the explicit
     // hint this candidate join sort-merges, i.e. shuffles AND sorts the
@@ -1002,7 +1020,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("ux").as("qx"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
-    short.join(store.load("vectors"), "vec_id")
+    short.join(vectors.select(col("vec_id"), col("ux")), "vec_id")
       .join(bq(qvecs), "qid")
       .select(col("qid"), col("vec_id"),
         round(aggregate(zip_with(col("ux"), col("qx"), (a, b) => a * b),
@@ -1259,11 +1277,26 @@ object Similarity {
       dim: Int = 64, rerankK: Int = 50, excludeSelf: Boolean = true,
       broadcastQueries: Boolean = true): DataFrame = {
     requireVariant(store, "residual", "ivfPqKnnJoinResidual")
+    ivfPqKnnJoinResidualOver(store.load("coarse"),
+      store.load("cells").join(store.load("codes"), "vec_id"),
+      store.load("vectors"), store.load("codebooks"), queries,
+      topK, nprobe, m, dim, rerankK, excludeSelf, broadcastQueries)
+  }
+
+  /** [[ivfPqKnnJoinResidual]] over EXPLICIT frames — the batched
+    * residual serve the streaming-incremental union dispatches to; the
+    * same split as [[ivfPqKnnJoinOver]]/[[ivfPqSearchResidualOver]]. */
+  private[graft] def ivfPqKnnJoinResidualOver(coarse: DataFrame,
+      coded0: DataFrame, vectors: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2, m: Int = 4,
+      dim: Int = 64, rerankK: Int = 50, excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val coded = coded0.drop("ux")
     val sub = dim / m
     val bq: DataFrame => DataFrame =
       if (broadcastQueries) broadcast(_) else identity
     val exQ = explodeVecsUnit(queries).localCheckpoint(true)
-    val qcd = exQ.join(broadcast(store.load("coarse")), Seq("i"))
+    val qcd = exQ.join(broadcast(coarse), Seq("i"))
       .groupBy(col("vec_id").as("qid"), col("cid"))
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
     val wp = org.apache.spark.sql.expressions.Window
@@ -1275,19 +1308,18 @@ object Similarity {
     // per-(query, probed cell) residual components: rx = x − c_cell
     val qr = exQ.select(col("vec_id").as("qid"), col("i"), col("x"))
       .join(bq(probes), Seq("qid"))
-      .join(broadcast(store.load("coarse")), Seq("cid", "i"))
+      .join(broadcast(coarse), Seq("cid", "i"))
       .select(col("qid"), col("cid"), col("i"),
         (col("x") - col("c")).as("rx"))
     val dts = qr
       .select(col("qid"), col("cid"),
         (col("i") / sub).cast("int").as("s"),
         (col("i") % sub).as("i"), col("rx"))
-      .join(broadcast(store.load("codebooks"))
+      .join(broadcast(codebooks)
         .withColumnRenamed("cid", "code"), Seq("s", "i"))
       .groupBy("qid", "cid", "s", "code")
       .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("dq"))
       .localCheckpoint(true) // m scoring joins read it
-    val coded = store.load("cells").join(store.load("codes"), "vec_id")
     // explicit bq on the windowed probe list for the same reason as the
     // raw path: without it the candidate join sort-merges the corpus
     val cand0 = coded.join(bq(probes), Seq("cid"))
@@ -1308,7 +1340,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("ux").as("qx"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
-    short.join(store.load("vectors"), "vec_id")
+    short.join(vectors.select(col("vec_id"), col("ux")), "vec_id")
       .join(bq(qvecs), "qid")
       .select(col("qid"), col("vec_id"),
         round(aggregate(zip_with(col("ux"), col("qx"), (a, b) => a * b),

@@ -382,6 +382,27 @@ object StreamingAnn {
       topK: Int = 10, nprobe: Int = 2, m: Int = 4,
       dim: Int = 64, rerankK: Int = 100,
       version: Option[Long] = None): DataFrame = {
+    val (coded, vectors, variant, ld) =
+      unionServeFrames(spark, store, codesPath, version)
+    // serve with the PINNED version's encoding semantics (ADVICE r11:
+    // the raw-only body served a residual store's codes against raw ADC
+    // tables — silently wrong neighbors, the failure requireVariant
+    // exists to prevent; dispatch makes the mistake unreachable)
+    if (variant == "residual")
+      Similarity.ivfPqSearchResidualOver(ld("coarse"), coded, vectors,
+        ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+    else
+      Similarity.ivfPqSearchOver(ld("coarse"), coded, vectors,
+        ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+  }
+
+  /** The deduped base∪increments serve frames plus the pinned variant
+    * and part loader — the ONE union/dedup rule every incremental serve
+    * (single-query and batched, raw and residual) reads, so they cannot
+    * diverge on which coded rows win. */
+  private def unionServeFrames(spark: SparkSession, store: ModelStore,
+      codesPath: String, version: Option[Long])
+      : (DataFrame, DataFrame, String, String => DataFrame) = {
     def ld(part: String): DataFrame = version match {
       case Some(v) => store.loadAt(v, part)
       case None => store.load(part)
@@ -405,17 +426,83 @@ object StreamingAnn {
         (dd, dd.select("vec_id", "ux").dropDuplicates("vec_id"))
       case None => (baseCodes, ld("vectors"))
     }
-    // serve with the PINNED version's encoding semantics (ADVICE r11:
-    // the raw-only body served a residual store's codes against raw ADC
-    // tables — silently wrong neighbors, the failure requireVariant
-    // exists to prevent; dispatch makes the mistake unreachable)
     val variant = version.map(Similarity.indexVariantAt(store, _))
       .getOrElse(Similarity.indexVariant(store))
+    (coded, vectors, variant, ld)
+  }
+
+  /** BATCHED k-NN over the incrementally-maintained index: top-k for
+    * every query in `queries` against base ∪ every streamed increment —
+    * the serving-tier shape against a live index (the single-query
+    * [[searchIncremental]] pays a driver round-trip per query). One
+    * deduped union feeds the variant-matched batched serve body
+    * ([[Similarity.ivfPqKnnJoinOver]] /
+    * [[Similarity.ivfPqKnnJoinResidualOver]]); batch == per-query
+    * [[searchIncremental]] holds query by query (spec-pinned, both
+    * variants). Returns (qid, vec_id, cos_sim, rnk). */
+  def knnJoinIncremental(spark: SparkSession, store: ModelStore,
+      codesPath: String, queries: DataFrame, topK: Int = 5,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64, rerankK: Int = 50,
+      excludeSelf: Boolean = true, broadcastQueries: Boolean = true,
+      version: Option[Long] = None): DataFrame = {
+    val (coded, vectors, variant, ld) =
+      unionServeFrames(spark, store, codesPath, version)
     if (variant == "residual")
-      Similarity.ivfPqSearchResidualOver(ld("coarse"), coded, vectors,
-        ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+      Similarity.ivfPqKnnJoinResidualOver(ld("coarse"), coded, vectors,
+        ld("codebooks"), queries, topK, nprobe, m, dim, rerankK,
+        excludeSelf, broadcastQueries)
     else
-      Similarity.ivfPqSearchOver(ld("coarse"), coded, vectors,
-        ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+      Similarity.ivfPqKnnJoinOver(ld("coarse"), coded, vectors,
+        ld("codebooks"), queries, topK, nprobe, m, dim, rerankK,
+        excludeSelf, broadcastQueries)
+  }
+
+  /** [[knnJoinIncremental]] against the CURRENT version's codes dir —
+    * [[searchAuto]]'s batched twin: `_CURRENT` read once, every
+    * artifact pinned to that version, rerank budget scaled by its
+    * spill dial. */
+  def knnJoinAuto(spark: SparkSession, store: ModelStore,
+      codesPath: String, queries: DataFrame, topK: Int = 5,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64, rerankK: Int = 50,
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val v = store.currentVersion.getOrElse(0L)
+    val sp =
+      if (store.partNamesAt(v).contains("dials"))
+        store.loadAt(v, "dials").select("spill").head().getInt(0)
+      else 1
+    knnJoinIncremental(spark, store, s"$codesPath/v=$v", queries,
+      topK, nprobe, m, dim, rerankK * sp, excludeSelf,
+      broadcastQueries, version = Some(v))
+  }
+
+  /** Driver-contract query (`q_ivfpq_batch_inc`): the raw index
+    * maintained incrementally (quantizers trained once on the full
+    * corpus with empty data parts, every coded row ingested through
+    * three microbatches), then the first-8 query batch served through
+    * [[knnJoinIncremental]]. Pointwise encoding makes the union
+    * bit-equal to the batch build, so the oracle is the batch
+    * `q_ivfpq_batch` SQL VERBATIM — microbatching is invisible to the
+    * batched serving tier too. */
+  def ivfPqBatchIncrementalQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-batchinc-codes-")
+    try {
+      graft.store.ModelStore.scratch(spark, "batchinc") { store =>
+        Similarity.saveQuantizers(emb, store)
+        val n = emb.count()
+        val cuts = Seq(0L, n / 3, 2 * n / 3, n)
+        (0 until 3).foreach { b =>
+          annIngestBatch(spark, store, codesDir.toString)(
+            emb.filter(col("vec_id") >= cuts(b) &&
+              col("vec_id") < cuts(b + 1)), b.toLong)
+        }
+        graft.Materialize.checkpoint(
+          knnJoinIncremental(spark, store, codesDir.toString,
+            emb.filter(col("vec_id") < 8)))
+      }
+    } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 }

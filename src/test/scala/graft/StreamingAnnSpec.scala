@@ -487,6 +487,42 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("batched serve over the incremental union equals per-query searchIncremental, both variants") {
+    // the serving-tier shape against a live index: one deduped union
+    // feeds the variant-matched batched body; batch == per-query must
+    // hold query by query or the two serve paths have diverged
+    val n = emb.count()
+    val cut = n * 2 / 3
+    val base = emb.filter(col("vec_id") < cut)
+    val inc = emb.filter(col("vec_id") >= cut)
+    def check(store: ModelStore, codesPath: String): Unit = {
+      val batch = StreamingAnn.knnJoinIncremental(spark, store,
+        codesPath, emb.filter(col("vec_id") < 6), topK = 10,
+        nprobe = 2, rerankK = 100)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(3))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+      (0L until 6L).foreach { q =>
+        val single = StreamingAnn.searchIncremental(spark, store,
+          codesPath, llm.Similarity.queryVecOf(emb, q), qId = q,
+          topK = 10, nprobe = 2, rerankK = 100)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(q) === single, s"query $q diverged")
+      }
+    }
+    withDirs { (store, codesPath) =>
+      llm.Similarity.saveIvfPqIndex(base, store)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(inc, 0L)
+      check(store, codesPath)
+    }
+    withDirs { (store, codesPath) =>
+      llm.Similarity.saveIvfPqResidualIndexTrainedOn(base, base, store)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(inc, 0L)
+      check(store, codesPath)
+    }
+  }
+
   test("MemoryStream wiring: two triggered microbatches land as batch=0/1 and serve identically") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
