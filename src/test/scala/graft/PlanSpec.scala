@@ -12,6 +12,20 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("batched k-NN serves broadcast-only: no sort-merge of the codes table (raw + residual)") {
+    // the probe list arrives through a window, so Catalyst cannot size
+    // it — without the explicit broadcast hint the candidate join
+    // sort-merges, i.e. shuffles AND sorts the corpus-sized codes table
+    // by cell (caught by plan audit in round 12; this guard keeps a
+    // future stats/Catalyst change from silently reintroducing it)
+    for (name <- Seq("q_ivfpq_batch", "q_ivfpq_batch_residual")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"), s"$name sort-merges:\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.contains("SinglePartition"), name)
+    }
+  }
+
   test("q_filter_project pushes predicates and prunes columns at the scan") {
     val p = plan("q_filter_project")
     assert(p.contains("PushedFilters:") &&
