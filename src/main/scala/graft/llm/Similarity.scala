@@ -765,13 +765,32 @@ object Similarity {
       lit(kCells).as("nlist"), lit(spill).as("spill"), lit(m).as("m"),
       lit(k).as("k"), lit(iters).as("iters"), lit(dim).as("dim"),
       lit("raw").as("variant"))
+    val cells = assignCellsTopA(ex, coarse, spill)
     store.save(Map(
       "coarse" -> coarse,
-      "cells" -> assignCellsTopA(ex, coarse, spill),
+      "cells" -> cells,
       "codebooks" -> cent,
-      "codes" -> pqCodesOf(ex, cent, m, dim),
+      "codes" -> cells.join(pqCodesOf(ex, cent, m, dim), "vec_id"),
       "vectors" -> unitArrays(ex),
-      "dials" -> dials))
+      "dials" -> dials),
+      partitioned = Map("codes" -> Seq("cid")))
+  }
+
+  /** The candidate coded frame (vec_id, cid, c0..c{m-1}) of a persisted
+    * index. Modern indexes store codes CELL-PARTITIONED (hive-style
+    * `cid=` directories — the FAISS inverted-list layout): the probe's
+    * cell filter becomes PARTITION PRUNING, so a query physically reads
+    * nprobe/nlist of the codes instead of scanning (and, worse, vec_id-
+    * shuffle-joining) the whole table — the difference between an index
+    * probe and a corpus pass at 100 TB. A spilled index stores the code
+    * once per assigned cell (×spill on the m-byte codes — the SPANN
+    * posting-replication cost, landing exactly where the spill design
+    * intends). Pre-layout legacy stores (codes without cid) fall back
+    * to the cells ⋈ codes join. */
+  private[graft] def codedFrame(ld: String => DataFrame): DataFrame = {
+    val codes = ld("codes")
+    if (codes.columns.contains("cid")) codes
+    else ld("cells").join(codes, "vec_id")
   }
 
   /** Serve a top-k query from a persisted index — NO training jobs: the
@@ -785,8 +804,7 @@ object Similarity {
       nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 100): DataFrame = {
     requireVariant(store, "raw", "ivfPqSearchPersisted")
-    ivfPqSearchOver(store.load("coarse"),
-      store.load("cells").join(store.load("codes"), "vec_id"),
+    ivfPqSearchOver(store.load("coarse"), codedFrame(store.load),
       store.load("vectors"),
       store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
   }
@@ -955,8 +973,7 @@ object Similarity {
       rerankK: Int = 50, excludeSelf: Boolean = true,
       broadcastQueries: Boolean = true): DataFrame = {
     requireVariant(store, "raw", "ivfPqKnnJoin")
-    ivfPqKnnJoinOver(store.load("coarse"),
-      store.load("cells").join(store.load("codes"), "vec_id"),
+    ivfPqKnnJoinOver(store.load("coarse"), codedFrame(store.load),
       store.load("vectors"), store.load("codebooks"), queries,
       topK, nprobe, m, dim, rerankK, excludeSelf, broadcastQueries)
   }
@@ -1130,9 +1147,10 @@ object Similarity {
       "coarse" -> coarse,
       "cells" -> cells,
       "codebooks" -> cent,
-      "codes" -> pqCodesOf(rx, cent, m, dim),
+      "codes" -> cells.join(pqCodesOf(rx, cent, m, dim), "vec_id"),
       "vectors" -> unitArrays(ex),
-      "dials" -> dials))
+      "dials" -> dials),
+      partitioned = Map("codes" -> Seq("cid")))
   }
 
   /** Assign + residual-PQ-encode vectors against a persisted RESIDUAL
@@ -1185,8 +1203,7 @@ object Similarity {
       nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 100): DataFrame = {
     requireVariant(store, "residual", "ivfPqSearchResidualPersisted")
-    ivfPqSearchResidualOver(store.load("coarse"),
-      store.load("cells").join(store.load("codes"), "vec_id"),
+    ivfPqSearchResidualOver(store.load("coarse"), codedFrame(store.load),
       store.load("vectors"), store.load("codebooks"),
       qVec, qId, topK, nprobe, m, dim, rerankK)
   }
@@ -1277,8 +1294,7 @@ object Similarity {
       dim: Int = 64, rerankK: Int = 50, excludeSelf: Boolean = true,
       broadcastQueries: Boolean = true): DataFrame = {
     requireVariant(store, "residual", "ivfPqKnnJoinResidual")
-    ivfPqKnnJoinResidualOver(store.load("coarse"),
-      store.load("cells").join(store.load("codes"), "vec_id"),
+    ivfPqKnnJoinResidualOver(store.load("coarse"), codedFrame(store.load),
       store.load("vectors"), store.load("codebooks"), queries,
       topK, nprobe, m, dim, rerankK, excludeSelf, broadcastQueries)
   }
@@ -1434,7 +1450,7 @@ object Similarity {
           s"vec_ids at spill=$sp — a vec_id encoded in two shards would " +
           "serve twice)")
     }
-    val codeCols = col("vec_id") +: (0 until m).map(s => col(s"c$s"))
+    val codeCols = col("vec_id") +: col("cid") +: (0 until m).map(s => col(s"c$s"))
     // a pre-dials legacy index is raw/spill=1 by definition
     // ([[indexSpill]]/[[indexVariant]]) — synthesize that record rather
     // than failing on a missing part, so the merged version always
@@ -1451,8 +1467,9 @@ object Similarity {
       "codebooks" -> store.load("codebooks"),
       "dials" -> dials,
       "cells" -> all.select("vec_id", "cid"),
-      "codes" -> all.select(codeCols: _*).dropDuplicates("vec_id"),
-      "vectors" -> all.select("vec_id", "ux").dropDuplicates("vec_id")))
+      "codes" -> all.select(codeCols: _*),
+      "vectors" -> all.select("vec_id", "ux").dropDuplicates("vec_id")),
+      partitioned = Map("codes" -> Seq("cid")))
   }
 
   /** Oracle row (`q_ivfpq_merged`): quantizers from the full corpus,

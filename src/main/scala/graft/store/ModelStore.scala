@@ -39,8 +39,13 @@ class ModelStore(spark: SparkSession, path: String) {
     root.resolve(s"v$v").resolve(part)
 
   /** Persist a complete model version (every named part) and flip the
-    * pointer. Returns the version written. */
-  def save(parts: Map[String, DataFrame]): Long = {
+    * pointer. Returns the version written. `partitioned` maps a part
+    * name to hive-style partition columns for its parquet layout — the
+    * data-sized parts want it (an IVF index's codes partition by cell,
+    * so a probe reads nprobe/nlist of the directories instead of
+    * scanning everything); the centroid-sized parts don't. */
+  def save(parts: Map[String, DataFrame],
+      partitioned: Map[String, Seq[String]] = Map.empty): Long = {
     require(parts.nonEmpty, "a model version must have at least one part")
     parts.keys.foreach { p =>
       require(p.nonEmpty && !p.contains('/') && !p.startsWith("_"),
@@ -48,7 +53,15 @@ class ModelStore(spark: SparkSession, path: String) {
     }
     val next = currentVersion.getOrElse(-1L) + 1
     parts.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite)
+      val w = df.write.mode(SaveMode.Overwrite)
+      // a partitioned write of ZERO rows produces no files at all — the
+      // read-back cannot even infer a schema. Quantizer-only versions
+      // (empty data parts, the distributed-build first step) hit exactly
+      // this, so an empty part falls back to the plain layout, which
+      // writes a schema-bearing empty file; the partition column stays a
+      // normal column, so readers see the same shape either way.
+      partitioned.get(name).filter(_.nonEmpty && !df.isEmpty)
+        .fold(w)(cols => w.partitionBy(cols: _*))
         .parquet(partDir(next, name).toString)
     }
     flip(next)

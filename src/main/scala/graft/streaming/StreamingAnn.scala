@@ -407,7 +407,7 @@ object StreamingAnn {
       case Some(v) => store.loadAt(v, part)
       case None => store.load(part)
     }
-    val baseCodes = ld("cells").join(ld("codes"), "vec_id")
+    val baseCodes = Similarity.codedFrame(ld)
     val (coded, vectors) = StreamingDedup.readStore(spark, codesPath) match {
       case Some(inc) =>
         val base = baseCodes

@@ -367,6 +367,15 @@ class PqSpec extends AnyFunSuite {
         assert((a & truth).subsetOf(b & truth),
           s"true neighbors lost when widening the probe: $a vs $b")
       }
+      // the probe is PHYSICAL: codes are cell-partitioned, so the cell
+      // filter is a PartitionFilter (reads nprobe/nlist of the
+      // directories) and no join ships the codes table anywhere — the
+      // difference between an index probe and a corpus pass at 100 TB
+      val pplan = graft.llm.Similarity
+        .ivfPqSearchPersisted(store, qv, qId = 0L, nprobe = 1)
+        .queryExecution.executedPlan.toString
+      assert(pplan.contains("PartitionFilters: [cid"), pplan)
+      assert(!pplan.contains("SortMergeJoin"), pplan)
       store.load("cells")
     }
   }

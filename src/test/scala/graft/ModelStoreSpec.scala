@@ -199,6 +199,32 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy store layout (codes without cid) serves identically through the join fallback") {
+    // indexes written before the cell-partitioned codes layout carry a
+    // separate (vec_id, cid) cells part and a cid-less codes part —
+    // codedFrame must serve them through the join, bit-identically
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = llm.Similarity.queryVecOf(emb, 0L)
+    withStore { store =>
+      llm.Similarity.saveIvfPqIndex(emb, store)
+      val modern = llm.Similarity
+        .ivfPqSearchPersisted(store, qv, qId = 0L)
+        .collect().map(_.toString).toSeq
+      // rewrite as a legacy-shaped version: strip cid from codes
+      store.save(Map(
+        "coarse" -> store.load("coarse"),
+        "cells" -> store.load("cells"),
+        "codebooks" -> store.load("codebooks"),
+        "codes" -> store.load("codes").drop("cid"),
+        "vectors" -> store.load("vectors"),
+        "dials" -> store.load("dials")))
+      val legacy = llm.Similarity
+        .ivfPqSearchPersisted(store, qv, qId = 0L)
+        .collect().map(_.toString).toSeq
+      assert(legacy === modern)
+    }
+  }
+
   test("residual shards merge and serve bit-identically to a single residual build") {
     // saveMergedIndex is variant-agnostic: shards produced by
     // encodeForIndex against the store's own quantizers match its

@@ -55,8 +55,7 @@ class StreamingAnnSpec extends AnyFunSuite {
       val incremental = searchRows(store, codesPath, qVec)
 
       // == one batch encode of the union under the same frozen quantizers
-      val unionCoded = store.load("cells")
-        .join(store.load("codes"), "vec_id")
+      val unionCoded = store.load("codes") // cell-partitioned, carries cid
         .join(store.load("vectors"), "vec_id")
         .unionByName(llm.Similarity.encodeWithIndex(store,
           inc1.unionByName(inc2)))
