@@ -431,6 +431,50 @@ object StreamingAnn {
     (coded, vectors, variant, ld)
   }
 
+  /** COMPACTION: fold the streamed increments into the base index
+    * WITHOUT retraining — a new store version carrying the SAME
+    * quantizers whose data parts are exactly the deduped union every
+    * serve computes per query (latest batch wins per vec_id, base loses
+    * to any increment). The version flip atomically selects a fresh
+    * empty increments dir ([[versionedCodesPath]]), so post-compaction
+    * serving reads the compacted base alone — bit-identical results
+    * (spec-pinned), with the per-query union/dedup cost gone until new
+    * increments accumulate.
+    *
+    * This is the third arm of the maintenance split, between
+    * per-increment encode (cheap, continuous) and drift-triggered
+    * retrain (expensive, rare): compaction is one deduped pass over
+    * base ∪ increments — no training jobs, no raw-vector reads beyond
+    * the stored ux payload — and production ANN systems run exactly
+    * this (FAISS merges on-disk inverted lists; LSM stores compact
+    * levels). At 100 TB the trigger is increment volume: compact when
+    * the per-query dedup-window cost over the union outweighs one
+    * merge pass. Raw increments under `rawPath` are untouched — the
+    * retrain corpus is unaffected by serve-side compaction. Returns
+    * the new version. */
+  def compactIncrements(spark: SparkSession, store: ModelStore,
+      codesPath: String): Long = {
+    val v = store.currentVersion.getOrElse(0L)
+    val (coded, vectors, _, ld) = unionServeFrames(spark, store,
+      s"$codesPath/v=$v", Some(v))
+    val dials =
+      if (store.partNamesAt(v).contains("dials")) ld("dials")
+      else coded.sparkSession.range(1).select(
+        lit(ld("coarse").select("cid").distinct().count().toInt)
+          .as("nlist"),
+        lit(1).as("spill"), lit(4).as("m"), lit(8).as("k"),
+        lit(2).as("iters"), lit(64).as("dim"), lit("raw").as("variant"))
+    val codes = coded.drop("ux")
+    store.save(Map(
+      "coarse" -> ld("coarse"),
+      "codebooks" -> ld("codebooks"),
+      "dials" -> dials,
+      "cells" -> codes.select("vec_id", "cid"),
+      "codes" -> codes,
+      "vectors" -> vectors),
+      partitioned = Map("codes" -> Seq("cid")))
+  }
+
   /** BATCHED k-NN over the incrementally-maintained index: top-k for
     * every query in `queries` against base ∪ every streamed increment —
     * the serving-tier shape against a live index (the single-query

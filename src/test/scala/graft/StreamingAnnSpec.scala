@@ -522,6 +522,57 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction folds increments into a new base version: serve bit-identical, union gone, loop continues") {
+    val n = emb.count()
+    val cut1 = n * 2 / 3
+    val cut2 = cut1 + (n - cut1) / 2
+    val base = emb.filter(col("vec_id") < cut1)
+    val inc1 = emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2)
+    val inc2 = emb.filter(col("vec_id") >= cut2)
+    def run(buildBase: ModelStore => Unit): Unit =
+      withDirs { (store, codesPath) =>
+        buildBase(store)
+        val v0 = store.currentVersion.get
+        val variant0 = llm.Similarity.indexVariant(store)
+        val vp = StreamingAnn.versionedCodesPath(codesPath, store)
+        StreamingAnn.annIngestBatch(spark, store, vp)(inc1, 0L)
+        // inc2 re-delivers one inc1 vector with an UPDATED embedding —
+        // compaction must keep the latest batch's rows, like the serve
+        val upd = inc1.limit(1).select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+        StreamingAnn.annIngestBatch(spark, store, vp)(
+          inc2.select("vec_id", "embedding").unionByName(upd), 1L)
+        val qVec = llm.Similarity.queryVecOf(emb, 0L)
+        val before = StreamingAnn.searchAuto(spark, store, codesPath,
+          qVec, qId = 0L).collect().map(_.toString).toSeq
+        val v1 = StreamingAnn.compactIncrements(spark, store, codesPath)
+        assert(v1 === v0 + 1)
+        assert(llm.Similarity.indexVariant(store) === variant0,
+          "compaction changed the encoding variant")
+        // the flipped version's increments dir is empty — serving reads
+        // the compacted base alone, bit-identically
+        assert(StreamingAnn.readCodes(spark,
+          StreamingAnn.versionedCodesPath(codesPath, store)).isEmpty)
+        val after = StreamingAnn.searchAuto(spark, store, codesPath,
+          qVec, qId = 0L).collect().map(_.toString).toSeq
+        assert(after === before)
+        // the loop continues: a post-compaction increment encodes
+        // against the same frozen quantizers and serves from the union
+        val re = StreamingAnn.versionedCodesPath(codesPath, store)
+        StreamingAnn.annIngestBatch(spark, store, re)(
+          inc2.limit(5), 0L)
+        val served = StreamingAnn.searchAuto(spark, store, codesPath,
+          qVec, qId = 0L).select("vec_id").collect().map(_.getLong(0))
+        assert(served.nonEmpty)
+        assert(served.distinct.length === served.length)
+      }
+    run(store => { llm.Similarity.saveIvfPqIndex(base, store); () })
+    run(store => {
+      llm.Similarity.saveIvfPqResidualIndexTrainedOn(base, base, store)
+      ()
+    })
+  }
+
   test("MemoryStream wiring: two triggered microbatches land as batch=0/1 and serve identically") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
