@@ -89,9 +89,16 @@ object Bench {
       val dir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "bench_records")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.writeString(
-        dir.resolve(sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD",
-          "last_run.json")), line + "\n")
+      // latest.json is the fold-only minima file: a caller still setting
+      // the pre-r12 default here would clobber the record with a raw run
+      // before the fold below reads it back (ADVICE r12) — refuse.
+      val recName = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD",
+        "last_run.json")
+      require(recName != "latest.json",
+        "SPARK_GRAFT_BENCH_RECORD=latest.json would overwrite the " +
+          "durable minima with a raw run — latest.json is written only " +
+          "through the min-fold; use last_run.json (the default)")
+      java.nio.file.Files.writeString(dir.resolve(recName), line + "\n")
       val rec = dir.resolve("latest.json")
       if (failed.isEmpty && only.isEmpty) {
         val folded =

@@ -331,12 +331,15 @@ object StreamingAnn {
       graft.store.ModelStore.scratch(spark, "resinc") { store =>
         Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb.limit(0),
           store)
-        val n = emb.count()
-        val cuts = Seq(0L, n / 3, 2 * n / 3, n)
+        // microbatch split by pmod, not count-based ranges (ADVICE r12:
+        // with sparse/non-contiguous vec_ids a [cuts(b), cuts(b+1)) slice
+        // silently drops rows with vec_id >= n, breaking the
+        // verbatim-oracle equality); pmod covers every id exactly once
+        // regardless of the id distribution, and encoding is pointwise so
+        // any partition of the corpus yields the same index
         (0 until 3).foreach { b =>
           annIngestBatch(spark, store, codesDir.toString)(
-            emb.filter(col("vec_id") >= cuts(b) &&
-              col("vec_id") < cuts(b + 1)), b.toLong)
+            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
         }
         val qv = Similarity.queryVecOf(emb, 0L)
         graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
@@ -536,12 +539,11 @@ object StreamingAnn {
     try {
       graft.store.ModelStore.scratch(spark, "batchinc") { store =>
         Similarity.saveQuantizers(emb, store)
-        val n = emb.count()
-        val cuts = Seq(0L, n / 3, 2 * n / 3, n)
+        // pmod split, not count-based ranges — see
+        // [[annResidualIncrementalQuery]] (ADVICE r12)
         (0 until 3).foreach { b =>
           annIngestBatch(spark, store, codesDir.toString)(
-            emb.filter(col("vec_id") >= cuts(b) &&
-              col("vec_id") < cuts(b + 1)), b.toLong)
+            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
         }
         graft.Materialize.checkpoint(
           knnJoinIncremental(spark, store, codesDir.toString,

@@ -24,8 +24,23 @@ import sys
 def fold(record: dict, run: dict, note_suffix: str | None = None) -> dict:
     if run.get("failed"):
         raise SystemExit(f"refusing to fold a run with failures: {run['failed']}")
+    # Scale-factor guard (mirrors Bench.foldRecord): an sf0.01 dev run has
+    # the same query names at ~10x lower times — folding it would poison
+    # the sf0.1 minima permanently, the corruption class this tool exists
+    # to prevent.
+    if record.get("sf") != run.get("sf"):
+        raise SystemExit(
+            f"refusing to fold: run sf={run.get('sf')!r} != record sf={record.get('sf')!r}"
+        )
     old_q = dict(record.get("queries", {}))
     new_q = dict(run.get("queries", {}))
+    # Subset-run guard (mirrors Bench.main's only.isEmpty check): an
+    # isolated SPARK_GRAFT_BENCH_ONLY run measures its queries on an idle
+    # box — its times are not comparable to full-catalog minima.
+    if old_q and len(new_q) < 0.9 * len(old_q):
+        raise SystemExit(
+            f"refusing to fold a subset run ({len(new_q)} queries vs {len(old_q)} in the record)"
+        )
     folded = {}
     raised = []
     for k in sorted(set(old_q) | set(new_q)):
