@@ -37,12 +37,22 @@ object StreamingAnn {
     * [[StreamingDedup.dedupBatch]] replay contract). Dispatches on the
     * store's own `variant` dial ([[Similarity.encodeForIndex]]): a
     * residual store gets residual codes, a raw store raw codes —
-    * incremental maintenance of BOTH variants through one body. */
+    * incremental maintenance of BOTH variants through one body.
+    *
+    * Increments are written CELL-PARTITIONED (`batch=N/cid=…`), the same
+    * FAISS inverted-list layout the base index stores its codes in
+    * ([[Similarity.codedFrame]]): the serve paths' probe filter prunes
+    * increment files physically, exactly like the base — without this
+    * the increment leg of every query scanned all streamed cells and
+    * filtered rows afterward (VERDICT r12 #2). An empty microbatch
+    * leaves a file-less partition dir, which [[StreamingDedup.readStore]]
+    * skips. */
   def annIngestBatch(spark: SparkSession, store: ModelStore,
       codesPath: String, m: Int = 4, dim: Int = 64)(
       batch: DataFrame, batchId: Long): Unit =
     Similarity.encodeForIndex(store, batch, m, dim)
-      .write.mode("overwrite").parquet(s"$codesPath/batch=$batchId")
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$codesPath/batch=$batchId")
 
   /** Wire a (vec_id, embedding) stream through the incremental encode. */
   def incrementalAnnIngest(vecs: DataFrame, store: ModelStore,
@@ -198,21 +208,24 @@ object StreamingAnn {
   /** The rebuild corpus: `base` plus every raw increment persisted so
     * far, one row per vec_id — latest batch wins, base loses to any
     * increment (the [[searchIncremental]] re-delivery rule, applied to
-    * raw vectors). The window partitions by vec_id: duplicate-bounded
-    * groups, never a global sort. */
+    * raw vectors). Expressed through the same narrow-winners joins as
+    * the serve union ([[unionServeFrames]]): the winner table is one
+    * aggregate over the increments' (vec_id, batch) columns, the base
+    * loses by one anti-join — never a window over base ∪ increments. */
   private[graft] def rebuildCorpus(spark: SparkSession,
       base: DataFrame, rawPath: String): DataFrame =
     StreamingDedup.readStore(spark, rawPath) match {
       case None => base.select("vec_id", "embedding")
       case Some(raw) =>
-        val all = base.select("vec_id", "embedding")
-          .withColumn("__b", lit(-1L))
-          .unionByName(raw.select(col("vec_id"), col("embedding"),
-            col("batch").cast("long").as("__b")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("__b").desc)
-        all.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__b", "__rn")
+        val winners = raw
+          .groupBy("vec_id").agg(max(col("batch").cast("long")).as("__b"))
+        val rawWin = raw.withColumn("__b", col("batch").cast("long"))
+          .join(broadcast(winners), Seq("vec_id", "__b"))
+          .select("vec_id", "embedding")
+        base.select("vec_id", "embedding")
+          .join(broadcast(winners.select("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .unionByName(rawWin)
     }
 
   /** Fully-automated drift loop as ONE foreachBatch body: persist the
@@ -356,11 +369,12 @@ object StreamingAnn {
   }
 
   /** Search the base index PLUS every streamed increment: one union of
-    * coded rows, then the shared probe+ADC+rerank body. The increment
-    * store is partition-pruned to the probed cells only after the union
-    * — the ADC scan reads m bytes + a cell id per vector (the ux rerank
-    * payload is column-pruned out of it), and the probe shrinks
-    * candidates by nprobe/nlist before any scoring join.
+    * coded rows, then the shared probe+ADC+rerank body. The probe's
+    * cell filter pushes through the union/dedup joins into BOTH scans
+    * ([[unionServeFrames]]): base and increments are cell-partitioned,
+    * so a query physically reads nprobe/nlist of each store's
+    * directories — the ADC scan reads m bytes + a cell id per candidate
+    * (the ux rerank payload is column-pruned out of it).
     *
     * A vec_id may appear in more than one leg: the replay contract
     * dedups within a RE-DELIVERED batch (same batchId overwrites its own
@@ -371,10 +385,8 @@ object StreamingAnn {
     * hold the same vector twice (review r7 finding #2). "Rows", not
     * "row": a spilled index ([[Similarity.autoSpill]]) legitimately
     * codes a vector into several cells, so the dedup keeps every row of
-    * the winning batch (max-__b filter) rather than a single row — and
-    * the rerank-payload leg collapses back to one ux per vec_id. The
-    * window partitions by vec_id (duplicate-count-bounded groups),
-    * never globally.
+    * the winning batch (the winners equi-join) rather than a single row
+    * — and the rerank-payload leg collapses back to one ux per vec_id.
     *
     * `version`: pin every store artifact to one index version
     * ([[ModelStore.loadAt]]) — [[searchAuto]] passes the version whose
@@ -402,7 +414,28 @@ object StreamingAnn {
   /** The deduped base∪increments serve frames plus the pinned variant
     * and part loader — the ONE union/dedup rule every incremental serve
     * (single-query and batched, raw and residual) reads, so they cannot
-    * diverge on which coded rows win. */
+    * diverge on which coded rows win.
+    *
+    * The rule — latest batch wins per vec_id, base loses to any
+    * increment, ALL rows of the winning batch survive (a spilled index
+    * legitimately codes a vector into several cells) — is expressed as
+    * two equi-joins against a narrow WINNERS table (vec_id → max batch,
+    * one aggregate over the increments' two cheapest columns), not as a
+    * max-over-window on the union. The window shape shuffled the whole
+    * base ∪ increments by vec_id on EVERY query and blocked the probe's
+    * cell filter from reaching the scans; the join shape broadcasts
+    * |increment vec_ids| rows — bounded by compaction
+    * ([[compactIncrements]], auto-fired by [[annMaintainBatch]]) — and
+    * lets the cid predicate push into BOTH legs, which on the
+    * cell-partitioned layout ([[annIngestBatch]] /
+    * [[Similarity.codedFrame]]) is physical partition pruning of base
+    * and increment files alike: the probe reads nprobe/nlist of the
+    * directories, the FAISS inverted-list contract, maintained live.
+    *
+    * Codes and the ux rerank payload must win TOGETHER per vec_id (an
+    * increment can carry an updated embedding), so both serve legs read
+    * this one deduped frame; the ADC leg drops ux inside the shared
+    * search body. */
   private def unionServeFrames(spark: SparkSession, store: ModelStore,
       codesPath: String, version: Option[Long])
       : (DataFrame, DataFrame, String, String => DataFrame) = {
@@ -415,17 +448,15 @@ object StreamingAnn {
       case Some(inc) =>
         val base = baseCodes
           .join(ld("vectors"), "vec_id") // rerank payload
-        val all = base.withColumn("__b", lit(-1L)).unionByName(
-          inc.select((base.columns.map(col) :+
-            col("batch").cast("long").as("__b")): _*))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id")
-        // codes and rerank payload must win TOGETHER per vec_id (an
-        // increment can carry an updated embedding), so ONE dedup
-        // rule decides the winning batch and both serve legs read it;
-        // the ADC leg drops ux inside the shared search body
-        val dd = all.withColumn("__mx", max(col("__b")).over(w))
-          .filter(col("__b") === col("__mx")).drop("__b", "__mx")
+        val winners = inc
+          .groupBy("vec_id").agg(max(col("batch").cast("long")).as("__b"))
+        val incWin = inc.withColumn("__b", col("batch").cast("long"))
+          .join(broadcast(winners), Seq("vec_id", "__b"))
+          .select(base.columns.map(col): _*)
+        val dd = base
+          .join(broadcast(winners.select("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .unionByName(incWin)
         (dd, dd.select("vec_id", "ux").dropDuplicates("vec_id"))
       case None => (baseCodes, ld("vectors"))
     }

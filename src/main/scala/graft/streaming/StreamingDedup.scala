@@ -74,7 +74,18 @@ object StreamingDedup {
 
   private[streaming] def readStore(spark: SparkSession, storePath: String)
       : Option[DataFrame] = {
-    val parts = listBatches(spark, storePath)
+    // skip FILE-LESS batch partitions: a hive-partitioned overwrite of an
+    // empty frame (e.g. an empty microbatch through the cell-partitioned
+    // ANN ingest) leaves a batch=N dir holding only _SUCCESS — including
+    // it is harmless alongside data-bearing batches but breaks schema
+    // inference when it is the only one
+    val (fs, _) = fsOf(spark, storePath)
+    val parts = listBatches(spark, storePath).filter { case (_, p) =>
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
     if (parts.isEmpty) None
     else Some(spark.read.option("basePath", storePath)
       .parquet(parts.map(_._2.toString): _*))

@@ -573,6 +573,38 @@ class StreamingAnnSpec extends AnyFunSuite {
     })
   }
 
+  test("incremental serve prunes BOTH legs physically: PartitionFilters on base AND increment scans, no SMJ, no window") {
+    // VERDICT r12 #2: the base got the FAISS cell-partitioned layout in
+    // r12 but the streamed increments did not, and the old window dedup
+    // blocked the probe filter from reaching either scan in the
+    // incremental path — every live-index query shuffled the whole
+    // base∪increments by vec_id. The winners-join dedup + partitioned
+    // increments make the probe physical partition pruning on both legs.
+    val n = emb.count()
+    val cut = n * 2 / 3
+    val base = emb.filter(col("vec_id") < cut)
+    val inc = emb.filter(col("vec_id") >= cut)
+    withDirs { (store, codesPath) =>
+      llm.Similarity.saveIvfPqIndex(base, store)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(inc, 0L)
+      val qVec = llm.Similarity.queryVecOf(emb, 0L)
+      val p = StreamingAnn.searchIncremental(spark, store, codesPath,
+        qVec, qId = 0L).queryExecution.executedPlan.toString
+      // one pruned scan per leg (base codes + increment codes)
+      val pruned = """PartitionFilters: \[[^\]]*cid""".r
+        .findAllIn(p).size
+      assert(pruned >= 2,
+        s"expected cid PartitionFilters on base AND increment scans, got $pruned:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"union/dedup sort-merges a corpus-sized table:\n$p")
+      // the only window allowed is the ADC shortlist's (cid-partitioned,
+      // bounded per cell) — the vec_id dedup window must stay gone
+      val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windowLines.forall(_.contains("cid")),
+        s"dedup regressed to a vec_id window:\n${windowLines.mkString("\n")}")
+    }
+  }
+
   test("MemoryStream wiring: two triggered microbatches land as batch=0/1 and serve identically") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
