@@ -210,6 +210,10 @@ object SparkEntry {
       ((s, d) => llm.Similarity.annRecallResidual(s, d)),
     "q_ann_residual_inc" ->
       (streaming.StreamingAnn.annResidualIncrementalQuery _),
+    "q_ann_compacted" ->
+      (streaming.StreamingAnn.annCompactedQuery _),
+    "q_ann_compacted_residual" ->
+      (streaming.StreamingAnn.annCompactedResidualQuery _),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
     "q_ivfpq_batch_inc" ->
       (streaming.StreamingAnn.ivfPqBatchIncrementalQuery _),
@@ -829,6 +833,60 @@ object SparkEntry {
     s"$head,\n$ivfAssignBody,\n$rx,\n$pq,\n$codes"
   }
 
+  // ANN recall@k (VERDICT r7 #5): the SAME pqChain/coarse/probe/ADC
+  // CTEs as q_ivfpq_search, swept over nprobe IN (1, 2, 4), each top-10
+  // intersected with the brute-force cosine top-10 — the
+  // quantization-quality dial, oracle-checked because both rankings are
+  // deterministic. Bound to q_ann_recall AND q_ann_compacted (the
+  // ingest+compact composition must hash-match the batch recall SQL
+  // verbatim).
+  private lazy val annRecallOracle: String =
+    (pqChainUnit + s""",
+        |$ivfAssignBody,
+        |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
+        |qd AS (SELECT c.cid,
+        |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
+        |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
+        |${(0 until 4).map(s =>
+           s"""dt$s AS (SELECT cid,
+              |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
+              |  FROM c${s}_2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
+          .mkString(",\n")},
+        |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+        |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0),
+        |truth AS (SELECT z.vec_id FROM (
+        |  SELECT e.vec_id,
+        |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+        |     (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+        |      sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
+        |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z),
+        |${Seq(1, 2, 4).map(np =>
+           s"""probe$np AS (SELECT cid FROM
+              |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
+              |          WHERE rn <= $np),
+              |short$np AS (SELECT vec_id FROM (
+              |  SELECT k.vec_id, a.cid,
+              |    row_number() OVER (PARTITION BY a.cid
+              |      ORDER BY round(dt0.d + dt1.d + dt2.d + dt3.d, 9), k.vec_id) AS rn
+              |  FROM codes k JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
+              |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
+              |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
+              |  WHERE k.vec_id <> 0) WHERE rn <= 100),
+              |apx$np AS (SELECT u.vec_id FROM short$np s JOIN ul u USING (vec_id), qa
+              |  ORDER BY round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) DESC, u.vec_id
+              |  LIMIT 10)""".stripMargin)
+          .mkString(",\n")}
+        |${Seq(1, 2, 4).map(np =>
+           s"""SELECT $np AS nprobe, 10 AS k,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM apx$np JOIN truth USING (vec_id)) AS n_hits,
+              |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
+          .mkString(" UNION ALL\n")}
+        |ORDER BY nprobe""".stripMargin)
+
   private lazy val annRecallResidualOracle: String = {
     val query =
       s"""qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
@@ -1059,52 +1117,14 @@ object SparkEntry {
     // top-10 intersected with the brute-force cosine top-10 — the
     // quantization-quality dial, oracle-checked because both rankings
     // are deterministic
-    "q_ann_recall" ->
-      (pqChainUnit + s""",
-        |$ivfAssignBody,
-        |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
-        |qd AS (SELECT c.cid,
-        |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
-        |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
-        |${(0 until 4).map(s =>
-           s"""dt$s AS (SELECT cid,
-              |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
-              |  FROM c${s}_2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
-          .mkString(",\n")},
-        |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
-        |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0),
-        |truth AS (SELECT z.vec_id FROM (
-        |  SELECT e.vec_id,
-        |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
-        |     (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
-        |      sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
-        |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
-        |  WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z),
-        |${Seq(1, 2, 4).map(np =>
-           s"""probe$np AS (SELECT cid FROM
-              |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
-              |          WHERE rn <= $np),
-              |short$np AS (SELECT vec_id FROM (
-              |  SELECT k.vec_id, a.cid,
-              |    row_number() OVER (PARTITION BY a.cid
-              |      ORDER BY round(dt0.d + dt1.d + dt2.d + dt3.d, 9), k.vec_id) AS rn
-              |  FROM codes k JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
-              |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
-              |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
-              |  WHERE k.vec_id <> 0) WHERE rn <= 100),
-              |apx$np AS (SELECT u.vec_id FROM short$np s JOIN ul u USING (vec_id), qa
-              |  ORDER BY round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) DESC, u.vec_id
-              |  LIMIT 10)""".stripMargin)
-          .mkString(",\n")}
-        |${Seq(1, 2, 4).map(np =>
-           s"""SELECT $np AS nprobe, 10 AS k,
-              |  (SELECT CAST(count(*) AS BIGINT) FROM apx$np JOIN truth USING (vec_id)) AS n_hits,
-              |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
-          .mkString(" UNION ALL\n")}
-        |ORDER BY nprobe""".stripMargin),
+    "q_ann_recall" -> annRecallOracle,
+    // compacted-store serves (VERDICT r12 #5): three microbatch ingests
+    // folded into a new base version by compactIncrements, recall sweep
+    // served post-flip — pointwise encoding + quantizer-carrying
+    // compaction make the swept results bit-identical to the batch
+    // recall rows, so each oracle is that row's SQL VERBATIM
+    "q_ann_compacted" -> annRecallOracle,
+    "q_ann_compacted_residual" -> annRecallResidualOracle,
     // auto-dialed sample-trained IVF-PQ recall sweep: the dial rule
     // (k = clamp(ceil(sqrt(N)), 4, trainN // 39)), the vec_id % 2 train
     // slice, rank-based seeding over the slice, retention-hardened Lloyd,

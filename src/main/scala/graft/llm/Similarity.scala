@@ -1436,6 +1436,30 @@ object Similarity {
     * twice); skip it only when the upstream split is provably keyed.
     * At 10⁸ vectors the merge itself moves no vectors through the
     * driver and performs no shuffle beyond the union write. */
+  /** Synthesize the dials record for a PRE-DIALS legacy index from what
+    * the artifacts themselves prove (ADVICE r12: the previous hard-coded
+    * m/k/dim would lie about a legacy store built at other dials, and
+    * the record persists for every future reader): nlist from the coarse
+    * table's distinct cells, m from the codes part's c0..c{m-1} columns,
+    * k from the codebooks' code ids, dim from the stored unit vectors'
+    * length. Legacy stores are raw/spill=1 by definition
+    * ([[indexSpill]]/[[indexVariant]]); iters is training-only metadata
+    * no artifact records — persisted as -1 (unknown), never a guess.
+    * All four probes are centroid/metadata-sized reads. */
+  private[graft] def legacyDialsOf(coarse: DataFrame,
+      codebooks: DataFrame, codes: DataFrame,
+      vectors: DataFrame): DataFrame = {
+    val m = codes.columns.count(_.matches("c\\d+"))
+    val dim = vectors.select(size(col("ux")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val kRow = codebooks.agg(max("cid")).first()
+    val k = if (kRow.isNullAt(0)) 0 else kRow.getInt(0) + 1
+    coarse.sparkSession.range(1).select(
+      lit(coarse.select("cid").distinct().count().toInt).as("nlist"),
+      lit(1).as("spill"), lit(m).as("m"), lit(k).as("k"),
+      lit(-1).as("iters"), lit(dim).as("dim"), lit("raw").as("variant"))
+  }
+
   def saveMergedIndex(store: graft.store.ModelStore,
       shards: Seq[DataFrame], m: Int = 4,
       requireDisjoint: Boolean = true): Long = {
@@ -1452,16 +1476,14 @@ object Similarity {
     }
     val codeCols = col("vec_id") +: col("cid") +: (0 until m).map(s => col(s"c$s"))
     // a pre-dials legacy index is raw/spill=1 by definition
-    // ([[indexSpill]]/[[indexVariant]]) — synthesize that record rather
-    // than failing on a missing part, so the merged version always
-    // carries explicit dials forward
+    // ([[indexSpill]]/[[indexVariant]]) — synthesize that record from
+    // the artifacts themselves ([[legacyDialsOf]]) rather than failing
+    // on a missing part, so the merged version always carries explicit,
+    // truthful dials forward
     val dials =
       if (store.partNames.contains("dials")) store.load("dials")
-      else store.load("coarse").sparkSession.range(1).select(
-        lit(store.load("coarse").select("cid").distinct().count().toInt)
-          .as("nlist"),
-        lit(1).as("spill"), lit(m).as("m"), lit(8).as("k"),
-        lit(2).as("iters"), lit(64).as("dim"), lit("raw").as("variant"))
+      else legacyDialsOf(store.load("coarse"), store.load("codebooks"),
+        all.select(codeCols: _*), all.select("vec_id", "ux"))
     store.save(Map(
       "coarse" -> store.load("coarse"),
       "codebooks" -> store.load("codebooks"),

@@ -53,16 +53,33 @@ class ModelStore(spark: SparkSession, path: String) {
     }
     val next = currentVersion.getOrElse(-1L) + 1
     parts.foreach { case (name, df) =>
-      val w = df.write.mode(SaveMode.Overwrite)
-      // a partitioned write of ZERO rows produces no files at all — the
-      // read-back cannot even infer a schema. Quantizer-only versions
-      // (empty data parts, the distributed-build first step) hit exactly
-      // this, so an empty part falls back to the plain layout, which
-      // writes a schema-bearing empty file; the partition column stays a
-      // normal column, so readers see the same shape either way.
-      partitioned.get(name).filter(_.nonEmpty && !df.isEmpty)
-        .fold(w)(cols => w.partitionBy(cols: _*))
-        .parquet(partDir(next, name).toString)
+      val dir = partDir(next, name)
+      partitioned.get(name).filter(_.nonEmpty) match {
+        case Some(cols) =>
+          // a partitioned write of ZERO rows produces no files at all —
+          // the read-back cannot even infer a schema. Quantizer-only
+          // versions (empty data parts, the distributed-build first
+          // step) hit exactly this, so a part whose partitioned write
+          // came out file-less is REWRITTEN in the plain layout, which
+          // writes a schema-bearing empty file; the partition column
+          // stays a normal column, so readers see the same shape either
+          // way. Detecting emptiness AFTER the write (one driver
+          // directory listing) costs nothing on the common non-empty
+          // path — the previous pre-write df.isEmpty launched an extra
+          // Spark job per partitioned part, re-evaluating computed
+          // frames like the compaction union (ADVICE r12).
+          df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*)
+            .parquet(dir.toString)
+          val hasData = scala.util.Using.resource(Files.list(dir))(
+            _.iterator().asScala.exists { p =>
+              val n = p.getFileName.toString
+              !n.startsWith("_") && !n.startsWith(".")
+            })
+          if (!hasData)
+            df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+        case None =>
+          df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      }
     }
     flip(next)
   }

@@ -406,6 +406,34 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy-store dials are derived from the artifacts, never hard-coded guesses") {
+    // ADVICE r12: the synthesized legacy dials hard-coded m=4/k=8/dim=64;
+    // a legacy index built at other dials got a persisted record that
+    // lied to every future reader. Build at NON-default dials, strip the
+    // dials part (the pre-dials layout), merge — the carried-forward
+    // record must state what the artifacts prove, and iters (training
+    // metadata no artifact records) must be -1, not a guess.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    withStore { store =>
+      llm.Similarity.saveIvfPqIndex(emb, store, kCells = 3, m = 2, k = 4)
+      // re-save every part EXCEPT dials: a faithful legacy layout
+      store.save(store.partNames.filter(_ != "dials")
+        .map(p => p -> store.load(p)).toMap)
+      assert(!store.partNames.contains("dials"))
+      val shard = store.load("codes")
+        .join(store.load("vectors"), "vec_id")
+      llm.Similarity.saveMergedIndex(store, Seq(shard), m = 2)
+      val d = store.load("dials").first()
+      assert(d.getAs[Int]("nlist") === 3, d)
+      assert(d.getAs[Int]("m") === 2, d)
+      assert(d.getAs[Int]("k") === 4, d)
+      assert(d.getAs[Int]("dim") === 64, d)
+      assert(d.getAs[Int]("iters") === -1, d)
+      assert(d.getAs[Int]("spill") === 1, d)
+      assert(d.getAs[String]("variant") === "raw", d)
+    }
+  }
+
   test("scratch harness materializes the result and removes the store directory") {
     import spark.implicits._
     var path: String = null

