@@ -231,6 +231,8 @@ object SparkEntry {
     "q_multimodal_release" -> (llm.Multimodal.multimodalReleaseQuery _),
     "q_multimodal_release_inc" ->
       (streaming.StreamingRelease.multimodalReleaseIncrementalQuery _),
+    "q_xent_gate_lang" ->
+      (streaming.StreamingRelease.xentGateByLangQuery _),
     // family 9 extras: scalar functions, conditional agg, pivot, ranking
     "q_string_funcs" -> (Scalar.stringFuncs _),
     "q_date_funcs" -> (Scalar.dateFuncs _),
@@ -1286,6 +1288,44 @@ object SparkEntry {
     // 1-2 per lang over the SAME scoring chain, windowed over survivors
     // only) -> token-balanced shard ledger (q_shard_plan's rank body)
     "q_corpus_release" -> corpusReleaseOracle,
+    // per-language xent drift gate (the grouped PSI rule): reference =
+    // even doc_ids' LM scores, current = odd, per-lang edges/buckets/
+    // smoothing replayed through the SAME px scoring chain — one term
+    // row per (lang, bucket), each independently exact (no float fold
+    // crosses the engines). Langs = those present in BOTH sides (the
+    // gate emits rows only where it has reference AND evidence).
+    "q_xent_gate_lang" -> (lmScoreCte + """,
+      |refx AS (SELECT lang, xent FROM px WHERE doc_id % 2 = 0),
+      |curx AS (SELECT lang, xent FROM px WHERE doc_id % 2 = 1),
+      |ed AS (SELECT lang, min(xent) AS vmin, max(xent) AS vmax
+      |       FROM refx GROUP BY lang),
+      |rb AS (SELECT r.lang,
+      |         CASE WHEN ed.vmax > ed.vmin
+      |              THEN greatest(0, least(9, CAST(floor(((r.xent - ed.vmin) * 10) / (ed.vmax - ed.vmin)) AS INT)))
+      |              ELSE 0 END AS bucket
+      |       FROM refx r JOIN ed ON r.lang = ed.lang),
+      |cb AS (SELECT c.lang,
+      |         CASE WHEN ed.vmax > ed.vmin
+      |              THEN greatest(0, least(9, CAST(floor(((c.xent - ed.vmin) * 10) / (ed.vmax - ed.vmin)) AS INT)))
+      |              ELSE 0 END AS bucket
+      |       FROM curx c JOIN ed ON c.lang = ed.lang),
+      |rh AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c_ref FROM rb GROUP BY 1, 2),
+      |ch AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c_cur FROM cb GROUP BY 1, 2),
+      |ls AS (SELECT DISTINCT lang FROM cb),
+      |de AS (SELECT l.lang, r.b AS bucket,
+      |         COALESCE(rh.c_ref, 0) AS c_ref, COALESCE(ch.c_cur, 0) AS c_cur
+      |       FROM ls l CROSS JOIN (SELECT CAST(unnest(range(0, 10)) AS INT) AS b) r
+      |       LEFT JOIN rh ON rh.lang = l.lang AND rh.bucket = r.b
+      |       LEFT JOIN ch ON ch.lang = l.lang AND ch.bucket = r.b),
+      |tt AS (SELECT lang, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+      |         CAST(sum(c_cur) AS BIGINT) AS n_cur FROM de GROUP BY lang)
+      |SELECT de.lang, de.bucket, de.c_ref, de.c_cur,
+      |  round(((CAST(de.c_ref + 1 AS DOUBLE) / CAST(tt.n_ref + 10 AS DOUBLE)) -
+      |         (CAST(de.c_cur + 1 AS DOUBLE) / CAST(tt.n_cur + 10 AS DOUBLE))) *
+      |        ln(CAST((de.c_ref + 1) * (tt.n_cur + 10) AS DOUBLE) /
+      |           CAST((de.c_cur + 1) * (tt.n_ref + 10) AS DOUBLE)), 6) AS psi_term
+      |FROM de JOIN tt ON de.lang = tt.lang
+      |ORDER BY de.lang, de.bucket""".stripMargin),
     // incremental release (q_corpus_release_inc): the Spark side ingests
     // three ascending-doc_id microbatches through the hash + score
     // ledgers and serves the manifest FROM the ledgers

@@ -66,6 +66,39 @@ object StatTests {
       .orderBy("bucket")
   }
 
+  /** [[psiTermsOf]] grouped by a key column — the per-language quality
+    * gate's rule ([[graft.streaming.StreamingRelease]]): dense-fill
+    * each key's buckets, smooth and score WITHIN the key, so one key's
+    * volume cannot dilute another's shift (the mix-shift masking a
+    * pooled PSI suffers). Same smoothing/term formula as the pooled
+    * rule — with a single key the terms equal [[psiTermsOf]]'s exactly.
+    * Input is a sparse (key, bucket, c_ref, c_cur) table; callers
+    * materialize it first (it is keys·buckets rows but may be computed
+    * from joins this body reads twice). */
+  private[graft] def psiTermsGrouped(counts: DataFrame, buckets: Int,
+      key: String = "lang"): DataFrame = {
+    val spark = counts.sparkSession
+    val dense = counts.select(key).distinct()
+      .crossJoin(broadcast(spark.range(0, buckets)
+        .select(col("id").cast("int").as("bucket"))))
+      .join(counts, Seq(key, "bucket"), "left")
+      .select(col(key), col("bucket"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = dense.groupBy(key)
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    val p = (col("c_ref") + 1).cast("double") /
+      (col("n_ref") + buckets).cast("double")
+    val q = (col("c_cur") + 1).cast("double") /
+      (col("n_cur") + buckets).cast("double")
+    val ratio = ((col("c_ref") + 1) * (col("n_cur") + buckets)).cast("double") /
+      ((col("c_cur") + 1) * (col("n_ref") + buckets)).cast("double")
+    dense.join(broadcast(tot), key)
+      .select(col(key), col("bucket"), col("c_ref"), col("c_cur"),
+        round((p - q) * log(ratio), 6).as("psi_term"))
+      .orderBy(key, "bucket")
+  }
+
   /** Combine a reference histogram (bucket, c_ref) with current counts
     * (bucket, c_cur) into the per-bucket PSI report — the ONE combine
     * rule, used by [[psiOf]]'s inline path, [[psiPersisted]], and the

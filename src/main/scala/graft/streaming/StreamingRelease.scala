@@ -203,6 +203,175 @@ object StreamingRelease {
         (col("psi") > threshold).as("shifted"))
   }
 
+  // ---- per-LANGUAGE quality gate (VERDICT r12 #4): the pooled gate
+  // can be masked by a MIX shift — more low-resource-language docs,
+  // each individually honest, moves the pooled xent distribution while
+  // every per-language distribution is stationary; and conversely one
+  // language's degradation dilutes into the pool. The release's
+  // tertile gate is already per-language ([[TextOps]]' CCNet rule), so
+  // the monitor is too: reference edges + histogram PER LANGUAGE, PSI
+  // per language through the grouped twin of the shared smoothing/term
+  // rule ([[graft.operators.StatTests.psiTermsGrouped]] — with one
+  // language it equals the pooled rule exactly). A language absent
+  // from the calibrated reference produces NO gate row and is admitted
+  // (the gate can only compare against a reference it has; calibrate
+  // every expected language — the pooled gate still sees such docs). ----
+
+  /** Snapshot the PER-LANGUAGE xent drift reference: bucket edges and
+    * histogram of the calibration docs' LM scores, grouped by lang,
+    * persisted to its own store ([[saveXentReference]]'s grouped twin;
+    * the same held-out-calibration discipline applies). */
+  def saveXentReferenceByLang(calib: DataFrame, lmStore: ModelStore,
+      driftStore: ModelStore, trainLang: String = "en",
+      buckets: Int = 10): Long = {
+    val xent = TextOps.lmScoreRowsPersisted(calib, lmStore, trainLang)
+      .select(col("lang"), col("xent").as("d")).localCheckpoint(true)
+    val edges = xent.groupBy("lang")
+      .agg(min("d").as("vmin"), max("d").as("vmax"))
+      .localCheckpoint(true)
+    val hist = xent.join(broadcast(edges), "lang")
+      .select(col("lang"), graft.operators.StatTests.bucketCol(col("d"),
+        col("vmin"), col("vmax"), buckets).as("bucket"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("c_ref"))
+    driftStore.save(Map("lang_edges" -> edges, "lang_hist" -> hist))
+  }
+
+  /** Per-(lang, bucket) PSI terms of an already-scored frame against
+    * the per-language reference — the ONE grouped-gate body: the
+    * summary gate sums it per language, and the `q_xent_gate_lang`
+    * oracle row pins it (each term row is independently exact, so the
+    * cross-engine hash never rides a float fold). Languages present in
+    * the batch but absent from the reference drop out (inner edge
+    * join); reference languages absent from the batch produce no rows
+    * (no quality evidence — not the same as a shift). */
+  private[streaming] def xentTermsByLang(scored: DataFrame,
+      driftStore: ModelStore, buckets: Int): DataFrame = {
+    val edges = driftStore.load("lang_edges")
+    val cur = scored.join(broadcast(edges), "lang")
+      .select(col("lang"), graft.operators.StatTests.bucketCol(
+        col("xent"), col("vmin"), col("vmax"), buckets).as("bucket"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("c_cur"))
+      .localCheckpoint(true)
+    val hist = driftStore.load("lang_hist")
+      .join(cur.select("lang").distinct(), Seq("lang"), "left_semi")
+    val counts = hist.join(cur, Seq("lang", "bucket"), "full_outer")
+      .select(col("lang"), col("bucket"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+      .localCheckpoint(true)
+    graft.operators.StatTests.psiTermsGrouped(counts, buckets, "lang")
+  }
+
+  /** Per-language gate rows (lang, n_cur, psi, shifted) of an
+    * already-scored frame — [[xentGateFrom]]'s grouped twin, summing
+    * the one term body per language. */
+  def xentGateByLangFrom(scored: DataFrame, driftStore: ModelStore,
+      threshold: Double = 0.2, buckets: Int = 10): DataFrame =
+    xentTermsByLang(scored, driftStore, buckets)
+      .groupBy("lang")
+      .agg(sum("c_cur").as("n_cur"), round(sum("psi_term"), 6).as("psi"))
+      .select(col("lang"), col("n_cur"), col("psi"),
+        (col("psi") > threshold).as("shifted"))
+      .orderBy("lang")
+
+  /** Score one batch and gate it per language — the standalone
+    * grouped monitor ([[releaseQualityGate]]'s twin). */
+  def releaseQualityGateByLang(lmStore: ModelStore,
+      driftStore: ModelStore, batch: DataFrame, threshold: Double = 0.2,
+      trainLang: String = "en", buckets: Int = 10): DataFrame =
+    xentGateByLangFrom(
+      TextOps.lmScoreRowsPersisted(batch, lmStore, trainLang),
+      driftStore, threshold, buckets)
+
+  /** [[releaseIngestWithQuarantineBatch]] with PER-LANGUAGE routing:
+    * gate each language's scored distribution separately and hold ONLY
+    * the shifted languages' docs — a clean-language doc in the same
+    * batch is admitted (the documented choice: quarantine follows the
+    * evidence, which is per-language). The monitor records every
+    * gate row. `minGateN` is the per-language sample floor — a
+    * language below it is admitted with the signal recorded, the
+    * [[releaseIngestWithQuarantineBatch]] rule applied per group.
+    * Replay idempotent: the verdicts are deterministic functions of
+    * the scored rows and the frozen reference, and both destinations
+    * overwrite their own `batch=N` partition (one of them possibly
+    * with zero rows — still schema-bearing). */
+  def releaseIngestWithLangQuarantineBatch(spark: SparkSession,
+      lmStore: ModelStore, driftStore: ModelStore, hashPath: String,
+      scorePath: String, quarantinePath: String, monitorPath: String,
+      threshold: Double = 0.2, trainLang: String = "en",
+      buckets: Int = 10, minGateN: Long = 50L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val scored = graft.Materialize.checkpoint(
+      ingestNovelScored(spark, lmStore, hashPath, trainLang)(
+        batch, batchId))
+    val gate = xentGateByLangFrom(scored, driftStore, threshold, buckets)
+      .localCheckpoint(true) // read twice: persisted rows + verdicts
+    gate.write.mode("overwrite")
+      .parquet(s"$monitorPath/batch=$batchId")
+    val held = gate
+      .filter(col("shifted") && col("n_cur") >= minGateN)
+      .select("lang").collect().map(_.getString(0)).toSeq // ≤ |langs|
+    scored.filter(!col("lang").isin(held: _*))
+      .write.mode("overwrite").parquet(s"$scorePath/batch=$batchId")
+    scored.filter(col("lang").isin(held: _*))
+      .write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
+  }
+
+  /** Wire a (doc_id, lang, text) stream through the per-language
+    * quarantining ingest. */
+  def incrementalReleaseWithLangQuarantine(docs: DataFrame,
+      lmStore: ModelStore, driftStore: ModelStore, hashPath: String,
+      scorePath: String, quarantinePath: String, monitorPath: String,
+      checkpoint: String, threshold: Double = 0.2,
+      trainLang: String = "en", buckets: Int = 10,
+      minGateN: Long = 50L): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch(releaseIngestWithLangQuarantineBatch(
+        docs.sparkSession, lmStore, driftStore, hashPath, scorePath,
+        quarantinePath, monitorPath, threshold, trainLang, buckets,
+        minGateN) _)
+      .option("checkpointLocation", checkpoint)
+
+  /** Re-admit a batch's quarantined rows by MERGING them with whatever
+    * the batch already admitted — the per-language arm's clear path
+    * ([[admitQuarantined]] overwrites the whole partition, which is
+    * right only when the batch was held wholesale). Deterministic and
+    * replay-idempotent: rows are keyed by doc_id and both sources are
+    * the same ledger rows, so the merged partition is the exact
+    * admit-everything outcome however many times it runs. */
+  def admitQuarantinedMerge(spark: SparkSession, quarantinePath: String,
+      scorePath: String, batchId: Long): Unit = {
+    val held = spark.read.parquet(s"$quarantinePath/batch=$batchId")
+    val dest = s"$scorePath/batch=$batchId"
+    val merged = (try Some(spark.read.parquet(dest)) catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }).fold(held)(_.unionByName(held).dropDuplicates("doc_id"))
+    // materialize BEFORE the overwrite — merged reads dest
+    graft.Materialize.checkpoint(merged)
+      .write.mode("overwrite").parquet(dest)
+  }
+
+  /** Driver-contract query (`q_xent_gate_lang`): the per-language gate's
+    * term table over a deterministic split of `dir`'s documents —
+    * reference = even doc_ids, current = odd doc_ids, both scored by
+    * the process-shared LM. Emits one row per (lang, bucket) with the
+    * smoothed PSI term — each row independently exact — so the driver's
+    * DuckDB replay hash-pins the grouped bucket/smoothing/term rules. */
+  def xentGateByLangQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val lmStore = TextOps.sharedLmFor(spark, dir)
+    val calib = docs.filter(col("doc_id") % 2 === 0)
+    val cur = TextOps.lmScoreRowsPersisted(
+      docs.filter(col("doc_id") % 2 === 1), lmStore)
+    val driftDir = Files.createTempDirectory("graft-langgate-")
+    try {
+      val ds = new ModelStore(spark, driftDir.toString)
+      saveXentReferenceByLang(calib, lmStore, ds)
+      graft.Materialize.checkpoint(xentTermsByLang(cur, ds, 10))
+    } finally ModelStore.deleteRecursively(driftDir)
+  }
+
   /** [[releaseIngestBatch]] plus the quality monitor: the gate row for
     * each batch lands in `monitorPath/batch=N` (partition-overwrite —
     * the replay contract holds for the monitor too). The monitored

@@ -228,6 +228,111 @@ class StreamingReleaseSpec extends AnyFunSuite {
     } finally dirs.foreach(ModelStore.deleteRecursively)
   }
 
+  test("per-language gate: a single-language scramble fires only that language; quarantine holds only its docs; admit restores parity") {
+    // VERDICT r12 #4: the pooled gate can be diluted by the clean
+    // majority (or masked by a mix shift) — the per-language gate
+    // scores each language against ITS reference, and the composed
+    // ingest quarantines only the shifted language's docs
+    val train = docs.filter(col("doc_id") % 3 === 0)
+    val calib = docs.filter(col("doc_id") % 3 === 1)
+    val honest = docs.filter(col("doc_id") % 3 === 2)
+    // scramble ONLY lang='de' texts: unseen bigrams pin every de doc at
+    // the ln V ceiling; every other language stays exchangeable with
+    // its calibration slice
+    val mixed = honest.select(col("doc_id"), col("lang"),
+      when(col("lang") === "de",
+        regexp_replace(col("text"), "[a-zA-Z]", "z"))
+        .otherwise(col("text")).as("text")).localCheckpoint(true)
+    val dirs = Seq("graft-lq-lm-", "graft-lq-drift-", "graft-lq-hash-",
+      "graft-lq-score-", "graft-lq-quar-", "graft-lq-mon-")
+      .map(Files.createTempDirectory(_))
+    try {
+      val Seq(lmDir, driftDir, hashDir, scoreDir, quarDir, monDir) = dirs
+      val lmStore = new ModelStore(spark, lmDir.toString)
+      val driftStore = new ModelStore(spark, driftDir.toString)
+      llm.TextOps.lmSave(train, lmStore)
+      // per-language groups are small at this SF (~25 docs/lang): a
+      // 10-bucket histogram is noise-dominated (~2.5 docs/bucket — the
+      // clean languages PSI'd 0.26-0.37 on exchangeable data), so the
+      // reference uses 4 buckets, the floor follows the ~5-per-bucket
+      // rule the ANN gate documents (minGateN = 5·buckets), and the
+      // threshold sits at 0.3: with ~6 docs/bucket the exchangeable
+      // languages PSI up to ~0.22 on pure sampling noise, while the
+      // scrambled language scores 1.8 — an order of magnitude of
+      // separation for the dial to land in
+      StreamingRelease.saveXentReferenceByLang(calib, lmStore,
+        driftStore, buckets = 4)
+      val ingest = StreamingRelease.releaseIngestWithLangQuarantineBatch(
+        spark, lmStore, driftStore, hashDir.toString, scoreDir.toString,
+        quarDir.toString, monDir.toString, threshold = 0.3,
+        buckets = 4, minGateN = 20L) _
+      ingest(mixed, 0L)
+      // one gate row per language; ONLY de fired
+      val gate = spark.read.parquet(s"$monDir/batch=0")
+        .select("lang", "n_cur", "psi", "shifted").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(gate.keySet === Set("en", "fr", "es", "zh", "de"), gate)
+      assert(gate("de")._3, s"scrambled de stayed quiet: $gate")
+      gate.filterNot(_._1 == "de").foreach { case (l, g) =>
+        assert(!g._3, s"clean language $l fired: $gate")
+      }
+      assert(gate("de")._1 >= 20L, gate)
+      // quarantine holds EXACTLY the de docs; the ledger the rest
+      val heldLangs = spark.read.parquet(s"$quarDir/batch=0")
+        .select("lang").distinct().collect().map(_.getString(0)).toSeq
+      assert(heldLangs === Seq("de"), heldLangs)
+      val ledgerLangs = spark.read.parquet(s"$scoreDir/batch=0")
+        .select("lang").distinct().collect().map(_.getString(0)).toSet
+      assert(ledgerLangs === Set("en", "fr", "es", "zh"), ledgerLangs)
+      // manifest == direct ingest of the batch WITHOUT its de docs
+      val withoutDe = manifestRows(scoreDir.toString)
+      val directNoDe = {
+        val d2 = Seq("graft-lq2-hash-", "graft-lq2-score-")
+          .map(Files.createTempDirectory(_))
+        try {
+          StreamingRelease.releaseIngestBatch(spark, lmStore,
+            d2(0).toString, d2(1).toString)(
+            mixed.filter(col("lang") =!= "de"), 0L)
+          manifestRows(d2(1).toString)
+        } finally d2.foreach(ModelStore.deleteRecursively)
+      }
+      assert(withoutDe === directNoDe)
+      // replay rewrites the same partitions — verdicts deterministic
+      val heldRows = spark.read.parquet(s"$quarDir/batch=0")
+        .collect().map(_.toString).sorted.toSeq
+      ingest(mixed, 0L)
+      assert(spark.read.parquet(s"$quarDir/batch=0")
+        .collect().map(_.toString).sorted.toSeq === heldRows)
+      assert(manifestRows(scoreDir.toString) === withoutDe)
+      // operator clears de: MERGE admission restores the full-batch
+      // composition (admitQuarantined would clobber the admitted rows)
+      StreamingRelease.admitQuarantinedMerge(spark, quarDir.toString,
+        scoreDir.toString, 0L)
+      val admitted = manifestRows(scoreDir.toString)
+      val directAll = {
+        val d3 = Seq("graft-lq3-hash-", "graft-lq3-score-")
+          .map(Files.createTempDirectory(_))
+        try {
+          StreamingRelease.releaseIngestBatch(spark, lmStore,
+            d3(0).toString, d3(1).toString)(mixed, 0L)
+          manifestRows(d3(1).toString)
+        } finally d3.foreach(ModelStore.deleteRecursively)
+      }
+      assert(admitted === directAll)
+      // merge-admit replay idempotent
+      StreamingRelease.admitQuarantinedMerge(spark, quarDir.toString,
+        scoreDir.toString, 0L)
+      assert(manifestRows(scoreDir.toString) === admitted)
+      // standalone grouped gate agrees with the composed monitor rows
+      val solo = StreamingRelease.releaseQualityGateByLang(lmStore,
+        driftStore, mixed, threshold = 0.3, buckets = 4).collect()
+        .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+      assert(solo("de") && solo.filterNot(_._1 == "de").values
+        .forall(!_), solo)
+    } finally dirs.foreach(ModelStore.deleteRecursively)
+  }
+
   test("gate buckets thread through: a non-default reference width gates consistently (advice r11)") {
     // a reference saved at buckets=7 must be PSI'd against 7-bucket
     // current counts — the composed ingest once hard-coded 10, skewing
