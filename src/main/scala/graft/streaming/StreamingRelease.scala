@@ -549,22 +549,34 @@ object StreamingRelease {
     * cross-batch check is ONE equi-join on the bucket key against the
     * store with exact cosine inside the bucket — per bucket the work is
     * |batch ∩ bucket| × |store ∩ bucket|, linear in the store (the
-    * candidate-verification cost any LSH pays), and at production scale
-    * the store is written bucket-partitioned so the join prunes.
-    * Replay: every write overwrites its own `batch=N` partition and
-    * reads strictly-earlier batches only — the standard contract. */
+    * candidate-verification cost any LSH pays). The store is written
+    * BUCKET-PARTITIONED (`batch=N/bkt=…`, the numeric form of the sign
+    * bucket) and the probe lists the batch's ≤ min(2^nPlanes, |batch|)
+    * distinct buckets on the driver — a bounded read, the coarse-table
+    * collect discipline — so the store scan is STATIC partition
+    * pruning: a batch touching b buckets reads b/2^nPlanes of the
+    * signature directories, however many batches have accumulated
+    * (VERDICT r12 #3, closing the SURVEY §17 "at production scale"
+    * note). Replay: every write overwrites its own `batch=N` partition
+    * and reads strictly-earlier batches only — the standard contract. */
   def multimodalIngestNearDupBatch(spark: SparkSession,
       textHashPath: String, mediaSigPath: String, ledgerPath: String,
       minSim: Double = 0.9, nPlanes: Int = 8,
       dim: Int = graft.llm.Multimodal.FeatureDim)(
       batch: DataFrame, mediaFeatures: DataFrame, batchId: Long): Unit = {
     import graft.llm.Similarity
+    require(nPlanes <= 30,
+      s"nPlanes=$nPlanes: the numeric partition bucket is an int")
     val textNovel = novelTextKeepers(spark, textHashPath)(batch, batchId)
     val mf = graft.Materialize.checkpoint(
       mediaFeatures.select(col("vec_id"), col("embedding")))
     val sigs = graft.Materialize.checkpoint(
-      Similarity.signBucketTable(mf, nPlanes, dim).join(mf, "vec_id"))
-    sigs.write.mode("overwrite").parquet(s"$mediaSigPath/batch=$batchId")
+      Similarity.signBucketTable(mf, nPlanes, dim).join(mf, "vec_id")
+        // numeric twin of the bit-string bucket: hive partition values
+        // round-trip ints exactly, while "00101" would re-infer as 101
+        .withColumn("bkt", conv(col("bucket"), 2, 10).cast("int")))
+    sigs.write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$mediaSigPath/batch=$batchId")
     // within-batch pixel clusters; docs in no pair are their own cluster
     val pairs = Similarity.groupedCosinePairs(sigs, "bucket", 256)
       .filter(col("cos_sim") >= minSim)
@@ -577,20 +589,24 @@ object StreamingRelease {
         .select(col("doc_id"),
           coalesce(col("cluster"), col("doc_id")).as("cluster")))
     // a cluster is SEEN when any member near-dups an earlier batch's
-    // stored signature
-    val seenClusters = StreamingDedup.readStore(spark, mediaSigPath)
-      .map(_.filter(col("batch") < batchId)) match {
-      case Some(prior) =>
-        val hits = sigs.join(
-            prior.select(col("bucket"), col("embedding").as("pe")),
-            Seq("bucket"))
-          .filter(round(Similarity.cosine(col("embedding"), col("pe")),
-            9) >= minSim)
-          .select(col("vec_id").as("doc_id")).distinct()
-        clusterOf.join(hits, Seq("doc_id"), "left_semi")
-          .select("cluster").distinct()
-      case None => clusterOf.filter(lit(false)).select("cluster")
-    }
+    // stored signature — the store probe reads ONLY this batch's
+    // buckets' partitions (and only strictly-earlier batch dirs): both
+    // predicates are partition filters
+    val probed = sigs.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ min(2^nPlanes, |batch|)
+    val seenClusters =
+      priorSignatures(spark, mediaSigPath, batchId, probed) match {
+        case Some(prior) =>
+          val hits = sigs.join(
+              prior.select(col("bkt"), col("embedding").as("pe")),
+              Seq("bkt"))
+            .filter(round(Similarity.cosine(col("embedding"), col("pe")),
+              9) >= minSim)
+            .select(col("vec_id").as("doc_id")).distinct()
+          clusterOf.join(hits, Seq("doc_id"), "left_semi")
+            .select("cluster").distinct()
+        case None => clusterOf.filter(lit(false)).select("cluster")
+      }
     val canon = clusterOf.groupBy("cluster").agg(min("doc_id").as("doc_id"))
     val mediaKeep = canon.join(seenClusters, Seq("cluster"), "left_anti")
       .select("doc_id")
@@ -601,6 +617,18 @@ object StreamingRelease {
         size(split(trim(col("text")), "\\s+")).as("n_tok"))
       .write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
   }
+
+  /** The pruned signature-store probe: strictly-earlier batches,
+    * restricted to the probing batch's own buckets — `batch` and `bkt`
+    * are BOTH hive partition columns, so the whole predicate is
+    * partition pruning (spec-pinned via the executed plan's
+    * PartitionFilters). Exposed for the plan guard. */
+  private[graft] def priorSignatures(spark: SparkSession,
+      mediaSigPath: String, batchId: Long,
+      probed: Seq[Int]): Option[DataFrame] =
+    StreamingDedup.readStore(spark, mediaSigPath)
+      .map(_.filter(col("batch") < batchId &&
+        col("bkt").isin(probed: _*)))
 
   /** Wire a (doc_id, lang, text, …) stream through the incremental
     * multimodal release — the writeStream symmetry the corpus twin has

@@ -761,6 +761,19 @@ class MultimodalSpec extends AnyFunSuite {
       // replay of batch 1: identical partitions, identical manifest
       ingest(docs1, Multimodal.imageFeatureVectors(media1), 1L)
       assert(manifest === streamed)
+      // the store probe is PHYSICAL (VERDICT r12 #3): batch and bkt are
+      // both hive partition columns, so "strictly earlier batches, only
+      // my buckets" prunes signature directories instead of scanning
+      // every prior batch
+      val someBkt = spark.read.parquet(sg).select("bkt").distinct()
+        .limit(1).collect().map(_.getInt(0)).toSeq
+      val pp = graft.streaming.StreamingRelease
+        .priorSignatures(spark, sg, 1L, someBkt).get
+        .queryExecution.executedPlan.toString
+      assert("""PartitionFilters: \[[^\]]*bkt""".r
+        .findFirstIn(pp).isDefined, pp)
+      assert("""PartitionFilters: \[[^\]]*batch""".r
+        .findFirstIn(pp).isDefined, pp)
     } finally dirs.foreach(graft.store.ModelStore.deleteRecursively)
   }
 
