@@ -214,6 +214,12 @@ object SparkEntry {
       (streaming.StreamingAnn.annCompactedQuery _),
     "q_ann_compacted_residual" ->
       (streaming.StreamingAnn.annCompactedResidualQuery _),
+    "q_ann_deleted" ->
+      (streaming.StreamingAnn.annDeletedQuery _),
+    "q_ann_filtered" ->
+      ((s, d) => llm.Similarity.annRecallFiltered(s, d)),
+    "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
+    "q_cosine_range" -> ((s, d) => llm.Similarity.cosineRange(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
     "q_ivfpq_batch_inc" ->
       (streaming.StreamingAnn.ivfPqBatchIncrementalQuery _),
@@ -835,27 +841,41 @@ object SparkEntry {
     s"$head,\n$ivfAssignBody,\n$rx,\n$pq,\n$codes"
   }
 
+  // the per-query serve CTEs shared by the raw recall/range oracles:
+  // probe distances qd, per-subspace ADC distance tables dt0..3, and
+  // the full-precision rerank payload ul/qa
+  private lazy val annQueryCtes: String =
+    s"""qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
+       |qd AS (SELECT c.cid,
+       |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
+       |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
+       |${(0 until 4).map(s =>
+          s"""dt$s AS (SELECT cid,
+             |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
+             |  FROM c${s}_2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
+         .mkString(",\n")},
+       |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+       |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0)""".stripMargin
+
   // ANN recall@k (VERDICT r7 #5): the SAME pqChain/coarse/probe/ADC
   // CTEs as q_ivfpq_search, swept over nprobe IN (1, 2, 4), each top-10
   // intersected with the brute-force cosine top-10 — the
   // quantization-quality dial, oracle-checked because both rankings are
-  // deterministic. Bound to q_ann_recall AND q_ann_compacted (the
-  // ingest+compact composition must hash-match the batch recall SQL
-  // verbatim).
-  private lazy val annRecallOracle: String =
+  // deterministic. The BUILDER form takes optional predicates over the
+  // candidate set (`candCond`, alias k) and the truth corpus
+  // (`truthCond`, alias e) — empty strings reproduce the plain sweep;
+  // q_ann_filtered injects the allowed-set predicate into both
+  // (filtered serve vs filtered truth) and q_ann_deleted the takedown's
+  // survivor predicate (deleted serve vs deleted truth). The plain form
+  // is bound to q_ann_recall AND q_ann_compacted (the ingest+compact
+  // composition must hash-match the batch recall SQL verbatim).
+  private def annRecallSweepOracle(candCond: String = "",
+      truthCond: String = ""): String = {
+    val cc = if (candCond.isEmpty) "" else s" AND $candCond"
+    val tc = if (truthCond.isEmpty) "" else s" AND $truthCond"
     (pqChainUnit + s""",
         |$ivfAssignBody,
-        |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
-        |qd AS (SELECT c.cid,
-        |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
-        |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
-        |${(0 until 4).map(s =>
-           s"""dt$s AS (SELECT cid,
-              |  list_reduce(list_prepend(0.0, list((qx - c) * (qx - c) ORDER BY i)), (a, b) -> a + b) AS d
-              |  FROM c${s}_2 c JOIN qq ON qq.gi = ${s * 16} + c.i GROUP BY cid)""".stripMargin)
-          .mkString(",\n")},
-        |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
-        |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0),
+        |$annQueryCtes,
         |truth AS (SELECT z.vec_id FROM (
         |  SELECT e.vec_id,
         |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
@@ -865,7 +885,7 @@ object SparkEntry {
         |      sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
         |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
-        |  WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z),
+        |  WHERE e.vec_id <> 0$tc ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z),
         |${Seq(1, 2, 4).map(np =>
            s"""probe$np AS (SELECT cid FROM
               |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
@@ -877,7 +897,7 @@ object SparkEntry {
               |  FROM codes k JOIN af a USING (vec_id) JOIN probe$np p ON a.cid = p.cid
               |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
               |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
-              |  WHERE k.vec_id <> 0) WHERE rn <= 100),
+              |  WHERE k.vec_id <> 0$cc) WHERE rn <= 100),
               |apx$np AS (SELECT u.vec_id FROM short$np s JOIN ul u USING (vec_id), qa
               |  ORDER BY round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) DESC, u.vec_id
               |  LIMIT 10)""".stripMargin)
@@ -888,6 +908,49 @@ object SparkEntry {
               |  (SELECT count(*) FROM apx$np JOIN truth USING (vec_id)) / 10.0 AS recall""".stripMargin)
           .mkString(" UNION ALL\n")}
         |ORDER BY nprobe""".stripMargin)
+  }
+
+  private lazy val annRecallOracle: String = annRecallSweepOracle()
+
+  // probed RANGE search replay (q_ann_range; mirrors
+  // Similarity.ivfPqRangeSearch at nprobe=2, minSim=0.2, slack=2.0):
+  // the 2 nearest coarse cells, candidates whose ROUNDED ADC clears the
+  // slackened radius bound 2.0 × (2 − 2·0.2) = 3.2 (both engines
+  // compare the same 9-dec-rounded values against the same double), and
+  // the survivors exact-reranked and thresholded on true cosine.
+  private lazy val annRangeOracle: String =
+    (pqChainUnit + s""",
+        |$ivfAssignBody,
+        |$annQueryCtes,
+        |probe AS (SELECT cid FROM
+        |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
+        |          WHERE rn <= 2),
+        |shortr AS (SELECT DISTINCT k.vec_id
+        |  FROM codes k JOIN af a USING (vec_id) JOIN probe p ON a.cid = p.cid
+        |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
+        |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
+        |  WHERE k.vec_id <> 0 AND round(dt0.d + dt1.d + dt2.d + dt3.d, 9) <= 3.2)
+        |SELECT vec_id, cos_sim FROM (
+        |  SELECT u.vec_id,
+        |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) AS cos_sim
+        |  FROM shortr s JOIN ul u USING (vec_id), qa)
+        |WHERE cos_sim >= 0.2 ORDER BY cos_sim DESC, vec_id""".stripMargin)
+
+  // exact cosine range search (q_cosine_range): the brute-force radius
+  // query — same dot/norm arithmetic as the recall truth, thresholded
+  // instead of LIMITed.
+  private lazy val cosineRangeOracle: String =
+    """SELECT vec_id, cos_sim FROM (
+      |  SELECT e.vec_id,
+      |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+      |     (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+      |      sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
+      |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+      |  WHERE e.vec_id <> 0)
+      |WHERE cos_sim >= 0.2 ORDER BY cos_sim DESC, vec_id""".stripMargin
 
   private lazy val annRecallResidualOracle: String = {
     val query =
@@ -1127,6 +1190,22 @@ object SparkEntry {
     // recall rows, so each oracle is that row's SQL VERBATIM
     "q_ann_compacted" -> annRecallOracle,
     "q_ann_compacted_residual" -> annRecallResidualOracle,
+    // takedown serving (tombstones): the recall sweep with the
+    // vec_id % 7 = 3 slice deleted after ingest — the oracle excludes
+    // the dead slice from the candidate set AND the truth (quantizers
+    // still trained on everything, exactly like the Spark path), so a
+    // hash match pins that a tombstone is indistinguishable from the
+    // row never having been indexed
+    "q_ann_deleted" -> annRecallSweepOracle(
+      "k.vec_id % 7 <> 3", "e.vec_id % 7 <> 3"),
+    // filtered search: the allowed-set predicate injected into both the
+    // candidate set and the truth — filtered serve vs filtered truth
+    "q_ann_filtered" -> annRecallSweepOracle(
+      "k.vec_id % 3 = 1", "e.vec_id % 3 = 1"),
+    // probed radius query: ADC bound + exact-cosine threshold
+    "q_ann_range" -> annRangeOracle,
+    // exact radius query: brute-force cosine, thresholded not LIMITed
+    "q_cosine_range" -> cosineRangeOracle,
     // auto-dialed sample-trained IVF-PQ recall sweep: the dial rule
     // (k = clamp(ceil(sqrt(N)), 4, trainN // 39)), the vec_id % 2 train
     // slice, rank-based seeding over the slice, retention-hardened Lloyd,

@@ -41,18 +41,42 @@ object Similarity {
   def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Brute-force cosine top-k against the query vector (vec_id = qId). */
+  /** Brute-force cosine top-k against the query vector (vec_id = qId).
+    * `pred` restricts the searched corpus (the filtered-truth arm of
+    * [[annRecallFiltered]] / the deleted-corpus truth of
+    * `q_ann_deleted`); the default keeps every row. */
   def cosineTopK(spark: SparkSession, dir: String, qId: Long = 0L,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, pred: Column = lit(true)): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === qId)
       .select(col("embedding").as("q_emb"))
-    e.filter(col("vec_id") =!= qId)
+    e.filter(col("vec_id") =!= qId && pred)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), col("q_emb")), 9).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Exact cosine RANGE search: every corpus vector within the
+    * similarity radius (`cos_sim >= minSim`) of the query — the
+    * radius-query twin of [[cosineTopK]] (FAISS `range_search`
+    * semantics, where the result set size is data-dependent instead of
+    * k). One broadcast of the query row + one scan with the threshold
+    * applied BEFORE any ordering, so at 100 TB this is a full-scan
+    * filter (no global sort of non-matches); the probed variant that
+    * avoids the full scan is [[ivfPqRangeSearch]]. */
+  def cosineRange(spark: SparkSession, dir: String, qId: Long = 0L,
+      minSim: Double = 0.2): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === qId)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 9).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy(desc("cos_sim"), asc("vec_id"))
   }
 
   /** IVF-style pruned search: probe only the query's coarse cell (here the
@@ -1547,6 +1571,127 @@ object Similarity {
           (col("n_hits").cast("double") / topK).as("recall"))
     }.reduce(_ union _).orderBy("nprobe")
   }
+
+  /** Predicate-FILTERED IVF-PQ search — the production vector-DB
+    * operation ("vectors WHERE lang = 'en'"): serve the top-k among
+    * only the rows satisfying `pred`, from a persisted raw index. The
+    * filter applies to the CANDIDATE coded frame before ADC scoring
+    * (pre-filtering semantics: the shortlist is built from allowed rows
+    * only, so a selective filter can never starve the top-k behind
+    * disallowed neighbors — the failure of post-filtering a fixed-k
+    * result). A predicate over the coded columns (vec_id, cid) pushes
+    * into the parquet scan as a data filter under the probe's
+    * partition pruning; an arbitrary metadata filter is the
+    * [[ivfPqSearchAllowed]] semi-join form. Probe, ADC, per-cell
+    * shortlist, and exact rerank are [[ivfPqSearchOver]] verbatim —
+    * filtered search cannot diverge from unfiltered on scoring. */
+  def ivfPqSearchFiltered(store: graft.store.ModelStore, pred: Column,
+      qVec: Map[Int, Double], qId: Long = -1L, topK: Int = 10,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      rerankK: Int = 100): DataFrame = {
+    requireVariant(store, "raw", "ivfPqSearchFiltered")
+    ivfPqSearchOver(store.load("coarse"),
+      codedFrame(store.load).filter(pred), store.load("vectors"),
+      store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+  }
+
+  /** [[ivfPqSearchFiltered]] with the allowed set as an ids FRAME
+    * (vec_id) instead of a predicate — the shape a metadata filter
+    * takes when the attribute lives outside the index (a documents-
+    * table join, an ACL table). One semi-join against the candidate
+    * slice: Spark broadcasts a small allowed set on its own; a
+    * corpus-scale one degrades to a shuffle semi-join of the PROBED
+    * cells only (the probe's partition pruning already cut the left
+    * side to nprobe/nlist of the codes). */
+  def ivfPqSearchAllowed(store: graft.store.ModelStore,
+      allowed: DataFrame, qVec: Map[Int, Double], qId: Long = -1L,
+      topK: Int = 10, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      rerankK: Int = 100): DataFrame = {
+    requireVariant(store, "raw", "ivfPqSearchAllowed")
+    ivfPqSearchOver(store.load("coarse"),
+      codedFrame(store.load)
+        .join(allowed.select("vec_id").distinct(), Seq("vec_id"),
+          "left_semi"),
+      store.load("vectors"),
+      store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+  }
+
+  /** Filtered-recall sweep (`q_ann_filtered`): [[ivfPqSearchFiltered]]
+    * with the deterministic `vec_id % 3 = 1` predicate over the
+    * process-shared index, each nprobe's top-10 intersected with the
+    * brute-force cosine top-10 over the SAME allowed set — filtered
+    * search is graded against filtered truth, never unfiltered truth
+    * (a correct filtered serve can return vectors the unfiltered
+    * top-10 excludes). */
+  def annRecallFiltered(spark: SparkSession, dir: String,
+      topK: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val pred = pmod(col("vec_id"), lit(3)) === 1
+    val truth = cosineTopK(spark, dir, 0L, topK, pred).select("vec_id")
+    val store = sharedIvfPqIndex(spark, dir)
+    val qv = queryVecOf(emb, 0L)
+    nprobes.map { np =>
+      ivfPqSearchFiltered(store, pred, qv, qId = 0L, topK = topK,
+        nprobe = np)
+        .join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), lit(topK).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / topK).as("recall"))
+    }.reduce(_ union _).orderBy("nprobe")
+  }
+
+  /** Probed RANGE search over a persisted raw index — FAISS
+    * `range_search` on an IVF-PQ layout: probe `nprobe` cells, keep
+    * candidates whose ADC distance clears a slackened radius bound,
+    * exact-rerank the survivors and threshold on true cosine. On the
+    * unit domain squared L2 is 2 − 2·cos, so the ADC pre-filter bound
+    * is `adcSlack × (2 − 2·minSim)` — slack absorbs quantization error
+    * (ADC measures distance to the RECONSTRUCTION, not the vector);
+    * candidates it drops are the probed variant's approximation, the
+    * same contract as top-k's nprobe miss. At full probe and generous
+    * slack this equals [[cosineRange]] restricted to nothing — the
+    * completeness dial (spec-pinned). The ADC pass reads m bytes per
+    * candidate in nprobe/nlist of the (cell-partitioned) codes; only
+    * survivors of BOTH the probe and the ADC bound touch their stored
+    * full-precision vectors. The shortlist broadcast is bounded by the
+    * probed cells' population × the bound's selectivity — for a
+    * pathological slack pass `broadcastShortlist = false`. */
+  def ivfPqRangeSearch(store: graft.store.ModelStore,
+      qVec: Map[Int, Double], qId: Long = -1L, minSim: Double = 0.2,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      adcSlack: Double = 2.0,
+      broadcastShortlist: Boolean = true): DataFrame = {
+    requireVariant(store, "raw", "ivfPqRangeSearch")
+    val coarse = store.load("coarse")
+    val coded = codedFrame(store.load)
+    val probed = nearestCells(coarse.collect(), qVec, nprobe)
+    val cand = coded.drop("ux")
+      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
+    // round the bound to the ADC values' own 9-dec scale: the raw
+    // product 2.0·(2 − 2·0.2) lands one ulp BELOW the literal 3.2 the
+    // oracle writes, and a candidate whose rounded ADC is exactly 3.2
+    // would then split the engines
+    val thr = BigDecimal(adcSlack * (2.0 - 2.0 * minSim))
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val short = adcScored(cand, store.load("codebooks"), qVec, m, dim / m)
+      .filter(col("adc") <= thr)
+      .select("vec_id").distinct()
+    val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
+    store.load("vectors").select(col("vec_id"), col("ux"))
+      .join(if (broadcastShortlist) broadcast(short) else short, "vec_id")
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("ux"), typedlit(qArr),
+          (a, b) => a * b), lit(0.0), (acc, v) => acc + v), 9)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+  }
+
+  /** Driver-contract form of [[ivfPqRangeSearch]] (`q_ann_range`):
+    * radius 0.2 at nprobe 2 from the process-shared index. */
+  def ivfPqRangeSearchQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRangeSearch(sharedIvfPqIndex(spark, dir),
+      queryVecOf(t(spark, dir, "embeddings"), 0L), qId = 0L)
 
   /** Production IVF dial rule (the FAISS sizing practice): nlist grows
     * as √N — cell populations then grow as √N too, so probe cost and

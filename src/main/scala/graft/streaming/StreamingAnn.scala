@@ -63,6 +63,100 @@ object StreamingAnn {
         m, dim) _)
       .option("checkpointLocation", checkpoint)
 
+  // ---- DELETES (tombstones): the third mutation a live index must
+  // serve — adds (annIngestBatch), updates (latest batch wins), and now
+  // removals (FAISS remove_ids / the takedown a training-data pipeline
+  // is legally required to honor). A delete is a TOMBSTONE row
+  // (vec_id, batch=N) in its own parquet store, written with the same
+  // replay contract as the increments (overwrite your own partition);
+  // the serve-side winners rule resolves the merged timeline — the
+  // LATEST action per vec_id wins, so a tombstone hides every older
+  // base/increment row and a later re-insert resurrects the id.
+  //
+  // The tombstone store is GLOBAL, not per index version: foreachBatch
+  // batchIds are monotone across rebuild/compaction version flips, so
+  // tombstone batch numbers stay comparable with increment batch
+  // numbers forever — and a version flip can never resurrect a deleted
+  // id out of the (also global) raw-increment store, the LSM
+  // resurrection bug a per-version tombstone dir would ship. Tombstones
+  // are purgeable exactly when the raw increments carrying the id are
+  // (both fold away only at a base-corpus rewrite, which the caller
+  // owns); until then each costs 16 bytes. Physical removal from the
+  // SERVED artifacts happens at [[compactIncrements]] — a compacted
+  // version simply lacks the dead rows. ----
+
+  /** Write one microbatch of deletions as a tombstone batch —
+    * idempotent foreachBatch body (`batch` needs only a vec_id
+    * column). */
+  def annDeleteBatch(spark: SparkSession, tombPath: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    batch.select("vec_id").distinct()
+      .write.mode("overwrite").parquet(s"$tombPath/batch=$batchId")
+
+  /** CDC-style ingest: one microbatch carrying BOTH upserts and
+    * deletes, routed by its `op` column (rows with op = "d" become
+    * tombstones; everything else encodes as an insert). Both writes
+    * share the batch id, which is what makes the delete/insert timeline
+    * totally ordered. Within a single batch a vec_id carrying both an
+    * insert and a delete resolves to DELETED (the insert is dropped
+    * here, and the serve rule's strict `>` agrees) — the deterministic
+    * choice, documented rather than racy. */
+  def annUpsertBatch(spark: SparkSession, store: ModelStore,
+      codesPath: String, tombPath: String, m: Int = 4, dim: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val dels = batch.filter(col("op") === "d").select("vec_id")
+      .distinct().localCheckpoint(true) // tombstone write + anti-join
+    annDeleteBatch(spark, tombPath)(dels, batchId)
+    annIngestBatch(spark, store, codesPath, m, dim)(
+      batch.filter(col("op") =!= "d")
+        .join(broadcast(dels), Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding"),
+      batchId)
+  }
+
+  /** Wire a (vec_id, embedding, op) CDC stream through the
+    * upsert/delete ingest. */
+  def incrementalAnnUpsert(vecs: DataFrame, store: ModelStore,
+      codesPath: String, tombPath: String, checkpoint: String,
+      m: Int = 4, dim: Int = 64): DataStreamWriter[Row] =
+    vecs.writeStream
+      .foreachBatch(annUpsertBatch(vecs.sparkSession, store, codesPath,
+        tombPath, m, dim) _)
+      .option("checkpointLocation", checkpoint)
+
+  /** Max tombstone batch per deleted vec_id, or None when nothing was
+    * ever deleted — one aggregate over the tombstones' two columns. */
+  private def readTombs(spark: SparkSession,
+      tombPath: Option[String]): Option[DataFrame] =
+    tombPath.flatMap(StreamingDedup.readStore(spark, _))
+      .map(_.groupBy("vec_id")
+        .agg(max(col("batch").cast("long")).as("__bd")))
+
+  /** Latest-action-wins resolution of insert batches vs tombstones:
+    * returns (alive winners (vec_id, __b) — the insert batch that
+    * survives, i.e. no tombstone at or after it; touched (vec_id) —
+    * every id with ANY action, which the base must drop either way).
+    * With no tombstones this degenerates to the plain max-batch
+    * winners rule. Both frames are narrow aggregates over the
+    * increments' and tombstones' cheapest columns — the broadcast
+    * ceiling is |increment ids| + |deleted ids|, bounded by compaction
+    * for the former and the caller's tombstone-purge policy for the
+    * latter. */
+  private def resolveWinners(ins: DataFrame,
+      tombs: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val insWin = ins.groupBy("vec_id")
+      .agg(max(col("batch").cast("long")).as("__b"))
+    tombs match {
+      case Some(del) =>
+        val merged = insWin.join(del, Seq("vec_id"), "full_outer")
+        (merged.filter(col("__b").isNotNull &&
+          (col("__bd").isNull || col("__b") > col("__bd")))
+          .select("vec_id", "__b"),
+          merged.select("vec_id"))
+      case None => (insWin, insWin.select("vec_id"))
+    }
+  }
+
   // ---- drift-triggered rebuild signal (VERDICT r7 #7): incremental
   // ingest deliberately never retrains the quantizers, which makes
   // staleness the design's open question. This closes the loop: the
@@ -213,20 +307,28 @@ object StreamingAnn {
     * aggregate over the increments' (vec_id, batch) columns, the base
     * loses by one anti-join — never a window over base ∪ increments. */
   private[graft] def rebuildCorpus(spark: SparkSession,
-      base: DataFrame, rawPath: String): DataFrame =
-    StreamingDedup.readStore(spark, rawPath) match {
-      case None => base.select("vec_id", "embedding")
-      case Some(raw) =>
-        val winners = raw
-          .groupBy("vec_id").agg(max(col("batch").cast("long")).as("__b"))
+      base: DataFrame, rawPath: String,
+      tombPath: Option[String] = None): DataFrame = {
+    val tombs = readTombs(spark, tombPath)
+    (StreamingDedup.readStore(spark, rawPath), tombs) match {
+      case (None, None) => base.select("vec_id", "embedding")
+      case (None, Some(del)) =>
+        // deletions with no raw increments: the retrain corpus is the
+        // base minus the dead ids — a rebuilt index must not re-learn
+        // (or re-serve) vectors a takedown removed
+        base.select("vec_id", "embedding")
+          .join(broadcast(del.select("vec_id")), Seq("vec_id"),
+            "left_anti")
+      case (Some(raw), _) =>
+        val (alive, touched) = resolveWinners(raw, tombs)
         val rawWin = raw.withColumn("__b", col("batch").cast("long"))
-          .join(broadcast(winners), Seq("vec_id", "__b"))
+          .join(broadcast(alive), Seq("vec_id", "__b"))
           .select("vec_id", "embedding")
         base.select("vec_id", "embedding")
-          .join(broadcast(winners.select("vec_id")), Seq("vec_id"),
-            "left_anti")
+          .join(broadcast(touched), Seq("vec_id"), "left_anti")
           .unionByName(rawWin)
     }
+  }
 
   /** Fully-automated drift loop as ONE foreachBatch body: persist the
     * raw increment (replay contract: overwrite your own partition),
@@ -248,7 +350,8 @@ object StreamingAnn {
       monitorPath: String, rawPath: String, calibMod: Int = 4,
       threshold: Double = 0.2, buckets: Int = 10, kCells: Int = 4,
       m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64,
-      minRebuildN: Long = 50L, autoDial: Boolean = false)(
+      minRebuildN: Long = 50L, autoDial: Boolean = false,
+      tombPath: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     batch.select("vec_id", "embedding").write.mode("overwrite")
       .parquet(s"$rawPath/batch=$batchId")
@@ -264,7 +367,7 @@ object StreamingAnn {
     // statistic AND enough samples behind it (~5 per bucket).
     val fired = mon.getBoolean(0) && mon.getLong(1) >= minRebuildN
     if (fired) {
-      val corpus = rebuildCorpus(spark, base, rawPath)
+      val corpus = rebuildCorpus(spark, base, rawPath, tombPath)
       // the rebuild preserves the store's encoding variant: a residual
       // store retrains as residual, raw as raw — the loop never flips
       // an index's semantics under its serving paths
@@ -328,21 +431,69 @@ object StreamingAnn {
       threshold: Double = 0.2, buckets: Int = 10, kCells: Int = 4,
       m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64,
       minRebuildN: Long = 50L, autoDial: Boolean = false,
-      compactRatio: Double = 0.5, minCompactN: Long = 100L)(
+      compactRatio: Double = 0.5, minCompactN: Long = 100L,
+      tombPath: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val v0 = indexStore.currentVersion
     annAutoRebuildBatch(spark, indexStore, driftStore, base, codesPath,
       monitorPath, rawPath, calibMod, threshold, buckets, kCells, m, k,
-      iters, dim, minRebuildN, autoDial)(batch, batchId)
+      iters, dim, minRebuildN, autoDial, tombPath)(batch, batchId)
     if (indexStore.currentVersion == v0)
       StreamingDedup.readStore(spark,
           versionedCodesPath(codesPath, indexStore)).foreach { inc =>
         val incN = inc.count()
         if (incN >= minCompactN &&
             incN >= compactRatio * indexStore.load("codes").count())
-          compactIncrements(spark, indexStore, codesPath)
+          compactIncrements(spark, indexStore, codesPath, tombPath)
       }
   }
+
+  /** The complete maintenance loop over a CDC stream — the
+    * [[annMaintainBatch]] arms plus DELETES: rows with op = "d" become
+    * tombstones (and are withheld from the raw store, the drift
+    * monitor, and the encode), everything else flows through the
+    * insert loop. The rebuild arm retrains on base ∪ raw increments
+    * MINUS the dead ids ([[rebuildCorpus]] with tombstones) and the
+    * compaction arm physically removes them — a takedown propagates
+    * through every maintenance path without an operator in the loop. */
+  def annMaintainUpsertBatch(spark: SparkSession, indexStore: ModelStore,
+      driftStore: ModelStore, base: DataFrame, codesPath: String,
+      monitorPath: String, rawPath: String, tombPath: String,
+      calibMod: Int = 4, threshold: Double = 0.2, buckets: Int = 10,
+      kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64, minRebuildN: Long = 50L, autoDial: Boolean = false,
+      compactRatio: Double = 0.5, minCompactN: Long = 100L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val dels = batch.filter(col("op") === "d").select("vec_id")
+      .distinct().localCheckpoint(true)
+    annDeleteBatch(spark, tombPath)(dels, batchId)
+    annMaintainBatch(spark, indexStore, driftStore, base, codesPath,
+      monitorPath, rawPath, calibMod, threshold, buckets, kCells, m, k,
+      iters, dim, minRebuildN, autoDial, compactRatio, minCompactN,
+      Some(tombPath))(
+      batch.filter(col("op") =!= "d")
+        .join(broadcast(dels), Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding"),
+      batchId)
+  }
+
+  /** Wire a (vec_id, embedding, op) CDC stream through the complete
+    * delete-aware maintenance loop. */
+  def incrementalAnnMaintainUpserts(vecs: DataFrame,
+      indexStore: ModelStore, driftStore: ModelStore, base: DataFrame,
+      codesPath: String, monitorPath: String, rawPath: String,
+      tombPath: String, checkpoint: String, calibMod: Int = 4,
+      threshold: Double = 0.2, buckets: Int = 10, kCells: Int = 4,
+      m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64,
+      minRebuildN: Long = 50L, autoDial: Boolean = false,
+      compactRatio: Double = 0.5,
+      minCompactN: Long = 100L): DataStreamWriter[Row] =
+    vecs.writeStream
+      .foreachBatch(annMaintainUpsertBatch(vecs.sparkSession, indexStore,
+        driftStore, base, codesPath, monitorPath, rawPath, tombPath,
+        calibMod, threshold, buckets, kCells, m, k, iters, dim,
+        minRebuildN, autoDial, compactRatio, minCompactN) _)
+      .option("checkpointLocation", checkpoint)
 
   /** Wire a (vec_id, embedding) stream through the complete maintenance
     * loop — ingest + drift-triggered retrain + volume-triggered
@@ -374,14 +525,15 @@ object StreamingAnn {
   def searchAuto(spark: SparkSession, store: ModelStore,
       codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
       topK: Int = 10, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
-      rerankK: Int = 100): DataFrame = {
+      rerankK: Int = 100, tombPath: Option[String] = None): DataFrame = {
     val v = store.currentVersion.getOrElse(0L)
     val sp =
       if (store.partNamesAt(v).contains("dials"))
         store.loadAt(v, "dials").select("spill").head().getInt(0)
       else 1
     searchIncremental(spark, store, s"$codesPath/v=$v",
-      qVec, qId, topK, nprobe, m, dim, rerankK * sp, version = Some(v))
+      qVec, qId, topK, nprobe, m, dim, rerankK * sp, version = Some(v),
+      tombPath = tombPath)
   }
 
   /** Driver-contract query (`q_ann_residual_inc`): the residual index
@@ -514,9 +666,10 @@ object StreamingAnn {
       codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
       topK: Int = 10, nprobe: Int = 2, m: Int = 4,
       dim: Int = 64, rerankK: Int = 100,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      tombPath: Option[String] = None): DataFrame = {
     val (coded, vectors, variant, ld) =
-      unionServeFrames(spark, store, codesPath, version)
+      unionServeFrames(spark, store, codesPath, version, tombPath)
     // serve with the PINNED version's encoding semantics (ADVICE r11:
     // the raw-only body served a residual store's codes against raw ADC
     // tables — silently wrong neighbors, the failure requireVariant
@@ -555,28 +708,37 @@ object StreamingAnn {
     * this one deduped frame; the ADC leg drops ux inside the shared
     * search body. */
   private def unionServeFrames(spark: SparkSession, store: ModelStore,
-      codesPath: String, version: Option[Long])
+      codesPath: String, version: Option[Long],
+      tombPath: Option[String] = None)
       : (DataFrame, DataFrame, String, String => DataFrame) = {
     def ld(part: String): DataFrame = version match {
       case Some(v) => store.loadAt(v, part)
       case None => store.load(part)
     }
     val baseCodes = Similarity.codedFrame(ld)
-    val (coded, vectors) = StreamingDedup.readStore(spark, codesPath) match {
-      case Some(inc) =>
+    val tombs = readTombs(spark, tombPath)
+    val (coded, vectors) =
+      (StreamingDedup.readStore(spark, codesPath), tombs) match {
+      case (Some(inc), _) =>
         val base = baseCodes
           .join(ld("vectors"), "vec_id") // rerank payload
-        val winners = inc
-          .groupBy("vec_id").agg(max(col("batch").cast("long")).as("__b"))
+        val (alive, touched) = resolveWinners(inc, tombs)
         val incWin = inc.withColumn("__b", col("batch").cast("long"))
-          .join(broadcast(winners), Seq("vec_id", "__b"))
+          .join(broadcast(alive), Seq("vec_id", "__b"))
           .select(base.columns.map(col): _*)
         val dd = base
-          .join(broadcast(winners.select("vec_id")), Seq("vec_id"),
-            "left_anti")
+          .join(broadcast(touched), Seq("vec_id"), "left_anti")
           .unionByName(incWin)
         (dd, dd.select("vec_id", "ux").dropDuplicates("vec_id"))
-      case None => (baseCodes, ld("vectors"))
+      case (None, Some(del)) =>
+        // tombstones with no live increments: one broadcast anti-join
+        // hides the dead ids from both serve legs (a compacted or
+        // freshly-rebuilt version has already removed them physically —
+        // then the anti-join is a no-op on already-absent ids)
+        val dead = del.select("vec_id")
+        (baseCodes.join(broadcast(dead), Seq("vec_id"), "left_anti"),
+          ld("vectors").join(broadcast(dead), Seq("vec_id"), "left_anti"))
+      case (None, None) => (baseCodes, ld("vectors"))
     }
     val variant = version.map(Similarity.indexVariantAt(store, _))
       .getOrElse(Similarity.indexVariant(store))
@@ -605,10 +767,10 @@ object StreamingAnn {
     * retrain corpus is unaffected by serve-side compaction. Returns
     * the new version. */
   def compactIncrements(spark: SparkSession, store: ModelStore,
-      codesPath: String): Long = {
+      codesPath: String, tombPath: Option[String] = None): Long = {
     val v = store.currentVersion.getOrElse(0L)
     val (coded0, vectors0, _, ld) = unionServeFrames(spark, store,
-      s"$codesPath/v=$v", Some(v))
+      s"$codesPath/v=$v", Some(v), tombPath)
     // the deduped union feeds FOUR saved parts (cells, codes, vectors,
     // and the empty-part probe inside save) — materialize it once
     // instead of re-evaluating the union/dedup plan per consumer
@@ -649,9 +811,10 @@ object StreamingAnn {
       codesPath: String, queries: DataFrame, topK: Int = 5,
       nprobe: Int = 2, m: Int = 4, dim: Int = 64, rerankK: Int = 50,
       excludeSelf: Boolean = true, broadcastQueries: Boolean = true,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      tombPath: Option[String] = None): DataFrame = {
     val (coded, vectors, variant, ld) =
-      unionServeFrames(spark, store, codesPath, version)
+      unionServeFrames(spark, store, codesPath, version, tombPath)
     if (variant == "residual")
       Similarity.ivfPqKnnJoinResidualOver(ld("coarse"), coded, vectors,
         ld("codebooks"), queries, topK, nprobe, m, dim, rerankK,
@@ -670,7 +833,8 @@ object StreamingAnn {
       codesPath: String, queries: DataFrame, topK: Int = 5,
       nprobe: Int = 2, m: Int = 4, dim: Int = 64, rerankK: Int = 50,
       excludeSelf: Boolean = true,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      tombPath: Option[String] = None): DataFrame = {
     val v = store.currentVersion.getOrElse(0L)
     val sp =
       if (store.partNamesAt(v).contains("dials"))
@@ -678,7 +842,7 @@ object StreamingAnn {
       else 1
     knnJoinIncremental(spark, store, s"$codesPath/v=$v", queries,
       topK, nprobe, m, dim, rerankK * sp, excludeSelf,
-      broadcastQueries, version = Some(v))
+      broadcastQueries, version = Some(v), tombPath = tombPath)
   }
 
   /** Driver-contract query (`q_ivfpq_batch_inc`): the raw index
@@ -708,5 +872,52 @@ object StreamingAnn {
             emb.filter(col("vec_id") < 8)))
       }
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
+  }
+
+  /** Driver-contract query (`q_ann_deleted`): the recall sweep over a
+    * live index AFTER a takedown — quantizers train once on the full
+    * corpus (deletion happens after ingest, so the frozen quantizers
+    * legitimately saw the deleted vectors), two pmod microbatches
+    * ingest every row, a third batch TOMBSTONES the `vec_id % 7 = 3`
+    * slice, and [[searchIncremental]] serves nprobe ∈ {1, 2, 4} with
+    * the tombstones in force. Truth is the brute-force cosine top-10
+    * over the SURVIVING corpus — deleted search is graded against
+    * deleted truth. The oracle replays the same index chain in SQL
+    * with the dead slice excluded from the candidate set and the
+    * truth, hash-pinning that a tombstone is indistinguishable from
+    * the row never having been indexed. */
+  def annDeletedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dead = pmod(col("vec_id"), lit(7)) === 3
+    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, !dead)
+      .select("vec_id")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-anndel-codes-")
+    val tombDir = java.nio.file.Files
+      .createTempDirectory("graft-anndel-tombs-")
+    try {
+      graft.store.ModelStore.scratch(spark, "anndel") { store =>
+        Similarity.saveQuantizers(emb, store)
+        (0 until 2).foreach { b =>
+          annIngestBatch(spark, store, codesDir.toString)(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
+        }
+        annDeleteBatch(spark, tombDir.toString)(emb.filter(dead), 2L)
+        val qv = Similarity.queryVecOf(emb, 0L)
+        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+          searchIncremental(spark, store, codesDir.toString, qv,
+            qId = 0L, topK = 10, nprobe = np,
+            tombPath = Some(tombDir.toString))
+            .join(truth, "vec_id")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), lit(10).as("k"),
+              col("n_hits"),
+              (col("n_hits").cast("double") / 10).as("recall"))
+        }.reduce(_ union _).orderBy("nprobe"))
+      }
+    } finally {
+      graft.store.ModelStore.deleteRecursively(codesDir)
+      graft.store.ModelStore.deleteRecursively(tombDir)
+    }
   }
 }

@@ -724,4 +724,199 @@ class StreamingAnnSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- DELETES (tombstones) ----
+
+  private def withTombDirs[T](body: (ModelStore, String, String) => T): T =
+    withDirs { (store, codesPath) =>
+      val tombDir = Files.createTempDirectory("graft-ann-tombs-")
+      try body(store, codesPath, tombDir.toString)
+      finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(tombDir).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+    }
+
+  private def searchRowsT(store: ModelStore, codesPath: String,
+      tombPath: String, qVec: Map[Int, Double]): Seq[String] =
+    StreamingAnn.searchIncremental(spark, store, codesPath, qVec,
+      qId = 0L, tombPath = Some(tombPath)).collect().map(_.toString).toSeq
+
+  test("tombstones hide deleted rows from serve == batch encode of survivors; the deleted served-top-1 vanishes; replay idempotent") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      (0 until 2).foreach { b =>
+        StreamingAnn.annIngestBatch(spark, store, codesPath)(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
+      }
+      // the victim is the SERVED top-1 (picking from the serve output
+      // makes presence-before deterministic — a brute-force NN can
+      // legitimately hide in an unprobed cell): deleting it must change
+      // the top of the result, not some tail row
+      val before = searchRowsT(store, codesPath, tombPath, qVec)
+      val nn1 = before.head.split("[\\[,]")(1).toLong
+      assert(before.exists(_.contains(s"[$nn1,")))
+
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === nn1), 2L)
+      val after = searchRowsT(store, codesPath, tombPath, qVec)
+      assert(!after.exists(_.contains(s"[$nn1,")))
+
+      // == one batch encode of the SURVIVORS under the same quantizers
+      val survivors = llm.Similarity.encodeWithIndex(store,
+        emb.filter(col("vec_id") =!= nn1))
+      val batch = llm.Similarity.ivfPqSearchOver(store.load("coarse"),
+        survivors, survivors.select("vec_id", "ux"),
+        store.load("codebooks"), qVec, qId = 0L)
+        .collect().map(_.toString).toSeq
+      assert(after === batch)
+
+      // tombstone replay (same ids, same batch id) changes nothing
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === nn1), 2L)
+      assert(searchRowsT(store, codesPath, tombPath, qVec) === after)
+
+      // batched serve honors the same tombstones, query by query
+      val batched = StreamingAnn.knnJoinIncremental(spark, store,
+        codesPath, emb.filter(col("vec_id") === 0L), topK = 10,
+        rerankK = 100, tombPath = Some(tombPath))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val single = after.map(_.split("[\\[,]")(1).toLong)
+      assert(batched === single)
+    }
+  }
+
+  test("delete then re-insert resurrects the id — the LATER action wins, including an updated embedding") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(emb, 0L)
+      val undeleted = searchRowsT(store, codesPath, tombPath, qVec)
+      val nn1 = undeleted.head.split("[\\[,]")(1).toLong
+
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === nn1), 1L)
+      assert(!searchRowsT(store, codesPath, tombPath, qVec)
+        .exists(_.contains(s"[$nn1,")))
+
+      // re-insert with the SAME embedding: serve returns to the
+      // undeleted results exactly
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(
+        emb.filter(col("vec_id") === nn1), 2L)
+      assert(searchRowsT(store, codesPath, tombPath, qVec) === undeleted)
+
+      // delete again, re-insert with an UPDATED embedding (the query's
+      // own vector → cos_sim 1.0): the batch-3 row wins and ranks first
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === nn1), 3L)
+      val updated = emb.filter(col("vec_id") === 0L)
+        .select(lit(nn1).as("vec_id"), col("embedding"))
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(updated, 4L)
+      val resurrected = searchRowsT(store, codesPath, tombPath, qVec)
+      assert(resurrected.head.startsWith(s"[$nn1,1.0"))
+    }
+  }
+
+  test("CDC upsert batch: op routing, within-batch insert+delete resolves to deleted, replay idempotent") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(emb, 0L)
+      // victims from the SERVED top-2 so presence-before is a given
+      val served0 = searchRowsT(store, codesPath, tombPath, qVec)
+      val nn1 = served0.head.split("[\\[,]")(1).toLong
+      val nn2 = served0(1).split("[\\[,]")(1).toLong
+      // one CDC batch: re-upsert nn1 (same embedding — serve must not
+      // move), delete nn2, AND a conflicting upsert for nn2 in the same
+      // batch (insert + delete of one id in one batch → deleted)
+      val cdc = emb.filter(col("vec_id") === nn1)
+        .select(col("vec_id"), col("embedding"), lit("u").as("op"))
+        .unionByName(emb.filter(col("vec_id") === nn2)
+          .select(col("vec_id"), col("embedding"), lit("u").as("op")))
+        .unionByName(emb.filter(col("vec_id") === nn2)
+          .select(col("vec_id"), col("embedding"), lit("d").as("op")))
+      StreamingAnn.annUpsertBatch(spark, store, codesPath, tombPath)(
+        cdc, 1L)
+      val served = searchRowsT(store, codesPath, tombPath, qVec)
+      assert(served.exists(_.contains(s"[$nn1,")))
+      assert(!served.exists(_.contains(s"[$nn2,")))
+      // replay the CDC batch: bit-identical
+      StreamingAnn.annUpsertBatch(spark, store, codesPath, tombPath)(
+        cdc, 1L)
+      assert(searchRowsT(store, codesPath, tombPath, qVec) === served)
+    }
+  }
+
+  test("compaction with tombstones physically removes dead rows; serve bit-identical across the flip; no resurrection") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      val vp = StreamingAnn.versionedCodesPath(codesPath, store)
+      (0 until 2).foreach { b =>
+        StreamingAnn.annIngestBatch(spark, store, vp)(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
+      }
+      def serve(): Seq[String] =
+        StreamingAnn.searchAuto(spark, store, codesPath, qVec,
+          qId = 0L, tombPath = Some(tombPath))
+          .collect().map(_.toString).toSeq
+      val nn1 = serve().head.split("[\\[,]")(1).toLong
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === nn1), 2L)
+      val before = serve()
+      assert(!before.exists(_.contains(s"[$nn1,")))
+      val v2 = StreamingAnn.compactIncrements(spark, store, codesPath,
+        Some(tombPath))
+      // physical removal: the compacted version's codes lack the id
+      assert(store.loadAt(v2, "codes")
+        .filter(col("vec_id") === nn1).isEmpty)
+      assert(store.loadAt(v2, "vectors")
+        .filter(col("vec_id") === nn1).isEmpty)
+      // serve across the flip: bit-identical, still no dead id
+      val after = serve()
+      assert(after === before)
+      // a pre-compaction insert batch REPLAYED after the flip lands in
+      // the new version's empty increments dir — the global tombstone
+      // timeline still wins (no resurrection through replay)
+      StreamingAnn.annIngestBatch(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store))(
+        emb.filter(col("vec_id") === nn1), 0L)
+      assert(serve() === before)
+    }
+  }
+
+  test("rebuild with tombstones: the retrain corpus excludes dead ids; a drift rebuild cannot resurrect a takedown") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    val nn1 = llm.Similarity.cosineTopK(spark, sfDir, 0L, 1)
+      .select("vec_id").head().getLong(0)
+    withTombDirs { (store, codesPath, tombPath) =>
+      val rawDir = Files.createTempDirectory("graft-ann-raw-")
+      try {
+        // raw increments carry nn1; tombstone arrives later
+        emb.filter(col("vec_id") === nn1)
+          .select("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$rawDir/batch=0")
+        StreamingAnn.annDeleteBatch(spark, tombPath)(
+          emb.filter(col("vec_id") === nn1), 1L)
+        val corpus = StreamingAnn.rebuildCorpus(spark,
+          emb.filter(col("vec_id") =!= nn1), rawDir.toString,
+          Some(tombPath))
+        assert(corpus.filter(col("vec_id") === nn1).isEmpty)
+        // a LATER raw re-insert resurrects it for the next rebuild
+        emb.filter(col("vec_id") === nn1)
+          .select("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$rawDir/batch=2")
+        val corpus2 = StreamingAnn.rebuildCorpus(spark,
+          emb.filter(col("vec_id") =!= nn1), rawDir.toString,
+          Some(tombPath))
+        assert(corpus2.filter(col("vec_id") === nn1).count() === 1L)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(rawDir).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+    }
+  }
 }
