@@ -148,11 +148,15 @@ object StreamingAnn {
       .agg(max(col("batch").cast("long")).as("__b"))
     tombs match {
       case Some(del) =>
-        val merged = insWin.join(del, Seq("vec_id"), "full_outer")
-        (merged.filter(col("__b").isNotNull &&
-          (col("__bd").isNull || col("__b") > col("__bd")))
+        // left-outer + filter, NOT a full-outer merge: a full outer
+        // join cannot broadcast either side and sort-merges even two
+        // tiny aggregates; `touched` needs no join at all (union +
+        // distinct of two narrow id columns)
+        (insWin.join(broadcast(del), Seq("vec_id"), "left_outer")
+          .filter(col("__bd").isNull || col("__b") > col("__bd"))
           .select("vec_id", "__b"),
-          merged.select("vec_id"))
+          insWin.select("vec_id")
+            .unionByName(del.select("vec_id")).distinct())
       case None => (insWin, insWin.select("vec_id"))
     }
   }

@@ -688,6 +688,31 @@ class StreamingAnnSpec extends AnyFunSuite {
       val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
       assert(windowLines.forall(_.contains("cid")),
         s"dedup regressed to a vec_id window:\n${windowLines.mkString("\n")}")
+
+      // with TOMBSTONES in force the same contract must hold: the
+      // dead-id resolution is two more narrow broadcast joins, never a
+      // sort-merge or a window, and the probe still prunes both legs
+      val tombDir = Files.createTempDirectory("graft-ann-plantomb-")
+      try {
+        StreamingAnn.annDeleteBatch(spark, tombDir.toString)(
+          emb.filter(col("vec_id") === cut), 1L)
+        val pt = StreamingAnn.searchIncremental(spark, store, codesPath,
+          qVec, qId = 0L, tombPath = Some(tombDir.toString))
+          .queryExecution.executedPlan.toString
+        val prunedT = """PartitionFilters: \[[^\]]*cid""".r
+          .findAllIn(pt).size
+        assert(prunedT >= 2,
+          s"tombstoned serve lost the cid PartitionFilters:\n$pt")
+        assert(!pt.contains("SortMergeJoin"),
+          s"tombstone resolution sort-merges a corpus-sized table:\n$pt")
+        assert(pt.linesIterator.filter(_.contains("Window "))
+          .forall(_.contains("cid")),
+          s"tombstone resolution regressed to a vec_id window:\n$pt")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(tombDir).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
     }
   }
 
@@ -884,6 +909,73 @@ class StreamingAnnSpec extends AnyFunSuite {
         StreamingAnn.versionedCodesPath(codesPath, store))(
         emb.filter(col("vec_id") === nn1), 0L)
       assert(serve() === before)
+    }
+  }
+
+  test("CDC maintain loop end-to-end: takedown flows through ingest, survives the drift rebuild, and a later upsert resurrects it") {
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val stationary = emb.filter(col("vec_id") % 3 === 0)
+    val drifted = stationary.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
+    // a base id (not re-ingested by the stationary slice): its own
+    // vector as the query makes presence checks exact — when alive it
+    // MUST be the top-1 (cos 1.0), when dead it must not be
+    val victim = base.agg(min("vec_id")).first().getLong(0)
+    val vq = llm.Similarity.queryVecOf(emb, victim)
+    withTombDirs { (store, codesPath, tombPath) =>
+      val driftDir = Files.createTempDirectory("graft-ann-cdcdrift-")
+      val monDir = Files.createTempDirectory("graft-ann-cdcmon-")
+      val rawDir = Files.createTempDirectory("graft-ann-cdcraw-")
+      try {
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
+          driftStore, calibMod = 4)
+        // compaction disabled (its interplay is spec'd on its own):
+        // this test pins the delete ↔ rebuild interaction
+        val body = StreamingAnn.annMaintainUpsertBatch(spark, store,
+          driftStore, base, codesPath, monDir.toString, rawDir.toString,
+          tombPath, calibMod = 4, minCompactN = 1000000L) _
+        def top1(): Long =
+          StreamingAnn.searchAuto(spark, store, codesPath, vq,
+            qId = -1L, tombPath = Some(tombPath))
+            .select("vec_id").head().getLong(0)
+        assert(top1() === victim) // alive in the base index
+
+        // batch 0: stationary upserts + the takedown, one CDC batch
+        body(stationary.select(col("vec_id"), col("embedding"),
+          lit("u").as("op"))
+          .unionByName(emb.filter(col("vec_id") === victim)
+            .select(col("vec_id"), col("embedding"), lit("d").as("op"))),
+          0L)
+        assert(store.currentVersion === Some(v0)) // stationary: no rebuild
+        assert(top1() !== victim)
+        // deletes never land in the raw (retrain) store
+        assert(spark.read.parquet(s"$rawDir/batch=0")
+          .filter(col("vec_id") === victim).isEmpty)
+
+        // batch 1: drifted → rebuild fires; the retrain corpus excluded
+        // the dead id, so the REBUILT base physically lacks it
+        body(drifted.select(col("vec_id"), col("embedding"),
+          lit("u").as("op")), 1L)
+        assert(store.currentVersion === Some(v0 + 1),
+          "drift gate did not fire through the CDC loop")
+        assert(store.load("codes")
+          .filter(col("vec_id") === victim).isEmpty)
+        assert(store.load("vectors")
+          .filter(col("vec_id") === victim).isEmpty)
+        assert(top1() !== victim)
+
+        // batch 2: a LATER CDC upsert resurrects the id through the
+        // flipped version's fresh increments dir
+        body(emb.filter(col("vec_id") === victim)
+          .select(col("vec_id"), col("embedding"), lit("u").as("op")),
+          2L)
+        assert(store.currentVersion === Some(v0 + 1)) // floor holds
+        assert(top1() === victim)
+      } finally Seq(driftDir, monDir, rawDir).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     }
   }
 
