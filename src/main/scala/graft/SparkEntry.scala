@@ -221,6 +221,8 @@ object SparkEntry {
     "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
     "q_cosine_range" -> ((s, d) => llm.Similarity.cosineRange(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
+    "q_ivfpq_batch_filtered" ->
+      (llm.Similarity.ivfPqKnnJoinFilteredQuery _),
     "q_ivfpq_batch_inc" ->
       (streaming.StreamingAnn.ivfPqBatchIncrementalQuery _),
     "q_ivfpq_batch_residual" ->
@@ -756,10 +758,13 @@ object SparkEntry {
   // serve builds a PER-CELL distance table (query residual differs per
   // probed cell) and sweeps nprobe 1/2/4 against the brute-force cosine
   // truth. Hash-pins the 0.7 → 0.9 recall claim.
-  // the batched raw serve replay, bound to BOTH q_ivfpq_batch and
+  // the batched raw serve replay, bound to q_ivfpq_batch and
   // q_ivfpq_batch_inc (the streaming union must hash-match the batch
-  // serving SQL verbatim)
-  private lazy val ivfPqBatchOracle: String =
+  // serving SQL verbatim). BUILDER form: `candCond` (alias k) restricts
+  // the candidate set — q_ivfpq_batch_filtered injects the allowed-set
+  // predicate; the empty default reproduces the plain serve.
+  private def ivfPqBatchOracleWhere(candCond: String = ""): String = {
+    val cc = if (candCond.isEmpty) "" else s"\n  WHERE $candCond"
     (pqChainUnit + s""",
         |$ivfAssignBody,
         |exq AS (SELECT vec_id AS qid, i, x FROM ex WHERE vec_id < 8),
@@ -779,7 +784,7 @@ object SparkEntry {
         |  JOIN qdt0 ON qdt0.qid = p.qid AND qdt0.cid = k.c0
         |  JOIN qdt1 ON qdt1.qid = p.qid AND qdt1.cid = k.c1
         |  JOIN qdt2 ON qdt2.qid = p.qid AND qdt2.cid = k.c2
-        |  JOIN qdt3 ON qdt3.qid = p.qid AND qdt3.cid = k.c3),
+        |  JOIN qdt3 ON qdt3.qid = p.qid AND qdt3.cid = k.c3$cc),
         |short AS (SELECT qid, vec_id FROM
         |           (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid, cid ORDER BY adc, vec_id) AS rn FROM scored)
         |          WHERE rn <= 50),
@@ -791,6 +796,9 @@ object SparkEntry {
         |SELECT qid, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM
         |  (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM rr)
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)
+  }
+
+  private lazy val ivfPqBatchOracle: String = ivfPqBatchOracleWhere()
 
   // the residual INDEX chain (unit ex -> trained coarse c2/af -> residual
   // rows rx -> per-subspace residual PQ rounds rp${s}2 -> rcodes), shared
@@ -1237,6 +1245,11 @@ object SparkEntry {
     // Grouped sums are not combine-order-pinned across engines, so
     // every ordering on a computed double rounds to 9 first
     "q_ivfpq_batch" -> ivfPqBatchOracle,
+    // filtered batched serving: the batch oracle with the allowed-set
+    // predicate on the candidate rows — every query in the batch served
+    // over only the allowed corpus, one relational plan
+    "q_ivfpq_batch_filtered" ->
+      ivfPqBatchOracleWhere("k.vec_id % 3 = 1"),
     // raw index maintained incrementally, then BATCH-served through the
     // streaming union: pointwise encoding makes base∪increments
     // bit-equal to the batch build, so the oracle is the batch serving

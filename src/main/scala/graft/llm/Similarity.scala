@@ -1002,6 +1002,37 @@ object Similarity {
       topK, nprobe, m, dim, rerankK, excludeSelf, broadcastQueries)
   }
 
+  /** Predicate-FILTERED batched k-NN — [[ivfPqSearchFiltered]]'s
+    * serving-tier twin: one relational plan answering every query in
+    * the batch over only the rows satisfying `pred`. The filter lands
+    * on the candidate coded frame before ADC (pre-filtering semantics,
+    * same contract as the single-query form: a selective filter cannot
+    * starve any query's top-k), and a predicate over the coded columns
+    * pushes into the scan under each query's probe pruning. Batch ==
+    * single-query filtered serve, query by query (spec-pinned). */
+  def ivfPqKnnJoinFiltered(store: graft.store.ModelStore,
+      queries: DataFrame, pred: Column, topK: Int = 5, nprobe: Int = 2,
+      m: Int = 4, dim: Int = 64, rerankK: Int = 50,
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    requireVariant(store, "raw", "ivfPqKnnJoinFiltered")
+    ivfPqKnnJoinOver(store.load("coarse"),
+      codedFrame(store.load).filter(pred),
+      store.load("vectors"), store.load("codebooks"), queries,
+      topK, nprobe, m, dim, rerankK, excludeSelf, broadcastQueries)
+  }
+
+  /** Driver-contract form of [[ivfPqKnnJoinFiltered]]
+    * (`q_ivfpq_batch_filtered`): the first-8 query batch served over
+    * the `vec_id % 3 = 1` allowed set from the process-shared index. */
+  def ivfPqKnnJoinFilteredQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    ivfPqKnnJoinFiltered(sharedIvfPqIndex(spark, dir),
+      emb.filter(col("vec_id") < 8),
+      pmod(col("vec_id"), lit(3)) === 1)
+  }
+
   /** [[ivfPqKnnJoin]] over EXPLICIT frames — the batched raw serve the
     * streaming-incremental union dispatches to
     * ([[graft.streaming.StreamingAnn.knnJoinIncremental]]), mirroring

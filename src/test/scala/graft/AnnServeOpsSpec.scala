@@ -57,6 +57,27 @@ class AnnServeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered batched k-NN equals the single-query filtered serve, query by query; every served id allowed") {
+    withStore { store =>
+      Similarity.saveIvfPqIndex(emb, store)
+      val pred = pmod(col("vec_id"), lit(3)) === 1
+      val batch = Similarity.ivfPqKnnJoinFiltered(store,
+        emb.filter(col("vec_id") < 4), pred, topK = 5, rerankK = 100)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch.nonEmpty && batch.forall(_._2 % 3 == 1))
+      (0 until 4).foreach { qi =>
+        val single = Similarity.ivfPqSearchFiltered(store, pred,
+          Similarity.queryVecOf(emb, qi.toLong), qId = qi.toLong,
+          topK = 5, rerankK = 100)
+          .collect()
+          .map(r => (qi.toLong, r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch.filter(_._1 == qi.toLong) === single,
+          s"query $qi diverged between batch and single filtered serve")
+      }
+    }
+  }
+
   test("filtered search refuses a residual-coded store") {
     withStore { store =>
       Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb.limit(0), store)
