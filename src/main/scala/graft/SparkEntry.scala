@@ -97,6 +97,8 @@ object SparkEntry {
     "q_corpus_release" -> ((s, d) => llm.TextOps.corpusRelease(s, d)),
     "q_corpus_release_inc" ->
       (streaming.StreamingRelease.corpusReleaseIncrementalQuery _),
+    "q_corpus_release_takedown" ->
+      (streaming.StreamingRelease.corpusReleaseTakedownQuery _),
     "q_char_entropy" -> (llm.TextOps.charEntropy _),
     "q_text_embed" -> (llm.TextOps.embedText _),
     "q_pagerank" -> (operators.PageRank.pageRank _),
@@ -730,19 +732,24 @@ object SparkEntry {
 
   // the wholesale release composition: exact-dedup keep-one -> CCNet
   // gate (tertiles 1-2 per lang over survivors) -> token-balanced shard
-  // ledger. ONE string, bound to BOTH q_corpus_release (the batch row)
-  // and q_corpus_release_inc (the streaming-ledger row): the incremental
-  // path must hash-match the wholesale replay exactly.
-  private lazy val corpusReleaseOracle: String = lmScoreCte + """,
+  // ledger. ONE builder, bound to q_corpus_release (the batch row),
+  // q_corpus_release_inc (the streaming-ledger row), and — with the
+  // keeper predicate — q_corpus_release_takedown (tombstoned docs
+  // excluded BEFORE the tertile gate: a takedown re-releases exactly as
+  // a from-scratch release over the survivors). The incremental paths
+  // must hash-match the wholesale replay exactly.
+  private def corpusReleaseOracleWhere(keeperCond: String = ""): String = {
+    val kc = if (keeperCond.isEmpty) "" else s" WHERE $keeperCond"
+    lmScoreCte + s""",
     |k AS (SELECT d.doc_id, d.text FROM documents d
     |      JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
     |            FROM documents GROUP BY 1) s
     |        ON d.doc_id = s.keep_id),
     |g AS (SELECT k.doc_id, k.text,
     |        ntile(3) OVER (PARTITION BY px.lang ORDER BY px.xent, px.doc_id) AS b
-    |      FROM px JOIN k ON px.doc_id = k.doc_id),
+    |      FROM px JOIN k ON px.doc_id = k.doc_id$kc),
     |t2 AS (SELECT doc_id,
-    |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+    |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
     |       FROM g WHERE b <= 2),
     |r AS (SELECT doc_id, n_tok,
     |        row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
@@ -750,6 +757,9 @@ object SparkEntry {
     |SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard, count(*) AS n_docs,
     |  CAST(sum(n_tok) AS BIGINT) AS tot_tokens
     |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
+  private lazy val corpusReleaseOracle: String = corpusReleaseOracleWhere()
 
   // residual IVF-PQ recall replay (q_ann_recall_residual; mirrors
   // Similarity.saveIvfPqResidualIndex / annRecallResidual): the coarse
@@ -1425,6 +1435,12 @@ object SparkEntry {
     // VERBATIM — hash-matching it pins that microbatch boundaries are
     // invisible in the released artifact
     "q_corpus_release_inc" -> corpusReleaseOracle,
+    // takedown re-release: the wholesale release SQL with the
+    // tombstoned doc_ids excluded from the keepers before the tertile
+    // gate — the manifest over survivors must hash-match a from-scratch
+    // release over the surviving corpus
+    "q_corpus_release_takedown" ->
+      corpusReleaseOracleWhere("k.doc_id % 11 <> 5"),
     // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
     // pattern): integer edge weights; per-node in-neighbor sums are
     // FIXED-POINT — each contribution floor-quantized to 1e-9 units as

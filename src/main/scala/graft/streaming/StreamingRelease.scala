@@ -119,9 +119,21 @@ object StreamingRelease {
     * [[graft.llm.TextOps.corpusRelease]] on the union of the ingested
     * batches (spec-pinned parity; empty ledger → empty manifest). */
   def releaseManifest(spark: SparkSession, scorePath: String,
-      shards: Int = 8): DataFrame =
+      shards: Int = 8, tombPath: Option[String] = None): DataFrame =
     StreamingDedup.readStore(spark, scorePath) match {
-      case Some(scored) =>
+      case Some(scored0) =>
+        // takedowns: one broadcast anti-join of the ledger against the
+        // tombstoned doc_ids BEFORE the tertile/shard body — the next
+        // manifest is a re-release over the survivors (tertile
+        // boundaries move exactly as a from-scratch release over the
+        // surviving corpus would move them)
+        val scored = tombPath
+          .flatMap(StreamingDedup.readStore(spark, _)) match {
+          case Some(dead) => scored0.join(
+            broadcast(dead.select("doc_id").distinct()), Seq("doc_id"),
+            "left_anti")
+          case None => scored0
+        }
         TextOps.releaseManifestFrom(scored.drop("batch"), shards)
       case None =>
         import org.apache.spark.sql.types.{IntegerType, LongType,
@@ -130,6 +142,22 @@ object StreamingRelease {
           new StructType().add("shard", IntegerType)
             .add("n_docs", LongType).add("tot_tokens", LongType))
     }
+
+  /** TAKEDOWN: tombstone released docs by doc_id — one (doc_id,
+    * batch=N) store under the replay contract, consumed by
+    * [[releaseManifest]] as a pre-tertile anti-join. The content
+    * cannot re-enter through a re-crawl: the text's hash was recorded
+    * in the hash ledger at original ingest and stays there, so a
+    * later batch carrying the same text is non-novel and never
+    * reaches the score ledger — doc_id tombstone + hash ledger
+    * together are a CONTENT-level takedown (spec-pinned). Takedowns
+    * are deliberately permanent (no re-admit arm): re-licensed
+    * content re-enters as a new ingest decision by an operator
+    * clearing the tombstone, not as an ambient winners race. */
+  def releaseTakedownBatch(spark: SparkSession, tombPath: String)(
+      docs: DataFrame, batchId: Long): Unit =
+    docs.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$tombPath/batch=$batchId")
 
   /** Wire a (doc_id, lang, text) stream through the incremental
     * release ingest. */
@@ -729,6 +757,40 @@ object StreamingRelease {
       graft.Materialize.checkpoint(
         releaseManifest(spark, scoreDir.toString))
     } finally Seq(hashDir, scoreDir).foreach(
+      ModelStore.deleteRecursively)
+  }
+
+  /** Driver-contract query (`q_corpus_release_takedown`): the
+    * incremental release with a TAKEDOWN in force — three microbatch
+    * ingests, then the `doc_id % 11 = 5` slice tombstoned, manifest
+    * served over the survivors. The oracle is the wholesale release
+    * SQL with the dead slice excluded from the keepers before the
+    * tertile gate: a hash match pins that the takedown re-releases
+    * exactly as a from-scratch release over the surviving corpus
+    * would (tertile boundaries move with the survivors). */
+  def corpusReleaseTakedownQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val lmStore = TextOps.sharedLmFor(spark, dir)
+    val hashDir = Files.createTempDirectory("graft-tdhash-")
+    val scoreDir = Files.createTempDirectory("graft-tdscore-")
+    val tombDir = Files.createTempDirectory("graft-tdtomb-")
+    try {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(3).over(w))
+        .localCheckpoint(true)
+      val ingest = releaseIngestBatch(spark, lmStore,
+        hashDir.toString, scoreDir.toString) _
+      (1 to 3).foreach { s =>
+        ingest(sliced.filter(col("__s") === s).drop("__s"), s - 1L)
+      }
+      releaseTakedownBatch(spark, tombDir.toString)(
+        docs.filter(pmod(col("doc_id"), lit(11)) === 5), 3L)
+      graft.Materialize.checkpoint(
+        releaseManifest(spark, scoreDir.toString,
+          tombPath = Some(tombDir.toString)))
+    } finally Seq(hashDir, scoreDir, tombDir).foreach(
       ModelStore.deleteRecursively)
   }
 }

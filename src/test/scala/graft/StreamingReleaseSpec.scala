@@ -64,6 +64,57 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("takedown: manifest re-releases over survivors; the content cannot re-enter through a re-crawl; replay and no-op takedown behave") {
+    withDirs { (lmStore, hashPath, scorePath) =>
+      val tombDir = Files.createTempDirectory("graft-rel-tomb-")
+      try {
+        llm.TextOps.lmSave(docs, lmStore)
+        val ingest = StreamingRelease.releaseIngestBatch(spark, lmStore,
+          hashPath, scorePath) _
+        ingest(docs, 0L)
+        val full = manifestRows(scorePath)
+        def served(): Seq[String] =
+          StreamingRelease.releaseManifest(spark, scorePath,
+            tombPath = Some(tombDir.toString))
+            .collect().map(_.toString).toSeq
+
+        // tombstone a slice: the manifest equals the ledger-minus-dead
+        // release (tertile boundaries move with the survivors)
+        val dead = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          dead, 1L)
+        val after = served()
+        assert(after !== full, "takedown left the manifest unchanged")
+        val scoredSurvivors = graft.streaming.StreamingDedup
+          .readHashes(spark, scorePath).get.drop("batch")
+          .join(dead.select("doc_id"), Seq("doc_id"), "left_anti")
+        val reference = llm.TextOps.releaseManifestFrom(
+          scoredSurvivors, 8).collect().map(_.toString).toSeq
+        assert(after === reference)
+
+        // re-crawl of the SAME text under a new doc_id: the hash
+        // ledger recorded the content at original ingest, so the
+        // re-crawl is non-novel — the manifest stays at the survivor
+        // release (content-level takedown, not id-level)
+        ingest(dead.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("lang"), col("text")), 2L)
+        assert(served() === after,
+          "a re-crawled taken-down text re-entered the manifest")
+
+        // takedown replay: identical partition, identical manifest
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          dead, 1L)
+        assert(served() === after)
+
+        // tombstoning an id that never reached the ledger is a no-op
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          spark.range(9999999L, 10000000L)
+            .select(col("id").as("doc_id")), 3L)
+        assert(served() === after)
+      } finally ModelStore.deleteRecursively(tombDir)
+    }
+  }
+
   test("cross-batch exact duplicates collapse to the first batch's keeper; manifest never re-reads text") {
     withDirs { (lmStore, hashPath, scorePath) =>
       llm.TextOps.lmSave(docs, lmStore)
