@@ -220,6 +220,10 @@ object SparkEntry {
       (streaming.StreamingAnn.annDeletedQuery _),
     "q_ann_filtered" ->
       ((s, d) => llm.Similarity.annRecallFiltered(s, d)),
+    "q_ann_filtered_residual" ->
+      ((s, d) => llm.Similarity.annRecallFilteredResidual(s, d)),
+    "q_ann_filtered_inc" ->
+      (streaming.StreamingAnn.annFilteredIncrementalQuery _),
     "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
     "q_cosine_range" -> ((s, d) => llm.Similarity.cosineRange(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
@@ -970,7 +974,14 @@ object SparkEntry {
       |  WHERE e.vec_id <> 0)
       |WHERE cos_sim >= 0.2 ORDER BY cos_sim DESC, vec_id""".stripMargin
 
-  private lazy val annRecallResidualOracle: String = {
+  // BUILDER like annRecallSweepOracle: `candCond` (alias k) restricts
+  // the residual candidate set, `truthCond` (alias e) the truth corpus
+  // — q_ann_filtered_residual injects the allowed-set predicate; the
+  // empty default reproduces the plain residual sweep verbatim.
+  private def annRecallResidualOracleWhere(candCond: String = "",
+      truthCond: String = ""): String = {
+    val cc = if (candCond.isEmpty) "" else s" AND $candCond"
+    val tc = if (truthCond.isEmpty) "" else s" AND $truthCond"
     val query =
       s"""qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
          |qd AS (SELECT c.cid,
@@ -994,7 +1005,7 @@ object SparkEntry {
          |      sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
          |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 9) AS cos_sim
          |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
-         |  WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z)""".stripMargin
+         |  WHERE e.vec_id <> 0$tc ORDER BY cos_sim DESC, e.vec_id LIMIT 10) z)""".stripMargin
     val sweeps = Seq(1, 2, 4).map(np =>
       s"""probe$np AS (SELECT cid FROM
          |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
@@ -1008,7 +1019,7 @@ object SparkEntry {
          |  JOIN rdt1 ON rdt1.pcid = a.cid AND rdt1.cid = k.c1
          |  JOIN rdt2 ON rdt2.pcid = a.cid AND rdt2.cid = k.c2
          |  JOIN rdt3 ON rdt3.pcid = a.cid AND rdt3.cid = k.c3
-         |  WHERE k.vec_id <> 0) WHERE rn <= 100),
+         |  WHERE k.vec_id <> 0$cc) WHERE rn <= 100),
          |apx$np AS (SELECT u.vec_id FROM short$np s JOIN ul u USING (vec_id), qa
          |  ORDER BY round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) DESC, u.vec_id
          |  LIMIT 10)""".stripMargin).mkString(",\n")
@@ -1019,6 +1030,9 @@ object SparkEntry {
       .mkString(" UNION ALL\n")
     s"$residualChainSql,\n$query,\n$sweeps\n$tail\nORDER BY nprobe"
   }
+
+  private lazy val annRecallResidualOracle: String =
+    annRecallResidualOracleWhere()
 
   // batched residual serve replay (q_ivfpq_batch_residual; mirrors
   // Similarity.ivfPqKnnJoinResidual over the first-8 query batch): the
@@ -1219,6 +1233,15 @@ object SparkEntry {
     // filtered search: the allowed-set predicate injected into both the
     // candidate set and the truth — filtered serve vs filtered truth
     "q_ann_filtered" -> annRecallSweepOracle(
+      "k.vec_id % 3 = 1", "e.vec_id % 3 = 1"),
+    // residual filtered serve: the residual sweep with the same
+    // allowed-set predicate — the filtered matrix covers both encodings
+    "q_ann_filtered_residual" -> annRecallResidualOracleWhere(
+      "k.vec_id % 3 = 1", "e.vec_id % 3 = 1"),
+    // filtered serve over the LIVE index: the filtered batch sweep SQL
+    // VERBATIM — filtering a microbatch-maintained index is
+    // hash-indistinguishable from filtering the batch-built one
+    "q_ann_filtered_inc" -> annRecallSweepOracle(
       "k.vec_id % 3 = 1", "e.vec_id % 3 = 1"),
     // probed radius query: ADC bound + exact-cosine threshold
     "q_ann_range" -> annRangeOracle,

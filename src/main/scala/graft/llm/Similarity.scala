@@ -1647,6 +1647,42 @@ object Similarity {
       store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
   }
 
+  /** [[ivfPqSearchFiltered]] for a RESIDUAL-coded store — the filtered
+    * serve dispatches per variant exactly like the plain serve, so the
+    * filtered matrix covers both encodings. Same pre-filtering
+    * contract: the predicate lands on the candidate coded frame before
+    * the per-cell residual ADC. */
+  def ivfPqSearchFilteredResidual(store: graft.store.ModelStore,
+      pred: Column, qVec: Map[Int, Double], qId: Long = -1L,
+      topK: Int = 10, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      rerankK: Int = 100): DataFrame = {
+    requireVariant(store, "residual", "ivfPqSearchFilteredResidual")
+    ivfPqSearchResidualOver(store.load("coarse"),
+      codedFrame(store.load).filter(pred), store.load("vectors"),
+      store.load("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+  }
+
+  /** Filtered-recall sweep over the residual index
+    * (`q_ann_filtered_residual`): [[annRecallFiltered]]'s residual
+    * twin — filtered serve vs filtered truth, both variants of the
+    * filtered matrix oracle-pinned. */
+  def annRecallFilteredResidual(spark: SparkSession, dir: String,
+      topK: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val pred = pmod(col("vec_id"), lit(3)) === 1
+    val truth = cosineTopK(spark, dir, 0L, topK, pred).select("vec_id")
+    val store = sharedResidualIndex(spark, dir)
+    val qv = queryVecOf(emb, 0L)
+    nprobes.map { np =>
+      ivfPqSearchFilteredResidual(store, pred, qv, qId = 0L,
+        topK = topK, nprobe = np)
+        .join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), lit(topK).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / topK).as("recall"))
+    }.reduce(_ union _).orderBy("nprobe")
+  }
+
   /** Filtered-recall sweep (`q_ann_filtered`): [[ivfPqSearchFiltered]]
     * with the deterministic `vec_id % 3 = 1` predicate over the
     * process-shared index, each nprobe's top-10 intersected with the

@@ -671,9 +671,16 @@ object StreamingAnn {
       topK: Int = 10, nprobe: Int = 2, m: Int = 4,
       dim: Int = 64, rerankK: Int = 100,
       version: Option[Long] = None,
-      tombPath: Option[String] = None): DataFrame = {
-    val (coded, vectors, variant, ld) =
+      tombPath: Option[String] = None,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val (coded0, vectors, variant, ld) =
       unionServeFrames(spark, store, codesPath, version, tombPath)
+    // FILTERED serve over the live index: the allowed-set predicate
+    // lands on the RESOLVED candidate frame — after the winners rule
+    // and the tombstones, before any scoring — the same pre-filtering
+    // contract as the persisted [[Similarity.ivfPqSearchFiltered]],
+    // composed with incremental maintenance and deletes
+    val coded = pred.map(coded0.filter).getOrElse(coded0)
     // serve with the PINNED version's encoding semantics (ADVICE r11:
     // the raw-only body served a residual store's codes against raw ADC
     // tables — silently wrong neighbors, the failure requireVariant
@@ -816,9 +823,11 @@ object StreamingAnn {
       nprobe: Int = 2, m: Int = 4, dim: Int = 64, rerankK: Int = 50,
       excludeSelf: Boolean = true, broadcastQueries: Boolean = true,
       version: Option[Long] = None,
-      tombPath: Option[String] = None): DataFrame = {
-    val (coded, vectors, variant, ld) =
+      tombPath: Option[String] = None,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val (coded1, vectors, variant, ld) =
       unionServeFrames(spark, store, codesPath, version, tombPath)
+    val coded = pred.map(coded1.filter).getOrElse(coded1)
     if (variant == "residual")
       Similarity.ivfPqKnnJoinResidualOver(ld("coarse"), coded, vectors,
         ld("codebooks"), queries, topK, nprobe, m, dim, rerankK,
@@ -923,5 +932,42 @@ object StreamingAnn {
       graft.store.ModelStore.deleteRecursively(codesDir)
       graft.store.ModelStore.deleteRecursively(tombDir)
     }
+  }
+
+  /** Driver-contract query (`q_ann_filtered_inc`): the filtered recall
+    * sweep over the LIVE index — quantizers trained once with empty
+    * data parts, every coded row ingested through three pmod
+    * microbatches, the `vec_id % 3 = 1` allowed-set predicate applied
+    * by [[searchIncremental]] to the resolved candidate frame. The
+    * oracle is the filtered batch sweep SQL VERBATIM
+    * (`q_ann_filtered`'s): pointwise encoding makes filtering a live
+    * index indistinguishable from filtering the batch-built one. */
+  def annFilteredIncrementalQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pred = pmod(col("vec_id"), lit(3)) === 1
+    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, pred)
+      .select("vec_id")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-annfinc-codes-")
+    try {
+      graft.store.ModelStore.scratch(spark, "annfinc") { store =>
+        Similarity.saveQuantizers(emb, store)
+        (0 until 3).foreach { b =>
+          annIngestBatch(spark, store, codesDir.toString)(
+            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+        }
+        val qv = Similarity.queryVecOf(emb, 0L)
+        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+          searchIncremental(spark, store, codesDir.toString, qv,
+            qId = 0L, topK = 10, nprobe = np, pred = Some(pred))
+            .join(truth, "vec_id")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), lit(10).as("k"),
+              col("n_hits"),
+              (col("n_hits").cast("double") / 10).as("recall"))
+        }.reduce(_ union _).orderBy("nprobe"))
+      }
+    } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 }

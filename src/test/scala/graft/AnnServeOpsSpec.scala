@@ -90,6 +90,30 @@ class AnnServeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("residual filtered search stays in the allowed set; the raw store is refused by the residual path") {
+    val pred = pmod(col("vec_id"), lit(3)) === 1
+    val qv = Similarity.queryVecOf(emb, 0L)
+    withStore { store =>
+      Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb, store)
+      val served = Similarity.ivfPqSearchFilteredResidual(store, pred,
+        qv, qId = 0L, topK = 10, nprobe = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(served.nonEmpty && served.forall(_ % 3 == 1))
+      // and unfiltered differs (the filter is doing work, not a no-op)
+      val plain = Similarity.ivfPqSearchResidualPersisted(store, qv,
+        qId = 0L, topK = 10, nprobe = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(served !== plain)
+    }
+    withStore { store =>
+      Similarity.saveIvfPqIndex(emb, store)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfPqSearchFilteredResidual(store, pred, qv)
+      }
+      assert(e.getMessage.contains("raw"))
+    }
+  }
+
   test("range search: every row clears the radius; probed is a subset of exact; exhaustive probe + generous slack equals exact") {
     withStore { store =>
       Similarity.saveIvfPqIndex(emb, store)

@@ -979,6 +979,37 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered serve composes with tombstones on the live index") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    val pred = pmod(col("vec_id"), lit(3)) === 1
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(emb, 0L)
+      def serveF(): Seq[String] =
+        StreamingAnn.searchIncremental(spark, store, codesPath, qVec,
+          qId = 0L, tombPath = Some(tombPath), pred = Some(pred))
+          .collect().map(_.toString).toSeq
+      val before = serveF()
+      assert(before.nonEmpty &&
+        before.forall(_.split("[\\[,]")(1).toLong % 3 == 1))
+      val victim = before.head.split("[\\[,]")(1).toLong
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === victim), 1L)
+      val after = serveF()
+      assert(!after.exists(_.contains(s"[$victim,")))
+      assert(after.forall(_.split("[\\[,]")(1).toLong % 3 == 1))
+      // == the filtered batch encode of the survivors under the same
+      // frozen quantizers (pred and tombstone compose, not conflict)
+      val survivors = llm.Similarity.encodeWithIndex(store,
+        emb.filter(col("vec_id") =!= victim))
+      val batch = llm.Similarity.ivfPqSearchOver(store.load("coarse"),
+        survivors.filter(pred), survivors.select("vec_id", "ux"),
+        store.load("codebooks"), qVec, qId = 0L)
+        .collect().map(_.toString).toSeq
+      assert(after === batch)
+    }
+  }
+
   test("rebuild with tombstones: the retrain corpus excludes dead ids; a drift rebuild cannot resurrect a takedown") {
     val qVec = llm.Similarity.queryVecOf(emb, 0L)
     val nn1 = llm.Similarity.cosineTopK(spark, sfDir, 0L, 1)
