@@ -99,6 +99,8 @@ object SparkEntry {
       (streaming.StreamingRelease.corpusReleaseIncrementalQuery _),
     "q_corpus_release_takedown" ->
       (streaming.StreamingRelease.corpusReleaseTakedownQuery _),
+    "q_corpus_release_asof" ->
+      (streaming.StreamingRelease.corpusReleaseAsOfQuery _),
     "q_char_entropy" -> (llm.TextOps.charEntropy _),
     "q_text_embed" -> (llm.TextOps.embedText _),
     "q_pagerank" -> (operators.PageRank.pageRank _),
@@ -224,6 +226,7 @@ object SparkEntry {
       ((s, d) => llm.Similarity.annRecallFilteredResidual(s, d)),
     "q_ann_filtered_inc" ->
       (streaming.StreamingAnn.annFilteredIncrementalQuery _),
+    "q_ann_asof" -> (streaming.StreamingAnn.annAsOfQuery _),
     "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
     "q_cosine_range" -> ((s, d) => llm.Similarity.cosineRange(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
@@ -1243,6 +1246,12 @@ object SparkEntry {
     // hash-indistinguishable from filtering the batch-built one
     "q_ann_filtered_inc" -> annRecallSweepOracle(
       "k.vec_id % 3 = 1", "e.vec_id % 3 = 1"),
+    // time-travel read: the sweep as-of batch 1 over three pmod
+    // microbatches — candidates and truth are the as-of membership, so
+    // a hash match pins that an as-of read equals an index that never
+    // ingested the later batch
+    "q_ann_asof" -> annRecallSweepOracle(
+      "k.vec_id % 3 <> 2", "e.vec_id % 3 <> 2"),
     // probed radius query: ADC bound + exact-cosine threshold
     "q_ann_range" -> annRangeOracle,
     // exact radius query: brute-force cosine, thresholded not LIMITed
@@ -1464,6 +1473,14 @@ object SparkEntry {
     // release over the surviving corpus
     "q_corpus_release_takedown" ->
       corpusReleaseOracleWhere("k.doc_id % 11 <> 5"),
+    // time-travel read: the manifest as-of batch 1 of three ascending
+    // ntile slices — keepers restricted by the SAME ntile rule the
+    // slicing used, so the as-of read equals the release that actually
+    // shipped before batch 2 arrived
+    "q_corpus_release_asof" -> corpusReleaseOracleWhere(
+      "k.doc_id IN (SELECT doc_id FROM (SELECT doc_id, " +
+        "ntile(3) OVER (ORDER BY doc_id) AS s FROM documents) " +
+        "WHERE s <= 2)"),
     // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
     // pattern): integer edge weights; per-node in-neighbor sums are
     // FIXED-POINT — each contribution floor-quantized to 1e-9 units as

@@ -125,11 +125,16 @@ object StreamingAnn {
       .option("checkpointLocation", checkpoint)
 
   /** Max tombstone batch per deleted vec_id, or None when nothing was
-    * ever deleted — one aggregate over the tombstones' two columns. */
+    * ever deleted — one aggregate over the tombstones' two columns.
+    * `asOf` restricts to tombstones at or before that batch (the
+    * time-travel read: a later delete has not happened yet). */
   private def readTombs(spark: SparkSession,
-      tombPath: Option[String]): Option[DataFrame] =
+      tombPath: Option[String],
+      asOf: Option[Long] = None): Option[DataFrame] =
     tombPath.flatMap(StreamingDedup.readStore(spark, _))
-      .map(_.groupBy("vec_id")
+      .map(t => asOf.map(b =>
+          t.filter(col("batch").cast("long") <= b)).getOrElse(t)
+        .groupBy("vec_id")
         .agg(max(col("batch").cast("long")).as("__bd")))
 
   /** Latest-action-wins resolution of insert batches vs tombstones:
@@ -672,9 +677,10 @@ object StreamingAnn {
       dim: Int = 64, rerankK: Int = 100,
       version: Option[Long] = None,
       tombPath: Option[String] = None,
-      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      pred: Option[org.apache.spark.sql.Column] = None,
+      asOf: Option[Long] = None): DataFrame = {
     val (coded0, vectors, variant, ld) =
-      unionServeFrames(spark, store, codesPath, version, tombPath)
+      unionServeFrames(spark, store, codesPath, version, tombPath, asOf)
     // FILTERED serve over the live index: the allowed-set predicate
     // lands on the RESOLVED candidate frame — after the winners rule
     // and the tombstones, before any scoring — the same pre-filtering
@@ -720,16 +726,27 @@ object StreamingAnn {
     * search body. */
   private def unionServeFrames(spark: SparkSession, store: ModelStore,
       codesPath: String, version: Option[Long],
-      tombPath: Option[String] = None)
+      tombPath: Option[String] = None,
+      asOf: Option[Long] = None)
       : (DataFrame, DataFrame, String, String => DataFrame) = {
     def ld(part: String): DataFrame = version match {
       case Some(v) => store.loadAt(v, part)
       case None => store.load(part)
     }
     val baseCodes = Similarity.codedFrame(ld)
-    val tombs = readTombs(spark, tombPath)
+    val tombs = readTombs(spark, tombPath, asOf)
+    // AS-OF (time-travel) read: restrict increments and tombstones to
+    // batches ≤ asOf — the serve sees exactly the index state after
+    // that batch committed, because every later batch is partition-
+    // pruned out of both stores (batch is a hive partition column) and
+    // the winners rule is a pure function of the rows that remain. The
+    // BASE artifacts are pinned separately by `version`: as-of
+    // time-travels the streamed data, version pins the quantizers.
+    val incs = StreamingDedup.readStore(spark, codesPath)
+      .map(i => asOf.map(b =>
+        i.filter(col("batch").cast("long") <= b)).getOrElse(i))
     val (coded, vectors) =
-      (StreamingDedup.readStore(spark, codesPath), tombs) match {
+      (incs, tombs) match {
       case (Some(inc), _) =>
         val base = baseCodes
           .join(ld("vectors"), "vec_id") // rerank payload
@@ -824,9 +841,10 @@ object StreamingAnn {
       excludeSelf: Boolean = true, broadcastQueries: Boolean = true,
       version: Option[Long] = None,
       tombPath: Option[String] = None,
-      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      pred: Option[org.apache.spark.sql.Column] = None,
+      asOf: Option[Long] = None): DataFrame = {
     val (coded1, vectors, variant, ld) =
-      unionServeFrames(spark, store, codesPath, version, tombPath)
+      unionServeFrames(spark, store, codesPath, version, tombPath, asOf)
     val coded = pred.map(coded1.filter).getOrElse(coded1)
     if (variant == "residual")
       Similarity.ivfPqKnnJoinResidualOver(ld("coarse"), coded, vectors,
@@ -961,6 +979,46 @@ object StreamingAnn {
         graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
           searchIncremental(spark, store, codesDir.toString, qv,
             qId = 0L, topK = 10, nprobe = np, pred = Some(pred))
+            .join(truth, "vec_id")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), lit(10).as("k"),
+              col("n_hits"),
+              (col("n_hits").cast("double") / 10).as("recall"))
+        }.reduce(_ union _).orderBy("nprobe"))
+      }
+    } finally graft.store.ModelStore.deleteRecursively(codesDir)
+  }
+
+  /** Driver-contract query (`q_ann_asof`): the TIME-TRAVEL read —
+    * three pmod microbatches ingested, the recall sweep served AS-OF
+    * batch 1, i.e. over exactly the rows batches 0–1 committed
+    * (`vec_id % 3 ∈ {0, 1}`); batch 2's rows exist on disk but are
+    * partition-pruned out of the read. Truth is the brute-force top-10
+    * over the as-of corpus. The oracle is the filtered sweep SQL with
+    * the as-of membership as the predicate — a hash match pins that an
+    * as-of read equals an index that never ingested the later batch
+    * (training reproducibility: the corpus a run saw is recoverable
+    * forever). The quantizers are version-pinned separately and
+    * legitimately predate nothing here (trained once on the full
+    * corpus, as the oracle's chains are). */
+  def annAsOfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val member = pmod(col("vec_id"), lit(3)) =!= 2
+    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, member)
+      .select("vec_id")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-annasof-codes-")
+    try {
+      graft.store.ModelStore.scratch(spark, "annasof") { store =>
+        Similarity.saveQuantizers(emb, store)
+        (0 until 3).foreach { b =>
+          annIngestBatch(spark, store, codesDir.toString)(
+            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+        }
+        val qv = Similarity.queryVecOf(emb, 0L)
+        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+          searchIncremental(spark, store, codesDir.toString, qv,
+            qId = 0L, topK = 10, nprobe = np, asOf = Some(1L))
             .join(truth, "vec_id")
             .agg(count(lit(1)).as("n_hits"))
             .select(lit(np).as("nprobe"), lit(10).as("k"),

@@ -119,9 +119,17 @@ object StreamingRelease {
     * [[graft.llm.TextOps.corpusRelease]] on the union of the ingested
     * batches (spec-pinned parity; empty ledger → empty manifest). */
   def releaseManifest(spark: SparkSession, scorePath: String,
-      shards: Int = 8, tombPath: Option[String] = None): DataFrame =
+      shards: Int = 8, tombPath: Option[String] = None,
+      asOf: Option[Long] = None): DataFrame =
     StreamingDedup.readStore(spark, scorePath) match {
-      case Some(scored0) =>
+      case Some(scored1) =>
+        // AS-OF (time-travel) read: ledger rows and takedowns from
+        // batches ≤ asOf only — the manifest a release cut after that
+        // batch actually shipped, recoverable forever (training-run
+        // reproducibility); later batches are partition-pruned out
+        def cut(df: DataFrame): DataFrame = asOf.map(b =>
+          df.filter(col("batch").cast("long") <= b)).getOrElse(df)
+        val scored0 = cut(scored1)
         // takedowns: one broadcast anti-join of the ledger against the
         // tombstoned doc_ids BEFORE the tertile/shard body — the next
         // manifest is a re-release over the survivors (tertile
@@ -130,8 +138,8 @@ object StreamingRelease {
         val scored = tombPath
           .flatMap(StreamingDedup.readStore(spark, _)) match {
           case Some(dead) => scored0.join(
-            broadcast(dead.select("doc_id").distinct()), Seq("doc_id"),
-            "left_anti")
+            broadcast(cut(dead).select("doc_id").distinct()),
+            Seq("doc_id"), "left_anti")
           case None => scored0
         }
         TextOps.releaseManifestFrom(scored.drop("batch"), shards)
@@ -791,6 +799,35 @@ object StreamingRelease {
         releaseManifest(spark, scoreDir.toString,
           tombPath = Some(tombDir.toString)))
     } finally Seq(hashDir, scoreDir, tombDir).foreach(
+      ModelStore.deleteRecursively)
+  }
+
+  /** Driver-contract query (`q_corpus_release_asof`): the manifest
+    * TIME-TRAVELED to batch 1 — three ascending-doc_id microbatches
+    * ingested, the manifest served as-of the second, i.e. the release
+    * that actually shipped before batch 2 arrived. The oracle is the
+    * wholesale release SQL restricted to the first two ntile slices
+    * (the same ntile rule the slicing used), pinning that an as-of
+    * read equals a release over only the docs ingested by then. */
+  def corpusReleaseAsOfQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val lmStore = TextOps.sharedLmFor(spark, dir)
+    val hashDir = Files.createTempDirectory("graft-asofhash-")
+    val scoreDir = Files.createTempDirectory("graft-asofscore-")
+    try {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(3).over(w))
+        .localCheckpoint(true)
+      val ingest = releaseIngestBatch(spark, lmStore,
+        hashDir.toString, scoreDir.toString) _
+      (1 to 3).foreach { s =>
+        ingest(sliced.filter(col("__s") === s).drop("__s"), s - 1L)
+      }
+      graft.Materialize.checkpoint(
+        releaseManifest(spark, scoreDir.toString, asOf = Some(1L)))
+    } finally Seq(hashDir, scoreDir).foreach(
       ModelStore.deleteRecursively)
   }
 }

@@ -1010,6 +1010,43 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of read: serve equals an index that never ingested the later batch; deletes time-travel too") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      (0 until 3).foreach { b =>
+        StreamingAnn.annIngestBatch(spark, store, codesPath)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+      }
+      val asof1 = StreamingAnn.searchIncremental(spark, store,
+        codesPath, qVec, qId = 0L, asOf = Some(1L))
+        .collect().map(_.toString).toSeq
+      // == a parallel index that only ever saw batches 0–1 (training is
+      // deterministic, so a second saveQuantizers build is bit-equal)
+      withDirs { (store2, codes2) =>
+        llm.Similarity.saveQuantizers(emb, store2)
+        (0 until 2).foreach { b =>
+          StreamingAnn.annIngestBatch(spark, store2, codes2)(
+            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+        }
+        assert(searchRows(store2, codes2, qVec) === asof1)
+      }
+      // deletes time-travel: tombstone the current served top-1 at
+      // batch 3 — an as-of read BEFORE the delete still serves it, the
+      // present read hides it
+      val now = searchRowsT(store, codesPath, tombPath, qVec)
+      val victim = now.head.split("[\\[,]")(1).toLong
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === victim), 3L)
+      val preDelete = StreamingAnn.searchIncremental(spark, store,
+        codesPath, qVec, qId = 0L, tombPath = Some(tombPath),
+        asOf = Some(2L)).collect().map(_.toString).toSeq
+      assert(preDelete === now)
+      assert(!searchRowsT(store, codesPath, tombPath, qVec)
+        .exists(_.contains(s"[$victim,")))
+    }
+  }
+
   test("rebuild with tombstones: the retrain corpus excludes dead ids; a drift rebuild cannot resurrect a takedown") {
     val qVec = llm.Similarity.queryVecOf(emb, 0L)
     val nn1 = llm.Similarity.cosineTopK(spark, sfDir, 0L, 1)

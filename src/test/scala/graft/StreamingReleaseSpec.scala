@@ -115,6 +115,48 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of manifest equals the release before the later batch; takedowns time-travel") {
+    withDirs { (lmStore, hashPath, scorePath) =>
+      val tombDir = Files.createTempDirectory("graft-rel-asoftomb-")
+      try {
+        llm.TextOps.lmSave(docs, lmStore)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        val sliced = docs.withColumn("__s", ntile(3).over(w))
+          .localCheckpoint(true)
+        val ingest = StreamingRelease.releaseIngestBatch(spark, lmStore,
+          hashPath, scorePath) _
+        (1 to 3).foreach(s =>
+          ingest(sliced.filter(col("__s") === s).drop("__s"), s - 1L))
+        val asof1 = StreamingRelease.releaseManifest(spark, scorePath,
+          asOf = Some(1L)).collect().map(_.toString).toSeq
+        // == a parallel run that only ever ingested batches 0–1 (same
+        // frozen LM, fresh ledgers)
+        val hash2 = Files.createTempDirectory("graft-rel-asofh2-")
+        val score2 = Files.createTempDirectory("graft-rel-asofs2-")
+        try {
+          val ingest2 = StreamingRelease.releaseIngestBatch(spark,
+            lmStore, hash2.toString, score2.toString) _
+          (1 to 2).foreach(s =>
+            ingest2(sliced.filter(col("__s") === s).drop("__s"), s - 1L))
+          assert(manifestRows(score2.toString) === asof1)
+        } finally Seq(hash2, score2).foreach(ModelStore.deleteRecursively)
+        // takedowns time-travel: tombstone a slice at batch 3 — the
+        // as-of read BEFORE the takedown still ships the full manifest
+        val full = manifestRows(scorePath)
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          docs.filter(pmod(col("doc_id"), lit(11)) === 5), 3L)
+        val preTakedown = StreamingRelease.releaseManifest(spark,
+          scorePath, tombPath = Some(tombDir.toString), asOf = Some(2L))
+          .collect().map(_.toString).toSeq
+        assert(preTakedown === full)
+        val now = StreamingRelease.releaseManifest(spark, scorePath,
+          tombPath = Some(tombDir.toString))
+          .collect().map(_.toString).toSeq
+        assert(now !== full)
+      } finally ModelStore.deleteRecursively(tombDir)
+    }
+  }
+
   test("cross-batch exact duplicates collapse to the first batch's keeper; manifest never re-reads text") {
     withDirs { (lmStore, hashPath, scorePath) =>
       llm.TextOps.lmSave(docs, lmStore)
