@@ -708,6 +708,16 @@ class StreamingAnnSpec extends AnyFunSuite {
         assert(pt.linesIterator.filter(_.contains("Window "))
           .forall(_.contains("cid")),
           s"tombstone resolution regressed to a vec_id window:\n$pt")
+
+        // the AS-OF cut is physical too: the batch bound reaches the
+        // increment scan as a PartitionFilter (batch is a hive
+        // partition column), not a post-scan row filter
+        val pa = StreamingAnn.searchIncremental(spark, store, codesPath,
+          qVec, qId = 0L, asOf = Some(0L))
+          .queryExecution.executedPlan.toString
+        assert("""PartitionFilters: \[[^\]]*batch""".r
+          .findFirstIn(pa).isDefined,
+          s"as-of bound did not prune batch partitions:\n$pa")
       } finally {
         import scala.jdk.CollectionConverters._
         Files.walk(tombDir).iterator().asScala.toSeq.reverse
