@@ -101,6 +101,8 @@ object SparkEntry {
       (streaming.StreamingRelease.corpusReleaseTakedownQuery _),
     "q_corpus_release_asof" ->
       (streaming.StreamingRelease.corpusReleaseAsOfQuery _),
+    "q_multimodal_release_takedown" ->
+      (streaming.StreamingRelease.multimodalReleaseTakedownQuery _),
     "q_char_entropy" -> (llm.TextOps.charEntropy _),
     "q_text_embed" -> (llm.TextOps.embedText _),
     "q_pagerank" -> (operators.PageRank.pageRank _),
@@ -1086,7 +1088,12 @@ object SparkEntry {
   // q_multimodal_release (batch) and q_multimodal_release_inc (the
   // two-ledger streaming twin): the incremental path must hash-match
   // the wholesale replay exactly.
-  private lazy val multimodalReleaseOracle: String =
+  // BUILDER: `survivorCond` (alias d) excludes tombstoned docs from the
+  // survivors — q_multimodal_release_takedown injects the dead-slice
+  // predicate; the empty default reproduces the plain release verbatim.
+  private def multimodalReleaseOracleWhere(
+      survivorCond: String = ""): String = {
+    val sc = if (survivorCond.isEmpty) "" else s" AND $survivorCond"
     raw"""WITH tk AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
       |            FROM documents GROUP BY 1),
       |mc AS (SELECT doc_id, sha256(substr(text, 1, 16)) AS cid
@@ -1096,11 +1103,15 @@ object SparkEntry {
       |          WHERE m.doc_id NOT IN (SELECT keep_id FROM mk)),
       |s AS (SELECT d.lang, d.text FROM documents d
       |      JOIN tk ON d.doc_id = tk.keep_id
-      |      WHERE d.doc_id NOT IN (SELECT doc_id FROM mdrop))
+      |      WHERE d.doc_id NOT IN (SELECT doc_id FROM mdrop)$sc)
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
       |    AS tot_tokens
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  private lazy val multimodalReleaseOracle: String =
+    multimodalReleaseOracleWhere()
 
   private def clfScoreExpr(r: String): String =
     (0 until 5).map(j => s"$r.w$j * x$j").mkString(" + ")
@@ -3683,6 +3694,11 @@ object SparkEntry {
     // slice) -> per-lang accounting. The whole composition replays in
     // SQL; pixel-clustered media input is spec territory.
     "q_multimodal_release" -> multimodalReleaseOracle,
+    // multimodal takedown: the release with the dead slice excluded
+    // from the survivors — ledger-level removal (dropped duplicates do
+    // not resurrect), fingerprints retained so content cannot re-enter
+    "q_multimodal_release_takedown" ->
+      multimodalReleaseOracleWhere("d.doc_id % 13 <> 4"),
     // incremental multimodal release: the Spark side ingests three
     // ascending-doc_id microbatches through TWO hash ledgers (text
     // hash + media fingerprint, first writer wins) and serves the

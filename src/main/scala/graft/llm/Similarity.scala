@@ -1473,6 +1473,31 @@ object Similarity {
     saveIvfPqIndexTrainedOn(trainEmb, trainEmb.limit(0), store, kCells,
       m, k, iters, dim, spill)
 
+  /** Process-shared QUANTIZER-ONLY store over `dir`'s embeddings at
+    * the default dials — the [[sharedIvfPqIndex]] discipline for the
+    * incremental-ingest contract queries, which each train the same
+    * frozen quantizers and then supply every coded row through their
+    * own external ingest dirs. Training is deterministic, so sharing
+    * is oracle-invisible. Consumers MUST treat the store as read-only
+    * (no compaction/save — those queries keep scratch stores). */
+  private[graft] def sharedQuantizers(spark: SparkSession,
+      dir: String): graft.store.ModelStore =
+    graft.store.ModelStore.shared(spark, Seq("quant-raw",
+      graft.store.ArtifactCache.tableFingerprint(dir, "embeddings"),
+      "kCells=4", "m=4", "k=8", "iters=2", "dim=64")) { store =>
+      saveQuantizers(t(spark, dir, "embeddings"), store); ()
+    }
+
+  /** Residual twin of [[sharedQuantizers]]. */
+  private[graft] def sharedResidualQuantizers(spark: SparkSession,
+      dir: String): graft.store.ModelStore =
+    graft.store.ModelStore.shared(spark, Seq("quant-residual",
+      graft.store.ArtifactCache.tableFingerprint(dir, "embeddings"),
+      "kCells=4", "m=4", "k=8", "iters=2", "dim=64")) { store =>
+      val emb = t(spark, dir, "embeddings")
+      saveIvfPqResidualIndexTrainedOn(emb, emb.limit(0), store); ()
+    }
+
   /** Merge PARALLEL-ENCODED shards into one served index version — the
     * distributed-build completion of the ANN stack: quantizers train
     * once ([[saveQuantizers]] or any existing version), each worker

@@ -566,30 +566,30 @@ object StreamingAnn {
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-resinc-codes-")
     try {
-      graft.store.ModelStore.scratch(spark, "resinc") { store =>
-        Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb.limit(0),
-          store)
-        // microbatch split by pmod, not count-based ranges (ADVICE r12:
-        // with sparse/non-contiguous vec_ids a [cuts(b), cuts(b+1)) slice
-        // silently drops rows with vec_id >= n, breaking the
-        // verbatim-oracle equality); pmod covers every id exactly once
-        // regardless of the id distribution, and encoding is pointwise so
-        // any partition of the corpus yields the same index
-        (0 until 3).foreach { b =>
-          annIngestBatch(spark, store, codesDir.toString)(
-            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
-        }
-        val qv = Similarity.queryVecOf(emb, 0L)
-        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-          searchIncremental(spark, store, codesDir.toString, qv,
-            qId = 0L, topK = 10, nprobe = np)
-            .join(truth, "vec_id")
-            .agg(count(lit(1)).as("n_hits"))
-            .select(lit(np).as("nprobe"), lit(10).as("k"),
-              col("n_hits"),
-              (col("n_hits").cast("double") / 10).as("recall"))
-        }.reduce(_ union _).orderBy("nprobe"))
+      // process-shared frozen quantizers (read-only here — the ingest
+      // writes codes to this query's own dir): one residual training
+      // job serves every residual contract row
+      val store = Similarity.sharedResidualQuantizers(spark, dir)
+      // microbatch split by pmod, not count-based ranges (ADVICE r12:
+      // with sparse/non-contiguous vec_ids a [cuts(b), cuts(b+1)) slice
+      // silently drops rows with vec_id >= n, breaking the
+      // verbatim-oracle equality); pmod covers every id exactly once
+      // regardless of the id distribution, and encoding is pointwise so
+      // any partition of the corpus yields the same index
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
       }
+      val qv = Similarity.queryVecOf(emb, 0L)
+      graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+        searchIncremental(spark, store, codesDir.toString, qv,
+          qId = 0L, topK = 10, nprobe = np)
+          .join(truth, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), lit(10).as("k"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / 10).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe"))
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 
@@ -890,18 +890,16 @@ object StreamingAnn {
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-batchinc-codes-")
     try {
-      graft.store.ModelStore.scratch(spark, "batchinc") { store =>
-        Similarity.saveQuantizers(emb, store)
-        // pmod split, not count-based ranges — see
-        // [[annResidualIncrementalQuery]] (ADVICE r12)
-        (0 until 3).foreach { b =>
-          annIngestBatch(spark, store, codesDir.toString)(
-            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
-        }
-        graft.Materialize.checkpoint(
-          knnJoinIncremental(spark, store, codesDir.toString,
-            emb.filter(col("vec_id") < 8)))
+      val store = Similarity.sharedQuantizers(spark, dir)
+      // pmod split, not count-based ranges — see
+      // [[annResidualIncrementalQuery]] (ADVICE r12)
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
       }
+      graft.Materialize.checkpoint(
+        knnJoinIncremental(spark, store, codesDir.toString,
+          emb.filter(col("vec_id") < 8)))
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 
@@ -927,25 +925,23 @@ object StreamingAnn {
     val tombDir = java.nio.file.Files
       .createTempDirectory("graft-anndel-tombs-")
     try {
-      graft.store.ModelStore.scratch(spark, "anndel") { store =>
-        Similarity.saveQuantizers(emb, store)
-        (0 until 2).foreach { b =>
-          annIngestBatch(spark, store, codesDir.toString)(
-            emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
-        }
-        annDeleteBatch(spark, tombDir.toString)(emb.filter(dead), 2L)
-        val qv = Similarity.queryVecOf(emb, 0L)
-        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-          searchIncremental(spark, store, codesDir.toString, qv,
-            qId = 0L, topK = 10, nprobe = np,
-            tombPath = Some(tombDir.toString))
-            .join(truth, "vec_id")
-            .agg(count(lit(1)).as("n_hits"))
-            .select(lit(np).as("nprobe"), lit(10).as("k"),
-              col("n_hits"),
-              (col("n_hits").cast("double") / 10).as("recall"))
-        }.reduce(_ union _).orderBy("nprobe"))
+      val store = Similarity.sharedQuantizers(spark, dir)
+      (0 until 2).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
       }
+      annDeleteBatch(spark, tombDir.toString)(emb.filter(dead), 2L)
+      val qv = Similarity.queryVecOf(emb, 0L)
+      graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+        searchIncremental(spark, store, codesDir.toString, qv,
+          qId = 0L, topK = 10, nprobe = np,
+          tombPath = Some(tombDir.toString))
+          .join(truth, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), lit(10).as("k"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / 10).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe"))
     } finally {
       graft.store.ModelStore.deleteRecursively(codesDir)
       graft.store.ModelStore.deleteRecursively(tombDir)
@@ -969,23 +965,21 @@ object StreamingAnn {
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-annfinc-codes-")
     try {
-      graft.store.ModelStore.scratch(spark, "annfinc") { store =>
-        Similarity.saveQuantizers(emb, store)
-        (0 until 3).foreach { b =>
-          annIngestBatch(spark, store, codesDir.toString)(
-            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
-        }
-        val qv = Similarity.queryVecOf(emb, 0L)
-        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-          searchIncremental(spark, store, codesDir.toString, qv,
-            qId = 0L, topK = 10, nprobe = np, pred = Some(pred))
-            .join(truth, "vec_id")
-            .agg(count(lit(1)).as("n_hits"))
-            .select(lit(np).as("nprobe"), lit(10).as("k"),
-              col("n_hits"),
-              (col("n_hits").cast("double") / 10).as("recall"))
-        }.reduce(_ union _).orderBy("nprobe"))
+      val store = Similarity.sharedQuantizers(spark, dir)
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
       }
+      val qv = Similarity.queryVecOf(emb, 0L)
+      graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+        searchIncremental(spark, store, codesDir.toString, qv,
+          qId = 0L, topK = 10, nprobe = np, pred = Some(pred))
+          .join(truth, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), lit(10).as("k"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / 10).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe"))
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 
@@ -1009,23 +1003,21 @@ object StreamingAnn {
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-annasof-codes-")
     try {
-      graft.store.ModelStore.scratch(spark, "annasof") { store =>
-        Similarity.saveQuantizers(emb, store)
-        (0 until 3).foreach { b =>
-          annIngestBatch(spark, store, codesDir.toString)(
-            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
-        }
-        val qv = Similarity.queryVecOf(emb, 0L)
-        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-          searchIncremental(spark, store, codesDir.toString, qv,
-            qId = 0L, topK = 10, nprobe = np, asOf = Some(1L))
-            .join(truth, "vec_id")
-            .agg(count(lit(1)).as("n_hits"))
-            .select(lit(np).as("nprobe"), lit(10).as("k"),
-              col("n_hits"),
-              (col("n_hits").cast("double") / 10).as("recall"))
-        }.reduce(_ union _).orderBy("nprobe"))
+      val store = Similarity.sharedQuantizers(spark, dir)
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
       }
+      val qv = Similarity.queryVecOf(emb, 0L)
+      graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+        searchIncremental(spark, store, codesDir.toString, qv,
+          qId = 0L, topK = 10, nprobe = np, asOf = Some(1L))
+          .join(truth, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), lit(10).as("k"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / 10).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe"))
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 }

@@ -689,9 +689,28 @@ object StreamingRelease {
     * [[graft.llm.Multimodal.multimodalRelease]] on the union of the
     * ingested batches (spec- and oracle-pinned parity). */
   def multimodalManifest(spark: SparkSession,
-      ledgerPath: String): DataFrame =
+      ledgerPath: String, tombPath: Option[String] = None,
+      asOf: Option[Long] = None): DataFrame =
     StreamingDedup.readStore(spark, ledgerPath) match {
-      case Some(led) =>
+      case Some(led0) =>
+        // takedown + as-of, the [[releaseManifest]] rules applied to
+        // the media ledger: tombstoned docs leave the accounting, and
+        // the content cannot re-enter — BOTH its text hash and its
+        // media-cluster fingerprint stay in their stores from original
+        // ingest, so a re-upload of removed media is non-novel however
+        // it is re-encoded (within the exact-fingerprint policy; the
+        // near-dup signature store extends the same property across
+        // codecs)
+        def cut(df: DataFrame): DataFrame = asOf.map(b =>
+          df.filter(col("batch").cast("long") <= b)).getOrElse(df)
+        val led1 = cut(led0)
+        val led = tombPath
+          .flatMap(StreamingDedup.readStore(spark, _)) match {
+          case Some(dead) => led1.join(
+            broadcast(cut(dead).select("doc_id").distinct()),
+            Seq("doc_id"), "left_anti")
+          case None => led1
+        }
         led.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok").cast("long")).as("tot_tokens"))
@@ -734,6 +753,44 @@ object StreamingRelease {
       graft.Materialize.checkpoint(
         multimodalManifest(spark, ledgerDir.toString))
     } finally Seq(textDir, mediaDir, ledgerDir)
+      .foreach(ModelStore.deleteRecursively)
+  }
+
+  /** Driver-contract query (`q_multimodal_release_takedown`): the
+    * incremental multimodal release with the `doc_id % 13 = 4` slice
+    * tombstoned after ingest — the manifest accounting drops the dead
+    * docs; the oracle excludes the same slice from the batch release's
+    * survivors. Removal is ledger-level by design: a taken-down
+    * media-canonical doc does NOT resurrect its previously-dropped
+    * duplicates (they were never scored), and its fingerprints stay in
+    * the stores so the content cannot re-enter. */
+  def multimodalReleaseTakedownQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val textDir = Files.createTempDirectory("graft-mmtdtext-")
+    val mediaDir = Files.createTempDirectory("graft-mmtdmedia-")
+    val ledgerDir = Files.createTempDirectory("graft-mmtdledger-")
+    val tombDir = Files.createTempDirectory("graft-mmtdtomb-")
+    try {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(3).over(w))
+        .localCheckpoint(true)
+      (1 to 3).foreach { s =>
+        val b = sliced.filter(col("__s") === s).drop("__s")
+        val mc = b.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+              .as("cluster_id"))
+        multimodalIngestBatch(spark, textDir.toString,
+          mediaDir.toString, ledgerDir.toString)(b, mc, s - 1L)
+      }
+      releaseTakedownBatch(spark, tombDir.toString)(
+        docs.filter(pmod(col("doc_id"), lit(13)) === 4), 3L)
+      graft.Materialize.checkpoint(
+        multimodalManifest(spark, ledgerDir.toString,
+          tombPath = Some(tombDir.toString)))
+    } finally Seq(textDir, mediaDir, ledgerDir, tombDir)
       .foreach(ModelStore.deleteRecursively)
   }
 

@@ -115,6 +115,50 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal takedown: manifest drops dead docs; removed media cannot re-enter by re-upload") {
+    val textDir = Files.createTempDirectory("graft-mmtd-text-")
+    val mediaDir = Files.createTempDirectory("graft-mmtd-media-")
+    val ledgerDir = Files.createTempDirectory("graft-mmtd-ledger-")
+    val tombDir = Files.createTempDirectory("graft-mmtd-tomb-")
+    try {
+      def mcOf(b: org.apache.spark.sql.DataFrame) =
+        b.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+              .as("cluster_id"))
+      StreamingRelease.multimodalIngestBatch(spark, textDir.toString,
+        mediaDir.toString, ledgerDir.toString)(docs, mcOf(docs), 0L)
+      val full = StreamingRelease.multimodalManifest(spark,
+        ledgerDir.toString).collect().map(_.toString).toSeq
+      def served(): Seq[String] =
+        StreamingRelease.multimodalManifest(spark, ledgerDir.toString,
+          tombPath = Some(tombDir.toString))
+          .collect().map(_.toString).toSeq
+      // takedown an even (media-bearing) doc that survived
+      val victim = spark.read.parquet(s"$ledgerDir/batch=0")
+        .filter(col("doc_id") % 2 === 0)
+        .agg(min("doc_id")).first().getLong(0)
+      StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+        docs.filter(col("doc_id") === victim), 1L)
+      val after = served()
+      assert(after !== full, "takedown left the media manifest unchanged")
+      // re-upload: same text AND same media payload under a new doc_id
+      // — both fingerprint stores remember the content, so the ledger
+      // gains nothing and the manifest stays at the survivor accounting
+      val re = docs.filter(col("doc_id") === victim)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text"))
+      StreamingRelease.multimodalIngestBatch(spark, textDir.toString,
+        mediaDir.toString, ledgerDir.toString)(re,
+        mcOf(docs.filter(col("doc_id") === victim))
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("cluster_id")), 2L)
+      assert(served() === after,
+        "re-uploaded taken-down media re-entered the manifest")
+    } finally Seq(textDir, mediaDir, ledgerDir, tombDir)
+      .foreach(ModelStore.deleteRecursively)
+  }
+
   test("as-of manifest equals the release before the later batch; takedowns time-travel") {
     withDirs { (lmStore, hashPath, scorePath) =>
       val tombDir = Files.createTempDirectory("graft-rel-asoftomb-")
