@@ -151,6 +151,86 @@ object StreamingRelease {
             .add("n_docs", LongType).add("tot_tokens", LongType))
     }
 
+  /** The manifest's MEMBERSHIP at a point in time: one narrow doc_id
+    * frame — ledger rows at or before `asOf` minus takedowns at or
+    * before `asOf` (both partition-pruned cuts). The unit the diff and
+    * audit tooling compose over. */
+  def releaseMembers(spark: SparkSession, scorePath: String,
+      tombPath: Option[String] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame = asOf.map(b =>
+      df.filter(col("batch").cast("long") <= b)).getOrElse(df)
+    val led = StreamingDedup.readStore(spark, scorePath)
+      .map(s => cut(s).select("doc_id"))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)))
+    tombPath.flatMap(StreamingDedup.readStore(spark, _)) match {
+      case Some(dead) => led.join(
+        broadcast(cut(dead).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      case None => led
+    }
+  }
+
+  /** RELEASE DIFF — the governance changelog between two snapshots:
+    * which docs entered and which left the released corpus between
+    * as-of `from` and as-of `to` (None = present). Computed as the
+    * two-sided set difference of the MEMBERSHIP frames, so it is
+    * net-of-everything by construction: a doc admitted and taken down
+    * inside the window appears in neither direction, and a takedown of
+    * a doc released before `from` appears as `removed`. Two anti-joins
+    * over narrow doc_id frames — at 100 TB the diff never touches
+    * text, scores, or shard assignments, only the ledger's cheapest
+    * column under partition-pruned batch cuts. Returns (change ∈
+    * {added, removed}, doc_id), ordered. */
+  def releaseDiff(spark: SparkSession, scorePath: String,
+      tombPath: Option[String] = None, from: Option[Long] = None,
+      to: Option[Long] = None): DataFrame = {
+    val m1 = releaseMembers(spark, scorePath, tombPath, from)
+      .localCheckpoint(true) // both directions read it
+    val m2 = releaseMembers(spark, scorePath, tombPath, to)
+      .localCheckpoint(true)
+    m2.join(m1, Seq("doc_id"), "left_anti")
+      .select(lit("added").as("change"), col("doc_id"))
+      .unionByName(m1.join(m2, Seq("doc_id"), "left_anti")
+        .select(lit("removed").as("change"), col("doc_id")))
+      .orderBy("change", "doc_id")
+  }
+
+  /** Driver-contract query (`q_release_diff`): three ascending ntile
+    * microbatches ingested, the `doc_id % 11 = 5` slice taken down at
+    * batch 3, then the changelog from as-of batch 1 to the present —
+    * added = batch 2's novel keepers that survived the takedown,
+    * removed = taken-down docs that were members at batch 1. The
+    * oracle recomputes both memberships wholesale (keepers × ntile
+    * membership × the takedown predicate) and diffs them in SQL. */
+  def releaseDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val lmStore = TextOps.sharedLmFor(spark, dir)
+    val hashDir = Files.createTempDirectory("graft-diffhash-")
+    val scoreDir = Files.createTempDirectory("graft-diffscore-")
+    val tombDir = Files.createTempDirectory("graft-difftomb-")
+    try {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(3).over(w))
+        .localCheckpoint(true)
+      val ingest = releaseIngestBatch(spark, lmStore,
+        hashDir.toString, scoreDir.toString) _
+      (1 to 3).foreach { s =>
+        ingest(sliced.filter(col("__s") === s).drop("__s"), s - 1L)
+      }
+      releaseTakedownBatch(spark, tombDir.toString)(
+        docs.filter(pmod(col("doc_id"), lit(11)) === 5), 3L)
+      graft.Materialize.checkpoint(
+        releaseDiff(spark, scoreDir.toString,
+          tombPath = Some(tombDir.toString), from = Some(1L)))
+    } finally Seq(hashDir, scoreDir, tombDir).foreach(
+      ModelStore.deleteRecursively)
+  }
+
   /** TAKEDOWN: tombstone released docs by doc_id — one (doc_id,
     * batch=N) store under the replay contract, consumed by
     * [[releaseManifest]] as a pre-tertile anti-join. The content

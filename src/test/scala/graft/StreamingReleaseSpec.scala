@@ -115,6 +115,32 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("release diff: added/removed between snapshots; an in-window add+takedown cancels to nothing") {
+    withDirs { (lmStore, hashPath, scorePath) =>
+      val tombDir = Files.createTempDirectory("graft-rel-difftomb-")
+      try {
+        llm.TextOps.lmSave(docs, lmStore)
+        val x = docs.agg(max("doc_id")).first().getLong(0)
+        val ingest = StreamingRelease.releaseIngestBatch(spark, lmStore,
+          hashPath, scorePath) _
+        ingest(docs.filter(col("doc_id") =!= x), 0L)
+        ingest(docs.filter(col("doc_id") === x), 1L)
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          docs.filter(col("doc_id") === x), 2L)
+        def diff(from: Option[Long], to: Option[Long]) =
+          StreamingRelease.releaseDiff(spark, scorePath,
+            Some(tombDir.toString), from, to)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        // window covering add AND takedown of x: net change is empty
+        assert(diff(Some(0L), None) === Seq.empty)
+        // window ending before the takedown: x was added
+        assert(diff(Some(0L), Some(1L)) === Seq(("added", x)))
+        // window starting after the add: x was removed
+        assert(diff(Some(1L), None) === Seq(("removed", x)))
+      } finally ModelStore.deleteRecursively(tombDir)
+    }
+  }
+
   test("multimodal takedown: manifest drops dead docs; removed media cannot re-enter by re-upload") {
     val textDir = Files.createTempDirectory("graft-mmtd-text-")
     val mediaDir = Files.createTempDirectory("graft-mmtd-media-")
