@@ -232,6 +232,8 @@ object SparkEntry {
       (streaming.StreamingAnn.annFilteredIncrementalQuery _),
     "q_ann_asof" -> (streaming.StreamingAnn.annAsOfQuery _),
     "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
+    "q_ann_range_inc" ->
+      (streaming.StreamingAnn.annRangeIncrementalQuery _),
     "q_cosine_range" -> ((s, d) => llm.Similarity.cosineRange(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
     "q_ivfpq_batch_filtered" ->
@@ -1267,6 +1269,9 @@ object SparkEntry {
       "k.vec_id % 3 <> 2", "e.vec_id % 3 <> 2"),
     // probed radius query: ADC bound + exact-cosine threshold
     "q_ann_range" -> annRangeOracle,
+    // radius query over the LIVE index: the batch range SQL VERBATIM —
+    // microbatching is invisible to the radius serve too
+    "q_ann_range_inc" -> annRangeOracle,
     // exact radius query: brute-force cosine, thresholded not LIMITed
     "q_cosine_range" -> cosineRangeOracle,
     // auto-dialed sample-trained IVF-PQ recall sweep: the dial rule

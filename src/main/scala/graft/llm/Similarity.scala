@@ -1754,8 +1754,22 @@ object Similarity {
       adcSlack: Double = 2.0,
       broadcastShortlist: Boolean = true): DataFrame = {
     requireVariant(store, "raw", "ivfPqRangeSearch")
-    val coarse = store.load("coarse")
-    val coded = codedFrame(store.load)
+    ivfPqRangeSearchOver(store.load("coarse"), codedFrame(store.load),
+      store.load("vectors"), store.load("codebooks"), qVec, qId,
+      minSim, nprobe, m, dim, adcSlack, broadcastShortlist)
+  }
+
+  /** Range search over EXPLICIT frames — the [[ivfPqSearchOver]] split
+    * applied to the radius query, so the persisted path and the
+    * streaming-incremental union
+    * ([[graft.streaming.StreamingAnn.rangeSearchIncremental]]) share
+    * one probe+ADC-bound+exact-threshold body. */
+  private[graft] def ivfPqRangeSearchOver(coarse: DataFrame,
+      coded: DataFrame, vectors: DataFrame, codebooks: DataFrame,
+      qVec: Map[Int, Double], qId: Long = -1L, minSim: Double = 0.2,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      adcSlack: Double = 2.0,
+      broadcastShortlist: Boolean = true): DataFrame = {
     val probed = nearestCells(coarse.collect(), qVec, nprobe)
     val cand = coded.drop("ux")
       .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
@@ -1765,11 +1779,11 @@ object Similarity {
     // would then split the engines
     val thr = BigDecimal(adcSlack * (2.0 - 2.0 * minSim))
       .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    val short = adcScored(cand, store.load("codebooks"), qVec, m, dim / m)
+    val short = adcScored(cand, codebooks, qVec, m, dim / m)
       .filter(col("adc") <= thr)
       .select("vec_id").distinct()
     val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
-    store.load("vectors").select(col("vec_id"), col("ux"))
+    vectors.select(col("vec_id"), col("ux"))
       .join(if (broadcastShortlist) broadcast(short) else short, "vec_id")
       .select(col("vec_id"),
         round(aggregate(zip_with(col("ux"), typedlit(qArr),

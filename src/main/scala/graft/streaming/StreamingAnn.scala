@@ -983,6 +983,55 @@ object StreamingAnn {
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 
+  /** RANGE search over the live index — the radius query against
+    * base ∪ increments, with the full lifecycle composition: the
+    * winners rule, tombstones, an optional allowed-set predicate, and
+    * the as-of cut all resolve BEFORE the shared probe+ADC-bound+
+    * exact-threshold body ([[Similarity.ivfPqRangeSearchOver]]). Raw
+    * stores only (the residual ADC bound is per-probed-cell — a
+    * slackened global radius bound has no single residual table to
+    * compare against; top-k serves the residual variant). */
+  def rangeSearchIncremental(spark: SparkSession, store: ModelStore,
+      codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
+      minSim: Double = 0.2, nprobe: Int = 2, m: Int = 4,
+      dim: Int = 64, adcSlack: Double = 2.0,
+      version: Option[Long] = None,
+      tombPath: Option[String] = None,
+      pred: Option[org.apache.spark.sql.Column] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val (coded0, vectors, variant, ld) =
+      unionServeFrames(spark, store, codesPath, version, tombPath, asOf)
+    require(variant == "raw",
+      s"rangeSearchIncremental serves 'raw'-coded indexes but the " +
+        s"store is '$variant'-coded — scoring would be silently wrong")
+    val coded = pred.map(coded0.filter).getOrElse(coded0)
+    Similarity.ivfPqRangeSearchOver(ld("coarse"), coded, vectors,
+      ld("codebooks"), qVec, qId, minSim, nprobe, m, dim, adcSlack)
+  }
+
+  /** Driver-contract query (`q_ann_range_inc`): the radius query over
+    * the live index — quantizers shared-frozen, every coded row
+    * ingested through three pmod microbatches, the radius served
+    * through [[rangeSearchIncremental]]. Pointwise encoding makes the
+    * union bit-equal to the batch build, so the oracle is the batch
+    * `q_ann_range` SQL VERBATIM. */
+  def annRangeIncrementalQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-annrinc-codes-")
+    try {
+      val store = Similarity.sharedQuantizers(spark, dir)
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+      }
+      graft.Materialize.checkpoint(
+        rangeSearchIncremental(spark, store, codesDir.toString,
+          Similarity.queryVecOf(emb, 0L), qId = 0L))
+    } finally graft.store.ModelStore.deleteRecursively(codesDir)
+  }
+
   /** Driver-contract query (`q_ann_asof`): the TIME-TRAVEL read —
     * three pmod microbatches ingested, the recall sweep served AS-OF
     * batch 1, i.e. over exactly the rows batches 0–1 committed

@@ -1020,6 +1020,48 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("live-index range search: equals the persisted radius query; a deleted member leaves the radius set; residual refused") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      (0 until 2).foreach { b =>
+        StreamingAnn.annIngestBatch(spark, store, codesPath)(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
+      }
+      def range(): Seq[(Long, Double)] =
+        StreamingAnn.rangeSearchIncremental(spark, store, codesPath,
+          qVec, qId = 0L, tombPath = Some(tombPath))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val live = range()
+      assert(live.nonEmpty && live.forall(_._2 >= 0.2))
+      // == the batch radius query over the same encoded corpus (the
+      // pointwise-encoding invisibility, radius edition)
+      val survivors = llm.Similarity.encodeWithIndex(store, emb)
+      val batch = llm.Similarity.ivfPqRangeSearchOver(
+        store.load("coarse"), survivors,
+        survivors.select("vec_id", "ux"), store.load("codebooks"),
+        qVec, qId = 0L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(live === batch)
+      // a deleted member leaves the radius set, the rest is unchanged
+      val victim = live.head._1
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === victim), 2L)
+      assert(range() === live.filterNot(_._1 == victim))
+    }
+    // residual stores are refused (the radius bound is raw-only)
+    withDirs { (store, codesPath) =>
+      llm.Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb.limit(0),
+        store)
+      StreamingAnn.annIngestBatch(spark, store, codesPath)(emb, 0L)
+      val e = intercept[IllegalArgumentException] {
+        StreamingAnn.rangeSearchIncremental(spark, store, codesPath,
+          qVec, qId = 0L).collect()
+      }
+      assert(e.getMessage.contains("residual"))
+    }
+  }
+
   test("as-of read: serve equals an index that never ingested the later batch; deletes time-travel too") {
     val qVec = llm.Similarity.queryVecOf(emb, 0L)
     withTombDirs { (store, codesPath, tombPath) =>
