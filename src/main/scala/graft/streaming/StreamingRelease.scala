@@ -231,6 +231,49 @@ object StreamingRelease {
       ModelStore.deleteRecursively)
   }
 
+  // ---- NAMED SNAPSHOTS: a tag is a name for an as-of batch ("the
+  // corpus training run 7 saw" = tag "run-7"), the git-tag discipline
+  // over the time-travel reads: consumers pin tags, operators move
+  // them. A tag store is tiny parquet partitioned by tag name
+  // (tag=NAME/ → one batch value); re-tagging overwrites its own
+  // partition (the replay contract — a tag moves explicitly, like
+  // `git tag -f`, never by ambient race). ----
+
+  /** Name an as-of batch. */
+  def tagSnapshot(spark: SparkSession, tagPath: String, tag: String,
+      batch: Long): Unit = {
+    import spark.implicits._
+    Seq(batch).toDF("batch")
+      .write.mode("overwrite").parquet(s"$tagPath/tag=$tag")
+  }
+
+  /** Resolve a tag to its as-of batch; unknown tags fail loudly (a
+    * consumer pinning a tag that does not exist must not silently read
+    * the present). */
+  def resolveTag(spark: SparkSession, tagPath: String,
+      tag: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$tagPath/tag=$tag")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"unknown snapshot tag '$tag' under $tagPath")
+    spark.read.parquet(p.toString).select("batch").head().getLong(0)
+  }
+
+  /** The manifest at a NAMED snapshot — [[releaseManifest]] with the
+    * tag resolved to its as-of batch. */
+  def releaseManifestAt(spark: SparkSession, scorePath: String,
+      tagPath: String, tag: String, shards: Int = 8,
+      tombPath: Option[String] = None): DataFrame =
+    releaseManifest(spark, scorePath, shards, tombPath,
+      asOf = Some(resolveTag(spark, tagPath, tag)))
+
+  /** The changelog between two NAMED snapshots. */
+  def releaseDiffBetween(spark: SparkSession, scorePath: String,
+      tagPath: String, fromTag: String, toTag: String,
+      tombPath: Option[String] = None): DataFrame =
+    releaseDiff(spark, scorePath, tombPath,
+      from = Some(resolveTag(spark, tagPath, fromTag)),
+      to = Some(resolveTag(spark, tagPath, toTag)))
+
   /** TAKEDOWN: tombstone released docs by doc_id — one (doc_id,
     * batch=N) store under the replay contract, consumed by
     * [[releaseManifest]] as a pre-tertile anti-join. The content

@@ -141,6 +141,48 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("named snapshots: a tag pins an as-of manifest, retagging moves it explicitly, unknown tags fail loudly") {
+    withDirs { (lmStore, hashPath, scorePath) =>
+      val tagDir = Files.createTempDirectory("graft-rel-tags-")
+      try {
+        llm.TextOps.lmSave(docs, lmStore)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        val sliced = docs.withColumn("__s", ntile(3).over(w))
+          .localCheckpoint(true)
+        val ingest = StreamingRelease.releaseIngestBatch(spark, lmStore,
+          hashPath, scorePath) _
+        (1 to 3).foreach(s =>
+          ingest(sliced.filter(col("__s") === s).drop("__s"), s - 1L))
+        StreamingRelease.tagSnapshot(spark, tagDir.toString, "run-7", 1L)
+        val tagged = StreamingRelease.releaseManifestAt(spark,
+          scorePath, tagDir.toString, "run-7")
+          .collect().map(_.toString).toSeq
+        val asof = StreamingRelease.releaseManifest(spark, scorePath,
+          asOf = Some(1L)).collect().map(_.toString).toSeq
+        assert(tagged === asof)
+        // retag: the tag moves explicitly and resolves to the new batch
+        StreamingRelease.tagSnapshot(spark, tagDir.toString, "run-7", 2L)
+        assert(StreamingRelease.resolveTag(spark, tagDir.toString,
+          "run-7") === 2L)
+        // the diff between two named snapshots rides the same resolution
+        StreamingRelease.tagSnapshot(spark, tagDir.toString, "run-6", 1L)
+        val diff = StreamingRelease.releaseDiffBetween(spark, scorePath,
+          tagDir.toString, "run-6", "run-7")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val direct = StreamingRelease.releaseDiff(spark, scorePath,
+          from = Some(1L), to = Some(2L))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(diff === direct && diff.nonEmpty)
+        // a consumer pinning a tag that does not exist must not
+        // silently read the present
+        val e = intercept[IllegalArgumentException] {
+          StreamingRelease.resolveTag(spark, tagDir.toString, "run-99")
+        }
+        assert(e.getMessage.contains("run-99"))
+      } finally ModelStore.deleteRecursively(tagDir)
+    }
+  }
+
   test("multimodal takedown: manifest drops dead docs; removed media cannot re-enter by re-upload") {
     val textDir = Files.createTempDirectory("graft-mmtd-text-")
     val mediaDir = Files.createTempDirectory("graft-mmtd-media-")
