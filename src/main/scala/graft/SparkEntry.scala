@@ -238,6 +238,12 @@ object SparkEntry {
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
     "q_ivfpq_batch_filtered" ->
       (llm.Similarity.ivfPqKnnJoinFilteredQuery _),
+    "q_ivfpq_batch_deleted" ->
+      (streaming.StreamingAnn.ivfPqBatchDeletedQuery _),
+    "q_ivfpq_batch_asof" ->
+      (streaming.StreamingAnn.ivfPqBatchAsOfQuery _),
+    "q_multimodal_release_asof" ->
+      (streaming.StreamingRelease.multimodalReleaseAsOfQuery _),
     "q_ivfpq_batch_inc" ->
       (streaming.StreamingAnn.ivfPqBatchIncrementalQuery _),
     "q_ivfpq_batch_residual" ->
@@ -1310,6 +1316,13 @@ object SparkEntry {
     // over only the allowed corpus, one relational plan
     "q_ivfpq_batch_filtered" ->
       ivfPqBatchOracleWhere("k.vec_id % 3 = 1"),
+    // batched serving under a takedown: dead slice out of the
+    // candidates (a deleted id may still be a query, never a result)
+    "q_ivfpq_batch_deleted" ->
+      ivfPqBatchOracleWhere("k.vec_id % 7 <> 3"),
+    // batched serving time-traveled: candidates = the as-of membership
+    "q_ivfpq_batch_asof" ->
+      ivfPqBatchOracleWhere("k.vec_id % 3 <> 2"),
     // raw index maintained incrementally, then BATCH-served through the
     // streaming union: pointwise encoding makes base∪increments
     // bit-equal to the batch build, so the oracle is the batch serving
@@ -3726,6 +3739,14 @@ object SparkEntry {
     // not resurrect), fingerprints retained so content cannot re-enter
     "q_multimodal_release_takedown" ->
       multimodalReleaseOracleWhere("d.doc_id % 13 <> 4"),
+    // media manifest time-traveled: survivors restricted to the first
+    // two ntile slices — exact for both keep policies (ascending
+    // slices put every keeper in the earliest slice with its
+    // fingerprint)
+    "q_multimodal_release_asof" -> multimodalReleaseOracleWhere(
+      "d.doc_id IN (SELECT doc_id FROM (SELECT doc_id, " +
+        "ntile(3) OVER (ORDER BY doc_id) AS s FROM documents) " +
+        "WHERE s <= 2)"),
     // incremental multimodal release: the Spark side ingests three
     // ascending-doc_id microbatches through TWO hash ledgers (text
     // hash + media fingerprint, first writer wins) and serves the

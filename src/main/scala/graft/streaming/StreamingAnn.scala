@@ -1032,6 +1032,61 @@ object StreamingAnn {
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 
+  /** Driver-contract query (`q_ivfpq_batch_deleted`): the batched
+    * serving tier under a takedown — two pmod microbatches ingest the
+    * corpus, the `vec_id % 7 = 3` slice is tombstoned, and the first-8
+    * query batch serves through [[knnJoinIncremental]] with the
+    * tombstones in force (a deleted id is a fine QUERY — a query need
+    * not be a corpus member — it just cannot be a RESULT). The oracle
+    * is the batch serving SQL with the dead slice excluded from the
+    * candidates. */
+  def ivfPqBatchDeletedQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-batchdel-codes-")
+    val tombDir = java.nio.file.Files
+      .createTempDirectory("graft-batchdel-tombs-")
+    try {
+      val store = Similarity.sharedQuantizers(spark, dir)
+      (0 until 2).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
+      }
+      annDeleteBatch(spark, tombDir.toString)(
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3), 2L)
+      graft.Materialize.checkpoint(
+        knnJoinIncremental(spark, store, codesDir.toString,
+          emb.filter(col("vec_id") < 8),
+          tombPath = Some(tombDir.toString)))
+    } finally {
+      graft.store.ModelStore.deleteRecursively(codesDir)
+      graft.store.ModelStore.deleteRecursively(tombDir)
+    }
+  }
+
+  /** Driver-contract query (`q_ivfpq_batch_asof`): the batched serving
+    * tier time-traveled — three pmod microbatches, the first-8 query
+    * batch served as-of batch 1 through [[knnJoinIncremental]]. The
+    * oracle is the batch serving SQL with the as-of membership as the
+    * candidate predicate. */
+  def ivfPqBatchAsOfQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-batchasof-codes-")
+    try {
+      val store = Similarity.sharedQuantizers(spark, dir)
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+      }
+      graft.Materialize.checkpoint(
+        knnJoinIncremental(spark, store, codesDir.toString,
+          emb.filter(col("vec_id") < 8), asOf = Some(1L)))
+    } finally graft.store.ModelStore.deleteRecursively(codesDir)
+  }
+
   /** Driver-contract query (`q_ann_asof`): the TIME-TRAVEL read —
     * three pmod microbatches ingested, the recall sweep served AS-OF
     * batch 1, i.e. over exactly the rows batches 0–1 committed

@@ -982,6 +982,41 @@ object StreamingRelease {
       ModelStore.deleteRecursively)
   }
 
+  /** Driver-contract query (`q_multimodal_release_asof`): the media
+    * manifest time-traveled — three ascending ntile microbatches
+    * through [[multimodalIngestBatch]], the accounting served as-of
+    * batch 1. The oracle is the multimodal release SQL with survivors
+    * restricted to the first two ntile slices: ascending slices put
+    * every text keeper AND every media-canonical doc in the earliest
+    * slice containing its fingerprint, so the as-of read equals the
+    * release that shipped before batch 2 for BOTH keep policies. */
+  def multimodalReleaseAsOfQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val textDir = Files.createTempDirectory("graft-mmasoftext-")
+    val mediaDir = Files.createTempDirectory("graft-mmasofmedia-")
+    val ledgerDir = Files.createTempDirectory("graft-mmasofledger-")
+    try {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(3).over(w))
+        .localCheckpoint(true)
+      (1 to 3).foreach { s =>
+        val b = sliced.filter(col("__s") === s).drop("__s")
+        val mc = b.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+              .as("cluster_id"))
+        multimodalIngestBatch(spark, textDir.toString,
+          mediaDir.toString, ledgerDir.toString)(b, mc, s - 1L)
+      }
+      graft.Materialize.checkpoint(
+        multimodalManifest(spark, ledgerDir.toString,
+          asOf = Some(1L)))
+    } finally Seq(textDir, mediaDir, ledgerDir)
+      .foreach(ModelStore.deleteRecursively)
+  }
+
   /** Driver-contract query (`q_corpus_release_asof`): the manifest
     * TIME-TRAVELED to batch 1 — three ascending-doc_id microbatches
     * ingested, the manifest served as-of the second, i.e. the release
