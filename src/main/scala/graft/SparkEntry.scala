@@ -232,6 +232,8 @@ object SparkEntry {
       (streaming.StreamingAnn.annFilteredIncrementalQuery _),
     "q_ann_asof" -> (streaming.StreamingAnn.annAsOfQuery _),
     "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
+    "q_ann_range_residual" ->
+      (llm.Similarity.ivfPqRangeSearchResidualQuery _),
     "q_ann_range_inc" ->
       (streaming.StreamingAnn.annRangeIncrementalQuery _),
     "q_cosine_range" -> ((s, d) => llm.Similarity.cosineRange(s, d)),
@@ -973,6 +975,45 @@ object SparkEntry {
         |  FROM shortr s JOIN ul u USING (vec_id), qa)
         |WHERE cos_sim >= 0.2 ORDER BY cos_sim DESC, vec_id""".stripMargin)
 
+  // probed RANGE search over the RESIDUAL index (q_ann_range_residual;
+  // mirrors Similarity.ivfPqRangeSearchResidual at nprobe=2, minSim=0.2,
+  // slack=2.0): the shared residual chain, PER-CELL residual distance
+  // tables (rdt joins keyed on the candidate's own cell — the residual
+  // wrinkle), candidates whose ROUNDED per-cell ADC clears the same
+  // slackened global radius bound 3.2 the raw variant uses (the
+  // residual ADC approximates the same ||q − x||²: the cell centroid
+  // cancels in r_q − r_x), survivors exact-reranked and thresholded.
+  private lazy val annRangeResidualOracle: String =
+    (residualChainSql + s""",
+        |qq AS (SELECT i AS gi, x AS qx FROM ex WHERE vec_id = 0),
+        |qd AS (SELECT c.cid,
+        |  round(list_reduce(list_prepend(0.0, list((qq.qx - c.c) * (qq.qx - c.c) ORDER BY c.i)), (a, b) -> a + b), 9) AS d
+        |  FROM c2 c JOIN qq ON qq.gi = c.i GROUP BY c.cid),
+        |qr AS (SELECT c.cid AS pcid, c.i AS gi, qq.qx - c.c AS qx
+        |       FROM c2 c JOIN qq ON qq.gi = c.i),
+        |${(0 until 4).map(s =>
+           s"""rdt$s AS (SELECT q.pcid, c.cid,
+              |  list_reduce(list_prepend(0.0, list((q.qx - c.c) * (q.qx - c.c) ORDER BY c.i)), (a, b) -> a + b) AS d
+              |  FROM rp${s}2 c JOIN qr q ON q.gi = ${s * 16} + c.i GROUP BY q.pcid, c.cid)""".stripMargin)
+          .mkString(",\n")},
+        |ul AS (SELECT vec_id, list(x ORDER BY i) AS ux FROM ex GROUP BY vec_id),
+        |qa AS (SELECT list(x ORDER BY i) AS uq FROM ex WHERE vec_id = 0),
+        |probe AS (SELECT cid FROM
+        |           (SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd)
+        |          WHERE rn <= 2),
+        |shortr AS (SELECT DISTINCT k.vec_id
+        |  FROM rcodes k JOIN af a USING (vec_id) JOIN probe p ON a.cid = p.cid
+        |  JOIN rdt0 ON rdt0.pcid = a.cid AND rdt0.cid = k.c0
+        |  JOIN rdt1 ON rdt1.pcid = a.cid AND rdt1.cid = k.c1
+        |  JOIN rdt2 ON rdt2.pcid = a.cid AND rdt2.cid = k.c2
+        |  JOIN rdt3 ON rdt3.pcid = a.cid AND rdt3.cid = k.c3
+        |  WHERE k.vec_id <> 0 AND round(rdt0.d + rdt1.d + rdt2.d + rdt3.d, 9) <= 3.2)
+        |SELECT vec_id, cos_sim FROM (
+        |  SELECT u.vec_id,
+        |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) AS cos_sim
+        |  FROM shortr s JOIN ul u USING (vec_id), qa)
+        |WHERE cos_sim >= 0.2 ORDER BY cos_sim DESC, vec_id""".stripMargin)
+
   // exact cosine range search (q_cosine_range): the brute-force radius
   // query — same dot/norm arithmetic as the recall truth, thresholded
   // instead of LIMITed.
@@ -1275,6 +1316,9 @@ object SparkEntry {
       "k.vec_id % 3 <> 2", "e.vec_id % 3 <> 2"),
     // probed radius query: ADC bound + exact-cosine threshold
     "q_ann_range" -> annRangeOracle,
+    // residual radius query: per-cell residual tables under the same
+    // global slackened bound — the radius × variant matrix's last cell
+    "q_ann_range_residual" -> annRangeResidualOracle,
     // radius query over the LIVE index: the batch range SQL VERBATIM —
     // microbatching is invisible to the radius serve too
     "q_ann_range_inc" -> annRangeOracle,

@@ -777,7 +777,8 @@ object Similarity {
     * ([[explodeVecsUnit]]). */
   def saveIvfPqIndexTrainedOn(trainEmb: DataFrame, encodeEmb: DataFrame,
       store: graft.store.ModelStore, kCells: Int = 4, m: Int = 4,
-      k: Int = 8, iters: Int = 2, dim: Int = 64, spill: Int = 1): Long = {
+      k: Int = 8, iters: Int = 2, dim: Int = 64, spill: Int = 1,
+      extraParts: Map[String, DataFrame] = Map.empty): Long = {
     val exT = explodeVecsUnit(trainEmb)
     val ex = explodeVecsUnit(encodeEmb)
     val coarse = lloydCentroids(exT, kCells, iters)
@@ -796,7 +797,7 @@ object Similarity {
       "codebooks" -> cent,
       "codes" -> cells.join(pqCodesOf(ex, cent, m, dim), "vec_id"),
       "vectors" -> unitArrays(ex),
-      "dials" -> dials),
+      "dials" -> dials) ++ extraParts,
       partitioned = Map("codes" -> Seq("cid")))
   }
 
@@ -1185,7 +1186,8 @@ object Similarity {
   def saveIvfPqResidualIndexTrainedOn(trainEmb: DataFrame,
       encodeEmb: DataFrame, store: graft.store.ModelStore,
       kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
-      dim: Int = 64): Long = {
+      dim: Int = 64,
+      extraParts: Map[String, DataFrame] = Map.empty): Long = {
     val exT = graft.Materialize.checkpoint(explodeVecsUnit(trainEmb))
     val coarse = lloydCentroids(exT, kCells, iters)
     val rxT = graft.Materialize.checkpoint(
@@ -1204,7 +1206,7 @@ object Similarity {
       "codebooks" -> cent,
       "codes" -> cells.join(pqCodesOf(rx, cent, m, dim), "vec_id"),
       "vectors" -> unitArrays(ex),
-      "dials" -> dials),
+      "dials" -> dials) ++ extraParts,
       partitioned = Map("codes" -> Seq("cid")))
   }
 
@@ -1276,6 +1278,35 @@ object Similarity {
       qVec: Map[Int, Double], qId: Long, topK: Int = 10,
       nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 100): DataFrame = {
+    val scored = residualAdcScored(coarse, coded, codebooks, qVec, qId,
+      nprobe, m, dim)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(asc("adc"), asc("vec_id"))
+    val short = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= rerankK)
+      .select("vec_id").distinct()
+    val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
+    vectors.select(col("vec_id"), col("ux")).join(broadcast(short), "vec_id")
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("ux"), typedlit(qArr),
+          (a, b) => a * b), lit(0.0), (acc, v) => acc + v), 9)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  /** Probe + per-cell residual distance tables + ONE ADC scan — the
+    * shared residual candidate scorer: the probed cells' coded rows
+    * with their 9-dec-rounded `adc` column. Top-k windows it per cell
+    * ([[ivfPqSearchResidualOver]]); range search bounds it
+    * ([[ivfPqRangeSearchResidualOver]]) — one scorer, so the two serve
+    * shapes cannot diverge on residual arithmetic. The per-(probed
+    * cell, subspace, code) tables are driver-built (|probed|·m·k
+    * entries) and broadcast-joined on (cid, code) — the SQL oracle's
+    * rdt shape, reading the codes once however many cells are probed. */
+  private def residualAdcScored(coarse: DataFrame, coded: DataFrame,
+      codebooks: DataFrame, qVec: Map[Int, Double], qId: Long,
+      nprobe: Int, m: Int, dim: Int): DataFrame = {
     val spark = coarse.sparkSession
     val coarseRows = coarse.collect()
     val probed = nearestCells(coarseRows, qVec, nprobe)
@@ -1285,8 +1316,6 @@ object Similarity {
           .map(_.getAs[Double]("c")).toArray
       }
     val sub = dim / m
-    // per-(probed cell, subspace, code) residual distance entries,
-    // all on the driver: |probed|·m·k rows
     val bookRows = codebooks.collect()
       .groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cid"))).toSeq
     val dtRows = probed.flatMap { pc =>
@@ -1304,26 +1333,13 @@ object Similarity {
     val cand = coded.drop("ux")
       .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId)
     import spark.implicits._
-    val scored = (0 until m).foldLeft(cand) { (df, s) =>
+    (0 until m).foldLeft(cand) { (df, s) =>
       val dt = broadcast(dtRows.filter(_._2 == s)
         .map { case (pc, _, code, d) => (pc, code, d) }
         .toDF("cid", s"c$s", s"d$s"))
       df.join(dt, Seq("cid", s"c$s"))
     }.withColumn("adc",
       round((0 until m).map(s => col(s"d$s")).reduce(_ + _), 9))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cid").orderBy(asc("adc"), asc("vec_id"))
-    val short = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= rerankK)
-      .select("vec_id").distinct()
-    val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
-    vectors.select(col("vec_id"), col("ux")).join(broadcast(short), "vec_id")
-      .select(col("vec_id"),
-        round(aggregate(zip_with(col("ux"), typedlit(qArr),
-          (a, b) => a * b), lit(0.0), (acc, v) => acc + v), 9)
-          .as("cos_sim"))
-      .orderBy(desc("cos_sim"), asc("vec_id"))
-      .limit(topK)
   }
 
   /** BATCHED residual k-NN: [[ivfPqKnnJoin]]'s residual twin — top-k
@@ -1797,6 +1813,67 @@ object Similarity {
     * radius 0.2 at nprobe 2 from the process-shared index. */
   def ivfPqRangeSearchQuery(spark: SparkSession, dir: String): DataFrame =
     ivfPqRangeSearch(sharedIvfPqIndex(spark, dir),
+      queryVecOf(t(spark, dir, "embeddings"), 0L), qId = 0L)
+
+  /** Probed RANGE search over a persisted RESIDUAL index — the last
+    * empty cell of the radius × variant matrix (VERDICT r13 #3). The
+    * r13 refusal reasoned that the residual ADC bound is
+    * per-probed-cell; that is the TABLE construction, not the bound:
+    * each candidate's residual ADC value approximates the same global
+    * ‖q − x‖² the raw variant bounds — r_q − r_x = (q − c) − (x − c)
+    * cancels the cell centroid — so the one slackened radius bound
+    * applies to every probed cell's values after its own table join.
+    * Same contract as the raw radius: probed ⊆ exact, candidates the
+    * slack drops are the probed approximation, full probe + generous
+    * slack == [[cosineRange]] (spec-pinned). */
+  def ivfPqRangeSearchResidual(store: graft.store.ModelStore,
+      qVec: Map[Int, Double], qId: Long = -1L, minSim: Double = 0.2,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      adcSlack: Double = 2.0,
+      broadcastShortlist: Boolean = true): DataFrame = {
+    requireVariant(store, "residual", "ivfPqRangeSearchResidual")
+    ivfPqRangeSearchResidualOver(store.load("coarse"),
+      codedFrame(store.load), store.load("vectors"),
+      store.load("codebooks"), qVec, qId, minSim, nprobe, m, dim,
+      adcSlack, broadcastShortlist)
+  }
+
+  /** Residual range search over EXPLICIT frames — the
+    * [[ivfPqRangeSearchOver]] split for the residual variant, shared by
+    * the persisted path and the streaming-incremental union. The
+    * candidate scorer is [[residualAdcScored]] — the exact per-cell
+    * tables the residual top-k serves with — bounded by the same
+    * 9-dec-rounded slackened radius the raw body uses, then the
+    * survivors exact-reranked and thresholded on true cosine. */
+  private[graft] def ivfPqRangeSearchResidualOver(coarse: DataFrame,
+      coded: DataFrame, vectors: DataFrame, codebooks: DataFrame,
+      qVec: Map[Int, Double], qId: Long = -1L, minSim: Double = 0.2,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      adcSlack: Double = 2.0,
+      broadcastShortlist: Boolean = true): DataFrame = {
+    val thr = BigDecimal(adcSlack * (2.0 - 2.0 * minSim))
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val short = residualAdcScored(coarse, coded, codebooks, qVec, qId,
+      nprobe, m, dim)
+      .filter(col("adc") <= thr)
+      .select("vec_id").distinct()
+    val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
+    vectors.select(col("vec_id"), col("ux"))
+      .join(if (broadcastShortlist) broadcast(short) else short, "vec_id")
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("ux"), typedlit(qArr),
+          (a, b) => a * b), lit(0.0), (acc, v) => acc + v), 9)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+  }
+
+  /** Driver-contract form of [[ivfPqRangeSearchResidual]]
+    * (`q_ann_range_residual`): radius 0.2 at nprobe 2 from the
+    * process-shared residual index. */
+  def ivfPqRangeSearchResidualQuery(spark: SparkSession,
+      dir: String): DataFrame =
+    ivfPqRangeSearchResidual(sharedResidualIndex(spark, dir),
       queryVecOf(t(spark, dir, "embeddings"), 0L), qId = 0L)
 
   /** Production IVF dial rule (the FAISS sizing practice): nlist grows

