@@ -1556,26 +1556,37 @@ object SparkEntry {
       "k.doc_id IN (SELECT doc_id FROM (SELECT doc_id, " +
         "ntile(3) OVER (ORDER BY doc_id) AS s FROM documents) " +
         "WHERE s <= 2)"),
-    // governance changelog between two snapshots: both memberships
-    // recomputed wholesale (keepers × ntile membership × the takedown
-    // predicate), then the two-sided set difference — net-of-everything
-    // by construction
+    // governance changelog between two snapshots of the SHIPPED corpus:
+    // both memberships recomputed wholesale — keepers × the snapshot's
+    // ledger cut/takedown predicate × the per-language TERTILE GATE the
+    // manifest applies (ADVICE r13: diff what ships, not raw ledger
+    // membership) — then the two-sided set difference
     "q_release_diff" ->
-      """WITH tk AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
-        |            FROM documents GROUP BY 1),
+      (lmScoreCte + """,
+        |tk AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |       FROM documents GROUP BY 1),
         |k AS (SELECT d.doc_id FROM documents d
         |      JOIN tk ON d.doc_id = tk.keep_id),
         |sl AS (SELECT doc_id, ntile(3) OVER (ORDER BY doc_id) AS s
         |       FROM documents),
-        |m1 AS (SELECT k.doc_id FROM k JOIN sl USING (doc_id)
-        |       WHERE sl.s <= 2),
-        |m2 AS (SELECT k.doc_id FROM k WHERE k.doc_id % 11 <> 5)
+        |m1 AS (SELECT doc_id FROM (
+        |        SELECT px.doc_id,
+        |          ntile(3) OVER (PARTITION BY px.lang ORDER BY px.xent, px.doc_id) AS b
+        |        FROM px JOIN k USING (doc_id) JOIN sl USING (doc_id)
+        |        WHERE sl.s <= 2)
+        |       WHERE b <= 2),
+        |m2 AS (SELECT doc_id FROM (
+        |        SELECT px.doc_id,
+        |          ntile(3) OVER (PARTITION BY px.lang ORDER BY px.xent, px.doc_id) AS b
+        |        FROM px JOIN k USING (doc_id)
+        |        WHERE px.doc_id % 11 <> 5)
+        |       WHERE b <= 2)
         |SELECT 'added' AS change, doc_id FROM m2
         | WHERE doc_id NOT IN (SELECT doc_id FROM m1)
         |UNION ALL
         |SELECT 'removed' AS change, doc_id FROM m1
         | WHERE doc_id NOT IN (SELECT doc_id FROM m2)
-        |ORDER BY change, doc_id""".stripMargin,
+        |ORDER BY change, doc_id""".stripMargin),
     // weighted PageRank, 3 unrolled rounds (the ivfTrain/bpeTrain
     // pattern): integer edge weights; per-node in-neighbor sums are
     // FIXED-POINT — each contribution floor-quantized to 1e-9 units as

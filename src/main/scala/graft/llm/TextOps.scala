@@ -789,6 +789,15 @@ object TextOps {
   private def tertileKeep(scored: DataFrame): DataFrame =
     perLangTertiles(scored).filter(col("b") <= 2).drop("b")
 
+  /** The doc_ids the release SHIPS from a scored survivor frame — the
+    * tertile gate's membership, exposed so
+    * [[graft.streaming.StreamingRelease.releaseMembers]] reports what
+    * the manifest actually releases rather than raw ledger membership
+    * (ADVICE r13: the diff otherwise reported tertile-rejected docs as
+    * added/removed). */
+  private[graft] def releaseKeptIds(scored: DataFrame): DataFrame =
+    tertileKeep(scored).select("doc_id")
+
   /** Per-language perplexity tertile assignment — ntile(3) over
     * (xent, doc_id) per lang — WITHOUT a per-language global sort: the
     * budgetSelect two-phase discipline keyed on the score itself (the

@@ -115,28 +115,61 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
-  test("release diff: added/removed between snapshots; an in-window add+takedown cancels to nothing") {
+  test("release diff: diffs the SHIPPED (tertile-gated) memberships — parity with the batch gate per snapshot; an in-window add+takedown cancels to nothing") {
     withDirs { (lmStore, hashPath, scorePath) =>
       val tombDir = Files.createTempDirectory("graft-rel-difftomb-")
       try {
         llm.TextOps.lmSave(docs, lmStore)
-        val x = docs.agg(max("doc_id")).first().getLong(0)
+        // x: a keeper with a UNIQUE text hash (so batch 1 is novel and
+        // keepers without x are exactly keepers-of-docs-minus-x)
+        val x = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("n"), max("doc_id").as("m"))
+          .filter(col("n") === 1).agg(max("m")).first().getLong(0)
         val ingest = StreamingRelease.releaseIngestBatch(spark, lmStore,
           hashPath, scorePath) _
         ingest(docs.filter(col("doc_id") =!= x), 0L)
         ingest(docs.filter(col("doc_id") === x), 1L)
         StreamingRelease.releaseTakedownBatch(spark, tombDir.toString)(
           docs.filter(col("doc_id") === x), 2L)
+        // the batch-composition membership over a survivor subset: the
+        // SAME gate the manifest applies, recomputed per snapshot
+        val keepers = docs
+          .join(llm.Dedup.keepOneIds(docs), Seq("doc_id"))
+          .select("doc_id", "lang", "text").localCheckpoint(true)
+        def gateOf(sub: org.apache.spark.sql.DataFrame): Set[Long] = {
+          val scored = llm.TextOps.lmScoreRowsPersisted(sub, lmStore)
+            .join(sub.select(col("doc_id"),
+              size(split(trim(col("text")), "\\s+")).as("n_tok")),
+              Seq("doc_id"))
+          llm.TextOps.releaseKeptIds(scored)
+            .collect().map(_.getLong(0)).toSet
+        }
+        val mNoX = gateOf(keepers.filter(col("doc_id") =!= x))
+        val mAll = gateOf(keepers)
+        // membership parity: releaseMembers == the gated batch set
+        assert(StreamingRelease.releaseMembers(spark, scorePath)
+          .collect().map(_.getLong(0)).toSet === mAll)
+        assert(StreamingRelease.releaseMembers(spark, scorePath,
+          Some(tombDir.toString)).collect().map(_.getLong(0)).toSet
+          === mNoX)
         def diff(from: Option[Long], to: Option[Long]) =
           StreamingRelease.releaseDiff(spark, scorePath,
             Some(tombDir.toString), from, to)
             .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        // window covering add AND takedown of x: net change is empty
+        def expect(from: Set[Long], to: Set[Long]) =
+          ((to -- from).toSeq.sorted.map(("added", _)) ++
+            (from -- to).toSeq.sorted.map(("removed", _)))
+        // window covering add AND takedown of x: both snapshots gate
+        // the same survivor set — net change is empty
         assert(diff(Some(0L), None) === Seq.empty)
-        // window ending before the takedown: x was added
-        assert(diff(Some(0L), Some(1L)) === Seq(("added", x)))
-        // window starting after the add: x was removed
-        assert(diff(Some(1L), None) === Seq(("removed", x)))
+        // window ending before the takedown: x entered (if gated in)
+        // PLUS any boundary churn its arrival caused — exactly the
+        // batch gate's two memberships diffed
+        assert(diff(Some(0L), Some(1L)) === expect(mNoX, mAll))
+        assert(diff(Some(0L), Some(1L))
+          .contains(("added", x)) === mAll.contains(x))
+        // window starting after the add: the reverse diff
+        assert(diff(Some(1L), None) === expect(mAll, mNoX))
       } finally ModelStore.deleteRecursively(tombDir)
     }
   }
@@ -660,6 +693,66 @@ class StreamingReleaseSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getBoolean(3)).toMap
       assert(solo("de") && solo.filterNot(_._1 == "de").values
         .forall(!_), solo)
+    } finally dirs.foreach(ModelStore.deleteRecursively)
+  }
+
+  test("unknown-language signal: a reference-absent language gets a count-only row (psi/shifted NULL), is admitted, and never perturbs the known-language rows") {
+    // VERDICT r13 #6: a spam wave in a NEW language is exactly the
+    // batch the pooled gate dilutes — the monitor must show the flood
+    // even when it cannot score it
+    val train = docs.filter(col("doc_id") % 3 === 0)
+    // calibrate WITHOUT zh: zh becomes the reference-absent language
+    val calib = docs.filter(col("doc_id") % 3 === 1 &&
+      col("lang") =!= "zh")
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    val dirs = Seq("graft-ul-lm-", "graft-ul-drift-", "graft-ul-hash-",
+      "graft-ul-score-", "graft-ul-quar-", "graft-ul-mon-")
+      .map(Files.createTempDirectory(_))
+    try {
+      val Seq(lmDir, driftDir, hashDir, scoreDir, quarDir, monDir) = dirs
+      val lmStore = new ModelStore(spark, lmDir.toString)
+      val driftStore = new ModelStore(spark, driftDir.toString)
+      llm.TextOps.lmSave(train, lmStore)
+      StreamingRelease.saveXentReferenceByLang(calib, lmStore,
+        driftStore, buckets = 4)
+      // the standalone grouped gate: zh gets the count-only row
+      val gate = StreamingRelease.releaseQualityGateByLang(lmStore,
+        driftStore, batch, threshold = 0.3, buckets = 4).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+      assert(gate.keySet === Set("en", "fr", "es", "zh", "de"), gate)
+      assert(gate("zh")._1 > 0L && gate("zh")._2 && gate("zh")._3,
+        s"reference-absent zh did not get the count-only row: $gate")
+      gate.filterNot(_._1 == "zh").foreach { case (l, g) =>
+        assert(!g._2 && !g._3, s"known language $l lost its score: $gate")
+      }
+      // known-language rows are bit-unchanged by zh's presence (the
+      // gate is per-language independent)
+      val noZh = StreamingRelease.releaseQualityGateByLang(lmStore,
+        driftStore, batch.filter(col("lang") =!= "zh"),
+        threshold = 0.3, buckets = 4).collect()
+        .map(_.toString).toSet
+      val withZhKnown = StreamingRelease.releaseQualityGateByLang(
+        lmStore, driftStore, batch, threshold = 0.3, buckets = 4)
+        .filter(col("lang") =!= "zh").collect().map(_.toString).toSet
+      assert(withZhKnown === noZh)
+      // the composed quarantining ingest ADMITS the unscorable
+      // language (null shifted never routes to quarantine) and its
+      // monitor row records the signal
+      val ingest = StreamingRelease.releaseIngestWithLangQuarantineBatch(
+        spark, lmStore, driftStore, hashDir.toString, scoreDir.toString,
+        quarDir.toString, monDir.toString, threshold = 0.3,
+        buckets = 4, minGateN = 1L) _
+      ingest(batch, 0L)
+      val mon = spark.read.parquet(s"$monDir/batch=0")
+        .filter(col("lang") === "zh").collect()
+      assert(mon.length === 1 && mon.head.isNullAt(2) &&
+        mon.head.getLong(1) > 0L)
+      assert(spark.read.parquet(s"$scoreDir/batch=0")
+        .filter(col("lang") === "zh").count() > 0L,
+        "the unscorable language was not admitted")
+      assert(spark.read.parquet(s"$quarDir/batch=0")
+        .filter(col("lang") === "zh").isEmpty)
     } finally dirs.foreach(ModelStore.deleteRecursively)
   }
 
