@@ -236,6 +236,14 @@ object SparkEntry {
       (llm.Similarity.ivfPqRangeSearchResidualQuery _),
     "q_ann_range_inc" ->
       (streaming.StreamingAnn.annRangeIncrementalQuery _),
+    "q_ann_range_filtered" ->
+      (streaming.StreamingAnn.annRangeFilteredQuery _),
+    "q_ann_range_deleted" ->
+      (streaming.StreamingAnn.annRangeDeletedQuery _),
+    "q_ann_range_asof" ->
+      (streaming.StreamingAnn.annRangeAsOfQuery _),
+    "q_ann_range_residual_inc" ->
+      (streaming.StreamingAnn.annRangeResidualIncrementalQuery _),
     "q_cosine_range" -> ((s, d) => llm.Similarity.cosineRange(s, d)),
     "q_ivfpq_batch" -> (llm.Similarity.ivfPqKnnJoinQuery _),
     "q_ivfpq_batch_filtered" ->
@@ -957,7 +965,11 @@ object SparkEntry {
   // slackened radius bound 2.0 × (2 − 2·0.2) = 3.2 (both engines
   // compare the same 9-dec-rounded values against the same double), and
   // the survivors exact-reranked and thresholded on true cosine.
-  private lazy val annRangeOracle: String =
+  // BUILDER form: `candCond` (alias k) restricts the candidate set —
+  // the radius lifecycle rows (filtered/deleted/as-of) inject their
+  // membership predicate; the empty default reproduces the plain row.
+  private def annRangeOracleWhere(candCond: String = ""): String = {
+    val cc = if (candCond.isEmpty) "" else s" AND $candCond"
     (pqChainUnit + s""",
         |$ivfAssignBody,
         |$annQueryCtes,
@@ -968,12 +980,15 @@ object SparkEntry {
         |  FROM codes k JOIN af a USING (vec_id) JOIN probe p ON a.cid = p.cid
         |  JOIN dt0 ON dt0.cid = k.c0 JOIN dt1 ON dt1.cid = k.c1
         |  JOIN dt2 ON dt2.cid = k.c2 JOIN dt3 ON dt3.cid = k.c3
-        |  WHERE k.vec_id <> 0 AND round(dt0.d + dt1.d + dt2.d + dt3.d, 9) <= 3.2)
+        |  WHERE k.vec_id <> 0 AND round(dt0.d + dt1.d + dt2.d + dt3.d, 9) <= 3.2$cc)
         |SELECT vec_id, cos_sim FROM (
         |  SELECT u.vec_id,
         |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(u.ux, qa.uq), p -> p[1] * p[2])), (a, b) -> a + b), 9) AS cos_sim
         |  FROM shortr s JOIN ul u USING (vec_id), qa)
         |WHERE cos_sim >= 0.2 ORDER BY cos_sim DESC, vec_id""".stripMargin)
+  }
+
+  private lazy val annRangeOracle: String = annRangeOracleWhere()
 
   // probed RANGE search over the RESIDUAL index (q_ann_range_residual;
   // mirrors Similarity.ivfPqRangeSearchResidual at nprobe=2, minSim=0.2,
@@ -1322,6 +1337,14 @@ object SparkEntry {
     // radius query over the LIVE index: the batch range SQL VERBATIM —
     // microbatching is invisible to the radius serve too
     "q_ann_range_inc" -> annRangeOracle,
+    // the radius LIFECYCLE matrix: each op hash-pinned to the plain
+    // radius chain over the surviving candidate set (builder injection)
+    "q_ann_range_filtered" -> annRangeOracleWhere("k.vec_id % 3 = 1"),
+    "q_ann_range_deleted" -> annRangeOracleWhere("k.vec_id % 7 <> 3"),
+    "q_ann_range_asof" -> annRangeOracleWhere("k.vec_id % 3 <> 2"),
+    // residual radius over the live index: the residual range SQL
+    // VERBATIM (pointwise encoding makes microbatching invisible)
+    "q_ann_range_residual_inc" -> annRangeResidualOracle,
     // exact radius query: brute-force cosine, thresholded not LIMITed
     "q_cosine_range" -> cosineRangeOracle,
     // auto-dialed sample-trained IVF-PQ recall sweep: the dial rule

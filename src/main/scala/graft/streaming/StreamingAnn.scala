@@ -175,10 +175,13 @@ object StreamingAnn {
       minExclusive: Long = -1L): Option[DataFrame] =
     tombPath.flatMap(StreamingDedup.readStore(spark, _))
       .map { t0 =>
-        val t = asOf.map(b =>
+        val t1 = asOf.map(b =>
           t0.filter(col("batch").cast("long") <= b)).getOrElse(t0)
-        t.filter(col("batch").cast("long") > minExclusive)
-          .groupBy("vec_id")
+        // never-folded stores (wm = -1) keep their exact prior plan —
+        // no vacuous partition filter
+        val t = if (minExclusive >= 0)
+          t1.filter(col("batch").cast("long") > minExclusive) else t1
+        t.groupBy("vec_id")
           .agg(max(col("batch").cast("long")).as("__bd"))
       }
 
@@ -502,7 +505,8 @@ object StreamingAnn {
       minRebuildN: Long = 50L, autoDial: Boolean = false,
       compactRatio: Double = 0.5, minCompactN: Long = 100L,
       tombPath: Option[String] = None, gcKeepVersions: Int = 0,
-      gcPinned: Set[Long] = Set.empty)(
+      gcPinned: Set[Long] = Set.empty,
+      gcTagPath: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val v0 = indexStore.currentVersion
     annAutoRebuildBatch(spark, indexStore, driftStore, base, codesPath,
@@ -519,11 +523,13 @@ object StreamingAnn {
     // retention arm (VERDICT r13 #1): after a successful flip — rebuild
     // or compaction — reclaim superseded versions past the keepLast
     // window. 0 disables (the conservative default: the caller owns the
-    // reader-lifetime/pin contract); `gcPinned` carries tag-pinned and
-    // reader-held versions through.
+    // reader-lifetime/pin contract); `gcPinned` carries reader-held
+    // versions, `gcTagPath` resolves tag-pinned versions AT GC TIME so
+    // tags that moved since wiring still protect what they now name.
     if (gcKeepVersions > 0 && indexStore.currentVersion != v0)
       gcIndexVersions(spark, indexStore, codesPath, gcKeepVersions,
-        gcPinned)
+        gcPinned ++ gcTagPath.map(taggedIndexVersions(spark, _))
+          .getOrElse(Set.empty))
   }
 
   /** The complete maintenance loop over a CDC stream — the
@@ -823,7 +829,8 @@ object StreamingAnn {
     // time-travels the streamed data, version pins the quantizers.
     val incs = StreamingDedup.readStore(spark, codesPath)
       .map { i0 =>
-        val i = i0.filter(col("batch").cast("long") > wm)
+        val i = if (wm >= 0)
+          i0.filter(col("batch").cast("long") > wm) else i0
         asOf.map(b => i.filter(col("batch").cast("long") <= b))
           .getOrElse(i)
       }
@@ -1290,6 +1297,71 @@ object StreamingAnn {
       graft.Materialize.checkpoint(
         rangeSearchIncremental(spark, store, codesDir.toString,
           Similarity.queryVecOf(emb, 0L), qId = 0L))
+    } finally graft.store.ModelStore.deleteRecursively(codesDir)
+  }
+
+  /** The radius-query LIFECYCLE rows (`q_ann_range_filtered` /
+    * `q_ann_range_deleted` / `q_ann_range_asof` /
+    * `q_ann_range_residual_inc`): the full {filtered, deleted, as-of}
+    * × radius matrix over the live index, plus the residual variant
+    * maintained incrementally — each a one-line composition over
+    * [[rangeSearchIncremental]], each oracle the range SQL with the
+    * membership predicate injected (the r13 builder pattern: a
+    * lifecycle op on the radius serve is hash-pinned to the plain
+    * radius chain over the surviving candidates). */
+  def annRangeFilteredQuery(spark: SparkSession, dir: String): DataFrame =
+    rangeLifecycleQuery(spark, dir,
+      pred = Some(pmod(col("vec_id"), lit(3)) === 1))
+
+  def annRangeAsOfQuery(spark: SparkSession, dir: String): DataFrame =
+    rangeLifecycleQuery(spark, dir, asOf = Some(1L))
+
+  def annRangeResidualIncrementalQuery(spark: SparkSession,
+      dir: String): DataFrame =
+    rangeLifecycleQuery(spark, dir, residual = true)
+
+  def annRangeDeletedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-annrdel-codes-")
+    val tombDir = java.nio.file.Files
+      .createTempDirectory("graft-annrdel-tombs-")
+    try {
+      val store = Similarity.sharedQuantizers(spark, dir)
+      (0 until 2).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
+      }
+      annDeleteBatch(spark, tombDir.toString)(
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3), 2L)
+      graft.Materialize.checkpoint(
+        rangeSearchIncremental(spark, store, codesDir.toString,
+          Similarity.queryVecOf(emb, 0L), qId = 0L,
+          tombPath = Some(tombDir.toString)))
+    } finally {
+      graft.store.ModelStore.deleteRecursively(codesDir)
+      graft.store.ModelStore.deleteRecursively(tombDir)
+    }
+  }
+
+  private def rangeLifecycleQuery(spark: SparkSession, dir: String,
+      pred: Option[org.apache.spark.sql.Column] = None,
+      asOf: Option[Long] = None, residual: Boolean = false): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-annrlc-codes-")
+    try {
+      val store =
+        if (residual) Similarity.sharedResidualQuantizers(spark, dir)
+        else Similarity.sharedQuantizers(spark, dir)
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, codesDir.toString)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+      }
+      graft.Materialize.checkpoint(
+        rangeSearchIncremental(spark, store, codesDir.toString,
+          Similarity.queryVecOf(emb, 0L), qId = 0L, pred = pred,
+          asOf = asOf))
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 

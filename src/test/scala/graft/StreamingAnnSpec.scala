@@ -1193,20 +1193,25 @@ class StreamingAnnSpec extends AnyFunSuite {
     val base = emb.filter(col("vec_id") % 3 =!= 0)
     val stationary = emb.filter(col("vec_id") % 3 === 0)
     val qVec = llm.Similarity.queryVecOf(emb, 0L)
-    def loop(gcPinned: Set[Long])(
+    def loop(gcPinned: Set[Long], tagged: Boolean = false)(
         check: (ModelStore, String, Long) => Unit): Unit =
       withDirs { (store, codesPath) =>
         val driftDir = Files.createTempDirectory("graft-ann-gcdrift-")
         val monDir = Files.createTempDirectory("graft-ann-gcmon-")
         val rawDir = Files.createTempDirectory("graft-ann-gcraw-")
+        val tagDir = Files.createTempDirectory("graft-ann-gctag-")
         try {
           val driftStore = new ModelStore(spark, driftDir.toString)
           val v0 = StreamingAnn.buildIndexWithDriftReference(base, store,
             driftStore, calibMod = 4)
+          if (tagged) // pin the initial version through a snapshot tag
+            StreamingAnn.tagIndexSnapshot(spark, tagDir.toString,
+              "run-1", 0L, v0)
           val body = StreamingAnn.annMaintainBatch(spark, store,
             driftStore, base, codesPath, monDir.toString,
             rawDir.toString, calibMod = 4, compactRatio = 0.05,
-            minCompactN = 40L, gcKeepVersions = 1, gcPinned = gcPinned) _
+            minCompactN = 40L, gcKeepVersions = 1, gcPinned = gcPinned,
+            gcTagPath = if (tagged) Some(tagDir.toString) else None) _
           body(stationary, 0L) // fires compaction → flip → GC
           assert(store.currentVersion === Some(v0 + 1),
             "compaction did not fire")
@@ -1220,7 +1225,7 @@ class StreamingAnnSpec extends AnyFunSuite {
           assert(StreamingAnn.searchAuto(spark, store, codesPath, qVec,
             qId = 0L).collect().map(_.toString).toSeq === served,
             "replay after GC changed serve results")
-        } finally Seq(driftDir, monDir, rawDir).foreach { d =>
+        } finally Seq(driftDir, monDir, rawDir, tagDir).foreach { d =>
           import scala.jdk.CollectionConverters._
           Files.walk(d).iterator().asScala.toSeq.reverse
             .foreach(Files.delete)
@@ -1236,6 +1241,12 @@ class StreamingAnnSpec extends AnyFunSuite {
     loop(Set(0L)) { (store, _, v0) =>
       // a pinned version survives the same GC
       assert(store.versions === Seq(v0, v0 + 1))
+    }
+    loop(Set.empty, tagged = true) { (store, _, v0) =>
+      // a version named by a snapshot tag survives — resolved from the
+      // tag store AT GC TIME, not frozen at wiring
+      assert(store.versions === Seq(v0, v0 + 1),
+        "GC deleted a tag-pinned version")
     }
   }
 
