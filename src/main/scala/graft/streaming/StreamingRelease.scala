@@ -334,6 +334,44 @@ object StreamingRelease {
     (Seq(scorePath, hashPath) ++ tombPath)
       .filter(compactLedgerStore(spark, _, upToBatch))
 
+  /** The release-side MAINTENANCE loop: [[releaseIngestBatch]] plus the
+    * volume arm — every `foldEvery` batches, fold the three ledgers up
+    * to `batchId − keepRecent` ([[compactReleaseLedgers]]); the
+    * `keepRecent` window is the caller's replay horizon (the fold's
+    * replay contract), so a re-delivered recent batch always finds its
+    * own partition intact. The [[graft.streaming.StreamingAnn
+    * .annMaintainBatch]] symmetry: ingest cheap and continuous, fold
+    * when directory count — the release stores' scale cost — crosses
+    * the dial. Skipped folds (nothing foldable yet) are free; a fold
+    * that fires is one merge-append per store. */
+  def releaseMaintainBatch(spark: SparkSession, lmStore: ModelStore,
+      hashPath: String, scorePath: String, trainLang: String = "en",
+      foldEvery: Long = 64L, keepRecent: Long = 8L,
+      tombPath: Option[String] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    require(foldEvery >= 1 && keepRecent >= 1,
+      s"foldEvery=$foldEvery / keepRecent=$keepRecent must be >= 1")
+    releaseIngestBatch(spark, lmStore, hashPath, scorePath, trainLang)(
+      batch, batchId)
+    if (batchId > 0 && batchId % foldEvery == 0 &&
+        batchId - keepRecent >= 0)
+      compactReleaseLedgers(spark, scorePath, hashPath,
+        batchId - keepRecent, tombPath)
+  }
+
+  /** Wire a (doc_id, lang, text) stream through the self-maintaining
+    * release ingest — [[incrementalRelease]] with the fold arm. */
+  def incrementalReleaseMaintained(docs: DataFrame, lmStore: ModelStore,
+      hashPath: String, scorePath: String, checkpoint: String,
+      trainLang: String = "en", foldEvery: Long = 64L,
+      keepRecent: Long = 8L,
+      tombPath: Option[String] = None): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch(releaseMaintainBatch(docs.sparkSession, lmStore,
+        hashPath, scorePath, trainLang, foldEvery, keepRecent,
+        tombPath) _)
+      .option("checkpointLocation", checkpoint)
+
   /** The as-of guard every release read applies: a cut below a consulted
     * store's fold boundary would silently miss folded rows — refuse. */
   private def requireAsOfAboveFold(spark: SparkSession,

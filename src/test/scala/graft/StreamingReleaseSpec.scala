@@ -304,6 +304,49 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("release maintenance loop: the fold fires at the dial (not below), manifest unchanged, recent batches stay replayable") {
+    withDirs { (lmStore, hashPath, scorePath) =>
+      llm.TextOps.lmSave(docs, lmStore)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(6).over(w))
+        .localCheckpoint(true)
+      val body = StreamingRelease.releaseMaintainBatch(spark, lmStore,
+        hashPath, scorePath, foldEvery = 4L, keepRecent = 2L) _
+      def dirsOf(p: String) = new java.io.File(p)
+        .listFiles().count(_.getName.startsWith("batch="))
+      (0 to 3).foreach(b =>
+        body(sliced.filter(col("__s") === b + 1).drop("__s"), b.toLong))
+      // batch 3 < foldEvery boundary was batch... the dial fires at
+      // batchId % 4 == 0, i.e. NOT on batches 1-3
+      assert(dirsOf(scorePath) === 4, "the fold fired below the dial")
+      val before = manifestRows(scorePath)
+      body(sliced.filter(col("__s") === 5).drop("__s"), 4L)
+      // batch 4: folds up to 4 − 2 = 2 → dirs {0,1,2} merge into 2
+      assert(dirsOf(scorePath) === 3,
+        "the fold did not fire at the dial")
+      assert(StreamingRelease.ledgerFoldBoundary(spark, scorePath)
+        === Some(2L))
+      body(sliced.filter(col("__s") === 6).drop("__s"), 5L)
+      val after = manifestRows(scorePath)
+      // manifest == the never-folding twin over the same six batches
+      val twin = withDirs { (lm2, h2, s2) =>
+        // fresh dirs, same frozen LM store semantics: reuse lmStore
+        val ingest = StreamingRelease.releaseIngestBatch(spark, lmStore,
+          h2, s2) _
+        (0 to 5).foreach(b =>
+          ingest(sliced.filter(col("__s") === b + 1).drop("__s"),
+            b.toLong))
+        manifestRows(s2)
+      }
+      assert(after === twin, "the fold changed the manifest")
+      assert(before.nonEmpty && after.nonEmpty)
+      // a batch inside the keepRecent window replays onto its own
+      // intact partition — bit-identical manifest
+      body(sliced.filter(col("__s") === 5).drop("__s"), 4L)
+      assert(manifestRows(scorePath) === after)
+    }
+  }
+
   test("multimodal ledger compaction: manifest bit-identical across the fold; as-of guard applies") {
     val textDir = Files.createTempDirectory("graft-mmc-text-")
     val mediaDir = Files.createTempDirectory("graft-mmc-media-")
