@@ -1020,7 +1020,7 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
-  test("live-index range search: equals the persisted radius query; a deleted member leaves the radius set; residual refused") {
+  test("live-index range search: equals the persisted radius query; a deleted member leaves the radius set; residual dispatches") {
     val qVec = llm.Similarity.queryVecOf(emb, 0L)
     withTombDirs { (store, codesPath, tombPath) =>
       llm.Similarity.saveQuantizers(emb, store)
@@ -1049,16 +1049,21 @@ class StreamingAnnSpec extends AnyFunSuite {
         emb.filter(col("vec_id") === victim), 2L)
       assert(range() === live.filterNot(_._1 == victim))
     }
-    // residual stores are refused (the radius bound is raw-only)
+    // residual stores DISPATCH to the residual radius body (r14 closed
+    // the r13 raw-only refusal): the live serve equals the persisted
+    // residual radius query bit-identically (pointwise encoding)
     withDirs { (store, codesPath) =>
-      llm.Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb.limit(0),
-        store)
-      StreamingAnn.annIngestBatch(spark, store, codesPath)(emb, 0L)
-      val e = intercept[IllegalArgumentException] {
-        StreamingAnn.rangeSearchIncremental(spark, store, codesPath,
-          qVec, qId = 0L).collect()
+      llm.Similarity.saveIvfPqResidualIndexTrainedOn(emb, emb, store)
+      val persisted = llm.Similarity.ivfPqRangeSearchResidual(store,
+        qVec, qId = 0L).collect().map(_.toString).toSeq
+      withDirs { (live, liveCodes) =>
+        llm.Similarity.saveIvfPqResidualIndexTrainedOn(emb,
+          emb.limit(0), live)
+        StreamingAnn.annIngestBatch(spark, live, liveCodes)(emb, 0L)
+        assert(StreamingAnn.rangeSearchIncremental(spark, live,
+          liveCodes, qVec, qId = 0L)
+          .collect().map(_.toString).toSeq === persisted)
       }
-      assert(e.getMessage.contains("residual"))
     }
   }
 
