@@ -231,6 +231,7 @@ object SparkEntry {
     "q_ann_filtered_inc" ->
       (streaming.StreamingAnn.annFilteredIncrementalQuery _),
     "q_ann_asof" -> (streaming.StreamingAnn.annAsOfQuery _),
+    "q_ann_tagged" -> (streaming.StreamingAnn.annTaggedQuery _),
     "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
     "q_ann_range_residual" ->
       (llm.Similarity.ivfPqRangeSearchResidualQuery _),
@@ -1328,6 +1329,10 @@ object SparkEntry {
     // a hash match pins that an as-of read equals an index that never
     // ingested the later batch
     "q_ann_asof" -> annRecallSweepOracle(
+      "k.vec_id % 3 <> 2", "e.vec_id % 3 <> 2"),
+    // NAMED snapshot over the ANN serve: the as-of sweep SQL VERBATIM —
+    // a tag is a pointer, resolving it is hash-invisible
+    "q_ann_tagged" -> annRecallSweepOracle(
       "k.vec_id % 3 <> 2", "e.vec_id % 3 <> 2"),
     // probed radius query: ADC bound + exact-cosine threshold
     "q_ann_range" -> annRangeOracle,

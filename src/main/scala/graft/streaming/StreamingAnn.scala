@@ -1300,6 +1300,46 @@ object StreamingAnn {
     } finally graft.store.ModelStore.deleteRecursively(codesDir)
   }
 
+  /** Driver-contract query (`q_ann_tagged`): the recall sweep served
+    * at a NAMED index snapshot — three pmod microbatches ingested, the
+    * tag "run-7" names (batch 1, the current version), the sweep
+    * serves through [[searchAt]]. The oracle is the as-of sweep SQL
+    * VERBATIM (`q_ann_asof`'s): a tag is a pointer, and resolving it
+    * is hash-invisible next to the numeric as-of read it names. */
+  def annTaggedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val member = pmod(col("vec_id"), lit(3)) =!= 2
+    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, member)
+      .select("vec_id")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-anntag-codes-")
+    val tagDir = java.nio.file.Files
+      .createTempDirectory("graft-anntag-tags-")
+    try {
+      val store = Similarity.sharedQuantizers(spark, dir)
+      val vp = versionedCodesPath(codesDir.toString, store)
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, vp)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+      }
+      tagIndexSnapshot(spark, tagDir.toString, "run-7", 1L,
+        store.currentVersion.getOrElse(0L))
+      val qv = Similarity.queryVecOf(emb, 0L)
+      graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+        searchAt(spark, store, codesDir.toString, tagDir.toString,
+          "run-7", qv, qId = 0L, topK = 10, nprobe = np)
+          .join(truth, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), lit(10).as("k"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / 10).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe"))
+    } finally {
+      graft.store.ModelStore.deleteRecursively(codesDir)
+      graft.store.ModelStore.deleteRecursively(tagDir)
+    }
+  }
+
   /** The radius-query LIFECYCLE rows (`q_ann_range_filtered` /
     * `q_ann_range_deleted` / `q_ann_range_asof` /
     * `q_ann_range_residual_inc`): the full {filtered, deleted, as-of}

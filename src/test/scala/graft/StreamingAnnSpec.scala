@@ -726,6 +726,39 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("fold watermark is physical: the staleness bound reaches increments AND tombstones as PartitionFilters, no SMJ") {
+    val qVec = llm.Similarity.queryVecOf(emb, 0L)
+    withTombDirs { (store, codesPath, tombPath) =>
+      llm.Similarity.saveQuantizers(emb, store)
+      StreamingAnn.annIngestBatch(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store))(emb, 0L)
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === 1L), 1L)
+      StreamingAnn.compactIncrements(spark, store, codesPath,
+        Some(tombPath)) // fold watermark = 1
+      // post-fold activity on BOTH stores so both legs exist to prune
+      StreamingAnn.annIngestBatch(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store))(
+        emb.filter(col("vec_id") < 8), 2L)
+      StreamingAnn.annDeleteBatch(spark, tombPath)(
+        emb.filter(col("vec_id") === 2L), 3L)
+      val p = StreamingAnn.searchAuto(spark, store, codesPath, qVec,
+        qId = 0L, tombPath = Some(tombPath))
+        .queryExecution.executedPlan.toString
+      // the wm bound (batch > 1) is partition pruning on the increment
+      // scan AND the tombstone scan — stale dirs are never read
+      val batchPruned = """PartitionFilters: \[[^\]]*batch""".r
+        .findAllIn(p).size
+      assert(batchPruned >= 2,
+        s"the fold watermark did not reach both scans as PartitionFilters:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"post-fold serve sort-merges a corpus-sized table:\n$p")
+      assert(p.linesIterator.filter(_.contains("Window "))
+        .forall(_.contains("cid")),
+        s"post-fold serve regressed to a vec_id window:\n$p")
+    }
+  }
+
   test("MemoryStream wiring: two triggered microbatches land as batch=0/1 and serve identically") {
     val s = spark; import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
