@@ -31,6 +31,11 @@ class ModelStore(spark: SparkSession, path: String) {
   Files.createDirectories(root)
   private def pointer = root.resolve("_CURRENT")
 
+  /** The store's root directory — the cache key for per-version
+    * metadata (a saved version is immutable, so (rootPath, version)
+    * identifies its parts' content forever). */
+  private[graft] def rootPath: String = root.toAbsolutePath.toString
+
   def currentVersion: Option[Long] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong)
     else None

@@ -78,7 +78,13 @@ object StreamingAnn {
   // tombstone batch numbers stay comparable with increment batch
   // numbers forever — and a version flip can never resurrect a deleted
   // id out of the (also global) raw-increment store, the LSM
-  // resurrection bug a per-version tombstone dir would ship. Tombstones
+  // resurrection bug a per-version tombstone dir would ship.
+  // COMPARABLE means ONE batchId domain: deletes must ride the same
+  // stream as the inserts (the CDC upsert loop) or share its counter —
+  // a separate delete stream with its own checkpoint numbers tombstones
+  // in a different clock, which corrupts both the winners rule and,
+  // worse since r14, the fold watermark (a tombstone clock running
+  // ahead would mark unfolded insert batches as folded). Tombstones
   // are purgeable exactly when the raw increments carrying the id are
   // (both fold away only at a base-corpus rewrite, which the caller
   // owns); until then each costs 16 bytes. Physical removal from the
@@ -140,16 +146,29 @@ object StreamingAnn {
   // re-served against a purged tombstone — the two directions of the
   // same staleness bug, closed by one number. ----
 
+  // per-(store, version, key) metadata cache: a saved version is
+  // immutable (every save writes a NEW version dir), so its fold
+  // watermark and spill dial never change — the serving hot path reads
+  // each once per process instead of paying a directory listing plus a
+  // 1-row parquet head() job per query (review r14)
+  private val versionMeta =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      Long]()
+
   /** The served version's fold watermark: the max increment/tombstone
     * batch folded into its base artifacts, or -1 when the version never
     * folded streamed state (legacy and batch-built versions — for them
-    * every batch applies, today's behavior). */
+    * every batch applies, today's behavior). Cached per version. */
   private def foldedWatermark(store: ModelStore,
       version: Option[Long]): Long =
     version.orElse(store.currentVersion) match {
-      case Some(v) if store.partNamesAt(v).contains("folded") =>
-        store.loadAt(v, "folded").select("folded_max").head().getLong(0)
-      case _ => -1L
+      case Some(v) =>
+        versionMeta.computeIfAbsent((store.rootPath, v, "folded"), _ =>
+          if (store.partNamesAt(v).contains("folded"))
+            store.loadAt(v, "folded").select("folded_max")
+              .head().getLong(0)
+          else -1L)
+      case None => -1L
     }
 
   /** The one-row `folded` part a folding write persists. */
@@ -547,7 +566,8 @@ object StreamingAnn {
       kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
       dim: Int = 64, minRebuildN: Long = 50L, autoDial: Boolean = false,
       compactRatio: Double = 0.5, minCompactN: Long = 100L,
-      gcKeepVersions: Int = 0, gcPinned: Set[Long] = Set.empty)(
+      gcKeepVersions: Int = 0, gcPinned: Set[Long] = Set.empty,
+      gcTagPath: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val dels = batch.filter(col("op") === "d").select("vec_id")
       .distinct().localCheckpoint(true)
@@ -555,7 +575,7 @@ object StreamingAnn {
     annMaintainBatch(spark, indexStore, driftStore, base, codesPath,
       monitorPath, rawPath, calibMod, threshold, buckets, kCells, m, k,
       iters, dim, minRebuildN, autoDial, compactRatio, minCompactN,
-      Some(tombPath), gcKeepVersions, gcPinned)(
+      Some(tombPath), gcKeepVersions, gcPinned, gcTagPath)(
       batch.filter(col("op") =!= "d")
         .join(broadcast(dels), Seq("vec_id"), "left_anti")
         .select("vec_id", "embedding"),
@@ -571,13 +591,15 @@ object StreamingAnn {
       threshold: Double = 0.2, buckets: Int = 10, kCells: Int = 4,
       m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64,
       minRebuildN: Long = 50L, autoDial: Boolean = false,
-      compactRatio: Double = 0.5,
-      minCompactN: Long = 100L): DataStreamWriter[Row] =
+      compactRatio: Double = 0.5, minCompactN: Long = 100L,
+      gcKeepVersions: Int = 0, gcPinned: Set[Long] = Set.empty,
+      gcTagPath: Option[String] = None): DataStreamWriter[Row] =
     vecs.writeStream
       .foreachBatch(annMaintainUpsertBatch(vecs.sparkSession, indexStore,
         driftStore, base, codesPath, monitorPath, rawPath, tombPath,
         calibMod, threshold, buckets, kCells, m, k, iters, dim,
-        minRebuildN, autoDial, compactRatio, minCompactN) _)
+        minRebuildN, autoDial, compactRatio, minCompactN,
+        gcKeepVersions, gcPinned, gcTagPath) _)
       .option("checkpointLocation", checkpoint)
 
   /** Wire a (vec_id, embedding) stream through the complete maintenance
@@ -589,13 +611,15 @@ object StreamingAnn {
       calibMod: Int = 4, threshold: Double = 0.2, buckets: Int = 10,
       kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
       dim: Int = 64, minRebuildN: Long = 50L, autoDial: Boolean = false,
-      compactRatio: Double = 0.5,
-      minCompactN: Long = 100L): DataStreamWriter[Row] =
+      compactRatio: Double = 0.5, minCompactN: Long = 100L,
+      gcKeepVersions: Int = 0, gcPinned: Set[Long] = Set.empty,
+      gcTagPath: Option[String] = None): DataStreamWriter[Row] =
     vecs.writeStream
       .foreachBatch(annMaintainBatch(vecs.sparkSession, indexStore,
         driftStore, base, codesPath, monitorPath, rawPath, calibMod,
         threshold, buckets, kCells, m, k, iters, dim, minRebuildN,
-        autoDial, compactRatio, minCompactN) _)
+        autoDial, compactRatio, minCompactN, None,
+        gcKeepVersions, gcPinned, gcTagPath) _)
       .option("checkpointLocation", checkpoint)
 
   /** [[searchIncremental]] against the CURRENT index version's codes
@@ -968,30 +992,46 @@ object StreamingAnn {
   /** PURGE the streamed state a completed fold already absorbed:
     * tombstone, raw-increment, and current-version increment `batch=N`
     * dirs at or below `upToBatch` are deleted. Legal only up to the
-    * CURRENT version's fold watermark — at or below it, serves already
-    * partition-prune both stores out (the watermark rule), so the purge
-    * is serve-invisible by construction, and a REPLAYED pre-purge batch
-    * cannot resurrect a dead id afterwards because its rows land below
-    * the watermark too (spec-pinned).
+    * fold watermark of EVERY version still servable — the current one
+    * plus anything in `pinnedVersions` or named by a tag under
+    * `tagPath` (review r14: an older pinned/tagged version with a
+    * lower watermark still READS tombstones above its own fold; purging
+    * them would silently resurrect its takedowns). At or below that
+    * floor, serves of every protected version already partition-prune
+    * both stores out, so the purge is serve-invisible by construction,
+    * and a REPLAYED pre-purge batch cannot resurrect a dead id
+    * afterwards because its rows land below the watermark too
+    * (spec-pinned).
     *
     * The REBUILD contract is the caller's half: [[rebuildCorpus]] reads
     * the base frame plus ALL raw increments, so before purging raw
     * batches the caller must rewrite its base corpus to
-    * [[foldedCorpus]] over the same cut — after that, rebuild over
-    * (new base, purged stores) is row-identical to rebuild over
-    * (old base, full stores), which the spec pins. Tombstones ≤
+    * [[foldedCorpus]] over the same cut AND re-wire any running
+    * maintenance stream onto the new base (a foreachBatch closure holds
+    * the base frame it was wired with — purging raw under a stream
+    * still carrying the old base starves its next rebuild). After that,
+    * rebuild over (new base, purged stores) is row-identical to rebuild
+    * over (old base, full stores), which the spec pins. Tombstones ≤
     * upToBatch are purged with the raw rows they guarded — the r13
     * "both fold away only at a base-corpus rewrite" IOU, now an
     * operator instead of a comment. */
   def purgeFolded(spark: SparkSession, store: ModelStore,
       codesPath: String, upToBatch: Long,
       rawPath: Option[String] = None,
-      tombPath: Option[String] = None): Unit = {
-    val wm = foldedWatermark(store, None)
-    require(upToBatch <= wm,
-      s"purgeFolded(upToBatch=$upToBatch) exceeds the current version's " +
-        s"fold watermark $wm — those batches are not folded yet and " +
-        "serving still reads them")
+      tombPath: Option[String] = None,
+      pinnedVersions: Set[Long] = Set.empty,
+      tagPath: Option[String] = None): Unit = {
+    val protect = store.currentVersion.toSet ++ pinnedVersions ++
+      tagPath.map(taggedIndexVersions(spark, _)).getOrElse(Set.empty)
+    require(protect.nonEmpty,
+      "purgeFolded on an empty store: nothing was ever folded")
+    // a pinned version that no longer exists reads watermark -1 and
+    // refuses every purge — stale pins fail safe, not silent
+    val floor = protect.map(v => foldedWatermark(store, Some(v))).min
+    require(upToBatch <= floor,
+      s"purgeFolded(upToBatch=$upToBatch) exceeds the lowest fold " +
+        s"watermark $floor across the current/pinned/tagged versions " +
+        s"($protect) — a protected serve still reads those batches")
     dropBatches(spark, versionedCodesPath(codesPath, store), upToBatch)
     rawPath.foreach(dropBatches(spark, _, upToBatch))
     tombPath.foreach(dropBatches(spark, _, upToBatch))
@@ -1096,7 +1136,11 @@ object StreamingAnn {
       tagPath: String): Set[Long] = {
     val p = new org.apache.hadoop.fs.Path(tagPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
+    // existing-but-empty tag dirs (pre-created by tooling, or the last
+    // tag removed) are NO tags, not a schema-inference crash inside
+    // the maintenance batch (review r14)
+    if (!fs.exists(p) || !fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("tag="))) Set.empty
     else spark.read.parquet(tagPath).select("version")
       .distinct().collect().map(_.getLong(0)).toSet // ≤ |tags|
   }
@@ -1134,11 +1178,13 @@ object StreamingAnn {
 
   /** The pinned version's spill dial (1 for pre-dials stores) — the
     * rerank-budget scaler [[searchAuto]]/[[knnJoinAuto]] apply, shared
-    * so the tag serves cannot diverge from the auto serves. */
+    * so the tag serves cannot diverge from the auto serves. Cached per
+    * version like the fold watermark. */
   private def spillAt(store: ModelStore, v: Long): Int =
-    if (store.partNamesAt(v).contains("dials"))
-      store.loadAt(v, "dials").select("spill").head().getInt(0)
-    else 1
+    versionMeta.computeIfAbsent((store.rootPath, v, "spill"), _ =>
+      if (store.partNamesAt(v).contains("dials"))
+        store.loadAt(v, "dials").select("spill").head().getInt(0).toLong
+      else 1L).toInt
 
   /** Driver-contract query (`q_ivfpq_batch_inc`): the raw index
     * maintained incrementally (quantizers trained once on the full

@@ -294,10 +294,14 @@ object StreamingRelease {
     try out.write(b.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val marker = new org.apache.hadoop.fs.Path(path, "_folded_upto")
-    fs.delete(marker, false)
-    require(fs.rename(tmp, marker),
-      s"could not publish fold boundary $b for $path")
+    // OVERWRITE rename, not delete-then-rename: a crash between those
+    // two would erase the PRIOR boundary and fail the as-of guard OPEN
+    // over already-folded rows (review r14) — the overwriting rename
+    // leaves either the old boundary or the new one, never none
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dir.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(path, "_folded_upto"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Fold ONE ledger store's batch dirs at or below `upToBatch` into a

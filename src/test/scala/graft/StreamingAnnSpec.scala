@@ -1222,6 +1222,12 @@ class StreamingAnnSpec extends AnyFunSuite {
         // the pin set for gcIndexVersions carries every tagged version
         assert(StreamingAnn.taggedIndexVersions(spark,
           tagDir.toString) === Set(v))
+        // an existing-but-empty tag dir is NO tags, not a crash inside
+        // the maintenance batch (review r14)
+        val emptyTags = Files.createTempDirectory("graft-ann-notags-")
+        try assert(StreamingAnn.taggedIndexVersions(spark,
+          emptyTags.toString) === Set.empty)
+        finally Files.delete(emptyTags)
       } finally ModelStore.deleteRecursively(
         java.nio.file.Paths.get(tagDir.toString))
     }
@@ -1314,6 +1320,23 @@ class StreamingAnnSpec extends AnyFunSuite {
           Some(tombPath)) // fold watermark = 1
         val before = serve()
         assert(!before.exists(_.contains(s"[$victim,")))
+        // a TAGGED older version (watermark -1) floors the purge: its
+        // serves still read every tombstone, so purging any of them
+        // must refuse while the tag lives (review r14)
+        val tagDir = Files.createTempDirectory("graft-ann-prgtag-")
+        try {
+          StreamingAnn.tagIndexSnapshot(spark, tagDir.toString,
+            "run-old", 0L, 0L) // version 0 never folded
+          assert(intercept[IllegalArgumentException] {
+            StreamingAnn.purgeFolded(spark, store, codesPath, 1L,
+              Some(rawDir.toString), Some(tombPath),
+              tagPath = Some(tagDir.toString))
+          }.getMessage.contains("watermark"))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Files.walk(tagDir).iterator().asScala.toSeq.reverse
+            .foreach(Files.delete)
+        }
         // the caller's half of the purge contract: rewrite the base
         // corpus to the resolved fold BEFORE dropping the raw batches
         val newBase = StreamingAnn.foldedCorpus(spark,
