@@ -57,6 +57,15 @@ class ModelStore(spark: SparkSession, path: String) {
         s"bad part name '$p'")
     }
     val next = currentVersion.getOrElse(-1L) + 1
+    // a crashed save leaves a half-written v<next> dir; per-part
+    // Overwrite only replaces parts THIS save also writes, so an
+    // orphan part from the crashed attempt would survive into the
+    // completed version (ADVICE r14 — with the correctness-critical
+    // `folded` part, a crashed compaction followed by a non-folding
+    // save could ship a stale fold watermark that silently
+    // partition-prunes never-folded batches). Clear the orphan dir
+    // first: a completed version contains exactly its own parts.
+    ModelStore.deleteRecursively(root.resolve(s"v$next"))
     parts.foreach { case (name, df) =>
       val dir = partDir(next, name)
       partitioned.get(name).filter(_.nonEmpty) match {
@@ -163,7 +172,21 @@ class ModelStore(spark: SparkSession, path: String) {
       pinned: Set[Long] = Set.empty): Seq[Long] = {
     require(keepLast >= 1, s"keepLast=$keepLast must keep at least one")
     val vs = versions
-    val keep = vs.takeRight(keepLast).toSet ++ currentVersion ++ pinned
+    val cur = currentVersion
+    // the keepLast window counts COMPLETE versions only (<= _CURRENT).
+    // A dir above _CURRENT is a crash orphan — a save died after its
+    // part writes, before the pointer flip — and save() will clear it
+    // anyway before reusing its number; counting it in the window
+    // both shielded the orphan forever (it is always among the newest)
+    // and burned a keepLast slot, reclaiming the oldest complete
+    // in-window version one flip early (ADVICE r14). Orphans are
+    // reclaimable outright; `pinned` still protects defensively (a pin
+    // is a caller promise — honor it even when it looks stale).
+    val complete = cur match {
+      case Some(c) => vs.filter(_ <= c)
+      case None => Seq.empty // no _CURRENT: every dir is an orphan
+    }
+    val keep = complete.takeRight(keepLast).toSet ++ cur ++ pinned
     val dead = vs.filterNot(keep)
     dead.foreach(v => ModelStore.deleteRecursively(root.resolve(s"v$v")))
     dead

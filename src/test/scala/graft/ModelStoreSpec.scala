@@ -508,4 +508,51 @@ class ModelStoreSpec extends AnyFunSuite {
       assert(!store.versions.contains(1L)) // unpinned non-window v gone
     }
   }
+
+  test("save() clears a crashed save's orphan parts: a completed version contains exactly the parts of its own save") {
+    withStore { store =>
+      import spark.implicits._
+      store.save(Map("m" -> Seq((1, 1L)).toDF("k", "n"))) // v0
+      // simulate a save of v1 that wrote a part and crashed before the
+      // flip: an orphan part under the number the next save will reuse
+      Seq((9, 9L)).toDF("k", "n")
+        .write.parquet(s"${store.rootPath}/v1/stale_fold")
+      // ADVICE r14 (medium): without the orphan-clear, `stale_fold`
+      // survives into the completed v1 — with a `folded` part in that
+      // role, serves would partition-prune batches never folded into
+      // this base
+      store.save(Map("m" -> Seq((2, 2L)).toDF("k", "n"))) // v1 completes
+      assert(store.currentVersion === Some(1L))
+      assert(store.partNames === Seq("m"),
+        "a crashed save's orphan part leaked into the completed version")
+      assert(store.load("m").select("k").head().getInt(0) === 2)
+    }
+  }
+
+  test("gcVersions: crash orphans above _CURRENT are reclaimable and never burn a keepLast slot") {
+    withStore { store =>
+      import spark.implicits._
+      def save(v: Int): Long =
+        store.save(Map("m" -> Seq((v, v.toLong)).toDF("k", "n")))
+      (0 to 2).foreach(save) // v0..v2, current = v2
+      // orphan v3: parts on disk, _CURRENT never flipped
+      Seq((9, 9L)).toDF("k", "n").write.parquet(s"${store.rootPath}/v3/m")
+      assert(store.versions === Seq(0L, 1L, 2L, 3L))
+      // ADVICE r14 (low): the old takeRight(keepLast) over ALL dirs
+      // kept {v2, v3} — the orphan shielded forever AND v1 reclaimed
+      // one flip earlier than keepLast=2 promises. The window counts
+      // complete versions only: keep {v1, v2}, reclaim v0 AND the
+      // orphan v3.
+      val dead = store.gcVersions(keepLast = 2)
+      assert(dead === Seq(0L, 3L))
+      assert(store.versions === Seq(1L, 2L))
+      assert(store.currentVersion === Some(2L))
+      assert(store.load("m").select("k").head().getInt(0) === 2)
+      // a pin still protects even a dir that looks like an orphan —
+      // pins are caller promises, honored defensively
+      Seq((9, 9L)).toDF("k", "n").write.parquet(s"${store.rootPath}/v5/m")
+      store.gcVersions(keepLast = 2, pinned = Set(5L))
+      assert(store.versions.contains(5L))
+    }
+  }
 }
