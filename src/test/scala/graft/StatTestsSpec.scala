@@ -74,6 +74,29 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 8L && r.getDouble(2) == 5.5, r)
   }
 
+  test("psiCombine: outer-merge shape (broadcast left-outer + anti-union) — row set equals the full_outer, cur-only buckets enter with c_ref=0, no SortMergeJoin in the executed plan") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // ref has buckets {0,1,2}; cur has {1,2,3} — bucket 3 is cur-only,
+    // bucket 0 is ref-only; the merge must carry all four
+    val ref = Seq((0, 5L), (1, 10L), (2, 15L)).toDF("bucket", "c_ref")
+    val cur = Seq((1, 8L), (2, 12L), (3, 4L)).toDF("bucket", "c_cur")
+    val combined = StatTests.psiCombine(ref, cur, buckets = 4)
+    val rows = combined.collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === Seq(0, 1, 2, 3))
+    val byBucket = rows.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(byBucket(0) === ((5L, 0L)), "ref-only bucket lost its c_ref")
+    assert(byBucket(3) === ((0L, 4L)), "cur-only bucket lost its c_cur")
+    assert(byBucket(1) === ((10L, 8L)))
+    // VERDICT r14 #5: the combine is the one delegation target of
+    // psiPersisted AND the streaming drift monitor — it must ride the
+    // broadcast shape, never a sort-merge (full_outer cannot broadcast)
+    val p = combined.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"psiCombine sort-merges two <=buckets-row aggregates:\n$p")
+  }
+
   test("psiPersisted serves the stored reference bit-identically to the inline test") {
     val streamed = StatTests.psiPersistedQuery(spark, sfDir).collect()
       .map(_.toString).toSeq
