@@ -101,6 +101,8 @@ object SparkEntry {
       (streaming.StreamingRelease.corpusReleaseTakedownQuery _),
     "q_corpus_release_asof" ->
       (streaming.StreamingRelease.corpusReleaseAsOfQuery _),
+    "q_corpus_release_folded" ->
+      (streaming.StreamingRelease.corpusReleaseFoldedQuery _),
     "q_multimodal_release_takedown" ->
       (streaming.StreamingRelease.multimodalReleaseTakedownQuery _),
     "q_release_diff" ->
@@ -232,6 +234,8 @@ object SparkEntry {
       (streaming.StreamingAnn.annFilteredIncrementalQuery _),
     "q_ann_asof" -> (streaming.StreamingAnn.annAsOfQuery _),
     "q_ann_tagged" -> (streaming.StreamingAnn.annTaggedQuery _),
+    "q_ann_retained" ->
+      (streaming.StreamingAnn.annRetainedQuery _),
     "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
     "q_ann_range_residual" ->
       (llm.Similarity.ivfPqRangeSearchResidualQuery _),
@@ -1334,6 +1338,13 @@ object SparkEntry {
     // a tag is a pointer, resolving it is hash-invisible
     "q_ann_tagged" -> annRecallSweepOracle(
       "k.vec_id % 3 <> 2", "e.vec_id % 3 <> 2"),
+    // retention lifecycle (VERDICT r14 #1): compaction + tag-pinned
+    // version GC + purgeFolded all live inside the gate, serve after —
+    // the oracle is the batch recall SQL VERBATIM because retention is
+    // serve-invisible by construction (GC'd versions superseded, purged
+    // batches below every protected fold watermark); the gate itself
+    // REQUIREs the reclaimed directories physically gone
+    "q_ann_retained" -> annRecallOracle,
     // probed radius query: ADC bound + exact-cosine threshold
     "q_ann_range" -> annRangeOracle,
     // residual radius query: per-cell residual tables under the same
@@ -1570,6 +1581,12 @@ object SparkEntry {
     // VERBATIM — hash-matching it pins that microbatch boundaries are
     // invisible in the released artifact
     "q_corpus_release_inc" -> corpusReleaseOracle,
+    // ledger fold mid-ingest (VERDICT r14 #1): batches {0,1} folded
+    // into one partition between the third and fourth microbatch, the
+    // fourth ingesting against the FOLDED hash set — the fold is a
+    // set-semantics merge, so the oracle is the wholesale release SQL
+    // VERBATIM; the gate REQUIREs the pre-fold batch dirs gone
+    "q_corpus_release_folded" -> corpusReleaseOracle,
     // takedown re-release: the wholesale release SQL with the
     // tombstoned doc_ids excluded from the keepers before the tertile
     // gate — the manifest over survivors must hash-match a from-scratch

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.store.ModelStore
+
+/** COMPOSITE "training run" tags (VERDICT r14 #3): "what run N saw" is
+  * a corpus snapshot AND an index snapshot, but the two tag stores are
+  * separate — callers had to coordinate two names by convention, with
+  * no shared fencing or crash story. A run tag binds both under ONE
+  * fenced name: [[tagRun]] writes the same name into the release tag
+  * store (corpus as-of batch) and the index tag store ((as-of batch,
+  * version) pair), each write crash-atomic on its own (pointer-file
+  * rename). Cross-store atomicity is BY REFUSAL, not by transaction:
+  * [[resolveRun]] requires the name present in BOTH stores and refuses
+  * a half-tagged run loudly — a crash between the two writes is
+  * visible on the next resolve, never half-served. The write order
+  * makes the release tag the commit point (the index half lands
+  * first), so "resolvable ⟹ both halves are the same tagRun's".
+  *
+  * The reads a run tag feeds are the existing single-store serves —
+  * [[StreamingRelease.releaseManifestAt]] and [[StreamingAnn.searchAt]]
+  * — by the run's name; the composite layer adds only the existence
+  * gate and the one-name ergonomics ([[manifestAtRun]] /
+  * [[searchAtRun]] / [[knnJoinAtRun]] are thin delegations, spec-pinned
+  * bit-identical to the single-store reads). The GC pin contract
+  * composes the same way: a run tag's index half appears in
+  * [[StreamingAnn.taggedIndexVersions]], so tag-pinned version GC
+  * protects run-tagged indexes with no extra wiring. */
+object RunTags {
+
+  /** Bind (corpus as-of `corpusBatch`, index (`indexBatch`,
+    * `indexVersion`)) under `name` in both stores. Re-tagging moves
+    * BOTH halves (each an atomic pointer swap). */
+  def tagRun(spark: SparkSession, name: String,
+      releaseTagPath: String, corpusBatch: Long,
+      indexTagPath: String, indexBatch: Long,
+      indexVersion: Long): Unit = {
+    StreamingRelease.validTag(name) // fence before any write
+    StreamingAnn.tagIndexSnapshot(spark, indexTagPath, name,
+      indexBatch, indexVersion)
+    StreamingRelease.tagSnapshot(spark, releaseTagPath, name,
+      corpusBatch) // commit point
+  }
+
+  /** Resolve a run to (corpus batch, index batch, index version).
+    * Refuses an unknown name AND a half-tagged one (present in only
+    * one store — a crashed [[tagRun]]; re-tag to repair). */
+  def resolveRun(spark: SparkSession, name: String,
+      releaseTagPath: String, indexTagPath: String)
+      : (Long, Long, Long) = {
+    val n = StreamingRelease.validTag(name)
+    def half[T](read: => T): Option[T] =
+      try Some(read)
+      catch { case _: IllegalArgumentException => None }
+    val rel = half(StreamingRelease.resolveTag(spark, releaseTagPath, n))
+    val idx = half(StreamingAnn.resolveIndexTag(spark, indexTagPath, n))
+    (rel, idx) match {
+      case (Some(cb), Some((ib, iv))) => (cb, ib, iv)
+      case (None, None) => throw new IllegalArgumentException(
+        s"unknown run tag '$n' (neither $releaseTagPath nor " +
+          s"$indexTagPath has it)")
+      case (have, _) =>
+        val (present, missing) =
+          if (have.isDefined) (releaseTagPath, indexTagPath)
+          else (indexTagPath, releaseTagPath)
+        throw new IllegalArgumentException(
+          s"half-tagged run '$n': present in $present but missing " +
+            s"from $missing — a crashed tagRun; re-tag the run to " +
+            "repair (serving one half would silently mix runs)")
+    }
+  }
+
+  /** [[StreamingRelease.releaseManifestAt]] at a run tag — the corpus
+    * half, gated on the run resolving WHOLE. */
+  def manifestAtRun(spark: SparkSession, name: String,
+      scorePath: String, releaseTagPath: String, indexTagPath: String,
+      shards: Int = 8, tombPath: Option[String] = None): DataFrame = {
+    resolveRun(spark, name, releaseTagPath, indexTagPath)
+    StreamingRelease.releaseManifestAt(spark, scorePath,
+      releaseTagPath, name, shards, tombPath)
+  }
+
+  /** [[StreamingAnn.searchAt]] at a run tag — the index half, gated on
+    * the run resolving WHOLE. */
+  def searchAtRun(spark: SparkSession, name: String, store: ModelStore,
+      codesPath: String, releaseTagPath: String, indexTagPath: String,
+      qVec: Map[Int, Double], qId: Long = -1L, topK: Int = 10,
+      nprobe: Int = 2, m: Int = 4, dim: Int = 64, rerankK: Int = 100,
+      tombPath: Option[String] = None): DataFrame = {
+    resolveRun(spark, name, releaseTagPath, indexTagPath)
+    StreamingAnn.searchAt(spark, store, codesPath, indexTagPath, name,
+      qVec, qId, topK, nprobe, m, dim, rerankK, tombPath)
+  }
+
+  /** [[StreamingAnn.knnJoinAt]] at a run tag. */
+  def knnJoinAtRun(spark: SparkSession, name: String, store: ModelStore,
+      codesPath: String, releaseTagPath: String, indexTagPath: String,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2, m: Int = 4,
+      dim: Int = 64, rerankK: Int = 50, excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true,
+      tombPath: Option[String] = None): DataFrame = {
+    resolveRun(spark, name, releaseTagPath, indexTagPath)
+    StreamingAnn.knnJoinAt(spark, store, codesPath, indexTagPath, name,
+      queries, topK, nprobe, m, dim, rerankK, excludeSelf,
+      broadcastQueries, tombPath)
+  }
+}

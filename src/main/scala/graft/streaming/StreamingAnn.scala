@@ -163,11 +163,23 @@ object StreamingAnn {
       version: Option[Long]): Long =
     version.orElse(store.currentVersion) match {
       case Some(v) =>
-        versionMeta.computeIfAbsent((store.rootPath, v, "folded"), _ =>
-          if (store.partNamesAt(v).contains("folded"))
-            store.loadAt(v, "folded").select("folded_max")
-              .head().getLong(0)
-          else -1L)
+        // cache only versions that EXIST on disk: a lookup against a
+        // missing version (a stale/future pin probed by purgeFolded)
+        // must not pin -1 forever — if that version number later
+        // materializes WITH a `folded` part, a cached -1 would make
+        // same-process serves re-apply already-folded tombstones and
+        // batches, the exact staleness the watermark closes (ADVICE
+        // r14). A missing version reads -1 uncached and is re-read
+        // once it exists; an existing version is immutable, so its
+        // answer (folded part present or not) is safe to cache.
+        val parts = store.partNamesAt(v)
+        if (parts.isEmpty) -1L
+        else versionMeta.computeIfAbsent((store.rootPath, v, "folded"),
+          _ =>
+            if (parts.contains("folded"))
+              store.loadAt(v, "folded").select("folded_max")
+                .head().getLong(0)
+            else -1L)
       case None => -1L
     }
 
@@ -525,7 +537,9 @@ object StreamingAnn {
       compactRatio: Double = 0.5, minCompactN: Long = 100L,
       tombPath: Option[String] = None, gcKeepVersions: Int = 0,
       gcPinned: Set[Long] = Set.empty,
-      gcTagPath: Option[String] = None)(
+      gcTagPath: Option[String] = None,
+      foldMonitorEvery: Long = 0L,
+      monitorKeepRecent: Long = 8L)(
       batch: DataFrame, batchId: Long): Unit = {
     val v0 = indexStore.currentVersion
     annAutoRebuildBatch(spark, indexStore, driftStore, base, codesPath,
@@ -549,6 +563,16 @@ object StreamingAnn {
       gcIndexVersions(spark, indexStore, codesPath, gcKeepVersions,
         gcPinned ++ gcTagPath.map(taggedIndexVersions(spark, _))
           .getOrElse(Set.empty))
+    // monitor-store fold arm (VERDICT r14 #2): the drift monitor
+    // appends one 1-row dir per batch forever — fold on the same
+    // cadence discipline as the ledgers (keepRecent = the replay
+    // horizon; folded rows keep their batch attribution, so the
+    // monitor series is exact across folds). 0 disables (default).
+    if (foldMonitorEvery > 0 && batchId > 0 &&
+        batchId % foldMonitorEvery == 0 &&
+        batchId - monitorKeepRecent >= 0)
+      StreamingRelease.compactMonitorStore(spark, monitorPath,
+        batchId - monitorKeepRecent)
   }
 
   /** The complete maintenance loop over a CDC stream — the
@@ -567,7 +591,9 @@ object StreamingAnn {
       dim: Int = 64, minRebuildN: Long = 50L, autoDial: Boolean = false,
       compactRatio: Double = 0.5, minCompactN: Long = 100L,
       gcKeepVersions: Int = 0, gcPinned: Set[Long] = Set.empty,
-      gcTagPath: Option[String] = None)(
+      gcTagPath: Option[String] = None,
+      foldMonitorEvery: Long = 0L,
+      monitorKeepRecent: Long = 8L)(
       batch: DataFrame, batchId: Long): Unit = {
     val dels = batch.filter(col("op") === "d").select("vec_id")
       .distinct().localCheckpoint(true)
@@ -575,7 +601,8 @@ object StreamingAnn {
     annMaintainBatch(spark, indexStore, driftStore, base, codesPath,
       monitorPath, rawPath, calibMod, threshold, buckets, kCells, m, k,
       iters, dim, minRebuildN, autoDial, compactRatio, minCompactN,
-      Some(tombPath), gcKeepVersions, gcPinned, gcTagPath)(
+      Some(tombPath), gcKeepVersions, gcPinned, gcTagPath,
+      foldMonitorEvery, monitorKeepRecent)(
       batch.filter(col("op") =!= "d")
         .join(broadcast(dels), Seq("vec_id"), "left_anti")
         .select("vec_id", "embedding"),
@@ -620,6 +647,111 @@ object StreamingAnn {
         threshold, buckets, kCells, m, k, iters, dim, minRebuildN,
         autoDial, compactRatio, minCompactN, None,
         gcKeepVersions, gcPinned, gcTagPath) _)
+      .option("checkpointLocation", checkpoint)
+
+  // ---- AUTOPILOT (VERDICT r14 #4): the maintenance loop's retention
+  // was all manual dials — gcKeepVersions defaulted off, purgeFolded
+  // was caller-invoked with a base-rewrite contract the caller had to
+  // honor by hand, so "runs with bounded storage forever" was an
+  // argument, not a call. annAutopilot is the one-call preset that
+  // closes the loop: it OWNS the base corpus (a [[ModelStore]] the
+  // caller never touches), re-reads it per batch (so a rewrite
+  // re-wires the loop automatically — the foreachBatch-closure hazard
+  // documented on purgeFolded cannot happen), and on every version
+  // flip (compaction or rebuild) it (a) rewrites the base to the
+  // resolved fold [[foldedCorpus]], (b) GCs superseded base and index
+  // versions, and (c) purges every streamed batch dir below the purge
+  // floor and the replay horizon. Every store the loop writes is
+  // bounded by a dial: index versions ≤ gcKeepVersions (+pins), base
+  // versions ≤ 1, raw/tombstone/increment batch dirs ≤ (batches
+  // between flips + purgeKeepRecent), monitor dirs ≤ foldMonitorEvery
+  // + monitorKeepRecent. The soak spec (AutopilotSpec) drives 50
+  // microbatches with deletes and re-inserts through it and pins all
+  // four bounds plus serve-equality with a never-retained twin. ----
+
+  /** One-call self-maintaining ANN loop: ingest + drift-gated rebuild
+    * + volume-gated compaction + version GC + base-corpus rewrite +
+    * folded-batch purge + monitor fold. `batch` may be plain
+    * (vec_id, embedding) or CDC (vec_id, embedding, op) — rows with
+    * op = "d" become tombstones. `baseStore` must be dedicated to this
+    * loop (its versions are GC'd aggressively: nothing else may pin
+    * them). Tag-pinned versions (`gcTagPath`) are protected by GC and
+    * floor the purge, exactly as in the manual loop. */
+  def annAutopilot(spark: SparkSession, indexStore: ModelStore,
+      driftStore: ModelStore, baseStore: ModelStore, codesPath: String,
+      monitorPath: String, rawPath: String, tombPath: String,
+      calibMod: Int = 4, threshold: Double = 0.2, buckets: Int = 10,
+      kCells: Int = 4, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dim: Int = 64, minRebuildN: Long = 50L, autoDial: Boolean = false,
+      compactRatio: Double = 0.0, minCompactN: Long = 100L,
+      gcKeepVersions: Int = 2, gcTagPath: Option[String] = None,
+      foldMonitorEvery: Long = 16L, monitorKeepRecent: Long = 8L,
+      purgeKeepRecent: Long = 8L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    require(gcKeepVersions >= 1 && purgeKeepRecent >= 0,
+      "autopilot retention dials must keep at least the current state")
+    // the loop's OWN base corpus, re-read each batch — empty before
+    // the first flip (everything arrives through the stream)
+    val base = baseStore.currentVersion.map(_ => baseStore.load("base"))
+      .getOrElse(batch.select("vec_id", "embedding").limit(0))
+    val v0 = indexStore.currentVersion
+    val cdc = batch.columns.contains("op")
+    if (cdc)
+      annMaintainUpsertBatch(spark, indexStore, driftStore, base,
+        codesPath, monitorPath, rawPath, tombPath, calibMod, threshold,
+        buckets, kCells, m, k, iters, dim, minRebuildN, autoDial,
+        compactRatio, minCompactN, gcKeepVersions, Set.empty, gcTagPath,
+        foldMonitorEvery, monitorKeepRecent)(batch, batchId)
+    else
+      annMaintainBatch(spark, indexStore, driftStore, base, codesPath,
+        monitorPath, rawPath, calibMod, threshold, buckets, kCells, m,
+        k, iters, dim, minRebuildN, autoDial, compactRatio, minCompactN,
+        Some(tombPath), gcKeepVersions, Set.empty, gcTagPath,
+        foldMonitorEvery, monitorKeepRecent)(batch, batchId)
+    if (indexStore.currentVersion != v0) {
+      // a flip folded every streamed batch into the new version's
+      // base: rewrite OUR base corpus to the same resolved fold FIRST
+      // (the purge contract's caller half, automated), then purge what
+      // every protected version's watermark already hides — capped by
+      // the replay horizon so a re-delivered recent batch still finds
+      // its own partition
+      val newBase = foldedCorpus(spark, base, rawPath, Some(tombPath))
+      baseStore.save(Map("base" -> newBase))
+      baseStore.gcVersions(keepLast = 1)
+      // floor over EVERY on-disk version, not just current+tagged: the
+      // gcKeepVersions window is still servable via loadAt, so its
+      // watermarks protect too — the purge lags one flip behind the
+      // oldest kept version (bounded: the window is a fixed dial)
+      val upTo = math.min(
+        purgeFloor(spark, indexStore,
+          pinnedVersions = indexStore.versions.toSet,
+          tagPath = gcTagPath),
+        batchId - purgeKeepRecent)
+      if (upTo >= 0)
+        purgeFolded(spark, indexStore, codesPath, upTo, Some(rawPath),
+          Some(tombPath), tagPath = gcTagPath)
+    }
+  }
+
+  /** Wire a plain or CDC vector stream through [[annAutopilot]]. */
+  def incrementalAnnAutopilot(vecs: DataFrame, indexStore: ModelStore,
+      driftStore: ModelStore, baseStore: ModelStore, codesPath: String,
+      monitorPath: String, rawPath: String, tombPath: String,
+      checkpoint: String, calibMod: Int = 4, threshold: Double = 0.2,
+      buckets: Int = 10, kCells: Int = 4, m: Int = 4, k: Int = 8,
+      iters: Int = 2, dim: Int = 64, minRebuildN: Long = 50L,
+      autoDial: Boolean = false, compactRatio: Double = 0.0,
+      minCompactN: Long = 100L, gcKeepVersions: Int = 2,
+      gcTagPath: Option[String] = None, foldMonitorEvery: Long = 16L,
+      monitorKeepRecent: Long = 8L,
+      purgeKeepRecent: Long = 8L): DataStreamWriter[Row] =
+    vecs.writeStream
+      .foreachBatch(annAutopilot(vecs.sparkSession, indexStore,
+        driftStore, baseStore, codesPath, monitorPath, rawPath,
+        tombPath, calibMod, threshold, buckets, kCells, m, k, iters,
+        dim, minRebuildN, autoDial, compactRatio, minCompactN,
+        gcKeepVersions, gcTagPath, foldMonitorEvery, monitorKeepRecent,
+        purgeKeepRecent) _)
       .option("checkpointLocation", checkpoint)
 
   /** [[searchIncremental]] against the CURRENT index version's codes
@@ -1015,19 +1147,33 @@ object StreamingAnn {
     * upToBatch are purged with the raw rows they guarded — the r13
     * "both fold away only at a base-corpus rewrite" IOU, now an
     * operator instead of a comment. */
-  def purgeFolded(spark: SparkSession, store: ModelStore,
-      codesPath: String, upToBatch: Long,
-      rawPath: Option[String] = None,
-      tombPath: Option[String] = None,
+  /** The highest batch a purge may legally reach: the LOWEST fold
+    * watermark across every protected version — current, `pinned`,
+    * and anything named by a tag under `tagPath`. -1 when any
+    * protected version never folded (or does not exist — stale pins
+    * fail safe): nothing is purgeable. The [[annAutopilot]] purge arm
+    * reads this to pick its bound; [[purgeFolded]] enforces it. */
+  def purgeFloor(spark: SparkSession, store: ModelStore,
       pinnedVersions: Set[Long] = Set.empty,
-      tagPath: Option[String] = None): Unit = {
+      tagPath: Option[String] = None): Long = {
     val protect = store.currentVersion.toSet ++ pinnedVersions ++
       tagPath.map(taggedIndexVersions(spark, _)).getOrElse(Set.empty)
     require(protect.nonEmpty,
       "purgeFolded on an empty store: nothing was ever folded")
     // a pinned version that no longer exists reads watermark -1 and
     // refuses every purge — stale pins fail safe, not silent
-    val floor = protect.map(v => foldedWatermark(store, Some(v))).min
+    protect.map(v => foldedWatermark(store, Some(v))).min
+  }
+
+  def purgeFolded(spark: SparkSession, store: ModelStore,
+      codesPath: String, upToBatch: Long,
+      rawPath: Option[String] = None,
+      tombPath: Option[String] = None,
+      pinnedVersions: Set[Long] = Set.empty,
+      tagPath: Option[String] = None): Unit = {
+    val floor = purgeFloor(spark, store, pinnedVersions, tagPath)
+    val protect = store.currentVersion.toSet ++ pinnedVersions ++
+      tagPath.map(taggedIndexVersions(spark, _)).getOrElse(Set.empty)
     require(upToBatch <= floor,
       s"purgeFolded(upToBatch=$upToBatch) exceeds the lowest fold " +
         s"watermark $floor across the current/pinned/tagged versions " +
@@ -1107,42 +1253,93 @@ object StreamingAnn {
   // charset ([[StreamingRelease.validTag]]). ----
 
   /** Name the live index's state after `batch` committed: records
-    * (batch, version) under `tagPath/tag=NAME`. */
+    * (batch, version) under `tagPath/tag=NAME`.
+    *
+    * A tag is a POINTER, and it is stored like one — a one-line file
+    * promoted by an overwriting atomic rename, the `_CURRENT` /
+    * `_folded_upto` discipline. The previous parquet `mode(overwrite)`
+    * of the partition dir was delete-then-write: a crash mid-retag
+    * left NO readable tag, and since [[annMaintainBatch]] resolves
+    * [[taggedIndexVersions]] AT GC TIME, a GC firing inside that
+    * window read an empty tag dir, dropped the tagged version from
+    * the pin set, and could delete the very version the tag protected
+    * (ADVICE r14). The rename leaves either the old pointer or the
+    * new one on every prefix of the crash — never none. (Dir-onto-dir
+    * rename cannot overwrite atomically on HDFS; a one-line file
+    * can.) */
   def tagIndexSnapshot(spark: SparkSession, tagPath: String,
       tag: String, batch: Long, version: Long): Unit = {
-    import spark.implicits._
-    Seq((batch, version)).toDF("batch", "version")
-      .write.mode("overwrite")
-      .parquet(s"$tagPath/tag=${StreamingRelease.validTag(tag)}")
+    val dir = new org.apache.hadoop.fs.Path(tagPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val name = StreamingRelease.validTag(tag)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tag-$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$batch $version".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // one-time upgrade: a pre-r15 tag is a parquet DIR, and a file
+    // cannot rename over a non-empty dir — remove it first. This one
+    // retag is delete-then-rename (the old hazard); every later retag
+    // of the name is the atomic pointer swap.
+    val dest = new org.apache.hadoop.fs.Path(dir, s"tag=$name")
+    if (fs.exists(dest) && fs.getFileStatus(dest).isDirectory)
+      fs.delete(dest, true)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dir.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(dir, s"tag=$name"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read one tag pointer: `Some((batch, version))`, or None when the
+    * tag does not exist. Pre-r15 stores wrote each tag as a 1-row
+    * parquet PARTITION dir — still readable (upgrade compatibility);
+    * the next re-tag of that name rewrites it as a pointer file. */
+  private def readIndexTag(spark: SparkSession, tagPath: String,
+      name: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tagPath/tag=$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else if (fs.getFileStatus(p).isDirectory) {
+      val r = spark.read.parquet(p.toString)
+        .select("batch", "version").head()
+      Some((r.getLong(0), r.getLong(1)))
+    } else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      val Array(b, v) = s.split("\\s+")
+      Some((b.toLong, v.toLong))
+    }
   }
 
   /** Resolve an index tag to its (as-of batch, version) pair; unknown
     * tags fail loudly. */
   def resolveIndexTag(spark: SparkSession, tagPath: String,
-      tag: String): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(
-      s"$tagPath/tag=${StreamingRelease.validTag(tag)}")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"unknown index snapshot tag '$tag' under $tagPath")
-    val r = spark.read.parquet(p.toString)
-      .select("batch", "version").head()
-    (r.getLong(0), r.getLong(1))
-  }
+      tag: String): (Long, Long) =
+    readIndexTag(spark, tagPath, StreamingRelease.validTag(tag))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown index snapshot tag '$tag' under $tagPath"))
 
   /** Every version named by any tag under `tagPath` — the pin set a
     * retention caller hands [[gcIndexVersions]] so tagged snapshots
-    * stay servable forever. */
+    * stay servable forever. One driver listing + one tiny read per
+    * tag (≤ |tags|); a concurrent re-tag is invisible (each pointer
+    * read sees its old or new value, never a missing one). */
   def taggedIndexVersions(spark: SparkSession,
       tagPath: String): Set[Long] = {
     val p = new org.apache.hadoop.fs.Path(tagPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // existing-but-empty tag dirs (pre-created by tooling, or the last
-    // tag removed) are NO tags, not a schema-inference crash inside
-    // the maintenance batch (review r14)
-    if (!fs.exists(p) || !fs.listStatus(p).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("tag="))) Set.empty
-    else spark.read.parquet(tagPath).select("version")
-      .distinct().collect().map(_.getLong(0)).toSet // ≤ |tags|
+    // tag removed) are NO tags, not a crash inside the maintenance
+    // batch (review r14)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .filter(_.getPath.getName.startsWith("tag="))
+      .flatMap(s => readIndexTag(spark, tagPath,
+        s.getPath.getName.stripPrefix("tag=")))
+      .map(_._2).toSet
   }
 
   /** [[searchIncremental]] at a NAMED snapshot — resolve the tag once,
@@ -1180,11 +1377,16 @@ object StreamingAnn {
     * rerank-budget scaler [[searchAuto]]/[[knnJoinAuto]] apply, shared
     * so the tag serves cannot diverge from the auto serves. Cached per
     * version like the fold watermark. */
-  private def spillAt(store: ModelStore, v: Long): Int =
-    versionMeta.computeIfAbsent((store.rootPath, v, "spill"), _ =>
-      if (store.partNamesAt(v).contains("dials"))
+  private def spillAt(store: ModelStore, v: Long): Int = {
+    // same missing-version cache guard as [[foldedWatermark]]: never
+    // pin a default for a version that is not on disk yet
+    val parts = store.partNamesAt(v)
+    if (parts.isEmpty) 1
+    else versionMeta.computeIfAbsent((store.rootPath, v, "spill"), _ =>
+      if (parts.contains("dials"))
         store.loadAt(v, "dials").select("spill").head().getInt(0).toLong
       else 1L).toInt
+  }
 
   /** Driver-contract query (`q_ivfpq_batch_inc`): the raw index
     * maintained incrementally (quantizers trained once on the full
@@ -1384,6 +1586,93 @@ object StreamingAnn {
       graft.store.ModelStore.deleteRecursively(codesDir)
       graft.store.ModelStore.deleteRecursively(tagDir)
     }
+  }
+
+  /** Driver-contract query (`q_ann_retained`, VERDICT r14 #1): the
+    * FULL retention lifecycle inside one hash-checked gate. The index
+    * is maintained through [[annMaintainBatch]] with every retention
+    * arm LIVE — per-batch compaction (minCompactN = 1), version GC
+    * (keepLast = 1) with tag-pinned protection resolved at GC time,
+    * and a final [[purgeFolded]] of the raw batches the folds
+    * absorbed — then the recall sweep serves through [[searchAuto]].
+    * Retention is invisible by construction (GC'd versions were
+    * superseded, purged batches were below every protected version's
+    * fold watermark), so the oracle is the batch recall SQL VERBATIM:
+    * the DuckDB replay hash-pins that a GC'd + purged deployment
+    * serves bit-identically to a never-retained build. The gate also
+    * REQUIRES the reclaimed state physically gone mid-flight — a green
+    * row proves directories were deleted, not merely ignorable.
+    *
+    * The rebuild arm is hard-disabled (threshold/minRebuildN maxed):
+    * a rebuild retrains quantizers on a pmod slice, which is a
+    * different (correct) index than the oracle's full-corpus
+    * quantizers — compaction + GC + purge are the retention arms
+    * under test, and none of them may touch a weight. The purge's
+    * base-rewrite contract is vacuous here: the maintain base is the
+    * empty frame and no rebuild ever reads the raw store again. */
+  def annRetainedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val truth = Similarity.cosineTopK(spark, dir, 0L, 10)
+      .select("vec_id")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-annret-codes-")
+    val driftDir = java.nio.file.Files
+      .createTempDirectory("graft-annret-drift-")
+    val monDir = java.nio.file.Files
+      .createTempDirectory("graft-annret-mon-")
+    val rawDir = java.nio.file.Files
+      .createTempDirectory("graft-annret-raw-")
+    val tagDir = java.nio.file.Files
+      .createTempDirectory("graft-annret-tags-")
+    try {
+      // GC mutates the store — a scratch build, never the shared one
+      graft.store.ModelStore.scratch(spark, "annret") { store =>
+        Similarity.saveQuantizers(emb, store) // v0: frozen quantizers
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        saveDriftReference(
+          emb.filter(pmod(col("vec_id"), lit(4)) === 0), store,
+          driftStore)
+        val body = annMaintainBatch(spark, store, driftStore,
+          base = emb.limit(0), codesPath = codesDir.toString,
+          monitorPath = monDir.toString, rawPath = rawDir.toString,
+          calibMod = 4, threshold = Double.MaxValue,
+          minRebuildN = Long.MaxValue, compactRatio = 0.0,
+          minCompactN = 1L, gcKeepVersions = 1,
+          gcTagPath = Some(tagDir.toString)) _
+        body(emb.filter(pmod(col("vec_id"), lit(3)) === 0), 0L) // → v1
+        body(emb.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // → v2
+        val v2 = store.currentVersion.getOrElse(0L)
+        // the loop's own GC (keepLast=1, no tags yet) reclaimed v0/v1
+        require(store.versions == Seq(v2),
+          s"in-loop GC left superseded versions: ${store.versions}")
+        // pin v2 through a tag, then let batch 2's GC run with the tag
+        // store live: the pin must protect it past the keepLast window
+        tagIndexSnapshot(spark, tagDir.toString, "run-15", 1L, v2)
+        body(emb.filter(pmod(col("vec_id"), lit(3)) === 2), 2L) // → v3
+        val v3 = store.currentVersion.getOrElse(0L)
+        require(store.versions == Seq(v2, v3),
+          s"tag-pinned GC broke: ${store.versions} (want v$v2, v$v3)")
+        // purge the raw batches every protected fold absorbed: floor =
+        // min(wm(v3)=2, wm(tagged v2)=1) = 1, so batches 0/1 go
+        purgeFolded(spark, store, codesDir.toString, 1L,
+          rawPath = Some(rawDir.toString),
+          tagPath = Some(tagDir.toString))
+        require(StreamingDedup.listBatches(spark, rawDir.toString)
+          .map(_._1).sorted == Seq(2L),
+          "purgeFolded left raw batches at or below the floor")
+        val qv = Similarity.queryVecOf(emb, 0L)
+        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+          searchAuto(spark, store, codesDir.toString, qv, qId = 0L,
+            topK = 10, nprobe = np)
+            .join(truth, "vec_id")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), lit(10).as("k"),
+              col("n_hits"),
+              (col("n_hits").cast("double") / 10).as("recall"))
+        }.reduce(_ union _).orderBy("nprobe"))
+      }
+    } finally Seq(codesDir, driftDir, monDir, rawDir, tagDir)
+      .foreach(graft.store.ModelStore.deleteRecursively)
   }
 
   /** The radius-query LIFECYCLE rows (`q_ann_range_filtered` /

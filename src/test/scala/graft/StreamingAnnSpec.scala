@@ -1378,6 +1378,70 @@ class StreamingAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("foldedWatermark of a missing pinned version is re-read once it materializes — a stale-pin probe cannot poison the cache with -1") {
+    withDirs { (store, codesPath) =>
+      llm.Similarity.saveQuantizers(emb, store) // v0
+      StreamingAnn.annIngestBatch(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store))(emb, 0L)
+      StreamingAnn.compactIncrements(spark, store, codesPath) // v1, wm=0
+      // probe with a pin on v2 BEFORE it exists: refuses (missing
+      // versions read watermark -1) — and must not CACHE that -1 for
+      // v2 (ADVICE r14: a poisoned cache would keep same-process
+      // serves and purges reading -1 after v2 materializes with a
+      // folded part, re-applying already-folded batches)
+      assert(intercept[IllegalArgumentException] {
+        StreamingAnn.purgeFolded(spark, store, codesPath, 0L,
+          pinnedVersions = Set(2L))
+      }.getMessage.contains("watermark"))
+      // v2 materializes WITH a fold watermark
+      StreamingAnn.annIngestBatch(spark, store,
+        StreamingAnn.versionedCodesPath(codesPath, store))(
+        emb.filter(col("vec_id") % 5 === 0), 1L)
+      StreamingAnn.compactIncrements(spark, store, codesPath) // v2, wm=1
+      assert(store.currentVersion === Some(2L))
+      // the same pinned purge now reads v2's REAL watermark (1) and
+      // succeeds — a cached -1 would refuse forever
+      StreamingAnn.purgeFolded(spark, store, codesPath, 0L,
+        pinnedVersions = Set(2L))
+    }
+  }
+
+  test("index tag store: pointer-file re-tag; pre-r15 parquet-dir tags resolve and re-tag upgrades them; mixed stores pin all tagged versions") {
+    val tagDir = Files.createTempDirectory("graft-ann-tagfmt-")
+    try {
+      import spark.implicits._
+      // a pre-r15 tag: 1-row parquet PARTITION dir (the format whose
+      // mode(overwrite) retag had the mid-retag unreadable window)
+      Seq((1L, 3L)).toDF("batch", "version")
+        .write.parquet(s"$tagDir/tag=legacy")
+      assert(StreamingAnn.resolveIndexTag(spark, tagDir.toString,
+        "legacy") === ((1L, 3L)))
+      // new tags are pointer FILES — the atomic-overwrite rename
+      // carrier (ADVICE r14: a GC firing mid-retag must read the old
+      // pointer or the new one, never an empty dir)
+      StreamingAnn.tagIndexSnapshot(spark, tagDir.toString, "run-a",
+        2L, 5L)
+      assert(Files.isRegularFile(
+        java.nio.file.Paths.get(s"$tagDir/tag=run-a")))
+      assert(StreamingAnn.resolveIndexTag(spark, tagDir.toString,
+        "run-a") === ((2L, 5L)))
+      StreamingAnn.tagIndexSnapshot(spark, tagDir.toString, "run-a",
+        4L, 6L)
+      assert(StreamingAnn.resolveIndexTag(spark, tagDir.toString,
+        "run-a") === ((4L, 6L)))
+      // re-tagging a legacy dir tag upgrades it to a pointer file
+      StreamingAnn.tagIndexSnapshot(spark, tagDir.toString, "legacy",
+        7L, 9L)
+      assert(Files.isRegularFile(
+        java.nio.file.Paths.get(s"$tagDir/tag=legacy")))
+      assert(StreamingAnn.resolveIndexTag(spark, tagDir.toString,
+        "legacy") === ((7L, 9L)))
+      // the GC pin set reads both formats
+      assert(StreamingAnn.taggedIndexVersions(spark, tagDir.toString)
+        === Set(6L, 9L))
+    } finally ModelStore.deleteRecursively(tagDir)
+  }
+
   test("fold watermark: delete → re-insert → compact keeps the resurrected id; stale tombstones and pre-fold replays stay folded; as-of below the fold refuses") {
     // ADVICE r13 (high): the global tombstone store outlives a
     // compaction that legitimately folded a re-inserted id into the new
