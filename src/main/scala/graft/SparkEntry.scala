@@ -236,6 +236,10 @@ object SparkEntry {
     "q_ann_tagged" -> (streaming.StreamingAnn.annTaggedQuery _),
     "q_ann_retained" ->
       (streaming.StreamingAnn.annRetainedQuery _),
+    "q_ann_run" ->
+      (streaming.StreamingAnn.annRunTaggedQuery _),
+    "q_ann_autopilot" ->
+      (streaming.StreamingAnn.annAutopilotQuery _),
     "q_ann_range" -> (llm.Similarity.ivfPqRangeSearchQuery _),
     "q_ann_range_residual" ->
       (llm.Similarity.ivfPqRangeSearchResidualQuery _),
@@ -1345,6 +1349,19 @@ object SparkEntry {
     // batches below every protected fold watermark); the gate itself
     // REQUIREs the reclaimed directories physically gone
     "q_ann_retained" -> annRecallOracle,
+    // COMPOSITE run tag over the ANN serve: the as-of sweep SQL
+    // VERBATIM — a run tag is two pointers (corpus + index) under one
+    // name, and resolving them is hash-invisible; the gate REQUIREs
+    // the half-tagged refusal live before the complete tagRun lands
+    "q_ann_run" -> annRecallSweepOracle(
+      "k.vec_id % 3 <> 2", "e.vec_id % 3 <> 2"),
+    // the ONE-CALL autopilot preset: per-batch compaction + GC +
+    // automated base rewrite + purge inside the gate (REQUIREd: one
+    // version on disk, base store maintained, purged raw dirs gone),
+    // then the sweep — the batch recall SQL VERBATIM again, because a
+    // deployment only ever touched by the autopilot must serve
+    // bit-identically to a never-retained build
+    "q_ann_autopilot" -> annRecallOracle,
     // probed radius query: ADC bound + exact-cosine threshold
     "q_ann_range" -> annRangeOracle,
     // residual radius query: per-cell residual tables under the same

@@ -1588,6 +1588,121 @@ object StreamingAnn {
     }
   }
 
+  /** Driver-contract query (`q_ann_run`): the recall sweep served at
+    * a COMPOSITE run tag ([[RunTags.searchAtRun]]) — the corpus half
+    * tagged on the release tag store, the index half on the index tag
+    * store, both under one name, the serve gated on the run resolving
+    * WHOLE. The oracle is the as-of sweep SQL VERBATIM (`q_ann_asof`'s,
+    * same as `q_ann_tagged`): a run tag is two pointers, and resolving
+    * them is hash-invisible next to the numeric as-of read they name.
+    * The gate also REQUIREs the half-tagged refusal live (the index
+    * half alone must not serve). */
+  def annRunTaggedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val member = pmod(col("vec_id"), lit(3)) =!= 2
+    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, member)
+      .select("vec_id")
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-annrun-codes-")
+    val relTagDir = java.nio.file.Files
+      .createTempDirectory("graft-annrun-reltags-")
+    val idxTagDir = java.nio.file.Files
+      .createTempDirectory("graft-annrun-idxtags-")
+    try {
+      val store = Similarity.sharedQuantizers(spark, dir)
+      val vp = versionedCodesPath(codesDir.toString, store)
+      (0 until 3).foreach { b =>
+        annIngestBatch(spark, store, vp)(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+      }
+      val v = store.currentVersion.getOrElse(0L)
+      // a half-tagged run (index half only) must refuse before the
+      // complete tagRun lands
+      tagIndexSnapshot(spark, idxTagDir.toString, "train-15", 1L, v)
+      val refused =
+        try { RunTags.resolveRun(spark, "train-15", relTagDir.toString,
+          idxTagDir.toString); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("half-tagged") }
+      require(refused, "half-tagged run served instead of refusing")
+      RunTags.tagRun(spark, "train-15", relTagDir.toString, 1L,
+        idxTagDir.toString, 1L, v)
+      val qv = Similarity.queryVecOf(emb, 0L)
+      graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+        RunTags.searchAtRun(spark, "train-15", store,
+          codesDir.toString, relTagDir.toString, idxTagDir.toString,
+          qv, qId = 0L, topK = 10, nprobe = np)
+          .join(truth, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), lit(10).as("k"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / 10).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe"))
+    } finally Seq(codesDir, relTagDir, idxTagDir)
+      .foreach(graft.store.ModelStore.deleteRecursively)
+  }
+
+  /** Driver-contract query (`q_ann_autopilot`): the ONE-CALL
+    * [[annAutopilot]] preset driven across three pmod microbatches —
+    * per-batch compaction flips, version GC, the automated base-corpus
+    * rewrite, and the folded-batch purge all fire inside the gate
+    * (REQUIREd: one version on disk, base store populated, purged raw
+    * dirs gone) — then the recall sweep serves through [[searchAuto]].
+    * The oracle is the batch recall SQL VERBATIM: a deployment that
+    * has only ever been touched by the autopilot serves bit-identically
+    * to a never-retained build. Rebuild hard-off as in
+    * [[annRetainedQuery]] (a retrain is correct but a different index
+    * than the oracle's full-corpus quantizers). */
+  def annAutopilotQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val truth = Similarity.cosineTopK(spark, dir, 0L, 10)
+      .select("vec_id")
+    val names = Seq("codes", "drift", "mon", "raw", "tomb", "base")
+    val dirs = names.map(n =>
+      java.nio.file.Files.createTempDirectory(s"graft-annap-$n-"))
+    val Seq(codesDir, driftDir, monDir, rawDir, tombDir, baseDir) = dirs
+    try {
+      graft.store.ModelStore.scratch(spark, "annap") { store =>
+        Similarity.saveQuantizers(emb, store)
+        val driftStore = new ModelStore(spark, driftDir.toString)
+        val baseStore = new ModelStore(spark, baseDir.toString)
+        saveDriftReference(
+          emb.filter(pmod(col("vec_id"), lit(4)) === 0), store,
+          driftStore)
+        val auto = annAutopilot(spark, store, driftStore, baseStore,
+          codesDir.toString, monDir.toString, rawDir.toString,
+          tombDir.toString, threshold = Double.MaxValue,
+          minRebuildN = Long.MaxValue, compactRatio = 0.0,
+          minCompactN = 1L, gcKeepVersions = 1,
+          purgeKeepRecent = 0L) _
+        (0 until 3).foreach { b =>
+          auto(emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+        }
+        // retention provably ran: one index version, a rewritten base,
+        // and the purged raw dirs physically gone
+        require(store.versions.size == 1,
+          s"autopilot GC left versions: ${store.versions}")
+        require(baseStore.currentVersion.nonEmpty &&
+          baseStore.versions.size == 1,
+          "autopilot did not maintain its base corpus")
+        require(StreamingDedup.listBatches(spark, rawDir.toString)
+          .map(_._1).forall(_ > 1L),
+          "autopilot purge left raw batches at or below the floor")
+        val qv = Similarity.queryVecOf(emb, 0L)
+        graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
+          searchAuto(spark, store, codesDir.toString, qv, qId = 0L,
+            topK = 10, nprobe = np,
+            tombPath = Some(tombDir.toString))
+            .join(truth, "vec_id")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), lit(10).as("k"),
+              col("n_hits"),
+              (col("n_hits").cast("double") / 10).as("recall"))
+        }.reduce(_ union _).orderBy("nprobe"))
+      }
+    } finally dirs.foreach(graft.store.ModelStore.deleteRecursively)
+  }
+
   /** Driver-contract query (`q_ann_retained`, VERDICT r14 #1): the
     * FULL retention lifecycle inside one hash-checked gate. The index
     * is maintained through [[annMaintainBatch]] with every retention
