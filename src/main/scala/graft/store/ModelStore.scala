@@ -98,6 +98,21 @@ class ModelStore(spark: SparkSession, path: String) {
     flip(next)
   }
 
+  /** Copy `from`'s CURRENT version (every part) into this store as a
+    * new version — the zero-training bootstrap for gates that must own
+    * a MUTABLE store (version GC, compaction) but whose trained
+    * artifacts equal a process-shared read-only store's. Serves from
+    * the clone are bit-identical to serves from the source: parquet
+    * round-trips preserve longs/doubles exactly and save() rewrites
+    * every part (ModelStoreSpec pins the round-trip byte-for-byte). */
+  def cloneCurrentFrom(from: ModelStore,
+      partitioned: Map[String, Seq[String]] = Map.empty): Long = {
+    val v = from.currentVersion.getOrElse(throw new IllegalStateException(
+      s"clone source ${from.rootPath} is empty"))
+    save(from.partNamesAt(v).map(p => p -> from.loadAt(v, p)).toMap,
+      partitioned)
+  }
+
   /** Part names of the current version. */
   def partNames: Seq[String] = currentVersion match {
     case None => Seq.empty

@@ -1588,6 +1588,23 @@ object StreamingAnn {
     }
   }
 
+  /** Process-shared drift REFERENCE over `dir`'s embeddings at the
+    * default dials — the [[llm.Similarity.sharedQuantizers]]
+    * discipline for the retention gates' monitor input: the reference
+    * is a deterministic train-once artifact, so sharing it across
+    * gates is oracle-invisible. Consumers must treat it as READ-ONLY
+    * (the gates disable the rebuild arm, which is the only writer). */
+  private def sharedDriftReference(spark: SparkSession,
+      dir: String): ModelStore =
+    ModelStore.shared(spark, Seq("ann-driftref",
+      graft.store.ArtifactCache.tableFingerprint(dir, "embeddings"),
+      "calibMod=4", "buckets=10")) { ds =>
+      saveDriftReference(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(pmod(col("vec_id"), lit(4)) === 0),
+        Similarity.sharedQuantizers(spark, dir), ds); ()
+    }
+
   /** Driver-contract query (`q_ann_run`): the recall sweep served at
     * a COMPOSITE run tag ([[RunTags.searchAtRun]]) — the corpus half
     * tagged on the release tag store, the index half on the index tag
@@ -1657,26 +1674,30 @@ object StreamingAnn {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val truth = Similarity.cosineTopK(spark, dir, 0L, 10)
       .select("vec_id")
-    val names = Seq("codes", "drift", "mon", "raw", "tomb", "base")
+    val names = Seq("codes", "mon", "raw", "tomb", "base")
     val dirs = names.map(n =>
       java.nio.file.Files.createTempDirectory(s"graft-annap-$n-"))
-    val Seq(codesDir, driftDir, monDir, rawDir, tombDir, baseDir) = dirs
+    val Seq(codesDir, monDir, rawDir, tombDir, baseDir) = dirs
     try {
       graft.store.ModelStore.scratch(spark, "annap") { store =>
-        Similarity.saveQuantizers(emb, store)
-        val driftStore = new ModelStore(spark, driftDir.toString)
+        // the [[annRetainedQuery]] bootstrap: clone the shared trained
+        // quantizers into the gate's own mutable store, read the
+        // shared drift reference (rebuild arm off — no writer)
+        store.cloneCurrentFrom(Similarity.sharedQuantizers(spark, dir),
+          partitioned = Map("codes" -> Seq("cid")))
+        val driftStore = sharedDriftReference(spark, dir)
         val baseStore = new ModelStore(spark, baseDir.toString)
-        saveDriftReference(
-          emb.filter(pmod(col("vec_id"), lit(4)) === 0), store,
-          driftStore)
         val auto = annAutopilot(spark, store, driftStore, baseStore,
           codesDir.toString, monDir.toString, rawDir.toString,
           tombDir.toString, threshold = Double.MaxValue,
           minRebuildN = Long.MaxValue, compactRatio = 0.0,
           minCompactN = 1L, gcKeepVersions = 1,
           purgeKeepRecent = 0L) _
-        (0 until 3).foreach { b =>
-          auto(emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+        // two flips cover the full cycle twice: GC has something to
+        // reclaim at each, the base rewrite feeds flip 2's fold, and
+        // the purge runs against a purgeable floor both times
+        (0 until 2).foreach { b =>
+          auto(emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
         }
         // retention provably ran: one index version, a rewritten base,
         // and the purged raw dirs physically gone
@@ -1731,8 +1752,6 @@ object StreamingAnn {
       .select("vec_id")
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-annret-codes-")
-    val driftDir = java.nio.file.Files
-      .createTempDirectory("graft-annret-drift-")
     val monDir = java.nio.file.Files
       .createTempDirectory("graft-annret-mon-")
     val rawDir = java.nio.file.Files
@@ -1740,13 +1759,15 @@ object StreamingAnn {
     val tagDir = java.nio.file.Files
       .createTempDirectory("graft-annret-tags-")
     try {
-      // GC mutates the store — a scratch build, never the shared one
+      // GC mutates the store — a scratch build, never the shared one;
+      // but the trained artifacts are deterministic, so v0 CLONES the
+      // process-shared quantizer store (zero training jobs) and the
+      // monitor reads the shared drift reference (read-only here —
+      // the rebuild arm, the only writer, is disabled below)
       graft.store.ModelStore.scratch(spark, "annret") { store =>
-        Similarity.saveQuantizers(emb, store) // v0: frozen quantizers
-        val driftStore = new ModelStore(spark, driftDir.toString)
-        saveDriftReference(
-          emb.filter(pmod(col("vec_id"), lit(4)) === 0), store,
-          driftStore)
+        store.cloneCurrentFrom(Similarity.sharedQuantizers(spark, dir),
+          partitioned = Map("codes" -> Seq("cid")))
+        val driftStore = sharedDriftReference(spark, dir)
         val body = annMaintainBatch(spark, store, driftStore,
           base = emb.limit(0), codesPath = codesDir.toString,
           monitorPath = monDir.toString, rawPath = rawDir.toString,
@@ -1754,26 +1775,28 @@ object StreamingAnn {
           minRebuildN = Long.MaxValue, compactRatio = 0.0,
           minCompactN = 1L, gcKeepVersions = 1,
           gcTagPath = Some(tagDir.toString)) _
-        body(emb.filter(pmod(col("vec_id"), lit(3)) === 0), 0L) // → v1
-        body(emb.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // → v2
-        val v2 = store.currentVersion.getOrElse(0L)
-        // the loop's own GC (keepLast=1, no tags yet) reclaimed v0/v1
-        require(store.versions == Seq(v2),
+        // two flips are the minimal COMPLETE proof: flip 1's GC must
+        // reclaim something (v0), flip 2's GC must run with the tag
+        // live and protect the pinned version
+        body(emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L) // → v1
+        val v1 = store.currentVersion.getOrElse(0L)
+        // the loop's own GC (keepLast=1, no tags yet) reclaimed v0
+        require(store.versions == Seq(v1),
           s"in-loop GC left superseded versions: ${store.versions}")
-        // pin v2 through a tag, then let batch 2's GC run with the tag
+        // pin v1 through a tag, then let batch 1's GC run with the tag
         // store live: the pin must protect it past the keepLast window
-        tagIndexSnapshot(spark, tagDir.toString, "run-15", 1L, v2)
-        body(emb.filter(pmod(col("vec_id"), lit(3)) === 2), 2L) // → v3
-        val v3 = store.currentVersion.getOrElse(0L)
-        require(store.versions == Seq(v2, v3),
-          s"tag-pinned GC broke: ${store.versions} (want v$v2, v$v3)")
+        tagIndexSnapshot(spark, tagDir.toString, "run-15", 0L, v1)
+        body(emb.filter(pmod(col("vec_id"), lit(2)) === 1), 1L) // → v2
+        val v2 = store.currentVersion.getOrElse(0L)
+        require(store.versions == Seq(v1, v2),
+          s"tag-pinned GC broke: ${store.versions} (want v$v1, v$v2)")
         // purge the raw batches every protected fold absorbed: floor =
-        // min(wm(v3)=2, wm(tagged v2)=1) = 1, so batches 0/1 go
-        purgeFolded(spark, store, codesDir.toString, 1L,
+        // min(wm(v2)=1, wm(tagged v1)=0) = 0, so batch 0 goes
+        purgeFolded(spark, store, codesDir.toString, 0L,
           rawPath = Some(rawDir.toString),
           tagPath = Some(tagDir.toString))
         require(StreamingDedup.listBatches(spark, rawDir.toString)
-          .map(_._1).sorted == Seq(2L),
+          .map(_._1).sorted == Seq(1L),
           "purgeFolded left raw batches at or below the floor")
         val qv = Similarity.queryVecOf(emb, 0L)
         graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
@@ -1786,7 +1809,7 @@ object StreamingAnn {
               (col("n_hits").cast("double") / 10).as("recall"))
         }.reduce(_ union _).orderBy("nprobe"))
       }
-    } finally Seq(codesDir, driftDir, monDir, rawDir, tagDir)
+    } finally Seq(codesDir, monDir, rawDir, tagDir)
       .foreach(graft.store.ModelStore.deleteRecursively)
   }
 

@@ -509,6 +509,29 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("cloneCurrentFrom copies every part byte-identically into a new version; empty source refuses") {
+    withStore { src =>
+      withStore { dst =>
+        import spark.implicits._
+        assert(intercept[IllegalStateException] {
+          dst.cloneCurrentFrom(src)
+        }.getMessage.contains("empty"))
+        src.save(Map(
+          "m" -> Seq((1, 1.5, 3L)).toDF("k", "d", "n"),
+          "codes" -> Seq((10L, 2), (11L, 3)).toDF("vec_id", "cid")),
+          partitioned = Map("codes" -> Seq("cid")))
+        dst.cloneCurrentFrom(src, partitioned = Map("codes" -> Seq("cid")))
+        assert(dst.partNames === src.partNames)
+        assertSameFrame(dst.load("m"), src.load("m"))
+        assertSameFrame(dst.load("codes"), src.load("codes"))
+        // the clone is a NEW version of the destination, independent of
+        // the source's lifecycle
+        src.save(Map("m" -> Seq((9, 9.0, 9L)).toDF("k", "d", "n")))
+        assert(dst.load("m").select("k").head().getInt(0) === 1)
+      }
+    }
+  }
+
   test("save() clears a crashed save's orphan parts: a completed version contains exactly the parts of its own save") {
     withStore { store =>
       import spark.implicits._
