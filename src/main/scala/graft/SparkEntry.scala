@@ -103,6 +103,8 @@ object SparkEntry {
       (streaming.StreamingRelease.corpusReleaseAsOfQuery _),
     "q_corpus_release_folded" ->
       (streaming.StreamingRelease.corpusReleaseFoldedQuery _),
+    "q_corpus_release_pinned" ->
+      (streaming.StreamingRelease.corpusReleasePinnedQuery _),
     "q_multimodal_release_takedown" ->
       (streaming.StreamingRelease.multimodalReleaseTakedownQuery _),
     "q_release_diff" ->
@@ -279,6 +281,8 @@ object SparkEntry {
     "q_multimodal_release" -> (llm.Multimodal.multimodalReleaseQuery _),
     "q_multimodal_release_inc" ->
       (streaming.StreamingRelease.multimodalReleaseIncrementalQuery _),
+    "q_multimodal_release_folded" ->
+      (streaming.StreamingRelease.multimodalReleaseFoldedQuery _),
     "q_xent_gate_lang" ->
       (streaming.StreamingRelease.xentGateByLangQuery _),
     // family 9 extras: scalar functions, conditional agg, pivot, ranking
@@ -1617,6 +1621,16 @@ object SparkEntry {
     "q_corpus_release_asof" -> corpusReleaseOracleWhere(
       "k.doc_id IN (SELECT doc_id FROM (SELECT doc_id, " +
         "ntile(3) OVER (ORDER BY doc_id) AS s FROM documents) " +
+        "WHERE s <= 2)"),
+    // tag-pinned fold floor: the maintenance loop folds LIVE with a
+    // tag pinned at batch 1 of four ascending ntile slices — the
+    // boundary floors at the tag (REQUIREd in-gate) and the serve at
+    // the tag is the as-of cut the unpinned fold would have refused,
+    // so the oracle is the as-of release SQL (first two slices)
+    // VERBATIM
+    "q_corpus_release_pinned" -> corpusReleaseOracleWhere(
+      "k.doc_id IN (SELECT doc_id FROM (SELECT doc_id, " +
+        "ntile(4) OVER (ORDER BY doc_id) AS s FROM documents) " +
         "WHERE s <= 2)"),
     // governance changelog between two snapshots of the SHIPPED corpus:
     // both memberships recomputed wholesale — keepers × the snapshot's
@@ -3871,6 +3885,12 @@ object SparkEntry {
     // composition VERBATIM — microbatch boundaries hash-pinned
     // invisible for both keep policies at once
     "q_multimodal_release_inc" -> multimodalReleaseOracle,
+    // the multimodal MAINTENANCE loop's own fold arm fires mid-ingest
+    // (text-hash + media-fingerprint + ledger batches {0,1} → 1,
+    // REQUIREd in-gate), later batches resolve both novelty policies
+    // over the folded sets — the fold is a set-semantics merge, so the
+    // oracle is the wholesale multimodal release SQL VERBATIM
+    "q_multimodal_release_folded" -> multimodalReleaseOracle,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS upper_name, lower(p_brand) AS lower_brand,
         |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,

@@ -98,19 +98,28 @@ class ModelStore(spark: SparkSession, path: String) {
     flip(next)
   }
 
-  /** Copy `from`'s CURRENT version (every part) into this store as a
-    * new version — the zero-training bootstrap for gates that must own
-    * a MUTABLE store (version GC, compaction) but whose trained
-    * artifacts equal a process-shared read-only store's. Serves from
-    * the clone are bit-identical to serves from the source: parquet
-    * round-trips preserve longs/doubles exactly and save() rewrites
-    * every part (ModelStoreSpec pins the round-trip byte-for-byte). */
+  /** Copy `from`'s CURRENT version into this store as a new version —
+    * the zero-training bootstrap for gates that must own a MUTABLE
+    * store (version GC, compaction) but whose trained artifacts equal
+    * a process-shared read-only store's. Serves from the clone are
+    * bit-identical to serves from the source: parquet round-trips
+    * preserve longs/doubles exactly and save() rewrites every part
+    * (ModelStoreSpec pins the round-trip byte-for-byte).
+    *
+    * One part is deliberately NOT cloned: a `folded` fold watermark.
+    * The watermark names the max batch folded into the SOURCE's base
+    * from the source's increment/tombstone stream; a clone starts a
+    * new lifecycle against its own (fresh) batch stores, where a
+    * copied watermark would partition-prune batches that were never
+    * folded here — silently dropping rows and resurrecting takedowns,
+    * the exact staleness the watermark exists to prevent. The clone's
+    * serves therefore start at watermark −1 (prune nothing). */
   def cloneCurrentFrom(from: ModelStore,
       partitioned: Map[String, Seq[String]] = Map.empty): Long = {
     val v = from.currentVersion.getOrElse(throw new IllegalStateException(
       s"clone source ${from.rootPath} is empty"))
-    save(from.partNamesAt(v).map(p => p -> from.loadAt(v, p)).toMap,
-      partitioned)
+    save(from.partNamesAt(v).filterNot(_ == "folded")
+      .map(p => p -> from.loadAt(v, p)).toMap, partitioned)
   }
 
   /** Part names of the current version. */

@@ -15,7 +15,15 @@ import graft.store.ModelStore
   * a half-tagged run loudly — a crash between the two writes is
   * visible on the next resolve, never half-served. The write order
   * makes the release tag the commit point (the index half lands
-  * first), so "resolvable ⟹ both halves are the same tagRun's".
+  * first). Presence alone is not enough on a RE-tag — both names
+  * already exist, so a crash between the writes would leave the NEW
+  * index half beside the OLD release half, each individually valid.
+  * Every tagRun therefore stamps both pointers with the same
+  * GENERATION NONCE (the run's (corpusBatch, indexBatch, indexVersion)
+  * triple — two generations with identical triples are the same run,
+  * so equal nonces never mix runs), and [[resolveRun]] refuses halves
+  * whose nonces disagree as a torn re-tag. Pre-nonce run tags (both
+  * halves bare, the old single-store convention) still resolve.
   *
   * The reads a run tag feeds are the existing single-store serves —
   * [[StreamingRelease.releaseManifestAt]] and [[StreamingAnn.searchAt]]
@@ -28,23 +36,37 @@ import graft.store.ModelStore
   * protects run-tagged indexes with no extra wiring. */
 object RunTags {
 
+  /** The generation nonce both halves of one [[tagRun]] carry: the
+    * run's own triple. Deterministic on purpose — re-tagging to an
+    * IDENTICAL triple reuses the nonce, and mixing halves of equal
+    * generations is the identity. */
+  private def runNonce(corpusBatch: Long, indexBatch: Long,
+      indexVersion: Long): String =
+    s"$corpusBatch.$indexBatch.$indexVersion"
+
   /** Bind (corpus as-of `corpusBatch`, index (`indexBatch`,
     * `indexVersion`)) under `name` in both stores. Re-tagging moves
-    * BOTH halves (each an atomic pointer swap). */
+    * BOTH halves (each an atomic pointer swap); a crash between them
+    * leaves mismatched generation nonces, which [[resolveRun]]
+    * refuses. */
   def tagRun(spark: SparkSession, name: String,
       releaseTagPath: String, corpusBatch: Long,
       indexTagPath: String, indexBatch: Long,
       indexVersion: Long): Unit = {
     StreamingRelease.validTag(name) // fence before any write
+    val nonce = Some(runNonce(corpusBatch, indexBatch, indexVersion))
     StreamingAnn.tagIndexSnapshot(spark, indexTagPath, name,
-      indexBatch, indexVersion)
+      indexBatch, indexVersion, nonce)
     StreamingRelease.tagSnapshot(spark, releaseTagPath, name,
-      corpusBatch) // commit point
+      corpusBatch, nonce) // commit point
   }
 
   /** Resolve a run to (corpus batch, index batch, index version).
-    * Refuses an unknown name AND a half-tagged one (present in only
-    * one store — a crashed [[tagRun]]; re-tag to repair). */
+    * Refuses an unknown name, a half-tagged one (present in only one
+    * store — a crashed first [[tagRun]]), AND a torn re-tag (both
+    * present with disagreeing generation nonces — a crashed re-tag;
+    * re-tag to repair). Both halves bare of nonces is the pre-nonce
+    * convention and resolves. */
   def resolveRun(spark: SparkSession, name: String,
       releaseTagPath: String, indexTagPath: String)
       : (Long, Long, Long) = {
@@ -52,10 +74,19 @@ object RunTags {
     def half[T](read: => T): Option[T] =
       try Some(read)
       catch { case _: IllegalArgumentException => None }
-    val rel = half(StreamingRelease.resolveTag(spark, releaseTagPath, n))
-    val idx = half(StreamingAnn.resolveIndexTag(spark, indexTagPath, n))
+    val rel = half(
+      StreamingRelease.resolveTagWithNonce(spark, releaseTagPath, n))
+    val idx = half(
+      StreamingAnn.resolveIndexTagWithNonce(spark, indexTagPath, n))
     (rel, idx) match {
-      case (Some(cb), Some((ib, iv))) => (cb, ib, iv)
+      case (Some((cb, rn)), Some((ib, iv, in_))) =>
+        require(rn == in_,
+          s"torn run tag '$n': the release half carries generation " +
+            s"${rn.getOrElse("<none>")} but the index half carries " +
+            s"${in_.getOrElse("<none>")} — a crashed re-tag; re-tag " +
+            "the run to repair (serving mixed halves would silently " +
+            "mix runs)")
+        (cb, ib, iv)
       case (None, None) => throw new IllegalArgumentException(
         s"unknown run tag '$n' (neither $releaseTagPath nor " +
           s"$indexTagPath has it)")

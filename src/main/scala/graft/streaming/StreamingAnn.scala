@@ -401,12 +401,29 @@ object StreamingAnn {
     * raw vectors). Expressed through the same narrow-winners joins as
     * the serve union ([[unionServeFrames]]): the winner table is one
     * aggregate over the increments' (vec_id, batch) columns, the base
-    * loses by one anti-join — never a window over base ∪ increments. */
+    * loses by one anti-join — never a window over base ∪ increments.
+    *
+    * `aboveBatch` is the BASE's own fold watermark when `base` is
+    * itself a fold of earlier batches (the [[annAutopilot]] rewritten
+    * base corpus): batches at or below it are already resolved INTO
+    * `base`, so both stores filter strictly above it — the serve-side
+    * watermark rule applied to the fold itself. Without the filter a
+    * stale sub-watermark directory (a [[purgeFolded]] crash between
+    * the per-store drops, or a batch re-delivered from below the purge
+    * floor) would be re-resolved against a base that already folded
+    * its effects: a lone stale tombstone re-kills a later re-insert,
+    * a lone stale insert resurrects a later takedown. −1 (the
+    * never-folded default) keeps the exact prior plan. */
   private[graft] def rebuildCorpus(spark: SparkSession,
       base: DataFrame, rawPath: String,
-      tombPath: Option[String] = None): DataFrame = {
-    val tombs = readTombs(spark, tombPath)
-    (StreamingDedup.readStore(spark, rawPath), tombs) match {
+      tombPath: Option[String] = None,
+      aboveBatch: Long = -1L): DataFrame = {
+    val tombs = readTombs(spark, tombPath, minExclusive = aboveBatch)
+    val raw = StreamingDedup.readStore(spark, rawPath).map(r =>
+      if (aboveBatch >= 0)
+        r.filter(col("batch").cast("long") > aboveBatch)
+      else r)
+    (raw, tombs) match {
       case (None, None) => base.select("vec_id", "embedding")
       case (None, Some(del)) =>
         // deletions with no raw increments: the retrain corpus is the
@@ -447,7 +464,8 @@ object StreamingAnn {
       threshold: Double = 0.2, buckets: Int = 10, kCells: Int = 4,
       m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64,
       minRebuildN: Long = 50L, autoDial: Boolean = false,
-      tombPath: Option[String] = None)(
+      tombPath: Option[String] = None,
+      baseFoldedMax: Long = -1L)(
       batch: DataFrame, batchId: Long): Unit = {
     batch.select("vec_id", "embedding").write.mode("overwrite")
       .parquet(s"$rawPath/batch=$batchId")
@@ -463,12 +481,19 @@ object StreamingAnn {
     // statistic AND enough samples behind it (~5 per bucket).
     val fired = mon.getBoolean(0) && mon.getLong(1) >= minRebuildN
     if (fired) {
-      val corpus = rebuildCorpus(spark, base, rawPath, tombPath)
+      val corpus = rebuildCorpus(spark, base, rawPath, tombPath,
+        baseFoldedMax)
       // the rebuilt version's fold watermark: the retrain corpus
-      // resolved EVERY raw-increment and tombstone batch present (the
-      // raw store is global — complete history, so resolving over all
-      // of it is correct regardless of earlier folds)
-      val wm = (maxBatchIn(spark, rawPath).toSeq ++
+      // resolved every raw-increment and tombstone batch ABOVE the
+      // base's own watermark (batches at or below it are already
+      // folded into `base` — and with purgeFolded live they may be
+      // partially or wholly gone from the stores, so `base` is the
+      // only complete record of them); the new watermark carries the
+      // base's forward so it can never regress when the surviving
+      // dirs' max is lower
+      val wm = ((if (baseFoldedMax >= 0) Seq(baseFoldedMax)
+        else Seq.empty) ++
+        maxBatchIn(spark, rawPath).toSeq ++
         tombPath.flatMap(maxBatchIn(spark, _))).maxOption
       // the rebuild preserves the store's encoding variant: a residual
       // store retrains as residual, raw as raw — the loop never flips
@@ -539,12 +564,14 @@ object StreamingAnn {
       gcPinned: Set[Long] = Set.empty,
       gcTagPath: Option[String] = None,
       foldMonitorEvery: Long = 0L,
-      monitorKeepRecent: Long = 8L)(
+      monitorKeepRecent: Long = 8L,
+      baseFoldedMax: Long = -1L)(
       batch: DataFrame, batchId: Long): Unit = {
     val v0 = indexStore.currentVersion
     annAutoRebuildBatch(spark, indexStore, driftStore, base, codesPath,
       monitorPath, rawPath, calibMod, threshold, buckets, kCells, m, k,
-      iters, dim, minRebuildN, autoDial, tombPath)(batch, batchId)
+      iters, dim, minRebuildN, autoDial, tombPath, baseFoldedMax)(
+      batch, batchId)
     if (indexStore.currentVersion == v0)
       StreamingDedup.readStore(spark,
           versionedCodesPath(codesPath, indexStore)).foreach { inc =>
@@ -593,7 +620,8 @@ object StreamingAnn {
       gcKeepVersions: Int = 0, gcPinned: Set[Long] = Set.empty,
       gcTagPath: Option[String] = None,
       foldMonitorEvery: Long = 0L,
-      monitorKeepRecent: Long = 8L)(
+      monitorKeepRecent: Long = 8L,
+      baseFoldedMax: Long = -1L)(
       batch: DataFrame, batchId: Long): Unit = {
     val dels = batch.filter(col("op") === "d").select("vec_id")
       .distinct().localCheckpoint(true)
@@ -602,7 +630,7 @@ object StreamingAnn {
       monitorPath, rawPath, calibMod, threshold, buckets, kCells, m, k,
       iters, dim, minRebuildN, autoDial, compactRatio, minCompactN,
       Some(tombPath), gcKeepVersions, gcPinned, gcTagPath,
-      foldMonitorEvery, monitorKeepRecent)(
+      foldMonitorEvery, monitorKeepRecent, baseFoldedMax)(
       batch.filter(col("op") =!= "d")
         .join(broadcast(dels), Seq("vec_id"), "left_anti")
         .select("vec_id", "embedding"),
@@ -691,9 +719,15 @@ object StreamingAnn {
     require(gcKeepVersions >= 1 && purgeKeepRecent >= 0,
       "autopilot retention dials must keep at least the current state")
     // the loop's OWN base corpus, re-read each batch — empty before
-    // the first flip (everything arrives through the stream)
+    // the first flip (everything arrives through the stream). The
+    // base's recorded fold watermark travels with it: every fold and
+    // rebuild over this base filters both stores strictly above it
+    // ([[rebuildCorpus]] `aboveBatch` — a stale sub-watermark dir from
+    // a purge crash or a below-the-floor replay must not be
+    // re-resolved against a base that already folded its effects).
     val base = baseStore.currentVersion.map(_ => baseStore.load("base"))
       .getOrElse(batch.select("vec_id", "embedding").limit(0))
+    val baseWm = foldedWatermark(baseStore, None)
     val v0 = indexStore.currentVersion
     val cdc = batch.columns.contains("op")
     if (cdc)
@@ -701,22 +735,26 @@ object StreamingAnn {
         codesPath, monitorPath, rawPath, tombPath, calibMod, threshold,
         buckets, kCells, m, k, iters, dim, minRebuildN, autoDial,
         compactRatio, minCompactN, gcKeepVersions, Set.empty, gcTagPath,
-        foldMonitorEvery, monitorKeepRecent)(batch, batchId)
+        foldMonitorEvery, monitorKeepRecent, baseWm)(batch, batchId)
     else
       annMaintainBatch(spark, indexStore, driftStore, base, codesPath,
         monitorPath, rawPath, calibMod, threshold, buckets, kCells, m,
         k, iters, dim, minRebuildN, autoDial, compactRatio, minCompactN,
         Some(tombPath), gcKeepVersions, Set.empty, gcTagPath,
-        foldMonitorEvery, monitorKeepRecent)(batch, batchId)
+        foldMonitorEvery, monitorKeepRecent, baseWm)(batch, batchId)
     if (indexStore.currentVersion != v0) {
       // a flip folded every streamed batch into the new version's
       // base: rewrite OUR base corpus to the same resolved fold FIRST
       // (the purge contract's caller half, automated), then purge what
       // every protected version's watermark already hides — capped by
       // the replay horizon so a re-delivered recent batch still finds
-      // its own partition
-      val newBase = foldedCorpus(spark, base, rawPath, Some(tombPath))
-      baseStore.save(Map("base" -> newBase))
+      // its own partition. The rewritten base records its own fold
+      // watermark (everything at or below this batch is resolved into
+      // it) so the NEXT fold filters to the suffix.
+      val newBase = foldedCorpus(spark, base, rawPath, Some(tombPath),
+        baseWm)
+      baseStore.save(Map("base" -> newBase,
+        "folded" -> foldedPart(spark, batchId)))
       baseStore.gcVersions(keepLast = 1)
       // floor over EVERY on-disk version, not just current+tagged: the
       // gcKeepVersions window is still servable via loadAt, so its
@@ -1165,6 +1203,15 @@ object StreamingAnn {
     protect.map(v => foldedWatermark(store, Some(v))).min
   }
 
+  /** CRASH posture: the three per-store drops below are not atomic —
+    * a crash between them leaves stale sub-floor dirs in some stores
+    * but not others. Harmless by construction: serves filter strictly
+    * above every protected version's watermark (they never read a
+    * sub-floor dir), and folds/rebuilds over a rewritten base filter
+    * strictly above the BASE's recorded watermark ([[rebuildCorpus]]
+    * `aboveBatch`), so a surviving stale tombstone cannot re-kill a
+    * folded re-insert and a surviving stale insert cannot resurrect a
+    * folded takedown. A retried purge re-drops idempotently. */
   def purgeFolded(spark: SparkSession, store: ModelStore,
       codesPath: String, upToBatch: Long,
       rawPath: Option[String] = None,
@@ -1190,8 +1237,9 @@ object StreamingAnn {
     * drops the raw batches that fed it (the base-corpus rewrite half
     * of the purge contract). */
   def foldedCorpus(spark: SparkSession, base: DataFrame,
-      rawPath: String, tombPath: Option[String] = None): DataFrame =
-    rebuildCorpus(spark, base, rawPath, tombPath)
+      rawPath: String, tombPath: Option[String] = None,
+      aboveBatch: Long = -1L): DataFrame =
+    rebuildCorpus(spark, base, rawPath, tombPath, aboveBatch)
 
   /** BATCHED k-NN over the incrementally-maintained index: top-k for
     * every query in `queries` against base ∪ every streamed increment —
@@ -1268,15 +1316,20 @@ object StreamingAnn {
     * rename cannot overwrite atomically on HDFS; a one-line file
     * can.) */
   def tagIndexSnapshot(spark: SparkSession, tagPath: String,
-      tag: String, batch: Long, version: Long): Unit = {
+      tag: String, batch: Long, version: Long,
+      nonce: Option[String] = None): Unit = {
     val dir = new org.apache.hadoop.fs.Path(tagPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val name = StreamingRelease.validTag(tag)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".tag-$name.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"$batch $version".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
+    // the optional `#nonce` suffix is the RunTags generation marker
+    // (StreamingRelease.splitNonce); single-store tags carry none
+    try out.write(
+      (s"$batch $version" +
+        nonce.map(n => s"#${StreamingRelease.validNonce(n)}").getOrElse(""))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // one-time upgrade: a pre-r15 tag is a parquet DIR, and a file
     // cannot rename over a non-empty dir — remove it first. This one
@@ -1296,29 +1349,43 @@ object StreamingAnn {
     * parquet PARTITION dir — still readable (upgrade compatibility);
     * the next re-tag of that name rewrites it as a pointer file. */
   private def readIndexTag(spark: SparkSession, tagPath: String,
-      name: String): Option[(Long, Long)] = {
+      name: String): Option[(Long, Long)] =
+    readIndexTagWithNonce(spark, tagPath, name).map(t => (t._1, t._2))
+
+  private def readIndexTagWithNonce(spark: SparkSession, tagPath: String,
+      name: String): Option[(Long, Long, Option[String])] = {
     val p = new org.apache.hadoop.fs.Path(s"$tagPath/tag=$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else if (fs.getFileStatus(p).isDirectory) {
       val r = spark.read.parquet(p.toString)
         .select("batch", "version").head()
-      Some((r.getLong(0), r.getLong(1)))
+      Some((r.getLong(0), r.getLong(1), None))
     } else {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes,
         java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
-      val Array(b, v) = s.split("\\s+")
-      Some((b.toLong, v.toLong))
+      val (payload, nonce) = StreamingRelease.splitNonce(s)
+      val Array(b, v) = payload.split("\\s+")
+      Some((b.toLong, v.toLong, nonce))
     }
   }
 
   /** Resolve an index tag to its (as-of batch, version) pair; unknown
     * tags fail loudly. */
   def resolveIndexTag(spark: SparkSession, tagPath: String,
-      tag: String): (Long, Long) =
-    readIndexTag(spark, tagPath, StreamingRelease.validTag(tag))
+      tag: String): (Long, Long) = {
+    val (b, v, _) = resolveIndexTagWithNonce(spark, tagPath, tag)
+    (b, v)
+  }
+
+  /** [[resolveIndexTag]] plus the generation nonce (None for pre-nonce
+    * payloads, parquet-dir tags, and single-store tags) — the
+    * [[graft.streaming.RunTags.resolveRun]] torn-re-tag check. */
+  def resolveIndexTagWithNonce(spark: SparkSession, tagPath: String,
+      tag: String): (Long, Long, Option[String]) =
+    readIndexTagWithNonce(spark, tagPath, StreamingRelease.validTag(tag))
       .getOrElse(throw new IllegalArgumentException(
         s"unknown index snapshot tag '$tag' under $tagPath"))
 

@@ -335,12 +335,107 @@ object StreamingRelease {
     * bit-identical across the fold (spec-pinned); as-of reads below a
     * store's recorded boundary refuse loudly. Returns the paths
     * actually folded. The multimodal stores take the same per-store
-    * body ([[compactLedgerStore]]) on their own paths. */
+    * body ([[compactLedgerStore]]) on their own paths.
+    *
+    * `tagPath` wires TAG-PINNED folding: the boundary floors at the
+    * lowest batch any snapshot tag names ([[taggedBatches]]), so a
+    * tagged as-of serve can never be refused by the store's own
+    * maintenance — the promise the as-of guard's "pin tags before
+    * folding" message makes, honored the way index-version GC honors
+    * [[graft.streaming.StreamingAnn.taggedIndexVersions]]. (Folding AT
+    * a tagged batch is safe: the guard admits `asOf >= boundary`, and
+    * the folded partition holds every row at or below it.) Pins are
+    * resolved at FOLD time: a pinned ancient tag holds the floor — and
+    * with it the batch-dir count — until the tag moves, the same
+    * storage-for-pins trade the index GC makes. */
   def compactReleaseLedgers(spark: SparkSession, scorePath: String,
       hashPath: String, upToBatch: Long,
-      tombPath: Option[String] = None): Seq[String] =
-    (Seq(scorePath, hashPath) ++ tombPath)
-      .filter(compactLedgerStore(spark, _, upToBatch))
+      tombPath: Option[String] = None,
+      tagPath: Option[String] = None): Seq[String] =
+    compactStoresPinned(spark, Seq(scorePath, hashPath) ++ tombPath,
+      upToBatch, tagPath)
+
+  /** The ONE tag-pin floor rule for every set-semantics ledger fold:
+    * fold `paths` at or below `upToBatch`, floored at the lowest batch
+    * any snapshot tag under `tagPath` names. [[compactReleaseLedgers]]
+    * and [[compactMultimodalLedgers]] both delegate here — corpus and
+    * multimodal maintenance cannot diverge on pin semantics. */
+  def compactStoresPinned(spark: SparkSession, paths: Seq[String],
+      upToBatch: Long, tagPath: Option[String] = None): Seq[String] = {
+    val floor = tagPath.map(taggedBatches(spark, _))
+      .filter(_.nonEmpty).map(_.min)
+    val upTo = floor.fold(upToBatch)(math.min(upToBatch, _))
+    paths.filter(compactLedgerStore(spark, _, upTo))
+  }
+
+  /** Fold the multimodal release's stores — text-hash, media-cluster
+    * fingerprint, survivor ledger, and (when given) the takedown
+    * tombstones — the multimodal twin of [[compactReleaseLedgers]]
+    * (all four are one-batch-dir set-semantics stores, so the same
+    * per-store body and the same tag-pin floor apply).
+    * [[multimodalManifest]] is bit-identical across the fold and its
+    * as-of guard refuses below the boundary. The NEAR-DUP signature
+    * store ([[multimodalIngestNearDupBatch]]'s `mediaSigPath`) is
+    * deliberately NOT foldable here: its batch dirs are
+    * bucket-subpartitioned (`batch=N/bkt=…`) and its probes prune by
+    * bucket, so a row-merge fold would destroy the partition layout
+    * the read path depends on — a bucket-preserving rewrite is a
+    * different operation. */
+  def compactMultimodalLedgers(spark: SparkSession, textHashPath: String,
+      mediaHashPath: String, ledgerPath: String, upToBatch: Long,
+      tombPath: Option[String] = None,
+      tagPath: Option[String] = None): Seq[String] =
+    compactStoresPinned(spark,
+      Seq(textHashPath, mediaHashPath, ledgerPath) ++ tombPath,
+      upToBatch, tagPath)
+
+  /** The multimodal MAINTENANCE loop — [[multimodalIngestBatch]] plus
+    * the volume arm, the [[releaseMaintainBatch]] symmetry: every
+    * `foldEvery` batches, fold the three stores (and tombstones) up to
+    * `batchId − keepRecent` (the replay horizon), tag-pin floored when
+    * `tagPath` is wired. */
+  def multimodalMaintainBatch(spark: SparkSession, textHashPath: String,
+      mediaHashPath: String, ledgerPath: String,
+      foldEvery: Long = 64L, keepRecent: Long = 8L,
+      tombPath: Option[String] = None,
+      tagPath: Option[String] = None)(
+      batch: DataFrame, mediaClusters: DataFrame, batchId: Long): Unit = {
+    require(foldEvery >= 1 && keepRecent >= 1,
+      s"foldEvery=$foldEvery / keepRecent=$keepRecent must be >= 1")
+    multimodalIngestBatch(spark, textHashPath, mediaHashPath,
+      ledgerPath)(batch, mediaClusters, batchId)
+    if (batchId > 0 && batchId % foldEvery == 0 &&
+        batchId - keepRecent >= 0)
+      compactMultimodalLedgers(spark, textHashPath, mediaHashPath,
+        ledgerPath, batchId - keepRecent, tombPath, tagPath)
+  }
+
+  /** One-call bounded-storage multimodal loop — [[multimodalMaintainBatch]]
+    * with the [[releaseAutopilot]] default dials (the multimodal side
+    * has no versions to GC and no purge contract either: the
+    * three-store ledger fold IS the whole retention story). The same
+    * tag-pin trade applies: a pinned ancient tag holds the fold floor
+    * until it moves. */
+  def multimodalAutopilot(spark: SparkSession, textHashPath: String,
+      mediaHashPath: String, ledgerPath: String,
+      foldEvery: Long = 16L, keepRecent: Long = 8L,
+      tombPath: Option[String] = None,
+      tagPath: Option[String] = None)(
+      batch: DataFrame, mediaClusters: DataFrame, batchId: Long): Unit =
+    multimodalMaintainBatch(spark, textHashPath, mediaHashPath,
+      ledgerPath, foldEvery, keepRecent, tombPath, tagPath)(
+      batch, mediaClusters, batchId)
+
+  /** The multimodal manifest at a NAMED snapshot — [[multimodalManifest]]
+    * with the tag resolved to its as-of batch, the
+    * [[releaseManifestAt]] symmetry (the multimodal tag store is its
+    * own path under the same [[tagSnapshot]]/[[resolveTag]] pointer
+    * discipline). */
+  def multimodalManifestAt(spark: SparkSession, ledgerPath: String,
+      tagPath: String, tag: String,
+      tombPath: Option[String] = None): DataFrame =
+    multimodalManifest(spark, ledgerPath, tombPath,
+      asOf = Some(resolveTag(spark, tagPath, tag)))
 
   // ---- MONITOR-STORE FOLD (VERDICT r14 #2): the drift and gate
   // monitors append one 1-row `batch=N` dir per microbatch forever —
@@ -433,7 +528,8 @@ object StreamingRelease {
   def releaseMaintainBatch(spark: SparkSession, lmStore: ModelStore,
       hashPath: String, scorePath: String, trainLang: String = "en",
       foldEvery: Long = 64L, keepRecent: Long = 8L,
-      tombPath: Option[String] = None)(
+      tombPath: Option[String] = None,
+      tagPath: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     require(foldEvery >= 1 && keepRecent >= 1,
       s"foldEvery=$foldEvery / keepRecent=$keepRecent must be >= 1")
@@ -442,7 +538,7 @@ object StreamingRelease {
     if (batchId > 0 && batchId % foldEvery == 0 &&
         batchId - keepRecent >= 0)
       compactReleaseLedgers(spark, scorePath, hashPath,
-        batchId - keepRecent, tombPath)
+        batchId - keepRecent, tombPath, tagPath)
   }
 
   /** One-call bounded-storage release loop (VERDICT r14 #4 — the
@@ -457,14 +553,19 @@ object StreamingRelease {
     * naming of the maintain loop rather than new machinery. The soak
     * spec (AutopilotSpec) drives 50 microbatches with takedowns
     * through it and pins the dir bound plus manifest-equality with a
-    * never-folded twin. */
+    * never-folded twin. `tagPath` makes the fold tag-pinned
+    * ([[compactReleaseLedgers]]); the dir bound then holds only while
+    * no tag pins an ancient batch — a pin trades storage for the
+    * tagged serve, exactly like index-GC pins. */
   def releaseAutopilot(spark: SparkSession, lmStore: ModelStore,
       hashPath: String, scorePath: String, trainLang: String = "en",
       foldEvery: Long = 16L, keepRecent: Long = 8L,
-      tombPath: Option[String] = None)(
+      tombPath: Option[String] = None,
+      tagPath: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit =
     releaseMaintainBatch(spark, lmStore, hashPath, scorePath,
-      trainLang, foldEvery, keepRecent, tombPath)(batch, batchId)
+      trainLang, foldEvery, keepRecent, tombPath, tagPath)(
+      batch, batchId)
 
   /** Wire a (doc_id, lang, text) stream through the self-maintaining
     * release ingest — [[incrementalRelease]] with the fold arm. */
@@ -472,11 +573,12 @@ object StreamingRelease {
       hashPath: String, scorePath: String, checkpoint: String,
       trainLang: String = "en", foldEvery: Long = 64L,
       keepRecent: Long = 8L,
-      tombPath: Option[String] = None): DataStreamWriter[Row] =
+      tombPath: Option[String] = None,
+      tagPath: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch(releaseMaintainBatch(docs.sparkSession, lmStore,
         hashPath, scorePath, trainLang, foldEvery, keepRecent,
-        tombPath) _)
+        tombPath, tagPath) _)
       .option("checkpointLocation", checkpoint)
 
   /** The as-of guard every release read applies: a cut below a consulted
@@ -513,23 +615,49 @@ object StreamingRelease {
     tag
   }
 
+  /** Split a pointer-file payload into (value, generation nonce): the
+    * optional `#nonce` suffix is the [[graft.streaming.RunTags]]
+    * generation marker — both halves of one `tagRun` carry the same
+    * nonce, so a torn re-tag (old half + new half, each individually
+    * valid) is detectable. Single-store readers strip it; payloads
+    * written before the nonce (or by single-store tag calls) have
+    * none. */
+  private[streaming] def splitNonce(s: String): (String, Option[String]) =
+    s.split("#", 2) match {
+      case Array(v)    => (v.trim, None)
+      case Array(v, n) => (v.trim, Some(n.trim))
+    }
+
+  /** Fence a run-generation nonce: it rides inside the pointer payload,
+    * so the charset must not collide with the `#` separator or the
+    * whitespace the index pointer splits on. */
+  private[streaming] def validNonce(n: String): String = {
+    require(n.matches("[A-Za-z0-9._-]+"),
+      s"bad run nonce '$n': use [A-Za-z0-9._-]+")
+    n
+  }
+
   /** Name an as-of batch. Stored as a one-line POINTER FILE promoted
     * by an overwriting atomic rename (the `_CURRENT` discipline, same
     * upgrade as [[graft.streaming.StreamingAnn.tagIndexSnapshot]] —
     * ADVICE r14): a crash mid-retag leaves the old pointer or the new
     * one, never an unreadable tag. Pre-r15 stores wrote parquet
     * partition dirs; those still resolve, and the first re-tag
-    * upgrades them (that one retag is delete-then-rename). */
+    * upgrades them (that one retag is delete-then-rename). `nonce` is
+    * the [[graft.streaming.RunTags]] generation marker ([[splitNonce]]);
+    * single-store callers leave it None and the payload is unchanged
+    * from pre-nonce stores. */
   def tagSnapshot(spark: SparkSession, tagPath: String, tag: String,
-      batch: Long): Unit = {
+      batch: Long, nonce: Option[String] = None): Unit = {
     val dir = new org.apache.hadoop.fs.Path(tagPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val name = validTag(tag)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".tag-$name.tmp")
     val out = fs.create(tmp, true)
-    try out.write(batch.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      (batch.toString + nonce.map(n => s"#${validNonce(n)}").getOrElse(""))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new org.apache.hadoop.fs.Path(dir, s"tag=$name")
     if (fs.exists(dest) && fs.getFileStatus(dest).isDirectory)
@@ -544,18 +672,46 @@ object StreamingRelease {
     * the present). Reads both formats (pointer file; pre-r15 parquet
     * dir). */
   def resolveTag(spark: SparkSession, tagPath: String,
-      tag: String): Long = {
+      tag: String): Long =
+    resolveTagWithNonce(spark, tagPath, tag)._1
+
+  /** [[resolveTag]] plus the generation nonce the pointer carries (None
+    * for pre-nonce payloads, parquet-dir tags, and single-store tags) —
+    * the [[graft.streaming.RunTags.resolveRun]] torn-re-tag check. */
+  def resolveTagWithNonce(spark: SparkSession, tagPath: String,
+      tag: String): (Long, Option[String]) = {
     val p = new org.apache.hadoop.fs.Path(s"$tagPath/tag=${validTag(tag)}")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"unknown snapshot tag '$tag' under $tagPath")
     if (fs.getFileStatus(p).isDirectory)
-      spark.read.parquet(p.toString).select("batch").head().getLong(0)
+      (spark.read.parquet(p.toString).select("batch").head().getLong(0),
+        None)
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes,
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val s = try new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
+      val (v, n) = splitNonce(s)
+      (v.toLong, n)
     }
+  }
+
+  /** Every as-of batch named by any tag under `tagPath` — the pin set
+    * the LEDGER FOLD floors at so tagged snapshots stay servable
+    * ([[compactReleaseLedgers]]), the release-side symmetry of
+    * [[graft.streaming.StreamingAnn.taggedIndexVersions]]. One driver
+    * listing + one tiny read per tag; an existing-but-empty dir is NO
+    * tags; a concurrent re-tag is invisible (each pointer read sees
+    * its old or new value, never a missing one). */
+  def taggedBatches(spark: SparkSession, tagPath: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tagPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .filter(_.getPath.getName.startsWith("tag="))
+      .map(s => resolveTag(spark, tagPath,
+        s.getPath.getName.stripPrefix("tag=")))
+      .toSet
   }
 
   /** The manifest at a NAMED snapshot — [[releaseManifest]] with the
@@ -1368,6 +1524,51 @@ object StreamingRelease {
       ModelStore.deleteRecursively)
   }
 
+  /** Driver-contract query (`q_multimodal_release_folded`): the
+    * multimodal twin of [[corpusReleaseFoldedQuery]] — four ascending
+    * microbatches through the MAINTENANCE loop
+    * ([[multimodalMaintainBatch]], fold dial foldEvery=2/keepRecent=1),
+    * whose own volume arm folds text-hash + media-fingerprint +
+    * ledger batches {0,1} into `batch=1` mid-ingest; the later batches
+    * ingest AGAINST the folded stores (BOTH novelty policies — text
+    * keep-one and media-canonical — resolve over folded fingerprint
+    * sets), and the manifest serves over folded + live partitions.
+    * The fold is a set-semantics merge, so the oracle is the
+    * wholesale multimodal release SQL VERBATIM. The gate REQUIRES the
+    * fold physically fired on all three stores (pre-fold dirs gone). */
+  def multimodalReleaseFoldedQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val textDir = Files.createTempDirectory("graft-mmfoldtext-")
+    val mediaDir = Files.createTempDirectory("graft-mmfoldmedia-")
+    val ledgerDir = Files.createTempDirectory("graft-mmfoldledger-")
+    try {
+      val body = multimodalMaintainBatch(spark, textDir.toString,
+        mediaDir.toString, ledgerDir.toString, foldEvery = 2L,
+        keepRecent = 1L) _
+      ascendingSlices(docs, 4).zipWithIndex.foreach { case (b, i) =>
+        val mc = b.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+              .as("cluster_id"))
+        body(b, mc, i.toLong)
+      }
+      // the dial fired at batch 2 (fold ≤ 1): {0,1} → 1 in all three
+      // stores, batch 3 then ingested against the folded sets
+      Seq(textDir, mediaDir, ledgerDir).foreach { d =>
+        require(ledgerFoldBoundary(spark, d.toString) == Some(1L),
+          s"maintenance fold did not fire on $d")
+        require(StreamingDedup.listBatches(spark, d.toString)
+          .map(_._1).sorted == Seq(1L, 2L, 3L),
+          s"fold left pre-fold batch dirs in $d")
+      }
+      graft.Materialize.checkpoint(
+        multimodalManifest(spark, ledgerDir.toString))
+    } finally Seq(textDir, mediaDir, ledgerDir)
+      .foreach(ModelStore.deleteRecursively)
+  }
+
   /** Driver-contract query (`q_multimodal_release_asof`): the media
     * manifest time-traveled — three ascending ntile microbatches
     * through [[multimodalIngestBatch]], the accounting served as-of
@@ -1437,6 +1638,54 @@ object StreamingRelease {
       graft.Materialize.checkpoint(
         releaseManifest(spark, scoreDir.toString, asOf = Some(1L)))
     } finally Seq(hashDir, scoreDir).foreach(
+      ModelStore.deleteRecursively)
+  }
+
+  /** Driver-contract query (`q_corpus_release_pinned`): the TAG-PINNED
+    * fold floor inside one hash-checked gate — the maintenance loop's
+    * own fold arm fires with a snapshot tag pinned at batch 1 and the
+    * tag store wired ([[compactReleaseLedgers]] `tagPath`), so the
+    * boundary FLOORS at the tag (REQUIREd: boundary 1 where the dials
+    * alone said 2, and the pre-floor dirs physically merged) and the
+    * tagged serve is still servable — where the unpinned fold would
+    * have REFUSED it. The serve is [[releaseManifestAt]] at the tag;
+    * the oracle is the as-of release SQL (first two of four ntile
+    * slices) VERBATIM: maintenance provably cannot orphan a tagged
+    * snapshot. */
+  def corpusReleasePinnedQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val lmStore = TextOps.sharedLmFor(spark, dir)
+    val hashDir = Files.createTempDirectory("graft-pinhash-")
+    val scoreDir = Files.createTempDirectory("graft-pinscore-")
+    val tagDir = Files.createTempDirectory("graft-pintags-")
+    try {
+      // ntile is LOAD-BEARING (the VERDICT r14 #6 keeper rule): the
+      // oracle names the first two ntile(4) slices by this exact SQL
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(4).over(w))
+        .localCheckpoint(true)
+      val body = releaseMaintainBatch(spark, lmStore, hashDir.toString,
+        scoreDir.toString, foldEvery = 3L, keepRecent = 1L,
+        tagPath = Some(tagDir.toString)) _
+      body(sliced.filter(col("__s") === 1).drop("__s"), 0L)
+      body(sliced.filter(col("__s") === 2).drop("__s"), 1L)
+      // the snapshot a training run pinned — BEFORE the fold fires
+      tagSnapshot(spark, tagDir.toString, "train-1", 1L)
+      body(sliced.filter(col("__s") === 3).drop("__s"), 2L)
+      body(sliced.filter(col("__s") === 4).drop("__s"), 3L) // fold fires
+      // the fold FIRED (dirs merged) but floored at the tag: the dials
+      // alone (batch 3 − keepRecent 1) said boundary 2
+      require(ledgerFoldBoundary(spark, scoreDir.toString) == Some(1L),
+        "the fold ignored the tag pin (or never fired)")
+      val dirsLeft = StreamingDedup
+        .listBatches(spark, scoreDir.toString).size
+      require(dirsLeft == 3,
+        s"expected batch dirs {1,2,3} after the floored fold, got $dirsLeft")
+      graft.Materialize.checkpoint(releaseManifestAt(spark,
+        scoreDir.toString, tagDir.toString, "train-1"))
+    } finally Seq(hashDir, scoreDir, tagDir).foreach(
       ModelStore.deleteRecursively)
   }
 }

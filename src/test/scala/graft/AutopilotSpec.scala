@@ -167,4 +167,43 @@ class AutopilotSpec extends AnyFunSuite {
         manifest(tScoreDir.toString, tTombDir.toString))
     } finally dirs.foreach(ModelStore.deleteRecursively)
   }
+
+  test("multimodal autopilot 50-batch soak: text/media/ledger stores bounded by the fold dial, manifest == never-folded twin bit-identically throughout") {
+    val names = Seq("text", "media", "led", "ttext", "tmedia", "tled")
+    val dirs = names.map(n => Files.createTempDirectory(s"graft-map-$n-"))
+    val Seq(textDir, mediaDir, ledDir, tText, tMedia, tLed) = dirs
+    try {
+      val auto = StreamingRelease.multimodalAutopilot(spark,
+        textDir.toString, mediaDir.toString, ledDir.toString,
+        foldEvery = 8L, keepRecent = 4L) _
+      val twin = StreamingRelease.multimodalIngestBatch(spark,
+        tText.toString, tMedia.toString, tLed.toString) _
+      def mcOf(b: org.apache.spark.sql.DataFrame) =
+        b.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+              .as("cluster_id"))
+      def manifest(led: String): Seq[String] =
+        StreamingRelease.multimodalManifest(spark, led)
+          .collect().map(_.toString).toSeq
+      (0 until 50).foreach { b =>
+        val slice = docs
+          .filter(pmod(col("doc_id"), lit(10)) === b % 10)
+          .localCheckpoint(true)
+        val mc = mcOf(slice).localCheckpoint(true)
+        auto(slice, mc, b.toLong)
+        twin(slice, mc, b.toLong)
+        Seq(textDir, mediaDir, ledDir).foreach { d =>
+          assert(batchDirs(d.toString) <= 13,
+            s"batch $b: ${d.getFileName} has ${batchDirs(d.toString)}")
+        }
+        if (b % 10 == 9)
+          assert(manifest(ledDir.toString) === manifest(tLed.toString),
+            s"batch $b: folded multimodal manifest diverged")
+      }
+      assert(batchDirs(tLed.toString) === 50) // the twin leaks
+      assert(batchDirs(ledDir.toString) <= 13)
+      assert(manifest(ledDir.toString) === manifest(tLed.toString))
+    } finally dirs.foreach(ModelStore.deleteRecursively)
+  }
 }

@@ -509,7 +509,7 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
-  test("cloneCurrentFrom copies every part byte-identically into a new version; empty source refuses") {
+  test("cloneCurrentFrom copies every part byte-identically into a new version EXCEPT a fold watermark (the clone starts a fresh batch lifecycle); empty source refuses") {
     withStore { src =>
       withStore { dst =>
         import spark.implicits._
@@ -518,10 +518,13 @@ class ModelStoreSpec extends AnyFunSuite {
         }.getMessage.contains("empty"))
         src.save(Map(
           "m" -> Seq((1, 1.5, 3L)).toDF("k", "d", "n"),
-          "codes" -> Seq((10L, 2), (11L, 3)).toDF("vec_id", "cid")),
+          "codes" -> Seq((10L, 2), (11L, 3)).toDF("vec_id", "cid"),
+          // a fold watermark from the SOURCE's lifecycle: cloned, it
+          // would prune the clone's own (never-folded) batches
+          "folded" -> Seq(Tuple1(7L)).toDF("folded_max")),
           partitioned = Map("codes" -> Seq("cid")))
         dst.cloneCurrentFrom(src, partitioned = Map("codes" -> Seq("cid")))
-        assert(dst.partNames === src.partNames)
+        assert(dst.partNames === src.partNames.filterNot(_ == "folded"))
         assertSameFrame(dst.load("m"), src.load("m"))
         assertSameFrame(dst.load("codes"), src.load("codes"))
         // the clone is a NEW version of the destination, independent of

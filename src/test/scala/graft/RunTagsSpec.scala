@@ -126,4 +126,48 @@ class RunTagsSpec extends AnyFunSuite {
       }
     } finally dirs.foreach(ModelStore.deleteRecursively)
   }
+
+  test("run tag: a torn re-tag (mixed generation nonces) refuses; equal generations and pre-nonce halves resolve; single-store reads never see the nonce") {
+    val dirs = Seq("reltag", "idxtag")
+      .map(s => Files.createTempDirectory(s"graft-torn-$s-"))
+    val Seq(relTagDir, idxTagDir) = dirs
+    def resolve(n: String) = RunTags.resolveRun(spark, n,
+      relTagDir.toString, idxTagDir.toString)
+    try {
+      RunTags.tagRun(spark, "run-1", relTagDir.toString, 1L,
+        idxTagDir.toString, 1L, 5L)
+      assert(resolve("run-1") === ((1L, 1L, 5L)))
+      // the nonce rides inside the pointer, invisible to single-store reads
+      assert(StreamingRelease.resolveTag(spark, relTagDir.toString,
+        "run-1") === 1L)
+      assert(StreamingAnn.resolveIndexTag(spark, idxTagDir.toString,
+        "run-1") === ((1L, 5L)))
+
+      // a re-tag that crashed between its two writes: the index half
+      // carries the NEW generation, the release half still the old —
+      // both individually valid, so presence alone would serve a MIX
+      StreamingAnn.tagIndexSnapshot(spark, idxTagDir.toString, "run-1",
+        2L, 6L, Some("2.2.6"))
+      assert(intercept[IllegalArgumentException](resolve("run-1"))
+        .getMessage.contains("torn"))
+      // completing the re-tag repairs it
+      RunTags.tagRun(spark, "run-1", relTagDir.toString, 2L,
+        idxTagDir.toString, 2L, 6L)
+      assert(resolve("run-1") === ((2L, 2L, 6L)))
+
+      // pre-nonce convention: both halves written by single-store
+      // calls carry no nonce and resolve (upgrade compatibility)
+      StreamingRelease.tagSnapshot(spark, relTagDir.toString,
+        "legacy", 3L)
+      StreamingAnn.tagIndexSnapshot(spark, idxTagDir.toString,
+        "legacy", 3L, 7L)
+      assert(resolve("legacy") === ((3L, 3L, 7L)))
+      // one bare half beside one nonced half is torn as well: the
+      // nonced write happened after the bare one — different tagRuns
+      StreamingAnn.tagIndexSnapshot(spark, idxTagDir.toString,
+        "legacy", 4L, 8L, Some("4.4.8"))
+      assert(intercept[IllegalArgumentException](resolve("legacy"))
+        .getMessage.contains("torn"))
+    } finally dirs.foreach(ModelStore.deleteRecursively)
+  }
 }

@@ -1552,4 +1552,53 @@ class StreamingAnnSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rebuildCorpus aboveBatch: a stale sub-watermark dir (purge crash window / below-floor replay) is not re-resolved against the folded base") {
+    import spark.implicits._
+    val rawDir = Files.createTempDirectory("graft-foldwm-raw-")
+    val tombDir = Files.createTempDirectory("graft-foldwm-tomb-")
+    try {
+      def vec(id: Long) =
+        (id, Array.tabulate(4)(i => (id + i).toDouble))
+      // the folded base after delete X@2 → re-insert X@3 (X alive) and
+      // insert Y@2 → takedown Y@3 (Y dead), watermark 3
+      val base = Seq(vec(1L), vec(7L)).toDF("vec_id", "embedding")
+      // purge crash window A: raw dirs ≤ 3 dropped, tombstones not —
+      // the stale delete X@2 survives alone
+      Seq(7L).toDF("vec_id").write.mode("overwrite")
+        .parquet(s"$tombDir/batch=2")
+      val a = StreamingAnn.rebuildCorpus(spark, base, rawDir.toString,
+        Some(tombDir.toString), aboveBatch = 3L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(a === Set(1L, 7L),
+        "a stale sub-watermark tombstone re-killed a folded re-insert")
+      // purge crash window B: tombstone dirs ≤ 3 dropped, raw not —
+      // the stale insert Y@2 survives alone (Y was taken down at 3,
+      // already resolved OUT of the base)
+      ModelStore.deleteRecursively(tombDir); Files.createDirectory(tombDir)
+      Seq(vec(9L)).toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$rawDir/batch=2")
+      val b = StreamingAnn.rebuildCorpus(spark, base, rawDir.toString,
+        Some(tombDir.toString), aboveBatch = 3L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(b === Set(1L, 7L),
+        "a stale sub-watermark insert resurrected a folded takedown")
+      // post-watermark dirs still apply: insert Z@4 joins, delete 7@4
+      // kills — the filter is a floor, not a blindfold
+      Seq(vec(5L)).toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$rawDir/batch=4")
+      Seq(7L).toDF("vec_id").write.mode("overwrite")
+        .parquet(s"$tombDir/batch=4")
+      val c = StreamingAnn.rebuildCorpus(spark, base, rawDir.toString,
+        Some(tombDir.toString), aboveBatch = 3L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(c === Set(1L, 5L))
+      // the never-folded default (−1) reads everything — the manual
+      // static-base callers' exact prior semantics
+      val d = StreamingAnn.rebuildCorpus(spark, base, rawDir.toString,
+        Some(tombDir.toString))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(d === Set(1L, 5L, 9L))
+    } finally Seq(rawDir, tombDir).foreach(ModelStore.deleteRecursively)
+  }
 }

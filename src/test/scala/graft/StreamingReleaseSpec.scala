@@ -304,6 +304,115 @@ class StreamingReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("tag-pinned fold: the boundary floors at the lowest tagged batch, the tagged as-of serve survives the maintenance loop, moving the tag releases the floor") {
+    withDirs { (lmStore, hashPath, scorePath) =>
+      val tagDir = Files.createTempDirectory("graft-rel-tagpin-")
+      try {
+        llm.TextOps.lmSave(docs, lmStore)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        val sliced = docs.withColumn("__s", ntile(6).over(w))
+          .localCheckpoint(true)
+        // pin batch 1 BEFORE any fold — the snapshot a training run
+        // reads, which the store's own maintenance must never orphan
+        StreamingRelease.tagSnapshot(spark, tagDir.toString,
+          "train-1", 1L)
+        val body = StreamingRelease.releaseMaintainBatch(spark, lmStore,
+          hashPath, scorePath, foldEvery = 2L, keepRecent = 1L,
+          tagPath = Some(tagDir.toString)) _
+        (0 to 5).foreach(b =>
+          body(sliced.filter(col("__s") === b + 1).drop("__s"),
+            b.toLong))
+        // dials alone would have folded to batch 3; the pin floors the
+        // boundary at the tagged batch
+        assert(StreamingRelease.ledgerFoldBoundary(spark, scorePath)
+          === Some(1L),
+          "the fold ignored the tag pin (or never fired)")
+        // the tagged serve is NOT refused, and equals the never-folded
+        // twin's cut at the same batch
+        val atTag = StreamingRelease.releaseManifestAt(spark, scorePath,
+          tagDir.toString, "train-1").collect().map(_.toString).toSeq
+        val twin = withDirs { (_, h2, s2) =>
+          val ingest = StreamingRelease.releaseIngestBatch(spark,
+            lmStore, h2, s2) _
+          (0 to 5).foreach(b =>
+            ingest(sliced.filter(col("__s") === b + 1).drop("__s"),
+              b.toLong))
+          StreamingRelease.releaseManifest(spark, s2, asOf = Some(1L))
+            .collect().map(_.toString).toSeq
+        }
+        assert(atTag === twin && atTag.nonEmpty)
+        // the operator moves the tag forward: the next fold advances
+        // past the old pin (pins are resolved at fold time)
+        StreamingRelease.tagSnapshot(spark, tagDir.toString,
+          "train-1", 5L)
+        val full = manifestRows(scorePath)
+        assert(StreamingRelease.compactReleaseLedgers(spark, scorePath,
+          hashPath, 4L, tagPath = Some(tagDir.toString)).nonEmpty)
+        assert(StreamingRelease.ledgerFoldBoundary(spark, scorePath)
+          === Some(4L))
+        assert(manifestRows(scorePath) === full,
+          "the advanced fold changed the manifest")
+      } finally ModelStore.deleteRecursively(tagDir)
+    }
+  }
+
+  test("multimodal maintenance fold: all three stores fold tag-pin floored, manifest bit-identical, both novelty policies intact across the fold, as-of below the boundary refused, tagged serve survives, pre-fold replay non-novel") {
+    val names = Seq("text", "media", "ledger", "tag", "t2", "m2", "l2")
+    val dirs = names.map(n => Files.createTempDirectory(s"graft-mmf-$n-"))
+    val Seq(textDir, mediaDir, ledgerDir, tagDir, t2, m2, l2) = dirs
+    try {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val sliced = docs.withColumn("__s", ntile(6).over(w))
+        .localCheckpoint(true)
+      def mcOf(b: org.apache.spark.sql.DataFrame) =
+        b.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(substring(col("text"), 1, 16).cast("binary"), 256)
+              .as("cluster_id"))
+      val body = StreamingRelease.multimodalMaintainBatch(spark,
+        textDir.toString, mediaDir.toString, ledgerDir.toString,
+        foldEvery = 2L, keepRecent = 1L,
+        tagPath = Some(tagDir.toString)) _
+      def slice(i: Int) = sliced.filter(col("__s") === i + 1).drop("__s")
+      (0 to 1).foreach(i => body(slice(i), mcOf(slice(i)), i.toLong))
+      StreamingRelease.tagSnapshot(spark, tagDir.toString, "mm-run", 1L)
+      (2 to 5).foreach(i => body(slice(i), mcOf(slice(i)), i.toLong))
+      // the dial alone would have folded to batch 3 (batch 4's fold);
+      // the pin floors every store's boundary at the tagged batch
+      Seq(textDir, mediaDir, ledgerDir).foreach { d =>
+        assert(StreamingRelease.ledgerFoldBoundary(spark, d.toString)
+          === Some(1L), s"boundary of $d ignored the tag pin")
+      }
+      // never-folded twin over the same slices
+      (0 to 5).foreach(i =>
+        StreamingRelease.multimodalIngestBatch(spark, t2.toString,
+          m2.toString, l2.toString)(slice(i), mcOf(slice(i)), i.toLong))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).toSeq
+      assert(rows(StreamingRelease.multimodalManifest(spark,
+        ledgerDir.toString)) ===
+        rows(StreamingRelease.multimodalManifest(spark, l2.toString)))
+      // the tagged serve is not refused and equals the twin's cut
+      assert(rows(StreamingRelease.multimodalManifestAt(spark,
+        ledgerDir.toString, tagDir.toString, "mm-run")) ===
+        rows(StreamingRelease.multimodalManifest(spark, l2.toString,
+          asOf = Some(1L))))
+      // an as-of below the boundary refuses loudly
+      assert(intercept[IllegalArgumentException] {
+        StreamingRelease.multimodalManifest(spark, ledgerDir.toString,
+          asOf = Some(0L)).collect()
+      }.getMessage.contains("fold boundary"))
+      // a pre-fold slice replayed late is non-novel under BOTH
+      // policies: every text hash and media fingerprint is in the
+      // folded sets, so the ledger gains nothing
+      body(slice(0), mcOf(slice(0)), 6L)
+      assert(rows(StreamingRelease.multimodalManifest(spark,
+        ledgerDir.toString)) ===
+        rows(StreamingRelease.multimodalManifest(spark, l2.toString)),
+        "a folded fingerprint store re-admitted a duplicate")
+    } finally dirs.foreach(ModelStore.deleteRecursively)
+  }
+
   test("release maintenance loop: the fold fires at the dial (not below), manifest unchanged, recent batches stay replayable") {
     withDirs { (lmStore, hashPath, scorePath) =>
       llm.TextOps.lmSave(docs, lmStore)
