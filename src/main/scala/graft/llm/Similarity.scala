@@ -626,12 +626,20 @@ object Similarity {
   }
 
   private def pqCodesOf(ex: DataFrame, cent: DataFrame, m: Int,
+      dim: Int): DataFrame =
+    pqCodesOfUnordered(ex, cent, m, dim).orderBy("vec_id")
+
+  /** [[pqCodesOf]] without the global sort — the encode/save paths
+    * join or rewrite the codes immediately, so the range exchange +
+    * sort the ordered form pays is pure overhead there (row VALUES are
+    * identical; only presentation order differs, which no consumer of
+    * this form observes). */
+  private def pqCodesOfUnordered(ex: DataFrame, cent: DataFrame, m: Int,
       dim: Int): DataFrame = {
     val assigned = assignSubCells(subspaceRows(ex, dim / m), cent)
     val aggCols = (0 until m).map(s =>
       max(when(col("s") === s, col("cid"))).as(s"c$s"))
     assigned.groupBy("vec_id").agg(aggCols.head, aggCols.tail: _*)
-      .orderBy("vec_id")
   }
 
   /** Asymmetric-distance (ADC) scan: squared L2 from the query vector to
@@ -781,8 +789,20 @@ object Similarity {
       extraParts: Map[String, DataFrame] = Map.empty): Long = {
     val exT = explodeVecsUnit(trainEmb)
     val ex = explodeVecsUnit(encodeEmb)
-    val coarse = lloydCentroids(exT, kCells, iters)
-    val cent = pqCodebooksFused(exT, m, k, iters, dim)
+    // the coarse quantizer and the PQ codebooks are INDEPENDENT
+    // training chains over the same exploded rows — overlap them
+    // (guide §2.6: actions are only sequential because the driver
+    // calls them sequentially); each chain's own Lloyd rounds stay
+    // sequential, so per-chain determinism is untouched
+    val (coarse, cent) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = graft.store.ModelStore.trainEc
+      val fCoarse = Future(lloydCentroids(exT, kCells, iters))
+      val fCent = Future(pqCodebooksFused(exT, m, k, iters, dim))
+      (Await.result(fCoarse, Duration.Inf),
+        Await.result(fCent, Duration.Inf))
+    }
     // the index carries its own dials (the FAISS-header discipline):
     // incremental encode and serve paths read spill from here instead
     // of guessing it from the cells table's shape
@@ -790,13 +810,23 @@ object Similarity {
       lit(kCells).as("nlist"), lit(spill).as("spill"), lit(m).as("m"),
       lit(k).as("k"), lit(iters).as("iters"), lit(dim).as("dim"),
       lit("raw").as("variant"))
-    val cells = assignCellsTopA(ex, coarse, spill)
+    // ONE shared-exchange encode of the corpus, materialized once and
+    // PROJECTED into the three data parts — previously each part's
+    // write re-exploded and re-aggregated the corpus as its own action
+    // (three full encode passes per build; guide §1.2: don't recompute
+    // what you already have). Same groups, same terms — values are
+    // bit-identical, the parts are column projections of one frame.
+    val exP = ex.repartition(col("vec_id"))
+    val enc = graft.Materialize.checkpoint(
+      assignCellsTopA(exP, coarse, spill)
+        .join(pqCodesOfUnordered(exP, cent, m, dim), "vec_id")
+        .join(unitArrays(exP), "vec_id"))
     store.save(Map(
       "coarse" -> coarse,
-      "cells" -> cells,
+      "cells" -> enc.select("vec_id", "cid"),
       "codebooks" -> cent,
-      "codes" -> cells.join(pqCodesOf(ex, cent, m, dim), "vec_id"),
-      "vectors" -> unitArrays(ex),
+      "codes" -> enc.drop("ux"),
+      "vectors" -> enc.select("vec_id", "ux").dropDuplicates("vec_id"),
       "dials" -> dials) ++ extraParts,
       partitioned = Map("codes" -> Seq("cid")))
   }
@@ -899,10 +929,48 @@ object Similarity {
   def encodeWithIndex(store: graft.store.ModelStore, emb: DataFrame,
       m: Int = 4, dim: Int = 64): DataFrame = {
     requireVariant(store, "raw", "encodeWithIndex")
-    val ex = explodeVecsUnit(emb) // the index lives in the unit domain
+    // ONE exchange feeds all three per-vector legs (assignment, PQ
+    // codes, rerank payload): the exploded unit rows hash-partition by
+    // vec_id once, every leg's groupBy clusters by vec_id (or a
+    // superset), so the legs aggregate map-side over the SHARED shuffle
+    // output (ReuseExchange dedupes the identical subtree) and the
+    // final vec_id equi-joins need no further exchange. The previous
+    // shape re-scanned + re-exploded the input per leg and shuffled
+    // each aggregation separately (guide §2.4: operations keyed the
+    // same way share one exchange). Values are bit-identical — same
+    // groups, same terms, only the routing changed.
+    val ex = explodeVecsUnit(emb).repartition(col("vec_id"))
     assignCellsTopA(ex, store.load("coarse"), indexSpill(store))
-      .join(pqCodesOf(ex, store.load("codebooks"), m, dim), "vec_id")
+      .join(pqCodesOfUnordered(ex, store.load("codebooks"), m, dim),
+        "vec_id")
       .join(unitArrays(ex), "vec_id") // rerank payload rides the codes
+  }
+
+  // per-(store, version) dials cache: a saved version is immutable, so
+  // its (spill, variant) pair never changes — read once per process
+  // instead of a parquet head() job per indexSpill/indexVariant probe
+  // (the StreamingAnn versionMeta discipline). Only EXISTING versions
+  // cache (the ADVICE r14 missing-version rule: a probe against a
+  // version not yet on disk must not pin the default forever).
+  private val dialsMeta = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Int, String)]()
+
+  private def dialsAt(store: graft.store.ModelStore,
+      v: Long): (Int, String) = {
+    val parts = store.partNamesAt(v)
+    if (parts.isEmpty) (1, "raw") // missing version: default, UNCACHED
+    else dialsMeta.computeIfAbsent((store.rootPath, v), _ =>
+      if (!parts.contains("dials")) (1, "raw")
+      else {
+        val df = store.loadAt(v, "dials")
+        val row = df.head()
+        val spill = row.getInt(df.columns.indexOf("spill"))
+        val variant =
+          if (df.columns.contains("variant"))
+            row.getString(df.columns.indexOf("variant"))
+          else "raw"
+        (spill, variant)
+      })
   }
 
   /** The spill dial a persisted index was built with ([[assignCellsTopA]]),
@@ -910,26 +978,18 @@ object Similarity {
     * number of cells as the base or incremental ≠ batch. Indexes written
     * before the dials part existed are single-assigned (spill=1). */
   def indexSpill(store: graft.store.ModelStore): Int =
-    if (store.partNames.contains("dials"))
-      store.load("dials").select("spill").head().getInt(0)
-    else 1
+    store.currentVersion.map(dialsAt(store, _)._1).getOrElse(1)
 
   /** The encoding variant a persisted index was built with ("raw" or
     * "residual"). Pre-dials indexes are raw. */
   def indexVariant(store: graft.store.ModelStore): String =
-    if (store.partNames.contains("dials") &&
-        store.load("dials").columns.contains("variant"))
-      store.load("dials").select("variant").head().getString(0)
-    else "raw"
+    store.currentVersion.map(dialsAt(store, _)._2).getOrElse("raw")
 
   /** [[indexVariant]] pinned to one store version — the serve path that
     * resolved a version must read the variant of THAT version, not of a
     * `_CURRENT` pointer a rebuild may flip mid-query. */
   def indexVariantAt(store: graft.store.ModelStore, v: Long): String =
-    if (store.partNamesAt(v).contains("dials") &&
-        store.loadAt(v, "dials").columns.contains("variant"))
-      store.loadAt(v, "dials").select("variant").head().getString(0)
-    else "raw"
+    dialsAt(store, v)._2
 
   /** Refuse to serve/extend an index through a path built for the
     * other encoding variant: raw ADC tables scored against residual
@@ -1194,18 +1254,24 @@ object Similarity {
       residualRows(exT, assignCells(exT, coarse), coarse))
     val cent = pqCodebooksFused(rxT, m, k, iters, dim)
     val ex = graft.Materialize.checkpoint(explodeVecsUnit(encodeEmb))
-    val cells = assignCells(ex, coarse)
-    val rx = residualRows(ex, cells, coarse)
+    // the [[saveIvfPqIndexTrainedOn]] shared-encode shape: one
+    // materialized encode frame, parts are projections of it
+    val exP = ex.repartition(col("vec_id"))
+    val cells = assignCells(exP, coarse)
+    val rx = residualRows(exP, cells, coarse)
     val dials = trainEmb.sparkSession.range(1).select(
       lit(kCells).as("nlist"), lit(1).as("spill"), lit(m).as("m"),
       lit(k).as("k"), lit(iters).as("iters"), lit(dim).as("dim"),
       lit("residual").as("variant"))
+    val enc = graft.Materialize.checkpoint(
+      cells.join(pqCodesOfUnordered(rx, cent, m, dim), "vec_id")
+        .join(unitArrays(exP), "vec_id"))
     store.save(Map(
       "coarse" -> coarse,
-      "cells" -> cells,
+      "cells" -> enc.select("vec_id", "cid"),
       "codebooks" -> cent,
-      "codes" -> cells.join(pqCodesOf(rx, cent, m, dim), "vec_id"),
-      "vectors" -> unitArrays(ex),
+      "codes" -> enc.drop("ux"),
+      "vectors" -> enc.select("vec_id", "ux").dropDuplicates("vec_id"),
       "dials" -> dials) ++ extraParts,
       partitioned = Map("codes" -> Seq("cid")))
   }
@@ -1223,11 +1289,14 @@ object Similarity {
   def encodeResidualWithIndex(store: graft.store.ModelStore,
       emb: DataFrame, m: Int = 4, dim: Int = 64): DataFrame = {
     requireVariant(store, "residual", "encodeResidualWithIndex")
-    val ex = explodeVecsUnit(emb)
+    // the [[encodeWithIndex]] shared-exchange shape (guide §2.4): one
+    // vec_id hash partition of the exploded rows feeds assignment,
+    // residual codes, and the rerank payload
+    val ex = explodeVecsUnit(emb).repartition(col("vec_id"))
     val coarse = store.load("coarse")
     val cells = assignCells(ex, coarse)
     cells
-      .join(pqCodesOf(residualRows(ex, cells, coarse),
+      .join(pqCodesOfUnordered(residualRows(ex, cells, coarse),
         store.load("codebooks"), m, dim), "vec_id")
       .join(unitArrays(ex), "vec_id")
   }
@@ -1464,7 +1533,11 @@ object Similarity {
   def annRecallResidual(spark: SparkSession, dir: String, topK: Int = 10,
       nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val truth = cosineTopK(spark, dir, 0L, topK).select("vec_id")
+    // the k-row truth is joined once per nprobe branch — materialize it
+    // (eager local checkpoint) so the sweep pays ONE exact scan, not
+    // |nprobes| (guide §1.2: don't recompute what you throw away)
+    val truth = graft.Materialize.checkpoint(
+      cosineTopK(spark, dir, 0L, topK).select("vec_id"))
     val store = sharedResidualIndex(spark, dir)
     val qv = queryVecOf(emb, 0L)
     nprobes.map { np =>
@@ -1560,10 +1633,15 @@ object Similarity {
       shards: Seq[DataFrame], m: Int = 4,
       requireDisjoint: Boolean = true): Long = {
     require(shards.nonEmpty, "saveMergedIndex: no shards")
-    val all = shards.reduce(_ unionByName _)
+    // materialize the shard union ONCE: the disjointness audit and all
+    // three data-part writes consume it, and each was re-running every
+    // shard's encode pipeline from scratch (guide §1.2)
+    val all = graft.Materialize.checkpoint(shards.reduce(_ unionByName _))
     if (requireDisjoint) {
-      val ids = all.select("vec_id")
-      val (n, d) = (ids.count(), ids.distinct().count())
+      // one aggregate computes both sides of the audit (was two jobs)
+      val r = all.agg(count(col("vec_id")).as("n"),
+        countDistinct(col("vec_id")).as("d")).head()
+      val (n, d) = (r.getLong(0), r.getLong(1))
       val sp = indexSpill(store)
       require(n == d * sp,
         s"saveMergedIndex: shards overlap ($n coded rows for $d distinct " +
@@ -1576,18 +1654,24 @@ object Similarity {
     // the artifacts themselves ([[legacyDialsOf]]) rather than failing
     // on a missing part, so the merged version always carries explicit,
     // truthful dials forward
-    val dials =
-      if (store.partNames.contains("dials")) store.load("dials")
-      else legacyDialsOf(store.load("coarse"), store.load("codebooks"),
-        all.select(codeCols: _*), all.select("vec_id", "ux"))
-    store.save(Map(
-      "coarse" -> store.load("coarse"),
-      "codebooks" -> store.load("codebooks"),
-      "dials" -> dials,
+    // quantizers (and a present dials record) are carried forward
+    // UNCHANGED — file-copied, not Spark-rewritten (ModelStore `copied`)
+    val v = store.currentVersion.getOrElse(
+      throw new IllegalStateException("saveMergedIndex: empty store"))
+    val hasDials = store.partNames.contains("dials")
+    val written = Map(
       "cells" -> all.select("vec_id", "cid"),
       "codes" -> all.select(codeCols: _*),
-      "vectors" -> all.select("vec_id", "ux").dropDuplicates("vec_id")),
-      partitioned = Map("codes" -> Seq("cid")))
+      "vectors" -> all.select("vec_id", "ux").dropDuplicates("vec_id")) ++
+      (if (hasDials) Map.empty[String, DataFrame]
+       else Map("dials" -> legacyDialsOf(store.load("coarse"),
+         store.load("codebooks"), all.select(codeCols: _*),
+         all.select("vec_id", "ux"))))
+    store.save(written,
+      partitioned = Map("codes" -> Seq("cid")),
+      copied = Map("coarse" -> (store, v), "codebooks" -> (store, v)) ++
+        (if (hasDials) Map("dials" -> (store, v))
+         else Map.empty[String, (graft.store.ModelStore, Long)]))
   }
 
   /** Oracle row (`q_ivfpq_merged`): quantizers from the full corpus,
@@ -1632,7 +1716,11 @@ object Similarity {
   def annRecall(spark: SparkSession, dir: String, topK: Int = 10,
       nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val truth = cosineTopK(spark, dir, 0L, topK).select("vec_id")
+    // the k-row truth is joined once per nprobe branch — materialize it
+    // (eager local checkpoint) so the sweep pays ONE exact scan, not
+    // |nprobes| (guide §1.2: don't recompute what you throw away)
+    val truth = graft.Materialize.checkpoint(
+      cosineTopK(spark, dir, 0L, topK).select("vec_id"))
     val store = sharedIvfPqIndex(spark, dir)
     val qv = queryVecOf(emb, 0L)
     nprobes.map { np =>
@@ -1711,7 +1799,9 @@ object Similarity {
       topK: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val pred = pmod(col("vec_id"), lit(3)) === 1
-    val truth = cosineTopK(spark, dir, 0L, topK, pred).select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      cosineTopK(spark, dir, 0L, topK, pred).select("vec_id"))
     val store = sharedResidualIndex(spark, dir)
     val qv = queryVecOf(emb, 0L)
     nprobes.map { np =>
@@ -1735,7 +1825,9 @@ object Similarity {
       topK: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val pred = pmod(col("vec_id"), lit(3)) === 1
-    val truth = cosineTopK(spark, dir, 0L, topK, pred).select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      cosineTopK(spark, dir, 0L, topK, pred).select("vec_id"))
     val store = sharedIvfPqIndex(spark, dir)
     val qv = queryVecOf(emb, 0L)
     nprobes.map { np =>
@@ -1970,7 +2062,11 @@ object Similarity {
       if (chosen > 0) chosen
       else store.load("coarse").select("cid").distinct().count().toInt
     val sp = autoSpill(kCells)
-    val truth = cosineTopK(spark, dir, 0L, topK).select("vec_id")
+    // the k-row truth is joined once per nprobe branch — materialize it
+    // (eager local checkpoint) so the sweep pays ONE exact scan, not
+    // |nprobes| (guide §1.2: don't recompute what you throw away)
+    val truth = graft.Materialize.checkpoint(
+      cosineTopK(spark, dir, 0L, topK).select("vec_id"))
     val qv = queryVecOf(emb, 0L)
     nprobes.map { np =>
       ivfPqSearchPersisted(store, qv, qId = 0L, topK = topK, nprobe = np,

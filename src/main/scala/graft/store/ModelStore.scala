@@ -48,11 +48,31 @@ class ModelStore(spark: SparkSession, path: String) {
     * name to hive-style partition columns for its parquet layout — the
     * data-sized parts want it (an IVF index's codes partition by cell,
     * so a probe reads nprobe/nlist of the directories instead of
-    * scanning everything); the centroid-sized parts don't. */
+    * scanning everything); the centroid-sized parts don't.
+    *
+    * `copied` maps a part name to the (store, version) whose on-disk
+    * part directory is copied FILE-FOR-FILE instead of round-tripping
+    * through a Spark read + write — the fast path for parts a new
+    * version carries UNCHANGED (a compaction's quantizers, a clone's
+    * everything). A byte-identical copy is strictly stronger than the
+    * parquet round-trip the spec already pins bit-exact, and it costs
+    * zero Spark jobs where the round-trip paid a full read job plus a
+    * write job per part (optimization guide §6: don't rewrite bytes
+    * that didn't change). Partition layout travels with the files.
+    *
+    * The DataFrame parts write CONCURRENTLY (guide §2.6 — independent
+    * jobs overlap instead of serializing their per-job scheduling and
+    * commit overhead; each part lands in its own directory so the
+    * writes share nothing). Failure of any write fails the save before
+    * the pointer flip, exactly as the sequential loop did. */
   def save(parts: Map[String, DataFrame],
-      partitioned: Map[String, Seq[String]] = Map.empty): Long = {
-    require(parts.nonEmpty, "a model version must have at least one part")
-    parts.keys.foreach { p =>
+      partitioned: Map[String, Seq[String]] = Map.empty,
+      copied: Map[String, (ModelStore, Long)] = Map.empty): Long = {
+    require(parts.nonEmpty || copied.nonEmpty,
+      "a model version must have at least one part")
+    require(parts.keySet.intersect(copied.keySet).isEmpty,
+      s"parts both written and copied: ${parts.keySet & copied.keySet}")
+    (parts.keys ++ copied.keys).foreach { p =>
       require(p.nonEmpty && !p.contains('/') && !p.startsWith("_"),
         s"bad part name '$p'")
     }
@@ -66,7 +86,13 @@ class ModelStore(spark: SparkSession, path: String) {
     // partition-prunes never-folded batches). Clear the orphan dir
     // first: a completed version contains exactly its own parts.
     ModelStore.deleteRecursively(root.resolve(s"v$next"))
-    parts.foreach { case (name, df) =>
+    copied.foreach { case (name, (src, srcV)) =>
+      val from = src.partDir(srcV, name)
+      require(Files.isDirectory(from),
+        s"copied part '$name' missing at ${src.rootPath} v$srcV")
+      ModelStore.copyRecursively(from, partDir(next, name))
+    }
+    def writePart(name: String, df: DataFrame): Unit = {
       val dir = partDir(next, name)
       partitioned.get(name).filter(_.nonEmpty) match {
         case Some(cols) =>
@@ -95,6 +121,16 @@ class ModelStore(spark: SparkSession, path: String) {
           df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       }
     }
+    if (parts.size <= 1) parts.foreach { case (n, df) => writePart(n, df) }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ModelStore.saveEc
+      val fs = parts.toSeq.map { case (n, df) =>
+        Future(writePart(n, df))
+      }
+      Await.result(Future.sequence(fs), Duration.Inf)
+    }
     flip(next)
   }
 
@@ -118,8 +154,13 @@ class ModelStore(spark: SparkSession, path: String) {
       partitioned: Map[String, Seq[String]] = Map.empty): Long = {
     val v = from.currentVersion.getOrElse(throw new IllegalStateException(
       s"clone source ${from.rootPath} is empty"))
-    save(from.partNamesAt(v).filterNot(_ == "folded")
-      .map(p => p -> from.loadAt(v, p)).toMap, partitioned)
+    // byte-identical file copy, zero Spark jobs: the clone's parts ARE
+    // the source's parquet files (partition layout travels with them —
+    // `partitioned` stays in the signature for call-site documentation
+    // but the copy preserves whatever layout the source wrote)
+    save(Map.empty, partitioned,
+      copied = from.partNamesAt(v).filterNot(_ == "folded")
+        .map(p => p -> (from, v)).toMap)
   }
 
   /** Part names of the current version. */
@@ -268,4 +309,44 @@ object ModelStore {
     if (Files.exists(p)) // close the walk stream — fd leak otherwise
       scala.util.Using.resource(Files.walk(p))(
         _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
+
+  /** Recursive file copy for the [[ModelStore]] `copied`-parts fast
+    * path — parquet directories copy byte-identically (data files,
+    * partition subdirs, and the `_SUCCESS` marker alike). */
+  private[graft] def copyRecursively(from: java.nio.file.Path,
+      to: java.nio.file.Path): Unit = {
+    Files.createDirectories(to.getParent)
+    scala.util.Using.resource(Files.walk(from))(
+      _.iterator().asScala.foreach { src =>
+        val dst = to.resolve(from.relativize(src))
+        if (Files.isDirectory(src)) Files.createDirectories(dst)
+        else Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      })
+  }
+
+  // bounded pool for concurrent part writes: Spark actions block their
+  // submitting thread, so the pool size caps concurrent write jobs, not
+  // tasks — 4 overlapping tiny writes amortize scheduling/commit
+  // latency without flooding the scheduler (guide §2.6's "2-3 in
+  // flight is plenty" rule)
+  /** Shared pool for overlapping independent TRAINING chains (the
+    * guide §2.6 discipline) — separate from [[saveEc]] so a save's
+    * part writes can't starve a concurrent trainer (or vice versa). */
+  private[graft] lazy val trainEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        r => {
+          val t = new Thread(r, "modelstore-train")
+          t.setDaemon(true)
+          t
+        }))
+
+  private[store] lazy val saveEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        r => {
+          val t = new Thread(r, "modelstore-save")
+          t.setDaemon(true)
+          t
+        }))
 }

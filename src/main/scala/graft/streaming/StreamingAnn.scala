@@ -827,8 +827,9 @@ object StreamingAnn {
   def annResidualIncrementalQuery(spark: SparkSession,
       dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10).select("vec_id"))
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-resinc-codes-")
     try {
@@ -883,8 +884,9 @@ object StreamingAnn {
   private def compactedRecallSweep(spark: SparkSession, dir: String,
       variant: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10).select("vec_id"))
     val codesDir = java.nio.file.Files
       .createTempDirectory(s"graft-cmp$variant-codes-")
     try {
@@ -1104,20 +1106,24 @@ object StreamingAnn {
       else vectors0
     // legacy (pre-dials) stores get a dials record derived from the
     // artifacts themselves, never hard-coded guesses (ADVICE r12)
-    val dials =
-      if (store.partNamesAt(v).contains("dials")) ld("dials")
-      else Similarity.legacyDialsOf(ld("coarse"), ld("codebooks"),
-        coded.drop("ux"), vectors)
+    val hasDials = store.partNamesAt(v).contains("dials")
     val codes = coded.drop("ux")
-    store.save(Map(
-      "coarse" -> ld("coarse"),
-      "codebooks" -> ld("codebooks"),
-      "dials" -> dials,
+    // quantizers (and a present dials record) are UNCHANGED by
+    // compaction — copy their part files instead of a Spark
+    // read+rewrite per part (the ModelStore `copied` fast path)
+    val written = Map(
       "cells" -> codes.select("vec_id", "cid"),
       "codes" -> codes,
       "vectors" -> vectors,
-      "folded" -> foldedPart(spark, wm)),
-      partitioned = Map("codes" -> Seq("cid")))
+      "folded" -> foldedPart(spark, wm)) ++
+      (if (hasDials) Map.empty[String, DataFrame]
+       else Map("dials" -> Similarity.legacyDialsOf(ld("coarse"),
+         ld("codebooks"), codes, vectors)))
+    store.save(written,
+      partitioned = Map("codes" -> Seq("cid")),
+      copied = Map("coarse" -> (store, v), "codebooks" -> (store, v)) ++
+        (if (hasDials) Map("dials" -> (store, v))
+         else Map.empty[String, (ModelStore, Long)]))
   }
 
   // ---- STORAGE RETENTION (VERDICT r13 #1/#5): the maintenance loop's
@@ -1497,8 +1503,9 @@ object StreamingAnn {
   def annDeletedQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val dead = pmod(col("vec_id"), lit(7)) === 3
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, !dead)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10, !dead).select("vec_id"))
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-anndel-codes-")
     val tombDir = java.nio.file.Files
@@ -1539,8 +1546,9 @@ object StreamingAnn {
       dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pred = pmod(col("vec_id"), lit(3)) === 1
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, pred)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10, pred).select("vec_id"))
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-annfinc-codes-")
     try {
@@ -1624,8 +1632,9 @@ object StreamingAnn {
   def annTaggedQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val member = pmod(col("vec_id"), lit(3)) =!= 2
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, member)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10, member).select("vec_id"))
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-anntag-codes-")
     val tagDir = java.nio.file.Files
@@ -1684,8 +1693,9 @@ object StreamingAnn {
   def annRunTaggedQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val member = pmod(col("vec_id"), lit(3)) =!= 2
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, member)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10, member).select("vec_id"))
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-annrun-codes-")
     val relTagDir = java.nio.file.Files
@@ -1739,8 +1749,9 @@ object StreamingAnn {
     * than the oracle's full-corpus quantizers). */
   def annAutopilotQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10).select("vec_id"))
     val names = Seq("codes", "mon", "raw", "tomb", "base")
     val dirs = names.map(n =>
       java.nio.file.Files.createTempDirectory(s"graft-annap-$n-"))
@@ -1815,8 +1826,9 @@ object StreamingAnn {
     * empty frame and no rebuild ever reads the raw store again. */
   def annRetainedQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10).select("vec_id"))
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-annret-codes-")
     val monDir = java.nio.file.Files
@@ -2015,8 +2027,9 @@ object StreamingAnn {
   def annAsOfQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val member = pmod(col("vec_id"), lit(3)) =!= 2
-    val truth = Similarity.cosineTopK(spark, dir, 0L, 10, member)
-      .select("vec_id")
+    // materialized once — one exact scan feeds every nprobe branch
+    val truth = graft.Materialize.checkpoint(
+      Similarity.cosineTopK(spark, dir, 0L, 10, member).select("vec_id"))
     val codesDir = java.nio.file.Files
       .createTempDirectory("graft-annasof-codes-")
     try {

@@ -535,6 +535,43 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("save(copied): file-copied parts read bit-identically, layout travels, overlap and missing-source refuse") {
+    withStore { src =>
+      withStore { dst =>
+        import spark.implicits._
+        src.save(Map(
+          "coarse" -> Seq((0, 1, 0.25), (1, 2, 0.5)).toDF("cid", "i", "c"),
+          "codes" -> Seq((10L, 2, 3), (11L, 3, 1)).toDF("vec_id", "cid", "c0")),
+          partitioned = Map("codes" -> Seq("cid")))
+        val sv = src.currentVersion.get
+        // a new version mixing a WRITTEN part with COPIED parts — the
+        // compaction fast path's shape
+        dst.save(Map("extra" -> Seq(Tuple1(9L)).toDF("n")),
+          copied = Map("coarse" -> (src, sv), "codes" -> (src, sv)))
+        assert(dst.partNames.sorted === Seq("coarse", "codes", "extra"))
+        assertSameFrame(dst.load("coarse"), src.load("coarse"))
+        assertSameFrame(dst.load("codes"), src.load("codes"))
+        // the copied partitioned layout survived: cid is a hive dir
+        val codesDir = java.nio.file.Paths.get(dst.rootPath)
+          .resolve(s"v${dst.currentVersion.get}").resolve("codes")
+        import scala.jdk.CollectionConverters._
+        assert(scala.util.Using.resource(Files.list(codesDir))(
+          _.iterator().asScala.exists(
+            _.getFileName.toString.startsWith("cid="))),
+          "file copy lost the hive partition layout")
+        // a part both written and copied refuses
+        assert(intercept[IllegalArgumentException] {
+          dst.save(Map("coarse" -> Seq(Tuple1(1)).toDF("x")),
+            copied = Map("coarse" -> (src, sv)))
+        }.getMessage.contains("both written and copied"))
+        // a copied part whose source version lacks it refuses
+        assert(intercept[IllegalArgumentException] {
+          dst.save(Map.empty, copied = Map("nope" -> (src, sv)))
+        }.getMessage.contains("missing"))
+      }
+    }
+  }
+
   test("save() clears a crashed save's orphan parts: a completed version contains exactly the parts of its own save") {
     withStore { store =>
       import spark.implicits._
