@@ -1364,6 +1364,78 @@ object Similarity {
       .limit(topK)
   }
 
+  // ---- ONE-SCAN multi-nprobe sweep (optimization round 15): every
+  // recall sweep served the SAME index at nprobe ∈ {1, 2, 4(, 8)} as
+  // three independent probe+ADC+rerank plans — three candidate scans,
+  // three winner resolutions, three rerank joins per query. But the
+  // probe set at np is a PREFIX of the probe set at max(np)
+  // (nearestCells sorts once, ties pinned), the per-cell ADC shortlist
+  // is CELL-LOCAL (the window partitions by cid, so a cell's top
+  // rerankK is identical whichever probe set contains the cell), and
+  // the exact rerank is pointwise — so one scan at the widest probe,
+  // tagged with each cell's probe rank, serves every narrower branch
+  // as a filter over the materialized reranked shortlist. Per-branch
+  // results are bit-equal to the per-np serve (spec- and oracle-
+  // pinned); this is FAISS's nested-probe property made relational. ----
+
+  /** The sweep core: reranked shortlist (vec_id, __pr, cos_sim) of the
+    * `npMax`-probe serve, where __pr is the LOWEST probe rank whose
+    * cell shortlists the vector — `sweepTopK(rr, np, k)` then equals
+    * the per-np serve's top-k exactly, for every np ≤ npMax.
+    * Materialized eagerly: ≤ npMax·rerankK rows, read once per branch. */
+  private[graft] def sweepRerankedOver(coarse: DataFrame, coded: DataFrame,
+      vectors: DataFrame, codebooks: DataFrame, qVec: Map[Int, Double],
+      qId: Long, npMax: Int, m: Int, dim: Int, rerankK: Int,
+      variant: String): DataFrame = {
+    val probed = nearestCells(coarse.collect(), qVec, npMax)
+    val scored =
+      if (variant == "residual")
+        residualAdcScored(coarse, coded, codebooks, qVec, qId, npMax,
+          m, dim)
+      else adcScored(coded.drop("ux")
+          .filter(col("cid").isin(probed: _*) && col("vec_id") =!= qId),
+        codebooks, qVec, m, dim / m)
+    val pr = probed.zipWithIndex
+      .foldLeft(lit(Int.MaxValue)) { case (acc, (cid, r)) =>
+        when(col("cid") === cid, lit(r + 1)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(asc("adc"), asc("vec_id"))
+    val short = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= rerankK)
+      .withColumn("__pr", pr)
+      .groupBy("vec_id").agg(min("__pr").as("__pr"))
+    val qArr = (0 until dim).map(i => qVec.getOrElse(i, 0.0))
+    graft.Materialize.checkpoint(
+      vectors.select(col("vec_id"), col("ux"))
+        .join(broadcast(short), "vec_id")
+        .select(col("vec_id"), col("__pr"),
+          round(aggregate(zip_with(col("ux"), typedlit(qArr),
+            (a, b) => a * b), lit(0.0), (acc, v) => acc + v), 9)
+            .as("cos_sim")))
+  }
+
+  /** One branch of the sweep: the np-probe serve's top-k vec_ids from
+    * the materialized [[sweepRerankedOver]] frame. */
+  private[graft] def sweepTopK(reranked: DataFrame, np: Int,
+      topK: Int): DataFrame =
+    reranked.filter(col("__pr") <= np)
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(topK)
+      .select("vec_id")
+
+  /** [[sweepRerankedOver]] from a persisted index (variant-dispatched);
+    * `pred` is the filtered-serve predicate over the coded frame. */
+  private[graft] def sweepRerankedPersisted(store: graft.store.ModelStore,
+      qVec: Map[Int, Double], qId: Long, npMax: Int,
+      rerankK: Int = 100, pred: Option[Column] = None, m: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val coded0 = codedFrame(store.load)
+    val coded = pred.map(coded0.filter).getOrElse(coded0)
+    sweepRerankedOver(store.load("coarse"), coded, store.load("vectors"),
+      store.load("codebooks"), qVec, qId, npMax, m, dim, rerankK,
+      indexVariant(store))
+  }
+
   /** Probe + per-cell residual distance tables + ONE ADC scan — the
     * shared residual candidate scorer: the probed cells' coded rows
     * with their 9-dec-rounded `adc` column. Top-k windows it per cell
@@ -1540,9 +1612,12 @@ object Similarity {
       cosineTopK(spark, dir, 0L, topK).select("vec_id"))
     val store = sharedResidualIndex(spark, dir)
     val qv = queryVecOf(emb, 0L)
+    // one-scan sweep: every nprobe branch filters the shared
+    // materialized shortlist (bit-equal per np to the per-np serve)
+    val rr = sweepRerankedPersisted(store, qv, qId = 0L,
+      npMax = nprobes.max)
     nprobes.map { np =>
-      ivfPqSearchResidualPersisted(store, qv, qId = 0L, topK = topK,
-          nprobe = np)
+      sweepTopK(rr, np, topK)
         .join(truth, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np).as("nprobe"), lit(topK).as("k"), col("n_hits"),
@@ -1723,8 +1798,12 @@ object Similarity {
       cosineTopK(spark, dir, 0L, topK).select("vec_id"))
     val store = sharedIvfPqIndex(spark, dir)
     val qv = queryVecOf(emb, 0L)
+    // one-scan sweep: every nprobe branch filters the shared
+    // materialized shortlist (bit-equal per np to the per-np serve)
+    val rr = sweepRerankedPersisted(store, qv, qId = 0L,
+      npMax = nprobes.max)
     nprobes.map { np =>
-      ivfPqSearchPersisted(store, qv, qId = 0L, topK = topK, nprobe = np)
+      sweepTopK(rr, np, topK)
         .join(truth, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np).as("nprobe"), lit(topK).as("k"), col("n_hits"),
@@ -1804,9 +1883,12 @@ object Similarity {
       cosineTopK(spark, dir, 0L, topK, pred).select("vec_id"))
     val store = sharedResidualIndex(spark, dir)
     val qv = queryVecOf(emb, 0L)
+    // one-scan sweep: every nprobe branch filters the shared
+    // materialized shortlist (bit-equal per np to the per-np serve)
+    val rr = sweepRerankedPersisted(store, qv, qId = 0L,
+      npMax = nprobes.max, pred = Some(pred))
     nprobes.map { np =>
-      ivfPqSearchFilteredResidual(store, pred, qv, qId = 0L,
-        topK = topK, nprobe = np)
+      sweepTopK(rr, np, topK)
         .join(truth, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np).as("nprobe"), lit(topK).as("k"), col("n_hits"),
@@ -1830,9 +1912,12 @@ object Similarity {
       cosineTopK(spark, dir, 0L, topK, pred).select("vec_id"))
     val store = sharedIvfPqIndex(spark, dir)
     val qv = queryVecOf(emb, 0L)
+    // one-scan sweep: every nprobe branch filters the shared
+    // materialized shortlist (bit-equal per np to the per-np serve)
+    val rr = sweepRerankedPersisted(store, qv, qId = 0L,
+      npMax = nprobes.max, pred = Some(pred))
     nprobes.map { np =>
-      ivfPqSearchFiltered(store, pred, qv, qId = 0L, topK = topK,
-        nprobe = np)
+      sweepTopK(rr, np, topK)
         .join(truth, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np).as("nprobe"), lit(topK).as("k"), col("n_hits"),
@@ -2068,9 +2153,12 @@ object Similarity {
     val truth = graft.Materialize.checkpoint(
       cosineTopK(spark, dir, 0L, topK).select("vec_id"))
     val qv = queryVecOf(emb, 0L)
+    // one-scan sweep: every nprobe branch filters the shared
+    // materialized shortlist (bit-equal per np to the per-np serve)
+    val rr = sweepRerankedPersisted(store, qv, qId = 0L,
+      npMax = nprobes.max, rerankK = 100 * sp)
     nprobes.map { np =>
-      ivfPqSearchPersisted(store, qv, qId = 0L, topK = topK, nprobe = np,
-        rerankK = 100 * sp)
+      sweepTopK(rr, np, topK)
         .join(truth, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np).as("nprobe"), lit(kCells).as("n_cells"),

@@ -123,6 +123,19 @@ object RunTags {
       qVec, qId, topK, nprobe, m, dim, rerankK, tombPath)
   }
 
+  /** [[StreamingAnn.sweepRerankedAt]] at a run tag — the multi-nprobe
+    * sweep core, gated on the run resolving WHOLE (the
+    * [[searchAtRun]] contract applied to the one-scan sweep). */
+  def sweepRerankedAtRun(spark: SparkSession, name: String,
+      store: ModelStore, codesPath: String, releaseTagPath: String,
+      indexTagPath: String, qVec: Map[Int, Double], qId: Long = -1L,
+      npMax: Int = 4, m: Int = 4, dim: Int = 64, rerankK: Int = 100,
+      tombPath: Option[String] = None): DataFrame = {
+    resolveRun(spark, name, releaseTagPath, indexTagPath)
+    StreamingAnn.sweepRerankedAt(spark, store, codesPath, indexTagPath,
+      name, qVec, qId, npMax, m, dim, rerankK, tombPath)
+  }
+
   /** [[StreamingAnn.knnJoinAt]] at a run tag. */
   def knnJoinAtRun(spark: SparkSession, name: String, store: ModelStore,
       codesPath: String, releaseTagPath: String, indexTagPath: String,

@@ -848,9 +848,12 @@ object StreamingAnn {
           emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
       }
       val qv = Similarity.queryVecOf(emb, 0L)
+      // one-scan sweep: every nprobe branch filters the shared
+      // materialized shortlist (bit-equal per np to the per-np serve)
+      val rr = sweepRerankedIncremental(spark, store,
+        codesDir.toString, qv, qId = 0L, npMax = 4)
       graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-        searchIncremental(spark, store, codesDir.toString, qv,
-          qId = 0L, topK = 10, nprobe = np)
+        Similarity.sweepTopK(rr, np, 10)
           .join(truth, "vec_id")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(np).as("nprobe"), lit(10).as("k"),
@@ -902,9 +905,12 @@ object StreamingAnn {
         }
         compactIncrements(spark, store, codesDir.toString)
         val qv = Similarity.queryVecOf(emb, 0L)
+        // one-scan sweep: every nprobe branch filters the shared
+        // materialized shortlist (bit-equal per np to the per-np serve)
+        val rr = sweepRerankedAuto(spark, store, codesDir.toString,
+          qv, qId = 0L, npMax = 4)
         graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-          searchAuto(spark, store, codesDir.toString, qv, qId = 0L,
-            topK = 10, nprobe = np)
+          Similarity.sweepTopK(rr, np, 10)
             .join(truth, "vec_id")
             .agg(count(lit(1)).as("n_hits"))
             .select(lit(np).as("nprobe"), lit(10).as("k"),
@@ -965,6 +971,51 @@ object StreamingAnn {
     else
       Similarity.ivfPqSearchOver(ld("coarse"), coded, vectors,
         ld("codebooks"), qVec, qId, topK, nprobe, m, dim, rerankK)
+  }
+
+  /** Multi-nprobe sweep core over the live index — the
+    * [[Similarity.sweepRerankedOver]] shape fed by the SAME
+    * [[unionServeFrames]] dedup rule as [[searchIncremental]]: one
+    * candidate scan + winner resolution + rerank at the widest probe
+    * serves every narrower branch ([[Similarity.sweepTopK]]),
+    * bit-equal per np to the per-np serve. */
+  def sweepRerankedIncremental(spark: SparkSession, store: ModelStore,
+      codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
+      npMax: Int = 4, m: Int = 4, dim: Int = 64, rerankK: Int = 100,
+      version: Option[Long] = None,
+      tombPath: Option[String] = None,
+      pred: Option[org.apache.spark.sql.Column] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val (coded0, vectors, variant, ld) =
+      unionServeFrames(spark, store, codesPath, version, tombPath, asOf)
+    val coded = pred.map(coded0.filter).getOrElse(coded0)
+    Similarity.sweepRerankedOver(ld("coarse"), coded, vectors,
+      ld("codebooks"), qVec, qId, npMax, m, dim, rerankK, variant)
+  }
+
+  /** [[sweepRerankedIncremental]] against the CURRENT version — the
+    * [[searchAuto]] pinning + spill-scaled rerank rule. */
+  def sweepRerankedAuto(spark: SparkSession, store: ModelStore,
+      codesPath: String, qVec: Map[Int, Double], qId: Long = -1L,
+      npMax: Int = 4, m: Int = 4, dim: Int = 64, rerankK: Int = 100,
+      tombPath: Option[String] = None): DataFrame = {
+    val v = store.currentVersion.getOrElse(0L)
+    sweepRerankedIncremental(spark, store, s"$codesPath/v=$v", qVec,
+      qId, npMax, m, dim, rerankK * spillAt(store, v),
+      version = Some(v), tombPath = tombPath)
+  }
+
+  /** [[sweepRerankedIncremental]] at a NAMED snapshot — the
+    * [[searchAt]] resolution + spill rule. */
+  def sweepRerankedAt(spark: SparkSession, store: ModelStore,
+      codesPath: String, tagPath: String, tag: String,
+      qVec: Map[Int, Double], qId: Long = -1L, npMax: Int = 4,
+      m: Int = 4, dim: Int = 64, rerankK: Int = 100,
+      tombPath: Option[String] = None): DataFrame = {
+    val (b, v) = resolveIndexTag(spark, tagPath, tag)
+    sweepRerankedIncremental(spark, store, s"$codesPath/v=$v", qVec,
+      qId, npMax, m, dim, rerankK * spillAt(store, v),
+      version = Some(v), tombPath = tombPath, asOf = Some(b))
   }
 
   /** The deduped base∪increments serve frames plus the pinned variant
@@ -1518,10 +1569,13 @@ object StreamingAnn {
       }
       annDeleteBatch(spark, tombDir.toString)(emb.filter(dead), 2L)
       val qv = Similarity.queryVecOf(emb, 0L)
+      // one-scan sweep: every nprobe branch filters the shared
+      // materialized shortlist (bit-equal per np to the per-np serve)
+      val rr = sweepRerankedIncremental(spark, store,
+        codesDir.toString, qv, qId = 0L, npMax = 4,
+        tombPath = Some(tombDir.toString))
       graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-        searchIncremental(spark, store, codesDir.toString, qv,
-          qId = 0L, topK = 10, nprobe = np,
-          tombPath = Some(tombDir.toString))
+        Similarity.sweepTopK(rr, np, 10)
           .join(truth, "vec_id")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(np).as("nprobe"), lit(10).as("k"),
@@ -1558,9 +1612,12 @@ object StreamingAnn {
           emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
       }
       val qv = Similarity.queryVecOf(emb, 0L)
+      // one-scan sweep: every nprobe branch filters the shared
+      // materialized shortlist (bit-equal per np to the per-np serve)
+      val rr = sweepRerankedIncremental(spark, store,
+        codesDir.toString, qv, qId = 0L, npMax = 4, pred = Some(pred))
       graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-        searchIncremental(spark, store, codesDir.toString, qv,
-          qId = 0L, topK = 10, nprobe = np, pred = Some(pred))
+        Similarity.sweepTopK(rr, np, 10)
           .join(truth, "vec_id")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(np).as("nprobe"), lit(10).as("k"),
@@ -1649,9 +1706,12 @@ object StreamingAnn {
       tagIndexSnapshot(spark, tagDir.toString, "run-7", 1L,
         store.currentVersion.getOrElse(0L))
       val qv = Similarity.queryVecOf(emb, 0L)
+      // one-scan sweep: every nprobe branch filters the shared
+      // materialized shortlist (bit-equal per np to the per-np serve)
+      val rr = sweepRerankedAt(spark, store, codesDir.toString,
+        tagDir.toString, "run-7", qv, qId = 0L, npMax = 4)
       graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-        searchAt(spark, store, codesDir.toString, tagDir.toString,
-          "run-7", qv, qId = 0L, topK = 10, nprobe = np)
+        Similarity.sweepTopK(rr, np, 10)
           .join(truth, "vec_id")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(np).as("nprobe"), lit(10).as("k"),
@@ -1722,10 +1782,13 @@ object StreamingAnn {
       RunTags.tagRun(spark, "train-15", relTagDir.toString, 1L,
         idxTagDir.toString, 1L, v)
       val qv = Similarity.queryVecOf(emb, 0L)
+      // one-scan sweep: every nprobe branch filters the shared
+      // materialized shortlist (bit-equal per np to the per-np serve)
+      val rr = RunTags.sweepRerankedAtRun(spark, "train-15", store,
+        codesDir.toString, relTagDir.toString, idxTagDir.toString,
+        qv, qId = 0L, npMax = 4)
       graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-        RunTags.searchAtRun(spark, "train-15", store,
-          codesDir.toString, relTagDir.toString, idxTagDir.toString,
-          qv, qId = 0L, topK = 10, nprobe = np)
+        Similarity.sweepTopK(rr, np, 10)
           .join(truth, "vec_id")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(np).as("nprobe"), lit(10).as("k"),
@@ -1788,10 +1851,12 @@ object StreamingAnn {
           .map(_._1).forall(_ > 1L),
           "autopilot purge left raw batches at or below the floor")
         val qv = Similarity.queryVecOf(emb, 0L)
+        // one-scan sweep: every nprobe branch filters the shared
+        // materialized shortlist (bit-equal per np to the per-np serve)
+        val rr = sweepRerankedAuto(spark, store, codesDir.toString,
+          qv, qId = 0L, npMax = 4, tombPath = Some(tombDir.toString))
         graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-          searchAuto(spark, store, codesDir.toString, qv, qId = 0L,
-            topK = 10, nprobe = np,
-            tombPath = Some(tombDir.toString))
+          Similarity.sweepTopK(rr, np, 10)
             .join(truth, "vec_id")
             .agg(count(lit(1)).as("n_hits"))
             .select(lit(np).as("nprobe"), lit(10).as("k"),
@@ -1878,9 +1943,12 @@ object StreamingAnn {
           .map(_._1).sorted == Seq(1L),
           "purgeFolded left raw batches at or below the floor")
         val qv = Similarity.queryVecOf(emb, 0L)
+        // one-scan sweep: every nprobe branch filters the shared
+        // materialized shortlist (bit-equal per np to the per-np serve)
+        val rr = sweepRerankedAuto(spark, store, codesDir.toString,
+          qv, qId = 0L, npMax = 4)
         graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-          searchAuto(spark, store, codesDir.toString, qv, qId = 0L,
-            topK = 10, nprobe = np)
+          Similarity.sweepTopK(rr, np, 10)
             .join(truth, "vec_id")
             .agg(count(lit(1)).as("n_hits"))
             .select(lit(np).as("nprobe"), lit(10).as("k"),
@@ -2039,9 +2107,12 @@ object StreamingAnn {
           emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
       }
       val qv = Similarity.queryVecOf(emb, 0L)
+      // one-scan sweep: every nprobe branch filters the shared
+      // materialized shortlist (bit-equal per np to the per-np serve)
+      val rr = sweepRerankedIncremental(spark, store,
+        codesDir.toString, qv, qId = 0L, npMax = 4, asOf = Some(1L))
       graft.Materialize.checkpoint(Seq(1, 2, 4).map { np =>
-        searchIncremental(spark, store, codesDir.toString, qv,
-          qId = 0L, topK = 10, nprobe = np, asOf = Some(1L))
+        Similarity.sweepTopK(rr, np, 10)
           .join(truth, "vec_id")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(np).as("nprobe"), lit(10).as("k"),

@@ -117,6 +117,20 @@ object Profile {
               codesDir.toString, qv, qId = 0L, topK = 10, nprobe = 4)
               .count(); ()
           }
+          phase("sweep x3 union") {
+            val truth = graft.Materialize.checkpoint(
+              graft.llm.Similarity.cosineTopK(spark, sfDir, 0L, 10)
+                .select("vec_id"))
+            Seq(1, 2, 4).map { np =>
+              graft.streaming.StreamingAnn.searchAuto(spark, store,
+                codesDir.toString, qv, qId = 0L, topK = 10, nprobe = np)
+                .join(truth, "vec_id")
+                .agg(count(lit(1)).as("n_hits"))
+                .select(lit(np).as("nprobe"), lit(10).as("k"),
+                  col("n_hits"),
+                  (col("n_hits").cast("double") / 10).as("recall"))
+            }.reduce(_ union _).orderBy("nprobe").count(); ()
+          }
         } finally {
           graft.store.ModelStore.deleteRecursively(codesDir)
           graft.store.ModelStore.deleteRecursively(storeDir)
